@@ -1,0 +1,469 @@
+"""Color conversion operations as fused jnp programs.
+
+Re-designed equivalent of the reference's conversion op set (reference:
+libheif/color-conversion/ — yuv2rgb.cc, rgb2yuv.cc, chroma_sampling.cc,
+monochrome.cc, alpha.cc, hdr_sdr.cc, rgb2rgb.cc; op registry
+colorconversion.cc:225-269).
+
+Each op declares the state transition it performs and applies it with
+jnp ops on whole planes: matrix conversions and resampling are a few
+elementwise/conv ops that XLA fuses into one kernel, replacing the
+reference's per-pixel C++ loops.  Arithmetic is float32 with
+round-half-away rounding and clipping, matching the reference's
+behavior for the lossy conversions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from .nclx import get_kr_kb
+from .state import ColorState
+
+
+class ColorConversionOptions:
+    """(ref: heif_color_conversion_options, heif_color.h)."""
+
+    NEAREST = "nearest-neighbor"
+    BILINEAR = "bilinear"
+    AVERAGE = "average"
+
+    def __init__(self, chroma_upsampling: str = BILINEAR,
+                 chroma_downsampling: str = AVERAGE):
+        self.chroma_upsampling = chroma_upsampling
+        self.chroma_downsampling = chroma_downsampling
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def _round_clip(x, maxval):
+    jnp = _jnp()
+    return jnp.clip(jnp.round(x), 0, maxval)
+
+
+def _out_dtype(bits: int):
+    return np.uint8 if bits <= 8 else np.uint16
+
+
+def _upsample(plane, out_h, out_w, method: str):
+    """Chroma upsampling to (out_h, out_w) (ref: chroma up in
+    yuv2rgb.cc / chroma_sampling.cc)."""
+    jnp = _jnp()
+    a = jnp.asarray(plane)
+    h, w = a.shape
+    if method == ColorConversionOptions.NEAREST or (h == out_h and w == out_w):
+        ys = (jnp.arange(out_h) * h) // out_h
+        xs = (jnp.arange(out_w) * w) // out_w
+        return a[ys[:, None], xs[None, :]]
+    # bilinear: 2x kernels (3a+b)/4 at half-pel positions
+    af = a.astype(jnp.float32)
+    if out_w == 2 * w or (out_w == 2 * w - 1) or (w * 2 - out_w in (0, 1)):
+        left = jnp.concatenate([af[:, :1], af[:, :-1]], axis=1)
+        right = jnp.concatenate([af[:, 1:], af[:, -1:]], axis=1)
+        even = (3 * af + left) / 4
+        odd = (3 * af + right) / 4
+        up = jnp.stack([even, odd], axis=-1).reshape(h, 2 * w)
+        af = up[:, :out_w]
+    elif out_w != w:
+        xs = (jnp.arange(out_w) * w) // out_w
+        af = af[:, xs]
+    h2 = af.shape[0]
+    if out_h == 2 * h2 or (2 * h2 - out_h in (0, 1)):
+        top = jnp.concatenate([af[:1], af[:-1]], axis=0)
+        bottom = jnp.concatenate([af[1:], af[-1:]], axis=0)
+        even = (3 * af + top) / 4
+        odd = (3 * af + bottom) / 4
+        up = jnp.stack([even, odd], axis=1).reshape(2 * h2, af.shape[1])
+        af = up[:out_h]
+    elif out_h != h2:
+        ys = (jnp.arange(out_h) * h2) // out_h
+        af = af[ys]
+    return af
+
+
+def _downsample(plane_f32, factor_x: int, factor_y: int, method: str):
+    """Chroma downsampling by integer factors (average or nearest)."""
+    jnp = _jnp()
+    a = plane_f32
+    h, w = a.shape
+    if factor_x == 1 and factor_y == 1:
+        return a
+    if method == ColorConversionOptions.NEAREST:
+        return a[::factor_y, ::factor_x]
+    # average with edge padding to multiples
+    ph = (-h) % factor_y
+    pw = (-w) % factor_x
+    if ph or pw:
+        a = jnp.pad(a, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = a.shape
+    a = a.reshape(hh // factor_y, factor_y, ww // factor_x, factor_x)
+    return a.mean(axis=(1, 3))
+
+
+class ColorOp:
+    """Base op (ref: ColorConversionOperation colorconversion.h:78)."""
+
+    cost = 4
+
+    def output_state(self, inp: ColorState,
+                     target: ColorState) -> Optional[ColorState]:
+        raise NotImplementedError
+
+    def apply(self, img: PixelImage, inp: ColorState, outp: ColorState,
+              options: ColorConversionOptions) -> PixelImage:
+        raise NotImplementedError
+
+    def _base_output(self, img: PixelImage, outp: ColorState) -> PixelImage:
+        out = PixelImage(img.width, img.height, outp.colorspace, outp.chroma,
+                         img.limits)
+        out.premultiplied_alpha = img.premultiplied_alpha
+        out.color_profile_nclx = img.color_profile_nclx
+        out.color_profile_icc = img.color_profile_icc
+        out.warnings = list(img.warnings)
+        return out
+
+
+class YCbCrToRGB(ColorOp):
+    """(ref: yuv2rgb.cc Op_YCbCr_to_RGB)."""
+
+    cost = 6
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.YCbCr:
+            return None
+        if target.colorspace not in (Colorspace.RGB, Colorspace.Undefined):
+            return None
+        return inp.with_(colorspace=Colorspace.RGB, chroma=Chroma.C444,
+                         matrix_coefficients=0, full_range=True)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = inp.bits_per_pixel
+        maxval = (1 << bits) - 1
+        y = jnp.asarray(img.plane(Channel.Y)).astype(jnp.float32)
+        h, w = y.shape
+
+        if img.has_channel(Channel.Cb):
+            cb = _upsample(img.plane(Channel.Cb), h, w,
+                           options.chroma_upsampling)
+            cr = _upsample(img.plane(Channel.Cr), h, w,
+                           options.chroma_upsampling)
+            cb = cb.astype(jnp.float32)
+            cr = cr.astype(jnp.float32)
+        else:
+            cb = cr = jnp.full((h, w), float(1 << (bits - 1)), jnp.float32)
+
+        if inp.matrix_coefficients == 0:
+            # identity: GBR (ref: yuv2rgb identity path)
+            r, g, b = cr, y, cb
+        else:
+            kr, kb = get_kr_kb(inp.matrix_coefficients, inp.color_primaries)
+            half = float(1 << (bits - 1))
+            if inp.full_range:
+                yf = y
+                scale_c = 1.0
+            else:
+                yf = (y - (16 << (bits - 8))) * (255.0 / 219.0)
+                scale_c = 255.0 / 224.0
+            cbf = (cb - half) * scale_c
+            crf = (cr - half) * scale_c
+            r = yf + 2 * (1 - kr) * crf
+            b = yf + 2 * (1 - kb) * cbf
+            g = (yf - kr * r - kb * b) / (1 - kr - kb)
+
+        out = self._base_output(img, outp)
+        dt = _out_dtype(bits)
+        out.set_plane(Channel.R, _round_clip(r, maxval).astype(dt), bits)
+        out.set_plane(Channel.G, _round_clip(g, maxval).astype(dt), bits)
+        out.set_plane(Channel.B, _round_clip(b, maxval).astype(dt), bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+class RGBToYCbCr(ColorOp):
+    """(ref: rgb2yuv.cc Op_RGB_to_YCbCr)."""
+
+    cost = 6
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.RGB or inp.chroma not in (
+                Chroma.C444, Chroma.Undefined):
+            return None
+        if target.colorspace not in (Colorspace.YCbCr, Colorspace.Undefined):
+            return None
+        chroma = target.chroma if target.chroma in (
+            Chroma.C420, Chroma.C422, Chroma.C444) else Chroma.C420
+        mc = target.matrix_coefficients or 6
+        return inp.with_(colorspace=Colorspace.YCbCr, chroma=chroma,
+                         matrix_coefficients=mc,
+                         full_range=target.full_range)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = inp.bits_per_pixel
+        maxval = (1 << bits) - 1
+        r = jnp.asarray(img.plane(Channel.R)).astype(jnp.float32)
+        g = jnp.asarray(img.plane(Channel.G)).astype(jnp.float32)
+        b = jnp.asarray(img.plane(Channel.B)).astype(jnp.float32)
+
+        kr, kb = get_kr_kb(outp.matrix_coefficients, outp.color_primaries)
+        yf = kr * r + (1 - kr - kb) * g + kb * b
+        cbf = (b - yf) / (2 * (1 - kb))
+        crf = (r - yf) / (2 * (1 - kr))
+        half = float(1 << (bits - 1))
+        if outp.full_range:
+            y = yf
+            cb = cbf + half
+            cr = crf + half
+        else:
+            y = yf * (219.0 / 255.0) + (16 << (bits - 8))
+            cb = cbf * (224.0 / 255.0) + half
+            cr = crf * (224.0 / 255.0) + half
+
+        fx = 2 if outp.chroma in (Chroma.C420, Chroma.C422) else 1
+        fy = 2 if outp.chroma == Chroma.C420 else 1
+        cb = _downsample(cb, fx, fy, options.chroma_downsampling)
+        cr = _downsample(cr, fx, fy, options.chroma_downsampling)
+
+        out = self._base_output(img, outp)
+        dt = _out_dtype(bits)
+        out.set_plane(Channel.Y, _round_clip(y, maxval).astype(dt), bits)
+        out.set_plane(Channel.Cb, _round_clip(cb, maxval).astype(dt), bits)
+        out.set_plane(Channel.Cr, _round_clip(cr, maxval).astype(dt), bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+class MonoToRGB(ColorOp):
+    """(ref: monochrome.cc Op_mono_to_RGB24_32)."""
+
+    cost = 2
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.Monochrome:
+            return None
+        if target.colorspace not in (Colorspace.RGB, Colorspace.Undefined):
+            return None
+        return inp.with_(colorspace=Colorspace.RGB, chroma=Chroma.C444)
+
+    def apply(self, img, inp, outp, options):
+        out = self._base_output(img, outp)
+        y = img.plane(Channel.Y)
+        bits = img.bit_depth(Channel.Y)
+        for ch in (Channel.R, Channel.G, Channel.B):
+            out.set_plane(ch, y, bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+class MonoToYCbCr(ColorOp):
+    """(ref: monochrome.cc Op_mono_to_YCbCr420)."""
+
+    cost = 2
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.Monochrome:
+            return None
+        if target.colorspace != Colorspace.YCbCr:
+            return None
+        chroma = target.chroma if target.chroma in (
+            Chroma.C420, Chroma.C422, Chroma.C444) else Chroma.C420
+        return inp.with_(colorspace=Colorspace.YCbCr, chroma=chroma)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        out = self._base_output(img, outp)
+        y = img.plane(Channel.Y)
+        bits = img.bit_depth(Channel.Y)
+        out.set_plane(Channel.Y, y, bits)
+        from ..image.pixel_image import subsampled_size
+        cw, chh = subsampled_size(img.width, img.height, Channel.Cb,
+                                  outp.chroma)
+        neutral = 1 << (bits - 1)
+        dt = _out_dtype(bits)
+        c = jnp.full((chh, cw), neutral, dtype=dt)
+        out.set_plane(Channel.Cb, c, bits)
+        out.set_plane(Channel.Cr, c, bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+class ChromaResample(ColorOp):
+    """YCbCr chroma format change (ref: chroma_sampling.cc ops)."""
+
+    cost = 4
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.YCbCr:
+            return None
+        if target.colorspace not in (Colorspace.YCbCr, Colorspace.Undefined):
+            return None
+        if target.chroma in (Chroma.Undefined, inp.chroma) or \
+                target.chroma not in (Chroma.C420, Chroma.C422, Chroma.C444):
+            return None
+        return inp.with_(chroma=target.chroma)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        from ..image.pixel_image import subsampled_size
+        out = self._base_output(img, outp)
+        bits = img.bit_depth(Channel.Y)
+        maxval = (1 << bits) - 1
+        dt = _out_dtype(bits)
+        out.set_plane(Channel.Y, img.plane(Channel.Y), bits)
+        tw, th = subsampled_size(img.width, img.height, Channel.Cb,
+                                 outp.chroma)
+        for ch in (Channel.Cb, Channel.Cr):
+            a = jnp.asarray(img.plane(ch))
+            h, w = a.shape
+            if tw >= w and th >= h:
+                res = _upsample(a, th, tw, options.chroma_upsampling)
+            else:
+                fx = max(1, round(w / tw))
+                fy = max(1, round(h / th))
+                res = _downsample(a.astype(jnp.float32), fx, fy,
+                                  options.chroma_downsampling)[:th, :tw]
+            out.set_plane(ch, _round_clip(res, maxval).astype(dt), bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+class BitDepthConvert(ColorOp):
+    """Scale all planes to a different bit depth (ref: hdr_sdr.cc
+    Op_to_sdr_planes / Op_to_hdr_planes)."""
+
+    cost = 2
+
+    def output_state(self, inp, target):
+        if not target.bits_per_pixel or \
+                target.bits_per_pixel == inp.bits_per_pixel:
+            return None
+        if inp.colorspace == Colorspace.Undefined:
+            return None
+        return inp.with_(bits_per_pixel=target.bits_per_pixel)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        out = self._base_output(img, outp)
+        tbits = outp.bits_per_pixel
+        dt = _out_dtype(tbits)
+        for ch in img.channels():
+            a = jnp.asarray(img.plane(ch))
+            sbits = img.bit_depth(ch)
+            if sbits == tbits:
+                out.set_plane(ch, a, tbits)
+            elif sbits > tbits:
+                shift = sbits - tbits
+                v = (a.astype(jnp.uint32) + (1 << (shift - 1))) >> shift
+                v = jnp.minimum(v, (1 << tbits) - 1)
+                out.set_plane(ch, v.astype(dt), tbits)
+            else:
+                shift = tbits - sbits
+                a32 = a.astype(jnp.uint32)
+                # bit replication to fill the new LSBs
+                v = a32 << shift
+                fill = shift
+                src = sbits
+                while fill > 0:
+                    take = min(src, fill)
+                    v = v | ((a32 >> (src - take)) << (fill - take))
+                    fill -= take
+                out.set_plane(ch, v.astype(dt), tbits)
+        return out
+
+
+class DropAlpha(ColorOp):
+    """(ref: alpha.cc Op_drop_alpha_plane)."""
+
+    cost = 1
+
+    def output_state(self, inp, target):
+        if not inp.has_alpha or target.has_alpha:
+            return None
+        return inp.with_(has_alpha=False)
+
+    def apply(self, img, inp, outp, options):
+        out = self._base_output(img, outp)
+        for ch in img.channels():
+            if ch != Channel.Alpha:
+                out.set_plane(ch, img.plane(ch), img.bit_depth(ch))
+        return out
+
+
+class AddAlpha(ColorOp):
+    """Add an opaque alpha plane (ref: alpha.cc)."""
+
+    cost = 1
+
+    def output_state(self, inp, target):
+        if inp.has_alpha or not target.has_alpha:
+            return None
+        if inp.colorspace == Colorspace.Undefined:
+            return None
+        return inp.with_(has_alpha=True)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        out = self._base_output(img, outp)
+        for ch in img.channels():
+            out.set_plane(ch, img.plane(ch), img.bit_depth(ch))
+        bits = inp.bits_per_pixel
+        dt = _out_dtype(bits)
+        out.set_plane(Channel.Alpha,
+                      jnp.full((img.height, img.width), (1 << bits) - 1,
+                               dtype=dt), bits)
+        return out
+
+
+class RGBToMono(ColorOp):
+    """RGB → monochrome via luma (used for mask/aux encode paths)."""
+
+    cost = 6
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.RGB:
+            return None
+        if target.colorspace != Colorspace.Monochrome:
+            return None
+        return inp.with_(colorspace=Colorspace.Monochrome,
+                         chroma=Chroma.Monochrome)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = inp.bits_per_pixel
+        maxval = (1 << bits) - 1
+        r = jnp.asarray(img.plane(Channel.R)).astype(jnp.float32)
+        g = jnp.asarray(img.plane(Channel.G)).astype(jnp.float32)
+        b = jnp.asarray(img.plane(Channel.B)).astype(jnp.float32)
+        kr, kb = get_kr_kb(6, inp.color_primaries)
+        y = kr * r + (1 - kr - kb) * g + kb * b
+        out = self._base_output(img, outp)
+        out.set_plane(Channel.Y, _round_clip(y, maxval).astype(_out_dtype(bits)),
+                      bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+ALL_OPS: List[ColorOp] = [
+    YCbCrToRGB(), RGBToYCbCr(), MonoToRGB(), MonoToYCbCr(),
+    ChromaResample(), BitDepthConvert(), DropAlpha(), AddAlpha(),
+    RGBToMono(),
+]

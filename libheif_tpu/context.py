@@ -1,0 +1,425 @@
+"""HeifContext: the semantic image model over a parsed file.
+
+Re-designed equivalent of the reference's HeifContext (reference:
+libheif/context.{h,cc} — HeifContext context.h:65,
+interpret_heif_file_images context.cc:584, decode orchestration
+context.cc:1425, encode context.cc:1600, write context.cc:382).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .core.error import HeifError, ErrorCode, SubError
+from .core.limits import SecurityLimits
+from .file import HeifFile
+from .boxes.meta import (
+    Box_ispe, Box_pixi, Box_auxC, Box_colr, Box_irot, Box_imir, Box_clap,
+    Box_udes, Box_infe,
+)
+from .boxes.unc import Box_uncC, Box_cmpd, Box_cmpC, Box_icef
+from .image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from .color import convert_image
+from .color.nclx import NclxProfile
+from .items import ImageItem, ImageItem_Error, DecodingOptions, alloc_item
+from .items.item import ITEM_REGISTRY
+from .api.types import EncodingOptions, ImageTiling
+
+
+class HeifContext:
+    """Top-level engine object (mirrors heif_context)."""
+
+    def __init__(self, limits: Optional[SecurityLimits] = None):
+        self.limits = limits or SecurityLimits()
+        self.file: Optional[HeifFile] = None
+        self.items: Dict[int, ImageItem] = {}
+        self.primary_id: Optional[int] = None
+        self.max_decoding_threads = 4  # ref: context.h:72 (batching hint)
+
+    # ================================================================ read
+
+    @staticmethod
+    def read_from_file(path: str,
+                       limits: Optional[SecurityLimits] = None) -> "HeifContext":
+        ctx = HeifContext(limits)
+        ctx.file = HeifFile.from_file(path, ctx.limits)
+        ctx._interpret()
+        return ctx
+
+    @staticmethod
+    def read_from_bytes(data: bytes,
+                        limits: Optional[SecurityLimits] = None) -> "HeifContext":
+        ctx = HeifContext(limits)
+        ctx.file = HeifFile.from_bytes(data, ctx.limits)
+        ctx._interpret()
+        return ctx
+
+    def _interpret(self) -> None:
+        """Build the item graph (ref: interpret_heif_file context.cc:564)."""
+        if self.file.mini is not None and self.file.meta is None:
+            self._interpret_mini()
+            return
+        f = self.file
+        for item_id in f.item_ids:
+            infe = f.get_infe(item_id)
+            try:
+                item = alloc_item(self, item_id, infe.item_type)
+            except HeifError as e:
+                item = ImageItem_Error(self, item_id, infe.item_type, e)
+            item.is_hidden = infe.hidden
+            self.items[item_id] = item
+
+        try:
+            self.primary_id = f.primary_item_id
+        except HeifError:
+            self.primary_id = None
+        if self.primary_id in self.items:
+            self.items[self.primary_id].is_primary = True
+
+        # --- link aux images via iref (ref: context.cc:800+)
+        for item_id, item in self.items.items():
+            # thumbnails: 'thmb' ref from thumbnail to master
+            for ref in f.get_references_from(item_id, "thmb"):
+                item.is_thumbnail = True
+                for master_id in ref.to_item_ids:
+                    m = self.items.get(master_id)
+                    if m is not None:
+                        m.thumbnails.append(item)
+            # aux images: 'auxl' ref from aux item to master
+            for ref in f.get_references_from(item_id, "auxl"):
+                item.is_aux = True
+                auxC = f.get_property(item_id, Box_auxC)
+                for master_id in ref.to_item_ids:
+                    m = self.items.get(master_id)
+                    if m is None:
+                        continue
+                    if auxC is not None and auxC.is_alpha():
+                        m.alpha_item = item
+                        # premultiplied alpha: 'prem' ref master→alpha
+                        for pref in f.get_references_from(master_id, "prem"):
+                            if item_id in pref.to_item_ids:
+                                m.premultiplied_alpha = True
+                    elif auxC is not None and auxC.is_depth():
+                        m.depth_item = item
+                    else:
+                        m.aux_items.append(item)
+            # metadata: 'cdsc' ref from metadata item to image
+            infe = f.get_infe(item_id)
+            if infe.item_type in ("Exif", "mime", "uri "):
+                for ref in f.get_references_from(item_id, "cdsc"):
+                    for target in ref.to_item_ids:
+                        m = self.items.get(target)
+                        if m is None:
+                            continue
+                        m.metadata.append({
+                            "item_id": item_id,
+                            "item_type": infe.item_type,
+                            "content_type": infe.content_type,
+                            "item_uri_type": infe.item_uri_type,
+                        })
+
+    def _interpret_mini(self) -> None:
+        """Synthesize the item model from a 'mini' box
+        (ref: Box_mini::create_expanded_boxes mini.h:40 — the reference
+        expands into real boxes; we create items directly)."""
+        from .items.mini_item import make_mini_items
+        make_mini_items(self)
+
+    # ---------------------------------------------------------------- query
+
+    def get_item(self, item_id: int) -> ImageItem:
+        item = self.items.get(item_id)
+        if item is None:
+            raise HeifError.usage(SubError.Nonexisting_item_referenced,
+                                  f"item {item_id} does not exist")
+        return item
+
+    @property
+    def primary_item_id(self) -> int:
+        if self.primary_id is None:
+            raise HeifError(ErrorCode.Invalid_input,
+                            SubError.No_or_invalid_primary_item)
+        return self.primary_id
+
+    def top_level_image_ids(self) -> List[int]:
+        """(ref: heif_context_get_list_of_top_level_image_IDs)."""
+        return [i for i, item in self.items.items()
+                if item.is_image_item and not item.is_thumbnail
+                and not item.is_aux and not item.is_hidden
+                and item.item_type not in ("Exif", "mime", "uri ", "rgan",
+                                           "txti")]
+
+    def get_image_info(self, item_id: int) -> dict:
+        item = self.get_item(item_id)
+        w, h = item.width_height()
+        return {
+            "id": item_id,
+            "type": item.item_type,
+            "width": w,
+            "height": h,
+            "has_alpha": item.alpha_item is not None,
+            "has_depth": item.depth_item is not None,
+            "is_primary": item.is_primary,
+            "thumbnails": [t.item_id for t in item.thumbnails],
+            "luma_bits_per_pixel": item.luma_bits_per_pixel(),
+        }
+
+    # ---------------------------------------------------------------- decode
+
+    def decode_image(self, item_id: Optional[int] = None,
+                     colorspace: str = Colorspace.Undefined,
+                     chroma: str = Chroma.Undefined,
+                     options: Optional[DecodingOptions] = None) -> PixelImage:
+        """(ref: HeifContext::decode_image context.cc:1425 +
+        convert_to_output_colorspace context.cc:1515)."""
+        if item_id is None:
+            item_id = self.primary_item_id
+        item = self.get_item(item_id)
+        img = item.decode_image(options)
+        img = self._convert_output(img, colorspace, chroma, options)
+        return img
+
+    def decode_tile(self, item_id: int, tile_x: int, tile_y: int,
+                    colorspace: str = Colorspace.Undefined,
+                    chroma: str = Chroma.Undefined,
+                    options: Optional[DecodingOptions] = None) -> PixelImage:
+        """(ref: heif_image_handle_decode_image_tile heif_tiling.h:86)."""
+        item = self.get_item(item_id)
+        img = item.decode_tile(tile_x, tile_y, options)
+        return self._convert_output(img, colorspace, chroma, options)
+
+    def _convert_output(self, img, colorspace, chroma, options):
+        opts = options or DecodingOptions()
+        target_bits = 8 if opts.convert_hdr_to_8bit else 0
+        needs = ((colorspace != Colorspace.Undefined and
+                  img.colorspace != colorspace) or
+                 (chroma != Chroma.Undefined and img.chroma != chroma) or
+                 (target_bits and any(img.bit_depth(c) != 8
+                                      for c in img.channels())))
+        if needs:
+            img = convert_image(img, colorspace, chroma,
+                                target_bits=target_bits)
+        return img
+
+    def get_image_tiling(self, item_id: int) -> ImageTiling:
+        return self.get_item(item_id).get_tiling()
+
+    # -------------------------------------------------------------- metadata
+
+    def get_metadata_blocks(self, item_id: int,
+                            type_filter: str = "") -> List[dict]:
+        item = self.get_item(item_id)
+        out = []
+        for md in item.metadata:
+            if type_filter and md["item_type"] != type_filter:
+                continue
+            entry = dict(md)
+            if "data" not in entry:  # mini items carry data inline
+                entry["data"] = self.file.get_item_data(md["item_id"])
+            out.append(entry)
+        return out
+
+    def get_exif(self, item_id: int) -> Optional[bytes]:
+        """Exif payload with the 4-byte TIFF-offset header stripped
+        (ref: heif_metadata.h exif access)."""
+        for md in self.get_metadata_blocks(item_id, "Exif"):
+            data = md["data"]
+            if len(data) >= 4:
+                offset = int.from_bytes(data[:4], "big")
+                if 4 + offset <= len(data):
+                    return data[4 + offset:]
+            return data
+        return None
+
+    def get_xmp(self, item_id: int) -> Optional[bytes]:
+        for md in self.get_metadata_blocks(item_id, "mime"):
+            if md.get("content_type") in ("application/rdf+xml",):
+                return md["data"]
+        return None
+
+    # ================================================================ encode
+
+    def new_file(self, major_brand: str = "mif1") -> None:
+        self.file = HeifFile(self.limits)
+        self.file.init_for_writing(major_brand, ["mif1", "heic", "miaf"])
+
+    def encode_image(self, img: PixelImage, fmt: str = "unci",
+                     options: Optional[EncodingOptions] = None) -> int:
+        """Encode an image as a new item; returns the item id
+        (ref: HeifContext::encode_image context.cc:1600)."""
+        options = options or EncodingOptions()
+        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+            self.new_file()
+
+        if fmt == "unci":
+            item_id = self._encode_unci(img, options)
+        elif fmt == "mski":
+            item_id = self._encode_mask(img, options)
+        else:
+            from .codecs import registry
+            enc = registry.get_encoder(fmt)
+            if enc is None:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec,
+                    f"no encoder available for format {fmt!r}")
+            item_id = self._encode_coded(img, enc, fmt, options)
+
+        # alpha channel → separate aux item (ref: context.cc:1669-1708)
+        if img.has_channel(Channel.Alpha) and options.save_alpha_channel and \
+                fmt == "unci":
+            alpha_id = self._encode_alpha_aux(img, fmt, options)
+            self.file.add_reference("auxl", alpha_id, [item_id])
+            aux_infe = self.file.get_infe(alpha_id)
+            aux_infe.hidden = True
+            if img.premultiplied_alpha:
+                self.file.add_reference("prem", item_id, [alpha_id])
+
+        if self.primary_id is None:
+            self.set_primary_item(item_id)
+        return item_id
+
+    def _register_encoded_item(self, item_type: str) -> int:
+        infe = self.file.add_new_item(item_type)
+        item = alloc_item(self, infe.item_id, item_type)
+        self.items[infe.item_id] = item
+        return infe.item_id
+
+    def _add_common_props(self, item_id: int, img: PixelImage,
+                          options: EncodingOptions) -> None:
+        self.file.add_property(item_id, Box_ispe(img.width, img.height), False)
+        bits = [img.bit_depth(c) for c in img.channels()
+                if c != Channel.Alpha]
+        if bits:
+            self.file.add_property(item_id, Box_pixi(bits), False)
+        nclx = options.output_nclx or img.color_profile_nclx
+        if nclx is not None:
+            self.file.add_property(item_id, nclx.to_colr_box(), False)
+        if img.color_profile_icc:
+            from .boxes.meta import Box_colr
+            b = Box_colr()
+            b.colour_type = "prof"
+            b.icc_profile = img.color_profile_icc
+            self.file.add_property(item_id, b, False)
+
+    def _encode_unci(self, img: PixelImage, options: EncodingOptions) -> int:
+        from .codecs.unc import UnciEncoder
+        enc = UnciEncoder(options.tile_cols, options.tile_rows,
+                          compression=options.compression)
+        data, cmpd, uncC, cmpC, icef = enc.encode(img)
+        item_id = self._register_encoded_item("unci")
+        self.file.append_item_data(item_id, data)
+        self._add_common_props(item_id, img, options)
+        self.file.add_property(item_id, cmpd, False)
+        self.file.add_property(item_id, uncC, True)
+        if cmpC is not None:
+            self.file.add_property(item_id, cmpC, True)
+        if icef is not None:
+            self.file.add_property(item_id, icef, True)
+        return item_id
+
+    def _encode_mask(self, img: PixelImage, options: EncodingOptions) -> int:
+        from .items.mask_item import Box_mskC
+        import numpy as np
+        if img.colorspace != Colorspace.Monochrome:
+            raise HeifError.unsupported(
+                SubError.Unsupported_image_type,
+                "mask encoding requires monochrome input")
+        plane = np.asarray(img.plane(Channel.Y))
+        bpp = img.bit_depth(Channel.Y)
+        data = (plane.astype(">u2") if bpp == 16
+                else plane.astype(np.uint8)).tobytes()
+        item_id = self._register_encoded_item("mski")
+        self.file.append_item_data(item_id, data)
+        self._add_common_props(item_id, img, options)
+        self.file.add_property(item_id, Box_mskC(bpp), True)
+        return item_id
+
+    def _encode_coded(self, img, enc, fmt: str, options) -> int:
+        data, config_box, extra = enc.encode_single_image(img, options)
+        item_type = {"hevc": "hvc1", "av1": "av01", "vvc": "vvc1",
+                     "avc": "avc1", "jpeg": "jpeg"}.get(fmt, fmt)
+        item_id = self._register_encoded_item(item_type)
+        self.file.append_item_data(item_id, data)
+        self._add_common_props(item_id, img, options)
+        if config_box is not None:
+            self.file.add_property(item_id, config_box, True)
+        for prop, essential in (extra or []):
+            self.file.add_property(item_id, prop, essential)
+        return item_id
+
+    def _encode_alpha_aux(self, img: PixelImage, fmt: str,
+                          options: EncodingOptions) -> int:
+        alpha = PixelImage(img.width, img.height, Colorspace.Monochrome,
+                           Chroma.Monochrome, self.limits)
+        alpha.set_plane(Channel.Y, img.plane(Channel.Alpha),
+                        img.bit_depth(Channel.Alpha))
+        opts2 = EncodingOptions(**{**options.__dict__,
+                                   "save_alpha_channel": False})
+        alpha_id = self._encode_unci(alpha, opts2)
+        self.file.add_property(
+            alpha_id, Box_auxC("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"),
+            False)
+        return alpha_id
+
+    def add_thumbnail(self, master_id: int, thumb_img: PixelImage,
+                      fmt: str = "unci",
+                      options: Optional[EncodingOptions] = None) -> int:
+        """(ref: heif_context_encode_thumbnail / assign_thumbnail)."""
+        thumb_id = self.encode_image(thumb_img, fmt, options)
+        self.file.add_reference("thmb", thumb_id, [master_id])
+        self.get_item(thumb_id).is_thumbnail = True
+        self.get_item(master_id).thumbnails.append(self.get_item(thumb_id))
+        return thumb_id
+
+    def add_exif(self, item_id: int, exif: bytes) -> int:
+        """(ref: heif_context_add_exif_metadata)."""
+        infe = self.file.add_new_item("Exif")
+        payload = (0).to_bytes(4, "big") + exif
+        self.file.append_item_data(infe.item_id, payload)
+        self.file.add_reference("cdsc", infe.item_id, [item_id])
+        infe.hidden = True
+        return infe.item_id
+
+    def add_xmp(self, item_id: int, xmp: bytes) -> int:
+        infe = self.file.add_new_item("mime")
+        infe.content_type = "application/rdf+xml"
+        self.file.append_item_data(infe.item_id, xmp)
+        self.file.add_reference("cdsc", infe.item_id, [item_id])
+        infe.hidden = True
+        return infe.item_id
+
+    def add_grid_image(self, tile_ids: List[int], output_width: int,
+                       output_height: int, rows: int, columns: int) -> int:
+        """Assemble already-encoded tiles into a grid item
+        (ref: heif_context_add_grid_image heif_tiling.cc:270)."""
+        from .items.derived import ImageGrid
+        grid = ImageGrid(rows=rows, columns=columns,
+                         output_width=output_width,
+                         output_height=output_height)
+        item_id = self._register_encoded_item("grid")
+        # grid payload goes to idat (construction method 1), like the ref
+        self.file.append_item_data(item_id, grid.write(), construction_method=1)
+        self.file.add_reference("dimg", item_id, list(tile_ids))
+        self.file.add_property(item_id,
+                               Box_ispe(output_width, output_height), False)
+        for tid in tile_ids:
+            self.file.get_infe(tid).hidden = True
+        return item_id
+
+    def set_primary_item(self, item_id: int) -> None:
+        self.primary_id = item_id
+        self.file.set_primary_item(item_id)
+        for i, item in self.items.items():
+            item.is_primary = (i == item_id)
+
+    def write(self) -> bytes:
+        return self.file.write()
+
+    def write_to_file(self, path: str) -> None:
+        self.file.write_to_file(path)
+
+    # ---------------------------------------------------------------- debug
+
+    def debug_dump_boxes(self) -> str:
+        """(ref: heif_context_debug_dump_boxes_to_file heif_context.h:296)."""
+        return self.file.dump()

@@ -1,0 +1,167 @@
+"""Color conversion tests (model: reference tests/conversion.cc, 896 LoC)."""
+
+import numpy as np
+import pytest
+
+from libheif_tpu.image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from libheif_tpu.color import convert_image, get_kr_kb, NclxProfile
+from libheif_tpu.color.state import ColorState
+from libheif_tpu.color.pipeline import find_pipeline
+from libheif_tpu.color.ops import ColorConversionOptions
+
+
+def make_rgb(w=16, h=8, bits=8, alpha=False):
+    img = PixelImage(w, h, Colorspace.RGB, Chroma.C444)
+    rng = np.random.default_rng(42)
+    dt = np.uint8 if bits <= 8 else np.uint16
+    for ch in (Channel.R, Channel.G, Channel.B):
+        img.set_plane(ch, rng.integers(0, 1 << bits, (h, w)).astype(dt), bits)
+    if alpha:
+        img.set_plane(Channel.Alpha,
+                      rng.integers(0, 1 << bits, (h, w)).astype(dt), bits)
+    return img
+
+
+class TestKrKb:
+    def test_standard_matrices(self):
+        assert get_kr_kb(1) == (0.2126, 0.0722)    # BT.709
+        assert get_kr_kb(6) == (0.299, 0.114)      # BT.601
+        assert get_kr_kb(9) == (0.2627, 0.0593)    # BT.2020
+
+    def test_derived_from_primaries(self):
+        # matrix 12 + BT.709 primaries ≈ BT.709 constants (ref: nclx.cc:45)
+        kr, kb = get_kr_kb(12, 1)
+        assert abs(kr - 0.2126) < 0.001
+        assert abs(kb - 0.0722) < 0.001
+
+
+class TestYCbCrRGB:
+    def test_gray_roundtrip_identity(self):
+        """Neutral grays map to Y=v, Cb=Cr=128 and back exactly."""
+        img = PixelImage(8, 4, Colorspace.RGB, Chroma.C444)
+        v = np.full((4, 8), 77, np.uint8)
+        for ch in "RGB":
+            img.set_plane(ch, v, 8)
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C444)
+        assert np.asarray(ycc.plane("Y"))[0, 0] == 77
+        assert np.asarray(ycc.plane("Cb"))[0, 0] == 128
+        back = convert_image(ycc, Colorspace.RGB)
+        for ch in "RGB":
+            np.testing.assert_array_equal(np.asarray(back.plane(ch)), v)
+
+    def test_known_bt601_values(self):
+        """Pure red BT.601 full range: Y=76, Cb=85, Cr=255."""
+        img = PixelImage(4, 4, Colorspace.RGB, Chroma.C444)
+        img.set_plane("R", np.full((4, 4), 255, np.uint8), 8)
+        img.set_plane("G", np.zeros((4, 4), np.uint8), 8)
+        img.set_plane("B", np.zeros((4, 4), np.uint8), 8)
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C444)
+        assert np.asarray(ycc.plane("Y"))[0, 0] == 76
+        assert np.asarray(ycc.plane("Cb"))[0, 0] == 85
+        assert np.asarray(ycc.plane("Cr"))[0, 0] == 255
+
+    def test_rgb_ycbcr444_roundtrip_close(self):
+        img = make_rgb()
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C444)
+        back = convert_image(ycc, Colorspace.RGB)
+        for ch in "RGB":
+            diff = np.abs(np.asarray(back.plane(ch)).astype(int) -
+                          np.asarray(img.plane(ch)).astype(int))
+            assert diff.max() <= 2, f"channel {ch} max diff {diff.max()}"
+
+    def test_limited_range_roundtrip(self):
+        img = make_rgb()
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C444,
+                            target_full_range=False)
+        y = np.asarray(ycc.plane("Y"))
+        assert y.min() >= 16 and y.max() <= 235
+        ycc.color_profile_nclx = NclxProfile(full_range_flag=False)
+        back = convert_image(ycc, Colorspace.RGB)
+        for ch in "RGB":
+            diff = np.abs(np.asarray(back.plane(ch)).astype(int) -
+                          np.asarray(img.plane(ch)).astype(int))
+            assert diff.max() <= 3
+
+    def test_chroma_420_shapes(self):
+        img = make_rgb(17, 9)  # odd sizes
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        assert np.asarray(ycc.plane("Y")).shape == (9, 17)
+        assert np.asarray(ycc.plane("Cb")).shape == (5, 9)
+        back = convert_image(ycc, Colorspace.RGB)
+        assert np.asarray(back.plane("R")).shape == (9, 17)
+
+    def test_decoded_fixture_to_rgb(self):
+        """End-to-end: unci YCbCr 420 fixture → RGB conversion."""
+        from tests.test_unc_decode import decode_file, fixture
+        img, _ = decode_file(fixture("uncompressed_comp_YUV_420.heif"))
+        rgb = convert_image(img, Colorspace.RGB)
+        assert set(rgb.channels()) == {"R", "G", "B"}
+        r = np.asarray(rgb.plane("R"))
+        assert r.shape == (20, 32)
+
+
+class TestMono:
+    def test_mono_to_rgb(self):
+        img = PixelImage(8, 4, Colorspace.Monochrome, Chroma.Monochrome)
+        v = np.arange(32, dtype=np.uint8).reshape(4, 8)
+        img.set_plane("Y", v, 8)
+        rgb = convert_image(img, Colorspace.RGB)
+        for ch in "RGB":
+            np.testing.assert_array_equal(np.asarray(rgb.plane(ch)), v)
+
+    def test_mono_to_ycbcr(self):
+        img = PixelImage(8, 4, Colorspace.Monochrome, Chroma.Monochrome)
+        img.set_plane("Y", np.full((4, 8), 10, np.uint8), 8)
+        ycc = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        assert np.asarray(ycc.plane("Cb")).shape == (2, 4)
+        assert (np.asarray(ycc.plane("Cb")) == 128).all()
+
+
+class TestBitDepthAlpha:
+    def test_16_to_8(self):
+        img = make_rgb(bits=16)
+        out = convert_image(img, Colorspace.RGB, target_bits=8)
+        r16 = np.asarray(img.plane("R")).astype(np.uint32)
+        r8 = np.asarray(out.plane("R"))
+        np.testing.assert_array_equal(
+            r8, np.minimum((r16 + 128) >> 8, 255).astype(np.uint8))
+
+    def test_8_to_16_replication(self):
+        img = make_rgb(bits=8)
+        out = convert_image(img, Colorspace.RGB, target_bits=16)
+        r8 = np.asarray(img.plane("R")).astype(np.uint32)
+        np.testing.assert_array_equal(np.asarray(out.plane("R")),
+                                      ((r8 << 8) | r8).astype(np.uint16))
+        # 255 maps to full-scale
+        assert convert_image(img, Colorspace.RGB, target_bits=16) is not None
+
+    def test_drop_and_add_alpha(self):
+        img = make_rgb(alpha=True)
+        out = convert_image(img, Colorspace.RGB, target_has_alpha=False)
+        assert not out.has_channel("Alpha")
+        out2 = convert_image(out, Colorspace.RGB, target_has_alpha=True)
+        assert (np.asarray(out2.plane("Alpha")) == 255).all()
+
+
+class TestPipelineSearch:
+    def test_identity_is_empty(self):
+        s = ColorState(Colorspace.RGB, Chroma.C444, False, 8)
+        assert find_pipeline(s, s) == []
+
+    def test_multi_step_chain(self):
+        """mono 16-bit → RGB 8-bit with alpha requires 3 ops."""
+        inp = ColorState(Colorspace.Monochrome, Chroma.Monochrome, False, 16)
+        target = ColorState(Colorspace.RGB, Chroma.C444, True, 8)
+        chain = find_pipeline(inp, target)
+        assert chain is not None and 2 <= len(chain) <= 4
+
+    def test_unreachable_returns_none(self):
+        inp = ColorState(Colorspace.Nonvisual, Chroma.Undefined, False, 8)
+        target = ColorState(Colorspace.RGB, Chroma.C444, False, 8)
+        assert find_pipeline(inp, target) is None
+
+    def test_ycbcr420_to_422(self):
+        inp = ColorState(Colorspace.YCbCr, Chroma.C420, False, 8)
+        target = ColorState(Colorspace.YCbCr, Chroma.C422, False, 8)
+        chain = find_pipeline(inp, target)
+        assert chain is not None and len(chain) == 1

@@ -1,0 +1,112 @@
+"""Benchmark: ISO 23001-17 tile-batched decode throughput.
+
+Measures the engine's flagship hot path — batched unci tile decode +
+YCbCr420→RGB conversion fused under jit — in megapixels/s on the
+available accelerator vs the identical jnp pipeline on one CPU host
+(the stand-in for the reference's single-host C++ decode).
+
+Methodology notes (axon TPU relay):
+- `block_until_ready` does NOT wait for remote completion over the
+  relay; timing must force a scalar fetch.
+- per-call relay latency is ~25-30 ms, so the K decode iterations run
+  inside ONE jitted `fori_loop` and the loop output is a scalar.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+W, H = 4096, 4096
+TILES = 8   # 8x8 grid of 512x512 tiles
+K = 8       # decode iterations inside one jit call
+REPEATS = 2
+
+
+def build():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _make_layout_and_tiles
+    return _make_layout_and_tiles(W, H, TILES, TILES)
+
+
+def measure(k: int = K, repeats: int = REPEATS) -> float:
+    import jax
+    import jax.numpy as jnp
+    from libheif_tpu.codecs.unc import kernels
+    from libheif_tpu.color.nclx import get_kr_kb
+
+    layout, tiles = build()
+    base = kernels._build_extractor(kernels._layout_key(layout), jit=False)
+    kr, kb = get_kr_kb(6)
+
+    def step(t):
+        planes = base(t)
+        y = planes["Y"].astype(jnp.float32)
+        cb = jnp.repeat(jnp.repeat(planes["Cb"].astype(jnp.float32), 2, 0),
+                        2, 1) - 128.0
+        cr = jnp.repeat(jnp.repeat(planes["Cr"].astype(jnp.float32), 2, 0),
+                        2, 1) - 128.0
+        r = y + 2 * (1 - kr) * cr
+        b = y + 2 * (1 - kb) * cb
+        g = (y - kr * r - kb * b) / (1 - kr - kb)
+        return jnp.stack([jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint8)
+                          for c in (r, g, b)])
+
+    def many(t):
+        def body(i, acc):
+            # vary the input per iteration so the decode cannot be
+            # hoisted out of the loop
+            out = step(t + (i & 1).astype(jnp.uint8))
+            return acc + out[0, 0, 0].astype(jnp.int32)
+        import jax.lax as lax
+        return lax.fori_loop(0, k, body, jnp.int32(0))
+
+    fn = jax.jit(many)
+    td = jax.device_put(tiles)
+    int(fn(td))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        int(fn(td))  # scalar fetch forces completion through the relay
+        best = min(best, time.perf_counter() - t0)
+    return (W * H * k / 1e6) / best  # MP/s
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"cpu_mps": measure(k=2, repeats=2)}))
+        return
+
+    mps = measure()
+
+    # CPU baseline in a subprocess (this process's backend is the TPU)
+    cpu_mps = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu"],
+            capture_output=True, text=True, timeout=600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                cpu_mps = json.loads(line)["cpu_mps"]
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "unci_decode_yuv420_to_rgb_megapixels_per_s",
+        "value": round(mps, 1),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / cpu_mps, 2) if cpu_mps else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

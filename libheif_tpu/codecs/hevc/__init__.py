@@ -1,0 +1,16 @@
+"""HEVC (H.265) codec core — TPU-native replacement for the decode the
+reference delegates to libde265 (reference: libheif/plugins/
+decoder_libde265.cc).
+
+Layering (SURVEY.md §7 hard part (a)):
+- host: NAL demux, SPS/PPS/slice header parse, CABAC entropy decode →
+  flat syntax arrays (modes, coefficients, QPs);
+- device (numpy/jnp): dequant, inverse transforms (batched by size
+  class), intra prediction + reconstruction, deblocking, SAO.
+"""
+
+try:
+    from .decoder import HevcDecoder, register
+    register()
+except ImportError:  # decoder still under construction
+    pass

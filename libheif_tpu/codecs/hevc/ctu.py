@@ -1,0 +1,791 @@
+"""HEVC I-slice syntax parsing: CTU quadtree walk over CABAC.
+
+Produces flat per-picture arrays (intra modes, TU list with
+coefficients, QP map, SAO parameters, partition maps) that the
+reconstruction stage consumes — the parse/recon split that lets
+entropy decode stay host-side while pixel work runs batched on device
+(SURVEY.md §7).
+
+Spec references: coding_quadtree §7.3.8.4, coding_unit §7.3.8.5,
+transform_tree §7.3.8.8, transform_unit §7.3.8.10, residual_coding
+§7.3.8.11, sao §7.3.8.3, WPP §9.3.1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from .headers import SPS, PPS, SliceHeader
+from .cabac import CabacDecoder, ContextModels
+from .tables import diag_scan, horiz_scan, vert_scan, chroma_qp
+
+INTRA_PLANAR = 0
+INTRA_DC = 1
+INTRA_ANGULAR26 = 26
+
+# 4x4 sig ctx map (spec 9.3.4.2.5)
+_CTX_IDX_MAP_4x4 = [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8]
+
+_SCANS = {0: diag_scan(4), 1: horiz_scan(4), 2: vert_scan(4)}
+# subblock scans per TU size (in units of subblocks)
+_SB_SCANS = {(0, n): diag_scan(n) for n in (1, 2, 4, 8)}
+for n in (1, 2, 4, 8):
+    _SB_SCANS[(1, n)] = horiz_scan(n)
+    _SB_SCANS[(2, n)] = vert_scan(n)
+
+
+@dataclass
+class TU:
+    x: int
+    y: int
+    log2: int
+    c_idx: int
+    pred_mode: int
+    qp: int = 0                 # filled in QP finalize pass
+    qg_serial: int = 0
+    transform_skip: bool = False
+    tqb: bool = False
+    coeffs: Optional[np.ndarray] = None   # (n, n) int32, raster order
+
+
+@dataclass
+class SaoParam:
+    # per component: type (0 off, 1 band, 2 edge), 4 offsets, band pos /
+    # eo class
+    type_idx: List[int] = field(default_factory=lambda: [0, 0, 0])
+    offsets: List[List[int]] = field(
+        default_factory=lambda: [[0] * 4 for _ in range(3)])
+    band_pos: List[int] = field(default_factory=lambda: [0, 0, 0])
+    eo_class: List[int] = field(default_factory=lambda: [0, 0])  # luma, chroma
+
+
+class SliceSyntax:
+    """Parsed output for one picture."""
+
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader):
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        w4 = (sps.pic_width + 63) // 4 + 16
+        h4 = (sps.pic_height + 63) // 4 + 16
+        self.w4, self.h4 = w4, h4
+        self.intra_mode_y = np.full((h4, w4), INTRA_DC, np.uint8)
+        self.intra_mode_c = np.full((h4, w4), INTRA_DC, np.uint8)
+        self.ct_depth = np.zeros((h4, w4), np.uint8)
+        self.cu_log2 = np.zeros((h4, w4), np.uint8)      # CU size per 4x4
+        self.tu_log2 = np.zeros((h4, w4), np.uint8)      # TU size per 4x4
+        self.qp_y = np.zeros((h4, w4), np.int16)
+        self.tqb_map = np.zeros((h4, w4), np.uint8)
+        self.nonzero_y = np.zeros((h4, w4), np.uint8)    # cbf_luma per 4x4
+        self.avail = np.zeros((h4, w4), np.uint8)        # decoded yet
+        self.tus: List[TU] = []
+        self.sao: Dict[Tuple[int, int], SaoParam] = {}
+        self.qg_deltas: List[int] = []                   # per QG serial
+        self.qg_blocks: List[List[Tuple[int, int]]] = []  # 4x4 blocks per QG
+
+
+class SliceParser:
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader,
+                 rbsp: bytes, substreams: List[Tuple[int, int]]):
+        """substreams: [(byte_start, byte_end)] per WPP row (or one)."""
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        self.rbsp = rbsp
+        self.substreams = substreams
+        self.out = SliceSyntax(sps, pps, sh)
+        self.ctx = ContextModels(0, sh.qp)  # I-slice initType 0
+        self.dec: Optional[CabacDecoder] = None
+        # QP bookkeeping
+        self.qp_prev = sh.qp
+        self.qg_pred = sh.qp
+        self._pending_qp_reset = False
+        self.qg_serial = -1
+        self.qg_origin = (-1, -1)
+        self.cu_qp_delta = 0
+        self.qp_delta_coded = False
+        self.log2_min_qg = sps.log2_ctb_size - pps.diff_cu_qp_delta_depth
+        self.cur_qg_blocks: List[Tuple[int, int]] = []
+        self.qp_pending: List[Tuple[int, int]] = []  # 4x4 blocks of current QG
+        # per-CU state
+        self.cur_tqb = False
+        self._wpp_saved = None
+        self.tus_pending: List[TU] = []
+
+    # ------------------------------------------------------------ utilities
+
+    def _inside_pic(self, x: int, y: int) -> bool:
+        return 0 <= x < self.sps.pic_width and 0 <= y < self.sps.pic_height
+
+    def _available(self, x: int, y: int) -> bool:
+        if not self._inside_pic(x, y):
+            return False
+        return bool(self.out.avail[y >> 2, x >> 2])
+
+    # ---------------------------------------------------------------- parse
+
+    def parse(self) -> SliceSyntax:
+        sps = self.sps
+        ctb = sps.ctb_size
+        n_cols = sps.pic_width_in_ctbs
+        n_rows = sps.pic_height_in_ctbs
+        wpp = self.pps.entropy_coding_sync_enabled
+
+        sub_idx = 0
+        self.dec = CabacDecoder(self.rbsp, self.substreams[0][0] * 8,
+                                self.substreams[0][1], self.ctx)
+
+        for row in range(n_rows):
+            if wpp and row > 0:
+                # next substream; restore contexts saved after CTU 1 of
+                # the row above (spec 9.3.1); QP predictor resets
+                sub_idx += 1
+                if sub_idx >= len(self.substreams):
+                    raise HeifError.invalid_input(
+                        msg="missing WPP entry point")
+                if self._wpp_saved is not None and n_cols > 1:
+                    self.ctx.restore(self._wpp_saved)
+                self.dec = CabacDecoder(
+                    self.rbsp, self.substreams[sub_idx][0] * 8,
+                    self.substreams[sub_idx][1], self.ctx)
+                # qPY_PREV resets to SliceQpY at the row start — applied
+                # after the previous row's last QG closes
+                self._pending_qp_reset = True
+
+            for col in range(n_cols):
+                x0, y0 = col * ctb, row * ctb
+                if self.sps.sample_adaptive_offset_enabled and \
+                        (self.sh.sao_luma or self.sh.sao_chroma):
+                    self._parse_sao(col, row)
+                self._coding_quadtree(x0, y0, sps.log2_ctb_size, 0)
+                if wpp and col == 1:
+                    self._wpp_saved = self.ctx.snapshot()
+                end = self.dec.decode_terminate()
+                is_last_ctu = (row == n_rows - 1 and col == n_cols - 1)
+                if end and not is_last_ctu:
+                    raise HeifError.invalid_input(
+                        msg=f"premature end_of_slice at CTU ({col},{row})")
+            # WPP: end_of_subset_one_bit consumed implicitly by moving to
+            # the next substream
+
+        self._finalize_qgs()
+        return self.out
+
+    # ------------------------------------------------------------------ SAO
+
+    def _parse_sao(self, cx: int, cy: int) -> None:
+        """(spec §7.3.8.3)."""
+        d = self.dec
+        sao = SaoParam()
+        merge = False
+        if cx > 0:
+            left_in_pic = True
+            if left_in_pic and d.decode_bin(self.ctx.idx("sao_merge_flag")):
+                sao = self.out.sao[(cx - 1, cy)]
+                self.out.sao[(cx, cy)] = sao
+                merge = True
+        if not merge and cy > 0:
+            if d.decode_bin(self.ctx.idx("sao_merge_flag")):
+                sao = self.out.sao[(cx, cy - 1)]
+                self.out.sao[(cx, cy)] = sao
+                merge = True
+        if merge:
+            return
+
+        bd_shift = max(self.sps.bit_depth_luma, 10) - 10  # offsets scale
+        off_max = (1 << (min(self.sps.bit_depth_luma, 10) - 5)) - 1
+        for c_idx in range(3 if self.sh.sao_chroma else 1):
+            if c_idx == 0 and not self.sh.sao_luma:
+                continue
+            if c_idx == 2:
+                sao.type_idx[2] = sao.type_idx[1]
+            elif not d.decode_bin(self.ctx.idx("sao_type_idx")):
+                sao.type_idx[c_idx] = 0
+            else:
+                sao.type_idx[c_idx] = 2 if d.decode_bypass() else 1
+            if sao.type_idx[c_idx] == 0:
+                continue
+            offs = [d.decode_tu_bypass(off_max) for _ in range(4)]
+            if sao.type_idx[c_idx] == 1:  # band
+                for i in range(4):
+                    if offs[i] and d.decode_bypass():
+                        offs[i] = -offs[i]
+                sao.band_pos[c_idx] = d.decode_bypass_bits(5)
+            else:  # edge: offsets 0,1 positive; 2,3 negative
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+                if c_idx == 0:
+                    sao.eo_class[0] = d.decode_bypass_bits(2)
+                elif c_idx == 1:
+                    sao.eo_class[1] = d.decode_bypass_bits(2)
+            sao.offsets[c_idx] = [o << bd_shift for o in offs]
+        self.out.sao[(cx, cy)] = sao
+
+    # -------------------------------------------------------- coding tree
+
+    def _coding_quadtree(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        sps, pps, d = self.sps, self.pps, self.dec
+        size = 1 << log2
+
+        if pps.cu_qp_delta_enabled and log2 >= self.log2_min_qg:
+            self._start_qg(x0, y0)
+
+        inside = (x0 + size <= sps.pic_width and y0 + size <= sps.pic_height)
+        if inside and log2 > sps.log2_min_cb_size:
+            ctx_inc = 0
+            if self._available(x0 - 1, y0) and \
+                    self.out.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                ctx_inc += 1
+            if self._available(x0, y0 - 1) and \
+                    self.out.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                ctx_inc += 1
+            split = d.decode_bin(self.ctx.idx("split_cu_flag", ctx_inc))
+        else:
+            split = 1 if log2 > sps.log2_min_cb_size else 0
+
+        if split:
+            half = size >> 1
+            for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                x1, y1 = x0 + dx * half, y0 + dy * half
+                if x1 < sps.pic_width and y1 < sps.pic_height:
+                    self._coding_quadtree(x1, y1, log2 - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2, depth)
+
+    def _start_qg(self, x0: int, y0: int) -> None:
+        if (x0, y0) == self.qg_origin:
+            return
+        self._close_qg()
+        if self._pending_qp_reset:
+            self.qp_prev = self.sh.qp
+            self._pending_qp_reset = False
+        self.qg_origin = (x0, y0)
+        self.qg_serial += 1
+        self.cu_qp_delta = 0
+        self.qp_delta_coded = False
+        self.cur_qg_blocks = []
+        # qPY_PRED is derived at the START of the quantization group
+        # (spec 8.6.1) from the left/above CUs in the same CTB, falling
+        # back to the previous QG's QP in decode order
+        self.qg_pred = self._qp_pred(x0, y0)
+
+    def _qp_pred(self, xq: int, yq: int) -> int:
+        ctb_mask = ~(self.sps.ctb_size - 1)
+        qp_a = qp_b = None
+        if xq - 1 >= 0 and (xq - 1) & ctb_mask == xq & ctb_mask and \
+                self.out.avail[yq >> 2, (xq - 1) >> 2]:
+            qp_a = int(self.out.qp_y[yq >> 2, (xq - 1) >> 2])
+        if qp_a is None:
+            qp_a = self.qp_prev
+        if yq - 1 >= 0 and (yq - 1) & ctb_mask == yq & ctb_mask and \
+                self.out.avail[(yq - 1) >> 2, xq >> 2]:
+            qp_b = int(self.out.qp_y[(yq - 1) >> 2, xq >> 2])
+        if qp_b is None:
+            qp_b = self.qp_prev
+        return (qp_a + qp_b + 1) >> 1
+
+    def _close_qg(self) -> None:
+        if self.qg_serial < 0:
+            return
+        qp = (self.qg_pred + self.cu_qp_delta + 52) % 52
+        for (bx, by) in self.cur_qg_blocks:
+            self.out.qp_y[by, bx] = qp
+        self.qp_prev = qp
+        self.out.qg_deltas.append(self.cu_qp_delta)
+        self.out.qg_blocks.append(self.cur_qg_blocks)
+        for tu in self.tus_pending:
+            if tu.qg_serial == self.qg_serial:
+                self._assign_tu_qp(tu, qp)
+        self.tus_pending = [t for t in self.tus_pending
+                            if t.qg_serial != self.qg_serial]
+
+    def _assign_tu_qp(self, tu: TU, qp_y: int) -> None:
+        if tu.c_idx == 0:
+            tu.qp = qp_y
+        else:
+            off = (self.pps.cb_qp_offset + self.sh.cb_qp_offset
+                   if tu.c_idx == 1
+                   else self.pps.cr_qp_offset + self.sh.cr_qp_offset)
+            qpi = min(max(qp_y + off, 0), 57)
+            tu.qp = chroma_qp(qpi)
+
+    def _finalize_qgs(self) -> None:
+        self._close_qg()
+        if not self.pps.cu_qp_delta_enabled:
+            # uniform QP
+            self.out.qp_y[:] = self.sh.qp
+            for tu in self.out.tus:
+                self._assign_tu_qp(tu, self.sh.qp)
+        self.tus_pending = []
+
+    # ------------------------------------------------------------ coding unit
+
+    def _coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        sps, pps, d = self.sps, self.pps, self.dec
+        size = 1 << log2
+        bx0, by0 = x0 >> 2, y0 >> 2
+        nb = size >> 2
+
+        self.cur_tqb = False
+        if pps.transquant_bypass_enabled:
+            self.cur_tqb = bool(d.decode_bin(
+                self.ctx.idx("cu_transquant_bypass_flag")))
+
+        # I-slice: pred mode always intra; part_mode only at min CB size
+        part_nxn = False
+        if log2 == sps.log2_min_cb_size:
+            part_nxn = not d.decode_bin(self.ctx.idx("part_mode"))
+
+        if sps.pcm_enabled and not part_nxn and \
+                sps.log2_min_pcm_cb_size <= log2 <= sps.log2_max_pcm_cb_size:
+            if d.decode_terminate():
+                raise HeifError.unsupported(SubError.Unsupported_codec,
+                                            "PCM coding units")
+
+        # ---- intra luma modes ----
+        n_parts = 4 if part_nxn else 1
+        half = size >> 1
+        part_pos = [(x0, y0)]
+        if part_nxn:
+            part_pos = [(x0, y0), (x0 + half, y0),
+                        (x0, y0 + half), (x0 + half, y0 + half)]
+
+        prev_flags = [d.decode_bin(self.ctx.idx("prev_intra_luma_pred_flag"))
+                      for _ in range(n_parts)]
+        mpm_or_rem = []
+        for i in range(n_parts):
+            if prev_flags[i]:
+                mpm_or_rem.append(d.decode_tu_bypass(2))
+            else:
+                mpm_or_rem.append(d.decode_bypass_bits(5))
+
+        luma_modes = []
+        for i, (px, py) in enumerate(part_pos):
+            mode = self._derive_intra_mode(px, py, prev_flags[i],
+                                           mpm_or_rem[i])
+            luma_modes.append(mode)
+            pb = max(1, (1 << (log2 - (1 if part_nxn else 0))) >> 2)
+            self.out.intra_mode_y[py >> 2:(py >> 2) + pb,
+                                  px >> 2:(px >> 2) + pb] = mode
+            # z-order availability inside the CU (later partitions see
+            # earlier partitions as decoded neighbors, spec §6.4.1)
+            self.out.avail[py >> 2:(py >> 2) + pb,
+                           px >> 2:(px >> 2) + pb] = 1
+
+        # ---- intra chroma mode (single for 4:2:0 CU) ----
+        if d.decode_bin(self.ctx.idx("intra_chroma_pred_mode")):
+            idx = d.decode_bypass_bits(2)
+            cand = [INTRA_PLANAR, 26, 10, INTRA_DC]
+            chroma_mode = cand[idx]
+            if chroma_mode == luma_modes[0]:
+                chroma_mode = 34
+        else:
+            chroma_mode = luma_modes[0]
+        self.out.intra_mode_c[by0:by0 + nb, bx0:bx0 + nb] = chroma_mode
+
+        # bookkeeping maps
+        self.out.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = depth
+        self.out.cu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
+        self.out.tqb_map[by0:by0 + nb, bx0:bx0 + nb] = int(self.cur_tqb)
+        if self.pps.cu_qp_delta_enabled:
+            for yy in range(by0, by0 + nb):
+                for xx in range(bx0, bx0 + nb):
+                    self.cur_qg_blocks.append((xx, yy))
+
+        # ---- transform tree ----
+        max_depth = sps.max_transform_hierarchy_depth_intra + (
+            1 if part_nxn else 0)
+        self._cu_luma_modes = luma_modes
+        self._cu_chroma_mode = chroma_mode
+        self._cu_part_nxn = part_nxn
+        self._cu_x0, self._cu_y0, self._cu_log2 = x0, y0, log2
+        self._max_trafo_depth = max_depth
+        self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+
+        # availability after full CU decode
+        self.out.avail[by0:by0 + nb, bx0:bx0 + nb] = 1
+
+    def _derive_intra_mode(self, px: int, py: int, prev_flag: int,
+                           value: int) -> int:
+        """MPM derivation (spec §8.4.2)."""
+        out = self.out
+        # left neighbor
+        if self._available(px - 1, py):
+            cand_a = int(out.intra_mode_y[py >> 2, (px - 1) >> 2])
+        else:
+            cand_a = INTRA_DC
+        # above neighbor: forced DC if outside current CTB row
+        if self._available(px, py - 1) and \
+                (py - 1) >> self.sps.log2_ctb_size == py >> self.sps.log2_ctb_size:
+            cand_b = int(out.intra_mode_y[(py - 1) >> 2, px >> 2])
+        else:
+            cand_b = INTRA_DC
+
+        if cand_a == cand_b:
+            if cand_a < 2:
+                mpm = [INTRA_PLANAR, INTRA_DC, INTRA_ANGULAR26]
+            else:
+                mpm = [cand_a,
+                       2 + ((cand_a + 29) % 32),
+                       2 + ((cand_a - 2 + 1) % 32)]
+        else:
+            mpm = [cand_a, cand_b, 0]
+            if cand_a != INTRA_PLANAR and cand_b != INTRA_PLANAR:
+                mpm[2] = INTRA_PLANAR
+            elif cand_a != INTRA_DC and cand_b != INTRA_DC:
+                mpm[2] = INTRA_DC
+            else:
+                mpm[2] = INTRA_ANGULAR26
+
+        if prev_flag:
+            return mpm[value]
+        smpm = sorted(mpm)
+        mode = value
+        for m in smpm:
+            if mode >= m:
+                mode += 1
+        return mode
+
+    # -------------------------------------------------------- transform tree
+
+    def _transform_tree(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
+                        parent_cbf_cb, parent_cbf_cr) -> None:
+        sps, pps, d = self.sps, self.pps, self.dec
+        intra_split = self._cu_part_nxn
+
+        if log2 > sps.log2_max_tb_size:
+            split = 1
+        elif intra_split and depth == 0:
+            split = 1
+        elif log2 == sps.log2_min_tb_size or depth == self._max_trafo_depth:
+            split = 0
+        else:
+            split = d.decode_bin(
+                self.ctx.idx("split_transform_flag", 5 - log2))
+
+        cbf_cb = parent_cbf_cb
+        cbf_cr = parent_cbf_cr
+        if log2 > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = bool(d.decode_bin(self.ctx.idx("cbf_chroma", depth)))
+            else:
+                cbf_cb = False
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = bool(d.decode_bin(self.ctx.idx("cbf_chroma", depth)))
+            else:
+                cbf_cr = False
+
+        if split:
+            half = 1 << (log2 - 1)
+            self._transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0,
+                                 cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0, x0, y0, log2 - 1, depth + 1,
+                                 1, cbf_cb, cbf_cr)
+            self._transform_tree(x0, y0 + half, x0, y0, log2 - 1, depth + 1,
+                                 2, cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0 + half, x0, y0, log2 - 1,
+                                 depth + 1, 3, cbf_cb, cbf_cr)
+            return
+
+        # leaf: cbf_luma (intra: always coded)
+        cbf_luma = bool(d.decode_bin(
+            self.ctx.idx("cbf_luma", 1 if depth == 0 else 0)))
+
+        nb = max(1, (1 << log2) >> 2)
+        self.out.tu_log2[y0 >> 2:(y0 >> 2) + nb,
+                         x0 >> 2:(x0 >> 2) + nb] = log2
+        if cbf_luma:
+            self.out.nonzero_y[y0 >> 2:(y0 >> 2) + nb,
+                               x0 >> 2:(x0 >> 2) + nb] = 1
+
+        self._transform_unit(x0, y0, x_base, y_base, log2, depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+        # prediction-only blocks (no residual) still need recon entries,
+        # in decode order (intra prediction runs per TB, spec §8.4.4.1)
+        if not cbf_luma:
+            self._record_pred_only(x0, y0, log2, 0,
+                                   self._luma_mode_at(x0, y0))
+        chroma_here = (log2 > 2) or blk_idx == 3
+        if chroma_here:
+            cx, cy, clog2 = (x0, y0, log2 - 1) if log2 > 2 else \
+                (x_base, y_base, 2)
+            if not (cbf_cb and chroma_here):
+                self._record_pred_only(cx, cy, clog2, 1, self._cu_chroma_mode)
+            if not (cbf_cr and chroma_here):
+                self._record_pred_only(cx, cy, clog2, 2, self._cu_chroma_mode)
+
+    def _luma_mode_at(self, x: int, y: int) -> int:
+        if not self._cu_part_nxn:
+            return self._cu_luma_modes[0]
+        half = 1 << (self._cu_log2 - 1)
+        idx = (1 if (x - self._cu_x0) >= half else 0) + \
+              (2 if (y - self._cu_y0) >= half else 0)
+        return self._cu_luma_modes[idx]
+
+    def _record_pred_only(self, x, y, log2, c_idx, mode) -> None:
+        tu = TU(x=x, y=y, log2=log2, c_idx=c_idx, pred_mode=mode,
+                qg_serial=self.qg_serial, tqb=self.cur_tqb, coeffs=None)
+        self.out.tus.append(tu)
+        if self.pps.cu_qp_delta_enabled:
+            self.tus_pending.append(tu)
+
+    def _transform_unit(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr) -> None:
+        pps, d = self.pps, self.dec
+        chroma_here = (log2 > 2) or blk_idx == 3
+        cb = cbf_cb and chroma_here
+        cr = cbf_cr and chroma_here
+
+        if cbf_luma or cb or cr:
+            if pps.cu_qp_delta_enabled and not self.qp_delta_coded:
+                prefix = 0
+                if d.decode_bin(self.ctx.idx("cu_qp_delta_abs", 0)):
+                    prefix = 1
+                    while prefix < 5 and d.decode_bin(
+                            self.ctx.idx("cu_qp_delta_abs", 1)):
+                        prefix += 1
+                val = prefix
+                if prefix == 5:
+                    val = 5 + d.decode_eg_bypass(0)
+                if val and d.decode_bypass():
+                    val = -val
+                self.cu_qp_delta = val
+                self.qp_delta_coded = True
+
+            if cbf_luma:
+                self._residual(x0, y0, log2, 0,
+                               self._luma_mode_at(x0, y0))
+            if log2 > 2:
+                if cb:
+                    self._residual(x0, y0, log2 - 1, 1, self._cu_chroma_mode)
+                if cr:
+                    self._residual(x0, y0, log2 - 1, 2, self._cu_chroma_mode)
+            elif blk_idx == 3:
+                if cb:
+                    self._residual(x_base, y_base, 2, 1, self._cu_chroma_mode)
+                if cr:
+                    self._residual(x_base, y_base, 2, 2, self._cu_chroma_mode)
+
+    # ----------------------------------------------------------- residual
+
+    def _residual(self, x0, y0, log2, c_idx, pred_mode) -> None:
+        """residual_coding (spec §7.3.8.11)."""
+        pps, d, ctx = self.pps, self.dec, self.ctx
+        size = 1 << log2
+
+        transform_skip = False
+        if pps.transform_skip_enabled and not self.cur_tqb and log2 == 2:
+            transform_skip = bool(d.decode_bin(
+                ctx.idx("transform_skip_flag", 0 if c_idx == 0 else 1)))
+
+        # scan selection (spec 7.4.9.11)
+        scan_idx = 0
+        if (c_idx == 0 and log2 in (2, 3)) or (c_idx > 0 and log2 == 2):
+            if 6 <= pred_mode <= 14:
+                scan_idx = 2
+            elif 22 <= pred_mode <= 30:
+                scan_idx = 1
+
+        # ---- last significant coefficient position ----
+        def last_prefix(which: str) -> int:
+            c_max = (log2 << 1) - 1
+            if c_idx == 0:
+                offset = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+                shift = (log2 + 1) >> 2
+            else:
+                offset = 15
+                shift = log2 - 2
+            v = 0
+            while v < c_max and d.decode_bin(
+                    ctx.idx(which, offset + (v >> shift))):
+                v += 1
+            return v
+
+        px = last_prefix("last_sig_x_prefix")
+        py = last_prefix("last_sig_y_prefix")
+
+        def last_val(prefix: int) -> int:
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                return (((2 + (prefix & 1)) << nbits) +
+                        d.decode_bypass_bits(nbits))
+            return prefix
+
+        last_x = last_val(px)
+        last_y = last_val(py)
+        if scan_idx == 2:
+            last_x, last_y = last_y, last_x
+
+        n_sb = size >> 2
+        sb_scan = _SB_SCANS[(scan_idx, n_sb)]
+        pos_scan = _SCANS[scan_idx]
+
+        # map (x,y) → (subblock scan index, in-subblock scan index)
+        sb_of = {(int(sx), int(sy)): i for i, (sx, sy) in enumerate(sb_scan)}
+        pos_of = {(int(qx), int(qy)): i for i, (qx, qy) in enumerate(pos_scan)}
+        last_sb = sb_of[(last_x >> 2, last_y >> 2)]
+        last_pos = pos_of[(last_x & 3, last_y & 3)]
+
+        coeffs = np.zeros((size, size), np.int32)
+        csbf = np.zeros((n_sb, n_sb), np.uint8)
+        csbf[last_y >> 2, last_x >> 2] = 1
+        csbf[0, 0] = 1
+
+        prev_sb_gt1 = False
+        for i in range(last_sb, -1, -1):
+            sx, sy = int(sb_scan[i][0]), int(sb_scan[i][1])
+            explicit_csbf = False
+            if i == last_sb or i == 0:
+                sb_coded = True
+            else:
+                right = csbf[sy, sx + 1] if sx + 1 < n_sb else 0
+                below = csbf[sy + 1, sx] if sy + 1 < n_sb else 0
+                ctx_inc = min(int(right) | int(below), 1) + \
+                    (2 if c_idx else 0)
+                sb_coded = bool(d.decode_bin(
+                    ctx.idx("coded_sub_block_flag", ctx_inc)))
+                csbf[sy, sx] = sb_coded
+                explicit_csbf = True
+            if not sb_coded:
+                continue
+
+            infer_dc = explicit_csbf
+            start_n = last_pos - 1 if i == last_sb else 15
+            sig_pos = []
+            if i == last_sb:
+                sig_pos.append(last_pos)
+            for n in range(start_n, -1, -1):
+                qx, qy = int(pos_scan[n][0]), int(pos_scan[n][1])
+                xc, yc = (sx << 2) + qx, (sy << 2) + qy
+                if n == 0 and infer_dc and not sig_pos:
+                    # all higher positions zero → DC inferred significant
+                    sig = 1
+                elif n == 0 and infer_dc and sig_pos:
+                    sig = d.decode_bin(ctx.idx(
+                        "sig_coeff_flag",
+                        self._sig_ctx(xc, yc, log2, c_idx, scan_idx,
+                                      sx, sy, csbf, n_sb)))
+                else:
+                    sig = d.decode_bin(ctx.idx(
+                        "sig_coeff_flag",
+                        self._sig_ctx(xc, yc, log2, c_idx, scan_idx,
+                                      sx, sy, csbf, n_sb)))
+                if sig:
+                    sig_pos.append(n)
+
+            if not sig_pos:
+                continue
+
+            # ---- levels ----
+            ctx_set = (0 if (i == 0 or c_idx > 0) else 2)
+            if prev_sb_gt1:
+                ctx_set += 1
+            greater1_ctx = 1
+            gt1_flags = {}
+            first_gt1_n = None
+            for k, n in enumerate(sig_pos):
+                if k < 8:
+                    inc = ctx_set * 4 + min(3, greater1_ctx) + \
+                        (16 if c_idx else 0)
+                    g1 = d.decode_bin(
+                        ctx.idx("coeff_abs_level_greater1_flag", inc))
+                    gt1_flags[n] = g1
+                    if g1:
+                        if first_gt1_n is None:
+                            first_gt1_n = n
+                        greater1_ctx = 0
+                    elif greater1_ctx > 0:
+                        greater1_ctx += 1
+            gt2 = 0
+            if first_gt1_n is not None:
+                gt2 = d.decode_bin(ctx.idx(
+                    "coeff_abs_level_greater2_flag",
+                    ctx_set + (4 if c_idx else 0)))
+            prev_sb_gt1 = first_gt1_n is not None
+
+            # sign data hiding
+            sign_hidden = (pps.sign_data_hiding_enabled and
+                           not self.cur_tqb and
+                           (sig_pos[0] - sig_pos[-1]) > 3)
+            signs = {}
+            for n in sig_pos:
+                if sign_hidden and n == sig_pos[-1]:
+                    continue
+                signs[n] = d.decode_bypass()
+
+            rice = 0
+            levels = {}
+            sum_abs = 0
+            for k, n in enumerate(sig_pos):
+                if n in gt1_flags:
+                    base = 1 + gt1_flags[n] + (gt2 if n == first_gt1_n else 0)
+                    max_base = 3 if n == first_gt1_n else 2
+                else:
+                    base = 1
+                    max_base = 1
+                level = base
+                if base == max_base:
+                    prefix = 0
+                    while d.decode_bypass():
+                        prefix += 1
+                        if prefix > 31:
+                            raise HeifError.invalid_input(
+                                msg="coeff remaining runaway")
+                    if prefix <= 3:
+                        rem = (prefix << rice) + d.decode_bypass_bits(rice)
+                    else:
+                        rem = (((1 << (prefix - 3)) + 3 - 1) << rice) + \
+                            d.decode_bypass_bits(prefix - 3 + rice)
+                    level = base + rem
+                if level > (3 << rice):
+                    rice = min(rice + 1, 4)
+                levels[n] = level
+                sum_abs += level
+
+            for n in sig_pos:
+                qx, qy = int(pos_scan[n][0]), int(pos_scan[n][1])
+                xc, yc = (sx << 2) + qx, (sy << 2) + qy
+                level = levels[n]
+                if sign_hidden and n == sig_pos[-1]:
+                    neg = (sum_abs & 1) == 1
+                else:
+                    neg = bool(signs.get(n, 0))
+                coeffs[yc, xc] = -level if neg else level
+
+        tu = TU(x=x0, y=y0, log2=log2, c_idx=c_idx, pred_mode=pred_mode,
+                qg_serial=self.qg_serial, transform_skip=transform_skip,
+                tqb=self.cur_tqb, coeffs=coeffs)
+        self.out.tus.append(tu)
+        if self.pps.cu_qp_delta_enabled:
+            self.tus_pending.append(tu)
+
+    def _sig_ctx(self, xc, yc, log2, c_idx, scan_idx, sx, sy, csbf, n_sb):
+        """sig_coeff_flag context (spec §9.3.4.2.5)."""
+        if log2 == 2:
+            sig_ctx = _CTX_IDX_MAP_4x4[((yc & 3) << 2) + (xc & 3)]
+        elif xc + yc == 0:
+            sig_ctx = 0
+        else:
+            right = int(csbf[sy, sx + 1]) if sx + 1 < n_sb else 0
+            below = int(csbf[sy + 1, sx]) if sy + 1 < n_sb else 0
+            prev = right + 2 * below
+            xp, yp = xc & 3, yc & 3
+            if prev == 0:
+                sig_ctx = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+            elif prev == 1:
+                sig_ctx = 2 if yp == 0 else (1 if yp == 1 else 0)
+            elif prev == 2:
+                sig_ctx = 2 if xp == 0 else (1 if xp == 1 else 0)
+            else:
+                sig_ctx = 2
+            if c_idx == 0:
+                if (sx, sy) != (0, 0):
+                    sig_ctx += 3
+                sig_ctx += (9 if scan_idx == 0 else 15) if log2 == 3 else 21
+            else:
+                sig_ctx += 9 if log2 == 3 else 12
+        return sig_ctx + (27 if c_idx else 0)

@@ -1,0 +1,197 @@
+"""HEVC still-image decoder: glue from hvcC+NALs to PixelImage.
+
+Replaces the reference's libde265 plugin boundary (reference:
+libheif/plugins/decoder_libde265.cc:479-521, codecs/hevc_dec.cc).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from ...boxes.codec_cfg import remove_emulation_prevention
+from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from ..registry import Decoder, register_decoder
+from . import headers as H
+from .ctu import SliceParser
+from .recon import IntraReconstructor
+from .filters import Deblocker, apply_sao
+
+
+def split_length_prefixed(data: bytes, length_size: int) -> List[bytes]:
+    """hvcC-style length-prefixed NAL stream → NAL list
+    (ref: nalu_utils.cc length-prefix handling)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos + length_size <= n:
+        ln = int.from_bytes(data[pos:pos + length_size], "big")
+        pos += length_size
+        if ln == 0 or pos + ln > n:
+            break
+        out.append(data[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def _epb_positions(raw: bytes) -> List[int]:
+    """Indices (in raw NAL bytes) of emulation prevention bytes."""
+    pos = []
+    zeros = 0
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if zeros >= 2 and b == 3:
+            pos.append(i)
+            zeros = 0
+        else:
+            zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return pos
+
+
+def _substreams(nal: bytes, rbsp: bytes, data_offset_bits: int,
+                entry_offsets: List[int]) -> List[Tuple[int, int]]:
+    """WPP substream (byte_start, byte_end) ranges within the RBSP.
+
+    entry_point offsets count bytes in the raw NAL (incl. emulation
+    prevention, spec §7.4.7.1); convert to RBSP positions by
+    subtracting the EPBs inside each range.
+    """
+    data_start = data_offset_bits // 8
+    if not entry_offsets:
+        return [(data_start, len(rbsp))]
+    payload = nal[2:]
+    epb_set = set(_epb_positions(payload))
+    # rbsp→raw map (rbsp = payload minus emulation prevention bytes)
+    rbsp_to_raw = {}
+    rbsp_count = 0
+    for raw_i in range(len(payload)):
+        if raw_i in epb_set:
+            continue
+        rbsp_to_raw[rbsp_count] = raw_i
+        rbsp_count += 1
+    raw_data_start = rbsp_to_raw[data_start]
+
+    # substream boundaries in raw domain
+    bounds_raw = [raw_data_start]
+    acc = raw_data_start
+    for off in entry_offsets:
+        acc += off
+        bounds_raw.append(acc)
+    bounds_raw.append(len(payload))
+
+    # map back raw→rbsp (count non-EPB bytes before the bound)
+    raw_to_rbsp = np.zeros(len(payload) + 1, np.int64)
+    cnt = 0
+    for i in range(len(payload)):
+        raw_to_rbsp[i] = cnt
+        if i not in epb_set:
+            cnt += 1
+    raw_to_rbsp[len(payload)] = cnt
+
+    subs = []
+    for k in range(len(bounds_raw) - 1):
+        s = int(raw_to_rbsp[bounds_raw[k]])
+        e = int(raw_to_rbsp[bounds_raw[k + 1]])
+        subs.append((s, e))
+    return subs
+
+
+def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one intra picture from its slice NALs → (Y, Cb, Cr)."""
+    if pps.tiles_enabled:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "HEVC tiles not yet supported")
+    if len(slice_nals) != 1:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "multi-slice pictures not yet supported")
+    if sps.chroma_format_idc != 1:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "only 4:2:0 supported currently")
+    if sps.bit_depth_luma != 8:
+        raise HeifError.unsupported(SubError.Unsupported_bit_depth,
+                                    "only 8-bit supported currently")
+    if sps.scaling_list_enabled:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "explicit scaling lists")
+
+    nal = slice_nals[0]
+    sh = H.parse_slice_header(nal, sps, {pps.pps_id: pps})
+    rbsp = remove_emulation_prevention(nal[2:])
+    subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
+
+    parser = SliceParser(sps, pps, sh, rbsp, subs)
+    syntax = parser.parse()
+
+    recon = IntraReconstructor(syntax)
+    y, cb, cr = recon.run()
+
+    Deblocker(syntax, (y, cb, cr)).run()
+    y, cb, cr = apply_sao(syntax, (y, cb, cr))
+    return y, cb, cr
+
+
+class HevcDecoder(Decoder):
+    id = "tpu-hevc"
+    format = "hevc"
+    priority = 100
+
+    def decode_single_image(self, config_box, data: bytes,
+                            declared_size=None, limits=None) -> PixelImage:
+        if config_box is None:
+            raise HeifError.invalid_input(SubError.No_hvcC_box)
+        sps = pps = None
+        for nal in config_box.get_header_nals():
+            t = H.nal_type(nal)
+            if t == H.NAL_SPS:
+                sps = H.parse_sps(nal)
+            elif t == H.NAL_PPS:
+                pps = H.parse_pps(nal)
+        nals = split_length_prefixed(data, config_box.length_size)
+        slices = []
+        for nal in nals:
+            t = H.nal_type(nal)
+            if t == H.NAL_SPS:
+                sps = H.parse_sps(nal)
+            elif t == H.NAL_PPS:
+                pps = H.parse_pps(nal)
+            elif H.is_slice(t):
+                slices.append(nal)
+        if sps is None or pps is None:
+            raise HeifError.invalid_input(SubError.No_hvcC_box,
+                                          "missing SPS/PPS")
+        if limits is not None:
+            limits.check_image_size(sps.pic_width, sps.pic_height)
+            if declared_size is not None:
+                # coded size must not wildly exceed the declared size
+                # (ref: decoder.h:108-125 security check)
+                dw, dh = declared_size
+                if sps.pic_width * sps.pic_height > \
+                        max(4 * dw * dh, dw * dh + (1 << 16)):
+                    raise HeifError.security(
+                        "coded size much larger than declared size")
+
+        y, cb, cr = decode_intra_picture(sps, pps, slices)
+
+        # conformance window crop
+        w, h = sps.cropped_size
+        sub_w = 2 if sps.chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if sps.chroma_format_idc == 1 else 1
+        l, _, t, _ = sps.conf_win
+        y = y[t * sub_h:t * sub_h + h, l * sub_w:l * sub_w + w]
+        cb = cb[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
+        cr = cr[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
+
+        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
+        img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth_luma)
+        img.set_plane(Channel.Cb, cb.astype(np.uint8), sps.bit_depth_chroma)
+        img.set_plane(Channel.Cr, cr.astype(np.uint8), sps.bit_depth_chroma)
+        return img
+
+
+def register():
+    register_decoder(HevcDecoder())

@@ -160,16 +160,23 @@ class ImageItem:
 
         img = self.decode_compressed_image(options, processed_ids)
 
-        # anti-malloc-bomb: decoded size must match declared size
+        # decoded size vs declared size: a slightly larger decode is
+        # cropped to ispe (codec alignment padding, ref: context crop to
+        # ispe); anything else is an error/warning
         # (ref: check_decoded_image_size image_item.h:376)
         if size is not None and (img.width, img.height) != size:
-            if options.strict_decoding:
+            if img.width >= size[0] and img.height >= size[1] and \
+                    img.width <= size[0] + 64 and img.height <= size[1] + 64:
+                img = img.crop(0, 0, size[0], size[1])
+            elif options.strict_decoding:
                 raise HeifError.invalid_input(
                     SubError.Invalid_image_size,
                     f"decoded size {img.width}x{img.height} != ispe "
                     f"{size[0]}x{size[1]}")
-            img.add_warning(HeifError.invalid_input(
-                SubError.Invalid_image_size, "decoded size differs from ispe"))
+            else:
+                img.add_warning(HeifError.invalid_input(
+                    SubError.Invalid_image_size,
+                    "decoded size differs from ispe"))
 
         # color profile from properties
         nclx = self.nclx()

@@ -9,8 +9,8 @@ Layering (SURVEY.md §7 hard part (a)):
   class), intra prediction + reconstruction, deblocking, SAO.
 """
 
-try:
-    from .decoder import HevcDecoder, register
-    register()
-except ImportError:  # decoder still under construction
-    pass
+from .decoder import HevcDecoder, register as _register_dec
+from .encoder import HevcEncoder, register as _register_enc
+
+_register_dec()
+_register_enc()

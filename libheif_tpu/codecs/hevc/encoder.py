@@ -1,0 +1,816 @@
+"""HEVC intra still-image encoder.
+
+Replaces the reference's x265 plugin boundary for still images
+(reference: libheif/plugins/encoder_x265.cc) with a from-scratch
+intra encoder: fixed CU-size quadtree, per-CU intra mode decision,
+forward transform + quantization, CABAC entropy coding.
+
+The encoder doubles as the differential-test oracle driver: its
+streams are decodable by both this package's decoder and any
+conformant HEVC decoder (validated against libde265 in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.bitstream import BitWriter
+from ...core.error import HeifError, SubError
+from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from ..registry import Encoder as RegistryEncoder, register_encoder
+from .tables import DCT, DST4, chroma_qp
+from .cabac import ContextModels
+from .cabac_enc import CabacEncoder
+from .ctu import (_SCANS, _SB_SCANS, _CTX_IDX_MAP_4x4, INTRA_PLANAR,
+                  INTRA_DC, INTRA_ANGULAR26)
+from .headers import SPS, PPS, SliceHeader
+from .recon import dequant, inverse_transform, IntraReconstructor
+from .ctu import TU, SliceSyntax
+
+_QUANT_SCALE = [26214, 23302, 20560, 18396, 16384, 14564]
+
+
+# --------------------------------------------------------------------------
+# header writers
+# --------------------------------------------------------------------------
+
+def _write_ptl(w: BitWriter) -> None:
+    w.write_bits(0, 2)      # profile_space
+    w.write_bits(0, 1)      # tier
+    w.write_bits(1, 5)      # Main profile
+    w.write_bits(0b0110 << 28, 32)  # compatibility: Main + Main10
+    w.write_bits(1, 1)      # progressive_source
+    w.write_bits(0, 1)      # interlaced
+    w.write_bits(1, 1)      # non_packed
+    w.write_bits(1, 1)      # frame_only
+    w.write_bits(0, 22)     # reserved 43 bits total → 44 remaining
+    w.write_bits(0, 21)
+    w.write_bits(0, 1)      # inbld/reserved
+    w.write_bits(120, 8)    # level 4.0
+
+
+def _ue(w: BitWriter, v: int) -> None:
+    n = v + 1
+    nbits = n.bit_length()
+    w.write_bits(0, nbits - 1)
+    w.write_bits(n, nbits)
+
+
+def _se(w: BitWriter, v: int) -> None:
+    _ue(w, 2 * v - 1 if v > 0 else -2 * v)
+
+
+def _rbsp_trailing(w: BitWriter) -> None:
+    w.write_bits(1, 1)
+    w.byte_align()
+
+
+def add_emulation_prevention(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+@dataclass
+class EncParams:
+    qp: int = 26
+    ctb_log2: int = 5          # 32x32 CTBs keep the quadtree simple
+    cu_log2: int = 4           # fixed CU/TU size (16x16)
+    mode: str = "auto"         # 'auto' | 'dc' | 'planar' | int
+    sao: bool = False
+    sign_hiding: bool = False
+    cu_qp_delta: bool = False
+    qp_delta_pattern: tuple = (0, 1, -1, 2, 0, -2)  # per-QG deltas cycle
+    nxn: bool = False          # use NxN partitions at min-CB CUs
+
+
+def write_sps(p: EncParams, width: int, height: int) -> bytes:
+    w = BitWriter()
+    w.write_bits(0, 4)      # vps id
+    w.write_bits(0, 3)      # max_sub_layers_minus1
+    w.write_bits(1, 1)      # temporal_id_nesting
+    _write_ptl(w)
+    _ue(w, 0)               # sps id
+    _ue(w, 1)               # chroma 4:2:0
+    _ue(w, width)
+    _ue(w, height)
+    w.write_bits(0, 1)      # no conformance window (caller pads)
+    _ue(w, 0)               # bit_depth_luma - 8
+    _ue(w, 0)               # bit_depth_chroma - 8
+    _ue(w, 4)               # log2_max_poc_lsb - 4
+    w.write_bits(1, 1)      # sub_layer_ordering_info_present
+    _ue(w, 1)               # max_dec_pic_buffering_minus1
+    _ue(w, 0)               # num_reorder
+    _ue(w, 0)               # max_latency
+    _ue(w, 0)               # log2_min_cb_size - 3  → 8
+    _ue(w, p.ctb_log2 - 3)  # log2_diff_max_min
+    _ue(w, 0)               # log2_min_tb - 2 → 4
+    _ue(w, min(p.ctb_log2, 5) - 2)  # log2_diff_max_min_tb → max TB = CTB (≤32)
+    _ue(w, 0)               # max_transform_hierarchy_depth_inter
+    _ue(w, 0)               # max_transform_hierarchy_depth_intra
+    w.write_bits(0, 1)      # scaling_list_enabled
+    w.write_bits(0, 1)      # amp_enabled
+    w.write_bits(1 if p.sao else 0, 1)
+    w.write_bits(0, 1)      # pcm_enabled
+    _ue(w, 0)               # num_short_term_rps
+    w.write_bits(0, 1)      # long_term_ref_pics_present
+    w.write_bits(0, 1)      # temporal_mvp
+    w.write_bits(0, 1)      # strong_intra_smoothing
+    # VUI: declare full-range video so container color handling is 1:1
+    w.write_bits(1, 1)      # vui_present
+    w.write_bits(0, 1)      # aspect_ratio_info_present
+    w.write_bits(0, 1)      # overscan_info_present
+    w.write_bits(1, 1)      # video_signal_type_present
+    w.write_bits(5, 3)      # video_format unspecified
+    w.write_bits(1, 1)      # video_full_range_flag
+    w.write_bits(0, 1)      # colour_description_present
+    w.write_bits(0, 1)      # chroma_loc_info_present
+    w.write_bits(0, 1)      # neutral_chroma_indication
+    w.write_bits(0, 1)      # field_seq
+    w.write_bits(0, 1)      # frame_field_info_present
+    w.write_bits(0, 1)      # default_display_window
+    w.write_bits(0, 1)      # vui_timing_info_present
+    w.write_bits(0, 1)      # bitstream_restriction
+    w.write_bits(0, 1)      # sps_extension
+    _rbsp_trailing(w)
+    return b"\x42\x01" + add_emulation_prevention(w.data())
+
+
+def write_pps(p: EncParams) -> bytes:
+    w = BitWriter()
+    _ue(w, 0)               # pps id
+    _ue(w, 0)               # sps id
+    w.write_bits(0, 1)      # dependent_slice_segments
+    w.write_bits(0, 1)      # output_flag_present
+    w.write_bits(0, 3)      # num_extra_slice_header_bits
+    w.write_bits(1 if p.sign_hiding else 0, 1)
+    w.write_bits(0, 1)      # cabac_init_present
+    _ue(w, 0)               # num_ref_idx_l0_default - 1
+    _ue(w, 0)
+    _se(w, p.qp - 26)       # init_qp - 26
+    w.write_bits(0, 1)      # constrained_intra_pred
+    w.write_bits(0, 1)      # transform_skip
+    w.write_bits(1 if p.cu_qp_delta else 0, 1)
+    if p.cu_qp_delta:
+        _ue(w, p.ctb_log2 - p.cu_log2)  # diff_cu_qp_delta_depth → QG=CU
+    _se(w, 0)               # cb_qp_offset
+    _se(w, 0)               # cr_qp_offset
+    w.write_bits(0, 1)      # slice_chroma_qp_offsets_present
+    w.write_bits(0, 1)      # weighted_pred
+    w.write_bits(0, 1)      # weighted_bipred
+    w.write_bits(0, 1)      # transquant_bypass
+    w.write_bits(0, 1)      # tiles_enabled
+    w.write_bits(0, 1)      # entropy_coding_sync (no WPP)
+    w.write_bits(0, 1)      # loop_filter_across_slices
+    w.write_bits(1, 1)      # deblocking_filter_control_present
+    w.write_bits(0, 1)      # deblocking_filter_override_enabled
+    w.write_bits(1, 1)      # pps_deblocking_filter_disabled (keep exact)
+    w.write_bits(0, 1)      # scaling_list_data_present
+    w.write_bits(0, 1)      # lists_modification
+    _ue(w, 0)               # log2_parallel_merge_level - 2
+    w.write_bits(0, 1)      # slice_segment_header_extension
+    w.write_bits(0, 1)      # pps_extension
+    _rbsp_trailing(w)
+    return b"\x44\x01" + add_emulation_prevention(w.data())
+
+
+def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool) -> BitWriter:
+    w = BitWriter()
+    w.write_bits(1, 1)      # first_slice_in_pic
+    w.write_bits(0, 1)      # no_output_of_prior_pics (IDR)
+    _ue(w, 0)               # pps id
+    _ue(w, 2)               # slice_type I
+    if p.sao:
+        w.write_bits(1 if sao_luma else 0, 1)
+        w.write_bits(1 if sao_chroma else 0, 1)
+    _se(w, 0)               # slice_qp_delta
+    # deblocking: control present in PPS, override disabled → nothing
+    # alignment
+    w.write_bits(1, 1)
+    w.byte_align()
+    return w
+
+
+# --------------------------------------------------------------------------
+# transforms
+# --------------------------------------------------------------------------
+
+def forward_transform(block: np.ndarray, log2: int, c_idx: int,
+                      bit_depth: int = 8) -> np.ndarray:
+    n = 1 << log2
+    m = DST4 if (c_idx == 0 and n == 4) else DCT[n]
+    shift1 = log2 + bit_depth - 9
+    shift2 = log2 + 6
+    t = m @ block.astype(np.int64)
+    t = (t + (1 << (shift1 - 1)) if shift1 > 0 else t) >> max(shift1, 0)
+    c = t @ m.T
+    c = (c + (1 << (shift2 - 1))) >> shift2
+    return c
+
+
+def quantize(coeffs: np.ndarray, qp: int, log2: int,
+             bit_depth: int = 8) -> np.ndarray:
+    tshift = 15 - bit_depth - log2
+    qbits = 14 + qp // 6 + tshift
+    scale = _QUANT_SCALE[qp % 6]
+    add = 171 << (qbits - 9)  # intra rounding
+    mag = (np.abs(coeffs.astype(np.int64)) * scale + add) >> qbits
+    return (np.sign(coeffs) * mag).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# syntax writing
+# --------------------------------------------------------------------------
+
+class IntraEncoder:
+    """Fixed-CU-size intra encoder with decode-loop reconstruction."""
+
+    def __init__(self, width: int, height: int, params: EncParams):
+        self.p = params
+        ctb = 1 << params.ctb_log2
+        self.width = (width + ctb - 1) // ctb * ctb
+        self.height = (height + ctb - 1) // ctb * ctb
+        self.src_w, self.src_h = width, height
+        # build SPS/PPS objects by parsing our own writers (guarantees
+        # encoder/decoder agree on parameters)
+        from . import headers as H
+        self.sps_nal = write_sps(params, self.width, self.height)
+        self.pps_nal = write_pps(params)
+        self.sps = H.parse_sps(self.sps_nal)
+        self.pps = H.parse_pps(self.pps_nal)
+
+    # ---------------------------------------------------------------- api
+
+    def encode(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
+        """Returns (slice NAL, [sps, pps] NALs)."""
+        y = np.asarray(img.plane(Channel.Y)).astype(np.int32)
+        cb = np.asarray(img.plane(Channel.Cb)).astype(np.int32)
+        cr = np.asarray(img.plane(Channel.Cr)).astype(np.int32)
+        # pad to CTB multiples with edge replication
+        y = np.pad(y, ((0, self.height - y.shape[0]),
+                       (0, self.width - y.shape[1])), mode="edge")
+        cb = np.pad(cb, ((0, self.height // 2 - cb.shape[0]),
+                         (0, self.width // 2 - cb.shape[1])), mode="edge")
+        cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
+                         (0, self.width // 2 - cr.shape[1])), mode="edge")
+        self.src = [y, cb, cr]
+        self.recon = [np.zeros_like(y), np.zeros_like(cb), np.zeros_like(cr)]
+
+        sh_writer = write_slice_header(self.p, False, False)
+        self._qg_serial = 0
+        self._qp_prev = self.p.qp
+        self._qg_qp = self.p.qp
+        self._qg_delta = 0
+        self._qg_delta_written = True
+        self.ctx = ContextModels(0, self.p.qp)
+        self.enc = CabacEncoder(self.ctx)
+        # decode-side helper state (mirrors SliceParser maps)
+        from . import headers as H
+        sh = H.SliceHeader(qp=self.p.qp)
+        self.syn = SliceSyntax(self.sps, self.pps, sh)
+        # recon-side availability tracker for prediction
+        self._recon_helper = IntraReconstructor(self.syn)
+        self._recon_helper.planes = self.recon
+
+        ctb = 1 << self.p.ctb_log2
+        n_cols = self.width // ctb
+        n_rows = self.height // ctb
+        for row in range(n_rows):
+            for col in range(n_cols):
+                self._encode_ctb(col * ctb, row * ctb)
+                last = (row == n_rows - 1 and col == n_cols - 1)
+                self.enc.encode_terminate(1 if last else 0)
+        self.enc.flush()
+
+        payload = self.enc.data()
+        # NAL: IDR_W_RADL (19), layer 0, tid 1
+        nal = bytes([19 << 1, 1]) + add_emulation_prevention(
+            sh_writer.data() + payload)
+        return nal, [self.sps_nal, self.pps_nal]
+
+    # ------------------------------------------------------------- blocks
+
+    def _encode_ctb(self, x0: int, y0: int) -> None:
+        self._quadtree(x0, y0, self.p.ctb_log2, 0)
+
+    def _quadtree(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        sps = self.sps
+        size = 1 << log2
+        inside = (x0 + size <= self.width and y0 + size <= self.height)
+        target = self.p.cu_log2
+        split = log2 > target
+        if inside and log2 > sps.log2_min_cb_size:
+            ctx_inc = 0
+            if self._avail(x0 - 1, y0) and \
+                    self.syn.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                ctx_inc += 1
+            if self._avail(x0, y0 - 1) and \
+                    self.syn.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                ctx_inc += 1
+            self.enc.encode_bin(self.ctx.idx("split_cu_flag", ctx_inc),
+                                1 if split else 0)
+        if split:
+            half = size >> 1
+            for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                x1, y1 = x0 + dx * half, y0 + dy * half
+                if x1 < self.width and y1 < self.height:
+                    self._quadtree(x1, y1, log2 - 1, depth + 1)
+        else:
+            self._cu(x0, y0, log2, depth)
+
+    def _avail(self, x: int, y: int) -> bool:
+        if x < 0 or y < 0 or x >= self.width or y >= self.height:
+            return False
+        return bool(self.syn.avail[y >> 2, x >> 2])
+
+    def _choose_mode(self, x0: int, y0: int, log2: int) -> int:
+        if self.p.mode == "dc":
+            return INTRA_DC
+        if self.p.mode == "planar":
+            return INTRA_PLANAR
+        if isinstance(self.p.mode, int):
+            return self.p.mode
+        # auto: try a small candidate set, pick lowest SAD vs prediction
+        n = 1 << log2
+        best = (1 << 60, INTRA_DC)
+        src = self.src[0][y0:y0 + n, x0:x0 + n]
+        for mode in (INTRA_PLANAR, INTRA_DC, 10, 26, 2, 18, 34, 6, 14,
+                     22, 30):
+            tu = TU(x=x0, y=y0, log2=log2, c_idx=0, pred_mode=mode)
+            pred = self._recon_helper._predict(tu)
+            sad = int(np.abs(src - pred).sum())
+            if sad < best[0]:
+                best = (sad, mode)
+        return best[1]
+
+    def _cu(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        sps, enc, ctx = self.sps, self.enc, self.ctx
+        size = 1 << log2
+        nb = size >> 2
+        bx0, by0 = x0 >> 2, y0 >> 2
+
+        # ---- quantization group / delta QP ----
+        if self.p.cu_qp_delta:
+            pred = self._qp_pred(x0, y0)
+            delta = self.p.qp_delta_pattern[
+                self._qg_serial % len(self.p.qp_delta_pattern)]
+            self._qg_serial += 1
+            self._qg_qp = (pred + delta + 52) % 52
+            self._qg_delta = delta
+            self._qg_delta_written = False
+        else:
+            self._qg_qp = self.p.qp
+
+        nxn = self.p.nxn and log2 == sps.log2_min_cb_size
+        if log2 == sps.log2_min_cb_size:
+            enc.encode_bin(ctx.idx("part_mode"), 0 if nxn else 1)
+
+        half = size >> 1
+        part_pos = ([(x0, y0), (x0 + half, y0), (x0, y0 + half),
+                     (x0 + half, y0 + half)] if nxn else [(x0, y0)])
+
+        # choose modes (z-order, using neighbor modes available so far)
+        modes = []
+        mpm_flags = []
+        mpm_vals = []
+        for (px, py) in part_pos:
+            m = self._choose_mode(px, py, log2 - (1 if nxn else 0))
+            modes.append(m)
+            pb = max(1, (1 << (log2 - (1 if nxn else 0))) >> 2)
+            self.syn.intra_mode_y[py >> 2:(py >> 2) + pb,
+                                  px >> 2:(px >> 2) + pb] = m
+            self.syn.avail[py >> 2:(py >> 2) + pb,
+                           px >> 2:(px >> 2) + pb] = 1
+        # derive mpm decisions in a second pass (uses final mode map,
+        # matching the decoder which derives per-PU in z-order after all
+        # prev flags; neighbor modes seen are those of earlier PUs)
+        for i, (px, py) in enumerate(part_pos):
+            mpm = self._mpm_list(px, py)
+            if modes[i] in mpm:
+                mpm_flags.append(1)
+                mpm_vals.append(mpm.index(modes[i]))
+            else:
+                mpm_flags.append(0)
+                rem = modes[i]
+                for m in sorted(mpm, reverse=True):
+                    if rem > m:
+                        rem -= 1
+                mpm_vals.append(rem)
+        for f in mpm_flags:
+            enc.encode_bin(ctx.idx("prev_intra_luma_pred_flag"), f)
+        for f, v in zip(mpm_flags, mpm_vals):
+            if f:
+                enc.encode_tu_bypass(2, v)
+            else:
+                enc.encode_bypass_bits(v, 5)
+
+        self.syn.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = depth
+
+        enc.encode_bin(ctx.idx("intra_chroma_pred_mode"), 0)
+        chroma_mode = modes[0]
+
+        qp = self._qg_qp
+        cqp = chroma_qp(min(max(qp, 0), 57))
+
+        if not nxn:
+            tus = []
+            for c_idx, clog2, cmode in ((0, log2, modes[0]),
+                                        (1, log2 - 1, chroma_mode),
+                                        (2, log2 - 1, chroma_mode)):
+                tus.append(self._prepare_tu(x0, y0, clog2, c_idx, cmode,
+                                            qp if c_idx == 0 else cqp))
+            cbfs = [bool(np.any(t.coeffs)) for t in tus]
+            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbfs[1] else 0)
+            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbfs[2] else 0)
+            enc.encode_bin(ctx.idx("cbf_luma", 1), 1 if cbfs[0] else 0)
+            for t, cbf in zip(tus, cbfs):
+                self._emit_tu(t, cbf)
+        else:
+            # NxN: forced transform split; 4 luma TBs + chroma at node.
+            # Chroma can be prepared upfront (its prediction only uses
+            # neighbors outside this CU), but each luma sub-TU must be
+            # predicted AFTER the previous sub-TU reconstructs — the
+            # decoder reconstructs sequentially in z-order.
+            cb_tu = self._prepare_tu(x0, y0, log2 - 1, 1, chroma_mode, cqp)
+            cr_tu = self._prepare_tu(x0, y0, log2 - 1, 2, chroma_mode, cqp)
+            cbf_cb = bool(np.any(cb_tu.coeffs))
+            cbf_cr = bool(np.any(cr_tu.coeffs))
+            # node: cbf_cb/cr at depth 0 (log2 of node > 2)
+            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cb else 0)
+            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cr else 0)
+            # children in z-order: cbf_luma (ctx 0, depth 1) + luma TU
+            for i, (px, py) in enumerate(part_pos):
+                t = self._prepare_tu(px, py, log2 - 1, 0, modes[i], qp)
+                t_cbf = bool(np.any(t.coeffs))
+                enc.encode_bin(ctx.idx("cbf_luma", 0), 1 if t_cbf else 0)
+                self._emit_tu(t, t_cbf,
+                              chroma_pending=(i == 3, cb_tu, cr_tu,
+                                              cbf_cb, cbf_cr))
+
+        self.syn.avail[by0:by0 + nb, bx0:bx0 + nb] = 1
+        if self.p.cu_qp_delta:
+            self.syn.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp
+            self._qp_prev = qp
+
+    def _qp_pred(self, xq: int, yq: int) -> int:
+        ctb_mask = ~((1 << self.p.ctb_log2) - 1)
+        qp_a = qp_b = None
+        if xq - 1 >= 0 and (xq - 1) & ctb_mask == xq & ctb_mask and \
+                self.syn.avail[yq >> 2, (xq - 1) >> 2]:
+            qp_a = int(self.syn.qp_y[yq >> 2, (xq - 1) >> 2])
+        if qp_a is None:
+            qp_a = self._qp_prev
+        if yq - 1 >= 0 and (yq - 1) & ctb_mask == yq & ctb_mask and \
+                self.syn.avail[(yq - 1) >> 2, xq >> 2]:
+            qp_b = int(self.syn.qp_y[(yq - 1) >> 2, xq >> 2])
+        if qp_b is None:
+            qp_b = self._qp_prev
+        return (qp_a + qp_b + 1) >> 1
+
+    def _prepare_tu(self, x0, y0, clog2, c_idx, cmode, qp):
+        tu = TU(x=x0, y=y0, log2=clog2, c_idx=c_idx, pred_mode=cmode)
+        tu.qp = qp
+        pred = self._recon_helper._predict(tu)
+        shift = 1 if c_idx else 0
+        n = 1 << clog2
+        px, py = x0 >> shift, y0 >> shift
+        src = self.src[c_idx][py:py + n, px:px + n]
+        fwd = forward_transform(src - pred, clog2, c_idx)
+        tu.coeffs = quantize(fwd, qp, clog2)
+        tu._pred = pred
+        return tu
+
+    def _emit_tu(self, tu, cbf, chroma_pending=None) -> None:
+        """Write delta-QP syntax (first coded TU of the QG), residual,
+        and reconstruct."""
+        enc, ctx = self.enc, self.ctx
+        chroma_here = chroma_pending is not None and chroma_pending[0]
+        any_cbf = cbf or (chroma_here and (chroma_pending[3] or
+                                           chroma_pending[4]))
+        if any_cbf and self.p.cu_qp_delta and not self._qg_delta_written:
+            delta = self._qg_delta
+            v = abs(delta)
+            prefix = min(v, 5)
+            if prefix:
+                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 1)
+                for k in range(1, prefix):
+                    enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 1)
+                if prefix < 5:
+                    enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 0)
+                else:
+                    enc.encode_eg_bypass(0, v - 5)
+            else:
+                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 0)
+            if v:
+                enc.encode_bypass(1 if delta < 0 else 0)
+            self._qg_delta_written = True
+
+        if cbf:
+            self._write_residual(tu)
+        self._recon_tu(tu, cbf)
+
+        if chroma_here:
+            _, cb_tu, cr_tu, cbf_cb, cbf_cr = chroma_pending
+            if cbf_cb:
+                self._write_residual(cb_tu)
+            self._recon_tu(cb_tu, cbf_cb)
+            if cbf_cr:
+                self._write_residual(cr_tu)
+            self._recon_tu(cr_tu, cbf_cr)
+
+    def _recon_tu(self, tu, cbf) -> None:
+        if cbf:
+            d = dequant(tu, 8)
+            res = inverse_transform(tu, d, 8)
+        else:
+            res = 0
+        shift = 1 if tu.c_idx else 0
+        n = 1 << tu.log2
+        px, py = tu.x >> shift, tu.y >> shift
+        self.recon[tu.c_idx][py:py + n, px:px + n] = np.clip(
+            tu._pred + res, 0, 255)
+        if tu.c_idx == 0:
+            self._recon_helper.avail[tu.y >> 2:(tu.y + n) >> 2,
+                                     tu.x >> 2:(tu.x + n) >> 2] = True
+
+    def _mpm_list(self, px: int, py: int) -> List[int]:
+        syn = self.syn
+        if self._avail(px - 1, py):
+            cand_a = int(syn.intra_mode_y[py >> 2, (px - 1) >> 2])
+        else:
+            cand_a = INTRA_DC
+        if self._avail(px, py - 1) and \
+                (py - 1) >> self.p.ctb_log2 == py >> self.p.ctb_log2:
+            cand_b = int(syn.intra_mode_y[(py - 1) >> 2, px >> 2])
+        else:
+            cand_b = INTRA_DC
+        if cand_a == cand_b:
+            if cand_a < 2:
+                return [INTRA_PLANAR, INTRA_DC, INTRA_ANGULAR26]
+            return [cand_a, 2 + ((cand_a + 29) % 32),
+                    2 + ((cand_a - 2 + 1) % 32)]
+        third = (INTRA_PLANAR if INTRA_PLANAR not in (cand_a, cand_b)
+                 else (INTRA_DC if INTRA_DC not in (cand_a, cand_b)
+                       else INTRA_ANGULAR26))
+        return [cand_a, cand_b, third]
+
+    # ----------------------------------------------------------- residual
+
+    def _write_residual(self, tu: TU) -> None:
+        enc, ctx = self.enc, self.ctx
+        log2, c_idx = tu.log2, tu.c_idx
+        size = 1 << log2
+        coeffs = tu.coeffs
+        mode = tu.pred_mode
+
+        scan_idx = 0
+        if (c_idx == 0 and log2 in (2, 3)) or (c_idx > 0 and log2 == 2):
+            if 6 <= mode <= 14:
+                scan_idx = 2
+            elif 22 <= mode <= 30:
+                scan_idx = 1
+
+        n_sb = size >> 2
+        sb_scan = _SB_SCANS[(scan_idx, n_sb)]
+        pos_scan = _SCANS[scan_idx]
+
+        # locate last significant coefficient in scan order
+        last_scan = -1
+        for i in range(n_sb * n_sb):
+            sx, sy = int(sb_scan[i][0]), int(sb_scan[i][1])
+            for n in range(16):
+                qx, qy = int(pos_scan[n][0]), int(pos_scan[n][1])
+                if coeffs[(sy << 2) + qy, (sx << 2) + qx]:
+                    last_scan = i * 16 + n
+        assert last_scan >= 0
+        last_sb, last_pos = divmod(last_scan, 16)
+        lx = (int(sb_scan[last_sb][0]) << 2) + int(pos_scan[last_pos][0])
+        ly = (int(sb_scan[last_sb][1]) << 2) + int(pos_scan[last_pos][1])
+
+        wx, wy = (ly, lx) if scan_idx == 2 else (lx, ly)
+
+        def last_prefix_of(v: int) -> int:
+            if v <= 3:
+                return v
+            p = 4
+            while True:
+                nbits = (p >> 1) - 1
+                base = (2 + (p & 1)) << nbits
+                if base <= v < base + (1 << nbits):
+                    return p
+                p += 1
+
+        def write_last_prefix(which: str, prefix: int) -> None:
+            c_max = (log2 << 1) - 1
+            if c_idx == 0:
+                offset = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+                shift = (log2 + 1) >> 2
+            else:
+                offset = 15
+                shift = log2 - 2
+            for i in range(prefix):
+                enc.encode_bin(ctx.idx(which, offset + (i >> shift)), 1)
+            if prefix < c_max:
+                enc.encode_bin(ctx.idx(which, offset + (prefix >> shift)), 0)
+
+        def write_last_suffix(prefix: int, v: int) -> None:
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                base = (2 + (prefix & 1)) << nbits
+                enc.encode_bypass_bits(v - base, nbits)
+
+        # spec order: both prefixes, then both suffixes (§7.3.8.11)
+        pfx = last_prefix_of(wx)
+        pfy = last_prefix_of(wy)
+        write_last_prefix("last_sig_x_prefix", pfx)
+        write_last_prefix("last_sig_y_prefix", pfy)
+        write_last_suffix(pfx, wx)
+        write_last_suffix(pfy, wy)
+
+        if self.p.sign_hiding:
+            # parity pre-pass: sign of the first coefficient (scan order)
+            # is hidden in the level-sum parity; adjust that coefficient
+            # when the parity disagrees (spec 7.4.9.11 sign_data_hiding).
+            for i in range(last_sb + 1):
+                sx_, sy_ = int(sb_scan[i][0]), int(sb_scan[i][1])
+                sub = coeffs[sy_ << 2:(sy_ << 2) + 4,
+                             sx_ << 2:(sx_ << 2) + 4]
+                nz = [n for n in range(16)
+                      if sub[int(pos_scan[n][1]), int(pos_scan[n][0])]]
+                if len(nz) < 2 or (max(nz) - min(nz)) <= 3:
+                    continue
+                first_n = min(nz)
+                total = int(np.abs(sub).sum())
+                v = int(sub[int(pos_scan[first_n][1]),
+                            int(pos_scan[first_n][0])])
+                if (total & 1) != (1 if v < 0 else 0):
+                    adj = 1 if abs(v) == 1 else -1
+                    nv = (abs(v) + adj) * (1 if v > 0 else -1)
+                    sub[int(pos_scan[first_n][1]),
+                        int(pos_scan[first_n][0])] = nv
+            # the adjusted block may have a new last-significant position
+            # only if a coefficient was zeroed — the adjustment never
+            # zeroes (magnitude 1 becomes 2), so last_scan is stable
+
+        csbf = np.zeros((n_sb, n_sb), np.uint8)
+        for i in range(last_sb + 1):
+            sx, sy = int(sb_scan[i][0]), int(sb_scan[i][1])
+            if np.any(coeffs[sy << 2:(sy << 2) + 4, sx << 2:(sx << 2) + 4]):
+                csbf[sy, sx] = 1
+        csbf[int(sb_scan[last_sb][1]), int(sb_scan[last_sb][0])] = 1
+        csbf[0, 0] = 1
+
+        prev_sb_gt1 = False
+        for i in range(last_sb, -1, -1):
+            sx, sy = int(sb_scan[i][0]), int(sb_scan[i][1])
+            explicit = not (i == last_sb or i == 0)
+            sb_coded = bool(csbf[sy, sx])
+            if explicit:
+                right = csbf[sy, sx + 1] if sx + 1 < n_sb else 0
+                below = csbf[sy + 1, sx] if sy + 1 < n_sb else 0
+                ctx_inc = min(int(right) | int(below), 1) + (2 if c_idx else 0)
+                enc.encode_bin(ctx.idx("coded_sub_block_flag", ctx_inc),
+                               1 if sb_coded else 0)
+            if not sb_coded:
+                continue
+
+            start_n = last_pos - 1 if i == last_sb else 15
+            sig_pos = []
+            vals = {}
+            if i == last_sb:
+                sig_pos.append(last_pos)
+                qx, qy = int(pos_scan[last_pos][0]), int(pos_scan[last_pos][1])
+                vals[last_pos] = int(coeffs[(sy << 2) + qy, (sx << 2) + qx])
+            for n in range(start_n, -1, -1):
+                qx, qy = int(pos_scan[n][0]), int(pos_scan[n][1])
+                xc, yc = (sx << 2) + qx, (sy << 2) + qy
+                v = int(coeffs[yc, xc])
+                vals[n] = v
+                sig = 1 if v else 0
+                if n == 0 and explicit and not [k for k in sig_pos if k > 0]:
+                    # DC sig inferred by the decoder (csbf guarantees a
+                    # nonzero, and none was found at n>0)
+                    pass
+                else:
+                    sctx = self._sig_ctx(xc, yc, log2, c_idx, scan_idx,
+                                         sx, sy, csbf, n_sb)
+                    enc.encode_bin(ctx.idx("sig_coeff_flag", sctx), sig)
+                if sig:
+                    sig_pos.append(n)
+
+            ctx_set = (0 if (i == 0 or c_idx > 0) else 2)
+            if prev_sb_gt1:
+                ctx_set += 1
+            greater1_ctx = 1
+            gt1_flags = {}
+            first_gt1_n = None
+            for k, n in enumerate(sig_pos):
+                level = abs(vals[n])
+                if k < 8:
+                    g1 = 1 if level > 1 else 0
+                    inc = ctx_set * 4 + min(3, greater1_ctx) + \
+                        (16 if c_idx else 0)
+                    enc.encode_bin(
+                        ctx.idx("coeff_abs_level_greater1_flag", inc), g1)
+                    gt1_flags[n] = g1
+                    if g1:
+                        if first_gt1_n is None:
+                            first_gt1_n = n
+                        greater1_ctx = 0
+                    elif greater1_ctx > 0:
+                        greater1_ctx += 1
+            if first_gt1_n is not None:
+                g2 = 1 if abs(vals[first_gt1_n]) > 2 else 0
+                enc.encode_bin(ctx.idx("coeff_abs_level_greater2_flag",
+                                       ctx_set + (4 if c_idx else 0)), g2)
+            else:
+                g2 = 0
+            prev_sb_gt1 = first_gt1_n is not None
+
+            def lvl(n):
+                return vals[n]
+
+            sign_hidden = (self.p.sign_hiding and len(sig_pos) > 1 and
+                           (sig_pos[0] - sig_pos[-1]) > 3)
+            for n in sig_pos:
+                if sign_hidden and n == sig_pos[-1]:
+                    continue
+                enc.encode_bypass(1 if lvl(n) < 0 else 0)
+
+            rice = 0
+            for k, n in enumerate(sig_pos):
+                level = abs(lvl(n))
+                if n in gt1_flags:
+                    base = 1 + gt1_flags[n] + (g2 if n == first_gt1_n else 0)
+                    max_base = 3 if n == first_gt1_n else 2
+                else:
+                    base = 1
+                    max_base = 1
+                if base == max_base:
+                    rem = level - base
+                    # inverse of the decoder's rice/prefix mapping
+                    if rem < (4 << rice):
+                        prefix = rem >> rice
+                        for _ in range(prefix):
+                            enc.encode_bypass(1)
+                        enc.encode_bypass(0)
+                        enc.encode_bypass_bits(rem & ((1 << rice) - 1), rice)
+                    else:
+                        p = 4
+                        while True:
+                            base2 = ((1 << (p - 3)) + 3 - 1) << rice
+                            span = 1 << (p - 3 + rice)
+                            if base2 <= rem < base2 + span:
+                                break
+                            p += 1
+                        for _ in range(p):
+                            enc.encode_bypass(1)
+                        enc.encode_bypass(0)
+                        enc.encode_bypass_bits(rem - base2, p - 3 + rice)
+                if level > (3 << rice):
+                    rice = min(rice + 1, 4)
+
+    def _sig_ctx(self, xc, yc, log2, c_idx, scan_idx, sx, sy, csbf, n_sb):
+        from .ctu import SliceParser
+        return SliceParser._sig_ctx(self, xc, yc, log2, c_idx, scan_idx,
+                                    sx, sy, csbf, n_sb)
+
+
+# --------------------------------------------------------------------------
+# registry encoder
+# --------------------------------------------------------------------------
+
+class HevcEncoder(RegistryEncoder):
+    id = "tpu-hevc"
+    format = "hevc"
+    lossy_supported = True
+
+    def encode_single_image(self, img: PixelImage, options=None):
+        from ...color import convert_image
+        from ...boxes.codec_cfg import Box_hvcC, hvcC_from_sps, parse_hevc_sps
+        quality = getattr(options, "quality", 50) if options else 50
+        qp = max(1, min(51, 51 - quality * 50 // 100))
+        if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        params = EncParams(qp=qp)
+        enc = IntraEncoder(img.width, img.height, params)
+        slice_nal, cfg_nals = enc.encode(img)
+        cfg = hvcC_from_sps(parse_hevc_sps(cfg_nals[0]))
+        for nal in cfg_nals:
+            cfg.add_nal(nal)
+        data = len(slice_nal).to_bytes(4, "big") + slice_nal
+        from ...boxes.meta import Box_ispe
+        return data, cfg, [(Box_ispe(img.width, img.height), False)]
+
+
+def register():
+    register_encoder(HevcEncoder())

@@ -1,0 +1,72 @@
+"""Direct libde265 oracle for HEVC conformance testing.
+
+Feeds raw NALs straight to libde265 (bypassing libheif's color
+pipeline, which rescales chroma) and returns the decoded planes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        try:
+            lib = ctypes.CDLL("libde265.so.0")
+        except OSError:
+            return None
+        lib.de265_new_decoder.restype = ctypes.c_void_p
+        lib.de265_get_next_picture.restype = ctypes.c_void_p
+        lib.de265_get_image_plane.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.de265_get_image_width.restype = ctypes.c_int
+        lib.de265_get_image_height.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_nals(nals: List[bytes]) -> Optional[Dict[str, np.ndarray]]:
+    """Decode annex-B wrapped NALs with libde265 → planes dict."""
+    lib = _load()
+    if lib is None:
+        return None
+    dec = ctypes.c_void_p(lib.de265_new_decoder())
+    try:
+        for nal in nals:
+            buf = b"\x00\x00\x01" + nal
+            lib.de265_push_data(dec, buf, len(buf), 0, None)
+        lib.de265_flush_data(dec)
+        pic = None
+        for _ in range(200):
+            more = ctypes.c_int(0)
+            err = lib.de265_decode(dec, ctypes.byref(more))
+            p = ctypes.c_void_p(lib.de265_get_next_picture(dec))
+            if p.value:
+                pic = p
+                break
+            if not more.value and err != 0:
+                break
+        if pic is None:
+            return None
+        out = {}
+        for name, chn in (("Y", 0), ("Cb", 1), ("Cr", 2)):
+            w = lib.de265_get_image_width(pic, chn)
+            h = lib.de265_get_image_height(pic, chn)
+            stride = ctypes.c_int()
+            ptr = lib.de265_get_image_plane(pic, chn, ctypes.byref(stride))
+            if not ptr:
+                continue
+            arr = np.ctypeslib.as_array(ptr, shape=(stride.value * h,))
+            out[name] = arr.copy().reshape(h, stride.value)[:, :w]
+        return out
+    finally:
+        lib.de265_free_decoder(dec)

@@ -109,12 +109,9 @@ class SliceParser:
         self.cu_qp_delta = 0
         self.qp_delta_coded = False
         self.log2_min_qg = sps.log2_ctb_size - pps.diff_cu_qp_delta_depth
-        self.cur_qg_blocks: List[Tuple[int, int]] = []
-        self.qp_pending: List[Tuple[int, int]] = []  # 4x4 blocks of current QG
         # per-CU state
         self.cur_tqb = False
         self._wpp_saved = None
-        self.tus_pending: List[TU] = []
 
     # ------------------------------------------------------------ utilities
 
@@ -149,6 +146,10 @@ class SliceParser:
                         msg="missing WPP entry point")
                 if self._wpp_saved is not None and n_cols > 1:
                     self.ctx.restore(self._wpp_saved)
+                else:
+                    # above-right CTB unavailable: fresh context init
+                    # (spec 9.3.1)
+                    self.ctx = ContextModels(0, self.sh.qp)
                 self.dec = CabacDecoder(
                     self.rbsp, self.substreams[sub_idx][0] * 8,
                     self.substreams[sub_idx][1], self.ctx)
@@ -258,7 +259,6 @@ class SliceParser:
     def _start_qg(self, x0: int, y0: int) -> None:
         if (x0, y0) == self.qg_origin:
             return
-        self._close_qg()
         if self._pending_qp_reset:
             self.qp_prev = self.sh.qp
             self._pending_qp_reset = False
@@ -266,10 +266,9 @@ class SliceParser:
         self.qg_serial += 1
         self.cu_qp_delta = 0
         self.qp_delta_coded = False
-        self.cur_qg_blocks = []
         # qPY_PRED is derived at the START of the quantization group
         # (spec 8.6.1) from the left/above CUs in the same CTB, falling
-        # back to the previous QG's QP in decode order
+        # back to the QpY of the last CU of the previous QG
         self.qg_pred = self._qp_pred(x0, y0)
 
     def _qp_pred(self, xq: int, yq: int) -> int:
@@ -287,21 +286,6 @@ class SliceParser:
             qp_b = self.qp_prev
         return (qp_a + qp_b + 1) >> 1
 
-    def _close_qg(self) -> None:
-        if self.qg_serial < 0:
-            return
-        qp = (self.qg_pred + self.cu_qp_delta + 52) % 52
-        for (bx, by) in self.cur_qg_blocks:
-            self.out.qp_y[by, bx] = qp
-        self.qp_prev = qp
-        self.out.qg_deltas.append(self.cu_qp_delta)
-        self.out.qg_blocks.append(self.cur_qg_blocks)
-        for tu in self.tus_pending:
-            if tu.qg_serial == self.qg_serial:
-                self._assign_tu_qp(tu, qp)
-        self.tus_pending = [t for t in self.tus_pending
-                            if t.qg_serial != self.qg_serial]
-
     def _assign_tu_qp(self, tu: TU, qp_y: int) -> None:
         if tu.c_idx == 0:
             tu.qp = qp_y
@@ -313,13 +297,11 @@ class SliceParser:
             tu.qp = chroma_qp(qpi)
 
     def _finalize_qgs(self) -> None:
-        self._close_qg()
         if not self.pps.cu_qp_delta_enabled:
             # uniform QP
             self.out.qp_y[:] = self.sh.qp
             for tu in self.out.tus:
                 self._assign_tu_qp(tu, self.sh.qp)
-        self.tus_pending = []
 
     # ------------------------------------------------------------ coding unit
 
@@ -390,10 +372,6 @@ class SliceParser:
         self.out.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = depth
         self.out.cu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
         self.out.tqb_map[by0:by0 + nb, bx0:bx0 + nb] = int(self.cur_tqb)
-        if self.pps.cu_qp_delta_enabled:
-            for yy in range(by0, by0 + nb):
-                for xx in range(bx0, bx0 + nb):
-                    self.cur_qg_blocks.append((xx, yy))
 
         # ---- transform tree ----
         max_depth = sps.max_transform_hierarchy_depth_intra + (
@@ -403,7 +381,19 @@ class SliceParser:
         self._cu_part_nxn = part_nxn
         self._cu_x0, self._cu_y0, self._cu_log2 = x0, y0, log2
         self._max_trafo_depth = max_depth
+        cu_tu_start = len(self.out.tus)
         self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+
+        if self.pps.cu_qp_delta_enabled:
+            # per-CU QpY (spec 8.6.1): the CU takes qPY_PRED plus the
+            # CuQpDeltaVal state as of this CU — CUs of the QG parsed
+            # before the delta keep delta 0 (observable via later QP
+            # prediction and deblocking; validated against libde265)
+            qp_cu = (self.qg_pred + self.cu_qp_delta + 52) % 52
+            self.out.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp_cu
+            for tu in self.out.tus[cu_tu_start:]:
+                self._assign_tu_qp(tu, qp_cu)
+            self.qp_prev = qp_cu
 
         # availability after full CU decode
         self.out.avail[by0:by0 + nb, bx0:bx0 + nb] = 1
@@ -460,7 +450,7 @@ class SliceParser:
             split = 1
         elif intra_split and depth == 0:
             split = 1
-        elif log2 == sps.log2_min_tb_size or depth == self._max_trafo_depth:
+        elif log2 == sps.log2_min_tb_size or depth >= self._max_trafo_depth:
             split = 0
         else:
             split = d.decode_bin(
@@ -530,8 +520,6 @@ class SliceParser:
         tu = TU(x=x, y=y, log2=log2, c_idx=c_idx, pred_mode=mode,
                 qg_serial=self.qg_serial, tqb=self.cur_tqb, coeffs=None)
         self.out.tus.append(tu)
-        if self.pps.cu_qp_delta_enabled:
-            self.tus_pending.append(tu)
 
     def _transform_unit(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr) -> None:
@@ -540,7 +528,11 @@ class SliceParser:
         cb = cbf_cb and chroma_here
         cr = cbf_cr and chroma_here
 
-        if cbf_luma or cb or cr:
+        # spec 7.3.8.10: cbfChroma references the PARENT node's flags for
+        # all four 4x4 children (xC = xBase when log2TrafoSize == 2), so
+        # the delta-QP gate fires at child 0 even though the chroma
+        # residual itself is only coded with child 3
+        if cbf_luma or cbf_cb or cbf_cr:
             if pps.cu_qp_delta_enabled and not self.qp_delta_coded:
                 prefix = 0
                 if d.decode_bin(self.ctx.idx("cu_qp_delta_abs", 0)):
@@ -760,8 +752,6 @@ class SliceParser:
                 qg_serial=self.qg_serial, transform_skip=transform_skip,
                 tqb=self.cur_tqb, coeffs=coeffs)
         self.out.tus.append(tu)
-        if self.pps.cu_qp_delta_enabled:
-            self.tus_pending.append(tu)
 
     def _sig_ctx(self, xc, yc, log2, c_idx, scan_idx, sx, sy, csbf, n_sb):
         """sig_coeff_flag context (spec §9.3.4.2.5)."""

@@ -86,11 +86,18 @@ class EncParams:
     ctb_log2: int = 5          # 32x32 CTBs keep the quadtree simple
     cu_log2: int = 4           # fixed CU/TU size (16x16)
     mode: str = "auto"         # 'auto' | 'dc' | 'planar' | int
-    sao: bool = False
+    sao: bool = False          # signal + apply SAO (param cycle per CTB)
     sign_hiding: bool = False
     cu_qp_delta: bool = False
     qp_delta_pattern: tuple = (0, 1, -1, 2, 0, -2)  # per-QG deltas cycle
     nxn: bool = False          # use NxN partitions at min-CB CUs
+    strong_smoothing: bool = False  # SPS strong_intra_smoothing
+    rqt_depth: int = 0         # max_transform_hierarchy_depth_intra
+    deblock: bool = False      # enable in-loop deblocking
+    wpp: bool = False          # entropy_coding_sync + per-row substreams
+    diff_qg_depth: Optional[int] = None  # diff_cu_qp_delta_depth override
+    var_cu: bool = False       # position-hashed CU depths below cu_log2
+    chroma_modes: bool = False  # cycle explicit intra_chroma_pred_mode
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -115,8 +122,8 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     _ue(w, p.ctb_log2 - 3)  # log2_diff_max_min
     _ue(w, 0)               # log2_min_tb - 2 → 4
     _ue(w, min(p.ctb_log2, 5) - 2)  # log2_diff_max_min_tb → max TB = CTB (≤32)
-    _ue(w, 0)               # max_transform_hierarchy_depth_inter
-    _ue(w, 0)               # max_transform_hierarchy_depth_intra
+    _ue(w, p.rqt_depth)     # max_transform_hierarchy_depth_inter
+    _ue(w, p.rqt_depth)     # max_transform_hierarchy_depth_intra
     w.write_bits(0, 1)      # scaling_list_enabled
     w.write_bits(0, 1)      # amp_enabled
     w.write_bits(1 if p.sao else 0, 1)
@@ -124,7 +131,7 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     _ue(w, 0)               # num_short_term_rps
     w.write_bits(0, 1)      # long_term_ref_pics_present
     w.write_bits(0, 1)      # temporal_mvp
-    w.write_bits(0, 1)      # strong_intra_smoothing
+    w.write_bits(1 if p.strong_smoothing else 0, 1)
     # VUI: declare full-range video so container color handling is 1:1
     w.write_bits(1, 1)      # vui_present
     w.write_bits(0, 1)      # aspect_ratio_info_present
@@ -161,7 +168,9 @@ def write_pps(p: EncParams) -> bytes:
     w.write_bits(0, 1)      # transform_skip
     w.write_bits(1 if p.cu_qp_delta else 0, 1)
     if p.cu_qp_delta:
-        _ue(w, p.ctb_log2 - p.cu_log2)  # diff_cu_qp_delta_depth → QG=CU
+        diff = (p.diff_qg_depth if p.diff_qg_depth is not None
+                else p.ctb_log2 - p.cu_log2)
+        _ue(w, diff)        # diff_cu_qp_delta_depth
     _se(w, 0)               # cb_qp_offset
     _se(w, 0)               # cr_qp_offset
     w.write_bits(0, 1)      # slice_chroma_qp_offsets_present
@@ -169,11 +178,14 @@ def write_pps(p: EncParams) -> bytes:
     w.write_bits(0, 1)      # weighted_bipred
     w.write_bits(0, 1)      # transquant_bypass
     w.write_bits(0, 1)      # tiles_enabled
-    w.write_bits(0, 1)      # entropy_coding_sync (no WPP)
+    w.write_bits(1 if p.wpp else 0, 1)  # entropy_coding_sync (WPP)
     w.write_bits(0, 1)      # loop_filter_across_slices
-    w.write_bits(1, 1)      # deblocking_filter_control_present
-    w.write_bits(0, 1)      # deblocking_filter_override_enabled
-    w.write_bits(1, 1)      # pps_deblocking_filter_disabled (keep exact)
+    if p.deblock:
+        w.write_bits(0, 1)  # deblocking_filter_control_present → on, offsets 0
+    else:
+        w.write_bits(1, 1)  # deblocking_filter_control_present
+        w.write_bits(0, 1)  # deblocking_filter_override_enabled
+        w.write_bits(1, 1)  # pps_deblocking_filter_disabled (keep exact)
     w.write_bits(0, 1)      # scaling_list_data_present
     w.write_bits(0, 1)      # lists_modification
     _ue(w, 0)               # log2_parallel_merge_level - 2
@@ -183,7 +195,8 @@ def write_pps(p: EncParams) -> bytes:
     return b"\x44\x01" + add_emulation_prevention(w.data())
 
 
-def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool) -> BitWriter:
+def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool,
+                       entry_offsets: Optional[List[int]] = None) -> BitWriter:
     w = BitWriter()
     w.write_bits(1, 1)      # first_slice_in_pic
     w.write_bits(0, 1)      # no_output_of_prior_pics (IDR)
@@ -193,7 +206,16 @@ def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool) -> BitWri
         w.write_bits(1 if sao_luma else 0, 1)
         w.write_bits(1 if sao_chroma else 0, 1)
     _se(w, 0)               # slice_qp_delta
-    # deblocking: control present in PPS, override disabled → nothing
+    # deblocking: either always-on defaults (control absent) or
+    # control-present + override-disabled → nothing in either case
+    if p.wpp:
+        offs = entry_offsets or []
+        _ue(w, len(offs))   # num_entry_point_offsets
+        if offs:
+            ln = max(o - 1 for o in offs).bit_length() or 1
+            _ue(w, ln - 1)  # offset_len_minus1
+            for o in offs:
+                w.write_bits(o - 1, ln)
     # alignment
     w.write_bits(1, 1)
     w.byte_align()
@@ -265,12 +287,17 @@ class IntraEncoder:
         self.src = [y, cb, cr]
         self.recon = [np.zeros_like(y), np.zeros_like(cb), np.zeros_like(cr)]
 
-        sh_writer = write_slice_header(self.p, False, False)
+        diff = (self.p.diff_qg_depth if self.p.diff_qg_depth is not None
+                else self.p.ctb_log2 - self.p.cu_log2)
+        self._qg_log2 = self.p.ctb_log2 - diff
         self._qg_serial = 0
+        self._qg_origin = None
         self._qp_prev = self.p.qp
         self._qg_qp = self.p.qp
+        self._qg_pred = self.p.qp
         self._qg_delta = 0
         self._qg_delta_written = True
+        self._pending_qp_reset = False
         self.ctx = ContextModels(0, self.p.qp)
         self.enc = CabacEncoder(self.ctx)
         # decode-side helper state (mirrors SliceParser maps)
@@ -284,14 +311,42 @@ class IntraEncoder:
         ctb = 1 << self.p.ctb_log2
         n_cols = self.width // ctb
         n_rows = self.height // ctb
+        wpp = self.p.wpp
+        substreams = []
+        snap = None
         for row in range(n_rows):
             for col in range(n_cols):
+                if self.p.sao:
+                    self._emit_sao(col, row, n_cols)
                 self._encode_ctb(col * ctb, row * ctb)
+                if wpp and col == 1:
+                    snap = self.ctx.snapshot()
                 last = (row == n_rows - 1 and col == n_cols - 1)
                 self.enc.encode_terminate(1 if last else 0)
+            if wpp and row < n_rows - 1:
+                # end_of_subset_one_bit + flush + byte-align per substream
+                self.enc.encode_terminate(1)
+                self.enc.flush()
+                substreams.append(self.enc.data())
+                if n_cols > 1 and snap is not None:
+                    self.ctx.restore(snap)
+                else:
+                    # no above-right CTB: fresh context init (spec 9.3.1)
+                    self.ctx = ContextModels(0, self.p.qp)
+                self.enc = CabacEncoder(self.ctx)
+                self._pending_qp_reset = True
         self.enc.flush()
+        substreams.append(self.enc.data())
 
-        payload = self.enc.data()
+        # entry point offsets count post-emulation-prevention bytes;
+        # each substream ends with a nonzero byte (CABAC flush emits a
+        # final 1 bit), so the EPB zero-run never crosses a boundary and
+        # per-substream EPB application equals whole-payload application
+        entry_offsets = [len(add_emulation_prevention(s))
+                         for s in substreams[:-1]]
+        sh_writer = write_slice_header(self.p, self.p.sao, self.p.sao,
+                                       entry_offsets)
+        payload = b"".join(substreams)
         # NAL: IDR_W_RADL (19), layer 0, tid 1
         nal = bytes([19 << 1, 1]) + add_emulation_prevention(
             sh_writer.data() + payload)
@@ -308,6 +363,10 @@ class IntraEncoder:
         inside = (x0 + size <= self.width and y0 + size <= self.height)
         target = self.p.cu_log2
         split = log2 > target
+        if self.p.var_cu and not split and log2 > sps.log2_min_cb_size:
+            # position-hashed extra splits exercise mixed CU depths
+            # (split_cu_flag ctx 1/2, depth-dependent neighbor contexts)
+            split = ((x0 >> log2) * 3 + (y0 >> log2) * 5 + log2) % 3 == 0
         if inside and log2 > sps.log2_min_cb_size:
             ctx_inc = 0
             if self._avail(x0 - 1, y0) and \
@@ -339,7 +398,9 @@ class IntraEncoder:
             return INTRA_PLANAR
         if isinstance(self.p.mode, int):
             return self.p.mode
-        # auto: try a small candidate set, pick lowest SAD vs prediction
+        # auto: try a small candidate set, pick lowest SAD vs prediction.
+        # 64x64 CUs are evaluated on their top-left 32x32 (the largest TB)
+        log2 = min(log2, 5)
         n = 1 << log2
         best = (1 << 60, INTRA_DC)
         src = self.src[0][y0:y0 + n, x0:x0 + n]
@@ -360,13 +421,7 @@ class IntraEncoder:
 
         # ---- quantization group / delta QP ----
         if self.p.cu_qp_delta:
-            pred = self._qp_pred(x0, y0)
-            delta = self.p.qp_delta_pattern[
-                self._qg_serial % len(self.p.qp_delta_pattern)]
-            self._qg_serial += 1
-            self._qg_qp = (pred + delta + 52) % 52
-            self._qg_delta = delta
-            self._qg_delta_written = False
+            self._maybe_open_qg(x0, y0)
         else:
             self._qg_qp = self.p.qp
 
@@ -415,51 +470,281 @@ class IntraEncoder:
 
         self.syn.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = depth
 
-        enc.encode_bin(ctx.idx("intra_chroma_pred_mode"), 0)
-        chroma_mode = modes[0]
+        if self.p.chroma_modes:
+            k = self._qg_serial + (x0 >> 3) + (y0 >> 3)
+            if k % 5 == 4:
+                enc.encode_bin(ctx.idx("intra_chroma_pred_mode"), 0)
+                chroma_mode = modes[0]
+            else:
+                idx = k % 4
+                enc.encode_bin(ctx.idx("intra_chroma_pred_mode"), 1)
+                enc.encode_bypass_bits(idx, 2)
+                cand = [INTRA_PLANAR, 26, 10, INTRA_DC]
+                chroma_mode = 34 if cand[idx] == modes[0] else cand[idx]
+        else:
+            enc.encode_bin(ctx.idx("intra_chroma_pred_mode"), 0)
+            chroma_mode = modes[0]
 
         qp = self._qg_qp
         cqp = chroma_qp(min(max(qp, 0), 57))
 
-        if not nxn:
-            tus = []
-            for c_idx, clog2, cmode in ((0, log2, modes[0]),
-                                        (1, log2 - 1, chroma_mode),
-                                        (2, log2 - 1, chroma_mode)):
-                tus.append(self._prepare_tu(x0, y0, clog2, c_idx, cmode,
-                                            qp if c_idx == 0 else cqp))
-            cbfs = [bool(np.any(t.coeffs)) for t in tus]
-            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbfs[1] else 0)
-            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbfs[2] else 0)
-            enc.encode_bin(ctx.idx("cbf_luma", 1), 1 if cbfs[0] else 0)
-            for t, cbf in zip(tus, cbfs):
-                self._emit_tu(t, cbf)
-        else:
-            # NxN: forced transform split; 4 luma TBs + chroma at node.
-            # Chroma can be prepared upfront (its prediction only uses
-            # neighbors outside this CU), but each luma sub-TU must be
-            # predicted AFTER the previous sub-TU reconstructs — the
-            # decoder reconstructs sequentially in z-order.
-            cb_tu = self._prepare_tu(x0, y0, log2 - 1, 1, chroma_mode, cqp)
-            cr_tu = self._prepare_tu(x0, y0, log2 - 1, 2, chroma_mode, cqp)
-            cbf_cb = bool(np.any(cb_tu.coeffs))
-            cbf_cr = bool(np.any(cr_tu.coeffs))
-            # node: cbf_cb/cr at depth 0 (log2 of node > 2)
-            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cb else 0)
-            enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cr else 0)
-            # children in z-order: cbf_luma (ctx 0, depth 1) + luma TU
-            for i, (px, py) in enumerate(part_pos):
-                t = self._prepare_tu(px, py, log2 - 1, 0, modes[i], qp)
-                t_cbf = bool(np.any(t.coeffs))
-                enc.encode_bin(ctx.idx("cbf_luma", 0), 1 if t_cbf else 0)
-                self._emit_tu(t, t_cbf,
-                              chroma_pending=(i == 3, cb_tu, cr_tu,
-                                              cbf_cb, cbf_cr))
+        # ---- transform tree (mirrors SliceParser._transform_tree) ----
+        self._cur_modes = modes
+        self._cur_nxn = nxn
+        self._cur_cu = (x0, y0, log2)
+        max_td = self.p.rqt_depth + (1 if nxn else 0)
+        tree = self._plan_tt(x0, y0, log2, 0, max_td, nxn)
+        self._chroma_prepass(tree, chroma_mode, cqp)
+        self._emit_tt(tree, True, True, qp, None)
 
         self.syn.avail[by0:by0 + nb, bx0:bx0 + nb] = 1
         if self.p.cu_qp_delta:
-            self.syn.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp
-            self._qp_prev = qp
+            # per-CU QpY (spec 8.6.1, mirrors the decoder): a CU takes
+            # pred + delta only once the delta has actually been written
+            eff = (self._qg_pred + (self._qg_delta
+                                    if self._qg_delta_written else 0)
+                   + 52) % 52
+            self.syn.qp_y[by0:by0 + nb, bx0:bx0 + nb] = eff
+            self._qp_prev = eff
+
+    # ----------------------------------------------- quantization groups
+
+    def _maybe_open_qg(self, x0: int, y0: int) -> None:
+        qgl = self._qg_log2
+        org = (x0 >> qgl << qgl, y0 >> qgl << qgl)
+        if org == self._qg_origin:
+            return
+        if self._pending_qp_reset:
+            self._qp_prev = self.p.qp
+            self._pending_qp_reset = False
+        self._qg_origin = org
+        self._qg_pred = self._qp_pred(org[0], org[1])
+        delta = self.p.qp_delta_pattern[
+            self._qg_serial % len(self.p.qp_delta_pattern)]
+        self._qg_serial += 1
+        self._qg_qp = (self._qg_pred + delta + 52) % 52
+        self._qg_delta = delta
+        self._qg_delta_written = False
+
+    # ----------------------------------------------------- transform tree
+
+    def _plan_tt(self, x0, y0, log2, depth, max_td, intra_split):
+        """Decide the RQT structure; mirrors the decoder's forced/explicit
+        split conditions (ctu.py _transform_tree)."""
+        sps = self.sps
+        if log2 > sps.log2_max_tb_size:
+            split, explicit = 1, False
+        elif intra_split and depth == 0:
+            split, explicit = 1, False
+        elif log2 == sps.log2_min_tb_size or depth >= max_td:
+            split, explicit = 0, False
+        else:
+            explicit = True
+            split = ((x0 >> log2) ^ (y0 >> log2) ^ depth) & 1 \
+                if self.p.rqt_depth else 0
+        node = dict(x0=x0, y0=y0, log2=log2, depth=depth, split=split,
+                    explicit=explicit, children=None, blk_idx=0,
+                    cb_tu=None, cr_tu=None, cbf_cb=False, cbf_cr=False)
+        if split:
+            half = 1 << (log2 - 1)
+            ch = []
+            for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                c = self._plan_tt(x0 + dx * half, y0 + dy * half, log2 - 1,
+                                  depth + 1, max_td, intra_split)
+                c["blk_idx"] = i
+                ch.append(c)
+            node["children"] = ch
+        return node
+
+    def _chroma_prepass(self, tree, cmode, cqp) -> None:
+        """Prepare+reconstruct all chroma TBs of the CU in z-order.
+
+        Chroma prediction availability is z-scan-positional (spec §6.4.1),
+        so run it on a copy of the availability map that is advanced
+        node-by-node — the luma plane is reconstructed later (lazily,
+        during emission) and is never read by chroma prediction.
+        """
+        luma_avail = self._recon_helper.avail
+        self._recon_helper.avail = luma_avail.copy()
+        try:
+            self._prepass_node(tree, cmode, cqp)
+        finally:
+            self._recon_helper.avail = luma_avail
+
+    def _prepass_node(self, node, cmode, cqp) -> None:
+        h = self._recon_helper
+        log2 = node["log2"]
+        x0, y0 = node["x0"], node["y0"]
+        if node["split"] and log2 > 3:
+            for c in node["children"]:
+                self._prepass_node(c, cmode, cqp)
+            node["cbf_cb"] = any(c["cbf_cb"] for c in node["children"])
+            node["cbf_cr"] = any(c["cbf_cr"] for c in node["children"])
+            return
+        if node["split"]:          # log2 == 3: chroma 4x4 at the node
+            clog2 = 2
+        elif log2 > 2:
+            clog2 = log2 - 1
+        else:                      # 4x4 luma leaf: chroma lives at parent
+            h.avail[y0 >> 2:(y0 + 4) >> 2, x0 >> 2:(x0 + 4) >> 2] = True
+            return
+        node["cb_tu"] = self._prepare_tu(x0, y0, clog2, 1, cmode, cqp)
+        self._recon_tu(node["cb_tu"], bool(np.any(node["cb_tu"].coeffs)))
+        node["cr_tu"] = self._prepare_tu(x0, y0, clog2, 2, cmode, cqp)
+        self._recon_tu(node["cr_tu"], bool(np.any(node["cr_tu"].coeffs)))
+        node["cbf_cb"] = bool(np.any(node["cb_tu"].coeffs))
+        node["cbf_cr"] = bool(np.any(node["cr_tu"].coeffs))
+        n = 1 << log2
+        h.avail[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = True
+
+    def _luma_mode_for(self, x: int, y: int) -> int:
+        if not self._cur_nxn:
+            return self._cur_modes[0]
+        cx, cy, clog2 = self._cur_cu
+        half = 1 << (clog2 - 1)
+        idx = (1 if (x - cx) >= half else 0) + (2 if (y - cy) >= half else 0)
+        return self._cur_modes[idx]
+
+    def _emit_tt(self, node, parent_cbf_cb, parent_cbf_cr, qp,
+                 parent) -> None:
+        enc, ctx = self.enc, self.ctx
+        log2, depth = node["log2"], node["depth"]
+        if node["explicit"]:
+            enc.encode_bin(ctx.idx("split_transform_flag", 5 - log2),
+                           node["split"])
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2 > 2:
+            if depth == 0 or parent_cbf_cb:
+                enc.encode_bin(ctx.idx("cbf_chroma", depth),
+                               1 if node["cbf_cb"] else 0)
+                cbf_cb = node["cbf_cb"]
+            else:
+                cbf_cb = False
+            if depth == 0 or parent_cbf_cr:
+                enc.encode_bin(ctx.idx("cbf_chroma", depth),
+                               1 if node["cbf_cr"] else 0)
+                cbf_cr = node["cbf_cr"]
+            else:
+                cbf_cr = False
+
+        if node["split"]:
+            for c in node["children"]:
+                self._emit_tt(c, cbf_cb, cbf_cr, qp, node)
+            return
+
+        # ---- leaf: cbf_luma + transform_unit ----
+        ltu = self._prepare_tu(node["x0"], node["y0"], log2, 0,
+                               self._luma_mode_for(node["x0"], node["y0"]),
+                               qp)
+        cbf_luma = bool(np.any(ltu.coeffs))
+        enc.encode_bin(ctx.idx("cbf_luma", 1 if depth == 0 else 0),
+                       1 if cbf_luma else 0)
+
+        chroma_here = log2 > 2 or node["blk_idx"] == 3
+        if log2 > 2:
+            cnode = node
+            eff_cb, eff_cr = cbf_cb, cbf_cr
+        else:
+            cnode = parent
+            eff_cb = parent_cbf_cb and chroma_here
+            eff_cr = parent_cbf_cr and chroma_here
+
+        # delta-QP gate mirrors spec 7.3.8.10: for 4x4 children the
+        # parent's chroma cbf counts even when blk_idx < 3
+        if log2 > 2:
+            any_cbf = cbf_luma or eff_cb or eff_cr
+        else:
+            any_cbf = cbf_luma or parent_cbf_cb or parent_cbf_cr
+        if any_cbf and self.p.cu_qp_delta and not self._qg_delta_written:
+            self._write_delta_qp()
+
+        if cbf_luma:
+            self._write_residual(ltu)
+        self._recon_tu(ltu, cbf_luma)
+
+        if chroma_here:
+            # chroma was reconstructed in the pre-pass; only the residual
+            # bits are written here, in decoder order
+            if eff_cb:
+                self._write_residual(cnode["cb_tu"])
+            if eff_cr:
+                self._write_residual(cnode["cr_tu"])
+
+    def _write_delta_qp(self) -> None:
+        enc, ctx = self.enc, self.ctx
+        delta = self._qg_delta
+        v = abs(delta)
+        prefix = min(v, 5)
+        if prefix:
+            enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 1)
+            for k in range(1, prefix):
+                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 1)
+            if prefix < 5:
+                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 0)
+            else:
+                enc.encode_eg_bypass(0, v - 5)
+        else:
+            enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 0)
+        if v:
+            enc.encode_bypass(1 if delta < 0 else 0)
+        self._qg_delta_written = True
+
+    # ----------------------------------------------------------------- SAO
+
+    def _emit_sao(self, cx: int, cy: int, n_cols: int) -> None:
+        """Per-CTB SAO parameter emission (spec §7.3.8.3), cycling
+        through off/merge/band/edge to exercise every syntax path."""
+        enc, ctx = self.enc, self.ctx
+        k = (cx + cy * n_cols) % 6
+        if k == 1 and cx > 0:
+            enc.encode_bin(ctx.idx("sao_merge_flag"), 1)   # merge left
+            return
+        if cx > 0:
+            enc.encode_bin(ctx.idx("sao_merge_flag"), 0)
+        if k == 4 and cy > 0:
+            enc.encode_bin(ctx.idx("sao_merge_flag"), 1)   # merge up
+            return
+        if cy > 0:
+            enc.encode_bin(ctx.idx("sao_merge_flag"), 0)
+        if k in (0, 1):
+            enc.encode_bin(ctx.idx("sao_type_idx"), 0)     # luma off
+            enc.encode_bin(ctx.idx("sao_type_idx"), 0)     # chroma off
+            return
+        if k in (2, 4):
+            # band offsets, luma + chroma (cb signals type; cr copies)
+            enc.encode_bin(ctx.idx("sao_type_idx"), 1)
+            enc.encode_bypass(0)
+            self._sao_band(cx + cy)
+            enc.encode_bin(ctx.idx("sao_type_idx"), 1)
+            enc.encode_bypass(0)
+            self._sao_band(cx + cy + 1)
+            self._sao_band(cx + cy + 2)
+            return
+        # k in (3, 5): edge offsets
+        enc.encode_bin(ctx.idx("sao_type_idx"), 1)
+        enc.encode_bypass(1)
+        self._sao_edge((cx + cy) & 3)
+        enc.encode_bin(ctx.idx("sao_type_idx"), 1)
+        enc.encode_bypass(1)
+        self._sao_edge((cx + 2 * cy) & 3)     # cb: offsets + shared class
+        self._sao_edge(None)                  # cr: offsets only
+
+    def _sao_band(self, seed: int) -> None:
+        enc = self.enc
+        offs = [(seed + i) % 3 for i in range(4)]
+        for o in offs:
+            enc.encode_tu_bypass(7, o)
+        for i, o in enumerate(offs):
+            if o:
+                enc.encode_bypass((seed + i) & 1)
+        enc.encode_bypass_bits((seed * 5) % 29, 5)
+
+    def _sao_edge(self, eo_class) -> None:
+        enc = self.enc
+        for o in (2, 1, 1, 2):
+            enc.encode_tu_bypass(7, o)
+        if eo_class is not None:
+            enc.encode_bypass_bits(eo_class, 2)
 
     def _qp_pred(self, xq: int, yq: int) -> int:
         ctb_mask = ~((1 << self.p.ctb_log2) - 1)
@@ -486,46 +771,49 @@ class IntraEncoder:
         src = self.src[c_idx][py:py + n, px:px + n]
         fwd = forward_transform(src - pred, clog2, c_idx)
         tu.coeffs = quantize(fwd, qp, clog2)
+        if self.p.sign_hiding:
+            # adjust parity BEFORE reconstruction so the closed loop and
+            # the written bitstream agree
+            self._sign_hide_adjust(tu)
         tu._pred = pred
         return tu
 
-    def _emit_tu(self, tu, cbf, chroma_pending=None) -> None:
-        """Write delta-QP syntax (first coded TU of the QG), residual,
-        and reconstruct."""
-        enc, ctx = self.enc, self.ctx
-        chroma_here = chroma_pending is not None and chroma_pending[0]
-        any_cbf = cbf or (chroma_here and (chroma_pending[3] or
-                                           chroma_pending[4]))
-        if any_cbf and self.p.cu_qp_delta and not self._qg_delta_written:
-            delta = self._qg_delta
-            v = abs(delta)
-            prefix = min(v, 5)
-            if prefix:
-                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 1)
-                for k in range(1, prefix):
-                    enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 1)
-                if prefix < 5:
-                    enc.encode_bin(ctx.idx("cu_qp_delta_abs", 1), 0)
-                else:
-                    enc.encode_eg_bypass(0, v - 5)
-            else:
-                enc.encode_bin(ctx.idx("cu_qp_delta_abs", 0), 0)
-            if v:
-                enc.encode_bypass(1 if delta < 0 else 0)
-            self._qg_delta_written = True
+    @staticmethod
+    def _scan_sel(log2: int, c_idx: int, mode: int) -> int:
+        scan_idx = 0
+        if (c_idx == 0 and log2 in (2, 3)) or (c_idx > 0 and log2 == 2):
+            if 6 <= mode <= 14:
+                scan_idx = 2
+            elif 22 <= mode <= 30:
+                scan_idx = 1
+        return scan_idx
 
-        if cbf:
-            self._write_residual(tu)
-        self._recon_tu(tu, cbf)
-
-        if chroma_here:
-            _, cb_tu, cr_tu, cbf_cb, cbf_cr = chroma_pending
-            if cbf_cb:
-                self._write_residual(cb_tu)
-            self._recon_tu(cb_tu, cbf_cb)
-            if cbf_cr:
-                self._write_residual(cr_tu)
-            self._recon_tu(cr_tu, cbf_cr)
+    def _sign_hide_adjust(self, tu: TU) -> None:
+        """Sign data hiding parity pre-pass (spec §7.4.9.11): the sign of
+        the last-in-reverse-scan coefficient of each eligible sub-block is
+        inferred from the level-sum parity; fix the parity by bumping that
+        coefficient's magnitude (1→2 or n→n−1, never to zero)."""
+        coeffs = tu.coeffs
+        scan_idx = self._scan_sel(tu.log2, tu.c_idx, tu.pred_mode)
+        n_sb = (1 << tu.log2) >> 2
+        sb_scan = _SB_SCANS[(scan_idx, n_sb)]
+        pos_scan = _SCANS[scan_idx]
+        for i in range(n_sb * n_sb):
+            sx_, sy_ = int(sb_scan[i][0]), int(sb_scan[i][1])
+            sub = coeffs[sy_ << 2:(sy_ << 2) + 4, sx_ << 2:(sx_ << 2) + 4]
+            nz = [n for n in range(16)
+                  if sub[int(pos_scan[n][1]), int(pos_scan[n][0])]]
+            if len(nz) < 2 or (max(nz) - min(nz)) <= 3:
+                continue
+            first_n = min(nz)
+            total = int(np.abs(sub).sum())
+            v = int(sub[int(pos_scan[first_n][1]),
+                        int(pos_scan[first_n][0])])
+            if (total & 1) != (1 if v < 0 else 0):
+                adj = 1 if abs(v) == 1 else -1
+                nv = (abs(v) + adj) * (1 if v > 0 else -1)
+                sub[int(pos_scan[first_n][1]),
+                    int(pos_scan[first_n][0])] = nv
 
     def _recon_tu(self, tu, cbf) -> None:
         if cbf:
@@ -636,31 +924,7 @@ class IntraEncoder:
         write_last_suffix(pfx, wx)
         write_last_suffix(pfy, wy)
 
-        if self.p.sign_hiding:
-            # parity pre-pass: sign of the first coefficient (scan order)
-            # is hidden in the level-sum parity; adjust that coefficient
-            # when the parity disagrees (spec 7.4.9.11 sign_data_hiding).
-            for i in range(last_sb + 1):
-                sx_, sy_ = int(sb_scan[i][0]), int(sb_scan[i][1])
-                sub = coeffs[sy_ << 2:(sy_ << 2) + 4,
-                             sx_ << 2:(sx_ << 2) + 4]
-                nz = [n for n in range(16)
-                      if sub[int(pos_scan[n][1]), int(pos_scan[n][0])]]
-                if len(nz) < 2 or (max(nz) - min(nz)) <= 3:
-                    continue
-                first_n = min(nz)
-                total = int(np.abs(sub).sum())
-                v = int(sub[int(pos_scan[first_n][1]),
-                            int(pos_scan[first_n][0])])
-                if (total & 1) != (1 if v < 0 else 0):
-                    adj = 1 if abs(v) == 1 else -1
-                    nv = (abs(v) + adj) * (1 if v > 0 else -1)
-                    sub[int(pos_scan[first_n][1]),
-                        int(pos_scan[first_n][0])] = nv
-            # the adjusted block may have a new last-significant position
-            # only if a coefficient was zeroed — the adjustment never
-            # zeroes (magnitude 1 becomes 2), so last_scan is stable
-
+        # (sign-hiding parity was already applied in _prepare_tu)
         csbf = np.zeros((n_sb, n_sb), np.uint8)
         for i in range(last_sb + 1):
             sx, sy = int(sb_scan[i][0]), int(sb_scan[i][1])

@@ -61,6 +61,56 @@ CONFIGS = [
     ("nxn-dqp-sh", dict(qp=28, cu_log2=3, nxn=True, cu_qp_delta=True,
                         sign_hiding=True), (96, 64), False),
     ("big-ctb-auto", dict(qp=26, ctb_log2=5, cu_log2=5), (128, 128), False),
+    # features used by x265 streams (example.heic)
+    ("strongsmooth", dict(qp=32, ctb_log2=5, cu_log2=5,
+                          strong_smoothing=True), (96, 96), True),
+    ("rqt1", dict(qp=26, cu_log2=4, rqt_depth=1), (64, 64), False),
+    ("rqt1-cu32", dict(qp=30, cu_log2=5, rqt_depth=1), (96, 64), False),
+    ("ctb64", dict(qp=26, ctb_log2=6, cu_log2=6), (128, 128), False),
+    ("ctb64-smooth", dict(qp=35, ctb_log2=6, cu_log2=6,
+                          strong_smoothing=True), (128, 128), True),
+    ("deblock", dict(qp=30, deblock=True), (64, 64), False),
+    ("deblock-smooth", dict(qp=37, deblock=True), (96, 96), True),
+    ("sao", dict(qp=30, sao=True), (96, 96), False),
+    ("sao-smooth", dict(qp=37, sao=True), (128, 96), True),
+    ("wpp", dict(qp=26, wpp=True), (96, 96), False),
+    ("wpp-ctb64", dict(qp=30, ctb_log2=6, cu_log2=5, wpp=True),
+     (192, 192), False),
+    ("dqp-qg32", dict(qp=28, ctb_log2=6, cu_log2=4, cu_qp_delta=True,
+                      diff_qg_depth=1), (128, 128), False),
+    ("x265like", dict(qp=24, ctb_log2=6, cu_log2=4, rqt_depth=1,
+                      strong_smoothing=True, sign_hiding=True,
+                      cu_qp_delta=True, diff_qg_depth=1, deblock=True,
+                      sao=True, wpp=True), (192, 128), False),
+    ("x265like-smooth", dict(qp=35, ctb_log2=6, cu_log2=5, rqt_depth=1,
+                             strong_smoothing=True, sign_hiding=True,
+                             cu_qp_delta=True, diff_qg_depth=1,
+                             deblock=True, sao=True, wpp=True),
+     (192, 128), True),
+    ("chromamodes", dict(qp=26, chroma_modes=True), (96, 96), False),
+    ("varcu", dict(qp=26, ctb_log2=6, cu_log2=6, var_cu=True),
+     (128, 128), False),
+    ("varcu-ctb32", dict(qp=30, ctb_log2=5, cu_log2=5, var_cu=True,
+                         nxn=True), (128, 96), False),
+    ("x265full", dict(qp=24, ctb_log2=6, cu_log2=6, var_cu=True, nxn=True,
+                      rqt_depth=1, strong_smoothing=True, sign_hiding=True,
+                      cu_qp_delta=True, diff_qg_depth=1, deblock=True,
+                      sao=True, wpp=True, chroma_modes=True),
+     (192, 192), False),
+    ("x265full-smooth", dict(qp=35, ctb_log2=6, cu_log2=6, var_cu=True,
+                             nxn=True, rqt_depth=1, strong_smoothing=True,
+                             sign_hiding=True, cu_qp_delta=True,
+                             diff_qg_depth=1, deblock=True, sao=True,
+                             wpp=True, chroma_modes=True), (192, 128), True),
+    # multi-CU QGs + smooth content → deltas coded mid-QG; big |delta|
+    ("dqp-big", dict(qp=32, ctb_log2=6, cu_log2=4, cu_qp_delta=True,
+                     diff_qg_depth=1,
+                     qp_delta_pattern=(0, 3, -4, 7, -6, 2, 9, -9, 5)),
+     (128, 128), True),
+    ("dqp-big-varcu", dict(qp=30, ctb_log2=6, cu_log2=6, var_cu=True,
+                           cu_qp_delta=True, diff_qg_depth=2,
+                           qp_delta_pattern=(1, -5, 8, 0, -3, 6, -8)),
+     (192, 128), True),
 ]
 
 
@@ -76,8 +126,11 @@ def run_config(name, kw, size, smooth, seed=7):
     y, cb, cr = decode_intra_picture(sps, pps, [slice_nal])
     mine = {"Y": y, "Cb": cb, "Cr": cr}
 
-    # encoder's own recon must equal decoder output (closed loop)
+    # encoder's own recon must equal decoder output (closed loop);
+    # only valid without in-loop filters (encoder recon is pre-filter)
     for pl, idx in (("Y", 0), ("Cb", 1), ("Cr", 2)):
+        if kw.get("deblock") or kw.get("sao"):
+            break
         if not np.array_equal(mine[pl], enc.recon[idx]):
             d = np.argwhere(mine[pl] != enc.recon[idx])
             return (f"SELF-MISMATCH {pl}: {len(d)} px, first at "

@@ -1,7 +1,5 @@
 # Register built-in codec cores with the registry on package import.
 from . import registry  # noqa: F401
 
-try:
-    from . import hevc  # noqa: F401  (registers the HEVC decoder)
-except ImportError:
-    pass
+from . import hevc  # noqa: F401  (registers the HEVC codec)
+from . import av1   # noqa: F401  (registers the AV1 codec)

@@ -1,0 +1,98 @@
+"""AV1 still-image decoder: OBUs → planes → PixelImage.
+
+Replaces the reference's dav1d/aom plugin boundary (reference:
+libheif/plugins/decoder_dav1d.cc, decoder_aom.cc).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from ..registry import Decoder, register_decoder
+from . import obu as O
+from .tile import TileDecoder
+
+
+def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
+    """Decode the first (still) frame from a byte stream of OBUs."""
+    seq: Optional[O.SequenceHeader] = None
+    fh: Optional[O.FrameHeader] = None
+    tiles: List[bytes] = []
+    for ob in O.split_obus(data):
+        if ob.type == O.OBU_SEQUENCE_HEADER:
+            seq = O.parse_sequence_header(ob.payload)
+        elif ob.type == O.OBU_FRAME_HEADER:
+            if seq is None:
+                raise HeifError.invalid_input(msg="frame before seq header")
+            fh = O.parse_frame_header(ob.payload, seq)
+        elif ob.type == O.OBU_TILE_GROUP:
+            if fh is None:
+                raise HeifError.invalid_input(msg="tile group before header")
+            tg = O.parse_tile_group(ob.payload, fh.tile_info, 0)
+            tiles.extend(tg.tile_data)
+        elif ob.type == O.OBU_FRAME:
+            if seq is None:
+                raise HeifError.invalid_input(msg="frame before seq header")
+            fh = O.parse_frame_header(ob.payload, seq)
+            hdr_bytes = (fh.header_bit_size + 7) // 8
+            tg = O.parse_tile_group(ob.payload, fh.tile_info,
+                                    hdr_bytes * 8)
+            tiles.extend(tg.tile_data)
+        if fh is not None and len(tiles) >= fh.tile_info.cols * \
+                fh.tile_info.rows:
+            break
+    if seq is None or fh is None or not tiles:
+        raise HeifError.invalid_input(msg="incomplete AV1 stream")
+
+    w, h = fh.frame_width, fh.frame_height
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    planes = [np.zeros((h, w), np.int32),
+              np.zeros((ch, cw), np.int32),
+              np.zeros((ch, cw), np.int32)]
+    dec = TileDecoder(seq, fh, planes)
+    ti = fh.tile_info
+    sb_mi = dec.sb_mi
+    idx = 0
+    for trow in range(ti.rows):
+        for tcol in range(ti.cols):
+            mc0 = ti.col_starts[tcol] * sb_mi
+            mc1 = min(ti.col_starts[tcol + 1] * sb_mi, dec.mi_cols)
+            mr0 = ti.row_starts[trow] * sb_mi
+            mr1 = min(ti.row_starts[trow + 1] * sb_mi, dec.mi_rows)
+            dec.decode_tile(tiles[idx], mc0, mc1, mr0, mr1)
+            idx += 1
+
+    # in-loop filters (deblock/cdef/lr) — only needed for lossy frames
+    if not fh.coded_lossless and any(fh.loop_filter_levels):
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "AV1 loop filters (yet)")
+    return {"Y": planes[0], "U": planes[1], "V": planes[2]}
+
+
+class Av1Decoder(Decoder):
+    id = "tpu-av1"
+    format = "av1"
+    priority = 100
+
+    def decode_single_image(self, config_box, data: bytes,
+                            declared_size=None, limits=None) -> PixelImage:
+        stream = (config_box.config_obus or b"") + data \
+            if config_box is not None else data
+        planes = decode_intra_frame(stream)
+        y = planes["Y"]
+        h, w = y.shape
+        if limits is not None:
+            limits.check_image_size(w, h)
+        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
+        img.set_plane(Channel.Y, y.astype(np.uint8), 8)
+        img.set_plane(Channel.Cb, planes["U"].astype(np.uint8), 8)
+        img.set_plane(Channel.Cr, planes["V"].astype(np.uint8), 8)
+        return img
+
+
+def register():
+    register_decoder(Av1Decoder())

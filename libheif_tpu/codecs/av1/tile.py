@@ -1,0 +1,758 @@
+"""AV1 intra tile decoding: partition tree, mode info, coefficients.
+
+Spec §5.11 (tile group syntax) + §8.3 (symbol contexts). Parsing and
+reconstruction are interleaved (intra prediction consumes neighbor
+recon), like the reference decoders. Inter tools are rejected
+upstream (obu.py accepts only intra frames).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from . import tables as T
+from .cdf import CdfContext
+from .msac import Msac
+from .obu import SequenceHeader, FrameHeader
+from . import recon as R
+
+_SKIP_CONTEXTS_TAB = [
+    [1, 2, 2, 2, 3],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 6],
+]
+
+# EOB class bases: eob_pt (1-based) → eob group start / extra offset bits
+# (spec eob classes: 1, 2, 3-4, 5-8, 9-16, …)
+_EOB_GROUP_START = [0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513]
+_EOB_OFFSET_BITS = [0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+# tx type → (vertical, horizontal) 1-D transform kinds
+_TX1D = {
+    T.DCT_DCT: ("dct", "dct"), T.ADST_DCT: ("adst", "dct"),
+    T.DCT_ADST: ("dct", "adst"), T.ADST_ADST: ("adst", "adst"),
+    T.FLIPADST_DCT: ("fadst", "dct"), T.DCT_FLIPADST: ("dct", "fadst"),
+    T.FLIPADST_FLIPADST: ("fadst", "fadst"),
+    T.ADST_FLIPADST: ("adst", "fadst"), T.FLIPADST_ADST: ("fadst", "adst"),
+    T.IDTX: ("idtx", "idtx"), T.V_DCT: ("dct", "idtx"),
+    T.H_DCT: ("idtx", "dct"), T.V_ADST: ("adst", "idtx"),
+    T.H_ADST: ("idtx", "adst"), T.V_FLIPADST: ("fadst", "idtx"),
+    T.H_FLIPADST: ("idtx", "fadst"),
+}
+
+
+def _tx_class(tx_type: int) -> str:
+    if tx_type in (T.V_DCT, T.V_ADST, T.V_FLIPADST):
+        return 'v'
+    if tx_type in (T.H_DCT, T.H_ADST, T.H_FLIPADST):
+        return 'h'
+    return '2d'
+
+
+# intra ext tx sets (spec §5.11.47): set per sqr-up tx size
+_EXT_TX_SET_INTRA_1 = [T.IDTX, T.DCT_DCT, T.V_DCT, T.H_DCT,
+                       T.ADST_ADST, T.ADST_DCT, T.DCT_ADST]
+_EXT_TX_SET_INTRA_2 = [T.IDTX, T.DCT_DCT, T.ADST_ADST,
+                       T.ADST_DCT, T.DCT_ADST]
+
+
+def base_eob_ctx(c, n_coeffs) -> int:
+    if c == 0:
+        return 0
+    if c <= n_coeffs // 8:
+        return 1
+    if c <= n_coeffs // 4:
+        return 2
+    return 3
+
+
+def base_ctx(levels, row, col, pos, bwl, tcls, tw=4, th=4) -> int:
+    """coeff_base context (aom get_nz_map_ctx)."""
+    if tcls == '2d':
+        if pos == 0:
+            return 0
+        mag = (min(int(levels[row, col + 1]), 3) +
+               min(int(levels[row + 1, col]), 3) +
+               min(int(levels[row + 1, col + 1]), 3) +
+               min(int(levels[row, col + 2]), 3) +
+               min(int(levels[row + 2, col]), 3))
+        mag = min((mag + 1) >> 1, 4)
+        d = row + col
+        # region offsets 1/6/11/16/21; the last region starts at the
+        # size-dependent tail (validated against libaom: 4x4 → d>=4
+        # maps to 21)
+        if d < 2:
+            return mag + 1
+        if d < 4:
+            return mag + 6
+        if tw == 4 and th == 4:
+            return mag + 21
+        if d < 8:
+            return mag + 11
+        if d < 16:
+            return mag + 16
+        return mag + 21
+    if tcls == 'h':
+        mag = sum(min(int(levels[row, col + k]), 3) for k in (1, 2, 3, 4, 5))
+        coord = col
+    else:
+        mag = sum(min(int(levels[row + k, col]), 3) for k in (1, 2, 3, 4, 5))
+        coord = row
+    mag = min((mag + 1) >> 1, 4)
+    if coord == 0:
+        return 16 + mag
+    return 16 + 5 + mag
+
+
+def br_ctx(levels, row, col, pos, bwl, tcls) -> int:
+    """coeff_br context (aom get_br_ctx)."""
+    if tcls == '2d':
+        mag = (min(int(levels[row, col + 1]), 15) +
+               min(int(levels[row + 1, col]), 15) +
+               min(int(levels[row + 1, col + 1]), 15))
+    elif tcls == 'h':
+        mag = (min(int(levels[row, col + 1]), 15) +
+               min(int(levels[row, col + 2]), 15))
+    else:
+        mag = (min(int(levels[row + 1, col]), 15) +
+               min(int(levels[row + 2, col]), 15))
+    mag = min((mag + 1) >> 1, 6)
+    if pos == 0:
+        return mag
+    if tcls == '2d':
+        return mag + (7 if row < 2 and col < 2 else 14)
+    coord = col if tcls == 'h' else row
+    return mag + (7 if coord == 0 else 14)
+
+
+class TileDecoder:
+    def __init__(self, seq: SequenceHeader, fh: FrameHeader,
+                 planes: List[np.ndarray]):
+        if seq.monochrome:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "monochrome AV1")
+        if seq.bit_depth != 8:
+            raise HeifError.unsupported(SubError.Unsupported_bit_depth,
+                                        "only 8-bit AV1 currently")
+        if not (seq.subsampling_x and seq.subsampling_y):
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "only 4:2:0 AV1 currently")
+        self.seq = seq
+        self.fh = fh
+        self.planes = planes            # [Y, U, V] int32 padded frames
+        self.bd = seq.bit_depth
+        self.mi_cols = (fh.frame_width + 7) // 8 * 2
+        self.mi_rows = (fh.frame_height + 7) // 8 * 2
+        self.sb_mi = 32 if seq.use_128x128_superblock else 16
+        # frame-lifetime mode/size maps (4x4 granularity)
+        self.y_modes = np.full((self.mi_rows, self.mi_cols), T.DC_PRED,
+                               np.int32)
+        self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.tx_wide = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.tx_high = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.block_decoded = [
+            np.zeros((self.mi_rows + 2, self.mi_cols + 2), np.uint8)
+            for _ in range(3)]
+
+    # ---------------------------------------------------------- tile loop
+
+    def decode_tile(self, data: bytes, mi_col0: int, mi_col1: int,
+                    mi_row0: int, mi_row1: int) -> None:
+        fh = self.fh
+        self.r = Msac(data, not fh.disable_cdf_update)
+        self.cdf = CdfContext(fh.quant.base_q_idx)
+        self.mc0, self.mc1 = mi_col0, mi_col1
+        self.mr0, self.mr1 = mi_row0, mi_row1
+        # per-tile contexts
+        n_mi_c = mi_col1 - mi_col0
+        n_mi_r = mi_row1 - mi_row0
+        self.above_part = np.zeros(self.mi_cols + 32, np.int32)
+        self.left_part = np.zeros(self.sb_mi, np.int32)
+        self.above_skip = np.zeros(self.mi_cols + 32, np.int32)
+        self.left_skip = np.zeros(self.sb_mi, np.int32)
+        # coefficient contexts per plane: level byte + dc sign category
+        self.above_lvl = [np.zeros(self.mi_cols + 32, np.int32)
+                          for _ in range(3)]
+        self.left_lvl = [np.zeros(self.sb_mi, np.int32) for _ in range(3)]
+        self.above_sign = [np.zeros(self.mi_cols + 32, np.int32)
+                           for _ in range(3)]
+        self.left_sign = [np.zeros(self.sb_mi, np.int32) for _ in range(3)]
+
+        sb_log2 = 5 if self.seq.use_128x128_superblock else 4
+        sb_sz = T.BLOCK_128X128 if self.seq.use_128x128_superblock \
+            else T.BLOCK_64X64
+        for mr in range(mi_row0, mi_row1, self.sb_mi):
+            # left contexts reset each SB row
+            self.left_part[:] = 0
+            self.left_skip[:] = 0
+            for p in range(3):
+                self.left_lvl[p][:] = 0
+                self.left_sign[p][:] = 0
+            self.sb_mi_row = mr
+            for mc in range(mi_col0, mi_col1, self.sb_mi):
+                self.sb_mi_col = mc
+                self._decode_partition(mr, mc, sb_sz)
+
+    # ---------------------------------------------------------- partition
+
+    def _decode_partition(self, mr: int, mc: int, bsize: int) -> None:
+        if mr >= self.mr1 or mc >= self.mc1:
+            return
+        w, h = T.BLOCK_SIZES[bsize]
+        mi_w, mi_h = w // 4, h // 4
+        has_rows = mr + mi_h // 2 < self.mr1
+        has_cols = mc + mi_w // 2 < self.mc1
+        r = self.r
+        bsl = mi_w.bit_length() - 1  # log2 of mi width (4x4→0)
+
+        if bsize == T.BLOCK_4X4:
+            part = T.PARTITION_NONE
+        else:
+            above = (int(self.above_part[mc]) >> bsl) & 1
+            left = (int(self.left_part[mr - self.sb_mi_row]) >> bsl) & 1
+            ctx = left * 2 + above
+            cdf_row = self.cdf.partition[(bsl - 1) * 4 + ctx]
+            n_parts = 4 if bsize == T.BLOCK_8X8 else \
+                8 if bsize == T.BLOCK_128X128 else 10
+            if has_rows and has_cols:
+                part = r.read_symbol_n(cdf_row, n_parts)
+            elif has_cols:
+                split = self._read_split_bool(cdf_row, n_parts, vert=True)
+                part = T.PARTITION_SPLIT if split else T.PARTITION_HORZ
+            elif has_rows:
+                split = self._read_split_bool(cdf_row, n_parts, vert=False)
+                part = T.PARTITION_SPLIT if split else T.PARTITION_VERT
+            else:
+                part = T.PARTITION_SPLIT
+
+        sub = int(T.PARTITION_SUBSIZE[part][bsize])
+        half_w, half_h = mi_w // 2, mi_h // 2
+        quarter_w, quarter_h = mi_w // 4, mi_h // 4
+
+        if part == T.PARTITION_NONE:
+            self._decode_block(mr, mc, bsize)
+        elif part == T.PARTITION_HORZ:
+            self._decode_block(mr, mc, sub)
+            if has_rows:
+                self._decode_block(mr + half_h, mc, sub)
+        elif part == T.PARTITION_VERT:
+            self._decode_block(mr, mc, sub)
+            if has_cols:
+                self._decode_block(mr, mc + half_w, sub)
+        elif part == T.PARTITION_SPLIT:
+            self._decode_partition(mr, mc, sub)
+            self._decode_partition(mr, mc + half_w, sub)
+            self._decode_partition(mr + half_h, mc, sub)
+            self._decode_partition(mr + half_w if False else mr + half_h,
+                                   mc + half_w, sub)
+        elif part == T.PARTITION_HORZ_A:
+            qtr = int(T.PARTITION_SUBSIZE[T.PARTITION_SPLIT][bsize])
+            self._decode_block(mr, mc, qtr)
+            self._decode_block(mr, mc + half_w, qtr)
+            self._decode_block(mr + half_h, mc, sub)
+        elif part == T.PARTITION_HORZ_B:
+            qtr = int(T.PARTITION_SUBSIZE[T.PARTITION_SPLIT][bsize])
+            self._decode_block(mr, mc, sub)
+            self._decode_block(mr + half_h, mc, qtr)
+            self._decode_block(mr + half_h, mc + half_w, qtr)
+        elif part == T.PARTITION_VERT_A:
+            qtr = int(T.PARTITION_SUBSIZE[T.PARTITION_SPLIT][bsize])
+            self._decode_block(mr, mc, qtr)
+            self._decode_block(mr + half_h, mc, qtr)
+            self._decode_block(mr, mc + half_w, sub)
+        elif part == T.PARTITION_VERT_B:
+            qtr = int(T.PARTITION_SUBSIZE[T.PARTITION_SPLIT][bsize])
+            self._decode_block(mr, mc, sub)
+            self._decode_block(mr, mc + half_w, qtr)
+            self._decode_block(mr + half_h, mc + half_w, qtr)
+        elif part == T.PARTITION_HORZ_4:
+            for i in range(4):
+                row = mr + quarter_h * i
+                if row >= self.mr1:
+                    break
+                self._decode_block(row, mc, sub)
+        elif part == T.PARTITION_VERT_4:
+            for i in range(4):
+                col = mc + quarter_w * i
+                if col >= self.mc1:
+                    break
+                self._decode_block(mr, col, sub)
+
+        if part != T.PARTITION_SPLIT or bsize == T.BLOCK_8X8:
+            self._update_partition_ctx(mr, mc, bsize,
+                                       sub if part != T.PARTITION_SPLIT
+                                       else sub)
+        # for SPLIT of larger blocks the children updated contexts
+
+    def _prob(self, cdf_row, k: int) -> int:
+        hi = 32768 if k == 0 else int(cdf_row[k - 1])
+        return hi - int(cdf_row[k])
+
+    def _read_split_bool(self, cdf_row, n_parts: int, vert: bool) -> int:
+        """Edge partition bool (aom partition_gather_*_alike)."""
+        if vert:
+            # bottom rows missing → SPLIT vs HORZ; gather prob of
+            # partitions whose top half is undivided horizontally
+            subtract = [T.PARTITION_HORZ, T.PARTITION_SPLIT,
+                        T.PARTITION_HORZ_A, T.PARTITION_HORZ_B,
+                        T.PARTITION_VERT_A]
+            if n_parts > 8:
+                subtract.append(T.PARTITION_HORZ_4)
+        else:
+            subtract = [T.PARTITION_VERT, T.PARTITION_SPLIT,
+                        T.PARTITION_HORZ_A, T.PARTITION_VERT_A,
+                        T.PARTITION_VERT_B]
+            if n_parts > 8:
+                subtract.append(T.PARTITION_VERT_4)
+        s = sum(self._prob(cdf_row, k) for k in subtract if k < n_parts)
+        # icdf row [s, 0]: P(symbol1) = s/32768 → symbol 1 = SPLIT-like
+        return self.r.read_symbol_n([s, 0, 0], 2) if False else \
+            self.r.read_bool([s, 0, 0])
+
+    def _update_partition_ctx(self, mr, mc, bsize, subsize) -> None:
+        """Store the neighbor-context byte: bit b set ⇔ a size-b query
+        sees this block as split finer (so an equal-size neighbor gives
+        ctx bit 0 — validated against libaom multi-SB streams)."""
+        w, h = T.BLOCK_SIZES[bsize]
+        sw, sh = T.BLOCK_SIZES[subsize]
+        mi_w, mi_h = w // 4, h // 4
+        above_val = (32 - (2 << ((sw // 4).bit_length() - 1))) & 31
+        left_val = (32 - (2 << ((sh // 4).bit_length() - 1))) & 31
+        self.above_part[mc:mc + mi_w] = above_val
+        lr = mr - self.sb_mi_row
+        self.left_part[lr:lr + mi_h] = left_val
+
+    # -------------------------------------------------------------- block
+
+    def _decode_block(self, mr: int, mc: int, bsize: int) -> None:
+        if mr >= self.mr1 or mc >= self.mc1:
+            return
+        seq, fh, r = self.seq, self.fh, self.r
+        w, h = T.BLOCK_SIZES[bsize]
+        mi_w, mi_h = max(w // 4, 1), max(h // 4, 1)
+
+        have_above = mr > self.mr0
+        have_left = mc > self.mc0
+
+        # ---- skip ----
+        a_skip = int(self.above_skip[mc]) if have_above else 0
+        l_skip = int(self.left_skip[mr - self.sb_mi_row]) if have_left else 0
+        skip = r.read_symbol_n(self.cdf.skip[a_skip + l_skip], 2)
+
+        # delta q / delta lf (disabled by construction for our streams)
+        if fh.delta_q_present:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "delta_q in tiles")
+
+        # ---- y mode (kf contexts from above/left modes) ----
+        above_mode = int(self.y_modes[mr - 1, mc]) if have_above \
+            else T.DC_PRED
+        left_mode = int(self.y_modes[mr, mc - 1]) if have_left \
+            else T.DC_PRED
+        ctx_a = T.INTRA_MODE_CONTEXT[above_mode]
+        ctx_l = T.INTRA_MODE_CONTEXT[left_mode]
+        y_mode = r.read_symbol(self.cdf.kf_y_mode[ctx_a][ctx_l])
+        angle_y = 0
+        if y_mode in T.MODE_TO_ANGLE and w >= 8 and h >= 8:
+            sym = r.read_symbol(self.cdf.angle_delta[y_mode - T.V_PRED])
+            angle_y = sym - 3
+
+        # ---- chroma ----
+        has_chroma = self._has_chroma(mr, mc, bsize)
+        uv_mode = T.DC_PRED
+        angle_uv = 0
+        cfl_alpha_u = cfl_alpha_v = 0
+        if has_chroma:
+            cfl_allowed = (w <= 32 and h <= 32)
+            uv_mode = r.read_symbol_n(
+                self.cdf.uv_mode[1 if cfl_allowed else 0][y_mode],
+                14 if cfl_allowed else 13)
+            if uv_mode == T.UV_CFL_PRED:
+                raise HeifError.unsupported(SubError.Unsupported_codec,
+                                            "CFL prediction (yet)")
+            if uv_mode in T.MODE_TO_ANGLE and w >= 8 and h >= 8:
+                sym = r.read_symbol(
+                    self.cdf.angle_delta[uv_mode - T.V_PRED])
+                angle_uv = sym - 3
+
+        # palette / filter_intra: excluded via encoder config
+        if fh.allow_screen_content_tools and w >= 8 and h >= 8 and \
+                w <= 64 and h <= 64:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "palette syntax")
+        if seq.enable_filter_intra and w <= 32 and h <= 32:
+            use_fi = r.read_symbol_n(
+                self._filter_intra_cdf(bsize), 2)
+            if use_fi:
+                raise HeifError.unsupported(SubError.Unsupported_codec,
+                                            "filter intra (yet)")
+
+        # ---- tx size ----
+        if fh.coded_lossless:
+            tx = T.TX_4X4
+        elif not fh.tx_mode_select:
+            tx = T.MAX_TX_SIZE_RECT[bsize]
+        else:
+            tx = self._read_tx_size(mr, mc, bsize, have_above, have_left)
+
+        # record maps
+        self.y_modes[mr:mr + mi_h, mc:mc + mi_w] = y_mode
+        self.skip_map[mr:mr + mi_h, mc:mc + mi_w] = skip
+        self.above_skip[mc:mc + mi_w] = skip
+        self.left_skip[mr - self.sb_mi_row:
+                       mr - self.sb_mi_row + mi_h] = skip
+        self.tx_wide[mr:mr + mi_h, mc:mc + mi_w] = T.tx_w(tx)
+        self.tx_high[mr:mr + mi_h, mc:mc + mi_w] = T.tx_h(tx)
+
+        # ---- residual + recon ----
+        self._residual(mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv,
+                       tx, skip, has_chroma)
+
+    def _filter_intra_cdf(self, bsize):
+        # placeholder until the filter_intra table is pinned; only valid
+        # when the encoder disables filter intra (symbol never read)
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "filter intra cdf not pinned")
+
+    def _has_chroma(self, mr: int, mc: int, bsize: int) -> bool:
+        w, h = T.BLOCK_SIZES[bsize]
+        mi_w, mi_h = w // 4, h // 4
+        if mi_w == 1 and mi_h == 1:
+            return bool((mr & 1) and (mc & 1))
+        if mi_w == 1:
+            return bool(mc & 1)
+        if mi_h == 1:
+            return bool(mr & 1)
+        return True
+
+    def _read_tx_size(self, mr, mc, bsize, have_above, have_left) -> int:
+        max_tx = T.MAX_TX_SIZE_RECT[bsize]
+        w, h = T.BLOCK_SIZES[bsize]
+        if w <= 4 and h <= 4:
+            return T.TX_4X4
+        sqr_up = T.TX_SIZE_SQR_UP[max_tx]
+        cat = [0, 0, 1, 2, 3][
+            [4, 8, 16, 32, 64].index(T.tx_w(sqr_up))]
+        # context: neighbors having tx at least as large
+        above = left = 1
+        if have_above:
+            above = int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx)
+        if have_left:
+            left = int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx)
+        ctx = int(above) + int(left)
+        max_depth = self._max_tx_depth(bsize)
+        n = min(max_depth + 1, 3)
+        depth = self.r.read_symbol_n(self.cdf.tx_size[cat][ctx], n)
+        tx = max_tx
+        for _ in range(depth):
+            tx = T.SPLIT_TX_SIZE[tx]
+        return tx
+
+    @staticmethod
+    def _max_tx_depth(bsize: int) -> int:
+        w, h = T.BLOCK_SIZES[bsize]
+        if w == 4 and h == 4:
+            return 0
+        if max(w, h) == 8:
+            return 1
+        return 2
+
+    # ----------------------------------------------------------- residual
+
+    def _residual(self, mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv,
+                  tx, skip, has_chroma) -> None:
+        w, h = T.BLOCK_SIZES[bsize]
+        fh = self.fh
+        # luma: cover block with tx tiles
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        x0, y0 = mc * 4, mr * 4
+        for ty in range(0, h, th):
+            for tx_x in range(0, w, tw):
+                self._transform_block(0, x0 + tx_x, y0 + ty, tx, y_mode,
+                                      angle_y, skip, mr, mc, bsize)
+        if has_chroma:
+            # chroma block origin: round down to even mi for small blocks
+            cr, cc = mr, mc
+            if (h // 4) == 1:
+                cr = mr & ~1
+            if (w // 4) == 1:
+                cc = mc & ~1
+            cw = max(w, 8) >> 1
+            ch = max(h, 8) >> 1
+            uv_tx = T.TX_4X4 if fh.coded_lossless \
+                else self._uv_tx_size(bsize)
+            utw, uth = T.tx_w(uv_tx), T.tx_h(uv_tx)
+            cx0, cy0 = cc * 2, cr * 2
+            for plane in (1, 2):
+                for ty in range(0, ch, uth):
+                    for tx_x in range(0, cw, utw):
+                        self._transform_block(plane, cx0 + tx_x, cy0 + ty,
+                                              uv_tx, uv_mode, angle_uv,
+                                              skip, mr, mc, bsize)
+
+    def _uv_tx_size(self, bsize: int) -> int:
+        w, h = T.BLOCK_SIZES[bsize]
+        cw, ch = max(w // 2, 4), max(h // 2, 4)
+        cw, ch = min(cw, 32), min(ch, 32)
+        while cw > 2 * ch:
+            cw //= 2
+        while ch > 2 * cw:
+            ch //= 2
+        return T.TX_SIZES.index((cw, ch))
+
+    # ------------------------------------------------------- transform blk
+
+    def _transform_block(self, plane, px, py, tx, mode, angle, skip,
+                         mr, mc, bsize) -> None:
+        """Predict, parse coefficients, reconstruct one tx block.
+
+        px/py are plane-pixel coordinates; context/availability units
+        are 4 plane pixels throughout.
+        """
+        fh, seq, r = self.fh, self.seq, self.r
+        sub = 1 if plane else 0
+        pw = (self.fh.frame_width + sub) >> sub
+        ph = (self.fh.frame_height + sub) >> sub
+        if px >= pw or py >= ph:
+            return
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        frame = self.planes[plane]
+
+        dec = self.block_decoded[plane]
+        u_r, u_c = py // 4, px // 4
+        n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
+        have_above = py > 0 and bool(dec[u_r - 1 + 1, u_c + 1])
+        have_left = px > 0 and bool(dec[u_r + 1, u_c - 1 + 1])
+        n_tr = 0
+        if py > 0 and px + tw < pw:
+            steps = 0
+            cc = u_c + n_w
+            while steps < th and (cc * 4) < pw and dec[u_r, cc + 1]:
+                steps += 4
+                cc += 1
+            n_tr = steps
+        n_bl = 0
+        if px > 0 and py + th < ph:
+            steps = 0
+            rr = u_r + n_h
+            while steps < tw and (rr * 4) < ph and dec[rr + 1, u_c]:
+                steps += 4
+                rr += 1
+            n_bl = steps
+
+        pred = R.predict_intra(
+            frame, px, py, tw, th, mode, angle, have_above, have_left,
+            n_tr, n_bl, self.bd,
+            enable_edge_filter=seq.enable_intra_edge_filter)
+
+        w_b, h_b = T.BLOCK_SIZES[bsize]
+        blk_w = max(w_b >> sub, 4)
+        blk_h = max(h_b >> sub, 4)
+        eob, coeffs, cul, dcsign = (0, None, 0, 0)
+        if not skip:
+            eob, coeffs, cul, dcsign = self._read_coeffs(
+                plane, px, py, tx, mode, blk_w, blk_h)
+
+        hh = min(th, ph - py)
+        ww = min(tw, pw - px)
+        if eob > 0:
+            res = self._inv_transform(plane, tx, coeffs, eob, mode)
+            out = pred[:hh, :ww] + res[:hh, :ww]
+            frame[py:py + hh, px:px + ww] = np.clip(out, 0,
+                                                    (1 << self.bd) - 1)
+        else:
+            frame[py:py + hh, px:px + ww] = pred[:hh, :ww]
+
+        # context updates (plane-4px units)
+        sb_py = (self.sb_mi_row * 4) >> sub
+        lrow = (py - sb_py) // 4
+        self.above_lvl[plane][u_c:u_c + n_w] = min(int(cul), 63)
+        self.left_lvl[plane][lrow:lrow + n_h] = min(int(cul), 63)
+        self.above_sign[plane][u_c:u_c + n_w] = dcsign
+        self.left_sign[plane][lrow:lrow + n_h] = dcsign
+        dec[u_r + 1:u_r + 1 + n_h, u_c + 1:u_c + 1 + n_w] = 1
+
+    # -------------------------------------------------------- coefficients
+
+    def _read_coeffs(self, plane, px, py, tx, mode, blk_w, blk_h):
+        """(spec §5.11.39 coeffs): returns (eob, coeff array, cul, dcsign)."""
+        r, cdf = self.r, self.cdf
+        tw, th = min(T.tx_w(tx), 32), min(T.tx_h(tx), 32)
+        pt = 0 if plane == 0 else 1
+        txs_ctx = min([4, 8, 16, 32, 64].index(T.tx_w(T.TX_SIZE_SQR[tx]))
+                      if False else
+                      [4, 8, 16, 32, 64].index(
+                          T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]), 4)
+
+        # txb skip
+        skip_ctx = self._txb_skip_ctx(plane, px, py, tx, blk_w, blk_h)
+        all_zero = r.read_symbol_n(cdf.txb_skip[txs_ctx][skip_ctx], 2)
+        if all_zero:
+            return 0, None, 0, 0
+
+        tx_type = self._read_tx_type(plane, px, py, tx, mode)
+        tcls = _tx_class(tx_type)
+        scan = T.get_scan(tx, tcls)
+        n_coeffs = tw * th
+
+        # eob pt
+        eob_multi_ctx = 0 if tcls == '2d' else 1
+        size_key = 1 << (n_coeffs.bit_length() - 1)
+        size_key = n_coeffs if n_coeffs in cdf.eob_pt else size_key
+        eob_cdf = cdf.eob_pt[min(max(size_key, 16), 1024)][pt][eob_multi_ctx]
+        eob_pt = r.read_symbol(eob_cdf) + 1
+        eob = _EOB_GROUP_START[eob_pt]
+        extra_bits = _EOB_OFFSET_BITS[eob_pt]
+        if extra_bits > 0:
+            ctx_idx = eob_pt - 3
+            bit = r.read_symbol_n(
+                cdf.eob_extra[txs_ctx][pt][ctx_idx], 2)
+            if bit:
+                eob += 1 << (extra_bits - 1)
+            for k in range(1, extra_bits):
+                if r.read_bit():
+                    eob += 1 << (extra_bits - 1 - k)
+
+        levels = np.zeros((th + 4, tw + 4), np.int64)
+        coeffs = np.zeros(th * tw, np.int64)
+        bwl = tw.bit_length() - 1
+
+        for c in range(eob - 1, -1, -1):
+            pos = int(scan[c])
+            row, col = pos >> bwl, pos & (tw - 1)
+            if c == eob - 1:
+                ctx = base_eob_ctx(c, n_coeffs)
+                sym = r.read_symbol(
+                    cdf.coeff_base_eob[txs_ctx][pt][ctx])
+                level = sym + 1
+            else:
+                ctx = base_ctx(levels, row, col, pos, bwl, tcls, tw, th)
+                level = r.read_symbol(
+                    cdf.coeff_base[txs_ctx][pt][ctx])
+            if level > 2:
+                bctx = br_ctx(levels, row, col, pos, bwl, tcls)
+                for _ in range(4):
+                    k = r.read_symbol(
+                        cdf.coeff_br[min(txs_ctx, 3)][pt][bctx])
+                    level += k
+                    if k < 3:
+                        break
+            levels[row, col] = min(level, 63)
+            coeffs[pos] = level
+
+        # signs + golomb tails (forward scan)
+        cul = 0
+        dc_sign_val = 0
+        for c in range(eob):
+            pos = int(scan[c])
+            level = int(coeffs[pos])
+            if level == 0:
+                continue
+            if c == 0:
+                ctx = self._dc_sign_ctx(plane, px, py, tx)
+                sign = r.read_symbol_n(cdf.dc_sign[pt][ctx], 2)
+            else:
+                sign = r.read_bit()
+            if level > 14:
+                level += r.read_golomb()
+            cul += level
+            if c == 0:
+                dc_sign_val = 1 if sign else 2    # 1: negative, 2: positive
+            coeffs[pos] = -level if sign else level
+        return eob, coeffs.reshape(th, tw), min(cul, 63), dc_sign_val
+
+    def _txb_skip_ctx(self, plane, px, py, tx, blk_w, blk_h) -> int:
+        """(aom get_txb_skip_ctx): blk_w/h = plane block dimensions."""
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        sub = 1 if plane else 0
+        au = px // 4
+        lrow = (py - ((self.sb_mi_row * 4) >> sub)) // 4
+        n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
+        top = int(np.bitwise_or.reduce(
+            self.above_lvl[plane][au:au + n_w])) if n_w else 0
+        left = int(np.bitwise_or.reduce(
+            self.left_lvl[plane][lrow:lrow + n_h])) if n_h else 0
+        if plane == 0:
+            if blk_w == tw and blk_h == th:
+                return 0
+            top = min(top & 63, 4)
+            left = min(left & 63, 4)
+            mn = min(top, left)
+            mx = min(max(top, left), 4)
+            return _SKIP_CONTEXTS_TAB[mn][mx]
+        ctx_base = int(top != 0) + int(left != 0)
+        ctx_offset = 10 if blk_w * blk_h > tw * th else 7
+        return ctx_base + ctx_offset
+
+    def _dc_sign_ctx(self, plane, px, py, tx) -> int:
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        sub = 1 if plane else 0
+        au = px // 4
+        lrow = (py - ((self.sb_mi_row * 4) >> sub)) // 4
+        n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
+        s = 0
+        for v in self.above_sign[plane][au:au + n_w]:
+            s += 1 if v == 2 else (-1 if v == 1 else 0)
+        for v in self.left_sign[plane][lrow:lrow + n_h]:
+            s += 1 if v == 2 else (-1 if v == 1 else 0)
+        if s < 0:
+            return 1
+        if s > 0:
+            return 2
+        return 0
+
+    _tx_covers_block = True
+    _uv_tx_matches = True
+
+    def _read_tx_type(self, plane, px, py, tx, mode) -> int:
+        fh, seq = self.fh, self.seq
+        if fh.coded_lossless:
+            return T.WHT_WHT
+        if plane != 0:
+            # chroma reuses the co-located luma tx type for entropy/scan
+            return self._luma_tx_type
+        sqr_up = T.TX_SIZE_SQR_UP[tx]
+        sup = T.TX_SIZES[sqr_up][0]
+        if sup > 32:
+            tt = T.DCT_DCT
+        elif sup == 32:
+            tt = T.DCT_DCT  # set IDTX+DCT: but only DCT signaled? read below
+            self._luma_tx_type = tt
+            return tt
+        else:
+            tx_set = _EXT_TX_SET_INTRA_2 if fh.reduced_tx_set \
+                else _EXT_TX_SET_INTRA_1
+            set_idx = 2 if fh.reduced_tx_set else 1
+            sq = T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]
+            sq_idx = [4, 8, 16, 32].index(min(sq, 32))
+            sym = self.r.read_symbol_n(
+                self.cdf.intra_ext_tx[set_idx][sq_idx][mode], len(tx_set))
+            tt = tx_set[sym]
+        self._luma_tx_type = tt
+        return tt
+
+    _luma_tx_type = T.DCT_DCT
+
+    def _inv_transform(self, plane, tx, coeffs, eob, mode) -> np.ndarray:
+        fh = self.fh
+        q = fh.quant
+        if plane == 0:
+            dc_d, ac_d = q.delta_q_y_dc, 0
+        elif plane == 1:
+            dc_d, ac_d = q.delta_q_u_dc, q.delta_q_u_ac
+        else:
+            dc_d, ac_d = q.delta_q_v_dc, q.delta_q_v_ac
+        qidx = q.base_q_idx
+        dc_q = int(T.DC_QLOOKUP[np.clip(qidx + dc_d, 0, 255)])
+        ac_q = int(T.AC_QLOOKUP[np.clip(qidx + ac_d, 0, 255)])
+        d = coeffs * ac_q
+        d.flat[0] = coeffs.flat[0] * dc_q
+        if fh.coded_lossless:
+            return R.iwht4(d)
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "lossy AV1 transforms (yet)")

@@ -1,0 +1,205 @@
+"""Extract AV1 default CDF tables from the system libaom binary.
+
+The AV1 spec's default CDF tables (spec §"Default CDF Tables") are
+compiled into libaom's .rodata. This tool locates each table by its
+exact shape signature — CDF rows are strictly-decreasing 15-bit values
+with a `0, 0` tail (value terminator + adaptation counter), and every
+table's dimensions are fixed by the spec — and emits them as a .npz
+consumed by libheif_tpu/codecs/av1/cdf.py.
+
+Table identity is confirmed three ways: shape validation, adjacency
+chains (arrays sit consecutively modulo alignment padding), and
+ultimately bit-exact decoding of libaom-encoded streams in the test
+suite (a wrong assignment cannot decode anything).
+
+Usage: python tools/extract_av1_cdfs.py [--verify]
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import numpy as np
+
+LIB = "/lib/x86_64-linux-gnu/libaom.so.3"
+
+
+def read_rodata():
+    out = subprocess.check_output(["objdump", "-h", LIB]).decode()
+    for line in out.splitlines():
+        if ".rodata" in line:
+            parts = line.split()
+            size, off = int(parts[2], 16), int(parts[5], 16)
+            data = open(LIB, "rb").read()[off:off + size]
+            return np.frombuffer(data, np.uint16)
+    raise RuntimeError("no .rodata")
+
+
+def row_ok(r):
+    if r[-1] != 0 or r[-2] != 0:
+        return False
+    r = r.astype(np.int32)
+    if (r >= 32768).any():
+        return False
+    nz_end = len(r)
+    while nz_end > 0 and r[nz_end - 1] == 0:
+        nz_end -= 1
+    if nz_end == 0:
+        return False
+    seg = r[:nz_end]
+    return bool((np.diff(seg) < 0).all() and (seg > 0).all())
+
+
+def validate(arr, width, allow_zero_rows=False):
+    if len(arr) % width:
+        return False
+    for r in arr.reshape(-1, width):
+        if allow_zero_rows and (r == 0).all():
+            continue
+        if not row_ok(r):
+            return False
+    return True
+
+
+# (name, shape) — last dim is the CDF row width (nsymbols + 1 counter).
+# Shapes follow the AV1 spec's default CDF table dimensions.
+TABLES = {
+    "coeff_base_eob": (4, 5, 2, 4, 4),
+    "coeff_base":     (4, 5, 2, 42, 5),
+    "coeff_br":       (4, 5, 2, 21, 5),
+    "eob_pt_1024":    (4, 2, 2, 12),
+    "eob_pt_512":     (4, 2, 2, 11),
+    "eob_pt_256":     (4, 2, 2, 10),
+    "eob_pt_128":     (4, 2, 2, 9),
+    "eob_pt_64":      (4, 2, 2, 8),
+    "eob_pt_32":      (4, 2, 2, 7),
+    "eob_pt_16":      (4, 2, 2, 6),
+    "eob_extra":      (4, 5, 2, 9, 3),
+    "txb_skip":       (4, 5, 13, 3),
+    "dc_sign":        (4, 2, 3, 3),
+    "kf_y_mode":      (5, 5, 14),
+    "y_mode":         (4, 14),
+    "uv_mode":        (2, 13, 15),
+    "partition":      (20, 11),
+    "intra_ext_tx":   (3, 4, 13, 17),
+    "cfl_alpha":      (6, 17),
+    "cfl_sign":       (9,),
+    "tx_size":        (4, 3, 4),
+    "angle_delta":    (8, 8),
+    "filter_intra_use": (22, 3),
+    "filter_intra_mode": (6,),
+    "skip":           (3, 3),
+    "delta_q":        (5,),
+    "intrabc":        (3,),
+    "palette_y_size": (7, 8),
+    "palette_uv_size": (7, 8),
+    "palette_y_mode": (7, 3, 3),
+    "palette_uv_mode": (2, 3),
+    "palette_y_color": (7, 5, 9),
+    "palette_uv_color": (7, 5, 9),
+}
+
+# Anchor offsets confirmed by uniqueness + alignment + adjacency chains
+# (uint16 indices into .rodata of aom 3.6.0). Chains: coeff_base_eob →
+# coeff_base → coeff_br; eob_pt_1024 → … → eob_pt_16 → eob_extra →
+# txb_skip → dc_sign; cfl_alpha → partition → uv_mode → kf_y_mode →
+# [lookup junk] → palette sizes → angle_delta; tx_size → delta_q.
+# Six tables additionally match dav1d's .rodata verbatim.
+KNOWN = {
+    "coeff_base_eob": 26160,
+    "coeff_base":     26800,
+    "coeff_br":       35200,
+    "eob_pt_1024":    39408,
+    "eob_pt_512":     39600,
+    "eob_pt_256":     39776,
+    "eob_pt_128":     39936,
+    "eob_pt_64":      40080,
+    "eob_pt_32":      40208,
+    "eob_pt_16":      40320,
+    "eob_extra":      40416,
+    "txb_skip":       41504,
+    "dc_sign":        42288,
+    "intra_ext_tx":   43616,
+    "cfl_alpha":      46438,
+    "partition":      46544,
+    "uv_mode":        46768,
+    "kf_y_mode":      47168,
+    "palette_y_size": 47552,
+    "palette_uv_size": 47608,
+    "angle_delta":    47664,
+    "y_mode":         48448,
+    "tx_size":        48616,
+}
+
+# Tables whose values are confirmed (spec defaults recognized verbatim
+# in the binary) but whose in-memory array layout is ambiguous.
+LITERAL = {
+    # default_skip_cdfs = AOM_CDF2(31671 / 16515 / 4576), at rodata 48576
+    "skip": np.array([[1097, 0, 0], [16253, 0, 0], [28192, 0, 0]],
+                     np.uint16),
+    # default_delta_q_cdf = AOM_CDF4(28160, 32120, 32677), at rodata 48664
+    "delta_q": np.array([4608, 648, 91, 0, 0], np.uint16),
+}
+
+
+def find_candidates(u16, shape, lo=0, hi=None, allow_zero_rows=False):
+    total = int(np.prod(shape))
+    width = shape[-1]
+    hi = hi if hi is not None else len(u16) - total
+    out = []
+    for start in range(lo, hi + 1):
+        seg = u16[start:start + total]
+        if len(seg) < total:
+            break
+        if seg[width - 1] != 0 or seg[width - 2] != 0:
+            continue
+        if validate(seg, width, allow_zero_rows):
+            out.append(start)
+    return out
+
+
+def main():
+    u16 = read_rodata()
+    tables = {}
+    offsets = dict(KNOWN)
+
+    for name, off in KNOWN.items():
+        shape = TABLES[name]
+        total = int(np.prod(shape))
+        seg = u16[off:off + total]
+        assert validate(seg, shape[-1], allow_zero_rows=(name == "intra_ext_tx")), name
+        tables[name] = seg.reshape(shape).copy()
+
+    for name, arr in LITERAL.items():
+        tables[name] = arr.reshape(TABLES[name])
+
+    # prediction helper tables (not CDFs): smooth weights (uint8, spec
+    # Sm_Weights_Tx_*) and directional derivatives (uint16, spec
+    # Dr_Intra_Derivative), located by their leading values
+    raw = u16.tobytes()
+    i = raw.find(bytes([255, 149, 85, 64]))
+    assert i >= 0, "sm_weights not found"
+    tables["sm_weights"] = np.frombuffer(
+        raw[i:i + 4 + 8 + 16 + 32 + 64], np.uint8).copy()
+    j = raw.find(np.array([1023, 0, 0, 547], np.uint16).tobytes())
+    assert j >= 0 and j % 2 == 0, "dr_intra_derivative not found"
+    tables["dr_intra_derivative"] = np.frombuffer(
+        raw[j - 6:j - 6 + 90 * 2], np.uint16).copy()
+
+    print("pinned:", len(tables))
+    for name, shape in TABLES.items():
+        if name in tables:
+            continue
+        cands = find_candidates(u16, shape, lo=42280, hi=48700,
+                                allow_zero_rows=False)
+        print(f"UNPINNED {name:18s} shape={shape} cands={cands[:8]}"
+              f"{' …' if len(cands) > 8 else ''}")
+
+    np.savez("/root/repo/libheif_tpu/codecs/av1/default_cdfs.npz",
+             **{k: v for k, v in tables.items()})
+    print("saved", len(tables), "tables")
+
+
+if __name__ == "__main__":
+    main()

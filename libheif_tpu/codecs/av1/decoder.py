@@ -49,10 +49,13 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
         raise HeifError.invalid_input(msg="incomplete AV1 stream")
 
     w, h = fh.frame_width, fh.frame_height
-    cw, ch = (w + 1) >> 1, (h + 1) >> 1
-    planes = [np.zeros((h, w), np.int32),
-              np.zeros((ch, cw), np.int32),
-              np.zeros((ch, cw), np.int32)]
+    # decode into the padded mi area (blocks snap to the 8px mi grid),
+    # crop to the frame size at the end
+    pw = (w + 7) // 8 * 8
+    ph = (h + 7) // 8 * 8
+    planes = [np.zeros((ph, pw), np.int32),
+              np.zeros((ph >> 1, pw >> 1), np.int32),
+              np.zeros((ph >> 1, pw >> 1), np.int32)]
     dec = TileDecoder(seq, fh, planes)
     ti = fh.tile_info
     sb_mi = dec.sb_mi
@@ -70,7 +73,9 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
     if not fh.coded_lossless and any(fh.loop_filter_levels):
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "AV1 loop filters (yet)")
-    return {"Y": planes[0], "U": planes[1], "V": planes[2]}
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    return {"Y": planes[0][:h, :w], "U": planes[1][:ch, :cw],
+            "V": planes[2][:ch, :cw]}
 
 
 class Av1Decoder(Decoder):

@@ -84,7 +84,7 @@ def write_sequence_header(w: int, h: int) -> bytes:
     b.f(h - 1, hbits)
     b.f(0, 1)      # use_128x128_superblock
     b.f(0, 1)      # enable_filter_intra
-    b.f(0, 1)      # enable_intra_edge_filter
+    b.f(1, 1)      # enable_intra_edge_filter (matches aom defaults)
     b.f(0, 1)      # enable_superres
     b.f(0, 1)      # enable_cdef
     b.f(0, 1)      # enable_restoration
@@ -240,11 +240,22 @@ class TileEncoder(TL.TileDecoder):
                 self._decode_partition(mr, mc, T.BLOCK_64X64)
         return self._enc.done()
 
-    # partition policy: always NONE at 64x64 (the script feeds the
-    # partition symbol through the shared decode path)
+    # partition policy: a callable (mr, mc, bsize) → PARTITION_*;
+    # default NONE at superblock level
+    partition_policy = staticmethod(
+        lambda mr, mc, bsize: T.PARTITION_NONE)
+
     def _decode_partition(self, mr, mc, bsize):
-        if bsize == T.BLOCK_64X64:
-            self.r.script.append(T.PARTITION_NONE)
+        w, h = T.BLOCK_SIZES[bsize]
+        mi_w, mi_h = w // 4, h // 4
+        has_rows = mr + mi_h // 2 < self.mr1
+        has_cols = mc + mi_w // 2 < self.mc1
+        if bsize != T.BLOCK_4X4 and has_rows and has_cols:
+            self.r.script.append(self.partition_policy(mr, mc, bsize))
+        elif bsize != T.BLOCK_4X4 and (has_rows or has_cols):
+            # edge: split bool (1 = SPLIT)
+            p = self.partition_policy(mr, mc, bsize)
+            self.r.script.append(1 if p == T.PARTITION_SPLIT else 0)
         return super()._decode_partition(mr, mc, bsize)
 
     def _decode_block(self, mr, mc, bsize):
@@ -291,6 +302,15 @@ class TileEncoder(TL.TileDecoder):
         # the symbol script for this txb, then run the shared parser
         self._plan_txb(plane, px, py, tx, mode, blk_w, blk_h)
         return super()._read_coeffs(plane, px, py, tx, mode, blk_w, blk_h)
+
+    # angle passed by the shared _transform_block path for planning
+    _cur_angle = 0
+
+    def _transform_block(self, plane, px, py, tx, mode, angle, skip,
+                         mr, mc, bsize):
+        self._cur_angle = angle
+        return super()._transform_block(plane, px, py, tx, mode, angle,
+                                        skip, mr, mc, bsize)
 
     def _plan_txb(self, plane, px, py, tx, mode, blk_w, blk_h):
         script = self.r.script
@@ -354,8 +374,8 @@ class TileEncoder(TL.TileDecoder):
         """Duplicate of _transform_block's availability+prediction for
         planning (state inspected, not mutated)."""
         sub = 1 if plane else 0
-        pw = (self.fh.frame_width + sub) >> sub
-        ph = (self.fh.frame_height + sub) >> sub
+        pw = (self.mi_cols * 4) >> sub
+        ph = (self.mi_rows * 4) >> sub
         tw, th = T.tx_w(tx), T.tx_h(tx)
         frame = self.planes[plane]
         dec = self.block_decoded[plane]
@@ -378,8 +398,8 @@ class TileEncoder(TL.TileDecoder):
                 rr += 1
             n_bl = steps
         return R.predict_intra(
-            frame, px, py, tw, th, mode, 0, have_above, have_left,
-            n_tr, n_bl, self.bd,
+            frame, px, py, tw, th, mode, self._cur_angle, have_above,
+            have_left, n_tr, n_bl, self.bd,
             enable_edge_filter=self.seq.enable_intra_edge_filter)
 
 

@@ -120,10 +120,6 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
         else:
             dc = base
         return np.full((h, w), dc, np.int64)
-    if mode == T.V_PRED:
-        return np.tile(above[:w], (h, 1))
-    if mode == T.H_PRED:
-        return np.tile(left[:h][:, None], (1, w))
     if mode == T.PAETH_PRED:
         t = above[:w][None, :]
         l = left[:h][:, None]
@@ -172,48 +168,53 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
             if have_above:
                 strength = _edge_filter_strength(
                     w, h, p_angle - 90, filt)
-                n = min(w + h, w + (h if p_angle < 90 else
-                                    min(n_top_right, h))) \
-                    if False else w + (h if True else 0)
-                num = min(w + h, w + h)  # filter the full gathered edge
-                _filter_edge(above_row, num + 1, strength)
+                num = w + (h if p_angle < 90 else 0) + 1
+                _filter_edge(above_row, num, strength)
             if have_left:
                 strength = _edge_filter_strength(
                     w, h, p_angle - 180, filt)
-                _filter_edge(left_col, h + w + 1, strength)
+                num = h + (w if p_angle > 180 else 0) + 1
+                _filter_edge(left_col, num, strength)
         upsample_above = _use_upsample(w, h, p_angle - 90, filter_type) \
             if have_above else 0
-        if upsample_above:
-            _upsample_edge(above_row, w + (h if 90 < p_angle < 180 else 0),
-                           bit_depth)
         upsample_left = _use_upsample(w, h, p_angle - 180, filter_type) \
             if have_left else 0
+        if upsample_above:
+            above_row = _upsample_edge(above_row,
+                                       w + (h if p_angle < 90 else 0),
+                                       bit_depth)
         if upsample_left:
-            _upsample_edge(left_col, h + (w if 90 < p_angle < 180 else 0),
-                           bit_depth)
+            left_col = _upsample_edge(left_col,
+                                      h + (w if p_angle > 180 else 0),
+                                      bit_depth)
 
     dx = int(dr[p_angle]) if 0 < p_angle < 90 else \
         int(dr[180 - p_angle]) if 90 < p_angle < 180 else 0
     dy = int(dr[p_angle - 90]) if 90 < p_angle < 180 else \
         int(dr[270 - p_angle]) if 180 < p_angle < 270 else 0
 
+    # sample accessors: after upsampling the buffer index offset is 2
+    # (spec AboveRow[-2..]) instead of 1 (AboveRow[-1..])
+    a_off = 2 if upsample_above else 1
+    l_off = 2 if upsample_left else 1
+
     out = np.zeros((h, w), np.int64)
     if p_angle < 90:
         upa = upsample_above
+        maxbase = (w + h - 1) << upa
         for i in range(h):
+            idx = (i + 1) * dx
             for j in range(w):
-                idx = (i + 1) * dx
                 b = ((idx >> (6 - upa)) + (j << upa))
                 shift = ((idx << upa) >> 1) & 0x1F
-                maxbase = (w + h - 1) << upa
                 if b < maxbase:
-                    v = above_row[1 + b] * (32 - shift) + \
-                        above_row[1 + b + 1] * shift
+                    v = above_row[a_off + b] * (32 - shift) + \
+                        above_row[a_off + b + 1] * shift
                     out[i, j] = _round2(int(v), 5)
                 else:
-                    out[i, j] = above_row[1 + maxbase]
+                    out[i, j] = above_row[a_off + maxbase]
     elif p_angle == 90:
-        out[:] = above_row[1:1 + w][None, :]
+        out[:] = above_row[a_off:a_off + w][None, :]
     elif p_angle < 180:
         upa, upl = upsample_above, upsample_left
         for i in range(h):
@@ -222,32 +223,32 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
                 b = idx >> (6 - upa)
                 if b >= -(1 << upa):
                     shift = ((idx << upa) >> 1) & 0x1F
-                    v = above_row[1 + b] * (32 - shift) + \
-                        above_row[1 + b + 1] * shift
+                    v = above_row[a_off + b] * (32 - shift) + \
+                        above_row[a_off + b + 1] * shift
                     out[i, j] = _round2(int(v), 5)
                 else:
                     idx2 = (i << 6) - (j + 1) * dy
                     b2 = idx2 >> (6 - upl)
                     shift2 = ((idx2 << upl) >> 1) & 0x1F
-                    v = left_col[1 + b2] * (32 - shift2) + \
-                        left_col[1 + b2 + 1] * shift2
+                    v = left_col[l_off + b2] * (32 - shift2) + \
+                        left_col[l_off + b2 + 1] * shift2
                     out[i, j] = _round2(int(v), 5)
     elif p_angle == 180:
-        out[:] = left_col[1:1 + h][:, None]
+        out[:] = left_col[l_off:l_off + h][:, None]
     else:
         upl = upsample_left
+        maxbase = (w + h - 1) << upl
         for i in range(h):
             for j in range(w):
                 idx = (j + 1) * dy
                 b = ((idx >> (6 - upl)) + (i << upl))
                 shift = ((idx << upl) >> 1) & 0x1F
-                maxbase = (w + h - 1) << upl
                 if b < maxbase:
-                    v = left_col[1 + b] * (32 - shift) + \
-                        left_col[1 + b + 1] * shift
+                    v = left_col[l_off + b] * (32 - shift) + \
+                        left_col[l_off + b + 1] * shift
                     out[i, j] = _round2(int(v), 5)
                 else:
-                    out[i, j] = left_col[1 + maxbase]
+                    out[i, j] = left_col[l_off + maxbase]
     return np.clip(out, 0, maxv)
 
 
@@ -256,54 +257,52 @@ def _edge_filter_strength(w: int, h: int, delta: int, filter_type: int
     """(spec 7.11.2.7 Intra_Edge_Filter_Strength)."""
     d = abs(delta)
     blk_wh = w + h
+    strength = 0
     if filter_type == 0:
         if blk_wh <= 8:
             if d >= 56:
-                return 1
+                strength = 1
         elif blk_wh <= 12:
             if d >= 40:
-                return 1
+                strength = 1
         elif blk_wh <= 16:
             if d >= 40:
-                return 1
+                strength = 1
         elif blk_wh <= 24:
             if d >= 8:
-                return 1
+                strength = 1
             if d >= 16:
-                return 2
+                strength = 2
             if d >= 32:
-                return 3
+                strength = 3
         elif blk_wh <= 32:
             if d >= 1:
-                return 3
+                strength = 1
+            if d >= 4:
+                strength = 2
+            if d >= 32:
+                strength = 3
         else:
-            return 3
-        if blk_wh <= 24 and d >= 32:
-            return 3
-        if blk_wh <= 24 and d >= 16:
-            return 2
-        return 1 if (blk_wh <= 24 and d >= 8) else 0
+            if d >= 1:
+                strength = 3
     else:
         if blk_wh <= 8:
             if d >= 40:
-                return 1
+                strength = 1
             if d >= 64:
-                return 2
+                strength = 2
         elif blk_wh <= 16:
             if d >= 20:
-                return 1
+                strength = 1
             if d >= 48:
-                return 2
+                strength = 2
         elif blk_wh <= 24:
             if d >= 4:
-                return 3
+                strength = 3
         else:
-            return 3
-        if blk_wh <= 16 and d >= 48:
-            return 2
-        if blk_wh <= 8 and d >= 64:
-            return 2
-        return 0
+            if d >= 1:
+                strength = 3
+    return strength
 
 
 _EDGE_KERNELS = [
@@ -336,29 +335,28 @@ def _use_upsample(w: int, h: int, delta: int, filter_type: int) -> int:
     return 1 if (blk_wh <= 16 if filter_type == 0 else blk_wh <= 8) else 0
 
 
-def _upsample_edge(buf: np.ndarray, n: int, bit_depth: int) -> None:
-    """(spec 7.11.2.11 intra_edge_upsample): buf[0]=corner, samples
-    buf[1..n]; result: buf[1+2i] interpolated, shifted layout where
-    buf[0] stays corner and buf[1-?]... Implemented per spec: the
-    upsampled array replaces positions -2.. in a widened buffer; here
-    we rebuild in place with the spec's indexing (buf[1+k])."""
+def _upsample_edge(buf: np.ndarray, n: int, bit_depth: int) -> np.ndarray:
+    """(spec 7.11.2.11 intra_edge_upsample): input buf[0]=corner,
+    buf[1..n]=edge samples. Returns a NEW buffer whose index offset is
+    2: out[2 + k] = upsampled edge position k, k ∈ [-2, 2n-2]."""
     maxv = (1 << bit_depth) - 1
-    src = np.zeros(n + 3, np.int64)
-    src[0] = buf[1]  # dup[-2]
-    src[1:n + 1] = buf[1:n + 1]
-    src[n + 1] = buf[n]
-    src[n + 2] = buf[n]
-    out = np.zeros(2 * n + 1, np.int64)
-    # out[-2] = src[0]; mapping: out index i corresponds to spec buf[(i-1)/2]
-    for i in range(n):
-        s = -int(src[i]) + 9 * int(src[i + 1]) + 9 * int(src[i + 2]) \
-            - int(src[i + 3])
-        out[2 * i + 1] = min(max(_round2(s, 4), 0), maxv)
-        out[2 * i] = int(src[i + 1])
-    # shift so that buf[1 + k] = out[k - ?]: spec sets AboveRow[-2..]
-    buf[0] = out[0]          # corner replaced by first dup? (= old buf[1])
-    m = min(len(buf) - 1, 2 * n)
-    buf[1:1 + m] = out[:m]
+    # s[k] for k = -1..n-1 (corner + n edge samples), clamp-padded
+    s = np.zeros(n + 4, np.int64)          # s_arr[k + 2] = s[k]
+    s[1] = buf[0]                          # corner  (k = -1)
+    s[2:n + 2] = buf[1:n + 1]              # edge 0..n-1
+    s[0] = s[1]                            # k = -2 pad
+    s[n + 2] = s[n + 1]                    # k = n pad
+    s[n + 3] = s[n + 1]
+    out = np.zeros(2 + 2 * n + 8, np.int64)
+    # new[2k] = s[k] (k = -1..n-1); new[2k+1] = 4-tap interp(k, k+1)
+    for k in range(-1, n):
+        out[2 + 2 * k] = int(s[k + 2])
+        if k < n - 1:
+            v = (-int(s[k + 1]) + 9 * int(s[k + 2]) +
+                 9 * int(s[k + 3]) - int(s[k + 4]))
+            out[2 + 2 * k + 1] = min(max(_round2(v, 4), 0), maxv)
+    out[2 + 2 * (n - 1) + 1:] = out[2 + 2 * (n - 1)]
+    return out
 
 
 # ---------------------------------------------------------- transforms

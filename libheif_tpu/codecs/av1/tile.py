@@ -131,6 +131,8 @@ def br_ctx(levels, row, col, pos, bwl, tcls) -> int:
 
 
 class TileDecoder:
+    _filt_type_y = 0
+    _filt_type_uv = 0
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
                  planes: List[np.ndarray]):
         if seq.monochrome:
@@ -152,6 +154,8 @@ class TileDecoder:
         # frame-lifetime mode/size maps (4x4 granularity)
         self.y_modes = np.full((self.mi_rows, self.mi_cols), T.DC_PRED,
                                np.int32)
+        self.uv_modes = np.full((self.mi_rows, self.mi_cols), T.DC_PRED,
+                                np.int32)
         self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_wide = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_high = np.zeros((self.mi_rows, self.mi_cols), np.int32)
@@ -283,11 +287,25 @@ class TileDecoder:
                     break
                 self._decode_block(mr, col, sub)
 
-        if part != T.PARTITION_SPLIT or bsize == T.BLOCK_8X8:
-            self._update_partition_ctx(mr, mc, bsize,
-                                       sub if part != T.PARTITION_SPLIT
-                                       else sub)
-        # for SPLIT of larger blocks the children updated contexts
+        # context updates (aom update_ext_partition_context): A/B types
+        # mark their quarter rows/cols with the split subsize lookup
+        bsize2 = int(T.PARTITION_SUBSIZE[T.PARTITION_SPLIT][bsize])
+        if part == T.PARTITION_SPLIT and bsize != T.BLOCK_8X8:
+            pass    # children updated their own contexts
+        elif part == T.PARTITION_HORZ_A:
+            self._update_partition_ctx(mr, mc, sub, bsize2)
+            self._update_partition_ctx(mr + half_h, mc, sub, sub)
+        elif part == T.PARTITION_HORZ_B:
+            self._update_partition_ctx(mr, mc, sub, sub)
+            self._update_partition_ctx(mr + half_h, mc, sub, bsize2)
+        elif part == T.PARTITION_VERT_A:
+            self._update_partition_ctx(mr, mc, sub, bsize2)
+            self._update_partition_ctx(mr, mc + half_w, sub, sub)
+        elif part == T.PARTITION_VERT_B:
+            self._update_partition_ctx(mr, mc, sub, sub)
+            self._update_partition_ctx(mr, mc + half_w, sub, bsize2)
+        else:
+            self._update_partition_ctx(mr, mc, bsize, sub)
 
     def _prob(self, cdf_row, k: int) -> int:
         hi = 32768 if k == 0 else int(cdf_row[k - 1])
@@ -296,19 +314,22 @@ class TileDecoder:
     def _read_split_bool(self, cdf_row, n_parts: int, vert: bool) -> int:
         """Edge partition bool (aom partition_gather_*_alike)."""
         if vert:
-            # bottom rows missing → SPLIT vs HORZ; gather prob of
-            # partitions whose top half is undivided horizontally
-            subtract = [T.PARTITION_HORZ, T.PARTITION_SPLIT,
-                        T.PARTITION_HORZ_A, T.PARTITION_HORZ_B,
-                        T.PARTITION_VERT_A]
-            if n_parts > 8:
-                subtract.append(T.PARTITION_HORZ_4)
-        else:
+            # bottom rows missing → SPLIT vs HORZ: gather partitions
+            # whose top half is split vertically (aom
+            # partition_gather_vert_alike)
             subtract = [T.PARTITION_VERT, T.PARTITION_SPLIT,
                         T.PARTITION_HORZ_A, T.PARTITION_VERT_A,
                         T.PARTITION_VERT_B]
             if n_parts > 8:
                 subtract.append(T.PARTITION_VERT_4)
+        else:
+            # right cols missing → SPLIT vs VERT: partitions whose left
+            # half is split horizontally (partition_gather_horz_alike)
+            subtract = [T.PARTITION_HORZ, T.PARTITION_SPLIT,
+                        T.PARTITION_HORZ_A, T.PARTITION_HORZ_B,
+                        T.PARTITION_VERT_A]
+            if n_parts > 8:
+                subtract.append(T.PARTITION_HORZ_4)
         s = sum(self._prob(cdf_row, k) for k in subtract if k < n_parts)
         # icdf row [s, 0]: P(symbol1) = s/32768 → symbol 1 = SPLIT-like
         return self.r.read_symbol_n([s, 0, 0], 2) if False else \
@@ -358,7 +379,7 @@ class TileDecoder:
         ctx_l = T.INTRA_MODE_CONTEXT[left_mode]
         y_mode = r.read_symbol(self.cdf.kf_y_mode[ctx_a][ctx_l])
         angle_y = 0
-        if y_mode in T.MODE_TO_ANGLE and w >= 8 and h >= 8:
+        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
             sym = r.read_symbol(self.cdf.angle_delta[y_mode - T.V_PRED])
             angle_y = sym - 3
 
@@ -368,14 +389,33 @@ class TileDecoder:
         angle_uv = 0
         cfl_alpha_u = cfl_alpha_v = 0
         if has_chroma:
-            cfl_allowed = (w <= 32 and h <= 32)
+            cfl_allowed = self._cfl_allowed(w, h, bsize)
             uv_mode = r.read_symbol_n(
                 self.cdf.uv_mode[1 if cfl_allowed else 0][y_mode],
                 14 if cfl_allowed else 13)
             if uv_mode == T.UV_CFL_PRED:
-                raise HeifError.unsupported(SubError.Unsupported_codec,
-                                            "CFL prediction (yet)")
-            if uv_mode in T.MODE_TO_ANGLE and w >= 8 and h >= 8:
+                # read_cfl_alphas (spec §5.11.45). NOTE: the cfl_sign /
+                # cfl_alpha default tables are not yet pinned in the
+                # libaom rodata extraction, and table sweeps have not
+                # produced a conformant combination — some aspect of
+                # this syntax placement still differs from libaom, so
+                # fail loudly rather than desync silently.
+                if not hasattr(self.cdf, "cfl_sign"):
+                    raise HeifError.unsupported(
+                        SubError.Unsupported_codec,
+                        "CFL prediction (tables not pinned yet)")
+                js = r.read_symbol_n(self.cdf.cfl_sign, 8)
+                sign_u, sign_v = (js + 1) // 3, (js + 1) % 3
+                alpha_u = alpha_v = 0
+                if sign_u != 0:
+                    idx = r.read_symbol_n(self.cdf.cfl_alpha[js - 2], 16)
+                    alpha_u = (idx + 1) * (1 if sign_u == 2 else -1)
+                if sign_v != 0:
+                    ctx_v = sign_v * 3 + sign_u - 3
+                    idx = r.read_symbol_n(self.cdf.cfl_alpha[ctx_v], 16)
+                    alpha_v = (idx + 1) * (1 if sign_v == 2 else -1)
+                self._cfl_alphas = (alpha_u, alpha_v)
+            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
                 sym = r.read_symbol(
                     self.cdf.angle_delta[uv_mode - T.V_PRED])
                 angle_uv = sym - 3
@@ -402,6 +442,7 @@ class TileDecoder:
 
         # record maps
         self.y_modes[mr:mr + mi_h, mc:mc + mi_w] = y_mode
+        self.uv_modes[mr:mr + mi_h, mc:mc + mi_w] = uv_mode
         self.skip_map[mr:mr + mi_h, mc:mc + mi_w] = skip
         self.above_skip[mc:mc + mi_w] = skip
         self.left_skip[mr - self.sb_mi_row:
@@ -409,9 +450,33 @@ class TileDecoder:
         self.tx_wide[mr:mr + mi_h, mc:mc + mi_w] = T.tx_w(tx)
         self.tx_high[mr:mr + mi_h, mc:mc + mi_w] = T.tx_h(tx)
 
+        # intra-edge filter type (aom get_filt_type): 1 when the above
+        # or left neighbor block used a smooth mode
+        def smooth(m):
+            return m in (T.SMOOTH_PRED, T.SMOOTH_V_PRED, T.SMOOTH_H_PRED)
+        ab_y = int(self.y_modes[mr - 1, mc]) if have_above else -1
+        le_y = int(self.y_modes[mr, mc - 1]) if have_left else -1
+        self._filt_type_y = 1 if (smooth(ab_y) or smooth(le_y)) else 0
+        cr_ = mr & ~1 if (h // 4) == 1 else mr
+        cc_ = mc & ~1 if (w // 4) == 1 else mc
+        ab_uv = int(self.uv_modes[cr_ - 1, cc_]) if cr_ > self.mr0 else -1
+        le_uv = int(self.uv_modes[cr_, cc_ - 1]) if cc_ > self.mc0 else -1
+        self._filt_type_uv = 1 if (smooth(ab_uv) or smooth(le_uv)) else 0
+
         # ---- residual + recon ----
         self._residual(mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv,
                        tx, skip, has_chroma)
+
+    @staticmethod
+    def _use_angle_delta(w: int, h: int) -> bool:
+        return w >= 8 and h >= 8
+
+    def _cfl_allowed(self, w: int, h: int, bsize: int) -> bool:
+        # aom is_cfl_allowed; in lossless CfL needs a 4x4 chroma block
+        # (empirically validated vs libaom: 8x8@420 allowed, 16x16 not)
+        if self.fh.coded_lossless:
+            return (w >> self.seq.subsampling_x) <= 4 and                 (h >> self.seq.subsampling_y) <= 4
+        return w <= 32 and h <= 32
 
     def _filter_intra_cdf(self, bsize):
         # placeholder until the filter_intra table is pinned; only valid
@@ -516,8 +581,8 @@ class TileDecoder:
         """
         fh, seq, r = self.fh, self.seq, self.r
         sub = 1 if plane else 0
-        pw = (self.fh.frame_width + sub) >> sub
-        ph = (self.fh.frame_height + sub) >> sub
+        pw = (self.mi_cols * 4) >> sub
+        ph = (self.mi_rows * 4) >> sub
         if px >= pw or py >= ph:
             return
         tw, th = T.tx_w(tx), T.tx_h(tx)
@@ -545,10 +610,31 @@ class TileDecoder:
                 rr += 1
             n_bl = steps
 
+        pred_mode = T.DC_PRED if (plane and mode == T.UV_CFL_PRED) else mode
         pred = R.predict_intra(
-            frame, px, py, tw, th, mode, angle, have_above, have_left,
+            frame, px, py, tw, th, pred_mode, angle, have_above, have_left,
             n_tr, n_bl, self.bd,
-            enable_edge_filter=seq.enable_intra_edge_filter)
+            enable_edge_filter=seq.enable_intra_edge_filter,
+            filter_type=(self._filt_type_y if plane == 0
+                         else self._filt_type_uv))
+        if plane and mode == T.UV_CFL_PRED:
+            # CfL (spec §7.11.5): Q3 box-subsampled co-located luma
+            # minus the txb average, scaled by the signed alpha
+            alpha = self._cfl_alphas[plane - 1]
+            luma = self.planes[0]
+            ly, lx = py * 2, px * 2
+            box = luma[ly:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                luma[ly:ly + 2 * th:2, lx + 1:lx + 2 * tw:2] + \
+                luma[ly + 1:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                luma[ly + 1:ly + 2 * th:2, lx + 1:lx + 2 * tw:2]
+            q3 = box.astype(np.int64) << 1
+            avg = int(q3.sum()) >> (tw.bit_length() - 1 +
+                                    th.bit_length() - 1)
+            ac = q3 - avg
+            scaled = alpha * ac
+            adj = np.where(scaled >= 0, (scaled + 32) >> 6,
+                           -((-scaled + 32) >> 6))
+            pred = np.clip(pred + adj, 0, (1 << self.bd) - 1)
 
         w_b, h_b = T.BLOCK_SIZES[bsize]
         blk_w = max(w_b >> sub, 4)

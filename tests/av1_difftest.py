@@ -23,6 +23,9 @@ BASE_OPTS = {
     "enable-intrabc": "0",
     "enable-palette": "0",
     "enable-cfl-intra": "0",
+    # lossless allows CfL only at 4x4; keep partitions >= 8x8 until the
+    # CfL tables/syntax are conformant
+    "min-partition-size": "8",
 }
 
 
@@ -50,6 +53,11 @@ CONFIGS = [
     ("noise-lossless", (64, 64), "noise", {"lossless": "1"}),
     ("blocky-lossless-128", (128, 128), "blocky", {"lossless": "1"}),
     ("noise-lossless-rect", (128, 64), "noise", {"lossless": "1"}),
+    ("noise-lossless-192", (192, 192), "noise", {"lossless": "1"}),
+    ("blocky-odd-96x48", (96, 48), "blocky", {"lossless": "1"}),
+    ("noise-odd-100x60", (100, 60), "noise", {"lossless": "1"}),
+    ("noise-sb128", (128, 128), "noise",
+     {"lossless": "1", "sb-size": "128"}),
 ]
 
 

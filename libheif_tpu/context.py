@@ -35,6 +35,9 @@ class HeifContext:
         self.items: Dict[int, ImageItem] = {}
         self.primary_id: Optional[int] = None
         self.max_decoding_threads = 4  # ref: context.h:72 (batching hint)
+        self._tracks = None
+        self._track_writers = []
+        self._pending_region_items = []
 
     # ================================================================ read
 
@@ -53,6 +56,51 @@ class HeifContext:
         ctx.file = HeifFile.from_bytes(data, ctx.limits)
         ctx._interpret()
         return ctx
+
+    # ============================================================ sequences
+
+    @property
+    def tracks(self):
+        """Sequence tracks (ref: heif_context_number_of_sequence_tracks /
+        interpret_heif_file_sequences context.cc:2044)."""
+        if self._tracks is None:
+            from .sequences import interpret_tracks
+            self._tracks = interpret_tracks(self.file) \
+                if self.file is not None else []
+        return self._tracks
+
+    def get_track(self, track_id: int):
+        for t in self.tracks:
+            if t.track_id == track_id:
+                return t
+        return None
+
+    def add_visual_track(self, width: int, height: int, fmt: str = "hevc",
+                         timescale: int = 90000):
+        """Start a new visual sequence track
+        (ref: heif_context_add_visual_sequence_track)."""
+        from .sequences.track import VisualTrackWriter
+        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+            self.new_file()
+        tw = VisualTrackWriter(self.file, width, height, fmt, timescale,
+                               track_id=len(self._track_writers) + 1)
+        self._track_writers.append(tw)
+        return tw
+
+    def _finalize_tracks(self) -> None:
+        if not self._track_writers:
+            return
+        from .boxes.seq import Box_moov, Box_mvhd
+        moov = Box_moov()
+        mvhd = Box_mvhd()
+        mvhd.timescale = self._track_writers[0].timescale
+        mvhd.duration = max((sum(t.sample_durations)
+                             for t in self._track_writers), default=0)
+        mvhd.next_track_id = len(self._track_writers) + 1
+        moov.children.append(mvhd)
+        for tw in self._track_writers:
+            moov.children.append(tw.finalize())
+        self.file.moov = moov
 
     def _interpret(self) -> None:
         """Build the item graph (ref: interpret_heif_file context.cc:564)."""
@@ -388,6 +436,63 @@ class HeifContext:
         infe.hidden = True
         return infe.item_id
 
+    # ---------------------------------------------------------------- regions
+
+    def get_region_items(self, image_id: int):
+        """Region annotations attached to an image via 'cdsc'
+        (ref: heif_image_handle_get_list_of_region_item_ids)."""
+        from .items.region_item import RegionItem
+        out = []
+        for ref in self.file.get_references_to(image_id, "cdsc"):
+            rid = ref.from_item_id
+            if self.file.get_infe(rid).item_type == "rgan":
+                ri = RegionItem.parse(rid, self.file.get_item_data(rid))
+                mask_ids = []
+                for mref in self.file.get_references_from(rid, "mask"):
+                    mask_ids.extend(mref.to_item_ids)
+                for g in ri.regions:
+                    if g.kind == "referenced_mask" and mask_ids:
+                        g.mask_item_id = mask_ids.pop(0)
+                out.append(ri)
+        return out
+
+    def add_region_item(self, image_id: int, reference_width: int,
+                        reference_height: int):
+        """Create an empty rgan item attached to an image; mutate the
+        returned RegionItem's .regions, then call write()
+        (ref: heif_image_handle_add_region_item)."""
+        from .items.region_item import RegionItem
+        infe = self.file.add_new_item("rgan")
+        infe.hidden = True
+        ri = RegionItem(infe.item_id, reference_width, reference_height)
+        self.file.add_reference("cdsc", infe.item_id, [image_id])
+        self._pending_region_items.append(ri)
+        return ri
+
+    # ------------------------------------------------------------------ text
+
+    def get_text_items(self, image_id: int):
+        """Text annotations attached via 'cdsc' (ref: text.h:31)."""
+        from .items.text_item import TextItem
+        out = []
+        for ref in self.file.get_references_to(image_id, "cdsc"):
+            tid = ref.from_item_id
+            if self.file.get_infe(tid).item_type == "txti":
+                out.append(TextItem.parse(tid,
+                                          self.file.get_item_data(tid)))
+        return out
+
+    def add_text_item(self, image_id: int, text: str,
+                      content_type: str = "text/plain") -> int:
+        from .items.text_item import TextItem
+        infe = self.file.add_new_item("txti")
+        infe.hidden = True
+        infe.content_type = content_type
+        self.file.append_item_data(infe.item_id,
+                                   TextItem(0, text).serialize())
+        self.file.add_reference("cdsc", infe.item_id, [image_id])
+        return infe.item_id
+
     def add_grid_image(self, tile_ids: List[int], output_width: int,
                        output_height: int, rows: int, columns: int) -> int:
         """Assemble already-encoded tiles into a grid item
@@ -413,10 +518,21 @@ class HeifContext:
             item.is_primary = (i == item_id)
 
     def write(self) -> bytes:
+        self._finalize_tracks()
+        self._finalize_region_items()
+        return self._write_impl()
+
+    def _finalize_region_items(self) -> None:
+        for ri in self._pending_region_items:
+            self.file.append_item_data(ri.item_id, ri.serialize())
+        self._pending_region_items = []
+
+    def _write_impl(self) -> bytes:
         return self.file.write()
 
     def write_to_file(self, path: str) -> None:
-        self.file.write_to_file(path)
+        with open(path, "wb") as f:
+            f.write(self.write())
 
     # ---------------------------------------------------------------- debug
 

@@ -346,6 +346,14 @@ class HeifFile:
         self.ftyp.write(w)
         self.meta.derive_version()
         self.meta.write(w)
+        moov_patches = []
+        if self.moov is not None:
+            moov_start = w.pos
+            self.moov.derive_version()
+            self.moov.write(w)
+            # locate stco boxes within the serialized moov for offset
+            # patching (their payload offsets are mdat-relative)
+            moov_patches = self._locate_stco_patches(moov_start)
 
         mdat_payload = b"".join(getattr(self, "_mdat_parts", []))
         mdat_header_start = w.pos
@@ -354,7 +362,65 @@ class HeifFile:
         # mdat payload begins after its 8-byte header (16 if largesize)
         payload_start = mdat_header_start + (16 if len(mdat_payload) + 8 > 0xFFFFFFFF else 8)
         self.iloc.patch_iloc_offsets(w, payload_start)
+        for stco in self._all_stco_boxes():
+            stco.offsets = [o + payload_start for o in stco.offsets]
+        if self.moov is not None and moov_patches:
+            # rewrite moov in place with patched offsets
+            w2 = ByteWriter()
+            self.moov.write(w2)
+            data = bytearray(w.data())
+            data[moov_patches[0]:moov_patches[0] + len(w2.data())] = w2.data()
+            # restore mdat-relative offsets for idempotent re-writes
+            for stco in self._all_stco_boxes():
+                stco.offsets = [o - payload_start for o in stco.offsets]
+            return bytes(data)
+        for stco in self._all_stco_boxes():
+            stco.offsets = [o - payload_start for o in stco.offsets]
         return w.data()
+
+    def _all_stco_boxes(self):
+        if self.moov is None:
+            return []
+        out = []
+        def walk(b):
+            if b.box_type in ("stco", "co64"):
+                out.append(b)
+            for c in getattr(b, "children", []):
+                walk(c)
+        walk(self.moov)
+        return out
+
+    def _locate_stco_patches(self, moov_start: int):
+        return [moov_start]
+
+    # -------------------------------------------------------------- tracks
+
+    def top_level_box(self, fourcc: str):
+        for b in self.top_boxes:
+            if b.box_type == fourcc:
+                return b
+        if fourcc == "moov":
+            return self.moov
+        return None
+
+    def read_file_range(self, offset: int, size: int) -> bytes:
+        if self.buffer is None:
+            raise HeifError.invalid_input(SubError.No_item_data,
+                                          "no file buffer for range read")
+        if offset + size > len(self.buffer):
+            raise HeifError.invalid_input(SubError.End_of_data,
+                                          "sample range beyond file end")
+        return bytes(self.buffer[offset:offset + size])
+
+    def append_sample_data(self, data: bytes) -> int:
+        """Append track sample bytes to mdat; returns the mdat-relative
+        offset (patched to absolute at write)."""
+        if not hasattr(self, "_mdat_parts"):
+            self._mdat_parts, self._mdat_size = [], 0
+        off = self._mdat_size
+        self._mdat_parts.append(data)
+        self._mdat_size += len(data)
+        return off
 
     def write_to_file(self, path: str) -> None:
         data = self.write()

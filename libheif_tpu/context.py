@@ -520,7 +520,28 @@ class HeifContext:
     def write(self) -> bytes:
         self._finalize_tracks()
         self._finalize_region_items()
+        self._finalize_brands()
         return self._write_impl()
+
+    def _finalize_brands(self) -> None:
+        """Recompute ftyp from content (ref: brands.cc write path)."""
+        f = self.file
+        if f is None or not hasattr(f, "_mdat_parts") or f.ftyp is None:
+            return      # read-mode file: preserve original brands
+        from .brands import compute_brands
+        item_types = []
+        primary_type = None
+        for iid in f.item_ids:
+            t = f.get_infe(iid).item_type
+            item_types.append(t)
+            if self.primary_id == iid:
+                primary_type = t
+        track_types = [tw.sample_entry_type for tw in self._track_writers
+                       if hasattr(tw, "sample_entry_type")]
+        major, compat = compute_brands(item_types, primary_type,
+                                       track_types)
+        f.ftyp.major_brand = major
+        f.ftyp.compatible_brands = compat
 
     def _finalize_region_items(self) -> None:
         for ri in self._pending_region_items:

@@ -208,6 +208,8 @@ class VisualTrackWriter:
         self.width = width
         self.height = height
         self.fmt = fmt
+        self.sample_entry_type = {"hevc": "hvc1", "av1": "av01",
+                                  "avc": "avc1"}.get(fmt, "hvc1")
         self.timescale = timescale
         self.track_id = track_id
         self.sample_sizes: List[int] = []
@@ -260,9 +262,7 @@ class VisualTrackWriter:
         dinf.children.append(dref)
         stbl = Box_stbl()
         stsd = Box_stsd()
-        fourcc = {"hevc": "hvc1", "av1": "av01", "avc": "avc1"}.get(
-            self.fmt, "hvc1")
-        entry = VisualSampleEntry(fourcc)
+        entry = VisualSampleEntry(self.sample_entry_type)
         entry.width = self.width
         entry.height = self.height
         if self.config_box is not None:

@@ -68,9 +68,17 @@ class CdfContext:
         self.partition = _to_lists(d["partition"])           # [20]
         self.intra_ext_tx = _to_lists(d["intra_ext_tx"])     # [3][4][13]
         self.cfl_alpha = _to_lists(d["cfl_alpha"])           # [6]
+        self.cfl_sign = list(int(v) for v in d["cfl_sign"])
+        self.filter_intra_use = _to_lists(d["filter_intra_use"])  # [22]
+        # filter_intra_mode default row: fitted empirically (see
+        # tests/av1_lossy_difftest.py filter-intra cases)
+        self.filter_intra_mode = list(d["filter_intra_mode"]) \
+            if "filter_intra_mode" in d else [26214, 19661, 13107, 6554, 0, 0]
         self.tx_size = _to_lists(d["tx_size"])               # [4][3]
         self.angle_delta = _to_lists(d["angle_delta"])       # [8]
         self.skip = _to_lists(d["skip"])                     # [3]
         self.delta_q = _to_lists(d["delta_q"])
         self.palette_y_size = _to_lists(d["palette_y_size"])
         self.palette_uv_size = _to_lists(d["palette_uv_size"])
+        self.palette_y_mode = _to_lists(d["palette_y_mode"])
+        self.palette_uv_mode = _to_lists(d["palette_uv_mode"])

@@ -53,9 +53,11 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
     # crop to the frame size at the end
     pw = (w + 7) // 8 * 8
     ph = (h + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), np.int32),
-              np.zeros((ph >> 1, pw >> 1), np.int32),
-              np.zeros((ph >> 1, pw >> 1), np.int32)]
+    ssx, ssy = seq.subsampling_x, seq.subsampling_y
+    planes = [np.zeros((ph, pw), np.int32)]
+    if not seq.monochrome:
+        planes += [np.zeros((ph >> ssy, pw >> ssx), np.int32),
+                   np.zeros((ph >> ssy, pw >> ssx), np.int32)]
     dec = TileDecoder(seq, fh, planes)
     ti = fh.tile_info
     sb_mi = dec.sb_mi
@@ -69,11 +71,21 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
             dec.decode_tile(tiles[idx], mc0, mc1, mr0, mr1)
             idx += 1
 
-    # in-loop filters (deblock/cdef/lr) — only needed for lossy frames
+    # in-loop filters
     if not fh.coded_lossless and any(fh.loop_filter_levels):
+        from .deblock import apply_deblock
+        apply_deblock(planes, dec.edges, fh, w, h)
+    if not fh.coded_lossless and (any(fh.cdef.y_pri) or any(fh.cdef.y_sec)
+                                  or any(fh.cdef.uv_pri)
+                                  or any(fh.cdef.uv_sec)):
         raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "AV1 loop filters (yet)")
-    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+                                    "CDEF (yet)")
+    if any(t != 0 for t in fh.lr_type):
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "loop restoration (yet)")
+    if seq.monochrome:
+        return {"Y": planes[0][:h, :w]}
+    cw, ch = (w + (1 << ssx) - 1) >> ssx, (h + (1 << ssy) - 1) >> ssy
     return {"Y": planes[0][:h, :w], "U": planes[1][:ch, :cw],
             "V": planes[2][:ch, :cw]}
 
@@ -92,7 +104,19 @@ class Av1Decoder(Decoder):
         h, w = y.shape
         if limits is not None:
             limits.check_image_size(w, h)
-        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
+        if "U" not in planes:
+            img = PixelImage(w, h, Colorspace.Monochrome,
+                             Chroma.Monochrome, limits)
+            img.set_plane(Channel.Y, y.astype(np.uint8), 8)
+            return img
+        ch, cw = planes["U"].shape
+        if cw == w and ch == h:
+            chroma = Chroma.C444
+        elif cw < w and ch == h:
+            chroma = Chroma.C422
+        else:
+            chroma = Chroma.C420
+        img = PixelImage(w, h, Colorspace.YCbCr, chroma, limits)
         img.set_plane(Channel.Y, y.astype(np.uint8), 8)
         img.set_plane(Channel.Cb, planes["U"].astype(np.uint8), 8)
         img.set_plane(Channel.Cr, planes["V"].astype(np.uint8), 8)

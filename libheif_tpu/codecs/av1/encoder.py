@@ -69,9 +69,15 @@ def _obu(obu_type: int, payload: bytes) -> bytes:
 @dataclass
 class Av1EncParams:
     base_q_idx: int = 0          # 0 = lossless
+    tx_mode_select: bool = False
+    sb128: bool = False
+    lf_level: int = 0            # loop filter level for Y (both dirs)
+    lf_level_u: int = 0
+    lf_level_v: int = 0
+    lf_sharpness: int = 0
 
 
-def write_sequence_header(w: int, h: int) -> bytes:
+def write_sequence_header(w: int, h: int, sb128: bool = False) -> bytes:
     b = BitWriterMSB()
     b.f(0, 3)      # seq_profile 0
     b.f(1, 1)      # still_picture
@@ -82,7 +88,7 @@ def write_sequence_header(w: int, h: int) -> bytes:
     b.f(hbits - 1, 4)
     b.f(w - 1, wbits)
     b.f(h - 1, hbits)
-    b.f(0, 1)      # use_128x128_superblock
+    b.f(1 if sb128 else 0, 1)   # use_128x128_superblock
     b.f(0, 1)      # enable_filter_intra
     b.f(1, 1)      # enable_intra_edge_filter (matches aom defaults)
     b.f(0, 1)      # enable_superres
@@ -131,11 +137,14 @@ def write_frame_header(w: int, h: int, p: Av1EncParams) -> BitWriterMSB:
         b.f(0, 1)  # delta_q_present
     lossless = p.base_q_idx == 0
     if not lossless:
-        b.f(0, 6)  # loop_filter_level[0]
-        b.f(0, 6)  # loop_filter_level[1]
-        b.f(0, 3)  # sharpness
+        b.f(p.lf_level, 6)       # loop_filter_level[0]
+        b.f(p.lf_level, 6)       # loop_filter_level[1]
+        if p.lf_level:
+            b.f(p.lf_level_u, 6)
+            b.f(p.lf_level_v, 6)
+        b.f(p.lf_sharpness, 3)
         b.f(0, 1)  # loop_filter_delta_enabled
-        b.f(0, 1)  # tx_mode_select → largest
+        b.f(1 if p.tx_mode_select else 0, 1)  # tx_mode
     b.f(0, 1)      # reduced_tx_set
     return b
 
@@ -160,6 +169,41 @@ def fwht4(block: np.ndarray) -> np.ndarray:
     x = one(x.T).T   # columns first
     x = one(x)       # then rows
     return x
+
+
+
+
+def _fdct2d(x: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D DCT-II (float, for encoder-side quantization)."""
+    import math
+    h, w = x.shape
+    def m(n):
+        M = np.zeros((n, n))
+        for k in range(n):
+            for i in range(n):
+                M[k, i] = math.cos((2 * i + 1) * k * math.pi / (2 * n)) * \
+                    (math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n))
+        return M
+    return m(h) @ x @ m(w).T
+
+
+_ITX_GAIN_CACHE = {}
+
+
+def _itx_gain(w: int, h: int) -> float:
+    """Measured linear gain of the integer inverse 2-D DCT at (w, h):
+    fwd quantized level l reconstructs to ≈ l * dequant / gain … used
+    to scale the float forward transform so level 1 ≈ one quant step."""
+    key = (w, h)
+    if key not in _ITX_GAIN_CACHE:
+        from . import itx as ITX
+        probe = np.zeros((min(h, 32), min(w, 32)), np.int64)
+        probe[0, 0] = 1024
+        out = ITX.inv_txfm2d(probe, w, h, T.DCT_DCT)
+        # orthonormal fdct of the impulse response recovers the gain
+        g = _fdct2d(out.astype(np.float64))[0, 0] / 1024.0
+        _ITX_GAIN_CACHE[key] = g
+    return _ITX_GAIN_CACHE[key]
 
 
 class ScriptedMsac:
@@ -237,7 +281,9 @@ class TileEncoder(TL.TileDecoder):
             self.sb_mi_row = mr
             for mc in range(mi_col0, mi_col1, self.sb_mi):
                 self.sb_mi_col = mc
-                self._decode_partition(mr, mc, T.BLOCK_64X64)
+                self._decode_partition(
+                    mr, mc, T.BLOCK_128X128
+                    if self.seq.use_128x128_superblock else T.BLOCK_64X64)
         return self._enc.done()
 
     # partition policy: a callable (mr, mc, bsize) → PARTITION_*;
@@ -246,6 +292,8 @@ class TileEncoder(TL.TileDecoder):
         lambda mr, mc, bsize: T.PARTITION_NONE)
 
     def _decode_partition(self, mr, mc, bsize):
+        if mr >= self.mr1 or mc >= self.mc1:
+            return super()._decode_partition(mr, mc, bsize)
         w, h = T.BLOCK_SIZES[bsize]
         mi_w, mi_h = w // 4, h // 4
         has_rows = mr + mi_h // 2 < self.mr1
@@ -264,15 +312,32 @@ class TileEncoder(TL.TileDecoder):
         self._plan_block(mr, mc, bsize)
         return super()._decode_block(mr, mc, bsize)
 
+    # mode chooser hook: returns (y_mode, angle_y, uv_mode, angle_uv);
+    # angles in [-3, 3], only used for directional modes
+    def mode_policy(self, mr, mc, bsize):
+        return T.DC_PRED, 0, T.DC_PRED, 0
+
     def _plan_block(self, mr, mc, bsize):
-        # Modes: DC everywhere (prediction quality later). Skip: decide
-        # by checking all txbs have zero residual — requires prediction,
-        # which depends on recon state; compute via a dry run on a copy.
+        # Skip: decide by checking all txbs have zero residual — requires
+        # prediction, which depends on recon state; conservative check.
+        w, h = T.BLOCK_SIZES[bsize]
+        y_mode, ang_y, uv_mode, ang_uv = self.mode_policy(mr, mc, bsize)
         self._planned_skip = self._block_skippable(mr, mc, bsize)
         self.r.script.append(1 if self._planned_skip else 0)  # skip
-        self.r.script.append(T.DC_PRED)                       # y mode
+        self.r.script.append(y_mode)                          # y mode
+        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+            self.r.script.append(ang_y + 3)
         if self._has_chroma(mr, mc, bsize):
-            self.r.script.append(T.DC_PRED)                   # uv mode
+            self.r.script.append(uv_mode)                     # uv mode
+            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+                self.r.script.append(ang_uv + 3)
+        if self.fh.tx_mode_select and not self.fh.coded_lossless and \
+                not self._planned_skip and not (w <= 4 and h <= 4):
+            self.r.script.append(self.tx_depth_policy(mr, mc, bsize))
+
+    # depth of the coded tx below the block's max rect tx (0 = max)
+    def tx_depth_policy(self, mr, mc, bsize):
+        return 0
 
     def _block_skippable(self, mr, mc, bsize) -> bool:
         w, h = T.BLOCK_SIZES[bsize]
@@ -317,6 +382,9 @@ class TileEncoder(TL.TileDecoder):
         tw, th = T.tx_w(tx), T.tx_h(tx)
         sub = 1 if plane else 0
         frame = self.planes[plane]
+        if not self.fh.coded_lossless:
+            return self._plan_txb_lossy(plane, px, py, tx, mode,
+                                        blk_w, blk_h)
         # prediction with the same availability logic as the parser:
         # rather than duplicating it, recompute prediction by calling
         # the shared path later; here run it on the CURRENT state
@@ -370,6 +438,109 @@ class TileEncoder(TL.TileDecoder):
             if abs(v) > 14:
                 script.append(abs(v) - 15)
 
+    # ------------------------------------------------------ lossy path
+
+    def coeff_policy(self, plane, px, py, tx, mode):
+        """Quantized coefficient chooser for lossy encodes. Returns
+        (tx_type, signed level block of shape (min(th,32), min(tw,32))).
+        Default: float forward DCT of the prediction residual with
+        uniform deadzone quantization (aom-compatible dequant pair)."""
+        tw, th = min(T.tx_w(tx), 32), min(T.tx_h(tx), 32)
+        ftw, fth = T.tx_w(tx), T.tx_h(tx)
+        pred = self._pred_for(plane, px, py, tx, mode)
+        src = self.src[plane][py:py + fth, px:px + ftw]
+        if src.shape != pred.shape:
+            return T.DCT_DCT, np.zeros((th, tw), np.int64)
+        resid = (src.astype(np.float64) - pred)
+        # orthonormal 2-D DCT-II, rescaled to match the integer
+        # inverse's gain: inv gain ≈ sqrt(w*h) * 2^(-sh) built into the
+        # quant step below via calibration constants
+        f = _fdct2d(resid)
+        q = self._quant_steps(plane)
+        # effective forward scale: itx output = coeff * 2^ishift where
+        # the integer inverse applies gain sqrt(w*h)/2^4 ... fold into
+        # per-size scale measured from itx (cached)
+        sc = _itx_gain(ftw, fth)
+        lv = np.round(f[:th, :tw] * sc / np.array(
+            [[q[0] if (r == 0 and c == 0) else q[1]
+              for c in range(tw)] for r in range(th)])).astype(np.int64)
+        shift = 1 if max(ftw, fth) >= 32 else (0)
+        np.clip(lv, -(1 << 15), (1 << 15) - 1, out=lv)
+        return T.DCT_DCT, lv
+
+    def _quant_steps(self, plane):
+        q = self.fh.quant
+        if plane == 0:
+            dc_d, ac_d = q.delta_q_y_dc, 0
+        elif plane == 1:
+            dc_d, ac_d = q.delta_q_u_dc, q.delta_q_u_ac
+        else:
+            dc_d, ac_d = q.delta_q_v_dc, q.delta_q_v_ac
+        qidx = q.base_q_idx
+        return (int(T.DC_QLOOKUP[np.clip(qidx + dc_d, 0, 255)]),
+                int(T.AC_QLOOKUP[np.clip(qidx + ac_d, 0, 255)]))
+
+    def _plan_txb_lossy(self, plane, px, py, tx, mode, blk_w, blk_h):
+        script = self.r.script
+        tx_type, lv = self.coeff_policy(plane, px, py, tx, mode)
+        if plane != 0:
+            # chroma tx type is implied by the uv mode (no symbol):
+            # reuse the shared derivation so planner and reader agree
+            tx_type = TL.TileDecoder._read_tx_type(self, plane, px, py,
+                                                   tx, mode)
+        tcls = TL._tx_class(tx_type)
+        scan = T.get_scan(tx, tcls)
+        scanned = lv.flatten()[scan]
+        nz = np.nonzero(scanned)[0]
+        if len(nz) == 0:
+            script.append(1)          # all_zero
+            return
+        script.append(0)
+        # tx_type symbol (luma, signalable sizes only — mirrors
+        # _read_tx_type)
+        if plane == 0:
+            sqr_up_w = T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]
+            if sqr_up_w <= 16:
+                sq = T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]
+                if self.fh.reduced_tx_set or sq == 16:
+                    tx_set = TL._EXT_TX_SET_INTRA_2
+                else:
+                    tx_set = TL._EXT_TX_SET_INTRA_1
+                script.append(tx_set.index(tx_type))
+        eob = int(nz[-1]) + 1
+        k = 1
+        while k + 1 < len(TL._EOB_GROUP_START) and \
+                TL._EOB_GROUP_START[k + 1] <= eob:
+            k += 1
+        script.append(k - 1)
+        extra_bits = TL._EOB_OFFSET_BITS[k]
+        if extra_bits > 0:
+            rem = eob - TL._EOB_GROUP_START[k]
+            script.append((rem >> (extra_bits - 1)) & 1)
+            for b in range(1, extra_bits):
+                script.append((rem >> (extra_bits - 1 - b)) & 1)
+        for c in range(eob - 1, -1, -1):
+            level = abs(int(scanned[c]))
+            if c == eob - 1:
+                script.append(min(level, 3) - 1)
+            else:
+                script.append(min(level, 3))
+            if level > 2:
+                rem = level - 3
+                for _ in range(4):
+                    kk = min(rem, 3)
+                    script.append(kk)
+                    rem -= kk
+                    if kk < 3:
+                        break
+        for c in range(eob):
+            v = int(scanned[c])
+            if v == 0:
+                continue
+            script.append(1 if v < 0 else 0)
+            if abs(v) > 14:
+                script.append(abs(v) - 15)
+
     def _pred_for(self, plane, px, py, tx, mode):
         """Duplicate of _transform_block's availability+prediction for
         planning (state inspected, not mutated)."""
@@ -404,22 +575,18 @@ class TileEncoder(TL.TileDecoder):
 
 
 class Av1IntraEncoder:
-    """Conformant AV1 still encoder (lossless, DC modes, 1 tile)."""
+    """Conformant AV1 still encoder (lossless or lossy intra, DC modes,
+    1 tile). Lossy path: float forward transforms + uniform
+    quantization, largest-tx mode."""
 
     def __init__(self, w: int, h: int, params: Av1EncParams):
-        if w % 64 or h % 64:
-            raise HeifError.unsupported(SubError.Unsupported_image_type,
-                                        "pad to 64 multiples for now")
-        if params.base_q_idx != 0:
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "only lossless AV1 encode yet")
         self.w, self.h = w, h
         self.p = params
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
         from .obu import parse_sequence_header, parse_frame_header
         w, h = self.w, self.h
-        seq_payload = write_sequence_header(w, h)
+        seq_payload = write_sequence_header(w, h, self.p.sb128)
         seq = parse_sequence_header(seq_payload)
         fh_writer = write_frame_header(w, h, self.p)
         while len(fh_writer.bits) % 8:
@@ -427,10 +594,24 @@ class Av1IntraEncoder:
         fh_bytes = fh_writer.data()
         fh = parse_frame_header(fh_bytes + b"\x00" * 8, seq)
 
-        planes = [np.zeros((h, w), np.int64),
-                  np.zeros((h // 2, w // 2), np.int64),
-                  np.zeros((h // 2, w // 2), np.int64)]
-        src = [y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)]
+        pw = (w + 7) // 8 * 8
+        ph = (h + 7) // 8 * 8
+        planes = [np.zeros((ph, pw), np.int64),
+                  np.zeros((ph // 2, pw // 2), np.int64),
+                  np.zeros((ph // 2, pw // 2), np.int64)]
+
+        def pad(a, tw, th):
+            out = np.zeros((th, tw), np.int64)
+            hh, ww = a.shape
+            out[:hh, :ww] = a
+            if ww < tw:
+                out[:hh, ww:] = a[:, -1:]
+            if hh < th:
+                out[hh:, :] = out[hh - 1:hh, :]
+            return out
+        src = [pad(y.astype(np.int64), pw, ph),
+               pad(u.astype(np.int64), pw // 2, ph // 2),
+               pad(v.astype(np.int64), pw // 2, ph // 2)]
         te = TileEncoder(seq, fh, planes, src)
         tile = te.encode_tile(0, te.mi_cols, 0, te.mi_rows)
 

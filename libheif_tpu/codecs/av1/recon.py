@@ -46,6 +46,65 @@ def _pred_tables():
     return _SM_WEIGHTS, _DR_DERIV
 
 
+
+
+_FI_TAPS = None
+
+
+def predict_filter_intra(plane: np.ndarray, x: int, y: int, w: int,
+                         h: int, fi_mode: int, have_above: bool,
+                         have_left: bool, bit_depth: int) -> np.ndarray:
+    """Recursive filter-intra prediction (spec §7.11.2.3, aom
+    filter_intra_predictor): 4-wide × 2-tall patches, 7-tap int8
+    filters over (above-left, 4×above, 2×left) neighbors."""
+    global _FI_TAPS
+    if _FI_TAPS is None:
+        _FI_TAPS = _load()["filter_intra_taps"].astype(np.int64)
+    taps = _FI_TAPS[fi_mode]
+    base = 1 << (bit_depth - 1)
+    maxv = (1 << bit_depth) - 1
+    buf = np.zeros((h + 1, w + 1), np.int64)
+    # top row incl. corner, left column — standard edge rules
+    if have_above:
+        src = plane[y - 1, x:x + w].astype(np.int64)
+        if len(src) < w:
+            src = np.concatenate([src, np.full(w - len(src), src[-1],
+                                               np.int64)])
+        buf[0, 1:] = src
+    else:
+        buf[0, 1:] = (int(plane[y, x - 1]) if have_left else base - 1)
+    if have_left:
+        src = plane[y:y + h, x - 1].astype(np.int64)
+        if len(src) < h:
+            src = np.concatenate([src, np.full(h - len(src), src[-1],
+                                               np.int64)])
+        buf[1:, 0] = src
+    else:
+        buf[1:, 0] = int(buf[0, 1]) if have_above else base + 1
+    if have_above and have_left:
+        buf[0, 0] = int(plane[y - 1, x - 1])
+    elif have_above:
+        buf[0, 0] = int(buf[0, 1])
+    elif have_left:
+        buf[0, 0] = int(buf[1, 0])
+    else:
+        buf[0, 0] = base
+
+    for r in range(1, h + 1, 2):
+        for c in range(1, w + 1, 4):
+            p = np.array([buf[r - 1, c - 1], buf[r - 1, c],
+                          buf[r - 1, c + 1], buf[r - 1, c + 2],
+                          buf[r - 1, c + 3], buf[r, c - 1],
+                          buf[r + 1, c - 1], 0], np.int64)
+            for k in range(8):
+                ro, co = k >> 2, k & 3
+                v = int(np.dot(taps[k], p))
+                # ROUND_POWER_OF_TWO_SIGNED(v, 4)
+                v = (v + 8) >> 4 if v >= 0 else -((-v + 8) >> 4)
+                buf[r + ro, c + co] = min(max(v, 0), maxv)
+    return buf[1:, 1:].copy()
+
+
 # ------------------------------------------------------------ intra pred
 
 def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
@@ -76,6 +135,9 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
     left = np.zeros(w + h + 16, np.int64)
     if have_above:
         src = plane[y - 1, x:x + w].astype(np.int64)
+        if len(src) < w:           # tx crosses the padded right edge:
+            src = np.concatenate(  # replicate last available sample
+                [src, np.full(w - len(src), src[-1], np.int64)])
         above[:w] = src
         ntr = min(n_top_right, h)
         if ntr > 0:
@@ -89,6 +151,9 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
         above[:] = int(fill) if have_left else base - 1
     if have_left:
         src = plane[y:y + h, x - 1].astype(np.int64)
+        if len(src) < h:           # tx crosses the padded bottom edge
+            src = np.concatenate(
+                [src, np.full(h - len(src), src[-1], np.int64)])
         left[:h] = src
         nbl = min(n_bottom_left, w)
         if nbl > 0:

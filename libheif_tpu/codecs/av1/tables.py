@@ -78,6 +78,11 @@ PAETH_PRED = 12
 UV_CFL_PRED = 13
 INTRA_MODES = 13
 
+# intra mode → implied transform type for chroma blocks (aom
+# intra_mode_to_tx_type; spec compute_tx_type intra-UV branch),
+# indexed DC..PAETH then UV_CFL
+INTRA_MODE_TO_TX_TYPE = [0, 1, 2, 0, 3, 1, 2, 2, 1, 3, 1, 2, 3, 0]
+
 MODE_TO_ANGLE = {V_PRED: 90, H_PRED: 180, D45_PRED: 45, D135_PRED: 135,
                  D113_PRED: 113, D157_PRED: 157, D203_PRED: 203,
                  D67_PRED: 67}
@@ -185,7 +190,21 @@ def get_scan(tx: int, tx_class: str) -> np.ndarray:
     key = (w, h, tx_class)
     if key not in _SCAN_CACHE:
         if tx_class == '2d':
-            s = _zigzag(w, h)
+            if w == h:
+                s = _zigzag(w, h)
+            else:
+                # rect default scans are UNIDIRECTIONAL diagonals
+                # (libaom rodata 0x483490-0x485450): tall → each
+                # anti-diagonal top-right→bottom-left, wide → reversed
+                out = []
+                for d in range(w + h - 1):
+                    cells = [(r, d - r)
+                             for r in range(max(0, d - w + 1),
+                                            min(h, d + 1))]
+                    if w > h:
+                        cells = cells[::-1]
+                    out += [r * w + c for (r, c) in cells]
+                s = np.array(out, np.int32)
         elif tx_class == 'h':
             # horizontal tx class: scan advances column-by-column
             s = np.array([r * w + c for c in range(w) for r in range(h)],

@@ -18,6 +18,8 @@ from .cdf import CdfContext
 from .msac import Msac
 from .obu import SequenceHeader, FrameHeader
 from . import recon as R
+from . import itx as ITX
+from .deblock import EdgeMaps
 
 _SKIP_CONTEXTS_TAB = [
     [1, 2, 2, 2, 3],
@@ -71,8 +73,18 @@ def base_eob_ctx(c, n_coeffs) -> int:
     return 3
 
 
-def base_ctx(levels, row, col, pos, bwl, tcls, tw=4, th=4) -> int:
-    """coeff_base context (aom get_nz_map_ctx)."""
+def base_ctx(levels, row, col, pos, bwl, tcls, tw=4, th=4,
+             full_w=4, full_h=4) -> int:
+    """coeff_base context (aom get_nz_map_ctx / get_nz_mag).
+
+    Region offsets follow the av1_nz_map_ctx_offset generation rule
+    (cross-validated against dav1d's lo_ctx_offsets 5x5 tables in
+    libdav1d rodata): tall tx → rows 0-1 get +11; wide tx → cols 0-1
+    get +16; otherwise diag<2 → +1, diag<4 → +6, else +21. The
+    wide/tall test uses the FULL tx dims; coords live in the adjusted
+    (≤32x32) block. 1-D classes: +26 base, +5/+10 by position along
+    the transform axis.
+    """
     if tcls == '2d':
         if pos == 0:
             return 0
@@ -82,68 +94,66 @@ def base_ctx(levels, row, col, pos, bwl, tcls, tw=4, th=4) -> int:
                min(int(levels[row, col + 2]), 3) +
                min(int(levels[row + 2, col]), 3))
         mag = min((mag + 1) >> 1, 4)
+        if full_w < full_h and row < 2:
+            return mag + 11
+        if full_w > full_h and col < 2:
+            return mag + 16
         d = row + col
-        # region offsets 1/6/11/16/21; the last region starts at the
-        # size-dependent tail (validated against libaom: 4x4 → d>=4
-        # maps to 21)
         if d < 2:
             return mag + 1
         if d < 4:
             return mag + 6
-        if tw == 4 and th == 4:
-            return mag + 21
-        if d < 8:
-            return mag + 11
-        if d < 16:
-            return mag + 16
         return mag + 21
-    if tcls == 'h':
-        mag = sum(min(int(levels[row, col + k]), 3) for k in (1, 2, 3, 4, 5))
-        coord = col
-    else:
-        mag = sum(min(int(levels[row + k, col]), 3) for k in (1, 2, 3, 4, 5))
+    mag = (min(int(levels[row + 1, col]), 3) +
+           min(int(levels[row, col + 1]), 3))
+    if tcls == 'v':
+        mag += (min(int(levels[row + 2, col]), 3) +
+                min(int(levels[row + 3, col]), 3) +
+                min(int(levels[row + 4, col]), 3))
         coord = row
+    else:
+        mag += (min(int(levels[row, col + 2]), 3) +
+                min(int(levels[row, col + 3]), 3) +
+                min(int(levels[row, col + 4]), 3))
+        coord = col
     mag = min((mag + 1) >> 1, 4)
-    if coord == 0:
-        return 16 + mag
-    return 16 + 5 + mag
+    return mag + 26 + (0 if coord == 0 else (5 if coord == 1 else 10))
 
 
 def br_ctx(levels, row, col, pos, bwl, tcls) -> int:
     """coeff_br context (aom get_br_ctx)."""
+    mag = int(levels[row, col + 1]) + int(levels[row + 1, col])
     if tcls == '2d':
-        mag = (min(int(levels[row, col + 1]), 15) +
-               min(int(levels[row + 1, col]), 15) +
-               min(int(levels[row + 1, col + 1]), 15))
-    elif tcls == 'h':
-        mag = (min(int(levels[row, col + 1]), 15) +
-               min(int(levels[row, col + 2]), 15))
-    else:
-        mag = (min(int(levels[row + 1, col]), 15) +
-               min(int(levels[row + 2, col]), 15))
+        mag += int(levels[row + 1, col + 1])
+        mag = min((mag + 1) >> 1, 6)
+        if pos == 0:
+            return mag
+        return mag + (7 if row < 2 and col < 2 else 14)
+    if tcls == 'h':
+        mag += int(levels[row, col + 2])
+        mag = min((mag + 1) >> 1, 6)
+        if pos == 0:
+            return mag
+        return mag + (7 if col == 0 else 14)
+    mag += int(levels[row + 2, col])
     mag = min((mag + 1) >> 1, 6)
     if pos == 0:
         return mag
-    if tcls == '2d':
-        return mag + (7 if row < 2 and col < 2 else 14)
-    coord = col if tcls == 'h' else row
-    return mag + (7 if coord == 0 else 14)
+    return mag + (7 if row == 0 else 14)
 
 
 class TileDecoder:
     _filt_type_y = 0
     _filt_type_uv = 0
+    _fi_mode = None
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
                  planes: List[np.ndarray]):
-        if seq.monochrome:
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "monochrome AV1")
         if seq.bit_depth != 8:
             raise HeifError.unsupported(SubError.Unsupported_bit_depth,
                                         "only 8-bit AV1 currently")
-        if not (seq.subsampling_x and seq.subsampling_y):
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "only 4:2:0 AV1 currently")
+        self.ssx = seq.subsampling_x
+        self.ssy = seq.subsampling_y
+        self.num_planes = 1 if seq.monochrome else 3
         self.seq = seq
         self.fh = fh
         self.planes = planes            # [Y, U, V] int32 padded frames
@@ -157,11 +167,15 @@ class TileDecoder:
         self.uv_modes = np.full((self.mi_rows, self.mi_cols), T.DC_PRED,
                                 np.int32)
         self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.pal_y = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_wide = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_high = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.block_decoded = [
             np.zeros((self.mi_rows + 2, self.mi_cols + 2), np.uint8)
             for _ in range(3)]
+        self._cur_qindex = fh.quant.base_q_idx
+        self._cur_tx_type = T.DCT_DCT
+        self.edges = EdgeMaps([p.shape for p in planes])
 
     # ---------------------------------------------------------- tile loop
 
@@ -394,16 +408,7 @@ class TileDecoder:
                 self.cdf.uv_mode[1 if cfl_allowed else 0][y_mode],
                 14 if cfl_allowed else 13)
             if uv_mode == T.UV_CFL_PRED:
-                # read_cfl_alphas (spec §5.11.45). NOTE: the cfl_sign /
-                # cfl_alpha default tables are not yet pinned in the
-                # libaom rodata extraction, and table sweeps have not
-                # produced a conformant combination — some aspect of
-                # this syntax placement still differs from libaom, so
-                # fail loudly rather than desync silently.
-                if not hasattr(self.cdf, "cfl_sign"):
-                    raise HeifError.unsupported(
-                        SubError.Unsupported_codec,
-                        "CFL prediction (tables not pinned yet)")
+                # read_cfl_alphas (spec §5.11.45)
                 js = r.read_symbol_n(self.cdf.cfl_sign, 8)
                 sign_u, sign_v = (js + 1) // 3, (js + 1) % 3
                 alpha_u = alpha_v = 0
@@ -420,22 +425,39 @@ class TileDecoder:
                     self.cdf.angle_delta[uv_mode - T.V_PRED])
                 angle_uv = sym - 3
 
-        # palette / filter_intra: excluded via encoder config
+        # palette flags (spec palette_mode_info; only the "no palette"
+        # path is supported — actual palettes raise below)
         if fh.allow_screen_content_tools and w >= 8 and h >= 8 and \
                 w <= 64 and h <= 64:
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "palette syntax")
-        if seq.enable_filter_intra and w <= 32 and h <= 32:
+            if y_mode == T.DC_PRED:
+                bctx = (w * h).bit_length() - 1 - 6   # log2 pels - log2 64
+                pal_ctx = (int(self.pal_y[mr - 1, mc]) if have_above
+                           else 0) + \
+                    (int(self.pal_y[mr, mc - 1]) if have_left else 0)
+                has_pal_y = r.read_symbol_n(
+                    self.cdf.palette_y_mode[bctx][pal_ctx], 2)
+                if has_pal_y:
+                    raise HeifError.unsupported(SubError.Unsupported_codec,
+                                                "palette coding (yet)")
+            if has_chroma and uv_mode == T.DC_PRED:
+                has_pal_uv = r.read_symbol_n(
+                    self.cdf.palette_uv_mode[0], 2)
+                if has_pal_uv:
+                    raise HeifError.unsupported(SubError.Unsupported_codec,
+                                                "palette coding (yet)")
+        self._fi_mode = None
+        if seq.enable_filter_intra and y_mode == T.DC_PRED and \
+                w <= 32 and h <= 32:
             use_fi = r.read_symbol_n(
                 self._filter_intra_cdf(bsize), 2)
             if use_fi:
-                raise HeifError.unsupported(SubError.Unsupported_codec,
-                                            "filter intra (yet)")
+                self._fi_mode = r.read_symbol_n(
+                    self.cdf.filter_intra_mode, 5)
 
         # ---- tx size ----
         if fh.coded_lossless:
             tx = T.TX_4X4
-        elif not fh.tx_mode_select:
+        elif not fh.tx_mode_select or skip:
             tx = T.MAX_TX_SIZE_RECT[bsize]
         else:
             tx = self._read_tx_size(mr, mc, bsize, have_above, have_left)
@@ -479,21 +501,16 @@ class TileDecoder:
         return w <= 32 and h <= 32
 
     def _filter_intra_cdf(self, bsize):
-        # placeholder until the filter_intra table is pinned; only valid
-        # when the encoder disables filter intra (symbol never read)
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "filter intra cdf not pinned")
+        return self.cdf.filter_intra_use[bsize]
 
     def _has_chroma(self, mr: int, mc: int, bsize: int) -> bool:
+        if self.num_planes == 1:
+            return False
         w, h = T.BLOCK_SIZES[bsize]
         mi_w, mi_h = w // 4, h // 4
-        if mi_w == 1 and mi_h == 1:
-            return bool((mr & 1) and (mc & 1))
-        if mi_w == 1:
-            return bool(mc & 1)
-        if mi_h == 1:
-            return bool(mr & 1)
-        return True
+        need_c = not (self.ssx and mi_w == 1) or bool(mc & 1)
+        need_r = not (self.ssy and mi_h == 1) or bool(mr & 1)
+        return need_c and need_r
 
     def _read_tx_size(self, mr, mc, bsize, have_above, have_left) -> int:
         max_tx = T.MAX_TX_SIZE_RECT[bsize]
@@ -504,12 +521,16 @@ class TileDecoder:
         cat = [0, 0, 1, 2, 3][
             [4, 8, 16, 32, 64].index(T.tx_w(sqr_up))]
         # context: neighbors having tx at least as large
-        above = left = 1
-        if have_above:
-            above = int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx)
-        if have_left:
-            left = int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx)
-        ctx = int(above) + int(left)
+        # aom get_tx_size_context: sum only over available neighbors
+        if have_above and have_left:
+            ctx = int(int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx)) + \
+                int(int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx))
+        elif have_above:
+            ctx = int(int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx))
+        elif have_left:
+            ctx = int(int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx))
+        else:
+            ctx = 0
         max_depth = self._max_tx_depth(bsize)
         n = min(max_depth + 1, 3)
         depth = self.r.read_symbol_n(self.cdf.tx_size[cat][ctx], n)
@@ -531,38 +552,46 @@ class TileDecoder:
 
     def _residual(self, mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv,
                   tx, skip, has_chroma) -> None:
+        """Residual coding in 64x64 chunks (spec residual(): blocks
+        larger than 64 interleave luma and chroma per 64x64 region)."""
         w, h = T.BLOCK_SIZES[bsize]
         fh = self.fh
-        # luma: cover block with tx tiles
         tw, th = T.tx_w(tx), T.tx_h(tx)
         x0, y0 = mc * 4, mr * 4
-        for ty in range(0, h, th):
-            for tx_x in range(0, w, tw):
-                self._transform_block(0, x0 + tx_x, y0 + ty, tx, y_mode,
-                                      angle_y, skip, mr, mc, bsize)
-        if has_chroma:
-            # chroma block origin: round down to even mi for small blocks
-            cr, cc = mr, mc
-            if (h // 4) == 1:
-                cr = mr & ~1
-            if (w // 4) == 1:
-                cc = mc & ~1
-            cw = max(w, 8) >> 1
-            ch = max(h, 8) >> 1
-            uv_tx = T.TX_4X4 if fh.coded_lossless \
-                else self._uv_tx_size(bsize)
-            utw, uth = T.tx_w(uv_tx), T.tx_h(uv_tx)
-            cx0, cy0 = cc * 2, cr * 2
-            for plane in (1, 2):
-                for ty in range(0, ch, uth):
-                    for tx_x in range(0, cw, utw):
-                        self._transform_block(plane, cx0 + tx_x, cy0 + ty,
-                                              uv_tx, uv_mode, angle_uv,
-                                              skip, mr, mc, bsize)
+        # chroma geometry (shared by all chunks)
+        cr, cc = mr, mc
+        if self.ssy and (h // 4) == 1:
+            cr = mr & ~1
+        if self.ssx and (w // 4) == 1:
+            cc = mc & ~1
+        cw = max(w, 8 if self.ssx else 4) >> self.ssx
+        ch = max(h, 8 if self.ssy else 4) >> self.ssy
+        uv_tx = T.TX_4X4 if fh.coded_lossless else self._uv_tx_size(bsize)
+        utw, uth = T.tx_w(uv_tx), T.tx_h(uv_tx)
+        cx0, cy0 = (cc * 4) >> self.ssx, (cr * 4) >> self.ssy
+        for cy in range(0, h, 64):
+            for cx in range(0, w, 64):
+                # luma txbs of this chunk
+                for ty in range(cy, min(cy + 64, h), th):
+                    for tx_x in range(cx, min(cx + 64, w), tw):
+                        self._transform_block(0, x0 + tx_x, y0 + ty, tx,
+                                              y_mode, angle_y, skip,
+                                              mr, mc, bsize)
+                if has_chroma:
+                    ccy0, ccx0 = cy >> self.ssy, cx >> self.ssx
+                    ccy1 = min(ccy0 + (64 >> self.ssy), ch)
+                    ccx1 = min(ccx0 + (64 >> self.ssx), cw)
+                    for plane in range(1, self.num_planes):
+                        for ty in range(ccy0, ccy1, uth):
+                            for tx_x in range(ccx0, ccx1, utw):
+                                self._transform_block(
+                                    plane, cx0 + tx_x, cy0 + ty, uv_tx,
+                                    uv_mode, angle_uv, skip, mr, mc,
+                                    bsize)
 
     def _uv_tx_size(self, bsize: int) -> int:
         w, h = T.BLOCK_SIZES[bsize]
-        cw, ch = max(w // 2, 4), max(h // 2, 4)
+        cw, ch = max(w >> self.ssx, 4), max(h >> self.ssy, 4)
         cw, ch = min(cw, 32), min(ch, 32)
         while cw > 2 * ch:
             cw //= 2
@@ -580,13 +609,15 @@ class TileDecoder:
         are 4 plane pixels throughout.
         """
         fh, seq, r = self.fh, self.seq, self.r
-        sub = 1 if plane else 0
-        pw = (self.mi_cols * 4) >> sub
-        ph = (self.mi_rows * 4) >> sub
+        sx = self.ssx if plane else 0
+        sy = self.ssy if plane else 0
+        pw = (self.mi_cols * 4) >> sx
+        ph = (self.mi_rows * 4) >> sy
         if px >= pw or py >= ph:
             return
         tw, th = T.tx_w(tx), T.tx_h(tx)
         frame = self.planes[plane]
+        self.edges.mark(plane, px, py, tw, th)
 
         dec = self.block_decoded[plane]
         u_r, u_c = py // 4, px // 4
@@ -611,23 +642,35 @@ class TileDecoder:
             n_bl = steps
 
         pred_mode = T.DC_PRED if (plane and mode == T.UV_CFL_PRED) else mode
-        pred = R.predict_intra(
-            frame, px, py, tw, th, pred_mode, angle, have_above, have_left,
-            n_tr, n_bl, self.bd,
-            enable_edge_filter=seq.enable_intra_edge_filter,
-            filter_type=(self._filt_type_y if plane == 0
-                         else self._filt_type_uv))
+        if plane == 0 and self._fi_mode is not None:
+            pred = R.predict_filter_intra(
+                frame, px, py, tw, th, self._fi_mode, have_above,
+                have_left, self.bd)
+        else:
+            pred = R.predict_intra(
+                frame, px, py, tw, th, pred_mode, angle, have_above,
+                have_left, n_tr, n_bl, self.bd,
+                enable_edge_filter=seq.enable_intra_edge_filter,
+                filter_type=(self._filt_type_y if plane == 0
+                             else self._filt_type_uv))
         if plane and mode == T.UV_CFL_PRED:
             # CfL (spec §7.11.5): Q3 box-subsampled co-located luma
             # minus the txb average, scaled by the signed alpha
             alpha = self._cfl_alphas[plane - 1]
             luma = self.planes[0]
-            ly, lx = py * 2, px * 2
-            box = luma[ly:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
-                luma[ly:ly + 2 * th:2, lx + 1:lx + 2 * tw:2] + \
-                luma[ly + 1:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
-                luma[ly + 1:ly + 2 * th:2, lx + 1:lx + 2 * tw:2]
-            q3 = box.astype(np.int64) << 1
+            ly, lx = py << self.ssy, px << self.ssx
+            if self.ssx and self.ssy:          # 420: 2x2 box, Q3 = sum<<1
+                box = luma[ly:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                    luma[ly:ly + 2 * th:2, lx + 1:lx + 2 * tw:2] + \
+                    luma[ly + 1:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                    luma[ly + 1:ly + 2 * th:2, lx + 1:lx + 2 * tw:2]
+                q3 = box.astype(np.int64) << 1
+            elif self.ssx:                     # 422: 1x2 box, Q3 = sum<<2
+                box = luma[ly:ly + th, lx:lx + 2 * tw:2] + \
+                    luma[ly:ly + th, lx + 1:lx + 2 * tw:2]
+                q3 = box.astype(np.int64) << 2
+            else:                              # 444: Q3 = sample<<3
+                q3 = luma[ly:ly + th, lx:lx + tw].astype(np.int64) << 3
             avg = int(q3.sum()) >> (tw.bit_length() - 1 +
                                     th.bit_length() - 1)
             ac = q3 - avg
@@ -637,8 +680,8 @@ class TileDecoder:
             pred = np.clip(pred + adj, 0, (1 << self.bd) - 1)
 
         w_b, h_b = T.BLOCK_SIZES[bsize]
-        blk_w = max(w_b >> sub, 4)
-        blk_h = max(h_b >> sub, 4)
+        blk_w = max(w_b >> sx, 4)
+        blk_h = max(h_b >> sy, 4)
         eob, coeffs, cul, dcsign = (0, None, 0, 0)
         if not skip:
             eob, coeffs, cul, dcsign = self._read_coeffs(
@@ -654,13 +697,18 @@ class TileDecoder:
         else:
             frame[py:py + hh, px:px + ww] = pred[:hh, :ww]
 
-        # context updates (plane-4px units)
-        sb_py = (self.sb_mi_row * 4) >> sub
+        # context updates (plane-4px units); spans clip at the mi-area
+        # edges like aom av1_set_entropy_contexts — cells beyond the
+        # frame keep their previous (zero) values, which matters for
+        # the summed dc_sign context
+        sb_py = (self.sb_mi_row * 4) >> sy
         lrow = (py - sb_py) // 4
-        self.above_lvl[plane][u_c:u_c + n_w] = min(int(cul), 63)
-        self.left_lvl[plane][lrow:lrow + n_h] = min(int(cul), 63)
-        self.above_sign[plane][u_c:u_c + n_w] = dcsign
-        self.left_sign[plane][lrow:lrow + n_h] = dcsign
+        w_cells = min(n_w, max((pw - px) // 4, 0))
+        h_cells = min(n_h, max((ph - py) // 4, 0))
+        self.above_lvl[plane][u_c:u_c + w_cells] = min(int(cul), 63)
+        self.left_lvl[plane][lrow:lrow + h_cells] = min(int(cul), 63)
+        self.above_sign[plane][u_c:u_c + w_cells] = dcsign
+        self.left_sign[plane][lrow:lrow + h_cells] = dcsign
         dec[u_r + 1:u_r + 1 + n_h, u_c + 1:u_c + 1 + n_w] = 1
 
     # -------------------------------------------------------- coefficients
@@ -670,10 +718,12 @@ class TileDecoder:
         r, cdf = self.r, self.cdf
         tw, th = min(T.tx_w(tx), 32), min(T.tx_h(tx), 32)
         pt = 0 if plane == 0 else 1
-        txs_ctx = min([4, 8, 16, 32, 64].index(T.tx_w(T.TX_SIZE_SQR[tx]))
-                      if False else
-                      [4, 8, 16, 32, 64].index(
-                          T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]), 4)
+        # aom get_txsize_entropy_ctx: rounded-up mean of the sqr and
+        # sqr-up size indices (equal for squares; rect sizes round up)
+        sizes = [4, 8, 16, 32, 64]
+        txs_ctx = min((sizes.index(T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]) +
+                       sizes.index(T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]) +
+                       1) >> 1, 4)
 
         # txb skip
         skip_ctx = self._txb_skip_ctx(plane, px, py, tx, blk_w, blk_h)
@@ -682,6 +732,7 @@ class TileDecoder:
             return 0, None, 0, 0
 
         tx_type = self._read_tx_type(plane, px, py, tx, mode)
+        self._cur_tx_type = tx_type
         tcls = _tx_class(tx_type)
         scan = T.get_scan(tx, tcls)
         n_coeffs = tw * th
@@ -717,7 +768,8 @@ class TileDecoder:
                     cdf.coeff_base_eob[txs_ctx][pt][ctx])
                 level = sym + 1
             else:
-                ctx = base_ctx(levels, row, col, pos, bwl, tcls, tw, th)
+                ctx = base_ctx(levels, row, col, pos, bwl, tcls, tw, th,
+                               T.tx_w(tx), T.tx_h(tx))
                 level = r.read_symbol(
                     cdf.coeff_base[txs_ctx][pt][ctx])
             if level > 2:
@@ -755,9 +807,9 @@ class TileDecoder:
     def _txb_skip_ctx(self, plane, px, py, tx, blk_w, blk_h) -> int:
         """(aom get_txb_skip_ctx): blk_w/h = plane block dimensions."""
         tw, th = T.tx_w(tx), T.tx_h(tx)
-        sub = 1 if plane else 0
+        sy = self.ssy if plane else 0
         au = px // 4
-        lrow = (py - ((self.sb_mi_row * 4) >> sub)) // 4
+        lrow = (py - ((self.sb_mi_row * 4) >> sy)) // 4
         n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
         top = int(np.bitwise_or.reduce(
             self.above_lvl[plane][au:au + n_w])) if n_w else 0
@@ -766,10 +818,11 @@ class TileDecoder:
         if plane == 0:
             if blk_w == tw and blk_h == th:
                 return 0
-            top = min(top & 63, 4)
-            left = min(left & 63, 4)
-            mn = min(top, left)
-            mx = min(max(top, left), 4)
+            top &= 63
+            left &= 63
+            # aom get_txb_skip_ctx: max is the BITWISE OR of the two
+            mx = min(top | left, 4)
+            mn = min(min(top, left), 4)
             return _SKIP_CONTEXTS_TAB[mn][mx]
         ctx_base = int(top != 0) + int(left != 0)
         ctx_offset = 10 if blk_w * blk_h > tw * th else 7
@@ -777,9 +830,9 @@ class TileDecoder:
 
     def _dc_sign_ctx(self, plane, px, py, tx) -> int:
         tw, th = T.tx_w(tx), T.tx_h(tx)
-        sub = 1 if plane else 0
+        sy = self.ssy if plane else 0
         au = px // 4
-        lrow = (py - ((self.sb_mi_row * 4) >> sub)) // 4
+        lrow = (py - ((self.sb_mi_row * 4) >> sy)) // 4
         n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
         s = 0
         for v in self.above_sign[plane][au:au + n_w]:
@@ -799,22 +852,29 @@ class TileDecoder:
         fh, seq = self.fh, self.seq
         if fh.coded_lossless:
             return T.WHT_WHT
+        sup = T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]
         if plane != 0:
-            # chroma reuses the co-located luma tx type for entropy/scan
-            return self._luma_tx_type
-        sqr_up = T.TX_SIZE_SQR_UP[tx]
-        sup = T.TX_SIZES[sqr_up][0]
-        if sup > 32:
-            tt = T.DCT_DCT
-        elif sup == 32:
-            tt = T.DCT_DCT  # set IDTX+DCT: but only DCT signaled? read below
-            self._luma_tx_type = tt
-            return tt
-        else:
-            tx_set = _EXT_TX_SET_INTRA_2 if fh.reduced_tx_set \
-                else _EXT_TX_SET_INTRA_1
-            set_idx = 2 if fh.reduced_tx_set else 1
+            # intra chroma: tx type implied by the uv prediction mode,
+            # gated by set membership (spec compute_tx_type)
+            if sup >= 32:
+                return T.DCT_DCT
+            tt = T.INTRA_MODE_TO_TX_TYPE[mode]
             sq = T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]
+            tx_set = _EXT_TX_SET_INTRA_2 if (fh.reduced_tx_set or
+                                             sq == 16) \
+                else _EXT_TX_SET_INTRA_1
+            return tt if tt in tx_set else T.DCT_DCT
+        # set selection (aom get_ext_tx_set_type, intra branch):
+        # sqr-up ≥ 32 → DCT only; reduced set OR sqr == 16 → 5-symbol
+        # DTT4_IDTX (cdf set 2); sqr 4/8 → 7-symbol DTT4_IDTX_1DDCT
+        if sup >= 32:
+            tt = T.DCT_DCT
+        else:
+            sq = T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]
+            if fh.reduced_tx_set or sq == 16:
+                tx_set, set_idx = _EXT_TX_SET_INTRA_2, 2
+            else:
+                tx_set, set_idx = _EXT_TX_SET_INTRA_1, 1
             sq_idx = [4, 8, 16, 32].index(min(sq, 32))
             sym = self.r.read_symbol_n(
                 self.cdf.intra_ext_tx[set_idx][sq_idx][mode], len(tx_set))
@@ -833,12 +893,20 @@ class TileDecoder:
             dc_d, ac_d = q.delta_q_u_dc, q.delta_q_u_ac
         else:
             dc_d, ac_d = q.delta_q_v_dc, q.delta_q_v_ac
-        qidx = q.base_q_idx
+        qidx = self._cur_qindex
         dc_q = int(T.DC_QLOOKUP[np.clip(qidx + dc_d, 0, 255)])
         ac_q = int(T.AC_QLOOKUP[np.clip(qidx + ac_d, 0, 255)])
-        d = coeffs * ac_q
-        d.flat[0] = coeffs.flat[0] * dc_q
         if fh.coded_lossless:
+            d = coeffs * ac_q
+            d.flat[0] = coeffs.flat[0] * dc_q
             return R.iwht4(d)
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "lossy AV1 transforms (yet)")
+        # aom decodetxb dequant: |c|*q masked to 24 bits, then the
+        # tx-size downscale (av1_get_tx_scale: by pixel count)
+        pels = T.tx_w(tx) * T.tx_h(tx)
+        shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        qm = np.full(coeffs.shape, ac_q, np.int64)
+        qm.flat[0] = dc_q
+        mag = ((np.abs(coeffs) * qm) & 0xFFFFFF) >> shift
+        d = np.where(coeffs < 0, -mag, mag)
+        return ITX.inv_txfm2d(d, T.tx_w(tx), T.tx_h(tx),
+                              self._cur_tx_type)

@@ -101,11 +101,28 @@ def make_mini_items(ctx) -> None:
     if mini.infe_type:
         infe_type = fourcc_to_str(mini.infe_type)
     else:
-        brand = ctx.file.ftyp.major_brand if ctx.file.ftyp else "avif"
-        infe_type = _BRAND_CODEC.get(brand) or (
-            "av01" if brand.startswith("avi") or
-            "avif" in (ctx.file.ftyp.compatible_brands if ctx.file.ftyp else [])
-            else "hvc1")
+        # mif3 files carry the codec brand in the ftyp minor_version
+        # field (e.g. 'ftyp' mif3 avif); check major, minor-as-4cc and
+        # the compatible list
+        ftyp = ctx.file.ftyp
+        brands = []
+        if ftyp is not None:
+            brands.append(ftyp.major_brand)
+            brands.append(ftyp.minor_version.to_bytes(4, "big")
+                          .decode("latin-1"))
+            brands.extend(ftyp.compatible_brands)
+        infe_type = "hvc1"
+        for b in brands:
+            mapped = _BRAND_CODEC.get(b)
+            if mapped:
+                infe_type = mapped
+                break
+            if b.startswith("avi"):
+                infe_type = "av01"
+                break
+            if b in ("heic", "heix"):
+                infe_type = "hvc1"
+                break
 
     main = MiniImageItem(ctx, 1, mini, "main", infe_type)
     main.is_primary = True

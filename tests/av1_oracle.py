@@ -148,6 +148,11 @@ def encode(planes: Dict[str, np.ndarray], options: Dict[str, str],
     u32[_CFG_LAG] = 0
     u32[_CFG_END_USAGE] = _AOM_Q
     u32[_CFG_THREADS] = 1
+    options = dict(options)
+    if "_min_q" in options:
+        u32[_CFG_MIN_Q] = int(options.pop("_min_q"))
+    if "_max_q" in options:
+        u32[_CFG_MAX_Q] = int(options.pop("_max_q"))
 
     ctx = (ctypes.c_uint8 * 256)()
     if _ENC_ABI is None:

@@ -65,3 +65,13 @@ def test_msac_roundtrip():
         dec = Msac(enc.done(), True)
         for i, v in seq:
             assert dec.read_symbol(cdfs_d[i]) == v
+
+
+def test_av1_lossy_difftest_subset():
+    """Lossy decode bit-exactness vs libaom (subset; the full sweep is
+    tests/av1_lossy_difftest.py)."""
+    from tests import av1_lossy_difftest as L
+    fails = L.run("photo-alltx-q20")
+    fails += L.run("grad-dct-q30")
+    fails += L.run("photo-odd-q20")
+    assert fails == 0

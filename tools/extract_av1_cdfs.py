@@ -120,8 +120,10 @@ KNOWN = {
     "eob_extra":      40416,
     "txb_skip":       41504,
     "dc_sign":        42288,
-    "intra_ext_tx":   43616,
-    "cfl_alpha":      46438,
+    # set0 is unused/zero in aom; the real data is two blocks (set1:
+    # 52 rows of 7 symbols, set2: 52 rows of 5) found uniquely by
+    # structural scan at u16 offset 44772
+    "intra_ext_tx":   44772,
     "partition":      46544,
     "uv_mode":        46768,
     "kf_y_mode":      47168,
@@ -134,7 +136,43 @@ KNOWN = {
 
 # Tables whose values are confirmed (spec defaults recognized verbatim
 # in the binary) but whose in-memory array layout is ambiguous.
+_PAL_Y_MODE = [
+    (1092, 29349, 31507), (856, 29909, 31788), (945, 29368, 31987),
+    (738, 29207, 31864), (459, 25431, 31306), (503, 28753, 31247),
+    (318, 24822, 32639),
+]
+
 LITERAL = {
+    # filter-intra + CfL tables (recovered literally from the rodata
+    # default-cdf blob at 48400/48224/48688; alignment pads prevent
+    # plain array reads)
+    "filter_intra_use": np.array(
+        [[v, 0, 0] for v in
+         [28147, 26025, 26875, 24902, 20217, 23374, 20360, 18467,
+          20012, 10425, 16384, 19998, 22400, 12539, 14667] +
+         [16384] * 7], np.uint16),
+    "cfl_sign": np.array(
+        [25008, 18945, 16960, 15127, 13612, 12102, 5877, 0, 0],
+        np.uint16),
+    "cfl_alpha": np.array([r + [0, 0] for r in [
+        [25131, 12049, 1367, 287, 111, 80, 76, 72, 68, 64, 60, 56,
+         52, 48, 44],
+        [18403, 9165, 4633, 1600, 601, 373, 281, 195, 148, 121, 100,
+         96, 92, 88, 84],
+        [21236, 10388, 4323, 1408, 419, 245, 184, 119, 95, 91, 87,
+         83, 79, 75, 71],
+        [5778, 1366, 486, 197, 76, 72, 68, 64, 60, 56, 52, 48, 44,
+         40, 36],
+        [15520, 6710, 3864, 2160, 1463, 891, 642, 447, 374, 304,
+         252, 208, 192, 175, 146],
+        [18030, 11090, 6989, 4867, 3744, 2466, 1788, 925, 624, 355,
+         248, 174, 146, 112, 108]]], np.uint16),
+    # palette mode flag cdfs — recovered from rodata 47784.. (rows are
+    # interleaved with one alignment pad, so pinned literally)
+    "palette_y_mode": np.array(
+        [[[v, 0, 0] for v in g] for g in _PAL_Y_MODE], np.uint16),
+    "palette_uv_mode": np.array(
+        [[27822, 0, 0], [23300, 0, 0]], np.uint16),
     # default_skip_cdfs = AOM_CDF2(31671 / 16515 / 4576), at rodata 48576
     "skip": np.array([[1097, 0, 0], [16253, 0, 0], [28192, 0, 0]],
                      np.uint16),
@@ -166,9 +204,20 @@ def main():
 
     for name, off in KNOWN.items():
         shape = TABLES[name]
+        if name == "intra_ext_tx":
+            # rodata holds only sets 1 (7-symbol) and 2 (5-symbol),
+            # back to back; set 0 is unused/zero in the spec
+            arr = np.zeros(shape, np.uint16)
+            n = 4 * 13 * 17
+            arr[1] = u16[off:off + n].reshape(4, 13, 17)
+            arr[2] = u16[off + n:off + 2 * n].reshape(4, 13, 17)
+            assert validate(arr[1].ravel(), 17)
+            assert validate(arr[2].ravel(), 17)
+            tables[name] = arr
+            continue
         total = int(np.prod(shape))
         seg = u16[off:off + total]
-        assert validate(seg, shape[-1], allow_zero_rows=(name == "intra_ext_tx")), name
+        assert validate(seg, shape[-1]), name
         tables[name] = seg.reshape(shape).copy()
 
     for name, arr in LITERAL.items():
@@ -186,6 +235,14 @@ def main():
     assert j >= 0 and j % 2 == 0, "dr_intra_derivative not found"
     tables["dr_intra_derivative"] = np.frombuffer(
         raw[j - 6:j - 6 + 90 * 2], np.uint16).copy()
+
+    # filter-intra 7-tap predictors: int8 [5][8][8], rows sum to 16;
+    # located by the first row (-6,10,0,0,0,12,0,0)
+    raw8 = u16.tobytes()
+    ti = raw8.find(np.array([-6, 10, 0, 0, 0, 12, 0, 0], np.int8).tobytes())
+    assert ti >= 0, "filter intra taps not found"
+    tables["filter_intra_taps"] = np.frombuffer(
+        raw8[ti:ti + 320], np.int8).reshape(5, 8, 8).copy()
 
     print("pinned:", len(tables))
     for name, shape in TABLES.items():

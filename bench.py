@@ -26,8 +26,9 @@ import numpy as np
 
 W, H = 4096, 4096
 TILES = 8   # 8x8 grid of 512x512 tiles
-K = 8       # decode iterations inside one jit call
-REPEATS = 2
+K = 64      # decode iterations inside one jit call
+K_CPU = 2
+REPEATS = 3
 
 
 def build():
@@ -43,21 +44,36 @@ def measure(k: int = K, repeats: int = REPEATS) -> float:
     from libheif_tpu.color.nclx import get_kr_kb
 
     layout, tiles = build()
-    base = kernels._build_extractor(kernels._layout_key(layout), jit=False)
     kr, kb = get_kr_kb(6)
+    on_tpu = jax.default_backend() == "tpu"
 
-    def step(t):
-        planes = base(t)
-        y = planes["Y"].astype(jnp.float32)
-        cb = jnp.repeat(jnp.repeat(planes["Cb"].astype(jnp.float32), 2, 0),
-                        2, 1) - 128.0
-        cr = jnp.repeat(jnp.repeat(planes["Cr"].astype(jnp.float32), 2, 0),
-                        2, 1) - 128.0
-        r = y + 2 * (1 - kr) * cr
-        b = y + 2 * (1 - kb) * cb
-        g = (y - kr * r - kb * b) / (1 - kr - kb)
-        return jnp.stack([jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint8)
-                          for c in (r, g, b)])
+    if on_tpu:
+        # flagship path: one fused Pallas program per tile (decode +
+        # chroma upsample on the MXU + H.273 matrix + pack), writing
+        # tiles directly into image position
+        from libheif_tpu.codecs.unc import pallas_fast
+
+        def step(t):
+            return pallas_fast.yuv420_tiles_to_rgb(
+                t, tile_rows=TILES, tile_cols=TILES,
+                tile_h=H // TILES, tile_w=W // TILES,
+                kr=float(kr), kb=float(kb))
+    else:
+        base = kernels._build_extractor(kernels._layout_key(layout),
+                                        jit=False)
+
+        def step(t):
+            planes = base(t)
+            y = planes["Y"].astype(jnp.float32)
+            cb = jnp.repeat(jnp.repeat(planes["Cb"].astype(jnp.float32),
+                                       2, 0), 2, 1) - 128.0
+            cr = jnp.repeat(jnp.repeat(planes["Cr"].astype(jnp.float32),
+                                       2, 0), 2, 1) - 128.0
+            r = y + 2 * (1 - kr) * cr
+            b = y + 2 * (1 - kb) * cb
+            g = (y - kr * r - kb * b) / (1 - kr - kb)
+            return jnp.stack([jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint8)
+                              for c in (r, g, b)])
 
     def many(t):
         def body(i, acc):
@@ -83,7 +99,7 @@ def main():
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        print(json.dumps({"cpu_mps": measure(k=2, repeats=2)}))
+        print(json.dumps({"cpu_mps": measure(k=K_CPU, repeats=2)}))
         return
 
     mps = measure()

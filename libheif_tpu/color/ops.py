@@ -146,6 +146,11 @@ class YCbCrToRGB(ColorOp):
         jnp = _jnp()
         bits = inp.bits_per_pixel
         maxval = (1 << bits) - 1
+
+        fast = self._apply_pallas(img, inp, outp, options)
+        if fast is not None:
+            return fast
+
         y = jnp.asarray(img.plane(Channel.Y)).astype(jnp.float32)
         h, w = y.shape
 
@@ -182,6 +187,49 @@ class YCbCrToRGB(ColorOp):
         out.set_plane(Channel.R, _round_clip(r, maxval).astype(dt), bits)
         out.set_plane(Channel.G, _round_clip(g, maxval).astype(dt), bits)
         out.set_plane(Channel.B, _round_clip(b, maxval).astype(dt), bits)
+        if img.has_channel(Channel.Alpha):
+            out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
+                          img.bit_depth(Channel.Alpha))
+        return out
+
+
+    # force True/False in tests; None = auto (TPU backend only)
+    USE_PALLAS = None
+
+    def _apply_pallas(self, img, inp, outp, options):
+        """TPU fast path: one fused Pallas program for upsample-exact
+        chroma + H.273 matrix + pack (pallas_fast.ycbcr8_planes_to_rgb).
+        Returns None when the layout is outside the kernel's envelope;
+        output matches the jnp path within 1 LSB (compiler FMA
+        ordering), exactly in interpret mode."""
+        use = YCbCrToRGB.USE_PALLAS
+        if use is None:
+            import jax
+            use = jax.default_backend() == "tpu"
+        if not use:
+            return None
+        if (inp.bits_per_pixel != 8 or inp.matrix_coefficients == 0
+                or not img.has_channel(Channel.Cb)):
+            return None
+        if options.chroma_upsampling not in (
+                ColorConversionOptions.BILINEAR,
+                ColorConversionOptions.NEAREST):
+            return None
+        jnp = _jnp()
+        from ..codecs.unc import pallas_fast
+        kr, kb = get_kr_kb(inp.matrix_coefficients, inp.color_primaries)
+        import jax
+        interpret = jax.default_backend() != "tpu"
+        rgb = pallas_fast.ycbcr8_planes_to_rgb(
+            jnp.asarray(img.plane(Channel.Y)),
+            jnp.asarray(img.plane(Channel.Cb)),
+            jnp.asarray(img.plane(Channel.Cr)),
+            kr=float(kr), kb=float(kb), full_range=bool(inp.full_range),
+            upsampling=options.chroma_upsampling, interpret=interpret)
+        out = self._base_output(img, outp)
+        out.set_plane(Channel.R, rgb[0], 8)
+        out.set_plane(Channel.G, rgb[1], 8)
+        out.set_plane(Channel.B, rgb[2], 8)
         if img.has_channel(Channel.Alpha):
             out.set_plane(Channel.Alpha, img.plane(Channel.Alpha),
                           img.bit_depth(Channel.Alpha))

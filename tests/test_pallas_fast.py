@@ -1,0 +1,115 @@
+"""Pallas fast-path kernels vs the portable jnp reference path.
+
+Contract: the integer decode/upsample stages are bit-exact; the final
+f32 color matrix may differ from the jnp pipeline by at most 1 LSB at
+exact round-half boundaries, because XLA/Mosaic make different FMA
+contraction choices per fusion (the reference's SIMD color paths have
+the same property vs its scalar path).  Tests assert <=1 LSB and that
+the overwhelming majority of pixels are exact.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from libheif_tpu.codecs.unc import kernels, pallas_fast  # noqa: E402
+from libheif_tpu.color.nclx import get_kr_kb  # noqa: E402
+from libheif_tpu.color import ops  # noqa: E402
+from libheif_tpu.color.ops import (  # noqa: E402
+    YCbCrToRGB, ColorConversionOptions, ColorState)
+from libheif_tpu.image.pixel_image import (  # noqa: E402
+    PixelImage, Colorspace, Chroma, Channel)
+
+
+def _ref_rgb_tiles(layout, tiles, kr, kb):
+    base = kernels._build_extractor(kernels._layout_key(layout), jit=False)
+    planes = base(tiles)
+    y = planes["Y"].astype(jnp.float32)
+    cb = jnp.repeat(jnp.repeat(planes["Cb"].astype(jnp.float32), 2, 0),
+                    2, 1) - 128.0
+    cr = jnp.repeat(jnp.repeat(planes["Cr"].astype(jnp.float32), 2, 0),
+                    2, 1) - 128.0
+    r = y + 2 * (1 - kr) * cr
+    b = y + 2 * (1 - kb) * cb
+    g = (y - kr * r - kb * b) / (1 - kr - kb)
+    return np.stack([np.clip(np.round(np.asarray(c)), 0, 255).astype(np.uint8)
+                     for c in (r, g, b)])
+
+
+def test_fused_tile_decode_matches_jnp_path():
+    from __graft_entry__ import _make_layout_and_tiles
+    layout, tiles = _make_layout_and_tiles(256, 128, 2, 2)
+    kr, kb = get_kr_kb(6)
+    ref = _ref_rgb_tiles(layout, tiles, kr, kb)
+    out = np.asarray(pallas_fast.yuv420_tiles_to_rgb(
+        tiles, tile_rows=2, tile_cols=2, tile_h=64, tile_w=128,
+        kr=float(kr), kb=float(kb), interpret=True))
+    d = np.abs(ref.astype(int) - out.astype(int))
+    assert d.max() <= 1, f"maxdiff {d.max()}"
+    assert (d > 0).mean() < 0.01
+
+
+def _make_ycbcr_image(w, h, chroma, seed=0):
+    rng = np.random.default_rng(seed)
+    img = PixelImage(w, h, Colorspace.YCbCr, chroma)
+    sub = {Chroma.C420: (2, 2), Chroma.C422: (2, 1), Chroma.C444: (1, 1)}
+    sx, sy = sub[chroma]
+    cw, ch = (w + sx - 1) // sx, (h + sy - 1) // sy
+    img.set_plane(Channel.Y,
+                  rng.integers(0, 256, (h, w), dtype=np.uint8), 8)
+    img.set_plane(Channel.Cb,
+                  rng.integers(0, 256, (ch, cw), dtype=np.uint8), 8)
+    img.set_plane(Channel.Cr,
+                  rng.integers(0, 256, (ch, cw), dtype=np.uint8), 8)
+    return img
+
+
+@pytest.mark.parametrize("chroma", [Chroma.C420, Chroma.C422, Chroma.C444])
+@pytest.mark.parametrize("upsampling", ["bilinear", "nearest-neighbor"])
+@pytest.mark.parametrize("size", [(64, 32), (129, 67)])
+@pytest.mark.parametrize("full_range", [True, False])
+def test_ycbcr_to_rgb_pallas_matches_jnp(chroma, upsampling, size,
+                                         full_range):
+    w, h = size
+    img = _make_ycbcr_image(w, h, chroma)
+    inp = ColorState(colorspace=Colorspace.YCbCr, chroma=chroma,
+                     has_alpha=False, bits_per_pixel=8,
+                     matrix_coefficients=6, full_range=full_range)
+    outp = ColorState(colorspace=Colorspace.RGB, chroma=Chroma.C444,
+                      has_alpha=False, bits_per_pixel=8)
+    op = YCbCrToRGB()
+    options = ColorConversionOptions(chroma_upsampling=upsampling)
+    try:
+        YCbCrToRGB.USE_PALLAS = False
+        ref = op.apply(img, inp, outp, options)
+        YCbCrToRGB.USE_PALLAS = True
+        fast = op.apply(img, inp, outp, options)
+    finally:
+        YCbCrToRGB.USE_PALLAS = None
+    for ch_name in (Channel.R, Channel.G, Channel.B):
+        a = np.asarray(ref.plane(ch_name))
+        b = np.asarray(fast.plane(ch_name))
+        assert a.shape == b.shape == (h, w)
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1, f"{ch_name}: maxdiff {d.max()}"
+        # only exact round-half boundary pixels may flip
+        assert (d > 0).mean() < 0.01, \
+            f"{ch_name}: {(d > 0).mean():.3%} pixels differ"
+
+
+def test_planar8_tiles_to_image():
+    T, th, tw, C = 4, 16, 128, 3
+    rng = np.random.default_rng(1)
+    ps = th * tw
+    tiles = rng.integers(0, 256, (T, C * ps + 8), dtype=np.uint8)
+    out = np.asarray(pallas_fast.planar8_tiles_to_image(
+        tiles, tile_rows=2, tile_cols=2, tile_h=th, tile_w=tw,
+        num_comps=C, interpret=True))
+    for t in range(T):
+        r, c = divmod(t, 2)
+        for comp in range(C):
+            expect = tiles[t, comp * ps:(comp + 1) * ps].reshape(th, tw)
+            got = out[comp, r * th:(r + 1) * th, c * tw:(c + 1) * tw]
+            assert np.array_equal(expect, got)

@@ -271,6 +271,10 @@ class JpegParser:
             comp = comps[0][0]
             total_mcus = comp.blocks_w * comp.blocks_h
 
+        if self._decode_scan_entropy_native(entropy, frame, comps,
+                                            interleaved, mcus_w, total_mcus):
+            return end
+
         # split on restart markers
         segments = self._split_restarts(entropy)
         ri = frame.restart_interval or total_mcus
@@ -291,9 +295,88 @@ class JpegParser:
             if mcu >= total_mcus:
                 break
         if mcu < total_mcus:
-            raise HeifError.eof(
+            # segments ran out (missing restart intervals): decode the
+            # remaining MCUs from zero bits, as libjpeg's resync does
+            frame.warnings.append(
                 f"JPEG scan truncated: {mcu}/{total_mcus} MCUs")
+            reader = BitReader(np.zeros(0, np.uint8))
+            preds = {c.comp_id: 0 for c, _, _ in comps}
+            while mcu < total_mcus:
+                self._decode_mcu(reader, frame, comps, interleaved,
+                                 mcus_w, mcu, preds)
+                mcu += 1
         return end
+
+    def _decode_scan_entropy_native(self, entropy: bytes, frame: JpegFrame,
+                                    comps, interleaved: bool, mcus_w: int,
+                                    total_mcus: int) -> bool:
+        """Run the scan through the C++ entropy engine (native/
+        src/jpeg_scan.cc).  Returns False to fall back to the Python
+        reference path (engine unavailable, or exotic table ids)."""
+        import ctypes
+        from ... import native
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        for _, td, ta in comps:
+            if not (0 <= td <= 3 and 0 <= ta <= 3):
+                return False
+            if td not in frame.huff_dc or ta not in frame.huff_ac:
+                return False
+
+        n = len(comps)
+        arr_i = lambda vals: (ctypes.c_int * n)(*vals)  # noqa: E731
+        dc_bits = (ctypes.c_uint8 * 64)()
+        dc_vals = (ctypes.c_uint8 * 1024)()
+        dc_nvals = (ctypes.c_int * 4)()
+        ac_bits = (ctypes.c_uint8 * 64)()
+        ac_vals = (ctypes.c_uint8 * 1024)()
+        ac_nvals = (ctypes.c_int * 4)()
+        for tid in range(4):
+            for tbl_dict, bits_a, vals_a, nv_a in (
+                    (frame.huff_dc, dc_bits, dc_vals, dc_nvals),
+                    (frame.huff_ac, ac_bits, ac_vals, ac_nvals)):
+                t = tbl_dict.get(tid)
+                if t is None:
+                    nv_a[tid] = 0
+                    continue
+                for i in range(16):
+                    bits_a[tid * 16 + i] = t.bits[i + 1]
+                for i, v in enumerate(t.values[:256]):
+                    vals_a[tid * 256 + i] = v
+                nv_a[tid] = len(t.values)
+
+        ptrs = (ctypes.POINTER(ctypes.c_int16) * n)()
+        for i, (comp, _, _) in enumerate(comps):
+            ptrs[i] = comp.coeffs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int16))
+        exhausted = ctypes.c_int(0)
+        rc = lib.tpuheif_jpeg_decode_scan(
+            entropy, ctypes.c_size_t(len(entropy)), n,
+            arr_i([c.h for c, _, _ in comps]),
+            arr_i([c.v for c, _, _ in comps]),
+            arr_i([c.blocks_w for c, _, _ in comps]),
+            arr_i([c.blocks_h for c, _, _ in comps]),
+            arr_i([td for _, td, _ in comps]),
+            arr_i([ta for _, _, ta in comps]),
+            ptrs, dc_bits, dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals,
+            int(interleaved), mcus_w, total_mcus,
+            frame.restart_interval, ctypes.byref(exhausted))
+        if rc == -1:
+            raise HeifError.invalid_input(SubError.Invalid_parameter_value,
+                                          "invalid huffman code")
+        if rc == -2:
+            raise HeifError.invalid_input(
+                SubError.Invalid_parameter_value,
+                "AC coefficient index out of range")
+        if rc == -4:
+            return False   # segments ran out: python path pads + warns
+        if rc != 0:
+            return False
+        if exhausted.value:
+            frame.warnings.append(
+                "premature end of entropy-coded data")
+        return True
 
     @staticmethod
     def _split_restarts(entropy: bytes) -> List[bytes]:

@@ -7,6 +7,7 @@ from . import codec_cfg  # noqa: F401
 from . import unc  # noqa: F401
 from . import seq  # noqa: F401
 from . import mini  # noqa: F401
+from . import tild  # noqa: F401
 
 __all__ = [
     "Box", "FullBox", "BoxHeader", "Box_other", "Box_Error",

@@ -511,6 +511,38 @@ class HeifContext:
             self.file.get_infe(tid).hidden = True
         return item_id
 
+    def add_tiled_image(self, image_width: int, image_height: int,
+                        tile_width: int, tile_height: int,
+                        fmt: str = "unci",
+                        offset_field_length: int = 40,
+                        size_field_length: int = 24) -> int:
+        """Create an empty 'tili' dynamically-tiled image; append tiles
+        with add_image_tile_to_tiled (ref: heif_context_add_tiled_image,
+        heif_experimental.h:146 → ImageItem_Tiled::add_new_tiled_item
+        tiled.cc:750).  Returns the tili item id."""
+        from .items.tiled_item import ImageItem_Tiled
+        from .boxes.tild import TiledImageParameters
+        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+            self.new_file()
+        params = TiledImageParameters(
+            image_width=image_width, image_height=image_height,
+            tile_width=tile_width, tile_height=tile_height,
+            offset_field_length=offset_field_length,
+            size_field_length=size_field_length)
+        item = ImageItem_Tiled.add_new_tiled_item(self, params, fmt)
+        if self.primary_id is None:
+            self.set_primary_item(item.item_id)
+        return item.item_id
+
+    def add_image_tile_to_tiled(self, tili_id: int, tile_x: int,
+                                tile_y: int, img: PixelImage,
+                                options: Optional[EncodingOptions] = None
+                                ) -> None:
+        """Encode one tile into a tili item created by add_tiled_image
+        (ref: ImageItem_Tiled::add_image_tile, tiled.cc:833)."""
+        item = self.get_item(tili_id)
+        item.add_image_tile(tile_x, tile_y, img, options)
+
     def set_primary_item(self, item_id: int) -> None:
         self.primary_id = item_id
         self.file.set_primary_item(item_id)
@@ -549,6 +581,12 @@ class HeifContext:
         self._pending_region_items = []
 
     def _write_impl(self) -> bytes:
+        # per-item pre-write hooks, e.g. tili offset-table patching
+        # (ref: ImageItem::process_before_write, tiled.cc:946)
+        for item in self.items.values():
+            hook = getattr(item, "process_before_write", None)
+            if hook is not None:
+                hook()
         return self.file.write()
 
     def write_to_file(self, path: str) -> None:

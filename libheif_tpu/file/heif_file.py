@@ -216,6 +216,83 @@ class HeifFile:
                     f"iloc construction method {method}")
         return b"".join(parts)
 
+    def get_item_data_range(self, item_id: int, offset: int,
+                            size: int) -> bytes:
+        """Ranged read within an item's logical payload without assembling
+        the whole item (ref: HeifFile::append_data_from_iloc with
+        offset/size args, file.h:122-134) — the access primitive behind
+        'tili' offset tables and streaming tile decode."""
+        it = self.iloc.find_item(item_id) if self.iloc else None
+        if it is None:
+            raise HeifError.invalid_input(SubError.No_item_data,
+                                          f"item {item_id} has no iloc entry")
+        self.limits.check_block_size(size, f"item {item_id} range")
+        method = it.construction_method
+        parts: List[bytes] = []
+        want_start, want_end = offset, offset + size
+        pos = 0
+        for ext in it.extents:
+            ext_start, ext_end = pos, pos + ext.length
+            pos = ext_end
+            lo, hi = max(want_start, ext_start), min(want_end, ext_end)
+            if lo >= hi:
+                continue
+            src = it.base_offset + ext.offset + (lo - ext_start)
+            length = hi - lo
+            if method == 0:
+                if self.buffer is None or src + length > len(self.buffer):
+                    raise HeifError.eof(
+                        f"iloc extent [{src}+{length}] beyond file end")
+                parts.append(bytes(self.buffer[src:src + length]))
+            elif method == 1:
+                if self.idat is None:
+                    raise HeifError.invalid_input(SubError.No_idat_box)
+                if src + length > len(self.idat.data):
+                    raise HeifError.eof("idat extent out of range")
+                parts.append(self.idat.data[src:src + length])
+            else:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_item_construction_method,
+                    f"iloc construction method {method}")
+        data = b"".join(parts)
+        if len(data) < size:
+            raise HeifError.eof(
+                f"item {item_id} range [{offset}+{size}] incomplete")
+        return data
+
+    def replace_item_data(self, item_id: int, offset: int,
+                          data: bytes) -> None:
+        """Overwrite previously appended item payload bytes in write mode
+        (ref: HeifFile::replace_iloc_data, used by ImageItem_Tiled::
+        process_before_write tiled.cc:946-957 to patch the offset table)."""
+        it = self.iloc.find_item(item_id) if self.iloc else None
+        if it is None or not hasattr(self, "_mdat_parts"):
+            raise HeifError.usage(
+                msg="replace_item_data requires a write-mode item")
+        want_start, want_end = offset, offset + len(data)
+        pos = 0
+        for ext in it.extents:
+            ext_start, ext_end = pos, pos + ext.length
+            pos = ext_end
+            if want_start >= ext_end or want_end <= ext_start:
+                continue
+            if want_start < ext_start or want_end > ext_end:
+                raise HeifError.usage(
+                    msg="replacement range spans iloc extents")
+            # extent.offset is mdat-relative; find the backing part
+            mdat_off = ext.offset
+            run = 0
+            for i, part in enumerate(self._mdat_parts):
+                if run == mdat_off and len(part) == ext.length:
+                    buf = bytearray(part)
+                    s = want_start - ext_start
+                    buf[s:s + len(data)] = data
+                    self._mdat_parts[i] = bytes(buf)
+                    return
+                run += len(part)
+            raise HeifError.usage(msg="extent does not map to an mdat part")
+        raise HeifError.usage(msg="replacement range outside item data")
+
     def get_item_extents(self, item_id: int) -> List[Tuple[int, int]]:
         """(absolute offset, length) per extent, for streaming/tiled access
         (method-0 items only)."""

@@ -15,7 +15,7 @@ from ...boxes.codec_cfg import remove_emulation_prevention
 from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
 from ..registry import Decoder, register_decoder
 from . import headers as H
-from .ctu import SliceParser
+from .native_parse import parse_slice
 from .recon import IntraReconstructor
 from .filters import Deblocker, apply_sao
 
@@ -124,8 +124,7 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]
     rbsp = remove_emulation_prevention(nal[2:])
     subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
 
-    parser = SliceParser(sps, pps, sh, rbsp, subs)
-    syntax = parser.parse()
+    syntax = parse_slice(sps, pps, sh, rbsp, subs)
 
     recon = IntraReconstructor(syntax)
     y, cb, cr = recon.run()

@@ -1,0 +1,171 @@
+"""ctypes bridge to the native C++ HEVC slice parser (hevc_parse.cc).
+
+Drives the same SliceSyntax output as the pure-Python SliceParser
+(ctu.py); parse_slice() dispatches to whichever engine is available.
+The Python engine stays the conformance anchor — test_hevc_native
+difftests the two bin-for-bin over the encoder's feature matrix.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from ... import native
+from .headers import SPS, PPS, SliceHeader
+from .cabac import ContextModels
+from .ctu import SliceSyntax, SliceParser, TU, SaoParam
+
+# fixed family order shared with hevc_parse.cc (enum CtxFamily)
+_FAMILIES = [
+    "sao_merge_flag", "sao_type_idx", "split_cu_flag",
+    "cu_transquant_bypass_flag", "part_mode", "prev_intra_luma_pred_flag",
+    "intra_chroma_pred_mode", "split_transform_flag", "cbf_luma",
+    "cbf_chroma", "cu_qp_delta_abs", "transform_skip_flag",
+    "last_sig_x_prefix", "last_sig_y_prefix", "coded_sub_block_flag",
+    "sig_coeff_flag", "coeff_abs_level_greater1_flag",
+    "coeff_abs_level_greater2_flag",
+]
+
+_proto_ready = False
+
+
+def _lib():
+    global _proto_ready
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    if not _proto_ready:
+        lib.tpuheif_hevc_parse_slice.restype = ctypes.c_int
+        _proto_ready = True
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def _params_array(sps: SPS, pps: PPS, sh: SliceHeader) -> np.ndarray:
+    pcm = 0
+    if sps.pcm_enabled:
+        pcm = 1 | (sps.log2_min_pcm_cb_size << 8) | \
+            (sps.log2_max_pcm_cb_size << 16)
+    vals = [
+        sps.pic_width, sps.pic_height, sps.log2_ctb_size,
+        sps.log2_min_cb_size, sps.log2_min_tb_size, sps.log2_max_tb_size,
+        sps.max_transform_hierarchy_depth_intra,
+        int(sps.sample_adaptive_offset_enabled), pcm,
+        int(pps.transquant_bypass_enabled),
+        int(pps.cu_qp_delta_enabled), pps.diff_cu_qp_delta_depth,
+        pps.cb_qp_offset, pps.cr_qp_offset,
+        int(pps.transform_skip_enabled),
+        int(pps.sign_data_hiding_enabled),
+        int(pps.entropy_coding_sync_enabled),
+        sh.qp, int(sh.sao_luma), int(sh.sao_chroma),
+        sh.cb_qp_offset, sh.cr_qp_offset,
+        sps.pic_width_in_ctbs, sps.pic_height_in_ctbs,
+    ]
+    return np.asarray(vals, dtype=np.int32)
+
+
+def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+                       substreams: List[Tuple[int, int]]
+                       ) -> Optional[SliceSyntax]:
+    """Parse via the C++ engine; None when the native lib is missing."""
+    lib = _lib()
+    if lib is None:
+        return None
+
+    out = SliceSyntax(sps, pps, sh)
+    w4, h4 = out.w4, out.h4
+
+    ctx = ContextModels(0, sh.qp)
+    fam = np.asarray([ContextModels.LAYOUT[n][0] for n in _FAMILIES],
+                     dtype=np.int32)
+    init_p = np.asarray(ctx.p_state, dtype=np.uint8)
+    init_m = np.asarray(ctx.val_mps, dtype=np.uint8)
+
+    subs = np.asarray([v for se in substreams for v in se], dtype=np.int64)
+    rbsp_arr = np.frombuffer(rbsp, dtype=np.uint8)
+
+    n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+    # worst-case TU count: every 4x4 luma position + chroma entries
+    tu_cap = 2 * w4 * h4 + 64
+    coeff_cap = 2 * sps.pic_width * sps.pic_height + 4096
+    tu_meta = np.zeros((tu_cap, 10), dtype=np.int32)
+    coeff_buf = np.zeros(coeff_cap, dtype=np.int32)
+    sao_buf = np.zeros((n_ctbs, 20), dtype=np.int16)
+    counts = np.zeros(2, dtype=np.int64)
+    err = ctypes.create_string_buffer(200)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    rc = lib.tpuheif_hevc_parse_slice(
+        ptr(rbsp_arr, ctypes.c_uint8), ctypes.c_int64(len(rbsp)),
+        ptr(_params_array(sps, pps, sh), ctypes.c_int32),
+        ptr(fam, ctypes.c_int32),
+        ptr(init_p, ctypes.c_uint8), ptr(init_m, ctypes.c_uint8),
+        ctypes.c_int32(len(init_p)),
+        ptr(subs, ctypes.c_int64), ctypes.c_int32(len(substreams)),
+        ptr(out.intra_mode_y, ctypes.c_uint8),
+        ptr(out.intra_mode_c, ctypes.c_uint8),
+        ptr(out.ct_depth, ctypes.c_uint8),
+        ptr(out.cu_log2, ctypes.c_uint8),
+        ptr(out.tu_log2, ctypes.c_uint8),
+        ptr(out.qp_y, ctypes.c_int16),
+        ptr(out.tqb_map, ctypes.c_uint8),
+        ptr(out.nonzero_y, ctypes.c_uint8),
+        ptr(out.avail, ctypes.c_uint8),
+        ctypes.c_int32(w4), ctypes.c_int32(h4),
+        ptr(tu_meta, ctypes.c_int32), ctypes.c_int64(tu_cap),
+        ptr(coeff_buf, ctypes.c_int32), ctypes.c_int64(coeff_cap),
+        ptr(sao_buf, ctypes.c_int16),
+        ptr(counts, ctypes.c_int64),
+        err, ctypes.c_int32(len(err)))
+
+    if rc == 2:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    err.value.decode() or "unsupported")
+    if rc != 0:
+        raise HeifError.invalid_input(
+            msg=err.value.decode() or "HEVC slice parse failed")
+
+    n_tus, _n_coeff = int(counts[0]), int(counts[1])
+    for i in range(n_tus):
+        m = tu_meta[i]
+        coeffs = None
+        if m[9] >= 0:
+            size = 1 << int(m[2])
+            coeffs = coeff_buf[int(m[9]):int(m[9]) + size * size] \
+                .reshape(size, size).copy()
+        out.tus.append(TU(
+            x=int(m[0]), y=int(m[1]), log2=int(m[2]), c_idx=int(m[3]),
+            pred_mode=int(m[4]), qp=int(m[5]), qg_serial=int(m[6]),
+            transform_skip=bool(m[7]), tqb=bool(m[8]), coeffs=coeffs))
+
+    if sps.sample_adaptive_offset_enabled and (sh.sao_luma or sh.sao_chroma):
+        n_cols = sps.pic_width_in_ctbs
+        for cy in range(sps.pic_height_in_ctbs):
+            for cx in range(n_cols):
+                e = sao_buf[cy * n_cols + cx]
+                sp = SaoParam()
+                sp.type_idx = [int(e[0]), int(e[1]), int(e[2])]
+                sp.offsets = [[int(e[3 + c * 4 + i]) for i in range(4)]
+                              for c in range(3)]
+                sp.band_pos = [int(e[15]), int(e[16]), int(e[17])]
+                sp.eo_class = [int(e[18]), int(e[19])]
+                out.sao[(cx, cy)] = sp
+    return out
+
+
+def parse_slice(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+                substreams: List[Tuple[int, int]]) -> SliceSyntax:
+    """Native when available, else the pure-Python reference parser."""
+    syn = parse_slice_native(sps, pps, sh, rbsp, substreams)
+    if syn is not None:
+        return syn
+    return SliceParser(sps, pps, sh, rbsp, substreams).parse()

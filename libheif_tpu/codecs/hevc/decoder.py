@@ -124,6 +124,13 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]
     rbsp = remove_emulation_prevention(nal[2:])
     subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
 
+    # fully-native fast path: parse + recon + filters in C++ without
+    # per-TU Python objects; falls back to the Python reference pipeline
+    from .native_parse import decode_picture_native
+    planes = decode_picture_native(sps, pps, sh, rbsp, subs)
+    if planes is not None:
+        return planes
+
     syntax = parse_slice(sps, pps, sh, rbsp, subs)
 
     recon = IntraReconstructor(syntax)

@@ -71,10 +71,10 @@ def _params_array(sps: SPS, pps: PPS, sh: SliceHeader) -> np.ndarray:
     return np.asarray(vals, dtype=np.int32)
 
 
-def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
-                       substreams: List[Tuple[int, int]]
-                       ) -> Optional[SliceSyntax]:
-    """Parse via the C++ engine; None when the native lib is missing."""
+def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+               substreams: List[Tuple[int, int]]):
+    """Run the native parser; returns (syntax, tu_meta, n_tus, coeff_buf,
+    sao_buf) with syntax.tus/sao left raw, or None without the lib."""
     lib = _lib()
     if lib is None:
         return None
@@ -95,8 +95,9 @@ def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     # worst-case TU count: every 4x4 luma position + chroma entries
     tu_cap = 2 * w4 * h4 + 64
     coeff_cap = 2 * sps.pic_width * sps.pic_height + 4096
-    tu_meta = np.zeros((tu_cap, 10), dtype=np.int32)
-    coeff_buf = np.zeros(coeff_cap, dtype=np.int32)
+    # scratch buffers the C++ engine writes before any read
+    tu_meta = np.empty((tu_cap, 10), dtype=np.int32)
+    coeff_buf = np.empty(coeff_cap, dtype=np.int32)
     sao_buf = np.zeros((n_ctbs, 20), dtype=np.int16)
     counts = np.zeros(2, dtype=np.int64)
     err = ctypes.create_string_buffer(200)
@@ -134,7 +135,18 @@ def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
         raise HeifError.invalid_input(
             msg=err.value.decode() or "HEVC slice parse failed")
 
-    n_tus, _n_coeff = int(counts[0]), int(counts[1])
+    return out, tu_meta, int(counts[0]), coeff_buf, sao_buf
+
+
+def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+                       substreams: List[Tuple[int, int]]
+                       ) -> Optional[SliceSyntax]:
+    """Parse via the C++ engine into a full SliceSyntax (TU objects +
+    SAO dict); None when the native lib is missing."""
+    raw = _parse_raw(sps, pps, sh, rbsp, substreams)
+    if raw is None:
+        return None
+    out, tu_meta, n_tus, coeff_buf, sao_buf = raw
     for i in range(n_tus):
         m = tu_meta[i]
         coeffs = None
@@ -169,3 +181,91 @@ def parse_slice(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     if syn is not None:
         return syn
     return SliceParser(sps, pps, sh, rbsp, substreams).parse()
+
+
+# ---------------------------------------------------------------- recon
+
+_recon_tables = None
+
+
+def _get_recon_tables():
+    """int32 copies of the authoritative Python tables for the native
+    reconstructor (tables.py stays the single source of truth)."""
+    global _recon_tables
+    if _recon_tables is None:
+        from .tables import DCT, DST4, INTRA_PRED_ANGLE, INTRA_INV_ANGLE
+        from .filters import BETA_TABLE, TC_TABLE
+        pred_angle = np.zeros(35, np.int32)
+        inv_angle = np.zeros(35, np.int32)
+        for mode in range(2, 35):
+            a = INTRA_PRED_ANGLE[mode]
+            pred_angle[mode] = a
+            if a < 0:
+                inv_angle[mode] = INTRA_INV_ANGLE[a]
+        _recon_tables = dict(
+            dst4=np.ascontiguousarray(DST4, np.int32),
+            dct4=np.ascontiguousarray(DCT[4], np.int32),
+            dct8=np.ascontiguousarray(DCT[8], np.int32),
+            dct16=np.ascontiguousarray(DCT[16], np.int32),
+            dct32=np.ascontiguousarray(DCT[32], np.int32),
+            beta=np.ascontiguousarray(BETA_TABLE, np.int32),
+            tc=np.ascontiguousarray(TC_TABLE, np.int32),
+            pred_angle=pred_angle, inv_angle=inv_angle)
+    return _recon_tables
+
+
+def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+                          substreams: List[Tuple[int, int]]):
+    """Full native decode: parse + recon + deblock + SAO without
+    materializing Python TU objects.  Returns (Y, Cb, Cr) int32 planes
+    or None when the native lib is missing."""
+    raw = _parse_raw(sps, pps, sh, rbsp, substreams)
+    if raw is None:
+        return None
+    out, tu_meta, n_tus, coeff_buf, sao_buf = raw
+    lib = _lib()
+    lib.tpuheif_hevc_recon.restype = ctypes.c_int
+
+    sao_present = int(sps.sample_adaptive_offset_enabled and
+                      (sh.sao_luma or sh.sao_chroma))
+    rparams = np.asarray([
+        sps.pic_width, sps.pic_height, sps.log2_ctb_size,
+        sps.bit_depth_luma, sps.bit_depth_chroma,
+        int(sps.strong_intra_smoothing),
+        int(sh.deblocking_filter_disabled),
+        sh.beta_offset_div2 * 2, sh.tc_offset_div2 * 2,
+        pps.cb_qp_offset, pps.cr_qp_offset, sao_present,
+    ], dtype=np.int32)
+
+    t = _get_recon_tables()
+    y = np.zeros((sps.pic_height, sps.pic_width), np.int32)
+    cb = np.zeros((sps.pic_height >> 1, sps.pic_width >> 1), np.int32)
+    cr = np.zeros_like(cb)
+    err = ctypes.create_string_buffer(200)
+
+    def ptr(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    rc = lib.tpuheif_hevc_recon(
+        ptr(rparams, ctypes.c_int32),
+        ptr(tu_meta, ctypes.c_int32), ctypes.c_int64(n_tus),
+        ptr(coeff_buf, ctypes.c_int32),
+        ptr(out.tu_log2, ctypes.c_uint8),
+        ptr(out.cu_log2, ctypes.c_uint8),
+        ptr(out.qp_y, ctypes.c_int16),
+        ptr(out.tqb_map, ctypes.c_uint8),
+        ctypes.c_int32(out.w4), ctypes.c_int32(out.h4),
+        ptr(sao_buf, ctypes.c_int16),
+        ptr(t["dst4"], ctypes.c_int32), ptr(t["dct4"], ctypes.c_int32),
+        ptr(t["dct8"], ctypes.c_int32), ptr(t["dct16"], ctypes.c_int32),
+        ptr(t["dct32"], ctypes.c_int32),
+        ptr(t["beta"], ctypes.c_int32), ptr(t["tc"], ctypes.c_int32),
+        ptr(t["pred_angle"], ctypes.c_int32),
+        ptr(t["inv_angle"], ctypes.c_int32),
+        ptr(y, ctypes.c_int32), ptr(cb, ctypes.c_int32),
+        ptr(cr, ctypes.c_int32),
+        ctypes.c_int32(1), err, ctypes.c_int32(len(err)))
+    if rc != 0:
+        raise HeifError.invalid_input(
+            msg=err.value.decode() or "HEVC reconstruction failed")
+    return y, cb, cr

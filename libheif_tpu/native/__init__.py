@@ -20,7 +20,7 @@ _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
 _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_build")
 
-_SOURCES = ["jpeg_scan.cc", "hevc_parse.cc"]
+_SOURCES = ["jpeg_scan.cc", "hevc_parse.cc", "hevc_recon.cc"]
 _LIB_NAME = "libtpuheif_native.so"
 
 _lock = threading.Lock()
@@ -42,7 +42,7 @@ def _build() -> str:
     srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     if os.path.exists(out) and os.path.getmtime(out) >= _newest_mtime(srcs):
         return out
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", out] + srcs
     subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     return out

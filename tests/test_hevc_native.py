@@ -83,6 +83,34 @@ def test_native_matches_python(name, kw, size, smooth):
 
 
 @needs_native
+@pytest.mark.parametrize("name,kw,size,smooth", CONFIGS,
+                         ids=[c[0] for c in CONFIGS])
+def test_native_full_decode_matches_python(name, kw, size, smooth):
+    """Native parse+recon+filters (hevc_recon.cc) vs the numpy pipeline."""
+    from libheif_tpu.codecs.hevc.native_parse import decode_picture_native
+    from libheif_tpu.codecs.hevc.recon import IntraReconstructor
+    from libheif_tpu.codecs.hevc.filters import Deblocker, apply_sao
+    w, h = size
+    img = make_image(w, h, 7, smooth)
+    enc = IntraEncoder(w, h, EncParams(**kw))
+    slice_nal, cfg_nals = enc.encode(img)
+    sps = H.parse_sps(cfg_nals[0])
+    pps = H.parse_pps(cfg_nals[1])
+    sh = H.parse_slice_header(slice_nal, sps, {pps.pps_id: pps})
+    rbsp = remove_emulation_prevention(slice_nal[2:])
+    subs = _substreams(slice_nal, rbsp, sh.data_offset_bits,
+                       sh.entry_point_offsets)
+    syn = SliceParser(sps, pps, sh, rbsp, subs).parse()
+    planes = IntraReconstructor(syn).run()
+    Deblocker(syn, planes).run()
+    py_planes = apply_sao(syn, planes)
+    nat_planes = decode_picture_native(sps, pps, sh, rbsp, subs)
+    assert nat_planes is not None
+    for i, (a, b) in enumerate(zip(py_planes, nat_planes)):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {i}")
+
+
+@needs_native
 def test_native_example_heic():
     """Real x265 stream (WPP + SAO + AQ + RQT) parses identically."""
     import os

@@ -1,0 +1,203 @@
+"""AV1 CDEF (constrained directional enhancement filter), spec §7.15.
+
+Reference-correct numpy/Python implementation applied after deblocking.
+The direction search, constraint function, and tap sets follow the spec
+exactly; validated bit-exactly against libaom decodes
+(tests/test_av1_conformance.py cdef cases).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+CDEF_VERY_LARGE = 30000
+
+# Cdef_Directions[dir][k] = (dy, dx) (spec §7.15.3)
+CDEF_DIRECTIONS = (
+    ((-1, 1), (-2, 2)),
+    ((0, 1), (-1, 2)),
+    ((0, 1), (0, 2)),
+    ((0, 1), (1, 2)),
+    ((1, 1), (2, 2)),
+    ((1, 0), (2, 1)),
+    ((1, 0), (2, 0)),
+    ((1, 0), (2, -1)),
+)
+
+_DIV_TABLE = (0, 840, 420, 280, 210, 168, 140, 120, 105)
+
+_PRI_TAPS = ((4, 2), (3, 3))
+_SEC_TAPS = (2, 1)
+
+
+def _find_direction(img: np.ndarray, coeff_shift: int):
+    """8x8 direction search (spec §7.15.2). Returns (dir, var)."""
+    partial = [[0] * 15 for _ in range(8)]
+    for i in range(8):
+        for j in range(8):
+            x = (int(img[i, j]) >> coeff_shift) - 128
+            partial[0][i + j] += x
+            partial[1][i + j // 2] += x
+            partial[2][i] += x
+            partial[3][3 + i - j // 2] += x
+            partial[4][7 + i - j] += x
+            partial[5][3 - i // 2 + j] += x
+            partial[6][j] += x
+            partial[7][i // 2 + j] += x
+    cost = [0] * 8
+    for i in range(8):
+        cost[2] += partial[2][i] * partial[2][i]
+        cost[6] += partial[6][i] * partial[6][i]
+    cost[2] *= 105
+    cost[6] *= 105
+    for i in range(7):
+        cost[0] += (partial[0][i] ** 2 + partial[0][14 - i] ** 2) * \
+            _DIV_TABLE[i + 1]
+        cost[4] += (partial[4][i] ** 2 + partial[4][14 - i] ** 2) * \
+            _DIV_TABLE[i + 1]
+    cost[0] += partial[0][7] ** 2 * _DIV_TABLE[8]
+    cost[4] += partial[4][7] ** 2 * _DIV_TABLE[8]
+    for d in (1, 3, 5, 7):
+        for j in range(5):
+            cost[d] += partial[d][3 + j] ** 2
+        cost[d] *= 105
+        for j in range(3):
+            cost[d] += (partial[d][j] ** 2 + partial[d][10 - j] ** 2) * \
+                _DIV_TABLE[2 * j + 2]
+    best = 0
+    for d in range(8):
+        if cost[d] > cost[best]:
+            best = d
+    var = (cost[best] - cost[(best + 4) & 7]) >> 10
+    return best, var
+
+
+def _constrain(diff: int, threshold: int, damping: int) -> int:
+    if not threshold:
+        return 0
+    damp = max(0, damping - (threshold.bit_length() - 1))
+    a = abs(diff)
+    v = min(a, max(0, threshold - (a >> damp)))
+    return -v if diff < 0 else v
+
+
+def _filter_block(dst, src_pad, y0, x0, h, w, pri, sec, damping, direction,
+                  coeff_shift, maxv):
+    """Filter one block; src_pad is the padded uint16 source with
+    CDEF_VERY_LARGE outside the frame, offset by (2, 2)."""
+    pri_taps = _PRI_TAPS[(pri >> coeff_shift) & 1]
+    for dy in range(h):
+        for dx in range(w):
+            x = int(src_pad[y0 + dy + 2, x0 + dx + 2])
+            s = 0
+            mn = mx = x
+            if pri:
+                for k in range(2):
+                    oy, ox = CDEF_DIRECTIONS[direction][k]
+                    for sgn in (1, -1):
+                        p = int(src_pad[y0 + dy + 2 + sgn * oy,
+                                        x0 + dx + 2 + sgn * ox])
+                        s += pri_taps[k] * _constrain(p - x, pri, damping)
+                        if p != CDEF_VERY_LARGE:
+                            mx = max(p, mx)
+                            mn = min(p, mn)
+            if sec:
+                for k in range(2):
+                    for d2 in ((direction + 2) & 7, (direction + 6) & 7):
+                        oy, ox = CDEF_DIRECTIONS[d2][k]
+                        for sgn in (1, -1):
+                            p = int(src_pad[y0 + dy + 2 + sgn * oy,
+                                            x0 + dx + 2 + sgn * ox])
+                            s += _SEC_TAPS[k] * _constrain(p - x, sec,
+                                                           damping)
+                            if p != CDEF_VERY_LARGE:
+                                mx = max(p, mx)
+                                mn = min(p, mn)
+            v = x + ((8 + s - (1 if s < 0 else 0)) >> 4)
+            dst[y0 + dy, x0 + dx] = max(mn, min(mx, v))
+
+
+def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
+               frame_w: int, frame_h: int) -> List[np.ndarray]:
+    """Filter the frame in 64x64 units (spec §7.15.1); returns new
+    planes (source remains the unfiltered deblocked frame).  Operates
+    on the mi-aligned decode planes; outside them neighbors read
+    CDEF_VERY_LARGE."""
+    c = fh.cdef
+    coeff_shift = seq.bit_depth - 8
+    maxv = (1 << seq.bit_depth) - 1
+    ssx, ssy = seq.subsampling_x, seq.subsampling_y
+    num_planes = 1 if seq.monochrome else 3
+
+    pads = []
+    outs = []
+    for p_idx in range(num_planes):
+        ph, pw = planes[p_idx].shape
+        pad = np.full((ph + 4, pw + 4), CDEF_VERY_LARGE, np.int32)
+        pad[2:2 + ph, 2:2 + pw] = planes[p_idx]
+        pads.append(pad)
+        outs.append(planes[p_idx].copy())
+
+    mi_rows, mi_cols = dec.mi_rows, dec.mi_cols
+    skips = dec.skip_map
+    y_damp = c.damping + coeff_shift
+    uv_damp = y_damp - 1
+
+    for r in range(0, mi_rows, 16):
+        for col in range(0, mi_cols, 16):
+            idx = int(dec.cdef_idx[r, col])
+            if idx < 0:
+                continue
+            y_pri = c.y_pri[idx] << coeff_shift
+            y_sec = c.y_sec[idx] << coeff_shift
+            uv_pri = (c.uv_pri[idx] << coeff_shift) if num_planes > 1 else 0
+            uv_sec = (c.uv_sec[idx] << coeff_shift) if num_planes > 1 else 0
+            n_hb = min(16, mi_rows - r) >> 1
+            n_wb = min(16, mi_cols - col) >> 1
+            for i in range(n_hb):
+                for j in range(n_wb):
+                    mr = r + (i << 1)
+                    mc = col + (j << 1)
+                    if skips[mr, mc] and skips[mr, mc + 1] and \
+                            skips[mr + 1, mc] and skips[mr + 1, mc + 1]:
+                        continue
+                    ly, lx = mr * 4, mc * 4
+                    # direction search on the luma 8x8 (aom
+                    # cdef_find_dir); only when primary filtering is on
+                    direction, var = 0, 0
+                    if y_pri:
+                        blk = pads[0][ly + 2:ly + 10, lx + 2:lx + 10]
+                        direction, var = _find_direction(blk, coeff_shift)
+                    # luma primary strength adjusted by local variance
+                    # (aom adjust_strength): zero variance disables it
+                    if y_pri:
+                        if var:
+                            i_log = min((var >> 6).bit_length() - 1, 12) \
+                                if (var >> 6) else 0
+                            pri_adj = (y_pri * (4 + i_log) + 8) >> 4
+                        else:
+                            pri_adj = 0
+                    else:
+                        pri_adj = 0
+                    ph, pw = planes[0].shape
+                    h = min(8, ph - ly)
+                    w = min(8, pw - lx)
+                    if h > 0 and w > 0:
+                        _filter_block(outs[0], pads[0], ly, lx, h, w,
+                                      pri_adj, y_sec, y_damp, direction,
+                                      coeff_shift, maxv)
+                    if num_planes > 1 and (uv_pri or uv_sec):
+                        cy, cx = (ly >> ssy), (lx >> ssx)
+                        cdir = direction  # Cdef_Uv_Dir[1][1] = identity
+                        cph, cpw = planes[1].shape
+                        chh = min(8 >> ssy, cph - cy)
+                        cww = min(8 >> ssx, cpw - cx)
+                        if chh <= 0 or cww <= 0:
+                            continue
+                        for p_idx in (1, 2):
+                            _filter_block(outs[p_idx], pads[p_idx], cy, cx,
+                                          chh, cww, uv_pri, uv_sec,
+                                          uv_damp, cdir, coeff_shift, maxv)
+    return outs

@@ -82,3 +82,10 @@ class CdfContext:
         self.palette_uv_size = _to_lists(d["palette_uv_size"])
         self.palette_y_mode = _to_lists(d["palette_y_mode"])
         self.palette_uv_mode = _to_lists(d["palette_uv_mode"])
+        # loop-restoration CDFs (spec Default CDF Tables:
+        # default_switchable_restore_cdf = CDF3(9413, 22581),
+        # default_wiener_restore_cdf = CDF2(11570),
+        # default_sgrproj_restore_cdf = CDF2(16855); icdf convention)
+        self.restore_switchable = [32768 - 9413, 32768 - 22581, 0, 0]
+        self.restore_wiener = [32768 - 11570, 0, 0]
+        self.restore_sgrproj = [32768 - 16855, 0, 0]

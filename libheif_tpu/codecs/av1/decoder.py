@@ -78,8 +78,8 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
     if not fh.coded_lossless and (any(fh.cdef.y_pri) or any(fh.cdef.y_sec)
                                   or any(fh.cdef.uv_pri)
                                   or any(fh.cdef.uv_sec)):
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "CDEF (yet)")
+        from .cdef import apply_cdef
+        planes = apply_cdef(planes, dec, seq, fh, w, h)
     if any(t != 0 for t in fh.lr_type):
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "loop restoration (yet)")

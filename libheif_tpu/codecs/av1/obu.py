@@ -360,6 +360,7 @@ class FrameHeader:
     lr_type: Tuple[int, int, int] = (0, 0, 0)
     lr_unit_shift: int = 0
     lr_uv_shift: int = 0
+    lr_unit_size: Tuple[int, int, int] = (64, 64, 64)
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
     header_bit_size: int = 0     # bits consumed (for OBU_FRAME)
@@ -529,11 +530,14 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
         c.y_pri, c.y_sec, c.uv_pri, c.uv_sec = [], [], [], []
         for _ in range(n):
             c.y_pri.append(r.f(4))
-            c.y_sec.append(r.f(2))
+            # sec strength 3 means 4 (spec 5.9.19)
+            s = r.f(2)
+            c.y_sec.append(4 if s == 3 else s)
         if not seq.monochrome:
             for _ in range(n):
                 c.uv_pri.append(r.f(4))
-                c.uv_sec.append(r.f(2))
+                s = r.f(2)
+                c.uv_sec.append(4 if s == 3 else s)
     # lr_params (spec §5.9.20)
     if (not fh.all_lossless and not fh.allow_intrabc
             and seq.enable_restoration):
@@ -544,6 +548,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
             k = r.f(2)
             kinds.append(k)
             uses = uses or k != 0
+        # raw 2-bit codes are already in FrameRestorationType order:
+        # 0 none, 1 switchable, 2 wiener, 3 sgrproj (spec Remap_Lr_Type)
         fh.lr_type = tuple(kinds + [0] * (3 - len(kinds)))
         if uses:
             if seq.use_128x128_superblock:
@@ -554,8 +560,12 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
                     fh.lr_unit_shift += r.f(1)
             if seq.subsampling_x and seq.subsampling_y:
                 fh.lr_uv_shift = r.f(1)
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "loop restoration")
+        # luma unit size: 256 >> (2 - shift)  (spec 5.9.20,
+        # RESTORATION_TILESIZE_MAX = 256); chroma >> lr_uv_shift
+        fh.lr_unit_size = (256 >> (2 - fh.lr_unit_shift),)
+        fh.lr_unit_size = (fh.lr_unit_size[0],
+                           fh.lr_unit_size[0] >> fh.lr_uv_shift,
+                           fh.lr_unit_size[0] >> fh.lr_uv_shift)
     # read_tx_mode
     if fh.coded_lossless:
         fh.tx_mode_select = False

@@ -48,6 +48,13 @@ _TX1D = {
 }
 
 
+def _round2(x: int, n: int) -> int:
+    """(spec Round2)."""
+    if n == 0:
+        return x
+    return (x + (1 << (n - 1))) >> n
+
+
 def _tx_class(tx_type: int) -> str:
     if tx_type in (T.V_DCT, T.V_ADST, T.V_FLIPADST):
         return 'v'
@@ -177,6 +184,32 @@ class TileDecoder:
         self._cur_tx_type = T.DCT_DCT
         self.edges = EdgeMaps([p.shape for p in planes])
 
+        # CDEF filter index per 64x64 unit, stored at its top-left mi
+        # (-1 = every block skipped; spec read_cdef 5.11.56)
+        self.cdef_idx = np.full((self.mi_rows, self.mi_cols), -1, np.int32)
+
+        # loop-restoration per-unit state (spec read_lr 5.11.57):
+        # resolved type (0 none / 2 wiener / 3 sgrproj), wiener taps
+        # [pass][tap], sgr set index + projection coefficients
+        self.lr_unit_dims = []
+        self.lr_unit_type = []
+        self.lr_wiener = []
+        self.lr_sgr_set = []
+        self.lr_sgr_xqd = []
+        for plane in range(self.num_planes):
+            sub_x = 0 if plane == 0 else self.ssx
+            sub_y = 0 if plane == 0 else self.ssy
+            usize = fh.lr_unit_size[plane]
+            fw = _round2(fh.frame_width, sub_x)
+            fhh = _round2(fh.frame_height, sub_y)
+            ur = max((fhh + (usize >> 1)) // usize, 1)
+            uc = max((fw + (usize >> 1)) // usize, 1)
+            self.lr_unit_dims.append((ur, uc))
+            self.lr_unit_type.append(np.zeros((ur, uc), np.int32))
+            self.lr_wiener.append(np.zeros((ur, uc, 2, 3), np.int32))
+            self.lr_sgr_set.append(np.zeros((ur, uc), np.int32))
+            self.lr_sgr_xqd.append(np.zeros((ur, uc, 2), np.int32))
+
     # ---------------------------------------------------------- tile loop
 
     def decode_tile(self, data: bytes, mi_col0: int, mi_col1: int,
@@ -204,6 +237,12 @@ class TileDecoder:
         sb_log2 = 5 if self.seq.use_128x128_superblock else 4
         sb_sz = T.BLOCK_128X128 if self.seq.use_128x128_superblock \
             else T.BLOCK_64X64
+        # loop-restoration coefficient predictors reset per tile
+        # (spec 5.11.2)
+        self._ref_lr_wiener = [[[3, -7, 15], [3, -7, 15]]
+                               for _ in range(self.num_planes)]
+        self._ref_sgr_xqd = [[-32, 31] for _ in range(self.num_planes)]
+
         for mr in range(mi_row0, mi_row1, self.sb_mi):
             # left contexts reset each SB row
             self.left_part[:] = 0
@@ -214,7 +253,128 @@ class TileDecoder:
             self.sb_mi_row = mr
             for mc in range(mi_col0, mi_col1, self.sb_mi):
                 self.sb_mi_col = mc
+                self._read_lr(mr, mc)
                 self._decode_partition(mr, mc, sb_sz)
+
+    # ----------------------------------------------------- loop restoration
+
+    # spec constants (5.11.58): wiener tap bounds/subexp k/midpoints,
+    # sgrproj projection bounds
+    _WIENER_MIN = (-5, -23, -17)
+    _WIENER_MAX = (10, 8, 46)
+    _WIENER_K = (1, 2, 3)
+    _XQD_MIN = (-96, -32)
+    _XQD_MAX = (31, 95)
+
+    def _decode_subexp_bool(self, num_syms: int, k: int) -> int:
+        """(spec 9.2.x decode_subexp_bool): literal bools via msac."""
+        r = self.r
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                # decode_uniform(num_syms - mk) (spec 9.2.x: w =
+                # FloorLog2(n) + 1, m = (1 << w) - n)
+                n = num_syms - mk
+                w = n.bit_length()
+                m = (1 << w) - n
+                v = r.read_literal(w - 1) if w > 1 else 0
+                if v < m:
+                    return v + mk
+                return ((v << 1) - m + r.read_literal(1)) + mk
+            if r.read_literal(1):
+                i += 1
+                mk += a
+            else:
+                return r.read_literal(b2) + mk
+
+    def _decode_signed_subexp_with_ref(self, low: int, high: int, k: int,
+                                       ref: int) -> int:
+        mx = high - low
+        rr = ref - low
+        v = self._decode_subexp_bool(mx, k)
+
+        def inverse_recenter(r0, v0):
+            if v0 > 2 * r0:
+                return v0
+            if v0 & 1:
+                return r0 + ((v0 + 1) >> 1)
+            return r0 - (v0 >> 1)
+
+        if (rr << 1) <= mx:
+            return inverse_recenter(rr, v) + low
+        return mx - 1 - inverse_recenter(mx - 1 - rr, v) + low
+
+    def _read_lr(self, mr: int, mc: int) -> None:
+        """Per-superblock restoration-unit syntax (spec 5.11.57)."""
+        fh = self.fh
+        if fh.allow_intrabc:
+            return
+        for plane in range(self.num_planes):
+            if fh.lr_type[plane] == 0:
+                continue
+            sub_x = 0 if plane == 0 else self.ssx
+            sub_y = 0 if plane == 0 else self.ssy
+            usize = fh.lr_unit_size[plane]
+            ur_total, uc_total = self.lr_unit_dims[plane]
+            row_start = ((mr * 4 >> sub_y) + usize - 1) // usize
+            row_end = min(ur_total,
+                          (((mr + self.sb_mi) * 4 >> sub_y) + usize - 1)
+                          // usize)
+            numer = 4 >> sub_x
+            denom = usize
+            col_start = (mc * numer + denom - 1) // denom
+            col_end = min(uc_total,
+                          ((mc + self.sb_mi) * numer + denom - 1) // denom)
+            for ur in range(row_start, row_end):
+                for uc in range(col_start, col_end):
+                    self._read_lr_unit(plane, ur, uc)
+
+    def _read_lr_unit(self, plane: int, ur: int, uc: int) -> None:
+        """(spec 5.11.58)."""
+        fh, r = self.fh, self.r
+        frame_type = fh.lr_type[plane]
+        if frame_type == 1:        # switchable: 0 none / 1 wiener / 2 sgr
+            sym = r.read_symbol_n(self.cdf.restore_switchable, 3)
+            unit_type = (0, 2, 3)[sym]
+        elif frame_type == 2:      # wiener
+            unit_type = 2 if r.read_symbol_n(self.cdf.restore_wiener, 2) \
+                else 0
+        else:                      # sgrproj
+            unit_type = 3 if r.read_symbol_n(self.cdf.restore_sgrproj, 2) \
+                else 0
+        self.lr_unit_type[plane][ur, uc] = unit_type
+
+        if unit_type == 2:         # wiener taps
+            for p in range(2):
+                first = 1 if plane else 0
+                if plane:
+                    self.lr_wiener[plane][ur, uc, p, 0] = 0
+                for j in range(first, 3):
+                    v = self._decode_signed_subexp_with_ref(
+                        self._WIENER_MIN[j], self._WIENER_MAX[j] + 1,
+                        self._WIENER_K[j], self._ref_lr_wiener[plane][p][j])
+                    self.lr_wiener[plane][ur, uc, p, j] = v
+                    self._ref_lr_wiener[plane][p][j] = v
+        elif unit_type == 3:       # sgrproj set + projection coeffs
+            lr_sgr_set = r.read_literal(4)
+            self.lr_sgr_set[plane][ur, uc] = lr_sgr_set
+            from .lr import SGR_PARAMS
+            for i in range(2):
+                radius = SGR_PARAMS[lr_sgr_set][i * 2]
+                mn, mx = self._XQD_MIN[i], self._XQD_MAX[i]
+                if radius:
+                    v = self._decode_signed_subexp_with_ref(
+                        mn, mx + 1, 4, self._ref_sgr_xqd[plane][i])
+                else:
+                    v = 0
+                    if i == 1:
+                        v = max(mn, min(mx, (1 << 7) - int(
+                            self.lr_sgr_xqd[plane][ur, uc, 0])))
+                self.lr_sgr_xqd[plane][ur, uc, i] = v
+                self._ref_sgr_xqd[plane][i] = v
 
     # ---------------------------------------------------------- partition
 
@@ -378,6 +538,19 @@ class TileDecoder:
         a_skip = int(self.above_skip[mc]) if have_above else 0
         l_skip = int(self.left_skip[mr - self.sb_mi_row]) if have_left else 0
         skip = r.read_symbol_n(self.cdf.skip[a_skip + l_skip], 2)
+
+        # ---- cdef index (spec read_cdef 5.11.56): one literal per
+        # 64x64 unit, read at the first non-skip block ----
+        if not skip and not fh.coded_lossless and seq.enable_cdef and \
+                not fh.allow_intrabc:
+            r1, c1 = mr & ~15, mc & ~15
+            if self.cdef_idx[r1, c1] == -1:
+                idx = r.read_literal(fh.cdef.bits)
+                # blocks >64x64 cover several cdef units (spec loop)
+                for i in range(r1, r1 + max(mi_h, 1), 16):
+                    for j in range(c1, c1 + max(mi_w, 1), 16):
+                        if i < self.mi_rows and j < self.mi_cols:
+                            self.cdef_idx[i, j] = idx
 
         # delta q / delta lf (disabled by construction for our streams)
         if fh.delta_q_present:

@@ -28,6 +28,14 @@ CDEF_DIRECTIONS = (
 
 _DIV_TABLE = (0, 840, 420, 280, 210, 168, 140, 120, 105)
 
+# CDEF neighbor reads cover aom's full 8-aligned decode buffer; pixels
+# there beyond the true frame are recon padding.  Known corner: for
+# frames with non-8-aligned dims our padding pixel values can differ
+# from aom's in the outer 2px strip (don't-care region feeding taps),
+# leaving a handful of +-2 diffs at the frame edge; interior is
+# bit-exact.
+_VALID_ALIGN = 8
+
 _PRI_TAPS = ((4, 2), (3, 3))
 _SEC_TAPS = (2, 1)
 
@@ -131,12 +139,24 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
     ssx, ssy = seq.subsampling_x, seq.subsampling_y
     num_planes = 1 if seq.monochrome else 3
 
+    # valid sample extent for neighbor reads (see _VALID_ALIGN): aom's
+    # cdef source covers its mi-aligned buffer
+    a = _VALID_ALIGN - 1
+    vw = (frame_w + a) & ~a
+    vh = (frame_h + a) & ~a
+    dims = []
     pads = []
     outs = []
     for p_idx in range(num_planes):
-        ph, pw = planes[p_idx].shape
-        pad = np.full((ph + 4, pw + 4), CDEF_VERY_LARGE, np.int32)
-        pad[2:2 + ph, 2:2 + pw] = planes[p_idx]
+        pw = vw if p_idx == 0 else vw >> ssx
+        ph = vh if p_idx == 0 else vh >> ssy
+        dims.append((pw, ph))
+        # buffer spans the full (8-aligned) decode plane so 8x8 reads
+        # never truncate; samples beyond the valid mi extent read
+        # CDEF_VERY_LARGE, like aom's bordered source buffer
+        fph, fpw = planes[p_idx].shape
+        pad = np.full((fph + 4, fpw + 4), CDEF_VERY_LARGE, np.int32)
+        pad[2:2 + ph, 2:2 + pw] = planes[p_idx][:ph, :pw]
         pads.append(pad)
         outs.append(planes[p_idx].copy())
 
@@ -164,10 +184,10 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
                             skips[mr + 1, mc] and skips[mr + 1, mc + 1]:
                         continue
                     ly, lx = mr * 4, mc * 4
-                    # direction search on the luma 8x8 (aom
-                    # cdef_find_dir); only when primary filtering is on
+                    # direction search on the luma 8x8 (aom cdef_fb:
+                    # computed when luma pri OR sec filtering is on)
                     direction, var = 0, 0
-                    if y_pri:
+                    if y_pri or y_sec:
                         blk = pads[0][ly + 2:ly + 10, lx + 2:lx + 10]
                         direction, var = _find_direction(blk, coeff_shift)
                     # luma primary strength adjusted by local variance
@@ -181,9 +201,9 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
                             pri_adj = 0
                     else:
                         pri_adj = 0
-                    ph, pw = planes[0].shape
-                    h = min(8, ph - ly)
-                    w = min(8, pw - lx)
+                    pw0, ph0 = dims[0]
+                    h = min(8, ph0 - ly)
+                    w = min(8, pw0 - lx)
                     if h > 0 and w > 0:
                         _filter_block(outs[0], pads[0], ly, lx, h, w,
                                       pri_adj, y_sec, y_damp, direction,
@@ -191,7 +211,7 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
                     if num_planes > 1 and (uv_pri or uv_sec):
                         cy, cx = (ly >> ssy), (lx >> ssx)
                         cdir = direction  # Cdef_Uv_Dir[1][1] = identity
-                        cph, cpw = planes[1].shape
+                        cpw, cph = dims[1]
                         chh = min(8 >> ssy, cph - cy)
                         cww = min(8 >> ssx, cpw - cx)
                         if chh <= 0 or cww <= 0:

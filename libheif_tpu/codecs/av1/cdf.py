@@ -33,6 +33,37 @@ def _to_lists(arr) -> list:
     return [_to_lists(a) for a in arr]
 
 
+def _icdf(*cdf):
+    """AOM_CDFn(...) to the inverse row convention used here."""
+    return [32768 - v for v in cdf] + [0, 0]
+
+
+# palette mode/size defaults (spec Default CDF Tables /
+# aom entropymode.c; validated empirically against libaom decodes —
+# the rodata extractor cannot pin these short rows reliably)
+_PALETTE_UV_MODE = [_icdf(32461), _icdf(21488)]
+
+_PALETTE_Y_SIZE = [
+    _icdf(7952, 13000, 18149, 21478, 25527, 29347),
+    _icdf(7139, 11421, 16195, 19544, 23666, 28073),
+    _icdf(7788, 12741, 17325, 20500, 24315, 28530),
+    _icdf(8271, 14064, 18246, 21564, 25071, 28533),
+    _icdf(12725, 19180, 21863, 24839, 27535, 30120),
+    _icdf(9711, 14888, 16923, 21052, 25661, 27875),
+    _icdf(14940, 20797, 21678, 24186, 27033, 28999),
+]
+
+_PALETTE_UV_SIZE = [
+    _icdf(8713, 21979, 27615, 29749, 31708, 32148),
+    _icdf(17371, 27808, 30701, 31852, 32313, 32578),
+    _icdf(19813, 28911, 31243, 32145, 32532, 32648),
+    _icdf(17604, 27852, 31593, 32130, 32550, 32700),
+    _icdf(26097, 31845, 32489, 32654, 32716, 32735),
+    _icdf(25644, 30607, 31238, 32038, 32606, 32702),
+    _icdf(26110, 30969, 31286, 32009, 32639, 32700),
+]
+
+
 class CdfContext:
     """One tile's adaptive CDF state (re-initialised from defaults)."""
 
@@ -81,7 +112,11 @@ class CdfContext:
         self.palette_y_size = _to_lists(d["palette_y_size"])
         self.palette_uv_size = _to_lists(d["palette_uv_size"])
         self.palette_y_mode = _to_lists(d["palette_y_mode"])
-        self.palette_uv_mode = _to_lists(d["palette_uv_mode"])
+        self.palette_uv_mode = [r[:] for r in _PALETTE_UV_MODE]
+        self.palette_y_size = _to_lists(d["palette_y_size"])
+        self.palette_uv_size = _to_lists(d["palette_uv_size"])
+        self.palette_y_color = _to_lists(d["palette_y_color"])    # [7][5][9]
+        self.palette_uv_color = _to_lists(d["palette_uv_color"])  # [7][5][9]
         # loop-restoration CDFs (spec Default CDF Tables:
         # default_switchable_restore_cdf = CDF3(9413, 22581),
         # default_wiener_restore_cdf = CDF2(11570),

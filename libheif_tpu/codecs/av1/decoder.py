@@ -71,18 +71,20 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
             dec.decode_tile(tiles[idx], mc0, mc1, mr0, mr1)
             idx += 1
 
-    # in-loop filters
+    # in-loop filters: deblock → CDEF → loop restoration (LR reads the
+    # deblocked frame at stripe boundaries, spec §7.17.1)
     if not fh.coded_lossless and any(fh.loop_filter_levels):
         from .deblock import apply_deblock
         apply_deblock(planes, dec.edges, fh, w, h)
+    deblocked = planes
     if not fh.coded_lossless and (any(fh.cdef.y_pri) or any(fh.cdef.y_sec)
                                   or any(fh.cdef.uv_pri)
                                   or any(fh.cdef.uv_sec)):
         from .cdef import apply_cdef
         planes = apply_cdef(planes, dec, seq, fh, w, h)
     if any(t != 0 for t in fh.lr_type):
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "loop restoration (yet)")
+        from .lr import apply_lr
+        planes = apply_lr(planes, deblocked, dec, seq, fh, w, h)
     if seq.monochrome:
         return {"Y": planes[0][:h, :w]}
     cw, ch = (w + (1 << ssx) - 1) >> ssx, (h + (1 << ssy) - 1) >> ssy

@@ -528,13 +528,13 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
         c.bits = r.f(2)
         n = 1 << c.bits
         c.y_pri, c.y_sec, c.uv_pri, c.uv_sec = [], [], [], []
+        # strengths interleave y/uv per index (spec 5.9.19);
+        # sec strength 3 means 4
         for _ in range(n):
             c.y_pri.append(r.f(4))
-            # sec strength 3 means 4 (spec 5.9.19)
             s = r.f(2)
             c.y_sec.append(4 if s == 3 else s)
-        if not seq.monochrome:
-            for _ in range(n):
+            if not seq.monochrome:
                 c.uv_pri.append(r.f(4))
                 s = r.f(2)
                 c.uv_sec.append(4 if s == 3 else s)

@@ -139,7 +139,9 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
             src = np.concatenate(  # replicate last available sample
                 [src, np.full(w - len(src), src[-1], np.int64)])
         above[:w] = src
-        ntr = min(n_top_right, h)
+        # copied top-right extension caps at the tx width (aom
+        # build_intra_predictors: AOMMIN(txwpx, xr)); rest replicates
+        ntr = min(n_top_right, w)
         if ntr > 0:
             ext = plane[y - 1, x + w:x + w + ntr].astype(np.int64)
             above[w:w + len(ext)] = ext
@@ -155,7 +157,9 @@ def predict_intra(plane: np.ndarray, x: int, y: int, w: int, h: int,
             src = np.concatenate(
                 [src, np.full(h - len(src), src[-1], np.int64)])
         left[:h] = src
-        nbl = min(n_bottom_left, w)
+        # copied bottom-left extension caps at the tx height (aom:
+        # AOMMIN(txhpx, yd)); rest replicates
+        nbl = min(n_bottom_left, h)
         if nbl > 0:
             ext = plane[y + h:y + h + nbl, x - 1].astype(np.int64)
             left[h:h + len(ext)] = ext

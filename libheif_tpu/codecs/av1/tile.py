@@ -175,6 +175,11 @@ class TileDecoder:
                                 np.int32)
         self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.pal_y = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        # per-mi palette color lists for the prediction cache
+        self.pal_y_colors = [[None] * self.mi_cols
+                             for _ in range(self.mi_rows)]
+        self.pal_u_colors = [[None] * self.mi_cols
+                             for _ in range(self.mi_rows)]
         self.tx_wide = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_high = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.block_decoded = [
@@ -237,6 +242,11 @@ class TileDecoder:
         sb_log2 = 5 if self.seq.use_128x128_superblock else 4
         sb_sz = T.BLOCK_128X128 if self.seq.use_128x128_superblock \
             else T.BLOCK_64X64
+        # tiles decode independently: neighbor-sample availability must
+        # not cross tile boundaries (spec 5.11.2)
+        for m in self.block_decoded:
+            m[:] = 0
+
         # loop-restoration coefficient predictors reset per tile
         # (spec 5.11.2)
         self._ref_lr_wiener = [[[3, -7, 15], [3, -7, 15]]
@@ -598,10 +608,16 @@ class TileDecoder:
                     self.cdf.angle_delta[uv_mode - T.V_PRED])
                 angle_uv = sym - 3
 
-        # palette flags (spec palette_mode_info; only the "no palette"
-        # path is supported — actual palettes raise below)
-        if fh.allow_screen_content_tools and w >= 8 and h >= 8 and \
+        # palette (spec palette_mode_info 5.11.46)
+        self._pal = {"y": None, "u": None, "v": None,
+                     "y_map": None, "uv_map": None}
+        has_pal_y = 0
+        # (aom av1_allow_palette: enum-based gate — the extended
+        # rectangular sizes 4X16/16X4/8X32/... sort above BLOCK_8X8 and
+        # DO signal palette flags)
+        if fh.allow_screen_content_tools and bsize >= T.BLOCK_8X8 and \
                 w <= 64 and h <= 64:
+            from . import palette as P
             if y_mode == T.DC_PRED:
                 bctx = (w * h).bit_length() - 1 - 6   # log2 pels - log2 64
                 pal_ctx = (int(self.pal_y[mr - 1, mc]) if have_above
@@ -610,22 +626,49 @@ class TileDecoder:
                 has_pal_y = r.read_symbol_n(
                     self.cdf.palette_y_mode[bctx][pal_ctx], 2)
                 if has_pal_y:
-                    raise HeifError.unsupported(SubError.Unsupported_codec,
-                                                "palette coding (yet)")
+                    n_y = r.read_symbol_n(
+                        self.cdf.palette_y_size[bctx], 7) + 2
+                    cache = P.get_palette_cache(
+                        self.pal_y_colors, mr, mc, self.mr0, self.mc0)
+                    self._pal["y"] = P.read_colors_y(r, cache, n_y, self.bd)
             if has_chroma and uv_mode == T.DC_PRED:
+                bctx = (w * h).bit_length() - 1 - 6
                 has_pal_uv = r.read_symbol_n(
-                    self.cdf.palette_uv_mode[0], 2)
+                    self.cdf.palette_uv_mode[1 if has_pal_y else 0], 2)
                 if has_pal_uv:
-                    raise HeifError.unsupported(SubError.Unsupported_codec,
-                                                "palette coding (yet)")
+                    n_uv = r.read_symbol_n(
+                        self.cdf.palette_uv_size[bctx], 7) + 2
+                    cache = P.get_palette_cache(
+                        self.pal_u_colors, mr, mc, self.mr0, self.mc0)
+                    cu, cv = P.read_colors_uv(r, cache, n_uv, self.bd)
+                    self._pal["u"], self._pal["v"] = cu, cv
         self._fi_mode = None
         if seq.enable_filter_intra and y_mode == T.DC_PRED and \
+                self._pal["y"] is None and \
                 w <= 32 and h <= 32:
             use_fi = r.read_symbol_n(
                 self._filter_intra_cdf(bsize), 2)
             if use_fi:
                 self._fi_mode = r.read_symbol_n(
                     self.cdf.filter_intra_mode, 5)
+
+        # palette color-index maps: parsed before the tx-size symbol
+        # (empirically pinned against libaom decode order)
+        if self._pal["y"] is not None or self._pal["u"] is not None:
+            from . import palette as P
+            vis_h = min(h, (self.mi_rows - mr) * 4)
+            vis_w = min(w, (self.mi_cols - mc) * 4)
+            if self._pal["y"] is not None:
+                self._pal["y_map"] = P.read_color_map(
+                    r, self.cdf.palette_y_color, len(self._pal["y"]),
+                    vis_h, vis_w, h, w)
+                self._pal["y_org"] = (mc * 4, mr * 4)
+            if self._pal["u"] is not None:
+                cbw = max(w, 8 if self.ssx else 4) >> self.ssx
+                cbh = max(h, 8 if self.ssy else 4) >> self.ssy
+                self._pal["uv_map"] = P.read_color_map(
+                    r, self.cdf.palette_uv_color, len(self._pal["u"]),
+                    vis_h >> self.ssy, vis_w >> self.ssx, cbh, cbw)
 
         # ---- tx size ----
         if fh.coded_lossless:
@@ -639,6 +682,12 @@ class TileDecoder:
         self.y_modes[mr:mr + mi_h, mc:mc + mi_w] = y_mode
         self.uv_modes[mr:mr + mi_h, mc:mc + mi_w] = uv_mode
         self.skip_map[mr:mr + mi_h, mc:mc + mi_w] = skip
+        self.pal_y[mr:mr + mi_h, mc:mc + mi_w] = \
+            1 if self._pal["y"] is not None else 0
+        for rr in range(mr, min(mr + mi_h, self.mi_rows)):
+            for cc2 in range(mc, min(mc + mi_w, self.mi_cols)):
+                self.pal_y_colors[rr][cc2] = self._pal["y"]
+                self.pal_u_colors[rr][cc2] = self._pal["u"]
         self.above_skip[mc:mc + mi_w] = skip
         self.left_skip[mr - self.sb_mi_row:
                        mr - self.sb_mi_row + mi_h] = skip
@@ -742,6 +791,7 @@ class TileDecoder:
         uv_tx = T.TX_4X4 if fh.coded_lossless else self._uv_tx_size(bsize)
         utw, uth = T.tx_w(uv_tx), T.tx_h(uv_tx)
         cx0, cy0 = (cc * 4) >> self.ssx, (cr * 4) >> self.ssy
+        self._pal["uv_org"] = (cx0, cy0)
         for cy in range(0, h, 64):
             for cx in range(0, w, 64):
                 # luma txbs of this chunk
@@ -815,7 +865,22 @@ class TileDecoder:
             n_bl = steps
 
         pred_mode = T.DC_PRED if (plane and mode == T.UV_CFL_PRED) else mode
-        if plane == 0 and self._fi_mode is not None:
+        pal_colors = None
+        if plane == 0 and self._pal["y"] is not None:
+            pal_colors, pal_map = self._pal["y"], self._pal["y_map"]
+            pal_org = self._pal["y_org"]
+        elif plane == 1 and self._pal["u"] is not None:
+            pal_colors, pal_map = self._pal["u"], self._pal["uv_map"]
+            pal_org = self._pal["uv_org"]
+        elif plane == 2 and self._pal["v"] is not None:
+            pal_colors, pal_map = self._pal["v"], self._pal["uv_map"]
+            pal_org = self._pal["uv_org"]
+        if pal_colors is not None:
+            # palette prediction (spec 7.11.4): map indices -> colors
+            rx, ry = px - pal_org[0], py - pal_org[1]
+            idxs = pal_map[ry:ry + th, rx:rx + tw]
+            pred = np.asarray(pal_colors, np.int64)[idxs]
+        elif plane == 0 and self._fi_mode is not None:
             pred = R.predict_filter_intra(
                 frame, px, py, tw, th, self._fi_mode, have_above,
                 have_left, self.bd)
@@ -844,6 +909,17 @@ class TileDecoder:
                 q3 = box.astype(np.int64) << 2
             else:                              # 444: Q3 = sample<<3
                 q3 = luma[ly:ly + th, lx:lx + tw].astype(np.int64) << 3
+            if q3.shape != (th, tw):
+                # tx extends past the decode plane: replicate the last
+                # available row/col (aom cfl_pad)
+                full = np.empty((th, tw), np.int64)
+                bh, bw = q3.shape
+                full[:bh, :bw] = q3
+                if bw < tw:
+                    full[:bh, bw:] = full[:bh, bw - 1:bw]
+                if bh < th:
+                    full[bh:, :] = full[bh - 1:bh, :]
+                q3 = full
             avg = int(q3.sum()) >> (tw.bit_length() - 1 +
                                     th.bit_length() - 1)
             ac = q3 - avg

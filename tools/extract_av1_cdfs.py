@@ -132,6 +132,10 @@ KNOWN = {
     "angle_delta":    47664,
     "y_mode":         48448,
     "tx_size":        48616,
+    # palette color-index tables sit before txb_skip; identified by
+    # their spec first rows (y: CDF2(28710), uv: CDF2(29089))
+    "palette_y_color": 42912,
+    "palette_uv_color": 42592,
 }
 
 # Tables whose values are confirmed (spec defaults recognized verbatim

@@ -17,6 +17,7 @@ from typing import Optional, Set
 
 from ..core.error import HeifError, SubError
 from ..boxes.codec_cfg import Box_hvcC, Box_av1C, Box_avcC, Box_vvcC, Box_jpgC
+from ..boxes.j2k import Box_j2kH
 from ..boxes.meta import Box_ispe
 from ..image.pixel_image import PixelImage
 from ..codecs import registry
@@ -97,4 +98,4 @@ class ImageItem_JPEG2000(CodedImageItem):
     """(ref: jpeg2000.h:33)."""
 
     compression_format = "jpeg2000"
-    config_box_cls = None
+    config_box_cls = Box_j2kH

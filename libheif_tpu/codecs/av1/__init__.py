@@ -12,5 +12,7 @@ tools/extract_av1_cdfs.py and shipped as default_cdfs.npz.
 """
 
 from .decoder import Av1Decoder, register as _register_dec
+from .encoder import Av1Encoder, register_enc as _register_enc
 
 _register_dec()
+_register_enc()

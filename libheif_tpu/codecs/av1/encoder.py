@@ -286,10 +286,26 @@ class TileEncoder(TL.TileDecoder):
                     if self.seq.use_128x128_superblock else T.BLOCK_64X64)
         return self._enc.done()
 
-    # partition policy: a callable (mr, mc, bsize) → PARTITION_*;
-    # default NONE at superblock level
-    partition_policy = staticmethod(
-        lambda mr, mc, bsize: T.PARTITION_NONE)
+    # partition policy: (mr, mc, bsize) → PARTITION_*. Default: NONE,
+    # except (a) blocks that extend past the padded source plane are
+    # SPLIT so every transform block lies inside the frame (edge blocks
+    # straddling the pad would otherwise produce shape-mismatched
+    # residuals and be coded as all-zero), and (b) lossy blocks are
+    # split to lossy_max_block so the largest-tx mode codes the full
+    # coefficient field (TX_64X64 zeroes everything outside the low
+    # 32x32 frequencies).
+    lossy_max_block = 16
+
+    def partition_policy(self, mr, mc, bsize):
+        w, h = T.BLOCK_SIZES[bsize]
+        src_h, src_w = self.src[0].shape
+        if bsize != T.BLOCK_8X8:
+            if mc * 4 + w > src_w or mr * 4 + h > src_h:
+                return T.PARTITION_SPLIT
+            if not self.fh.coded_lossless and \
+                    max(w, h) > self.lossy_max_block:
+                return T.PARTITION_SPLIT
+        return T.PARTITION_NONE
 
     def _decode_partition(self, mr, mc, bsize):
         if mr >= self.mr1 or mc >= self.mc1:
@@ -315,7 +331,31 @@ class TileEncoder(TL.TileDecoder):
     # mode chooser hook: returns (y_mode, angle_y, uv_mode, angle_uv);
     # angles in [-3, 3], only used for directional modes
     def mode_policy(self, mr, mc, bsize):
-        return T.DC_PRED, 0, T.DC_PRED, 0
+        if self.fh.coded_lossless:
+            return T.DC_PRED, 0, T.DC_PRED, 0
+        # lossy: pick the luma mode with minimum prediction SSE against
+        # the source (prediction uses the current recon state, exactly
+        # what the decoder will see)
+        w, h = T.BLOCK_SIZES[bsize]
+        px, py = mc * 4, mr * 4
+        tx = T.MAX_TX_SIZE_RECT[bsize]
+        src = self.src[0][py:py + h, px:px + w]
+        best_sse, best_mode = None, T.DC_PRED
+        saved_angle = self._cur_angle
+        self._cur_angle = 0
+        for mode in (T.DC_PRED, T.V_PRED, T.H_PRED,
+                     T.SMOOTH_PRED, T.PAETH_PRED):
+            try:
+                pred = self._pred_for(0, px, py, tx, mode)
+            except Exception:
+                continue
+            if pred.shape != src.shape:
+                continue
+            sse = int(((src - pred) ** 2).sum())
+            if best_sse is None or sse < best_sse:
+                best_sse, best_mode = sse, mode
+        self._cur_angle = saved_angle
+        return best_mode, 0, T.DC_PRED, 0
 
     def _plan_block(self, mr, mc, bsize):
         # Skip: decide by checking all txbs have zero residual — requires
@@ -457,14 +497,16 @@ class TileEncoder(TL.TileDecoder):
         # quant step below via calibration constants
         f = _fdct2d(resid)
         q = self._quant_steps(plane)
-        # effective forward scale: itx output = coeff * 2^ishift where
-        # the integer inverse applies gain sqrt(w*h)/2^4 ... fold into
-        # per-size scale measured from itx (cached)
-        sc = _itx_gain(ftw, fth)
-        lv = np.round(f[:th, :tw] * sc / np.array(
-            [[q[0] if (r == 0 and c == 0) else q[1]
-              for c in range(tw)] for r in range(th)])).astype(np.int64)
-        shift = 1 if max(ftw, fth) >= 32 else (0)
+        # invert the decoder's dequant chain (tile.py _dequant_itx):
+        # itx input d satisfies fdct(itx(d)) = g*d with g = _itx_gain,
+        # and d = level*q >> shift (av1_get_tx_scale by pixel count),
+        # so level = F * 2^shift / (g * q)
+        g = _itx_gain(ftw, fth)
+        pels = ftw * fth
+        shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        qmat = np.full((th, tw), q[1], np.float64)
+        qmat[0, 0] = q[0]
+        lv = np.round(f[:th, :tw] * (1 << shift) / (g * qmat)).astype(np.int64)
         np.clip(lv, -(1 << 15), (1 << 15) - 1, out=lv)
         return T.DCT_DCT, lv
 
@@ -619,3 +661,53 @@ class Av1IntraEncoder:
         out += _obu(1, seq_payload)
         out += _obu(6, fh_bytes + tile)
         return out
+
+
+# --------------------------------------------------------------------------
+# registry encoder
+# --------------------------------------------------------------------------
+
+class Av1Encoder(RegistryEncoder):
+    """AVIF registry encoder (replaces the reference's aom plugin
+    boundary, reference: libheif/plugins/encoder_aom.cc — quality →
+    quantizer mapping at encoder_aom.cc `cq-level`)."""
+
+    id = "tpu-av1"
+    format = "av1"
+    lossy_supported = True
+    lossless_supported = True
+
+    def encode_single_image(self, img: PixelImage, options=None):
+        from ...color import convert_image
+        from ...boxes.codec_cfg import Box_av1C
+        from ...boxes.meta import Box_ispe
+        quality = getattr(options, "quality", 50) if options else 50
+        lossless = bool(getattr(options, "lossless", False)) \
+            or quality >= 100
+        if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        base_q = 0 if lossless else max(1, min(255, (100 - quality) * 255 // 100))
+        params = Av1EncParams(base_q_idx=base_q)
+        y = img.plane(Channel.Y)
+        u = img.plane(Channel.Cb)
+        v = img.plane(Channel.Cr)
+        data = Av1IntraEncoder(img.width, img.height, params).encode(y, u, v)
+        cfg = Box_av1C()
+        cfg.seq_profile = 0
+        cfg.high_bitdepth = 0
+        cfg.monochrome = 0
+        cfg.chroma_subsampling_x = 1
+        cfg.chroma_subsampling_y = 1
+        # store the sequence-header OBU as configOBUs (ref: avif.cc
+        # ImageItem_AVIF fills av1C from the first OBUs)
+        from .obu import split_obus, OBU_SEQUENCE_HEADER
+        for ob in split_obus(data):
+            if ob.type == OBU_SEQUENCE_HEADER:
+                cfg.config_obus = bytes([(OBU_SEQUENCE_HEADER << 3) | 2]) \
+                    + _leb128(len(ob.payload)) + ob.payload
+                break
+        return data, cfg, [(Box_ispe(img.width, img.height), False)]
+
+
+def register_enc():
+    register_encoder(Av1Encoder())

@@ -145,6 +145,10 @@ class IlocItem:
     data_reference_index: int = 0
     base_offset: int = 0
     extents: List[IlocExtent] = field(default_factory=list)
+    # True when method-0 extent offsets are relative to the mdat payload
+    # being assembled for writing; False when they are absolute offsets
+    # into a source file that was read (rebased before re-writing).
+    mdat_relative: bool = False
 
 
 @register_box("iloc")

@@ -80,7 +80,7 @@ class HeifContext:
         """Start a new visual sequence track
         (ref: heif_context_add_visual_sequence_track)."""
         from .sequences.track import VisualTrackWriter
-        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+        if self.file is None:
             self.new_file()
         tw = VisualTrackWriter(self.file, width, height, fmt, timescale,
                                track_id=len(self._track_writers) + 1)
@@ -296,7 +296,7 @@ class HeifContext:
         """Encode an image as a new item; returns the item id
         (ref: HeifContext::encode_image context.cc:1600)."""
         options = options or EncodingOptions()
-        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+        if self.file is None:
             self.new_file()
 
         if fmt == "unci":
@@ -523,7 +523,7 @@ class HeifContext:
         tiled.cc:750).  Returns the tili item id."""
         from .items.tiled_item import ImageItem_Tiled
         from .boxes.tild import TiledImageParameters
-        if self.file is None or not hasattr(self.file, "_mdat_parts"):
+        if self.file is None:
             self.new_file()
         params = TiledImageParameters(
             image_width=image_width, image_height=image_height,
@@ -559,7 +559,7 @@ class HeifContext:
     def _finalize_brands(self) -> None:
         """Recompute ftyp from content (ref: brands.cc write path)."""
         f = self.file
-        if f is None or not hasattr(f, "_mdat_parts") or f.ftyp is None:
+        if f is None or not f.created_for_writing or f.ftyp is None:
             return      # read-mode file: preserve original brands
         from .brands import compute_brands
         item_types = []

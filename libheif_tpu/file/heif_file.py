@@ -45,6 +45,7 @@ class HeifFile:
     def __init__(self, limits: Optional[SecurityLimits] = None):
         self.limits = limits or SecurityLimits()
         self.buffer: Optional[memoryview] = None  # whole-file bytes (read path)
+        self.created_for_writing = False  # True for files built from scratch
         self.top_boxes: List[Box] = []
         self.ftyp: Optional[Box_ftyp] = None
         self.meta: Optional[Box_meta] = None
@@ -347,6 +348,7 @@ class HeifFile:
                          compatible: Optional[List[str]] = None) -> None:
         """Create the empty box skeleton for a new file
         (ref: HeifFile::new_empty_file)."""
+        self.created_for_writing = True
         self.ftyp = Box_ftyp(major_brand, 0, compatible or
                              ["mif1", "heic", "miaf"])
         self.meta = Box_meta()
@@ -377,10 +379,13 @@ class HeifFile:
                          construction_method: int = 0) -> None:
         """Append payload bytes for an item (ref: HeifFile::append_iloc_data
         file.h:232).  Method-0 offsets are mdat-relative until patched."""
+        if self.buffer is not None:
+            self._materialize_read_extents()
         it = self.iloc.find_item(item_id)
         if it is None:
             it = IlocItem(item_id=item_id,
-                          construction_method=construction_method)
+                          construction_method=construction_method,
+                          mdat_relative=True)
             self.iloc.items.append(it)
         if construction_method == 0:
             if not hasattr(self, "_mdat_parts"):
@@ -411,9 +416,44 @@ class HeifFile:
             self.meta.children.append(self.iref)
         self.iref.add_reference(ref_type, from_id, to_ids)
 
+    def _materialize_read_extents(self) -> None:
+        """Rebase method-0 iloc extents that point into the source read
+        buffer into in-memory mdat parts, so that a file read from disk
+        can be modified and re-written (ref: HeifContext::write rewrites
+        all item data into a fresh mdat, context.cc:382)."""
+        if self.iloc is None:
+            return
+        if not hasattr(self, "_mdat_parts"):
+            self._mdat_parts, self._mdat_size = [], 0
+        for it in self.iloc.items:
+            if it.mdat_relative or it.construction_method != 0:
+                continue
+            new_extents = []
+            for ext in it.extents:
+                start = it.base_offset + ext.offset
+                if self.buffer is None or \
+                        start + ext.length > len(self.buffer):
+                    raise HeifError.eof(
+                        f"iloc extent [{start}+{ext.length}] beyond file end")
+                new_extents.append(
+                    IlocExtent(0, self._mdat_size, ext.length))
+                self._mdat_parts.append(
+                    bytes(self.buffer[start:start + ext.length]))
+                self._mdat_size += ext.length
+            it.extents = new_extents
+            it.base_offset = 0
+            it.mdat_relative = True
+
     def write(self) -> bytes:
         """Serialize the file: boxes, then mdat, then patch iloc offsets
         (ref: HeifContext::write context.cc:382 + Box_iloc patching)."""
+        if self.meta is None:
+            raise HeifError.unsupported(
+                SubError.Unsupported_data_version,
+                "re-writing a file without a meta box (mini-format read) "
+                "is not supported; re-encode its images into a new context")
+        if self.buffer is not None:
+            self._materialize_read_extents()
         w = ByteWriter()
         if self.iref is not None and not self.iref.references and \
                 self.iref in self.meta.children:

@@ -376,6 +376,9 @@ class Box_avcC(Box):
             w.write_bytes(pps)
         w.write_bytes(self.trailing)
 
+    def all_nals(self) -> List[bytes]:
+        return list(self.sps_list) + list(self.pps_list)
+
 
 # --------------------------------------------------------------------------
 # vvcC / jpgC — passthrough-level support for round 1

@@ -1,0 +1,114 @@
+"""AVC still-image decoder: NALs → planes → PixelImage.
+
+Replaces the reference's openh264/ffmpeg plugin boundary (reference:
+libheif/plugins/decoder_openh264.cc). Scope: I-frame (intra) decode,
+CABAC, 8-bit 4:2:0/monochrome, baseline-frame geometry — the toolset
+HEIF 'avc1' image items use.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from ..registry import Decoder, register_decoder
+from . import headers as H
+from .mb import SliceDecoder
+
+
+def decode_intra_frame(nals: List[bytes]) -> Dict[str, np.ndarray]:
+    """Decode the first (intra) frame from a list of NAL units."""
+    sps_map: Dict[int, H.SPS] = {}
+    pps_map: Dict[int, H.PPS] = {}
+    dec: Optional[SliceDecoder] = None
+    hdr0 = None
+    for nal in nals:
+        if not nal:
+            continue
+        t = H.nal_type(nal)
+        if t == H.NAL_SPS:
+            s = H.parse_sps(nal)
+            sps_map[s.seq_parameter_set_id] = s
+        elif t == H.NAL_PPS:
+            p = H.parse_pps(nal, sps_map)
+            pps_map[p.pic_parameter_set_id] = p
+        elif t in (H.NAL_SLICE_IDR, H.NAL_SLICE_NON_IDR):
+            hdr, sps, pps, rbsp = H.parse_slice_header(nal, sps_map, pps_map)
+            if not pps.entropy_coding_mode:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec,
+                    "CAVLC entropy coding not supported yet (use CABAC)")
+            if sps.bit_depth_luma != 8 or sps.chroma_format_idc > 1:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_bit_depth,
+                    "only 8-bit 4:2:0/monochrome AVC supported")
+            if dec is None:
+                mbw, mbh = sps.pic_width_in_mbs, sps.pic_height_in_map_units
+                planes = [np.zeros((mbh * 16, mbw * 16), np.int32)]
+                if sps.chroma_format_idc == 1:
+                    planes += [np.zeros((mbh * 8, mbw * 8), np.int32),
+                               np.zeros((mbh * 8, mbw * 8), np.int32)]
+                dec = SliceDecoder(sps, pps, planes)
+                hdr0 = hdr
+            dec.decode_slice(hdr, rbsp)
+            if all(m is not None for m in dec.mb):
+                break
+    if dec is None:
+        raise HeifError.invalid_input(msg="no decodable AVC slice found")
+    sps = dec.sps
+    if hdr0 is None or hdr0.disable_deblocking_filter_idc != 1:
+        from .deblock import deblock_frame
+        deblock_frame(dec)
+    # crop to the conformance window
+    w, h = sps.width, sps.height
+    x0 = sps.crop_left * (2 if sps.chroma_format_idc == 1 else 1)
+    y0 = sps.crop_top * (2 if sps.chroma_format_idc == 1 else 1)
+    out = {"Y": dec.planes[0][y0:y0 + h, x0:x0 + w].astype(np.uint8)}
+    if len(dec.planes) > 1:
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        cx, cy = x0 // 2, y0 // 2
+        out["U"] = dec.planes[1][cy:cy + ch, cx:cx + cw].astype(np.uint8)
+        out["V"] = dec.planes[2][cy:cy + ch, cx:cx + cw].astype(np.uint8)
+    return out
+
+
+def decode_annexb(data: bytes) -> Dict[str, np.ndarray]:
+    return decode_intra_frame(H.split_annexb(data))
+
+
+class AvcDecoder(Decoder):
+    id = "tpu-avc"
+    format = "avc"
+    priority = 100
+
+    def decode_single_image(self, config_box, data: bytes,
+                            declared_size=None, limits=None) -> PixelImage:
+        nals = []
+        if config_box is not None:
+            nals.extend(config_box.all_nals())
+            length_size = config_box.length_size
+        else:
+            length_size = 4
+        nals.extend(H.split_length_prefixed(data, length_size))
+        planes = decode_intra_frame(nals)
+        y = planes["Y"]
+        h, w = y.shape
+        if limits is not None:
+            limits.check_image_size(w, h)
+        if "U" not in planes:
+            img = PixelImage(w, h, Colorspace.Monochrome,
+                             Chroma.Monochrome, limits)
+            img.set_plane(Channel.Y, y, 8)
+            return img
+        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
+        img.set_plane(Channel.Y, y, 8)
+        img.set_plane(Channel.Cb, planes["U"], 8)
+        img.set_plane(Channel.Cr, planes["V"], 8)
+        return img
+
+
+def register():
+    register_decoder(AvcDecoder())

@@ -1,0 +1,1137 @@
+"""H.264 I-slice macroblock decode + reconstruction (Rec. H.264 §7-§8).
+
+Covers the intra toolset the reference reaches through its
+openh264/x264 plugins (reference: libheif/plugins/decoder_openh264.cc):
+CABAC entropy decode, Intra_4x4 / Intra_8x8 / Intra_16x16 / chroma
+prediction, 4x4/8x8 integer inverse transforms with the Hadamard DC
+chains, I_PCM, 4:2:0 and monochrome, 8-bit.
+
+Entropy decode is inherently serial per slice; reconstruction is plain
+int32 numpy here (host reference path). The batched/Pallas acceleration
+happens at the tile/grid layer above (many slices decode in parallel),
+mirroring the HEVC core's layering.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from . import tables as T
+from .cabac import AvcCabacDecoder
+from .headers import SPS, PPS, SliceHeader
+
+I_NXN = 0
+I_PCM = 25
+
+
+def clip3(lo, hi, v):
+    return lo if v < lo else (hi if v > hi else v)
+
+
+# --------------------------------------------------------------------------
+# inverse transforms (spec 8.5.12 / 8.5.13 / 8.5.10 / 8.5.11)
+# --------------------------------------------------------------------------
+
+def itrans4(d: np.ndarray) -> np.ndarray:
+    """4x4 core inverse transform, output residual (spec 8.5.12.2)."""
+    d = d.astype(np.int64)
+    # horizontal (rows)
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    # vertical (columns)
+    e0 = f[0] + f[2]
+    e1 = f[0] - f[2]
+    e2 = (f[1] >> 1) - f[3]
+    e3 = f[1] + (f[3] >> 1)
+    g = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=0)
+    return ((g + 32) >> 6).astype(np.int32)
+
+
+def ihadamard4(c: np.ndarray) -> np.ndarray:
+    """4x4 inverse Hadamard for Intra16x16 luma DC (spec 8.5.10)."""
+    c = c.astype(np.int64)
+    e0 = c[:, 0] + c[:, 2]
+    e1 = c[:, 0] - c[:, 2]
+    e2 = c[:, 1] - c[:, 3]
+    e3 = c[:, 1] + c[:, 3]
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    e0 = f[0] + f[2]
+    e1 = f[0] - f[2]
+    e2 = f[1] - f[3]
+    e3 = f[1] + f[3]
+    return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=0)
+
+
+def _itrans8_1d(d):
+    d0, d1, d2, d3, d4, d5, d6, d7 = [d[..., i] for i in range(8)]
+    e0 = d0 + d4
+    e1 = -d3 + d5 - d7 - (d7 >> 1)
+    e2 = d0 - d4
+    e3 = d1 + d7 - d3 - (d3 >> 1)
+    e4 = (d2 >> 1) - d6
+    e5 = -d1 + d7 + d5 + (d5 >> 1)
+    e6 = d2 + (d6 >> 1)
+    e7 = d3 + d5 + d1 + (d1 >> 1)
+    f0 = e0 + e6
+    f1 = e1 + (e7 >> 2)
+    f2 = e2 + e4
+    f3 = e3 + (e5 >> 2)
+    f4 = e2 - e4
+    f5 = (e3 >> 2) - e5
+    f6 = e0 - e6
+    f7 = e7 - (e1 >> 2)
+    return np.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                     f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+
+
+def itrans8(d: np.ndarray) -> np.ndarray:
+    """8x8 inverse transform (spec 8.5.13.2)."""
+    d = d.astype(np.int64)
+    f = _itrans8_1d(d)                       # rows
+    g = _itrans8_1d(f.T).T                   # columns
+    return ((g + 32) >> 6).astype(np.int32)
+
+
+def dequant4(c: np.ndarray, qp: int) -> np.ndarray:
+    """4x4 AC/residual dequant (spec 8.5.12.1)."""
+    ls = T.LEVEL_SCALE_4[qp % 6].astype(np.int64)
+    c = c.astype(np.int64)
+    if qp >= 24:
+        return (c * ls) << (qp // 6 - 4)
+    return (c * ls + (1 << (3 - qp // 6))) >> (4 - qp // 6)
+
+
+def dequant8(c: np.ndarray, qp: int) -> np.ndarray:
+    """8x8 dequant (spec 8.5.13.1)."""
+    ls = T.LEVEL_SCALE_8[qp % 6].astype(np.int64)
+    c = c.astype(np.int64)
+    if qp >= 36:
+        return (c * ls) << (qp // 6 - 6)
+    return (c * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+# --------------------------------------------------------------------------
+# intra prediction (spec 8.3)
+# --------------------------------------------------------------------------
+
+def pred_4x4(mode: int, top: Optional[np.ndarray], left: Optional[np.ndarray],
+             topleft: Optional[int], topright: Optional[np.ndarray]):
+    """4x4 intra prediction (spec 8.3.1.2). top: 4 samples, topright: 4
+    samples (already substituted with top[3] if unavailable), left: 4,
+    topleft scalar. None = unavailable."""
+    p = np.zeros((4, 4), np.int32)
+    if mode == T.I4_DC:
+        if top is not None and left is not None:
+            v = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            v = (int(top.sum()) + 2) >> 2
+        elif left is not None:
+            v = (int(left.sum()) + 2) >> 2
+        else:
+            v = 128
+        p[:, :] = v
+        return p
+    if mode == T.I4_VERT:
+        p[:, :] = top[None, :]
+        return p
+    if mode == T.I4_HOR:
+        p[:, :] = left[:, None]
+        return p
+    # build the extended arrays used by the directional modes
+    t = None
+    if top is not None:
+        t = np.zeros(8, np.int64)
+        t[:4] = top
+        t[4:] = topright
+    l = left.astype(np.int64) if left is not None else None
+    m = topleft
+    if mode == T.I4_DDL:
+        for y in range(4):
+            for x in range(4):
+                i = x + y
+                if i == 6:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == T.I4_DDR:
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    i = x - y
+                    p[y, x] = (t[i - 2] + 2 * t[i - 1] + t[i] + 2) >> 2 \
+                        if i >= 2 else (m + 2 * t[0] + t[1] + 2) >> 2
+                elif x < y:
+                    i = y - x
+                    p[y, x] = (l[i - 2] + 2 * l[i - 1] + l[i] + 2) >> 2 \
+                        if i >= 2 else (m + 2 * l[0] + l[1] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+        return p
+    if mode == T.I4_VR:
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = (t[i - 1] + t[i] + 1) >> 1 if i >= 1 \
+                        else (m + t[0] + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    if i >= 2:
+                        p[y, x] = (t[i - 2] + 2 * t[i - 1] + t[i] + 2) >> 2
+                    else:
+                        p[y, x] = (m + 2 * t[0] + t[1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * m + t[0] + 2) >> 2
+                else:
+                    i = y - 2 * x
+                    p[y, x] = (l[i - 1] + 2 * l[i - 2] + l[i - 3] + 2) >> 2 \
+                        if i >= 3 else (l[y - 1] + 2 * l[y - 2 - 0] +
+                                        (m if y - 3 < 0 else l[y - 3]) + 2) >> 2
+        # the else-branch above only occurs for (x,y) with zVR in {-2,-3}
+        # i.e. x=0,y in {2,3}: p = (l[y-1] + 2*l[y-2] + l[y-3 or m]+2)>>2
+        return p
+    if mode == T.I4_HD:
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = (l[i - 1] + l[i] + 1) >> 1 if i >= 1 \
+                        else (m + l[0] + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    if i >= 2:
+                        p[y, x] = (l[i - 2] + 2 * l[i - 1] + l[i] + 2) >> 2
+                    else:
+                        p[y, x] = (m + 2 * l[0] + l[1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+                else:
+                    i = x - 2 * y
+                    p[y, x] = (t[i - 1] + 2 * t[i - 2] +
+                               (t[i - 3] if i >= 3 else m) + 2) >> 2
+        return p
+    if mode == T.I4_VL:
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == T.I4_HU:
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = l[3]
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+        return p
+    raise HeifError.invalid_input(msg=f"bad intra4x4 mode {mode}")
+
+
+def pred_8x8(mode: int, top: Optional[np.ndarray], left: Optional[np.ndarray],
+             topleft: Optional[int], have_tl: bool):
+    """8x8 intra prediction with reference filtering (spec 8.3.2.2).
+    top: 16 samples (top-right already substituted), left: 8, topleft
+    scalar or None."""
+    # reference sample filtering (8.3.2.2.1)
+    ft = None
+    fl = None
+    fm = None
+    if top is not None:
+        t = top.astype(np.int64)
+        ft = np.empty(16, np.int64)
+        if have_tl:
+            ft[0] = (topleft + 2 * t[0] + t[1] + 2) >> 2
+        else:
+            ft[0] = (3 * t[0] + t[1] + 2) >> 2
+        for x in range(1, 15):
+            ft[x] = (t[x - 1] + 2 * t[x] + t[x + 1] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if have_tl:
+        m = int(topleft)
+        if top is not None and left is not None:
+            fm = (left[0] + 2 * m + top[0] + 2) >> 2
+        elif top is not None:
+            fm = (3 * m + top[0] + 2) >> 2    # left unavailable
+        elif left is not None:
+            fm = (3 * m + left[0] + 2) >> 2   # hmm: spec symmetric case
+        else:
+            fm = m
+    if left is not None:
+        l = left.astype(np.int64)
+        fl = np.empty(8, np.int64)
+        if have_tl:
+            fl[0] = (topleft + 2 * l[0] + l[1] + 2) >> 2
+        else:
+            fl[0] = (3 * l[0] + l[1] + 2) >> 2
+        for y in range(1, 7):
+            fl[y] = (l[y - 1] + 2 * l[y] + l[y + 1] + 2) >> 2
+        fl[7] = (l[6] + 3 * l[7] + 2) >> 2
+
+    p = np.zeros((8, 8), np.int32)
+    t, l, m = ft, fl, fm
+    if mode == T.I4_DC:
+        if t is not None and l is not None:
+            v = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+        elif t is not None:
+            v = (int(t[:8].sum()) + 4) >> 3
+        elif l is not None:
+            v = (int(l.sum()) + 4) >> 3
+        else:
+            v = 128
+        p[:, :] = v
+        return p
+    if mode == T.I4_VERT:
+        p[:, :] = t[None, :8]
+        return p
+    if mode == T.I4_HOR:
+        p[:, :] = l[:, None]
+        return p
+    if mode == T.I4_DDL:
+        for y in range(8):
+            for x in range(8):
+                i = x + y
+                if i == 14:
+                    p[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == T.I4_DDR:
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    i = x - y
+                    p[y, x] = (t[i - 2] + 2 * t[i - 1] + t[i] + 2) >> 2 \
+                        if i >= 2 else (m + 2 * t[0] + t[1] + 2) >> 2
+                elif x < y:
+                    i = y - x
+                    p[y, x] = (l[i - 2] + 2 * l[i - 1] + l[i] + 2) >> 2 \
+                        if i >= 2 else (m + 2 * l[0] + l[1] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+        return p
+    if mode == T.I4_VR:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (t[i - 1] + t[i] + 1) >> 1 if i >= 1 \
+                        else (m + t[0] + 1) >> 1
+                elif z >= 0:
+                    if i >= 2:
+                        p[y, x] = (t[i - 2] + 2 * t[i - 1] + t[i] + 2) >> 2
+                    else:
+                        p[y, x] = (m + 2 * t[0] + t[1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * m + t[0] + 2) >> 2
+                else:
+                    i = y - 2 * x - 1
+                    p[y, x] = (l[i] + 2 * l[i - 1] +
+                               (l[i - 2] if i >= 2 else m) + 2) >> 2
+        return p
+    if mode == T.I4_HD:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (l[i - 1] + l[i] + 1) >> 1 if i >= 1 \
+                        else (m + l[0] + 1) >> 1
+                elif z >= 0:
+                    if i >= 2:
+                        p[y, x] = (l[i - 2] + 2 * l[i - 1] + l[i] + 2) >> 2
+                    else:
+                        p[y, x] = (m + 2 * l[0] + l[1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+                else:
+                    i = x - 2 * y - 1
+                    p[y, x] = (t[i] + 2 * t[i - 1] +
+                               (t[i - 2] if i >= 2 else m) + 2) >> 2
+        return p
+    if mode == T.I4_VL:
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == T.I4_HU:
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z > 13:
+                    p[y, x] = l[7]
+                elif z == 13:
+                    p[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+        return p
+    raise HeifError.invalid_input(msg=f"bad intra8x8 mode {mode}")
+
+
+def pred_16x16(mode: int, top: Optional[np.ndarray],
+               left: Optional[np.ndarray], topleft: Optional[int]):
+    """16x16 luma prediction (spec 8.3.3)."""
+    p = np.zeros((16, 16), np.int32)
+    if mode == T.I16_DC:
+        if top is not None and left is not None:
+            v = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            v = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            v = (int(left.sum()) + 8) >> 4
+        else:
+            v = 128
+        p[:, :] = v
+    elif mode == T.I16_VERT:
+        p[:, :] = top[None, :]
+    elif mode == T.I16_HOR:
+        p[:, :] = left[:, None]
+    else:  # plane
+        t = top.astype(np.int64)
+        l = left.astype(np.int64)
+        m = int(topleft)
+        h = sum((x + 1) * (t[8 + x] - (t[6 - x] if x < 7 else m))
+                for x in range(8))
+        v = sum((y + 1) * (l[8 + y] - (l[6 - y] if y < 7 else m))
+                for y in range(8))
+        a = 16 * (int(t[15]) + int(l[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        p = np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5,
+                    0, 255).astype(np.int32)
+    return p
+
+
+def pred_chroma(mode: int, top: Optional[np.ndarray],
+                left: Optional[np.ndarray], topleft: Optional[int]):
+    """8x8 chroma prediction, 4:2:0 (spec 8.3.4)."""
+    p = np.zeros((8, 8), np.int32)
+    if mode == T.C_DC:
+        # per-4x4 DC with positional neighbor sets
+        for by in (0, 4):
+            for bx in (0, 4):
+                t = top[bx:bx + 4] if top is not None else None
+                l = left[by:by + 4] if left is not None else None
+                if bx == 0 and by == 0 or (bx == 4 and by == 4):
+                    if t is not None and l is not None:
+                        v = (int(t.sum()) + int(l.sum()) + 4) >> 3
+                    elif t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    elif l is not None:
+                        v = (int(l.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                elif bx == 4 and by == 0:
+                    if t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    elif l is not None:
+                        v = (int(l.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # bx == 0, by == 4
+                    if l is not None:
+                        v = (int(l.sum()) + 2) >> 2
+                    elif t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                p[by:by + 4, bx:bx + 4] = v
+        return p
+    if mode == T.C_HOR:
+        p[:, :] = left[:, None]
+        return p
+    if mode == T.C_VERT:
+        p[:, :] = top[None, :]
+        return p
+    # plane
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+    m = int(topleft)
+    h = sum((x + 1) * (t[4 + x] - (t[2 - x] if x < 3 else m))
+            for x in range(4))
+    v = sum((y + 1) * (l[4 + y] - (l[2 - y] if y < 3 else m))
+            for y in range(4))
+    a = 16 * (int(t[7]) + int(l[7]))
+    b = (17 * h + 16) >> 5
+    c = (17 * v + 16) >> 5
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5,
+                   0, 255).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# slice decoder
+# --------------------------------------------------------------------------
+
+class MBInfo:
+    __slots__ = ("mb_type", "is_i16", "is_pcm", "is_nxn", "tx8",
+                 "cbp_luma", "cbp_chroma", "chroma_mode", "qp",
+                 "qp_delta", "i16_mode")
+
+    def __init__(self):
+        self.mb_type = -1
+        self.is_i16 = False
+        self.is_pcm = False
+        self.is_nxn = False
+        self.tx8 = False
+        self.cbp_luma = 0
+        self.cbp_chroma = 0
+        self.chroma_mode = 0
+        self.qp = 26
+        self.qp_delta = 0
+        self.i16_mode = 0
+
+
+class SliceDecoder:
+    """Decodes one I slice into the shared frame planes."""
+
+    def __init__(self, sps: SPS, pps: PPS, planes: List[np.ndarray]):
+        self.sps = sps
+        self.pps = pps
+        self.mb_w = sps.pic_width_in_mbs
+        self.mb_h = sps.pic_height_in_map_units
+        self.planes = planes       # [Y (16-aligned), U, V] int32
+        self.mono = sps.chroma_format_idc == 0
+        n = self.mb_w * self.mb_h
+        self.mb: List[Optional[MBInfo]] = [None] * n
+        # per-4x4-block luma intra modes (-1 = not I_NxN), frame-wide
+        self.i4_modes = np.full((self.mb_h * 4, self.mb_w * 4), -1,
+                                np.int32)
+        # cbf storage for CABAC ctx: luma 4x4 grid, luma DC per MB,
+        # chroma DC per MB/plane, chroma AC per 4x4
+        self.cbf_luma = np.zeros((self.mb_h * 4, self.mb_w * 4), np.int8)
+        self.cbf_luma_dc = np.zeros((self.mb_h, self.mb_w), np.int8)
+        self.cbf_chroma_dc = np.zeros((2, self.mb_h, self.mb_w), np.int8)
+        self.cbf_chroma = np.zeros((2, self.mb_h * 2, self.mb_w * 2),
+                                   np.int8)
+        self.first_mb = 0
+
+    # ----------------------------------------------------------- helpers
+
+    def mb_at(self, mbx: int, mby: int) -> Optional[MBInfo]:
+        if mbx < 0 or mby < 0 or mbx >= self.mb_w or mby >= self.mb_h:
+            return None
+        idx = mby * self.mb_w + mbx
+        if idx < self.first_mb:
+            return None
+        return self.mb[idx]
+
+    # ------------------------------------------------------ slice decode
+
+    def decode_slice(self, hdr: SliceHeader, rbsp: bytes) -> None:
+        self.first_mb = hdr.first_mb
+        start_byte = (hdr.header_bits + 7) // 8  # cabac_alignment_one_bit
+        d = AvcCabacDecoder(rbsp, start_byte, hdr.qp)
+        self.d = d
+        self.qp = hdr.qp
+        self.prev_qp_delta = 0
+        addr = hdr.first_mb
+        n = self.mb_w * self.mb_h
+        while addr < n:
+            self.mbx = addr % self.mb_w
+            self.mby = addr // self.mb_w
+            self.cur = MBInfo()
+            self.mb[addr] = self.cur
+            self._decode_mb()
+            addr += 1
+            if d.decode_terminate():
+                break
+        self.last_hdr = hdr
+
+    # ------------------------------------------------------- mb syntax
+
+    def _mb_type_inc(self) -> int:
+        """ctxIdxInc for mb_type bin 0 (spec 9.3.3.1.1.3)."""
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+        return (1 if (a is not None and not a.is_nxn) else 0) + \
+               (1 if (b is not None and not b.is_nxn) else 0)
+
+    def _tx8_inc(self) -> int:
+        """ctxIdxInc for transform_size_8x8_flag (spec 9.3.3.1.1.10)."""
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+        return (1 if (a is not None and a.tx8) else 0) + \
+               (1 if (b is not None and b.tx8) else 0)
+
+    def _chroma_mode_inc(self) -> int:
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+        return (1 if (a is not None and not a.is_pcm and
+                      a.chroma_mode != 0) else 0) + \
+               (1 if (b is not None and not b.is_pcm and
+                      b.chroma_mode != 0) else 0)
+
+    def _decode_mb(self) -> None:
+        d = self.d
+        cur = self.cur
+        # mb_type (ctx 3 + inc; spec 9.3.3.1.1.3)
+        inc = self._mb_type_inc()
+        if d.decode_bin(T.CTX_MB_TYPE_I + inc) == 0:
+            cur.mb_type = I_NXN
+            cur.is_nxn = True
+            self._decode_i_nxn()
+        elif d.decode_terminate():
+            cur.mb_type = I_PCM
+            cur.is_pcm = True
+            self._decode_pcm()
+        else:
+            # I_16x16 suffix
+            luma_flag = d.decode_bin(T.CTX_MB_TYPE_I + 3)
+            chroma = 0
+            if d.decode_bin(T.CTX_MB_TYPE_I + 4):
+                chroma = 1 + d.decode_bin(T.CTX_MB_TYPE_I + 5)
+            mode = 2 * d.decode_bin(T.CTX_MB_TYPE_I + 6)
+            mode += d.decode_bin(T.CTX_MB_TYPE_I + 7)
+            cur.mb_type = 1 + mode + 4 * chroma + 12 * luma_flag
+            cur.is_i16 = True
+            cur.i16_mode = mode
+            cur.cbp_luma = 15 if luma_flag else 0
+            cur.cbp_chroma = chroma
+            self._decode_i16()
+
+    # ------------------------------------------------------------- PCM
+
+    def _decode_pcm(self) -> None:
+        d = self.d
+        cur = self.cur
+        # After the terminate bin the engine holds codIOffset with 9+
+        # lookahead bits; per spec 9.3.1.2 PCM samples are read from the
+        # aligned position obtained after DecodeFlush.
+        # d.pos counts consumed bits; offset holds the last 9 bits read
+        # ahead, of which the low bits beyond the current code are
+        # alignment. The byte position of the next unread PCM byte:
+        pos_bits = d.pos - 9  # roll back the lookahead window
+        byte = (pos_bits + 7) // 8
+        y0, x0 = self.mby * 16, self.mbx * 16
+        n_luma = 256
+        raw = d.data[byte:byte + n_luma]
+        self.planes[0][y0:y0 + 16, x0:x0 + 16] = \
+            np.frombuffer(raw, np.uint8).reshape(16, 16)
+        byte += n_luma
+        if not self.mono:
+            for pl in (1, 2):
+                raw = d.data[byte:byte + 64]
+                self.planes[pl][y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8] = \
+                    np.frombuffer(raw, np.uint8).reshape(8, 8)
+                byte += 64
+        # reinitialize the engine at the following byte (spec 9.3.1.2)
+        d.pos = byte * 8
+        d.range = 510
+        d.offset = 0
+        for _ in range(9):
+            d.offset = (d.offset << 1) | d._read_bit()
+        cur.qp = self.qp
+        # PCM blocks count as fully coded for ctx derivation
+        self.cbf_luma[self.mby * 4:self.mby * 4 + 4,
+                      self.mbx * 4:self.mbx * 4 + 4] = 1
+        self.cbf_luma_dc[self.mby, self.mbx] = 1
+        self.cbf_chroma_dc[:, self.mby, self.mbx] = 1
+        self.cbf_chroma[:, self.mby * 2:self.mby * 2 + 2,
+                        self.mbx * 2:self.mbx * 2 + 2] = 1
+        self.i4_modes[self.mby * 4:self.mby * 4 + 4,
+                      self.mbx * 4:self.mbx * 4 + 4] = T.I4_DC
+
+    # --------------------------------------------------------- I_NxN
+
+    def _decode_i_nxn(self) -> None:
+        d = self.d
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        if self.pps.transform_8x8_mode:
+            cur.tx8 = bool(d.decode_bin(T.CTX_TRANSFORM_8X8 +
+                                        self._tx8_inc()))
+        # intra pred modes
+        n_blocks = 4 if cur.tx8 else 16
+        modes = []
+        for k in range(n_blocks):
+            if cur.tx8:
+                bx, by = (k & 1) * 2, (k >> 1) * 2
+            else:
+                bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            pred = self._predict_i4_mode(gx, gy)
+            if d.decode_bin(T.CTX_PREV_I4X4):
+                mode = pred
+            else:
+                rem = d.decode_bin(T.CTX_REM_I4X4)
+                rem += 2 * d.decode_bin(T.CTX_REM_I4X4)
+                rem += 4 * d.decode_bin(T.CTX_REM_I4X4)
+                mode = rem if rem < pred else rem + 1
+            modes.append(mode)
+            if cur.tx8:
+                self.i4_modes[gy:gy + 2, gx:gx + 2] = mode
+            else:
+                self.i4_modes[gy, gx] = mode
+        cur.chroma_mode = 0 if self.mono else self._decode_chroma_mode()
+        # coded_block_pattern (9.3.3.1.1.4)
+        cur.cbp_luma, cur.cbp_chroma = self._decode_cbp()
+        if cur.cbp_luma or cur.cbp_chroma:
+            self._decode_qp_delta()
+        else:
+            cur.qp = self.qp
+            self.prev_qp_delta = 0
+        self._recon_i_nxn(modes)
+
+    def _predict_i4_mode(self, gx: int, gy: int) -> int:
+        """predIntra4x4PredMode (spec 8.3.1.1): min of neighbors, DC if
+        a neighbor is unavailable or not intra-NxN."""
+        ma = self._i4_mode_at(gx - 1, gy)
+        mb = self._i4_mode_at(gx, gy - 1)
+        if ma < 0 or mb < 0:
+            return T.I4_DC
+        return min(ma, mb)
+
+    def _i4_mode_at(self, gx: int, gy: int) -> int:
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
+            return -1
+        nb = self.mb_at(gx // 4, gy // 4)
+        if nb is None:
+            return -1
+        if not nb.is_nxn:
+            return T.I4_DC if not nb.is_pcm else T.I4_DC
+        return int(self.i4_modes[gy, gx])
+
+    def _decode_chroma_mode(self) -> int:
+        d = self.d
+        if d.decode_bin(T.CTX_CHROMA_PRED + self._chroma_mode_inc()) == 0:
+            return 0
+        if d.decode_bin(T.CTX_CHROMA_PRED + 3) == 0:
+            return 1
+        return 2 + d.decode_bin(T.CTX_CHROMA_PRED + 3)
+
+    @staticmethod
+    def _cbp_luma_nb_bit(nb: Optional[MBInfo], bit: int) -> int:
+        # condTermFlag = 0 if nb unavailable/PCM or bit set, else 1
+        if nb is None:
+            return 0
+        if nb.is_pcm:
+            return 0
+        return 0 if (nb.cbp_luma >> bit) & 1 else 1
+
+    def _cbp_luma_inc(self, cbp_so_far: int, bit: int) -> int:
+        """ctxIdxInc for coded_block_pattern luma bin `bit` given the
+        bits decoded so far (spec 9.3.3.1.1.4).
+        8x8 block order: 0 TL, 1 TR, 2 BL, 3 BR."""
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+        if bit == 0:
+            return self._cbp_luma_nb_bit(a, 1) + \
+                2 * self._cbp_luma_nb_bit(b, 2)
+        if bit == 1:
+            return (0 if cbp_so_far & 1 else 1) + \
+                2 * self._cbp_luma_nb_bit(b, 3)
+        if bit == 2:
+            return self._cbp_luma_nb_bit(a, 3) + \
+                2 * (0 if cbp_so_far & 1 else 1)
+        return (0 if cbp_so_far & 4 else 1) + \
+            2 * (0 if cbp_so_far & 2 else 1)
+
+    def _cbp_chroma_inc(self, stage: int) -> int:
+        """ctxIdxInc for cbp chroma bin 0 (stage 0: !=0) or bin 1
+        (stage 1: ==2)."""
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+
+        def cond(nb):
+            if nb is None:
+                return 0
+            if nb.is_pcm:
+                return 1
+            if stage == 0:
+                return 1 if nb.cbp_chroma != 0 else 0
+            return 1 if nb.cbp_chroma == 2 else 0
+        return cond(a) + 2 * cond(b)
+
+    def _decode_cbp(self):
+        d = self.d
+        cbp = 0
+        for bit in range(4):
+            cbp |= d.decode_bin(
+                T.CTX_CBP_LUMA + self._cbp_luma_inc(cbp, bit)) << bit
+        chroma = 0
+        if not self.mono:
+            if d.decode_bin(T.CTX_CBP_CHROMA + self._cbp_chroma_inc(0)):
+                chroma = 1 + d.decode_bin(
+                    T.CTX_CBP_CHROMA + 4 + self._cbp_chroma_inc(1))
+        return cbp, chroma
+
+    def _decode_qp_delta(self) -> None:
+        d = self.d
+        inc = 1 if self.prev_qp_delta != 0 else 0
+        if d.decode_bin(T.CTX_MB_QP_DELTA + inc) == 0:
+            val = 0
+        else:
+            k = 1
+            if d.decode_bin(T.CTX_MB_QP_DELTA + 2):
+                k = 2
+                while d.decode_bin(T.CTX_MB_QP_DELTA + 3):
+                    k += 1
+                    if k > 87:
+                        raise HeifError.invalid_input(msg="qp_delta runaway")
+            val = k
+        # unsigned → signed (spec 9.3.2.7): k=2|δ| for δ<0, 2δ−1 for δ>0
+        delta = (val + 1) // 2 if val % 2 else -(val // 2)
+        self.prev_qp_delta = delta
+        self.qp = (self.qp + delta + 52) % 52
+        self.cur.qp_delta = delta
+        self.cur.qp = self.qp
+
+    # ----------------------------------------------------- residual read
+
+    def _cbf_inc(self, cat: int, blk_x: int, blk_y: int, plane: int) -> int:
+        """ctxIdxInc for coded_block_flag (spec 9.3.3.1.1.9)."""
+        mbx, mby = self.mbx, self.mby
+        if cat == T.CAT_LUMA_DC:
+            a = self.mb_at(mbx - 1, mby)
+            b = self.mb_at(mbx, mby - 1)
+
+            def dc_cond(nb, x, y):
+                if nb is None:
+                    return 1
+                if nb.is_pcm:
+                    return 1
+                if not nb.is_i16:
+                    return 0  # block absent in an available MB
+                return int(self.cbf_luma_dc[y, x])
+            inc = dc_cond(a, mbx - 1, mby) + 2 * dc_cond(b, mbx, mby - 1)
+        elif cat in (T.CAT_LUMA_AC, T.CAT_LUMA_4X4):
+            gx, gy = mbx * 4 + blk_x, mby * 4 + blk_y
+
+            def l_cond(x, y):
+                if x < 0 or y < 0 or x >= self.mb_w * 4 or \
+                        y >= self.mb_h * 4:
+                    return 1
+                nb = self.mb_at(x // 4, y // 4)
+                if nb is None:
+                    return 1
+                if nb.is_pcm:
+                    return 1
+                return int(self.cbf_luma[y, x])
+            inc = l_cond(gx - 1, gy) + 2 * l_cond(gx, gy - 1)
+        elif cat == T.CAT_CHROMA_DC:
+            a = self.mb_at(mbx - 1, mby)
+            b = self.mb_at(mbx, mby - 1)
+
+            def cdc_cond(nb, x, y):
+                if nb is None:
+                    return 1
+                if nb.is_pcm:
+                    return 1
+                return int(self.cbf_chroma_dc[plane - 1, y, x])
+            inc = cdc_cond(a, mbx - 1, mby) + 2 * cdc_cond(b, mbx, mby - 1)
+        else:  # CAT_CHROMA_AC
+            gx, gy = mbx * 2 + blk_x, mby * 2 + blk_y
+
+            def ca_cond(x, y):
+                if x < 0 or y < 0 or x >= self.mb_w * 2 or \
+                        y >= self.mb_h * 2:
+                    return 1
+                nb = self.mb_at(x // 2, y // 2)
+                if nb is None:
+                    return 1
+                if nb.is_pcm:
+                    return 1
+                return int(self.cbf_chroma[plane - 1, y, x])
+            inc = ca_cond(gx - 1, gy) + 2 * ca_cond(gx, gy - 1)
+        return inc
+
+    def _cbf(self, cat: int, blk_x: int, blk_y: int, plane: int) -> int:
+        """Decode coded_block_flag with neighbor ctx (9.3.3.1.1.9)."""
+        inc = self._cbf_inc(cat, blk_x, blk_y, plane)
+        return self.d.decode_bin(T.CTX_CBF + 4 * cat + inc)
+
+    def _residual_block(self, cat: int, max_coeff: int) -> np.ndarray:
+        """residual_block_cabac (spec 7.3.5.3.3) → coefficient levels in
+        scan order."""
+        d = self.d
+        coeffs = np.zeros(max_coeff, np.int32)
+        if cat == T.CAT_LUMA_8X8:
+            sig_base = T.CTX_SIG_8X8
+            last_base = T.CTX_LAST_8X8
+            abs_base = T.CTX_ABS_8X8
+        else:
+            sig_base = T.CTX_SIG + T.SIG_CAT_OFF[cat]
+            last_base = T.CTX_LAST + T.SIG_CAT_OFF[cat]
+            abs_base = T.CTX_ABS + T.ABS_CAT_OFF[cat]
+        sig = []
+        i = 0
+        while i < max_coeff - 1:
+            if cat == T.CAT_LUMA_8X8:
+                s_inc = int(T.SIG_CTX_8X8[i])
+                l_inc = int(T.LAST_CTX_8X8[i])
+            elif cat == T.CAT_CHROMA_DC:
+                s_inc = min(i, 2)
+                l_inc = min(i, 2)
+            else:
+                s_inc = i
+                l_inc = i
+            if d.decode_bin(sig_base + s_inc):
+                sig.append(i)
+                if d.decode_bin(last_base + l_inc):
+                    break
+            i += 1
+        else:
+            sig.append(max_coeff - 1)
+        # levels, reverse scan order
+        n_eq1 = 0
+        n_gt1 = 0
+        for pos in reversed(sig):
+            if n_gt1 != 0:
+                inc0 = 0
+            else:
+                inc0 = min(4, 1 + n_eq1)
+            if d.decode_bin(abs_base + inc0) == 0:
+                level = 1
+                n_eq1 += 1
+            else:
+                cap = 4 - (1 if cat == T.CAT_CHROMA_DC else 0)
+                inc = 5 + min(cap, n_gt1)
+                v = 1
+                while v < 14 and d.decode_bin(abs_base + inc):
+                    v += 1
+                if v == 14:
+                    v += d.decode_eg_bypass(0)
+                level = 1 + v
+                n_gt1 += 1
+            if d.decode_bypass():
+                level = -level
+            coeffs[pos] = level
+        return coeffs
+
+    # -------------------------------------------------- reconstruction
+
+    def _luma_border(self, x0: int, y0: int, w: int):
+        """(top[w], left[h=w], topleft, have flags) from recon plane;
+        None when unavailable. Availability by decode order within the
+        slice (frame-raster MBs, z-order 4x4 blocks)."""
+        Y = self.planes[0]
+        fw, fh = self.mb_w * 16, self.mb_h * 16
+        have_top = y0 > 0 and self._sample_decoded(x0, y0 - 1)
+        have_left = x0 > 0 and self._sample_decoded(x0 - 1, y0)
+        have_tl = x0 > 0 and y0 > 0 and self._sample_decoded(x0 - 1, y0 - 1)
+        top = Y[y0 - 1, x0:x0 + w].astype(np.int64) if have_top else None
+        left = Y[y0:y0 + w, x0 - 1].astype(np.int64) if have_left else None
+        tl = int(Y[y0 - 1, x0 - 1]) if have_tl else None
+        # top-right, w extra samples
+        tr = None
+        if have_top:
+            tr = np.empty(w, np.int64)
+            for i in range(w):
+                x = x0 + w + i
+                if x < fw and self._sample_decoded(x, y0 - 1):
+                    tr[i] = Y[y0 - 1, x]
+                else:
+                    tr[i] = tr[i - 1] if i > 0 else Y[y0 - 1, x0 + w - 1]
+        return top, left, tl, tr, have_tl
+
+    def _sample_decoded(self, x: int, y: int) -> bool:
+        mbx, mby = x // 16, y // 16
+        cur_idx = self.mby * self.mb_w + self.mbx
+        idx = mby * self.mb_w + mbx
+        if idx < self.first_mb:
+            return False
+        if idx < cur_idx:
+            return True
+        if idx > cur_idx:
+            return False
+        # same MB: compare 4x4 z-order decode index
+        bx, by = (x % 16) // 4, (y % 16) // 4
+        # caller only asks for samples strictly above/left of the block
+        # being predicted; current block index is tracked in self._blk
+        return int(T.BLK4_IDX[by, bx]) < self._blk
+
+    def _recon_i_nxn(self, modes: List[int]) -> None:
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        Y = self.planes[0]
+        qp = cur.qp if (cur.cbp_luma or cur.cbp_chroma) else self.qp
+        cur.qp = qp
+        if cur.tx8:
+            for k in range(4):
+                bx, by = (k & 1) * 2, (k >> 1) * 2
+                self._blk = int(T.BLK4_IDX[by, bx])
+                x0, y0 = mbx * 16 + bx * 4, mby * 16 + by * 4
+                top, left, tl, tr, have_tl = self._luma_border(x0, y0, 8)
+                if top is not None:
+                    top16 = np.concatenate([top, tr])
+                else:
+                    top16 = None
+                p = pred_8x8(modes[k], top16, left,
+                             tl if have_tl else None, have_tl)
+                if (cur.cbp_luma >> k) & 1:
+                    coeffs = self._residual_block(T.CAT_LUMA_8X8, 64)
+                    blk = np.zeros(64, np.int32)
+                    blk[T.ZIGZAG_8X8] = coeffs
+                    res = itrans8(dequant8(blk.reshape(8, 8), qp))
+                    nz = 1 if coeffs.any() else 0
+                else:
+                    res = 0
+                    nz = 0
+                self.cbf_luma[mby * 4 + by:mby * 4 + by + 2,
+                              mbx * 4 + bx:mbx * 4 + bx + 2] = nz
+                Y[y0:y0 + 8, x0:x0 + 8] = np.clip(p + res, 0, 255)
+        else:
+            for k in range(16):
+                bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+                self._blk = k
+                x0, y0 = mbx * 16 + bx * 4, mby * 16 + by * 4
+                top, left, tl, tr, have_tl = self._luma_border(x0, y0, 4)
+                p = pred_4x4(modes[k], top, left,
+                             tl if have_tl else None, tr)
+                blk8 = (by // 2) * 2 + (bx // 2)
+                nz = 0
+                if (cur.cbp_luma >> blk8) & 1:
+                    if self._cbf(T.CAT_LUMA_4X4, bx, by, 0):
+                        coeffs = self._residual_block(T.CAT_LUMA_4X4, 16)
+                        blk = np.zeros(16, np.int32)
+                        blk[T.ZIGZAG_4X4] = coeffs
+                        res = itrans4(dequant4(blk.reshape(4, 4), qp))
+                        nz = 1
+                    else:
+                        res = 0
+                else:
+                    res = 0
+                self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
+                Y[y0:y0 + 4, x0:x0 + 4] = np.clip(p + res, 0, 255)
+        if not self.mono:
+            self._recon_chroma()
+
+    def _recon_i16(self) -> None:
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        Y = self.planes[0]
+        x0, y0 = mbx * 16, mby * 16
+        self._blk = 0
+        top, left, tl, _, have_tl = self._luma_border(x0, y0, 16)
+        p = pred_16x16(cur.i16_mode, top, left, tl if have_tl else None)
+        qp = cur.qp
+        # DC block
+        dc_sig = self._cbf(T.CAT_LUMA_DC, 0, 0, 0)
+        self.cbf_luma_dc[mby, mbx] = dc_sig
+        dc = np.zeros(16, np.int32)
+        if dc_sig:
+            dc[T.ZIGZAG_4X4] = self._residual_block(T.CAT_LUMA_DC, 16)
+        f = ihadamard4(dc.reshape(4, 4))
+        if qp >= 36:
+            dcs = (f * int(T.LEVEL_SCALE_4[qp % 6, 0, 0])) << (qp // 6 - 6)
+        else:
+            dcs = (f * int(T.LEVEL_SCALE_4[qp % 6, 0, 0]) +
+                   (1 << (5 - qp // 6))) >> (6 - qp // 6)
+        res = np.zeros((16, 16), np.int64)
+        for k in range(16):
+            bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+            blk = np.zeros(16, np.int32)
+            nz = 0
+            if cur.cbp_luma:
+                if self._cbf(T.CAT_LUMA_AC, bx, by, 0):
+                    ac = self._residual_block(T.CAT_LUMA_AC, 15)
+                    blk[T.ZIGZAG_4X4[1:]] = ac
+                    nz = 1
+            self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
+            d4 = dequant4(blk.reshape(4, 4), qp)
+            d4[0, 0] = dcs[by, bx]
+            res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = itrans4(d4)
+        Y[y0:y0 + 16, x0:x0 + 16] = np.clip(p + res, 0, 255)
+        if not self.mono:
+            self._recon_chroma()
+
+    def _decode_i16(self) -> None:
+        cur = self.cur
+        cur.chroma_mode = 0 if self.mono else self._decode_chroma_mode()
+        self._decode_qp_delta()
+        self._recon_i16()
+
+    def _chroma_border(self, pl: int, x0: int, y0: int):
+        C = self.planes[pl]
+        have_top = y0 > 0 and self._mb_nb_decoded(0, -1)
+        have_left = x0 > 0 and self._mb_nb_decoded(-1, 0)
+        have_tl = x0 > 0 and y0 > 0 and self._mb_nb_decoded(-1, -1)
+        top = C[y0 - 1, x0:x0 + 8].astype(np.int64) if have_top else None
+        left = C[y0:y0 + 8, x0 - 1].astype(np.int64) if have_left else None
+        tl = int(C[y0 - 1, x0 - 1]) if have_tl else None
+        return top, left, tl
+
+    def _mb_nb_decoded(self, dx: int, dy: int) -> bool:
+        mbx, mby = self.mbx + dx, self.mby + dy
+        if mbx < 0 or mby < 0 or mbx >= self.mb_w or mby >= self.mb_h:
+            return False
+        idx = mby * self.mb_w + mbx
+        return self.first_mb <= idx < self.mby * self.mb_w + self.mbx
+
+    def _recon_chroma(self) -> None:
+        """Chroma residual + recon. Bitstream order (spec 7.3.5.3):
+        ChromaDC for Cb then Cr, then ChromaAC Cb blocks, then Cr."""
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        qp_y = cur.qp
+        qpc = []
+        dcs_per_plane = []
+        for pl in (1, 2):
+            off = self.pps.chroma_qp_offset(pl - 1)
+            q = int(T.CHROMA_QP[clip3(0, 51, qp_y + off)])
+            qpc.append(q)
+            dc = np.zeros(4, np.int32)
+            dc_nz = 0
+            if cur.cbp_chroma:
+                if self._cbf(T.CAT_CHROMA_DC, 0, 0, pl):
+                    dc = self._residual_block(T.CAT_CHROMA_DC, 4)
+                    dc_nz = 1
+            self.cbf_chroma_dc[pl - 1, mby, mbx] = dc_nz
+            c = dc.reshape(2, 2).astype(np.int64)
+            f = np.array([[c[0, 0] + c[0, 1] + c[1, 0] + c[1, 1],
+                           c[0, 0] - c[0, 1] + c[1, 0] - c[1, 1]],
+                          [c[0, 0] + c[0, 1] - c[1, 0] - c[1, 1],
+                           c[0, 0] - c[0, 1] - c[1, 0] + c[1, 1]]],
+                         np.int64)
+            dcs_per_plane.append(
+                ((f * int(T.LEVEL_SCALE_4[q % 6, 0, 0])) << (q // 6)) >> 5)
+        for pl in (1, 2):
+            q = qpc[pl - 1]
+            dcs = dcs_per_plane[pl - 1]
+            x0, y0 = mbx * 8, mby * 8
+            top, left, tl = self._chroma_border(pl, x0, y0)
+            p = pred_chroma(cur.chroma_mode, top, left, tl)
+            res = np.zeros((8, 8), np.int64)
+            for k in range(4):
+                bx, by = k & 1, k >> 1
+                blk = np.zeros(16, np.int32)
+                nz = 0
+                if cur.cbp_chroma == 2:
+                    if self._cbf(T.CAT_CHROMA_AC, bx, by, pl):
+                        ac = self._residual_block(T.CAT_CHROMA_AC, 15)
+                        blk[T.ZIGZAG_4X4[1:]] = ac
+                        nz = 1
+                self.cbf_chroma[pl - 1, mby * 2 + by, mbx * 2 + bx] = nz
+                d4 = dequant4(blk.reshape(4, 4), q)
+                d4[0, 0] = dcs[by, bx]
+                res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = itrans4(d4)
+            self.planes[pl][y0:y0 + 8, x0:x0 + 8] = np.clip(p + res, 0, 255)

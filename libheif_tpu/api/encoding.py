@@ -1,0 +1,285 @@
+"""Encoding API (ref: api/libheif/heif_encoding.h, 45 fns).
+
+Encoder discovery, typed parameter introspection (ref:
+heif_encoding.h:154+), quality/lossless knobs, and the encode entry
+points over HeifContext.encode_image.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..codecs import registry
+from ..core.error import HeifError, SubError
+from .types import EncodingOptions
+from .image_handle import heif_image_handle
+
+heif_encoding_options = EncodingOptions
+
+
+class heif_encoder:
+    """Opaque encoder wrapper: a registry encoder + pending parameter
+    values (ref: api_structs.h heif_encoder)."""
+
+    def __init__(self, reg_encoder):
+        self.impl = reg_encoder
+        self.values = {"quality": 50, "lossless": False}
+
+    def __repr__(self):
+        return f"heif_encoder({self.impl.format}/{self.impl.id})"
+
+
+# ------------------------------------------------------------- discovery
+
+def heif_get_encoder_descriptors(compression_format: Optional[str] = None,
+                                 name_filter: Optional[str] = None
+                                 ) -> List[Tuple[str, str]]:
+    out = registry.list_encoders()
+    if compression_format is not None:
+        out = [e for e in out if e[0] == compression_format]
+    if name_filter:
+        out = [e for e in out if name_filter in e[1]]
+    return out
+
+
+def heif_encoder_descriptor_get_name(descriptor) -> str:
+    return f"{descriptor[1]} ({descriptor[0]})"
+
+
+def heif_encoder_descriptor_get_id_name(descriptor) -> str:
+    return descriptor[1]
+
+
+def heif_encoder_descriptor_get_compression_format(descriptor) -> str:
+    return descriptor[0]
+
+
+def heif_encoder_descriptor_supports_lossy_compression(descriptor) -> bool:
+    e = registry.get_encoder(descriptor[0], descriptor[1])
+    return bool(e and e.lossy_supported)
+
+
+def heif_encoder_descriptor_supports_lossless_compression(descriptor
+                                                          ) -> bool:
+    e = registry.get_encoder(descriptor[0], descriptor[1])
+    return bool(e and e.lossless_supported)
+
+
+def heif_have_encoder_for_format(compression_format: str) -> bool:
+    return registry.have_encoder(compression_format)
+
+
+def heif_context_get_encoder_for_format(ctx, compression_format: str
+                                        ) -> heif_encoder:
+    e = registry.get_encoder(compression_format)
+    if e is None:
+        raise HeifError.unsupported(
+            SubError.Unsupported_codec,
+            f"no encoder for format {compression_format}")
+    return heif_encoder(e)
+
+
+def heif_context_get_encoder(ctx, descriptor) -> heif_encoder:
+    e = registry.get_encoder(descriptor[0], descriptor[1])
+    if e is None:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    f"no encoder {descriptor}")
+    return heif_encoder(e)
+
+
+def heif_encoder_release(encoder) -> None:
+    pass
+
+
+def heif_encoder_get_name(encoder: heif_encoder) -> str:
+    return encoder.impl.id
+
+
+# ------------------------------------------------------------- parameters
+
+def heif_encoder_set_lossy_quality(encoder: heif_encoder,
+                                   quality: int) -> None:
+    if not 0 <= quality <= 100:
+        raise HeifError.usage(msg="quality must be 0..100")
+    encoder.values["quality"] = quality
+
+
+def heif_encoder_set_lossless(encoder: heif_encoder,
+                              enable: bool) -> None:
+    encoder.values["lossless"] = bool(enable)
+
+
+def heif_encoder_set_logging_level(encoder: heif_encoder,
+                                   level: int) -> None:
+    encoder.values["logging"] = level
+
+
+def heif_encoder_list_parameters(encoder: heif_encoder) -> List[dict]:
+    """Typed parameter descriptors (ref: heif_encoding.h:154+,
+    heif_plugin.h:232+): dicts with name/type/default/range/valid."""
+    base = [
+        {"name": "quality", "type": "integer", "default": 50,
+         "minimum": 0, "maximum": 100, "have_minimum_maximum": True},
+        {"name": "lossless", "type": "boolean", "default": False},
+    ]
+    return base + encoder.impl.parameters()
+
+
+def heif_encoder_parameter_get_name(param: dict) -> str:
+    return param["name"]
+
+
+def heif_encoder_parameter_get_type(param: dict) -> str:
+    return param["type"]
+
+
+def _param_desc(encoder, name):
+    for p in heif_encoder_list_parameters(encoder):
+        if p["name"] == name:
+            return p
+    raise HeifError.usage(msg=f"unknown parameter {name}")
+
+
+def heif_encoder_set_parameter_integer(encoder, name: str,
+                                       value: int) -> None:
+    d = _param_desc(encoder, name)
+    if d.get("have_minimum_maximum") and not \
+            d["minimum"] <= value <= d["maximum"]:
+        raise HeifError.usage(msg=f"{name} out of range")
+    encoder.values[name] = int(value)
+
+
+def heif_encoder_get_parameter_integer(encoder, name: str) -> int:
+    d = _param_desc(encoder, name)
+    return int(encoder.values.get(name, d.get("default", 0)))
+
+
+def heif_encoder_parameter_integer_valid_range(encoder, name: str
+                                               ) -> Tuple[int, int]:
+    d = _param_desc(encoder, name)
+    return d.get("minimum", 0), d.get("maximum", 0)
+
+
+def heif_encoder_set_parameter_boolean(encoder, name: str,
+                                       value: bool) -> None:
+    _param_desc(encoder, name)
+    encoder.values[name] = bool(value)
+
+
+def heif_encoder_get_parameter_boolean(encoder, name: str) -> bool:
+    d = _param_desc(encoder, name)
+    return bool(encoder.values.get(name, d.get("default", False)))
+
+
+def heif_encoder_set_parameter_string(encoder, name: str,
+                                      value: str) -> None:
+    d = _param_desc(encoder, name)
+    valid = d.get("valid_values")
+    if valid and value not in valid:
+        raise HeifError.usage(msg=f"invalid value {value} for {name}")
+    encoder.values[name] = value
+
+
+def heif_encoder_get_parameter_string(encoder, name: str) -> str:
+    d = _param_desc(encoder, name)
+    return str(encoder.values.get(name, d.get("default", "")))
+
+
+def heif_encoder_parameter_string_valid_values(encoder, name: str
+                                               ) -> List[str]:
+    return list(_param_desc(encoder, name).get("valid_values", []))
+
+
+def heif_encoder_parameter_integer_valid_values(encoder, name: str
+                                                ) -> List[int]:
+    return list(_param_desc(encoder, name).get("valid_values", []))
+
+
+def heif_encoder_set_parameter(encoder, name: str, value: str) -> None:
+    """String-form generic setter (ref: heif_encoder_set_parameter)."""
+    d = _param_desc(encoder, name)
+    t = d["type"]
+    if t == "integer":
+        heif_encoder_set_parameter_integer(encoder, name, int(value))
+    elif t == "boolean":
+        heif_encoder_set_parameter_boolean(
+            encoder, name, value.lower() in ("1", "true", "on", "yes"))
+    else:
+        heif_encoder_set_parameter_string(encoder, name, value)
+
+
+def heif_encoder_get_parameter(encoder, name: str) -> str:
+    return str(encoder.values.get(name,
+                                  _param_desc(encoder, name).get(
+                                      "default", "")))
+
+
+def heif_encoder_has_default(encoder, name: str) -> bool:
+    return "default" in _param_desc(encoder, name)
+
+
+# ------------------------------------------------------------- encoding
+
+def _options_from_encoder(encoder: heif_encoder,
+                          options: Optional[EncodingOptions]
+                          ) -> EncodingOptions:
+    o = options or EncodingOptions()
+    o.quality = encoder.values.get("quality", o.quality)
+    o.lossless = encoder.values.get("lossless", o.lossless)
+    return o
+
+
+def heif_encoding_options_alloc() -> EncodingOptions:
+    return EncodingOptions()
+
+
+def heif_encoding_options_free(options) -> None:
+    pass
+
+
+def heif_context_encode_image(ctx, image, encoder: heif_encoder,
+                              options: Optional[EncodingOptions] = None
+                              ) -> heif_image_handle:
+    """(ref: heif_encoding.cc → HeifContext::encode_image
+    context.cc:1600)."""
+    o = _options_from_encoder(encoder, options)
+    item_id = ctx.encode_image(image, encoder.impl.format, o)
+    return heif_image_handle(ctx, item_id)
+
+
+def heif_context_encode_thumbnail(ctx, image, master_handle,
+                                  encoder: heif_encoder,
+                                  options=None,
+                                  bbox_size: int = 256
+                                  ) -> Optional[heif_image_handle]:
+    """Encode `image` scaled into bbox_size as a thumbnail of master
+    (ref: heif_context_encode_thumbnail)."""
+    w, h = image.width, image.height
+    if max(w, h) > bbox_size:
+        if w > h:
+            nw, nh = bbox_size, max(1, h * bbox_size // w)
+        else:
+            nw, nh = max(1, w * bbox_size // h), bbox_size
+        image = image.scale_nearest(nw, nh)
+    elif max(w, h) <= bbox_size and (w, h) == (image.width, image.height):
+        # reference skips thumbnails not smaller than the master
+        master = master_handle.item
+        mw, mh = master.width_height()
+        if w >= mw and h >= mh:
+            return None
+    tid = ctx.add_thumbnail(master_handle.item_id, image,
+                            fmt=encoder.impl.format,
+                            options=_options_from_encoder(encoder,
+                                                          options))
+    return heif_image_handle(ctx, tid)
+
+
+def heif_context_assign_thumbnail(ctx, master_handle,
+                                  thumbnail_handle) -> None:
+    """Link an already-encoded item as thumbnail of master (ref:
+    heif_context_assign_thumbnail)."""
+    ctx.file.add_reference("thmb", thumbnail_handle.item_id,
+                           [master_handle.item_id])
+    ctx.get_item(thumbnail_handle.item_id).is_thumbnail = True
+    ctx.get_item(master_handle.item_id).thumbnails.append(
+        ctx.get_item(thumbnail_handle.item_id))

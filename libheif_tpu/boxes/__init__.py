@@ -9,6 +9,7 @@ from . import seq  # noqa: F401
 from . import mini  # noqa: F401
 from . import tild  # noqa: F401
 from . import j2k  # noqa: F401
+from . import omaf  # noqa: F401
 
 __all__ = [
     "Box", "FullBox", "BoxHeader", "Box_other", "Box_Error",

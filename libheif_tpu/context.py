@@ -420,21 +420,31 @@ class HeifContext:
         self.get_item(master_id).thumbnails.append(self.get_item(thumb_id))
         return thumb_id
 
+    def _link_metadata_item(self, infe, target_id: int) -> None:
+        self.file.add_reference("cdsc", infe.item_id, [target_id])
+        infe.hidden = True
+        target = self.items.get(target_id)
+        if target is not None:
+            target.metadata.append({
+                "item_id": infe.item_id,
+                "item_type": infe.item_type,
+                "content_type": infe.content_type,
+                "item_uri_type": infe.item_uri_type,
+            })
+
     def add_exif(self, item_id: int, exif: bytes) -> int:
         """(ref: heif_context_add_exif_metadata)."""
         infe = self.file.add_new_item("Exif")
         payload = (0).to_bytes(4, "big") + exif
         self.file.append_item_data(infe.item_id, payload)
-        self.file.add_reference("cdsc", infe.item_id, [item_id])
-        infe.hidden = True
+        self._link_metadata_item(infe, item_id)
         return infe.item_id
 
     def add_xmp(self, item_id: int, xmp: bytes) -> int:
         infe = self.file.add_new_item("mime")
         infe.content_type = "application/rdf+xml"
         self.file.append_item_data(infe.item_id, xmp)
-        self.file.add_reference("cdsc", infe.item_id, [item_id])
-        infe.hidden = True
+        self._link_metadata_item(infe, item_id)
         return infe.item_id
 
     # ---------------------------------------------------------------- regions
@@ -573,6 +583,10 @@ class HeifContext:
                        if hasattr(tw, "sample_entry_type")]
         major, compat = compute_brands(item_types, primary_type,
                                        track_types)
+        # user-requested extras (heif_context_add_compatible_brand)
+        for b in getattr(self, "extra_compatible_brands", []):
+            if b not in compat:
+                compat.append(b)
         f.ftyp.major_brand = major
         f.ftyp.compatible_brands = compat
 

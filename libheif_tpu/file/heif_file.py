@@ -201,6 +201,15 @@ class HeifFile:
             start = it.base_offset + ext.offset
             length = ext.length
             if method == 0:
+                if getattr(it, "mdat_relative", False):
+                    # write-mode: data still lives in the pending mdat
+                    pending = b"".join(getattr(self, "_mdat_parts", []))
+                    if start + length > len(pending):
+                        raise HeifError.eof(
+                            f"pending-mdat extent [{start}+{length}] "
+                            "out of range")
+                    parts.append(pending[start:start + length])
+                    continue
                 if self.buffer is None or start + length > len(self.buffer):
                     raise HeifError.eof(
                         f"iloc extent [{start}+{length}] beyond file end")

@@ -48,6 +48,8 @@ from .experimental import *     # noqa: F401,F403
 from .components import *       # noqa: F401,F403
 from .omaf import *             # noqa: F401,F403
 from .plugin import *           # noqa: F401,F403
+from .sequences import *        # noqa: F401,F403
+from .tai_timestamps import *   # noqa: F401,F403
 
 from ..context import HeifContext  # noqa: F401  (pythonic entry point)
 

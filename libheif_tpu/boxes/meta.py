@@ -15,7 +15,7 @@ from ..core.bitstream import ByteReader, ByteWriter
 from ..core.error import HeifError, SubError
 from ..core.fraction import Fraction
 from ..core.limits import SecurityLimits
-from .box import Box, FullBox, register_box
+from .box import Box, FullBox, register_box, register_uuid_box
 
 
 # --------------------------------------------------------------------------
@@ -1211,3 +1211,297 @@ class Box_mdat(Box):
 
     def dump_fields(self) -> List[str]:
         return [f"{self.data_size or len(self.payload)} data bytes"]
+
+
+# --------------------------------------------------------------------------
+# TAI timestamps (ISO/IEC 23001-17 AMD / ST 2059): taic clock info +
+# itai per-item timestamp (ref: box.h:1812 Box_taic, :1892 Box_itai;
+# wire format box.cc:5238-5270).
+# --------------------------------------------------------------------------
+
+@dataclass
+class TaiClockInfo:
+    """heif_tai_clock_info equivalent (ref: heif_tai_timestamps.h)."""
+    time_uncertainty: int = 0xFFFFFFFFFFFFFFFF    # unknown
+    clock_resolution: int = 0
+    clock_drift_rate: int = 0x7FFFFFFF            # unknown
+    clock_type: int = 0
+
+
+@dataclass
+class TaiTimestampPacket:
+    """heif_tai_timestamp_packet equivalent."""
+    tai_timestamp: int = 0        # ns since TAI epoch 1958-01-01
+    synchronization_state: bool = False
+    timestamp_generation_failure: bool = False
+    timestamp_is_modified: bool = False
+
+    def to_bytes(self) -> bytes:
+        status = ((0x80 if self.synchronization_state else 0) |
+                  (0x40 if self.timestamp_generation_failure else 0) |
+                  (0x20 if self.timestamp_is_modified else 0))
+        return self.tai_timestamp.to_bytes(8, "big") + bytes([status])
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TaiTimestampPacket":
+        if len(data) < 9:
+            raise HeifError.invalid_input(msg="TAI timestamp packet too short")
+        status = data[8]
+        return cls(tai_timestamp=int.from_bytes(data[:8], "big"),
+                   synchronization_state=bool(status & 0x80),
+                   timestamp_generation_failure=bool(status & 0x40),
+                   timestamp_is_modified=bool(status & 0x20))
+
+
+@register_box("taic")
+class Box_taic(FullBox):
+    """TAI clock information property (ref: box.h:1812)."""
+
+    is_essential_default = False
+
+    def __init__(self, info: Optional[TaiClockInfo] = None):
+        super().__init__()
+        self.info = info or TaiClockInfo()
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.info = TaiClockInfo(
+            time_uncertainty=r.read64(),
+            clock_resolution=r.read32(),
+            clock_drift_rate=r.read32s(),
+            clock_type=r.read8() >> 6)
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write64(self.info.time_uncertainty)
+        w.write32(self.info.clock_resolution)
+        w.write32s(self.info.clock_drift_rate)
+        w.write8((self.info.clock_type & 3) << 6)
+
+    def dump_fields(self) -> List[str]:
+        return [f"time_uncertainty: {self.info.time_uncertainty}",
+                f"clock_resolution: {self.info.clock_resolution}",
+                f"clock_drift_rate: {self.info.clock_drift_rate}",
+                f"clock_type: {self.info.clock_type}"]
+
+
+@register_box("itai")
+class Box_itai(FullBox):
+    """Item TAI timestamp property (ref: box.h:1892)."""
+
+    is_essential_default = False
+
+    def __init__(self, ts: Optional[TaiTimestampPacket] = None):
+        super().__init__()
+        self.timestamp = ts or TaiTimestampPacket()
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        data = r.read_bytes(8) + r.read_bytes(1)
+        self.timestamp = TaiTimestampPacket.from_bytes(data)
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_bytes(self.timestamp.to_bytes())
+
+    def dump_fields(self) -> List[str]:
+        t = self.timestamp
+        return [f"tai_timestamp: {t.tai_timestamp}",
+                f"synchronization_state: {t.synchronization_state}",
+                f"generation_failure: {t.timestamp_generation_failure}",
+                f"is_modified: {t.timestamp_is_modified}"]
+
+
+@register_box("elng")
+class Box_elng(FullBox):
+    """Extended language tag (ref: box.h:2000)."""
+
+    def __init__(self, lang: str = ""):
+        super().__init__()
+        self.extended_language = lang
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.extended_language = r.read_string()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_string(self.extended_language)
+
+    def dump_fields(self) -> List[str]:
+        return [f"extended_language: {self.extended_language}"]
+
+
+@register_box("cclv")
+class Box_cclv(Box):
+    """Content colour volume (ref: box.cc Box_cclv::parse).
+
+    Optional primaries / min / max / avg luminance, gated by the flag
+    byte.  Values are kept in their fixed-point wire representation.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.primaries = None       # [(x,y)]*3 as int32 pairs, or None
+        self.min_luminance = None
+        self.max_luminance = None
+        self.avg_luminance = None
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        flags = r.read8()
+        if flags & 0b00100000:
+            self.primaries = [(r.read32s(), r.read32s()) for _ in range(3)]
+        if flags & 0b00010000:
+            self.min_luminance = r.read32()
+        if flags & 0b00001000:
+            self.max_luminance = r.read32()
+        if flags & 0b00000100:
+            self.avg_luminance = r.read32()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        flags = ((0b00100000 if self.primaries is not None else 0) |
+                 (0b00010000 if self.min_luminance is not None else 0) |
+                 (0b00001000 if self.max_luminance is not None else 0) |
+                 (0b00000100 if self.avg_luminance is not None else 0))
+        w.write8(flags)
+        if self.primaries is not None:
+            for x, y in self.primaries:
+                w.write32s(x)
+                w.write32s(y)
+        if self.min_luminance is not None:
+            w.write32(self.min_luminance)
+        if self.max_luminance is not None:
+            w.write32(self.max_luminance)
+        if self.avg_luminance is not None:
+            w.write32(self.avg_luminance)
+
+
+@register_box("cmin")
+class Box_cmin(FullBox):
+    """Camera intrinsic matrix (ref: box.cc Box_cmin::parse).
+
+    Fixed-point values are stored raw (int32) together with the
+    denominator shifts encoded in the flags, so round-trips are lossless.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.focal_length_x = 0
+        self.principal_point_x = 0
+        self.principal_point_y = 0
+        self.focal_length_y = 0
+        self.skew = 0
+
+    @property
+    def denominator_shift(self) -> int:
+        return (self.flags & 0x1F00) >> 8
+
+    @property
+    def skew_denominator_shift(self) -> int:
+        return (self.flags & 0x1F0000) >> 16
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.focal_length_x = r.read32s()
+        self.principal_point_x = r.read32s()
+        self.principal_point_y = r.read32s()
+        if self.flags & 1:
+            self.focal_length_y = r.read32s()
+            self.skew = r.read32s()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write32s(self.focal_length_x)
+        w.write32s(self.principal_point_x)
+        w.write32s(self.principal_point_y)
+        if self.flags & 1:
+            w.write32s(self.focal_length_y)
+            w.write32s(self.skew)
+
+
+@register_box("cmex")
+class Box_cmex(FullBox):
+    """Camera extrinsic matrix (ref: box.cc Box_cmex::parse).
+
+    Presence of each field is governed by flag bits; rotation is a
+    quaternion (v0, 16- or 32-bit) or yaw/pitch/roll (v1).  Raw
+    fixed-point storage for lossless round-trip.
+    """
+
+    FLAG_POS_X = 1
+    FLAG_POS_Y = 2
+    FLAG_POS_Z = 4
+    FLAG_ORIENTATION = 8
+    FLAG_ROT_32BIT = 16
+    FLAG_ID = 32
+
+    supported_versions = (0, 1)
+
+    def __init__(self):
+        super().__init__()
+        self.pos_x = self.pos_y = self.pos_z = 0
+        self.quat = (0, 0, 0)           # raw ints (v0)
+        self.rotation = (0, 0, 0)       # raw 16.16 yaw/pitch/roll (v1)
+        self.world_coordinate_system_id = 0
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        f = self.flags
+        if f & self.FLAG_POS_X:
+            self.pos_x = r.read32s()
+        if f & self.FLAG_POS_Y:
+            self.pos_y = r.read32s()
+        if f & self.FLAG_POS_Z:
+            self.pos_z = r.read32s()
+        if f & self.FLAG_ORIENTATION:
+            if self.version == 0:
+                if f & self.FLAG_ROT_32BIT:
+                    self.quat = (r.read32s(), r.read32s(), r.read32s())
+                else:
+                    self.quat = (r.read16s(), r.read16s(), r.read16s())
+            else:
+                self.rotation = (r.read32s(), r.read32s(), r.read32s())
+        if f & self.FLAG_ID:
+            self.world_coordinate_system_id = r.read32()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        f = self.flags
+        if f & self.FLAG_POS_X:
+            w.write32s(self.pos_x)
+        if f & self.FLAG_POS_Y:
+            w.write32s(self.pos_y)
+        if f & self.FLAG_POS_Z:
+            w.write32s(self.pos_z)
+        if f & self.FLAG_ORIENTATION:
+            if self.version == 0:
+                if f & self.FLAG_ROT_32BIT:
+                    for q in self.quat:
+                        w.write32s(q)
+                else:
+                    for q in self.quat:
+                        w.write16s(q)
+            else:
+                for v in self.rotation:
+                    w.write32s(v)
+        if f & self.FLAG_ID:
+            w.write32(self.world_coordinate_system_id)
+
+
+GIMI_CONTENT_ID_UUID = bytes([0x26, 0x1e, 0xf3, 0x74, 0x1d, 0x97, 0x5b, 0xba,
+                              0xac, 0xbd, 0x9d, 0x2c, 0x8e, 0xa7, 0x35, 0x22])
+
+
+@register_uuid_box(GIMI_CONTENT_ID_UUID)
+class Box_gimi_content_id(Box):
+    """GIMI content-ID uuid property (ref: box.h:1957)."""
+
+    def __init__(self, content_id: str = ""):
+        super().__init__()
+        self.box_type = "uuid"
+        self.uuid = GIMI_CONTENT_ID_UUID
+        self.content_id = content_id
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.content_id = r.read_string()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        w.write_string(self.content_id)
+
+    def dump_fields(self) -> List[str]:
+        return [f"content_id: {self.content_id}"]

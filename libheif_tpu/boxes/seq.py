@@ -590,3 +590,384 @@ class Box_elst(FullBox):
                 w.write32s(mt)
             w.write16(ri)
             w.write16(rf)
+
+
+# --------------------------------------------------------------------------
+# Sample auxiliary information (saiz/saio) — carries per-sample TAI
+# timestamps ('stai') and GIMI content IDs ('suid')
+# (ref: seq_boxes.h:839 Box_saiz, :882 Box_saio; track.cc:65
+# SampleAuxInfoHelper, track.cc:154 SampleAuxInfoReader).
+# --------------------------------------------------------------------------
+
+@register_box("saiz")
+class Box_saiz(FullBox):
+    """Sample auxiliary information sizes."""
+
+    def __init__(self):
+        super().__init__()
+        self.aux_info_type = ""         # 4cc, present when flags&1
+        self.aux_info_type_parameter = 0
+        self.default_sample_info_size = 0
+        self.sample_count = 0
+        self.sample_sizes: List[int] = []   # used when default size == 0
+
+    def set_aux_info_type(self, fourcc_str: str, parameter: int = 0) -> None:
+        self.aux_info_type = fourcc_str
+        self.aux_info_type_parameter = parameter
+        self.flags |= 1
+
+    def sample_info_size(self, idx: int) -> int:
+        if self.default_sample_info_size:
+            return self.default_sample_info_size
+        if idx < len(self.sample_sizes):
+            return self.sample_sizes[idx]
+        return 0
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        if self.flags & 1:
+            self.aux_info_type = r.read_fixed_string(4)
+            self.aux_info_type_parameter = r.read32()
+        self.default_sample_info_size = r.read8()
+        self.sample_count = r.read32()
+        if self.default_sample_info_size == 0:
+            limits.check_block_size(self.sample_count, "saiz entries")
+            self.sample_sizes = [r.read8() for _ in range(self.sample_count)]
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        if self.flags & 1:
+            w.write_fixed_string(self.aux_info_type, 4)
+            w.write32(self.aux_info_type_parameter)
+        w.write8(self.default_sample_info_size)
+        if self.default_sample_info_size:
+            w.write32(self.sample_count)
+        else:
+            w.write32(len(self.sample_sizes))
+            for s in self.sample_sizes:
+                w.write8(s)
+
+    def dump_fields(self) -> List[str]:
+        return [f"aux_info_type: {self.aux_info_type}",
+                f"default_sample_info_size: {self.default_sample_info_size}",
+                f"sample_count: {self.sample_count or len(self.sample_sizes)}"]
+
+
+@register_box("saio")
+class Box_saio(FullBox):
+    """Sample auxiliary information offsets."""
+
+    supported_versions = (0, 1)
+
+    def __init__(self):
+        super().__init__()
+        self.aux_info_type = ""
+        self.aux_info_type_parameter = 0
+        self.offsets: List[int] = []
+        # write-path patching: positions of offset fields in the stream
+        self._patch_positions: List[int] = []
+
+    def set_aux_info_type(self, fourcc_str: str, parameter: int = 0) -> None:
+        self.aux_info_type = fourcc_str
+        self.aux_info_type_parameter = parameter
+        self.flags |= 1
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        if self.flags & 1:
+            self.aux_info_type = r.read_fixed_string(4)
+            self.aux_info_type_parameter = r.read32()
+        n = r.read32()
+        limits.check_block_size(n * 8, "saio entries")
+        if self.version == 1:
+            self.offsets = [r.read64() for _ in range(n)]
+        else:
+            self.offsets = [r.read32() for _ in range(n)]
+
+    def derive_version(self) -> None:
+        self.version = 1 if any(o > 0xFFFFFFFF for o in self.offsets) else 0
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        if self.flags & 1:
+            w.write_fixed_string(self.aux_info_type, 4)
+            w.write32(self.aux_info_type_parameter)
+        w.write32(len(self.offsets))
+        self._patch_positions = []
+        for o in self.offsets:
+            self._patch_positions.append(w.pos)
+            if self.version == 1:
+                w.write64(o)
+            else:
+                w.write32(o)
+
+
+@register_box("sbgp")
+class Box_sbgp(FullBox):
+    """Sample-to-group (ref: seq_boxes.h:722)."""
+
+    supported_versions = (0, 1)
+
+    def __init__(self):
+        super().__init__()
+        self.grouping_type = ""
+        self.grouping_type_parameter = 0
+        self.entries: List[tuple] = []   # (sample_count, group_descr_index)
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.grouping_type = r.read_fixed_string(4)
+        if self.version == 1:
+            self.grouping_type_parameter = r.read32()
+        n = r.read32()
+        limits.check_block_size(n * 8, "sbgp entries")
+        self.entries = [(r.read32(), r.read32()) for _ in range(n)]
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_fixed_string(self.grouping_type, 4)
+        if self.version == 1:
+            w.write32(self.grouping_type_parameter)
+        w.write32(len(self.entries))
+        for count, gdi in self.entries:
+            w.write32(count)
+            w.write32(gdi)
+
+    def dump_fields(self) -> List[str]:
+        return [f"grouping_type: {self.grouping_type}",
+                f"entries: {len(self.entries)}"]
+
+
+@register_box("sgpd")
+class Box_sgpd(FullBox):
+    """Sample group description (ref: seq_boxes.h:783).
+
+    Group-description payloads are kept as raw bytes; 'refs' (direct
+    reference samples) entries are decoded on demand by the track layer.
+    """
+
+    supported_versions = (1, 2)
+
+    def __init__(self):
+        super().__init__()
+        self.version = 1
+        self.grouping_type = ""
+        self.default_length = 0
+        self.default_group_description_index = 0
+        self.entries: List[bytes] = []
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.grouping_type = r.read_fixed_string(4)
+        if self.version >= 1:
+            self.default_length = r.read32()
+        if self.version >= 2:
+            self.default_group_description_index = r.read32()
+        n = r.read32()
+        limits.check_block_size(n * max(1, self.default_length),
+                                "sgpd entries")
+        out = []
+        for _ in range(n):
+            length = self.default_length
+            if self.version >= 1 and self.default_length == 0:
+                length = r.read32()
+            out.append(r.read_bytes(length))
+        self.entries = out
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_fixed_string(self.grouping_type, 4)
+        if self.version >= 1:
+            w.write32(self.default_length)
+        if self.version >= 2:
+            w.write32(self.default_group_description_index)
+        w.write32(len(self.entries))
+        for e in self.entries:
+            if self.version >= 1 and self.default_length == 0:
+                w.write32(len(e))
+            w.write_bytes(e)
+
+    def dump_fields(self) -> List[str]:
+        return [f"grouping_type: {self.grouping_type}",
+                f"entries: {len(self.entries)}"]
+
+
+@register_box("sdtp")
+class Box_sdtp(FullBox):
+    """Independent and disposable samples (ref: seq_boxes.h:927).
+
+    One byte per sample; the sample count comes from stsz, so the raw
+    payload is preserved verbatim.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.sample_flags = b""
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.sample_flags = r.read_remaining()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_bytes(self.sample_flags)
+
+    def sample_is_independent(self, idx: int) -> bool:
+        if idx >= len(self.sample_flags):
+            return True
+        return ((self.sample_flags[idx] >> 4) & 3) == 2
+
+
+class TrackReferenceTypeBox(Box):
+    """One reference-type edge inside tref: box type IS the ref type
+    ('auxl', 'cdsc', 'thmb', 'vdep', ...), payload = referenced ids."""
+
+    def __init__(self, ref_type: str = "auxl"):
+        super().__init__()
+        self.box_type = ref_type
+        self.track_ids: List[int] = []
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        ids = []
+        while not r.eof() and r.remaining() >= 4:
+            ids.append(r.read32())
+        self.track_ids = ids
+
+    def write_payload(self, w: ByteWriter) -> None:
+        for t in self.track_ids:
+            w.write32(t)
+
+    def dump_fields(self) -> List[str]:
+        return [f"ref_type: {self.box_type}", f"track_ids: {self.track_ids}"]
+
+
+@register_box("tref")
+class Box_tref(Box):
+    """Track reference container (ref: seq_boxes.h:956).
+
+    Children are TrackReferenceTypeBoxes whose box type is the
+    reference kind, so the generic child parser cannot be used.
+    """
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        while not r.eof() and r.remaining() >= 8:
+            size = r.read32()
+            rtype = r.read_fixed_string(4)
+            if size < 8 or size - 8 > r.remaining():
+                break
+            sub = r.sub_reader(size - 8)
+            ref = TrackReferenceTypeBox(rtype)
+            ref.parse_payload(sub, limits, depth + 1)
+            self.children.append(ref)
+
+    def write_payload(self, w: ByteWriter) -> None:
+        for c in self.children:
+            payload = ByteWriter()
+            c.write_payload(payload)
+            w.write32(8 + len(payload))
+            w.write_fixed_string(c.box_type, 4)
+            w.write_bytes(payload.data())
+
+    def references_of_type(self, ref_type: str) -> List[int]:
+        for c in self.children:
+            if c.box_type == ref_type:
+                return list(c.track_ids)
+        return []
+
+    def reference_types(self) -> List[str]:
+        return [c.box_type for c in self.children]
+
+    def add_references(self, ref_type: str, to_track_ids: List[int]) -> None:
+        for c in self.children:
+            if c.box_type == ref_type:
+                c.track_ids.extend(to_track_ids)
+                return
+        ref = TrackReferenceTypeBox(ref_type)
+        ref.track_ids = list(to_track_ids)
+        self.children.append(ref)
+
+
+@register_box("auxi")
+class Box_auxi(FullBox):
+    """Auxiliary track type URN (ref: seq_boxes.h:595 Box_auxi),
+    the track analog of the auxC item property."""
+
+    def __init__(self, aux_track_type: str = ""):
+        super().__init__()
+        self.aux_track_type = aux_track_type
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.aux_track_type = r.read_string()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_string(self.aux_track_type)
+
+    def dump_fields(self) -> List[str]:
+        return [f"aux_track_type: {self.aux_track_type}"]
+
+
+@register_box("uri ")
+class Box_uri(FullBox):
+    """URI box inside a urim sample entry (ref: seq_boxes.h:696)."""
+
+    def __init__(self, uri: str = ""):
+        super().__init__()
+        self.uri = uri
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.uri = r.read_string()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write_string(self.uri)
+
+    def dump_fields(self) -> List[str]:
+        return [f"uri: {self.uri}"]
+
+
+@register_box("urim")
+class Box_urim(Box):
+    """URIMetaSampleEntry (ref: seq_boxes.h:673): plain SampleEntry
+    header followed by a uri box child."""
+
+    def __init__(self):
+        super().__init__()
+        self.box_type = "urim"
+        self.data_reference_index = 1
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        r.skip(6)
+        self.data_reference_index = r.read16()
+        self.read_children(r, limits, depth + 1)
+
+    def write_payload(self, w: ByteWriter) -> None:
+        for _ in range(6):
+            w.write8(0)
+        w.write16(self.data_reference_index)
+        self.write_children(w)
+
+    def get_uri(self) -> str:
+        u = self.get_child("uri ")
+        return u.uri if u is not None else ""
+
+
+@register_box("btrt")
+class Box_btrt(Box):
+    """Bitrate box (ref: seq_boxes.h:816)."""
+
+    def __init__(self):
+        super().__init__()
+        self.buffer_size_db = 0
+        self.max_bitrate = 0
+        self.avg_bitrate = 0
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits, depth=0) -> None:
+        self.buffer_size_db = r.read32()
+        self.max_bitrate = r.read32()
+        self.avg_bitrate = r.read32()
+
+    def write_payload(self, w: ByteWriter) -> None:
+        w.write32(self.buffer_size_db)
+        w.write32(self.max_bitrate)
+        w.write32(self.avg_bitrate)
+
+    def dump_fields(self) -> List[str]:
+        return [f"buffer_size_db: {self.buffer_size_db}",
+                f"max_bitrate: {self.max_bitrate}",
+                f"avg_bitrate: {self.avg_bitrate}"]

@@ -23,7 +23,7 @@ from .color import convert_image
 from .color.nclx import NclxProfile
 from .items import ImageItem, ImageItem_Error, DecodingOptions, alloc_item
 from .items.item import ITEM_REGISTRY
-from .api.types import EncodingOptions, ImageTiling
+from .option_types import EncodingOptions, ImageTiling
 
 
 class HeifContext:
@@ -38,6 +38,8 @@ class HeifContext:
         self._tracks = None
         self._track_writers = []
         self._pending_region_items = []
+        self._sequence_timescale = 90000
+        self._sequence_repetitions = 1
 
     # ================================================================ read
 
@@ -75,31 +77,115 @@ class HeifContext:
                 return t
         return None
 
+    def has_sequence(self) -> bool:
+        """(ref: heif_context_has_sequence)."""
+        return len(self.tracks) > 0 or bool(self._track_writers)
+
+    def sequence_timescale(self) -> int:
+        """mvhd timescale (ref: heif_context_get_sequence_timescale)."""
+        moov = self.file.top_level_box("moov") if self.file else None
+        mvhd = moov.get_child("mvhd") if moov else None
+        if mvhd is not None:
+            return mvhd.timescale
+        return self._sequence_timescale
+
+    def sequence_duration(self) -> int:
+        """mvhd duration in movie units
+        (ref: heif_context_get_sequence_duration)."""
+        moov = self.file.top_level_box("moov") if self.file else None
+        mvhd = moov.get_child("mvhd") if moov else None
+        return mvhd.duration if mvhd is not None else 0
+
+    def set_sequence_timescale(self, timescale: int) -> None:
+        self._sequence_timescale = timescale
+
+    def set_number_of_sequence_repetitions(self, repetitions: int) -> None:
+        """0xFFFFFFFF = repeat indefinitely
+        (ref: heif_context_set_number_of_sequence_repetitions)."""
+        self._sequence_repetitions = repetitions
+
     def add_visual_track(self, width: int, height: int, fmt: str = "hevc",
-                         timescale: int = 90000):
+                         timescale: int = 0, options=None,
+                         handler: str = "vide", aux_type_urn=None):
         """Start a new visual sequence track
         (ref: heif_context_add_visual_sequence_track)."""
-        from .sequences.track import VisualTrackWriter
+        from .sequences.track import VisualTrackWriter, TrackOptions
         if self.file is None:
             self.new_file()
-        tw = VisualTrackWriter(self.file, width, height, fmt, timescale,
-                               track_id=len(self._track_writers) + 1)
+        if options is None:
+            options = TrackOptions(
+                timescale=timescale or self._sequence_timescale)
+        elif timescale:
+            options.timescale = timescale
+        tw = VisualTrackWriter(self.file, width, height, fmt,
+                               options.timescale,
+                               track_id=self._next_track_id(),
+                               options=options, handler=handler,
+                               aux_type_urn=aux_type_urn)
         self._track_writers.append(tw)
         return tw
+
+    def add_uri_metadata_track(self, uri: str, timescale: int = 0,
+                               options=None):
+        """(ref: heif_context_add_uri_metadata_sequence_track)."""
+        from .sequences.track import MetadataTrackWriter, TrackOptions
+        if self.file is None:
+            self.new_file()
+        if options is None:
+            options = TrackOptions(
+                timescale=timescale or self._sequence_timescale)
+        elif timescale:
+            options.timescale = timescale
+        tw = MetadataTrackWriter(self.file, uri,
+                                 timescale=options.timescale,
+                                 track_id=self._next_track_id(),
+                                 options=options)
+        self._track_writers.append(tw)
+        return tw
+
+    def _next_track_id(self) -> int:
+        used = {tw.track_id for tw in self._track_writers}
+        tid = 1
+        while tid in used:
+            tid += 1
+        return tid
 
     def _finalize_tracks(self) -> None:
         if not self._track_writers:
             return
-        from .boxes.seq import Box_moov, Box_mvhd
+        from .boxes.seq import Box_moov, Box_mvhd, Box_edts, Box_elst
         moov = Box_moov()
         mvhd = Box_mvhd()
-        mvhd.timescale = self._track_writers[0].timescale
-        mvhd.duration = max((sum(t.sample_durations)
-                             for t in self._track_writers), default=0)
-        mvhd.next_track_id = len(self._track_writers) + 1
-        moov.children.append(mvhd)
+        mvhd.timescale = self._sequence_timescale or \
+            self._track_writers[0].timescale
+        track_durations = []
         for tw in self._track_writers:
-            moov.children.append(tw.finalize())
+            dur = sum(tw.sample_durations)
+            # movie units = media units * movie_timescale / media_timescale
+            track_durations.append(
+                dur * mvhd.timescale // max(1, tw.timescale))
+        base_duration = max(track_durations, default=0)
+        reps = self._sequence_repetitions
+        if reps == 0xFFFFFFFF:
+            mvhd.duration = 0xFFFFFFFFFFFFFFFF   # indefinite sentinel
+        else:
+            mvhd.duration = base_duration * max(1, reps)
+        mvhd.next_track_id = max((tw.track_id
+                                  for tw in self._track_writers),
+                                 default=0) + 1
+        moov.children.append(mvhd)
+        for tw, movie_dur in zip(self._track_writers, track_durations):
+            trak = tw.finalize()
+            if reps != 1:
+                # edit-list repeat (ref: track.cc:912
+                # enable_edit_list_repeat_mode)
+                edts = Box_edts()
+                elst = Box_elst()
+                elst.flags |= 1   # repeat mode
+                elst.entries = [(sum(tw.sample_durations), 0, 1, 0)]
+                edts.children.append(elst)
+                trak.children.append(edts)
+            moov.children.append(trak)
         self.file.moov = moov
 
     def _interpret(self) -> None:

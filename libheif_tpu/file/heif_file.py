@@ -488,7 +488,7 @@ class HeifFile:
         # mdat payload begins after its 8-byte header (16 if largesize)
         payload_start = mdat_header_start + (16 if len(mdat_payload) + 8 > 0xFFFFFFFF else 8)
         self.iloc.patch_iloc_offsets(w, payload_start)
-        for stco in self._all_stco_boxes():
+        for stco in self._all_offset_boxes():
             stco.offsets = [o + payload_start for o in stco.offsets]
         if self.moov is not None and moov_patches:
             # rewrite moov in place with patched offsets
@@ -497,19 +497,21 @@ class HeifFile:
             data = bytearray(w.data())
             data[moov_patches[0]:moov_patches[0] + len(w2.data())] = w2.data()
             # restore mdat-relative offsets for idempotent re-writes
-            for stco in self._all_stco_boxes():
+            for stco in self._all_offset_boxes():
                 stco.offsets = [o - payload_start for o in stco.offsets]
             return bytes(data)
-        for stco in self._all_stco_boxes():
+        for stco in self._all_offset_boxes():
             stco.offsets = [o - payload_start for o in stco.offsets]
         return w.data()
 
-    def _all_stco_boxes(self):
+    def _all_offset_boxes(self):
+        """stco/co64 + saio: every box holding mdat-relative offsets
+        that become absolute once the mdat position is known."""
         if self.moov is None:
             return []
         out = []
         def walk(b):
-            if b.box_type in ("stco", "co64"):
+            if b.box_type in ("stco", "co64", "saio"):
                 out.append(b)
             for c in getattr(b, "children", []):
                 walk(c)

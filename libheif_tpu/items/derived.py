@@ -137,7 +137,7 @@ class ImageItem_Grid(ImageItem):
         return out
 
     def get_tiling(self):
-        from ..api.types import ImageTiling
+        from ..option_types import ImageTiling
         grid = self.grid_spec()
         tile_ids = self.tile_item_ids()
         tw = th = 0

@@ -239,7 +239,7 @@ class ImageItem:
         """(ref: heif_image_tiling, heif_tiling.h:37; items that tile
         override this)."""
         size = self.ispe_size or (0, 0)
-        from ..api.types import ImageTiling
+        from ..option_types import ImageTiling
         return ImageTiling(num_columns=1, num_rows=1,
                            tile_width=size[0], tile_height=size[1],
                            image_width=size[0], image_height=size[1])

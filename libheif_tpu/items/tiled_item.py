@@ -205,7 +205,7 @@ class ImageItem_Tiled(ImageItem):
             "'tili' images can only be accessed per tile")
 
     def get_tiling(self):
-        from ..api.types import ImageTiling
+        from ..option_types import ImageTiling
         p = self._get_tilC().params
         hdr = self._get_header()
         return ImageTiling(num_columns=p.tiles_h(), num_rows=p.tiles_v(),
@@ -304,7 +304,7 @@ class ImageItem_Tiled(ImageItem):
                        options=None) -> None:
         """Encode one tile and append its bitstream
         (ref: add_image_tile, tiled.cc:833)."""
-        from ..api.types import EncodingOptions
+        from ..option_types import EncodingOptions
         options = options or EncodingOptions()
         tilC = self._get_tilC()
         p = tilC.params

@@ -45,7 +45,7 @@ class ImageItem_unci(ImageItem):
         return dec.decode(data)
 
     def get_tiling(self):
-        from ..api.types import ImageTiling
+        from ..option_types import ImageTiling
         lay = self._get_decoder().layout
         return ImageTiling(num_columns=lay.tile_cols, num_rows=lay.tile_rows,
                            tile_width=lay.tile_width,

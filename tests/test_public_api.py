@@ -279,3 +279,34 @@ class TestSecurity:
         dis = api.heif_get_disabled_security_limits()
         assert dis.max_image_size_pixels in (0, None) or \
             dis.max_image_size_pixels > lim.max_image_size_pixels
+
+
+def test_tai_item_properties():
+    """taic/itai item properties (ref: heif_tai_timestamps.h,
+    box.h:1812 Box_taic / :1892 Box_itai)."""
+    import libheif_tpu.api as a
+
+    ctx = a.heif_context_alloc()
+    enc = a.heif_context_get_encoder_for_format(ctx, "unci")
+    handle = a.heif_context_encode_image(ctx, _make_image(), enc, None)
+    item_id = a.heif_image_handle_get_item_id(handle) \
+        if hasattr(a, "heif_image_handle_get_item_id") else handle.item_id
+    clock = a.heif_tai_clock_info_alloc()
+    clock.time_uncertainty = 99
+    clock.clock_resolution = 1000
+    clock.clock_type = a.heif_tai_clock_info_clock_type_can_sync_to_atomic_source
+    a.heif_item_set_property_tai_clock_info(ctx, item_id, clock)
+    ts = a.heif_tai_timestamp_packet_alloc()
+    ts.tai_timestamp = 1_000_000_007
+    ts.synchronization_state = True
+    a.heif_item_set_property_tai_timestamp(ctx, item_id, ts)
+
+    data = ctx.write()
+    ctx2 = a.HeifContext.read_from_bytes(data)
+    pid = ctx2.primary_item_id
+    clock2 = a.heif_item_get_property_tai_clock_info(ctx2, pid)
+    assert clock2 is not None and clock2.time_uncertainty == 99
+    assert clock2.clock_resolution == 1000
+    ts2 = a.heif_item_get_property_tai_timestamp(ctx2, pid)
+    assert ts2 is not None and ts2.tai_timestamp == 1_000_000_007
+    assert ts2.synchronization_state

@@ -124,3 +124,8 @@ def heif_context_add_compatible_brand(ctx: HeifContext,
     ctx.extra_compatible_brands = getattr(ctx, "extra_compatible_brands",
                                           [])
     ctx.extra_compatible_brands.append(brand)
+
+
+def heif_context_set_write_mini_format(ctx, enable: int) -> None:
+    """(ref: heif_context.h:309)."""
+    ctx.set_write_mini_format(bool(enable))

@@ -400,7 +400,7 @@ class HeifContext:
 
         # alpha channel → separate aux item (ref: context.cc:1669-1708)
         if img.has_channel(Channel.Alpha) and options.save_alpha_channel and \
-                fmt == "unci":
+                fmt != "mski":
             alpha_id = self._encode_alpha_aux(img, fmt, options)
             self.file.add_reference("auxl", alpha_id, [item_id])
             aux_infe = self.file.get_infe(alpha_id)
@@ -490,7 +490,14 @@ class HeifContext:
                         img.bit_depth(Channel.Alpha))
         opts2 = EncodingOptions(**{**options.__dict__,
                                    "save_alpha_channel": False})
-        alpha_id = self._encode_unci(alpha, opts2)
+        if fmt == "unci":
+            alpha_id = self._encode_unci(alpha, opts2)
+        else:
+            # encode the alpha plane with the same coded codec
+            # (ref: context.cc:1669 encode_image recursion)
+            from .codecs import registry
+            enc = registry.get_encoder(fmt)
+            alpha_id = self._encode_coded(alpha, enc, fmt, opts2)
         self.file.add_property(
             alpha_id, Box_auxC("urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"),
             False)
@@ -646,7 +653,18 @@ class HeifContext:
         for i, item in self.items.items():
             item.is_primary = (i == item_id)
 
+    def set_write_mini_format(self, enable: bool) -> None:
+        """Prefer the compact 'mini' format on write when the content
+        is compatible (ref: heif_context_set_write_mini_format,
+        heif_context.h:309)."""
+        self._write_mini_format = bool(enable)
+        if self.file is not None:
+            self.file.write_mini_format = bool(enable)
+
     def write(self) -> bytes:
+        if self.file is not None:
+            self.file.write_mini_format = getattr(
+                self, "_write_mini_format", False)
         self._finalize_tracks()
         self._finalize_region_items()
         self._finalize_brands()

@@ -51,6 +51,7 @@ class HeifFile:
         self.meta: Optional[Box_meta] = None
         self.mini: Optional[Box_mini] = None
         self.moov = None  # Box (sequences layer)
+        self.write_mini_format = False  # ref: file.h:101
 
         # meta children (wired by _parse_meta)
         self.hdlr: Optional[Box_hdlr] = None
@@ -455,7 +456,17 @@ class HeifFile:
 
     def write(self) -> bytes:
         """Serialize the file: boxes, then mdat, then patch iloc offsets
-        (ref: HeifContext::write context.cc:382 + Box_iloc patching)."""
+        (ref: HeifContext::write context.cc:382 + Box_iloc patching).
+
+        When ``write_mini_format`` is set and the content fits the
+        compact profile, the output is ``ftyp('mif3') + mini`` instead
+        (ref: HeifFile::write file.cc:257-285); incompatible content
+        falls through to the standard format.
+        """
+        if getattr(self, "write_mini_format", False):
+            mini_data = self._try_write_mini()
+            if mini_data is not None:
+                return mini_data
         if self.meta is None:
             raise HeifError.unsupported(
                 SubError.Unsupported_data_version,
@@ -502,6 +513,28 @@ class HeifFile:
             return bytes(data)
         for stco in self._all_offset_boxes():
             stco.offsets = [o - payload_start for o in stco.offsets]
+        return w.data()
+
+    def _try_write_mini(self) -> "Optional[bytes]":
+        """ftyp('mif3') + mini, or None when content is incompatible
+        (ref: file.cc:257-285)."""
+        from .mini_write import build_mini_box
+        from ..boxes.meta import Box_ftyp
+        if self.meta is None:
+            return None
+        if self.buffer is not None:
+            self._materialize_read_extents()
+        mini = build_mini_box(self)
+        if mini is None:
+            return None
+        item_type = self.get_item_type(self.primary_item_id)
+        codec_brand = "avif" if item_type == "av01" else "heic"
+        ftyp = Box_ftyp("mif3",
+                        int.from_bytes(codec_brand.encode("latin-1"),
+                                       "big"), [])
+        w = ByteWriter()
+        ftyp.write(w)
+        mini.write(w)
         return w.data()
 
     def _all_offset_boxes(self):

@@ -129,3 +129,12 @@ def heif_context_add_compatible_brand(ctx: HeifContext,
 def heif_context_set_write_mini_format(ctx, enable: int) -> None:
     """(ref: heif_context.h:309)."""
     ctx.set_write_mini_format(bool(enable))
+
+
+def heif_context_read_from_reader(ctx, reader, limits=None) -> None:
+    """Streaming open via a heif_reader-style object
+    (ref: heif_context_read_from_reader, heif_reader v2
+    heif_context.h:164-231)."""
+    from ..file.heif_file import HeifFile
+    ctx.file = HeifFile.from_reader(reader, limits or ctx.limits)
+    ctx._interpret()

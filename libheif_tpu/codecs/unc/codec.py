@@ -124,15 +124,15 @@ class UnciDecoder:
 
     # ----------------------------------------------------------------- decode
 
-    def decode(self, data: bytes) -> PixelImage:
+    def decode(self, data) -> PixelImage:
         """Decode the full image (all tiles batched on device)."""
-        payload = self._uncompressed_payload(data)
+        payload = self._uncompressed_payload(_as_bytes(data))
         tiles = kernels.assemble_tile_buffers(self.layout, payload)
         planes = kernels.decode_tiles(self.layout, tiles)
         return self._to_image(planes, self.layout.width, self.layout.height,
                               full_image=True)
 
-    def decode_tile(self, data: bytes, tile_x: int, tile_y: int) -> PixelImage:
+    def decode_tile(self, data, tile_x: int, tile_y: int) -> PixelImage:
         """Random-access decode of a single tile
         (ref: decode_uncompressed_image_tile unc_codec.h:56 +
         tile stride computation unc_decoder_component_interleave.cc:28)."""
@@ -156,30 +156,34 @@ class UnciDecoder:
         return self._to_image(planes, lay.tile_width, lay.tile_height,
                               full_image=False)
 
-    def _fetch_tile_payload(self, data: bytes, idx: int) -> np.ndarray:
+    def _fetch_tile_payload(self, data, idx: int) -> np.ndarray:
+        """`data` is bytes or a lazy ItemDataView; only this tile's
+        byte ranges are read (ref: tile stride computation
+        unc_decoder_component_interleave.cc:28)."""
         lay = self.layout
         if self.cmpC is not None:
             unit_type = self.cmpC.compressed_unit_type
             if unit_type == CompressedUnitType.tile and self.icef is not None:
                 u = self.icef.unit_infos[idx]
                 part = _decompress(self.cmpC.compression_type,
-                                   data[u.unit_offset:u.unit_offset + u.unit_size])
+                                   _read_at(data, u.unit_offset, u.unit_size))
                 return np.frombuffer(part, dtype=np.uint8)
             # fall back: decompress everything, then slice
-            data = self._uncompressed_payload(data)
+            data = self._uncompressed_payload(_as_bytes(data))
 
         if lay.comp_tile_sizes is not None:
             parts = []
             comp_base = 0
             for sz in lay.comp_tile_sizes:
                 start = comp_base + sz * idx
-                parts.append(np.frombuffer(data, np.uint8, sz, start))
+                parts.append(np.frombuffer(_read_at(data, start, sz),
+                                           np.uint8))
                 comp_base += sz * lay.num_tiles
             return np.concatenate(parts)
         S = lay.tile_size_bytes
         if (idx + 1) * S > len(data):
             raise HeifError.eof("unci tile data out of range")
-        return np.frombuffer(data, np.uint8, S, idx * S)
+        return np.frombuffer(_read_at(data, idx * S, S), np.uint8)
 
     def _to_image(self, planes: Dict[str, np.ndarray], width: int,
                   height: int, full_image: bool) -> PixelImage:
@@ -194,6 +198,18 @@ class UnciDecoder:
             pw, ph = subsampled_size(width, height, ch, self.layout.chroma)
             img.set_plane(ch, arr[:ph, :pw], depth)
         return img
+
+
+
+def _read_at(data, start: int, size: int) -> bytes:
+    """Ranged read over bytes or a lazy ItemDataView."""
+    if hasattr(data, "read_at"):
+        return data.read_at(start, size)
+    return bytes(data[start:start + size])
+
+
+def _as_bytes(data) -> bytes:
+    return data.read_all() if hasattr(data, "read_all") else data
 
 
 def _implied_cmpd_for_profile(uncC: Box_uncC) -> Box_cmpd:

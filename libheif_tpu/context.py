@@ -59,6 +59,19 @@ class HeifContext:
         ctx._interpret()
         return ctx
 
+    @staticmethod
+    def read_from_reader(reader,
+                         limits: Optional[SecurityLimits] = None
+                         ) -> "HeifContext":
+        """Progressive open over a streaming reader: structural boxes
+        only; item/tile reads request exact byte ranges on demand
+        (ref: heif_context_read_from_reader + heif_reader v2,
+        heif_context.h:164-231)."""
+        ctx = HeifContext(limits)
+        ctx.file = HeifFile.from_reader(reader, ctx.limits)
+        ctx._interpret()
+        return ctx
+
     # ============================================================ sequences
 
     @property

@@ -84,6 +84,61 @@ class HeifFile:
         hf._read(data)
         return hf
 
+    @staticmethod
+    def from_reader(reader, limits: Optional[SecurityLimits] = None) -> "HeifFile":
+        """Progressive open over a streaming reader: only structural
+        boxes are fetched; mdat stays remote until item/sample reads
+        request exact byte ranges (ref: FileLayout::read
+        file_layout.cc:38 + heif_reader v2, heif_context.h:164-231)."""
+        from .file_layout import FileLayout
+        hf = HeifFile(limits)
+        layout = FileLayout()
+        layout.read(reader, hf.limits)
+        hf.reader = reader
+        hf.layout = layout
+        hf.top_boxes = list(layout.boxes)
+        for b in hf.top_boxes:
+            if isinstance(b, Box_ftyp) and hf.ftyp is None:
+                hf.ftyp = b
+            elif isinstance(b, Box_meta) and hf.meta is None:
+                hf.meta = b
+            elif isinstance(b, Box_mini) and hf.mini is None:
+                hf.mini = b
+            elif b.box_type == "moov" and hf.moov is None:
+                hf.moov = b
+        if hf.ftyp is None:
+            raise HeifError(ErrorCode.Invalid_input, SubError.No_ftyp_box,
+                            "no ftyp box found")
+        if hf.meta is None and hf.mini is None and hf.moov is None:
+            raise HeifError(ErrorCode.Invalid_input, SubError.No_meta_box,
+                            "no meta/mini/moov box found")
+        if hf.meta is not None:
+            hf._parse_meta()
+        return hf
+
+    def _fetch(self, start: int, length: int) -> bytes:
+        """File-range access primitive: buffer slice in memory mode,
+        request_range+read in streaming-reader mode."""
+        if self.buffer is not None:
+            if start + length > len(self.buffer):
+                raise HeifError.eof(
+                    f"file range [{start}+{length}] beyond file end")
+            return bytes(self.buffer[start:start + length])
+        reader = getattr(self, "reader", None)
+        if reader is not None:
+            from ..io.reader import GrowStatus
+            if reader.request_range(start, start + length) != \
+                    GrowStatus.SIZE_REACHED:
+                raise HeifError.eof(
+                    f"file range [{start}+{length}] beyond file end")
+            return reader.read(start, length)
+        raise HeifError.invalid_input(SubError.No_item_data,
+                                      "no file buffer or reader")
+
+    def _has_input(self) -> bool:
+        return self.buffer is not None or \
+            getattr(self, "reader", None) is not None
+
     def _read(self, data: bytes) -> None:
         self.buffer = memoryview(data)
         r = ByteReader(self.buffer)
@@ -211,10 +266,7 @@ class HeifFile:
                             "out of range")
                     parts.append(pending[start:start + length])
                     continue
-                if self.buffer is None or start + length > len(self.buffer):
-                    raise HeifError.eof(
-                        f"iloc extent [{start}+{length}] beyond file end")
-                parts.append(bytes(self.buffer[start:start + length]))
+                parts.append(self._fetch(start, length))
             elif method == 1:
                 if self.idat is None:
                     raise HeifError.invalid_input(SubError.No_idat_box)
@@ -226,6 +278,17 @@ class HeifFile:
                     SubError.Unsupported_item_construction_method,
                     f"iloc construction method {method}")
         return b"".join(parts)
+
+    def get_item_data_view(self, item_id: int):
+        """Lazy view over an item's logical payload: length + ranged
+        reads without assembling the item.  The random-access primitive
+        behind single-tile decode over streaming readers (ref:
+        heif_reader v2 request_range + unc_codec.h:56 tile access)."""
+        it = self.iloc.find_item(item_id) if self.iloc else None
+        if it is None:
+            raise HeifError.invalid_input(SubError.No_item_data,
+                                          f"item {item_id} has no iloc entry")
+        return ItemDataView(self, item_id, sum(e.length for e in it.extents))
 
     def get_item_data_range(self, item_id: int, offset: int,
                             size: int) -> bytes:
@@ -251,10 +314,7 @@ class HeifFile:
             src = it.base_offset + ext.offset + (lo - ext_start)
             length = hi - lo
             if method == 0:
-                if self.buffer is None or src + length > len(self.buffer):
-                    raise HeifError.eof(
-                        f"iloc extent [{src}+{length}] beyond file end")
-                parts.append(bytes(self.buffer[src:src + length]))
+                parts.append(self._fetch(src, length))
             elif method == 1:
                 if self.idat is None:
                     raise HeifError.invalid_input(SubError.No_idat_box)
@@ -389,7 +449,7 @@ class HeifFile:
                          construction_method: int = 0) -> None:
         """Append payload bytes for an item (ref: HeifFile::append_iloc_data
         file.h:232).  Method-0 offsets are mdat-relative until patched."""
-        if self.buffer is not None:
+        if self._has_input():
             self._materialize_read_extents()
         it = self.iloc.find_item(item_id)
         if it is None:
@@ -441,14 +501,10 @@ class HeifFile:
             new_extents = []
             for ext in it.extents:
                 start = it.base_offset + ext.offset
-                if self.buffer is None or \
-                        start + ext.length > len(self.buffer):
-                    raise HeifError.eof(
-                        f"iloc extent [{start}+{ext.length}] beyond file end")
+
                 new_extents.append(
                     IlocExtent(0, self._mdat_size, ext.length))
-                self._mdat_parts.append(
-                    bytes(self.buffer[start:start + ext.length]))
+                self._mdat_parts.append(self._fetch(start, ext.length))
                 self._mdat_size += ext.length
             it.extents = new_extents
             it.base_offset = 0
@@ -472,7 +528,7 @@ class HeifFile:
                 SubError.Unsupported_data_version,
                 "re-writing a file without a meta box (mini-format read) "
                 "is not supported; re-encode its images into a new context")
-        if self.buffer is not None:
+        if self._has_input():
             self._materialize_read_extents()
         w = ByteWriter()
         if self.iref is not None and not self.iref.references and \
@@ -522,7 +578,7 @@ class HeifFile:
         from ..boxes.meta import Box_ftyp
         if self.meta is None:
             return None
-        if self.buffer is not None:
+        if self._has_input():
             self._materialize_read_extents()
         mini = build_mini_box(self)
         if mini is None:
@@ -565,13 +621,13 @@ class HeifFile:
         return None
 
     def read_file_range(self, offset: int, size: int) -> bytes:
-        if self.buffer is None:
-            raise HeifError.invalid_input(SubError.No_item_data,
-                                          "no file buffer for range read")
-        if offset + size > len(self.buffer):
-            raise HeifError.invalid_input(SubError.End_of_data,
-                                          "sample range beyond file end")
-        return bytes(self.buffer[offset:offset + size])
+        try:
+            return self._fetch(offset, size)
+        except HeifError as e:
+            if e.subcode == SubError.End_of_data:
+                raise HeifError.invalid_input(
+                    SubError.End_of_data, "sample range beyond file end")
+            raise
 
     def append_sample_data(self, data: bytes) -> int:
         """Append track sample bytes to mdat; returns the mdat-relative
@@ -592,3 +648,21 @@ class HeifFile:
 
     def dump(self) -> str:
         return "\n".join(b.dump() for b in self.top_boxes)
+
+
+class ItemDataView:
+    """Length + ranged reads over an item payload (lazy)."""
+
+    def __init__(self, file: HeifFile, item_id: int, total: int):
+        self._file = file
+        self._item_id = item_id
+        self._total = total
+
+    def __len__(self) -> int:
+        return self._total
+
+    def read_at(self, offset: int, size: int) -> bytes:
+        return self._file.get_item_data_range(self._item_id, offset, size)
+
+    def read_all(self) -> bytes:
+        return self._file.get_item_data(self._item_id)

@@ -55,5 +55,5 @@ class ImageItem_unci(ImageItem):
     def decode_tile(self, tile_x: int, tile_y: int,
                     options: Optional[DecodingOptions] = None) -> PixelImage:
         dec = self._get_decoder()
-        data = self.file.get_item_data(self.item_id)
+        data = self.file.get_item_data_view(self.item_id)
         return dec.decode_tile(data, tile_x, tile_y)

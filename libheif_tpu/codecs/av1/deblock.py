@@ -197,7 +197,7 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
     lvls = [_adjust_level(v, delta_en, intra_delta)
             for v in fh.loop_filter_levels]
 
-    for plane in range(3):
+    for plane in range(min(3, len(planes))):   # monochrome: Y only
         buf = planes[plane]
         ph, pw = buf.shape          # padded mi area, like aom
         max_len = 14 if plane == 0 else 6

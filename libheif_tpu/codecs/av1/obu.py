@@ -32,6 +32,8 @@ class BitReader:
         self.pos = 0          # bit position
 
     def f(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise HeifError.eof("AV1 OBU bitstream truncated")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]

@@ -364,7 +364,10 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
     if is_irap(t):
         br.read_flag()  # no_output_of_prior_pics
     h.pps_id = br.read_ue()
-    pps = pps_map[h.pps_id]
+    pps = pps_map.get(h.pps_id)
+    if pps is None:
+        raise HeifError.invalid_input(
+            msg=f"slice references unknown PPS {h.pps_id}")
     if not h.first_slice_in_pic:
         if pps.dependent_slice_segments_enabled:
             h.dependent_slice = br.read_flag()

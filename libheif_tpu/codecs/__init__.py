@@ -7,3 +7,4 @@ from . import jpeg  # noqa: F401  (registers the JPEG codec)
 from . import avc   # noqa: F401  (registers the AVC codec)
 from . import unc   # noqa: F401  (registers the built-in unci/mask shims)
 from . import j2k   # noqa: F401  (registers the JPEG 2000 codec)
+from . import vvc   # noqa: F401  (registers the VVC codec)

@@ -1,0 +1,621 @@
+"""VVC slice syntax: coding tree, intra CU, residual coding (H.266
+§7.3.11, §7.3.11.5 coding_unit, §7.3.11.11 residual_coding).
+
+Single implementation for BOTH directions: every syntax element goes
+through a `SyntaxIO` adapter that either decodes from a CabacDecoder
+or encodes a supplied value into a CabacEncoder.  Conditions, context
+derivations, scan order, and the pass-1 bin budget are therefore
+shared verbatim — encoder output is decodable by construction, which
+is the conformance story for this oracle-less codec (tables.py
+docstring).
+
+Toolset: I-slice, single tree, QT-only (CTU 32, min CB 8), TU == CU,
+all optional tools disabled; per-TB regular residual coding with the
+remBinsPass1 budget, no dependent quantization, no sign hiding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from .tables import (DIAG_4x4, SB_SCANS, sig_ctx, gtx_par_ctx,
+                     last_prefix_ctx, rice_param,
+                     INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER)
+from .cabac import ContextModels, CabacDecoder
+from .cabac_enc import CabacEncoder
+
+
+# --------------------------------------------------------------------------
+# Dual-mode syntax adapter
+# --------------------------------------------------------------------------
+
+class SyntaxIO:
+    """Reads (decode) or writes (encode) each syntax element."""
+
+    def __init__(self, ctx: ContextModels,
+                 dec: Optional[CabacDecoder] = None,
+                 enc: Optional[CabacEncoder] = None):
+        assert (dec is None) != (enc is None)
+        self.ctx = ctx
+        self.dec = dec
+        self.enc = enc
+
+    @property
+    def encoding(self) -> bool:
+        return self.enc is not None
+
+    def bin(self, name: str, inc: int, value: Optional[int] = None) -> int:
+        idx = self.ctx.idx(name, inc)
+        if self.dec is not None:
+            return self.dec.decode_bin(idx)
+        self.enc.encode_bin(idx, value)
+        return value
+
+    def bypass(self, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_bypass()
+        self.enc.encode_bypass(value)
+        return value
+
+    def bypass_bits(self, n: int, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_bypass_bits(n)
+        self.enc.encode_bypass_bits(value, n)
+        return value
+
+    def tu_bypass(self, c_max: int, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_tu_bypass(c_max)
+        self.enc.encode_tu_bypass(c_max, value)
+        return value
+
+    def eg(self, k: int, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_eg_bypass(k)
+        self.enc.encode_eg_bypass(k, value)
+        return value
+
+    def tb(self, c_max: int, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_truncated_binary(c_max)
+        self.enc.encode_truncated_binary(c_max, value)
+        return value
+
+    def terminate(self, value: Optional[int] = None) -> int:
+        if self.dec is not None:
+            return self.dec.decode_terminate()
+        self.enc.encode_terminate(value)
+        return value
+
+
+# --------------------------------------------------------------------------
+# CU model
+# --------------------------------------------------------------------------
+
+@dataclass
+class CuData:
+    x: int = 0
+    y: int = 0
+    log2: int = 3
+    luma_mode: int = INTRA_PLANAR
+    chroma_coded: int = 4                # 0..3 list index, 4 = DM
+    chroma_mode: int = INTRA_PLANAR     # resolved prediction mode
+    coeffs_y: Optional[np.ndarray] = None
+    coeffs_cb: Optional[np.ndarray] = None
+    coeffs_cr: Optional[np.ndarray] = None
+
+
+class EncodePlan:
+    """Encoder-side source of decisions for SliceCoder (built by the
+    encoder's planning pass): split map + CU list in coding order."""
+
+    def __init__(self):
+        self.splits: Dict[Tuple[int, int, int], bool] = {}
+        self.cus: Dict[Tuple[int, int], CuData] = {}
+
+    def add_cu(self, cu: CuData) -> None:
+        self.cus[(cu.x, cu.y)] = cu
+
+    def set_split(self, x: int, y: int, log2: int, split: bool) -> None:
+        self.splits[(x, y, log2)] = split
+
+
+# --------------------------------------------------------------------------
+# Mode-list construction (§8.4.2 / §8.4.3)
+# --------------------------------------------------------------------------
+
+def build_mpm_list(cand_l: int, cand_a: int) -> List[int]:
+    """6-entry MPM list; entry 0 is always Planar."""
+    mpm = [INTRA_PLANAR, INTRA_DC, INTRA_VER, INTRA_HOR,
+           INTRA_VER - 4, INTRA_VER + 4]
+    if cand_l == cand_a and cand_l > INTRA_DC:
+        m = cand_l
+        mpm = [INTRA_PLANAR, m, 2 + ((m + 61) % 64), 2 + ((m - 1) % 64),
+               2 + ((m + 60) % 64), 2 + (m % 64)]
+    elif cand_l != cand_a and cand_l > INTRA_DC and cand_a > INTRA_DC:
+        mx, mn = max(cand_l, cand_a), min(cand_l, cand_a)
+        mpm = [INTRA_PLANAR, cand_l, cand_a, 0, 0, 0]
+        diff = mx - mn
+        if diff == 1:
+            mpm[3] = 2 + ((mn + 61) % 64)
+            mpm[4] = 2 + ((mx - 1) % 64)
+            mpm[5] = 2 + ((mn + 60) % 64)
+        elif diff >= 62:
+            mpm[3] = 2 + ((mn - 1) % 64)
+            mpm[4] = 2 + ((mx + 61) % 64)
+            mpm[5] = 2 + (mn % 64)
+        elif diff == 2:
+            mpm[3] = 2 + ((mn - 1) % 64)
+            mpm[4] = 2 + ((mn + 61) % 64)
+            mpm[5] = 2 + ((mx - 1) % 64)
+        else:
+            mpm[3] = 2 + ((mn + 61) % 64)
+            mpm[4] = 2 + ((mn - 1) % 64)
+            mpm[5] = 2 + ((mx + 61) % 64)
+    elif cand_l > INTRA_DC or cand_a > INTRA_DC:
+        m = max(cand_l, cand_a)
+        mpm = [INTRA_PLANAR, m, 2 + ((m + 61) % 64), 2 + ((m - 1) % 64),
+               2 + ((m + 60) % 64), 2 + (m % 64)]
+    # safety: deduplicate (keeps remainder mapping well-defined even if
+    # a construction corner produces a repeat)
+    seen = set()
+    out = []
+    for m in mpm:
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    fill = 2
+    while len(out) < 6:
+        if fill not in seen:
+            out.append(fill)
+            seen.add(fill)
+        fill += 1
+    return out
+
+
+def chroma_mode_list(luma_mode: int) -> List[int]:
+    """4-entry chroma candidate list; DM collisions replaced by 66
+    (§8.4.3 Table 21)."""
+    modes = [INTRA_PLANAR, INTRA_VER, INTRA_HOR, INTRA_DC]
+    for i, m in enumerate(modes):
+        if m == luma_mode:
+            modes[i] = 66
+    return modes
+
+
+# --------------------------------------------------------------------------
+# Slice coder (both directions)
+# --------------------------------------------------------------------------
+
+class SliceCoder:
+    def __init__(self, sps, pps, sh, io: SyntaxIO,
+                 plan: Optional[EncodePlan] = None):
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        self.io = io
+        self.plan = plan
+        self.w = sps.pic_width
+        self.h = sps.pic_height
+        self.min_qt_log2 = sps.min_qt_log2
+        self.ctu_log2 = sps.log2_ctu_size
+        # neighbor maps at 4x4 granularity
+        w4 = (self.w + 3) // 4
+        h4 = (self.h + 3) // 4
+        self.depth_map = np.zeros((h4, w4), np.int8)
+        self.mode_map = np.full((h4, w4), INTRA_PLANAR, np.int16)
+        self.coded_map = np.zeros((h4, w4), bool)
+        self.cus: List[CuData] = []
+        self.max_cus = None               # optional security cap
+
+    # ------------------------------------------------------------- run
+
+    def run(self) -> List[CuData]:
+        ctu = 1 << self.ctu_log2
+        n_ctu_x = (self.w + ctu - 1) >> self.ctu_log2
+        n_ctu_y = (self.h + ctu - 1) >> self.ctu_log2
+        for cy in range(n_ctu_y):
+            for cx in range(n_ctu_x):
+                self._coding_tree(cx << self.ctu_log2, cy << self.ctu_log2,
+                                  self.ctu_log2, 0)
+        # end_of_slice_one_bit after the last CTU
+        if self.io.terminate(1) != 1:
+            raise HeifError.invalid_input(msg="missing end_of_slice bit")
+        return self.cus
+
+    # ----------------------------------------------------------- tree
+
+    def _split_ctx(self, x0: int, y0: int, depth: int) -> int:
+        inc = 0
+        if x0 > 0:
+            if self.coded_map[y0 >> 2, (x0 - 1) >> 2] and \
+                    self.depth_map[y0 >> 2, (x0 - 1) >> 2] > depth:
+                inc += 1
+        if y0 > 0:
+            if self.coded_map[(y0 - 1) >> 2, x0 >> 2] and \
+                    self.depth_map[(y0 - 1) >> 2, x0 >> 2] > depth:
+                inc += 1
+        return inc + 3 * min(2, depth)
+
+    def _coding_tree(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        if x0 >= self.w or y0 >= self.h:
+            return
+        size = 1 << log2
+        crosses = (x0 + size > self.w) or (y0 + size > self.h)
+        if crosses:
+            if log2 <= self.min_qt_log2:
+                raise HeifError.invalid_input(
+                    SubError.Invalid_parameter_value,
+                    "picture size not a multiple of the minimum CU")
+            split = 1                     # implicit boundary split
+        elif log2 > self.min_qt_log2:
+            want = None
+            if self.plan is not None:
+                want = 1 if self.plan.splits.get((x0, y0, log2), False) else 0
+            split = self.io.bin("split_cu_flag",
+                                self._split_ctx(x0, y0, depth), want)
+        else:
+            split = 0
+        if split:
+            half = size >> 1
+            self._coding_tree(x0, y0, log2 - 1, depth + 1)
+            self._coding_tree(x0 + half, y0, log2 - 1, depth + 1)
+            self._coding_tree(x0, y0 + half, log2 - 1, depth + 1)
+            self._coding_tree(x0 + half, y0 + half, log2 - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2, depth)
+
+    # ------------------------------------------------------------- CU
+
+    def _neighbor_mode(self, x: int, y: int, require_same_ctu_row: bool,
+                       y0: int) -> int:
+        if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return INTRA_PLANAR
+        if require_same_ctu_row and (y >> self.ctu_log2) != \
+                (y0 >> self.ctu_log2):
+            return INTRA_PLANAR
+        if not self.coded_map[y >> 2, x >> 2]:
+            return INTRA_PLANAR
+        return int(self.mode_map[y >> 2, x >> 2])
+
+    def _coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        io = self.io
+        size = 1 << log2
+        if self.max_cus is not None and len(self.cus) >= self.max_cus:
+            raise HeifError.security("VVC CU count exceeds limit")
+
+        src: Optional[CuData] = None
+        if self.plan is not None:
+            src = self.plan.cus.get((x0, y0))
+            if src is None:
+                raise HeifError.usage(msg=f"encode plan missing CU "
+                                      f"({x0},{y0})")
+
+        # ---- luma intra mode
+        cand_l = self._neighbor_mode(x0 - 1, y0 + size - 1, False, y0)
+        cand_a = self._neighbor_mode(x0 + size - 1, y0 - 1, True, y0)
+        mpm = build_mpm_list(cand_l, cand_a)
+
+        if src is not None:
+            luma_mode = src.luma_mode
+            in_mpm = luma_mode in mpm
+            mpm_flag = io.bin("intra_luma_mpm_flag", 0, 1 if in_mpm else 0)
+        else:
+            mpm_flag = io.bin("intra_luma_mpm_flag", 0)
+        if mpm_flag:
+            if src is not None:
+                not_planar = 0 if src.luma_mode == INTRA_PLANAR else 1
+                not_planar = io.bin("intra_luma_not_planar_flag", 0,
+                                    not_planar)
+            else:
+                not_planar = io.bin("intra_luma_not_planar_flag", 0)
+            if not_planar:
+                if src is not None:
+                    idx = mpm.index(src.luma_mode) - 1
+                    io.tu_bypass(4, idx)
+                else:
+                    idx = io.tu_bypass(4)
+                luma_mode = mpm[1 + idx]
+            else:
+                luma_mode = INTRA_PLANAR
+        else:
+            non_mpm = sorted(m for m in range(67) if m not in mpm)
+            if src is not None:
+                rem = non_mpm.index(src.luma_mode)
+                io.tb(60, rem)
+            else:
+                rem = io.tb(60)
+            luma_mode = non_mpm[rem]
+
+        # ---- chroma intra mode
+        clist = chroma_mode_list(luma_mode)
+        if src is not None:
+            cm = src.chroma_coded
+            io.bin("intra_chroma_pred_mode", 0, 1 if cm == 4 else 0)
+            if cm != 4:
+                io.bypass_bits(2, cm)
+        else:
+            if io.bin("intra_chroma_pred_mode", 0):
+                cm = 4
+            else:
+                cm = io.bypass_bits(2)
+        chroma_mode = luma_mode if cm == 4 else clist[cm]
+
+        # ---- transform unit (TU == CU)
+        if src is not None:
+            cbf_cb = 0 if src.coeffs_cb is None else 1
+            cbf_cr = 0 if src.coeffs_cr is None else 1
+            cbf_y = 0 if src.coeffs_y is None else 1
+            io.bin("tu_cbf_cb", 0, cbf_cb)
+            io.bin("tu_cbf_cr", cbf_cb, cbf_cr)
+            io.bin("tu_cbf_luma", 0, cbf_y)
+        else:
+            cbf_cb = io.bin("tu_cbf_cb", 0)
+            cbf_cr = io.bin("tu_cbf_cr", cbf_cb)
+            cbf_y = io.bin("tu_cbf_luma", 0)
+
+        cu = CuData(x=x0, y=y0, log2=log2, luma_mode=luma_mode,
+                    chroma_coded=cm, chroma_mode=chroma_mode)
+        if cbf_y:
+            cu.coeffs_y = self._residual(log2, 0,
+                                         None if src is None
+                                         else src.coeffs_y)
+        if cbf_cb:
+            cu.coeffs_cb = self._residual(log2 - 1, 1,
+                                          None if src is None
+                                          else src.coeffs_cb)
+        if cbf_cr:
+            cu.coeffs_cr = self._residual(log2 - 1, 2,
+                                          None if src is None
+                                          else src.coeffs_cr)
+        self.cus.append(cu)
+
+        # update neighbor maps
+        self.depth_map[y0 >> 2:(y0 + size) >> 2,
+                       x0 >> 2:(x0 + size) >> 2] = depth
+        self.mode_map[y0 >> 2:(y0 + size) >> 2,
+                      x0 >> 2:(x0 + size) >> 2] = luma_mode
+        self.coded_map[y0 >> 2:(y0 + size) >> 2,
+                       x0 >> 2:(x0 + size) >> 2] = True
+
+    # -------------------------------------------------------- residual
+
+    def _residual(self, log2: int, c_idx: int,
+                  enc_coeffs: Optional[np.ndarray]) -> np.ndarray:
+        """residual_coding (§7.3.11.11), regular path, square TB."""
+        io = self.io
+        n = 1 << log2
+        n_sb = n >> 2
+        sb_scan = SB_SCANS[(n_sb, n_sb)]
+        # forward full scan (DC first)
+        order: List[Tuple[int, int]] = []
+        for sbx, sby in sb_scan:
+            for dx, dy in DIAG_4x4:
+                order.append((sbx * 4 + dx, sby * 4 + dy))
+        pos_of = {p: i for i, p in enumerate(order)}
+
+        if enc_coeffs is not None:
+            nz = [i for i, (x, y) in enumerate(order)
+                  if enc_coeffs[y, x] != 0]
+            if not nz:
+                raise HeifError.usage(msg="residual coding of a zero TB")
+            last = nz[-1]
+            last_x, last_y = order[last]
+        else:
+            last_x = last_y = 0  # filled below
+
+        chroma = c_idx > 0
+
+        # ---- last significant position
+        def code_last(val: Optional[int]) -> int:
+            c_max = (log2 << 1) - 1
+            if val is not None:
+                # value → prefix/suffix
+                if val <= 3:
+                    prefix = val
+                else:
+                    prefix = 0
+                    for p in range(4, c_max + 1):
+                        grp_base = (2 + (p & 1)) << ((p >> 1) - 1)
+                        grp_size = 1 << ((p >> 1) - 1)
+                        if grp_base <= val < grp_base + grp_size:
+                            prefix = p
+                            break
+                    else:
+                        raise HeifError.usage(msg="bad last position")
+                for i in range(prefix):
+                    io.bin(self._last_name, last_prefix_ctx(chroma, log2, i),
+                           1)
+                if prefix < c_max:
+                    io.bin(self._last_name,
+                           last_prefix_ctx(chroma, log2, prefix), 0)
+                if prefix > 3:
+                    bits = (prefix >> 1) - 1
+                    base = (2 + (prefix & 1)) << bits
+                    io.bypass_bits(bits, val - base)
+                return val
+            prefix = 0
+            while prefix < c_max and io.bin(
+                    self._last_name, last_prefix_ctx(chroma, log2, prefix)):
+                prefix += 1
+            if prefix <= 3:
+                return prefix
+            bits = (prefix >> 1) - 1
+            suffix = io.bypass_bits(bits)
+            return ((2 + (prefix & 1)) << bits) + suffix
+
+        self._last_name = "last_sig_coeff_x_prefix"
+        lx = code_last(last_x if enc_coeffs is not None else None)
+        self._last_name = "last_sig_coeff_y_prefix"
+        ly = code_last(last_y if enc_coeffs is not None else None)
+        if enc_coeffs is None:
+            if lx >= n or ly >= n:
+                raise HeifError.invalid_input(
+                    msg="last significant coefficient out of range")
+            last = pos_of[(lx, ly)]
+
+        last_sb = last >> 4
+        coeffs = np.zeros((n, n), np.int32)
+        abs1 = np.zeros((n, n), np.int32)      # AbsLevelPass1
+        absf = np.zeros((n, n), np.int32)      # final AbsLevel
+        csbf = np.zeros((n_sb, n_sb), bool)
+        rem_bins = ((n * n) * 7) >> 2          # MaxCcbs pass-1 budget
+
+        def tmpl_sum(arr: np.ndarray, x: int, y: int) -> int:
+            s = 0
+            if x + 1 < n:
+                s += arr[y, x + 1]
+                if x + 2 < n:
+                    s += arr[y, x + 2]
+                if y + 1 < n:
+                    s += arr[y + 1, x + 1]
+            if y + 1 < n:
+                s += arr[y + 1, x]
+                if y + 2 < n:
+                    s += arr[y + 2, x]
+            return int(s)
+
+        def tmpl_count(x: int, y: int) -> int:
+            s = 0
+            for (tx, ty) in ((x + 1, y), (x + 2, y), (x, y + 1),
+                             (x, y + 2), (x + 1, y + 1)):
+                if tx < n and ty < n and abs1[ty, tx] != 0:
+                    s += 1
+            return s
+
+        for sb in range(last_sb, -1, -1):
+            sbx, sby = sb_scan[sb]
+            if sb == last_sb or sb == 0:
+                sb_flag = 1
+                explicit_sb = False
+            else:
+                right = csbf[sby, sbx + 1] if sbx + 1 < n_sb else False
+                below = csbf[sby + 1, sbx] if sby + 1 < n_sb else False
+                inc = (2 if chroma else 0) + (1 if (right or below) else 0)
+                if enc_coeffs is not None:
+                    has = any(enc_coeffs[sby * 4 + dy, sbx * 4 + dx] != 0
+                              for dx, dy in DIAG_4x4)
+                    sb_flag = io.bin("sb_coded_flag", inc, 1 if has else 0)
+                else:
+                    sb_flag = io.bin("sb_coded_flag", inc)
+                explicit_sb = True
+            csbf[sby, sbx] = bool(sb_flag)
+            if not sb_flag:
+                continue
+
+            start = (last & 15) if sb == last_sb else 15
+            sig_found = False
+            pass3_positions: List[int] = []
+            gt3_positions: List[int] = []
+
+            # ---- pass 1: sig / gt1 / par / gt3 under the bin budget
+            for k in range(start, -1, -1):
+                gx = sbx * 4 + DIAG_4x4[k][0]
+                gy = sby * 4 + DIAG_4x4[k][1]
+                gpos = sb * 16 + k
+                if rem_bins < 4:
+                    pass3_positions.append(k)
+                    continue
+                # significance
+                if gpos == last:
+                    sig = 1
+                elif k == 0 and explicit_sb and not sig_found:
+                    sig = 1                     # inferred DC significance
+                else:
+                    diag = (gx + gy)
+                    inc = sig_ctx(c_idx, diag, tmpl_sum(abs1, gx, gy))
+                    if enc_coeffs is not None:
+                        sig = io.bin("sig_coeff_flag", inc,
+                                     1 if enc_coeffs[gy, gx] != 0 else 0)
+                    else:
+                        sig = io.bin("sig_coeff_flag", inc)
+                    rem_bins -= 1
+                if not sig:
+                    continue
+                sig_found = True
+                diag = gx + gy
+                t = tmpl_sum(abs1, gx, gy) - tmpl_count(gx, gy)
+                inc = gtx_par_ctx(c_idx, diag, t)
+                level = abs(int(enc_coeffs[gy, gx])) \
+                    if enc_coeffs is not None else 0
+                gt1 = io.bin("abs_level_gt1_flag", inc,
+                             (1 if level > 1 else 0)
+                             if enc_coeffs is not None else None)
+                rem_bins -= 1
+                if gt1:
+                    par = io.bin("par_level_flag", inc,
+                                 ((level - 2) & 1)
+                                 if enc_coeffs is not None else None)
+                    rem_bins -= 1
+                    gt3 = io.bin("abs_level_gt3_flag", inc,
+                                 (1 if level > 3 else 0)
+                                 if enc_coeffs is not None else None)
+                    rem_bins -= 1
+                    a1 = 2 + par + 2 * gt3
+                    if gt3:
+                        gt3_positions.append(k)
+                else:
+                    a1 = 1
+                abs1[gy, gx] = a1
+                absf[gy, gx] = a1
+
+            # ---- pass 2: abs_remainder for gt3 coefficients
+            for k in gt3_positions:
+                gx = sbx * 4 + DIAG_4x4[k][0]
+                gy = sby * 4 + DIAG_4x4[k][1]
+                loc = tmpl_sum(absf, gx, gy)
+                rice = rice_param(max(0, min(31, loc - 20)))
+                if enc_coeffs is not None:
+                    level = abs(int(enc_coeffs[gy, gx]))
+                    rem = (level - abs1[gy, gx]) >> 1
+                    io.eg(rice, rem)
+                else:
+                    rem = io.eg(rice)
+                absf[gy, gx] = abs1[gy, gx] + 2 * rem
+
+            # ---- pass 3: dec_abs_level for budget-exhausted positions
+            for k in pass3_positions:
+                gx = sbx * 4 + DIAG_4x4[k][0]
+                gy = sby * 4 + DIAG_4x4[k][1]
+                loc = tmpl_sum(absf, gx, gy)
+                rice = rice_param(max(0, min(31, loc)))
+                zero_pos = 1 << rice
+                if enc_coeffs is not None:
+                    level = abs(int(enc_coeffs[gy, gx]))
+                    if level == 0:
+                        v = zero_pos
+                    elif level <= zero_pos:
+                        v = level - 1
+                    else:
+                        v = level
+                    io.eg(rice, v)
+                else:
+                    v = io.eg(rice)
+                if v == zero_pos:
+                    level = 0
+                elif v < zero_pos:
+                    level = v + 1
+                else:
+                    level = v
+                absf[gy, gx] = level
+
+            # ---- pass 4: signs (no sign hiding in this toolset)
+            for k in range(start, -1, -1):
+                gx = sbx * 4 + DIAG_4x4[k][0]
+                gy = sby * 4 + DIAG_4x4[k][1]
+                if absf[gy, gx] == 0:
+                    continue
+                if enc_coeffs is not None:
+                    sign = 1 if enc_coeffs[gy, gx] < 0 else 0
+                    io.bypass(sign)
+                else:
+                    sign = io.bypass()
+                coeffs[gy, gx] = -absf[gy, gx] if sign else absf[gy, gx]
+
+        if enc_coeffs is not None:
+            return enc_coeffs
+        return coeffs

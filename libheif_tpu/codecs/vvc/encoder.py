@@ -1,0 +1,258 @@
+"""VVC intra still-image encoder.
+
+Replaces the reference's vvenc/uvg266 plugin boundary for still images
+(ref: libheif/plugins/encoder_vvenc.cc, encoder_uvg266.cc) with a
+from-scratch intra encoder over the QT-only toolset (tables.py):
+
+1. planning pass — walks CTUs in coding order, decides quadtree splits
+   (variance heuristic), picks the luma intra mode by SSE over the
+   evolving reconstruction (two-stage angular sweep), chroma DM,
+   forward DCT-II + quantization, and reconstructs in-loop with the
+   SAME recon functions the decoder uses;
+2. serialization pass — SliceCoder (ctu.py) re-walks the plan and
+   emits CABAC; syntax conditions/contexts are shared with the decoder
+   so the stream round-trips bit-exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.error import HeifError, SubError
+from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
+from ..registry import Encoder as RegistryEncoder, register_encoder
+from . import headers as H
+from .tables import (QUANT_SCALE, INTRA_PLANAR, INTRA_DC, INTRA_HOR,
+                     INTRA_VER)
+from .cabac import ContextModels
+from .cabac_enc import CabacEncoder
+from .ctu import SyntaxIO, SliceCoder, EncodePlan, CuData, build_mpm_list
+from .recon import (PictureRecon, predict_intra, forward_transform,
+                    chroma_qp_from_luma)
+
+
+@dataclass
+class EncParams:
+    qp: int = 30
+    split_thresh: float = 6.0       # mean-abs-residual → split heuristic
+    angular_step: int = 4           # first-stage angular sweep stride
+
+
+def quantize(coeffs: np.ndarray, qp: int, log2: int,
+             bit_depth: int = 8) -> np.ndarray:
+    """Forward scalar quantization inverting recon.dequant's scale."""
+    tshift = 15 - bit_depth - log2
+    qbits = 14 + qp // 6 + tshift
+    scale = QUANT_SCALE[qp % 6]
+    add = 171 << (qbits - 9)        # intra rounding
+    mag = (np.abs(coeffs.astype(np.int64)) * scale + add) >> qbits
+    return (np.sign(coeffs) * mag).astype(np.int32)
+
+
+class VvcIntraEncoder:
+    def __init__(self, width: int, height: int, params: EncParams):
+        self.p = params
+        ctu = 32
+        self.width = (width + ctu - 1) // ctu * ctu
+        self.height = (height + ctu - 1) // ctu * ctu
+        self.src_w, self.src_h = width, height
+        self.sps_nal = H.write_sps(H.SPS(pic_width=self.width,
+                                         pic_height=self.height))
+        # re-parse our own writers so encoder and decoder agree
+        self.sps = H.parse_sps(self.sps_nal)
+        self.pps_nal = H.write_pps(H.PPS(pic_width=self.width,
+                                         pic_height=self.height,
+                                         init_qp=26))
+        self.pps = H.parse_pps(self.pps_nal)
+        self.qp = max(0, min(63, params.qp))
+        self.cqp = chroma_qp_from_luma(self.qp)
+        self._mode_plan = {}
+
+    # ------------------------------------------------------------- plan
+
+    def encode(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
+        """Returns (slice NAL, [sps, pps] config NALs)."""
+        y = np.asarray(img.plane(Channel.Y)).astype(np.int32)
+        cb = np.asarray(img.plane(Channel.Cb)).astype(np.int32)
+        cr = np.asarray(img.plane(Channel.Cr)).astype(np.int32)
+        y = np.pad(y, ((0, self.height - y.shape[0]),
+                       (0, self.width - y.shape[1])), mode="edge")
+        cb = np.pad(cb, ((0, self.height // 2 - cb.shape[0]),
+                         (0, self.width // 2 - cb.shape[1])), mode="edge")
+        cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
+                         (0, self.width // 2 - cr.shape[1])), mode="edge")
+        self.src = [y, cb, cr]
+        self.recon = PictureRecon(self.width, self.height, 8)
+        self.plan = EncodePlan()
+
+        for cy in range(0, self.height, 32):
+            for cx in range(0, self.width, 32):
+                self._tree(cx, cy, 5)
+
+        # serialization pass
+        ctx = ContextModels(self.qp)
+        cab = CabacEncoder(ctx)
+        io = SyntaxIO(ctx, enc=cab)
+        sh = H.SliceHeader(qp=self.qp)
+        coder = SliceCoder(self.sps, self.pps, sh, io, plan=self.plan)
+        coder.run()
+        cab.flush()
+
+        w = H.write_slice_header(self.sps, self.pps, self.qp)
+        rbsp = w.data() + cab.data()
+        nal = H.nal_header(H.NAL_IDR_N_LP) + H.add_emulation_prevention(rbsp)
+        return nal, [self.sps_nal, self.pps_nal]
+
+    # ------------------------------------------------------------- tree
+
+    def _tree(self, x0: int, y0: int, log2: int) -> None:
+        if x0 >= self.width or y0 >= self.height:
+            return
+        size = 1 << log2
+        crosses = (x0 + size > self.width) or (y0 + size > self.height)
+        if crosses:
+            split = True                 # implicit (not in plan map)
+        elif log2 > 3:
+            split = self._want_split(x0, y0, log2)
+            self.plan.set_split(x0, y0, log2, split)
+        else:
+            split = False
+        if split:
+            half = size >> 1
+            self._tree(x0, y0, log2 - 1)
+            self._tree(x0 + half, y0, log2 - 1)
+            self._tree(x0, y0 + half, log2 - 1)
+            self._tree(x0 + half, y0 + half, log2 - 1)
+        else:
+            self._encode_cu(x0, y0, log2)
+
+    def _want_split(self, x0: int, y0: int, log2: int) -> bool:
+        n = 1 << log2
+        blk = self.src[0][y0:y0 + n, x0:x0 + n]
+        # quick detail probe: mean |gradient| vs QP-scaled threshold
+        gx = np.abs(np.diff(blk.astype(np.int32), axis=1)).mean()
+        gy = np.abs(np.diff(blk.astype(np.int32), axis=0)).mean()
+        detail = gx + gy
+        return detail > self.p.split_thresh * (1.0 + (32 - self.qp) / 16.0)
+
+    # --------------------------------------------------------------- CU
+
+    def _choose_luma_mode(self, x0: int, y0: int, log2: int) -> int:
+        n = 1 << log2
+        src = self.src[0][y0:y0 + n, x0:x0 + n]
+        ref = self.recon.gather_refs(x0, y0, log2, 0)
+        size = 1 << log2
+        cand_l = self._plan_neighbor_mode(x0 - 1, y0 + size - 1, y0)
+        cand_a = self._plan_neighbor_mode(x0 + size - 1, y0 - 1, y0,
+                                          same_ctu_row=True)
+        mpm = set(build_mpm_list(cand_l, cand_a))
+
+        def cost(mode: int) -> float:
+            pred = predict_intra(ref, mode, log2, 0, 8)
+            sse = float(((src - pred).astype(np.int64) ** 2).sum())
+            return sse * (1.0 if mode in mpm else 1.02)
+
+        cands = [INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER]
+        cands += list(range(2, 67, self.p.angular_step))
+        best = min(set(cands), key=cost)
+        if best >= 2:
+            refine = [m for m in range(best - 2, best + 3) if 2 <= m <= 66]
+            best = min(set(refine) | {INTRA_PLANAR, best}, key=cost)
+        return best
+
+    def _plan_neighbor_mode(self, x: int, y: int, y0: int,
+                            same_ctu_row: bool = False) -> int:
+        if x < 0 or y < 0 or x >= self.width or y >= self.height:
+            return INTRA_PLANAR
+        if same_ctu_row and (y >> 5) != (y0 >> 5):
+            return INTRA_PLANAR
+        return self._mode_plan.get((x >> 2, y >> 2), INTRA_PLANAR)
+
+    def _encode_cu(self, x0: int, y0: int, log2: int) -> None:
+        n = 1 << log2
+        luma_mode = self._choose_luma_mode(x0, y0, log2)
+        cu = CuData(x=x0, y=y0, log2=log2, luma_mode=luma_mode,
+                    chroma_coded=4, chroma_mode=luma_mode)
+
+        # luma residual
+        src = self.src[0][y0:y0 + n, x0:x0 + n]
+        ref = self.recon.gather_refs(x0, y0, log2, 0)
+        pred = predict_intra(ref, luma_mode, log2, 0, 8)
+        res = src - pred
+        coeffs = quantize(forward_transform(res, log2, 8), self.qp, log2, 8)
+        if np.any(coeffs):
+            cu.coeffs_y = coeffs
+        self.recon.reconstruct_tb(x0, y0, log2, 0, luma_mode,
+                                  cu.coeffs_y, self.qp)
+
+        # chroma residuals (TB = half size, DM mode)
+        clog2 = log2 - 1
+        cn = 1 << clog2
+        cxx, cyy = x0 >> 1, y0 >> 1
+        for c_idx, plane_attr in ((1, "coeffs_cb"), (2, "coeffs_cr")):
+            csrc = self.src[c_idx][cyy:cyy + cn, cxx:cxx + cn]
+            cref = self.recon.gather_refs(x0, y0, clog2, c_idx)
+            cpred = predict_intra(cref, cu.chroma_mode, clog2, c_idx, 8)
+            cres = csrc - cpred
+            ccoef = quantize(forward_transform(cres, clog2, 8),
+                             self.cqp, clog2, 8)
+            if np.any(ccoef):
+                setattr(cu, plane_attr, ccoef)
+        self.recon.reconstruct_tb(x0, y0, clog2, 1, cu.chroma_mode,
+                                  cu.coeffs_cb, self.cqp)
+        self.recon.reconstruct_tb(x0, y0, clog2, 2, cu.chroma_mode,
+                                  cu.coeffs_cr, self.cqp)
+
+        for yy in range(y0 >> 2, (y0 + n) >> 2):
+            for xx in range(x0 >> 2, (x0 + n) >> 2):
+                self._mode_plan[(xx, yy)] = luma_mode
+        self.plan.add_cu(cu)
+
+
+# --------------------------------------------------------------------------
+# registry encoder
+# --------------------------------------------------------------------------
+
+class VvcEncoder(RegistryEncoder):
+    id = "tpu-vvc"
+    format = "vvc"
+    lossy_supported = True
+    lossless_supported = False
+
+    def encode_single_image(self, img: PixelImage, options=None):
+        from ...color import convert_image
+        from ...boxes.codec_cfg import Box_vvcC
+        from ...boxes.meta import Box_ispe
+        quality = getattr(options, "quality", 50) if options else 50
+        qp = max(1, min(51, 51 - quality * 50 // 100)) + 8
+        qp = min(qp, 51)
+        if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        enc = VvcIntraEncoder(img.width, img.height, EncParams(qp=qp))
+        slice_nal, cfg_nals = enc.encode(img)
+
+        cfg = Box_vvcC()
+        cfg.length_size = 4
+        cfg.chroma_format_idc = enc.sps.chroma_format_idc
+        cfg.bit_depth_minus8 = enc.sps.bit_depth - 8
+        cfg.general_profile_idc = enc.sps.profile_idc
+        cfg.general_tier_flag = enc.sps.tier_flag
+        cfg.general_level_idc = enc.sps.level_idc
+        cfg.max_picture_width = enc.sps.pic_width
+        cfg.max_picture_height = enc.sps.pic_height
+        for nal in cfg_nals:
+            cfg.add_nal(nal)
+        data = len(slice_nal).to_bytes(4, "big") + slice_nal
+        return data, cfg, [(Box_ispe(img.width, img.height), False)]
+
+    def parameters(self):
+        return [{"name": "quality", "type": "integer", "minimum": 0,
+                 "maximum": 100, "default": 50,
+                 "description": "0..100 mapped to QP"}]
+
+
+def register():
+    register_encoder(VvcEncoder())

@@ -1,0 +1,269 @@
+"""VVC (H.266) codec tables — intra-only toolset.
+
+Scope: the coding-tool subset this package's encoder emits (and its
+decoder therefore must handle): 4:2:0 8-bit, CTU 32, quadtree-only
+partitioning (sps_max_mtt_hierarchy_depth_* = 0), single coding tree,
+DCT-II transforms 4..32, all optional SPS tools disabled (MIP, ISP,
+MRL, CCLM, LFNST, MTS, transform-skip, BDPCM, dependent quantization,
+sign-data hiding, SAO, ALF, LMCS).
+
+Provenance note: this environment has no VVC reference decoder or the
+JVET-S2001 table annexes, so the exact per-context CABAC
+initialization values of the standard are NOT reproduced here; the
+entropy-coding *structure* (two-state probability model, window-rate
+adaptation, binarizations, context derivations) follows H.266 §9.3,
+while initValue/shiftIdx constants below are this codec pair's own.
+Streams are validated by encoder↔decoder round-trip (bit-exact
+reconstruction) — see tests/test_vvc_codec.py.  The reference obtains
+VVC from vvdec/vvenc plugins (ref: libheif/plugins/decoder_vvdec.cc,
+encoder_vvenc.cc); this package replaces that external boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# DCT-II integer bases 4..32 are shared with HEVC (H.266 §8.7.4.3
+# reuses the same nested integer matrices for these sizes).
+from ..hevc.tables import DCT  # noqa: F401  (re-exported)
+
+# --------------------------------------------------------------------------
+# Intra prediction (H.266 §8.4.5.2)
+# --------------------------------------------------------------------------
+
+INTRA_PLANAR = 0
+INTRA_DC = 1
+INTRA_HOR = 18
+INTRA_DIA = 34
+INTRA_VER = 50
+INTRA_VDIA = 66
+INTRA_DM = 67          # chroma "derived mode" sentinel (not a coded mode)
+
+# intraPredAngle for predModeIntra 2..66 (H.266 Table 27, square-block
+# range; wide-angle extension is unreachable with QT-only square CUs).
+_ANGLES_HALF = [32, 29, 26, 23, 20, 18, 16, 14, 12, 10, 8, 6, 4, 3, 2, 1, 0]
+ANGLE_TABLE: Dict[int, int] = {}
+for _i in range(2, 19):                 # 2..18: +32 down to 0
+    ANGLE_TABLE[_i] = _ANGLES_HALF[_i - 2]
+for _i in range(19, 35):                # 19..34: -1 down to -32
+    ANGLE_TABLE[_i] = -_ANGLES_HALF[34 - _i]
+for _i in range(35, 51):                # 35..50: -29 up to 0
+    ANGLE_TABLE[_i] = -_ANGLES_HALF[_i - 34]
+for _i in range(51, 67):                # 51..66: +1 up to +32
+    ANGLE_TABLE[_i] = _ANGLES_HALF[66 - _i]
+
+assert ANGLE_TABLE[2] == 32 and ANGLE_TABLE[18] == 0
+assert ANGLE_TABLE[34] == -32 and ANGLE_TABLE[50] == 0
+assert ANGLE_TABLE[66] == 32 and ANGLE_TABLE[19] == -1
+
+
+def inv_angle(angle: int) -> int:
+    """invAngle = Round(512*32 / intraPredAngle) (H.266 §8.4.5.2.12)."""
+    if angle == 0:
+        return 0
+    return int(round(512 * 32 / angle))
+
+
+# minDistVerHor threshold for reference-sample smoothing
+# (H.266 Table 24, indexed by nTbS = (log2W + log2H) >> 1).
+INTRA_HOR_VER_DIST_THRES = {2: 24, 3: 14, 4: 2, 5: 0, 6: 0}
+
+
+def _gauss_filter(p: int) -> List[int]:
+    """4-tap smoothing interpolation filter fG, phase p/32.
+
+    Constructed as [1 2 1]/4 ⊛ 2-tap linear, normalized to sum 64
+    (the construction underlying H.266 Table 25's fG column).
+    """
+    a = (32 - p) // 2
+    d = p // 2
+    b = (64 - p) // 2
+    c = 64 - a - b - d
+    return [a, b, c, d]
+
+
+def _cubic_filter(p: int) -> List[int]:
+    """4-tap DCT-IF/cubic interpolation filter fC, phase p/32,
+    normalized to sum 64 (construction behind H.266 Table 25 fC)."""
+    t = p / 32.0
+    w = [(-0.5 * t ** 3 + t ** 2 - 0.5 * t),
+         (1.5 * t ** 3 - 2.5 * t ** 2 + 1.0),
+         (-1.5 * t ** 3 + 2.0 * t ** 2 + 0.5 * t),
+         (0.5 * t ** 3 - 0.5 * t ** 2)]
+    q = [int(round(64 * x)) for x in w]
+    q[1] += 64 - sum(q)        # exact DC gain
+    return q
+
+
+FILTER_G = np.array([_gauss_filter(p) for p in range(32)], np.int32)
+FILTER_C = np.array([_cubic_filter(p) for p in range(32)], np.int32)
+
+
+# --------------------------------------------------------------------------
+# Quantization (H.266 §8.7.3) — square TBs only in this toolset
+# --------------------------------------------------------------------------
+
+LEVEL_SCALE = [40, 45, 51, 57, 64, 72]
+# forward scale such that fwd*inv ≈ 2^(14+6)=2^20 per qp%6 step
+QUANT_SCALE = [26214, 23302, 20560, 18396, 16384, 14564]
+
+
+def build_chroma_qp_table(start_minus26: int = 0,
+                          delta_in: Tuple[int, ...] = (),
+                          delta_diff: Tuple[int, ...] = ()) -> List[int]:
+    """ChromaQpTable from the SPS piecewise-linear signalling
+    (H.266 §7.4.3.4 sps chroma QP table semantics).
+
+    With no interior points the mapping extends linearly with slope 1
+    in both directions — i.e. identity, which is what this encoder
+    signals (sps_same_qp_table_for_chroma_flag=1, zero points).
+    """
+    # table domain: qpY in [-QpBdOffset, 63]; 8-bit → [0, 63]
+    qp_in = [start_minus26 + 26]
+    qp_out = [start_minus26 + 26]
+    for i, d in enumerate(delta_in):
+        qp_in.append(qp_in[-1] + d + 1)
+        qp_out.append(qp_out[-1] + (d + 1 if i >= len(delta_diff)
+                                    else (d + 1) ^ delta_diff[i]))
+    table = [0] * 64
+    # anchor point
+    k0 = qp_in[0]
+    for q in range(64):
+        if q <= k0:
+            table[q] = qp_out[0] - (k0 - q)
+        else:
+            # piecewise segments, then slope-1 extension
+            v = qp_out[0]
+            prev = k0
+            rem = q - k0
+            seg = 0
+            while seg + 1 < len(qp_in) and rem > 0:
+                span = qp_in[seg + 1] - prev
+                step = min(span, rem)
+                out_span = qp_out[seg + 1] - qp_out[seg]
+                v += (out_span * step + span // 2) // span
+                rem -= step
+                prev += step
+                seg += 1
+            v += rem
+            table[q] = v
+    return [max(0, min(63, t)) for t in table]
+
+
+CHROMA_QP_TABLE = build_chroma_qp_table()
+
+
+# --------------------------------------------------------------------------
+# Scan orders — 4x4 coefficient groups, up-right diagonal (§6.5.2);
+# both the in-group scan and the group scan are diagonal in VVC.
+# --------------------------------------------------------------------------
+
+def _diag_scan(w: int, h: int) -> List[Tuple[int, int]]:
+    """Up-right diagonal scan order (x, y), DC first."""
+    out = []
+    for s in range(w + h - 1):
+        for y in range(min(s, h - 1), -1, -1):
+            x = s - y
+            if x < w:
+                out.append((x, y))
+    return out
+
+
+DIAG_4x4 = _diag_scan(4, 4)                   # in-subblock scan
+SB_SCANS = {(w, h): _diag_scan(w, h)          # subblock grid scans
+            for w in (1, 2, 4, 8) for h in (1, 2, 4, 8)}
+
+
+# --------------------------------------------------------------------------
+# CABAC context model layout (intra-only subset)
+# --------------------------------------------------------------------------
+# Each entry: name -> (count, initValue, shiftIdx).  initValue is the
+# 6-bit H.266 init (slopeIdx<<3 | offsetIdx); shiftIdx the 4-bit
+# adaptation-window index (shift0=(s>>4? ) see cabac.py).  Values are
+# this codec pair's own (see module docstring).
+
+def _iv(slope: int, offset: int) -> int:
+    return (slope << 3) | offset
+
+
+CONTEXTS: Dict[str, Tuple[int, int, int]] = {
+    # partitioning
+    "split_cu_flag":             (9,  _iv(4, 3), 4),
+    # intra luma
+    "intra_luma_mpm_flag":       (1,  _iv(4, 4), 4),
+    "intra_luma_not_planar_flag": (2, _iv(4, 3), 4),
+    # intra chroma
+    "intra_chroma_pred_mode":    (1,  _iv(4, 2), 4),
+    # transform unit
+    "tu_cbf_luma":               (4,  _iv(4, 4), 4),
+    "tu_cbf_cb":                 (2,  _iv(4, 2), 4),
+    "tu_cbf_cr":                 (2,  _iv(4, 2), 4),
+    # residual coding
+    "last_sig_coeff_x_prefix":   (18, _iv(4, 3), 4),
+    "last_sig_coeff_y_prefix":   (18, _iv(4, 3), 4),
+    "sb_coded_flag":             (4,  _iv(4, 4), 4),
+    "sig_coeff_flag":            (20, _iv(4, 3), 4),   # luma 12 + chroma 8
+    "abs_level_gt1_flag":        (30, _iv(4, 3), 4),   # luma 20 + chroma 10
+    "par_level_flag":            (30, _iv(4, 3), 4),
+    "abs_level_gt3_flag":        (30, _iv(4, 3), 4),
+}
+
+_LAYOUT: Dict[str, Tuple[int, int]] = {}
+_off = 0
+for _name, (_count, _ivv, _sh) in CONTEXTS.items():
+    _LAYOUT[_name] = (_off, _count)
+    _off += _count
+TOTAL_CONTEXTS = _off
+
+
+def ctx_layout() -> Dict[str, Tuple[int, int]]:
+    return _LAYOUT
+
+
+# ---- residual context derivations (VTM-style templates) -----------------
+
+def sig_ctx(c_idx: int, diag: int, loc_sum_abs1: int) -> int:
+    """sig_coeff_flag ctxInc (H.266 §9.3.4.2.8 structure):
+    min((locSumAbsPass1+1)>>1, 3) + diagonal-position offset."""
+    base = min((loc_sum_abs1 + 1) >> 1, 3)
+    if c_idx == 0:
+        off = 8 if diag < 2 else (4 if diag < 5 else 0)
+        return base + off                       # 0..11
+    off = 4 if diag < 2 else 0
+    return 12 + base + off                      # 12..19
+
+
+def gtx_par_ctx(c_idx: int, diag: int, tmpl: int) -> int:
+    """Shared ctxInc for abs_level_gt1/par_level/abs_level_gt3:
+    min(templateSum, 4) + diagonal offset."""
+    base = min(tmpl, 4)
+    if c_idx == 0:
+        off = 15 if diag == 0 else (10 if diag < 3 else (5 if diag < 10 else 0))
+        return base + off                       # 0..19
+    off = 5 if diag == 0 else 0
+    return 20 + base + off                      # 20..29
+
+
+def last_prefix_ctx(which_chroma: bool, log2_size: int, bin_idx: int) -> int:
+    """last_sig_coeff_{x,y}_prefix ctxInc (HEVC-style size mapping;
+    max TB 32 in this toolset → luma ctx 0..14, chroma 15..17)."""
+    if not which_chroma:
+        offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
+        shift = (log2_size + 1) >> 2
+        return min(offset + (bin_idx >> shift), 14)
+    return 15 + min(bin_idx >> (log2_size - 2), 2)
+
+
+def rice_param(loc_sum_abs: int) -> int:
+    """abs_remainder Rice parameter from the local template sum
+    (H.266 §9.3.3.2 structure)."""
+    s = max(0, min(31, loc_sum_abs))
+    if s < 4:
+        return 0
+    if s < 12:
+        return 1
+    if s < 24:
+        return 2
+    return 3

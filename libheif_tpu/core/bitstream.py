@@ -226,6 +226,11 @@ class BitReader:
     def bits_remaining(self) -> int:
         return (self._end - self._bytepos) * 8 + self._bits
 
+    @property
+    def bit_position(self) -> int:
+        """Bits consumed from the start of the buffer."""
+        return self._bytepos * 8 - self._bits
+
     def byte_align(self) -> None:
         self._bits -= self._bits % 8
         self._bitbuf &= (1 << self._bits) - 1
@@ -349,6 +354,11 @@ class BitWriter:
 
     def write_bit(self, v: int) -> None:
         self.write_bits(v, 1)
+
+    @property
+    def bit_position(self) -> int:
+        """Bits written so far."""
+        return len(self._data) * 8 + self._bits
 
     def byte_align(self, pad_bit: int = 0) -> None:
         while self._bits != 0:

@@ -1,0 +1,213 @@
+"""VVC codec core tests.
+
+No VVC reference decoder exists in this environment (libavcodec 59
+predates VVC; no vvdec), so conformance is established structurally:
+- CABAC engine encode↔decode fuzz (two-state model, all binarizations),
+- header writer↔parser round-trips,
+- full encoder↔decoder round-trips must be BIT-EXACT against the
+  encoder's in-loop reconstruction (shared recon functions), across
+  content types, QPs, and sizes,
+- container integration: vvc1 items through HeifContext.
+"""
+
+import numpy as np
+import pytest
+
+from libheif_tpu.codecs.vvc.cabac import ContextModels, CabacDecoder
+from libheif_tpu.codecs.vvc.cabac_enc import CabacEncoder
+from libheif_tpu.codecs.vvc.tables import TOTAL_CONTEXTS, ANGLE_TABLE
+from libheif_tpu.codecs.vvc import headers as H
+from libheif_tpu.codecs.vvc.encoder import VvcIntraEncoder, EncParams
+from libheif_tpu.codecs.vvc import decoder as D
+from libheif_tpu.image.pixel_image import PixelImage, Channel, Colorspace, \
+    Chroma
+from libheif_tpu.core.error import HeifError
+
+
+def make_image(w, h, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "gradient":
+        y = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    elif kind == "noise":
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    elif kind == "edges":
+        y = (((xx // 8 + yy // 8) % 2) * 200 + 20).astype(np.uint8)
+    elif kind == "flat":
+        y = np.full((h, w), 128, np.uint8)
+    else:
+        raise ValueError(kind)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    cb = rng.integers(100, 156, (ch, cw), dtype=np.uint8) \
+        if kind == "noise" else np.full((ch, cw), 110, np.uint8)
+    cr = ((np.mgrid[0:ch, 0:cw][1] * 5) % 256).astype(np.uint8)
+    img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420)
+    img.set_plane(Channel.Y, y, 8)
+    img.set_plane(Channel.Cb, cb, 8)
+    img.set_plane(Channel.Cr, cr, 8)
+    return img
+
+
+def roundtrip(img, qp):
+    enc = VvcIntraEncoder(img.width, img.height, EncParams(qp=qp))
+    slice_nal, cfg = enc.encode(img)
+    sps = H.parse_sps(cfg[0])
+    pps = H.parse_pps(cfg[1])
+    y, cb, cr = D.decode_intra_picture(sps, pps, slice_nal)
+    assert np.array_equal(y, enc.recon.planes[0]), "luma mismatch"
+    assert np.array_equal(cb, enc.recon.planes[1]), "cb mismatch"
+    assert np.array_equal(cr, enc.recon.planes[2]), "cr mismatch"
+    return y, cb, cr, len(slice_nal)
+
+
+class TestCabacEngine:
+    def test_engine_fuzz(self):
+        rng = np.random.default_rng(11)
+        for trial in range(10):
+            qp = int(rng.integers(1, 52))
+            ops = []
+            for _ in range(int(rng.integers(100, 1500))):
+                r = rng.random()
+                if r < 0.5:
+                    ops.append(("ctx", int(rng.integers(0, TOTAL_CONTEXTS)),
+                                int(rng.integers(0, 2))))
+                elif r < 0.75:
+                    ops.append(("byp", int(rng.integers(0, 2))))
+                elif r < 0.9:
+                    ops.append(("eg", int(rng.integers(0, 4)),
+                                int(rng.integers(0, 4000))))
+                else:
+                    cmax = int(rng.integers(1, 64))
+                    ops.append(("tb", cmax, int(rng.integers(0, cmax + 1))))
+            ctx = ContextModels(qp)
+            enc = CabacEncoder(ctx)
+            for op in ops:
+                if op[0] == "ctx":
+                    enc.encode_bin(op[1], op[2])
+                elif op[0] == "byp":
+                    enc.encode_bypass(op[1])
+                elif op[0] == "eg":
+                    enc.encode_eg_bypass(op[1], op[2])
+                else:
+                    enc.encode_truncated_binary(op[1], op[2])
+            enc.encode_terminate(1)
+            enc.flush()
+            data = enc.data()
+            dec = CabacDecoder(data, 0, len(data), ContextModels(qp))
+            for op in ops:
+                if op[0] == "ctx":
+                    assert dec.decode_bin(op[1]) == op[2]
+                elif op[0] == "byp":
+                    assert dec.decode_bypass() == op[1]
+                elif op[0] == "eg":
+                    assert dec.decode_eg_bypass(op[1]) == op[2]
+                else:
+                    assert dec.decode_truncated_binary(op[1]) == op[2]
+            assert dec.decode_terminate() == 1
+
+
+class TestHeaders:
+    def test_sps_roundtrip(self):
+        sps = H.SPS(pic_width=320, pic_height=240, conf_win=(0, 1, 0, 2))
+        sps2 = H.parse_sps(H.write_sps(sps))
+        assert (sps2.pic_width, sps2.pic_height) == (320, 240)
+        assert sps2.conf_win == (0, 1, 0, 2)
+        assert sps2.cropped_size == (318, 236)
+        assert sps2.log2_ctu_size == 5
+        assert sps2.min_qt_log2 == 3
+
+    def test_pps_roundtrip(self):
+        pps = H.PPS(pic_width=320, pic_height=240, init_qp=30)
+        pps2 = H.parse_pps(H.write_pps(pps))
+        assert pps2.init_qp == 30
+        assert pps2.deblocking_disabled
+
+    def test_slice_header_qp_range(self):
+        sps = H.SPS(pic_width=32, pic_height=32)
+        pps = H.PPS(pic_width=32, pic_height=32)
+        for qp in (5, 26, 45):
+            w = H.write_slice_header(sps, pps, qp)
+            w.write_bits(0, 8)
+            nal = H.nal_header(H.NAL_IDR_N_LP) + \
+                H.add_emulation_prevention(w.data())
+            sh = H.parse_slice_header(nal, sps, {0: pps})
+            assert sh.qp == qp
+
+    def test_angle_table_symmetry(self):
+        assert ANGLE_TABLE[2] == 32 and ANGLE_TABLE[66] == 32
+        assert ANGLE_TABLE[34] == -32
+        for m in range(2, 67):
+            assert -32 <= ANGLE_TABLE[m] <= 32
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("kind", ["gradient", "noise", "edges", "flat"])
+    def test_content_types(self, kind):
+        img = make_image(64, 64, kind, seed=1)
+        y, _, _, nbytes = roundtrip(img, qp=30)
+        assert nbytes > 0
+
+    @pytest.mark.parametrize("qp", [8, 22, 35, 48])
+    def test_qp_sweep(self, qp):
+        img = make_image(64, 32, "edges", seed=2)
+        y, cb, cr, _ = roundtrip(img, qp)
+        src = np.asarray(img.plane(Channel.Y))
+        mse = ((y[:32, :64].astype(np.int64) - src) ** 2).mean()
+        psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+        # monotone-ish sanity: low QP must be near-transparent
+        if qp <= 8:
+            assert psnr > 45, psnr
+        else:
+            assert psnr > 18, psnr
+
+    def test_odd_size_padding(self):
+        img = make_image(50, 37, "gradient")
+        y, cb, cr, _ = roundtrip(img, 28)
+        assert y.shape == (64, 64)      # padded coded size
+
+    def test_larger_image_rate_quality(self):
+        img = make_image(160, 128, "edges", seed=5)
+        y, _, _, nbytes = roundtrip(img, 30)
+        src = np.asarray(img.plane(Channel.Y))
+        mse = ((y[:128, :160].astype(np.int64) - src) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 25
+
+    def test_rate_monotonic_in_qp(self):
+        img = make_image(64, 64, "noise", seed=9)
+        sizes = [roundtrip(img, qp)[3] for qp in (10, 30, 48)]
+        assert sizes[0] > sizes[1] > sizes[2], sizes
+
+
+class TestRegistryAndContainer:
+    def test_registry_lookup(self):
+        from libheif_tpu.codecs import registry
+        assert registry.get_decoder("vvc") is not None
+        assert registry.get_encoder("vvc") is not None
+
+    def test_context_encode_decode_vvc1(self):
+        from libheif_tpu.context import HeifContext
+        img = make_image(48, 40, "gradient")
+        ctx = HeifContext()
+        item_id = ctx.encode_image(img, fmt="vvc")
+        data = ctx.write()
+        ctx2 = HeifContext.read_from_bytes(data)
+        assert ctx2.file.get_item_type(ctx2.primary_id) == "vvc1"
+        out = ctx2.decode_image()
+        assert out.width == 48 and out.height == 40
+        src = np.asarray(img.plane(Channel.Y)).astype(np.int64)
+        dec = np.asarray(out.plane(Channel.Y)).astype(np.int64)
+        psnr = 10 * np.log10(255 ** 2 / max(((src - dec) ** 2).mean(), 1e-9))
+        assert psnr > 30, psnr
+
+    def test_truncated_stream_rejected(self):
+        img = make_image(32, 32, "edges")
+        enc = VvcIntraEncoder(32, 32, EncParams(qp=30))
+        slice_nal, cfg = enc.encode(img)
+        sps = H.parse_sps(cfg[0])
+        pps = H.parse_pps(cfg[1])
+        # severe truncation: must either raise or return planes (zeros
+        # fill) — never crash with an unhandled exception
+        try:
+            D.decode_intra_picture(sps, pps, slice_nal[:8])
+        except HeifError:
+            pass

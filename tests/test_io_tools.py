@@ -233,3 +233,56 @@ class TestJpegTiffIO:
         pim = PIL.open(io.BytesIO(data))
         pim.load()
         assert pim.size == (img.width, img.height)
+
+
+class TestWebP:
+    """heifio WebP converter parity (ref: heifio/decoder_webp.cc,
+    encoder_webp.cc) — ctypes wrap of the same system libwebp."""
+
+    def _img(self, w=40, h=24, alpha=False):
+        import numpy as np
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(5)
+        img = PixelImage(w, h, Colorspace.RGB, Chroma.C444)
+        img.set_plane(Channel.R, (np.mgrid[0:h, 0:w][1] * 6 % 256
+                                  ).astype(np.uint8), 8)
+        img.set_plane(Channel.G, np.full((h, w), 77, np.uint8), 8)
+        img.set_plane(Channel.B, rng.integers(0, 256, (h, w),
+                                              dtype=np.uint8), 8)
+        if alpha:
+            img.set_plane(Channel.Alpha,
+                          rng.integers(0, 255, (h, w), dtype=np.uint8), 8)
+        return img
+
+    def test_lossless_roundtrip(self):
+        import numpy as np
+        from libheif_tpu import io as hio
+        from libheif_tpu.image.pixel_image import Channel
+        img = self._img()
+        data = hio.write_webp(img, lossless=True)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+        out = hio.read_webp(data)
+        assert (out.width, out.height) == (img.width, img.height)
+        for ch in (Channel.R, Channel.G, Channel.B):
+            assert np.array_equal(np.asarray(out.plane(ch)),
+                                  np.asarray(img.plane(ch))), ch
+
+    def test_lossy_alpha(self):
+        import numpy as np
+        from libheif_tpu import io as hio
+        from libheif_tpu.image.pixel_image import Channel
+        img = self._img(alpha=True)
+        data = hio.write_webp(img, quality=85)
+        out = hio.read_webp(data)
+        assert out.has_channel(Channel.Alpha)
+        r0 = np.asarray(img.plane(Channel.R)).astype(np.int64)
+        r1 = np.asarray(out.plane(Channel.R)).astype(np.int64)
+        assert ((r0 - r1) ** 2).mean() < 2000     # lossy but sane
+
+    def test_bad_data_raises(self):
+        import pytest
+        from libheif_tpu import io as hio
+        from libheif_tpu.core.error import HeifError
+        with pytest.raises(HeifError):
+            hio.read_webp(b"not a webp file at all")

@@ -14,6 +14,8 @@ def main(argv=None):
     ap.add_argument("input")
     ap.add_argument("output", nargs="?", default=None,
                     help="output file (.png/.ppm/.y4m/.jpg/.tif); default <input>.png")
+    ap.add_argument("--quality", type=int, default=None,
+                    help="output quality for lossy targets (jpeg/webp)")
     ap.add_argument("--all", action="store_true",
                     help="decode all top-level images (suffix -N)")
     args = ap.parse_args(argv)
@@ -42,6 +44,11 @@ def main(argv=None):
             rgb = ctx._convert_output(img, Colorspace.RGB, Chroma.C444, None) \
                 if img.colorspace != Colorspace.RGB else img
             hio.write_tiff_file(rgb, path)
+            return
+        if ext == ".webp":
+            rgb = ctx._convert_output(img, Colorspace.RGB, Chroma.C444, None) \
+                if img.colorspace != Colorspace.RGB else img
+            hio.write_webp_file(rgb, path, quality=args.quality or 90)
             return
         if ext == ".y4m":
             y = img.plane(Channel.Y)

@@ -84,6 +84,11 @@ def main(argv=None):
         if args.codec in ("hevc", "av1"):
             img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
         ctx.encode_image(img, fmt=args.codec, options=options)
+    elif ext == ".webp":
+        img = hio.read_webp(data)
+        if args.codec in ("hevc", "av1"):
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        ctx.encode_image(img, fmt=args.codec, options=options)
     else:
         if ext == ".png":
             arr, bd = hio.read_png(data)

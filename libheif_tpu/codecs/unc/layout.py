@@ -141,6 +141,8 @@ def determine_chroma(uncC: Box_uncC, cmpd: Box_cmpd) -> Tuple[str, str]:
                                     "4:1:1 sampling not yet supported")
     if has_mono:
         return Colorspace.Monochrome, Chroma.Monochrome
+    if 11 in types:      # CFA mosaic plane (ref: heif_colorspace_filter_array)
+        return Colorspace.FilterArray, Chroma.Monochrome
     return Colorspace.Nonvisual, Chroma.Undefined
 
 

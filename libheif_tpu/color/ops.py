@@ -19,6 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..core.error import HeifError, SubError
 from ..image.pixel_image import PixelImage, Channel, Colorspace, Chroma
 from .nclx import get_kr_kb
 from .state import ColorState
@@ -30,6 +31,7 @@ class ColorConversionOptions:
     NEAREST = "nearest-neighbor"
     BILINEAR = "bilinear"
     AVERAGE = "average"
+    SHARP_YUV = "sharp-yuv"
 
     def __init__(self, chroma_upsampling: str = BILINEAR,
                  chroma_downsampling: str = AVERAGE):
@@ -104,6 +106,28 @@ def _downsample(plane_f32, factor_x: int, factor_y: int, method: str):
     hh, ww = a.shape
     a = a.reshape(hh // factor_y, factor_y, ww // factor_x, factor_x)
     return a.mean(axis=(1, 3))
+
+
+def _sharp_downsample(plane_f32, th: int, tw: int, iters: int = 4):
+    """'Sharp' chroma downsampling (ref: rgb2yuv_sharp.cc, which wraps
+    libsharpyuv).  Instead of plain averaging, solve the least-squares
+    problem min ‖upsample(C_sub) − C‖² with a Richardson iteration so
+    the *reconstructed* (bilinear-upsampled) chroma matches the source
+    as closely as possible — the same objective sharpyuv optimises.
+    Pure jnp: each iteration is an upsample + residual + average, which
+    XLA fuses into one program."""
+    jnp = _jnp()
+    a = plane_f32
+    h, w = a.shape
+    fx = max(1, round(w / tw))
+    fy = max(1, round(h / th))
+    sub = _downsample(a, fx, fy, ColorConversionOptions.AVERAGE)[:th, :tw]
+    for _ in range(iters):
+        up = _upsample(sub, h, w, ColorConversionOptions.BILINEAR)
+        err = a - up
+        sub = sub + _downsample(err, fx, fy,
+                                ColorConversionOptions.AVERAGE)[:th, :tw]
+    return sub
 
 
 class ColorOp:
@@ -380,6 +404,9 @@ class ChromaResample(ColorOp):
             h, w = a.shape
             if tw >= w and th >= h:
                 res = _upsample(a, th, tw, options.chroma_upsampling)
+            elif options.chroma_downsampling == \
+                    ColorConversionOptions.SHARP_YUV:
+                res = _sharp_downsample(a.astype(jnp.float32), th, tw)
             else:
                 fx = max(1, round(w / tw))
                 fy = max(1, round(h / th))
@@ -510,8 +537,78 @@ class RGBToMono(ColorOp):
         return out
 
 
+class BayerToRGB(ColorOp):
+    """CFA mosaic → RGB bilinear demosaic (ref: bayer_bilinear.cc
+    Op_bayer_bilinear_to_RGB24_32).
+
+    The reference averages, for each pixel and missing channel, every
+    same-channel neighbour within a (2·ph−1)×(2·pw−1) window with equal
+    weights, passing native cells through unchanged
+    (bayer_bilinear.cc:139-175 neighbour-offset tables).  The TPU
+    formulation: per-channel 0/1 masks tiled from the pattern, then two
+    box convolutions — conv(plane·mask)/conv(mask) — and a select on
+    the mask.  Border pixels average only in-image neighbours (the
+    zero-padded convolution drops outside taps)."""
+
+    cost = 11   # SpeedCosts_Unoptimized in the reference
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.FilterArray:
+            return None
+        if target.colorspace not in (Colorspace.RGB, Colorspace.Undefined):
+            return None
+        return inp.with_(colorspace=Colorspace.RGB, chroma=Chroma.C444)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        import jax
+        pattern = img.bayer_pattern
+        if pattern is None:
+            raise HeifError.invalid_input(
+                SubError.Unspecified,
+                "filter-array image carries no CFA pattern (cpat)")
+        ph, pw = pattern.pattern_height, pattern.pattern_width
+        cells = pattern.channels
+        if any(c not in (Channel.R, Channel.G, Channel.B) for c in cells):
+            raise HeifError.unsupported(
+                SubError.Unsupported_data_version,
+                "Bayer pattern contains component types that we "
+                "currently cannot convert to RGB")
+        bits = img.bit_depth(Channel.FilterArray)
+        maxval = (1 << bits) - 1
+        a = jnp.asarray(img.plane(Channel.FilterArray)).astype(jnp.float32)
+        h, w = a.shape
+        # tile per-channel masks over the image
+        yy = jnp.arange(h) % ph
+        xx = jnp.arange(w) % pw
+        cell_idx = yy[:, None] * pw + xx[None, :]
+        cell_ch = jnp.asarray(
+            [{Channel.R: 0, Channel.G: 1, Channel.B: 2}[c]
+             for c in cells], dtype=jnp.int32)
+        pix_ch = cell_ch[cell_idx]                      # (h, w) in {0,1,2}
+
+        kh, kw = 2 * ph - 1, 2 * pw - 1
+        kernel = jnp.ones((1, 1, kh, kw), jnp.float32)
+
+        def box(x):
+            return jax.lax.conv_general_dilated(
+                x[None, None], kernel, (1, 1),
+                [(kh // 2, kh // 2), (kw // 2, kw // 2)])[0, 0]
+
+        out = self._base_output(img, outp)
+        dt = _out_dtype(bits)
+        for ci, ch in enumerate((Channel.R, Channel.G, Channel.B)):
+            mask = (pix_ch == ci).astype(jnp.float32)
+            num = box(a * mask)
+            den = box(mask)
+            avg = num / jnp.maximum(den, 1.0)
+            plane = jnp.where(mask > 0, a, avg)
+            out.set_plane(ch, _round_clip(plane, maxval).astype(dt), bits)
+        return out
+
+
 ALL_OPS: List[ColorOp] = [
     YCbCrToRGB(), RGBToYCbCr(), MonoToRGB(), MonoToYCbCr(),
     ChromaResample(), BitDepthConvert(), DropAlpha(), AddAlpha(),
-    RGBToMono(),
+    RGBToMono(), BayerToRGB(),
 ]

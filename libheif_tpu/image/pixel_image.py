@@ -49,6 +49,7 @@ class Colorspace:
     RGB = "RGB"
     Monochrome = "monochrome"
     Nonvisual = "nonvisual"
+    FilterArray = "filter_array"   # CFA mosaic (ref: heif_image.h:110)
 
 
 class Chroma:
@@ -59,6 +60,25 @@ class Chroma:
     C444 = "444"
     InterleavedRGB = "interleaved RGB"
     InterleavedRGBA = "interleaved RGBA"
+
+
+class BayerPattern:
+    """CFA mosaic pattern: pattern_height×pattern_width grid of channel
+    names + per-cell gains (ref: BayerPattern image_description.h:59,
+    Box_cpat unc_boxes.h)."""
+
+    def __init__(self, pattern_width: int, pattern_height: int,
+                 channels, gains=None):
+        self.pattern_width = pattern_width
+        self.pattern_height = pattern_height
+        self.channels = list(channels)       # row-major, len w*h
+        self.gains = list(gains) if gains is not None \
+            else [1.0] * (pattern_width * pattern_height)
+
+    @staticmethod
+    def rggb():
+        return BayerPattern(2, 2, [Channel.R, Channel.G,
+                                   Channel.G, Channel.B])
 
 
 # component type id (cmpd) → channel name (ref: unc_codec.cc
@@ -126,6 +146,9 @@ class PixelImage:
         self.color_profile_nclx = None   # set by decode pipeline
         self.color_profile_icc: Optional[bytes] = None
         self.warnings: List[DecodeWarning] = []
+        # CFA mosaic pattern for FilterArray images: BayerPattern or None
+        # (ref: BayerPattern image_description.h:59, cpat unc_boxes.h)
+        self.bayer_pattern = None
         # TAI timestamp / content id (sequences aux info)
         self.tai_timestamp = None
         self.gimi_content_id: Optional[str] = None
@@ -297,6 +320,7 @@ class PixelImage:
         out.color_profile_nclx = self.color_profile_nclx
         out.color_profile_icc = self.color_profile_icc
         out.warnings = list(self.warnings)
+        out.bayer_pattern = self.bayer_pattern
         return out
 
     # ------------------------------------------------------------- placement

@@ -42,7 +42,36 @@ class ImageItem_unci(ImageItem):
                                 processed_ids: Set[int]) -> PixelImage:
         dec = self._get_decoder()
         data = self.file.get_item_data(self.item_id)
-        return dec.decode(data)
+        img = dec.decode(data)
+        self._attach_bayer_pattern(img)
+        return img
+
+    def _attach_bayer_pattern(self, img: PixelImage) -> None:
+        """Resolve a cpat property into a per-cell channel pattern on
+        the image (ref: unc_codec.cc:294-330 — cpat cmpd-index →
+        component mapping feeding Op_bayer_bilinear_to_RGB24_32)."""
+        from ..boxes.unc import Box_cpat
+        from ..image.pixel_image import COMPONENT_TYPE_TO_CHANNEL
+        cpat = self.get_property(Box_cpat)
+        if cpat is None:
+            return
+        cmpd = self.get_property(Box_cmpd)
+        if cmpd is None:
+            return
+        channels = []
+        for idx in cpat.components:
+            if idx >= len(cmpd.components):
+                raise HeifError.invalid_input(
+                    SubError.Invalid_parameter_value,
+                    f"cpat component index {idx} out of cmpd range")
+            ctype = cmpd.components[idx].component_type
+            channels.append(COMPONENT_TYPE_TO_CHANNEL.get(ctype, ""))
+        from ..image.pixel_image import BayerPattern
+        img.bayer_pattern = BayerPattern(
+            pattern_width=cpat.pattern_width,
+            pattern_height=cpat.pattern_height,
+            channels=channels,
+            gains=list(cpat.component_gains))
 
     def get_tiling(self):
         from ..option_types import ImageTiling

@@ -607,8 +607,86 @@ class BayerToRGB(ColorOp):
         return out
 
 
+class PlanarToInterleavedRGB(ColorOp):
+    """Planar RGB 4:4:4 → packed interleaved plane (ref: rgb2rgb.cc
+    Op_RGB_to_RGB24_32 / Op_RGB_to_RRGGBB).
+
+    8-bit targets pack RGB(A) bytes; >8-bit targets pack RRGGBB(AA) as
+    uint16 with LE/BE handled at the numpy view level (the plane is
+    stored natively; byte order only matters on serialization).  The
+    interleaved plane has shape (h, w·ncomp)."""
+
+    cost = 1   # Trivial in the reference cost model
+
+    TARGETS = (Chroma.InterleavedRGB, Chroma.InterleavedRGBA)
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.RGB or inp.chroma != Chroma.C444:
+            return None
+        if target.chroma not in self.TARGETS:
+            return None
+        has_alpha = target.chroma == Chroma.InterleavedRGBA
+        return inp.with_(chroma=target.chroma, has_alpha=has_alpha)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = img.bit_depth(Channel.R)
+        dt = _out_dtype(bits)
+        maxval = (1 << bits) - 1
+        planes = [jnp.asarray(img.plane(c)).astype(dt)
+                  for c in (Channel.R, Channel.G, Channel.B)]
+        if outp.chroma == Chroma.InterleavedRGBA:
+            if img.has_channel(Channel.Alpha):
+                a = jnp.asarray(img.plane(Channel.Alpha))
+                if img.bit_depth(Channel.Alpha) != bits:
+                    shift = bits - img.bit_depth(Channel.Alpha)
+                    a = (a.astype(jnp.int32) << shift) if shift > 0 \
+                        else (a >> -shift)
+                planes.append(a.astype(dt))
+            else:
+                planes.append(jnp.full_like(planes[0], maxval))
+        h, w = planes[0].shape
+        n = len(planes)
+        inter = jnp.stack(planes, axis=-1).reshape(h, w * n)
+        out = self._base_output(img, outp)
+        out.set_plane(Channel.Interleaved, inter, bits)
+        return out
+
+
+class InterleavedToPlanarRGB(ColorOp):
+    """Packed interleaved RGB(A) plane → planar RGB 4:4:4
+    (ref: rgb2rgb.cc Op_RGB24_32_to_RGB)."""
+
+    cost = 1
+
+    def output_state(self, inp, target):
+        if inp.colorspace != Colorspace.RGB or \
+                inp.chroma not in PlanarToInterleavedRGB.TARGETS:
+            return None
+        if target.chroma in PlanarToInterleavedRGB.TARGETS:
+            return None
+        has_alpha = inp.chroma == Chroma.InterleavedRGBA
+        return inp.with_(chroma=Chroma.C444, has_alpha=has_alpha)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = img.bit_depth(Channel.Interleaved)
+        n = 4 if inp.chroma == Chroma.InterleavedRGBA else 3
+        a = jnp.asarray(img.plane(Channel.Interleaved))
+        h = a.shape[0]
+        w = a.shape[1] // n
+        a = a.reshape(h, w, n)
+        out = self._base_output(img, outp)
+        for i, ch in enumerate((Channel.R, Channel.G, Channel.B)):
+            out.set_plane(ch, a[:, :, i], bits)
+        if n == 4:
+            out.set_plane(Channel.Alpha, a[:, :, 3], bits)
+        return out
+
+
 ALL_OPS: List[ColorOp] = [
     YCbCrToRGB(), RGBToYCbCr(), MonoToRGB(), MonoToYCbCr(),
     ChromaResample(), BitDepthConvert(), DropAlpha(), AddAlpha(),
-    RGBToMono(), BayerToRGB(),
+    RGBToMono(), BayerToRGB(), PlanarToInterleavedRGB(),
+    InterleavedToPlanarRGB(),
 ]

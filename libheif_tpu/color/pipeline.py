@@ -65,10 +65,14 @@ def convert_image(img: PixelImage,
     (ref: convert_colorspace colorconversion.cc / context.cc:1515)."""
     options = options or ColorConversionOptions()
     inp = ColorState.of(img)
+    if target_chroma == Chroma.InterleavedRGBA:
+        target_has_alpha = True      # the packed format carries alpha
+    elif target_chroma == Chroma.InterleavedRGB:
+        target_has_alpha = False
     target = ColorState(
         colorspace=target_colorspace,
         chroma=target_chroma,
-        has_alpha=img.has_channel("Alpha") if target_has_alpha is None
+        has_alpha=img.has_alpha() if target_has_alpha is None
         else target_has_alpha,
         bits_per_pixel=target_bits,
         matrix_coefficients=target_matrix,

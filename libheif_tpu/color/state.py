@@ -34,7 +34,7 @@ class ColorState:
         return ColorState(
             colorspace=img.colorspace,
             chroma=img.chroma,
-            has_alpha=img.has_channel(Channel.Alpha),
+            has_alpha=img.has_alpha(),   # incl. interleaved RGBA
             bits_per_pixel=bpp,
             matrix_coefficients=(nclx.matrix_coefficients if nclx else 6),
             color_primaries=(nclx.color_primaries if nclx else 2),

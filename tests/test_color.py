@@ -165,3 +165,94 @@ class TestPipelineSearch:
         target = ColorState(Colorspace.YCbCr, Chroma.C422, False, 8)
         chain = find_pipeline(inp, target)
         assert chain is not None and len(chain) == 1
+
+
+class TestInterleavedRGB:
+    """rgb2rgb.cc op parity: planar ↔ packed interleaved RGB(A)."""
+
+    def _rgb(self, alpha=False):
+        import numpy as np
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        h, w = 12, 20
+        img = PixelImage(w, h, Colorspace.RGB, Chroma.C444)
+        base = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        img.set_plane(Channel.R, base, 8)
+        img.set_plane(Channel.G, base + 1, 8)
+        img.set_plane(Channel.B, base + 2, 8)
+        if alpha:
+            img.set_plane(Channel.Alpha, base + 3, 8)
+        return img, base
+
+    def test_pack_rgba_roundtrip(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        img, base = self._rgb(alpha=True)
+        packed = convert_image(img, Colorspace.RGB, Chroma.InterleavedRGBA)
+        a = np.asarray(packed.plane(Channel.Interleaved)).reshape(12, 20, 4)
+        assert np.array_equal(a[:, :, 0], base)
+        assert np.array_equal(a[:, :, 3], base + 3)
+        back = convert_image(packed, Colorspace.RGB, Chroma.C444)
+        assert np.array_equal(np.asarray(back.plane(Channel.Alpha)),
+                              base + 3)
+
+    def test_pack_rgb_fills_opaque_alpha_on_rgba(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        img, _ = self._rgb(alpha=False)
+        packed = convert_image(img, Colorspace.RGB, Chroma.InterleavedRGBA)
+        a = np.asarray(packed.plane(Channel.Interleaved)).reshape(12, 20, 4)
+        assert np.all(a[:, :, 3] == 255)
+
+    def test_alpha_dropped_for_rgb_target(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        img, base = self._rgb(alpha=True)
+        packed = convert_image(img, Colorspace.RGB, Chroma.InterleavedRGB)
+        a = np.asarray(packed.plane(Channel.Interleaved))
+        assert a.shape == (12, 60)
+        assert np.array_equal(a.reshape(12, 20, 3)[:, :, 2], base + 2)
+
+    def test_ycbcr420_to_interleaved_chain(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        h, w = 16, 24
+        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, np.full((h, w), 81, np.uint8), 8)
+        img.set_plane(Channel.Cb, np.full((h // 2, w // 2), 90, np.uint8), 8)
+        img.set_plane(Channel.Cr, np.full((h // 2, w // 2), 240, np.uint8), 8)
+        out = convert_image(img, Colorspace.RGB, Chroma.InterleavedRGB)
+        a = np.asarray(out.plane(Channel.Interleaved)).reshape(h, w, 3)
+        # BT.601 81/90/240 ≈ red (the classic conformance triple)
+        assert a[0, 0, 0] > 200 and a[0, 0, 1] < 60 and a[0, 0, 2] < 60
+
+    def test_decode_to_interleaved(self):
+        import numpy as np
+        from libheif_tpu.api import HeifContext
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        import os
+        path = "/root/reference/tests/data/uncompressed_pix_RGB.heif"
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip("fixture missing")
+        ctx = HeifContext.read_from_file(path)
+        img = ctx.decode_image(ctx.primary_item_id,
+                               colorspace=Colorspace.RGB,
+                               chroma=Chroma.InterleavedRGBA)
+        a = np.asarray(img.plane(Channel.Interleaved))
+        assert a.shape[1] % 4 == 0
+        planar = ctx.decode_image(ctx.primary_item_id,
+                                  colorspace=Colorspace.RGB,
+                                  chroma=Chroma.C444)
+        r = np.asarray(planar.plane(Channel.R))
+        assert np.array_equal(a.reshape(r.shape[0], r.shape[1], 4)[:, :, 0],
+                              r)

@@ -456,13 +456,48 @@ class HeifContext:
         item_id = self._register_encoded_item("unci")
         self.file.append_item_data(item_id, data)
         self._add_common_props(item_id, img, options)
+        cpat = self._make_cpat_property(img, cmpd)
         self.file.add_property(item_id, cmpd, False)
         self.file.add_property(item_id, uncC, True)
+        if cpat is not None:
+            self.file.add_property(item_id, cpat, False)
         if cmpC is not None:
             self.file.add_property(item_id, cmpC, True)
         if icef is not None:
             self.file.add_property(item_id, icef, True)
         return item_id
+
+    def _make_cpat_property(self, img: PixelImage, cmpd):
+        """Resolve an image's Bayer pattern into reference cmpd
+        components + a cpat box (ref: heif_image_set_bayer_pattern →
+        encoder cpat resolution, unc_encoder.cc; plane-less 'bayer
+        reference components', heif_image.h:174)."""
+        pattern = getattr(img, "bayer_pattern", None)
+        if pattern is None or not img.has_channel(Channel.FilterArray):
+            return None
+        from .boxes.unc import Box_cpat, CmpdComponent
+        chan_to_type = {Channel.R: 4, Channel.G: 5, Channel.B: 6,
+                        Channel.Y: 1}
+        # append one plane-less reference component per distinct channel
+        type_to_idx = {}
+        for i, comp in enumerate(cmpd.components):
+            type_to_idx.setdefault(comp.component_type, i)
+        indices = []
+        for ch in pattern.channels:
+            ctype = chan_to_type.get(ch)
+            if ctype is None:
+                raise HeifError.usage(
+                    msg=f"Bayer pattern cell {ch!r} has no component type")
+            if ctype not in type_to_idx:
+                type_to_idx[ctype] = len(cmpd.components)
+                cmpd.components.append(CmpdComponent(ctype))
+            indices.append(type_to_idx[ctype])
+        cpat = Box_cpat()
+        cpat.pattern_width = pattern.pattern_width
+        cpat.pattern_height = pattern.pattern_height
+        cpat.components = indices
+        cpat.component_gains = list(pattern.gains)
+        return cpat
 
     def _encode_mask(self, img: PixelImage, options: EncodingOptions) -> int:
         from .items.mask_item import Box_mskC

@@ -195,3 +195,59 @@ class TestSharpYUV:
                             options=opts)
         assert np.all(np.asarray(sub.plane(Channel.Cb)) == 200)
         assert np.all(np.asarray(sub.plane(Channel.Cr)) == 30)
+
+
+class TestGenBayerTool:
+    """heif-gen-bayer tool + encoder-side cpat resolution
+    (ref: examples/heif_gen_bayer.cc, unc_encoder.cc cpat writing)."""
+
+    def test_generate_decode_demosaic(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tools"))
+        import heif_gen_bayer
+        from libheif_tpu import io as hio
+        from libheif_tpu.api import HeifContext
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        rgb = _smooth_rgb(32, 48)
+        png = tmp_path / "in.png"
+        png.write_bytes(hio.write_png(rgb))
+        out = str(tmp_path / "b.heif")
+        assert heif_gen_bayer.main([str(png), out, "-p", "bggr"]) == 0
+        ctx = HeifContext.read_from_file(out)
+        img = ctx.decode_image(ctx.primary_item_id)
+        assert img.colorspace == Colorspace.FilterArray
+        assert img.bayer_pattern.channels == ["B", "G", "G", "R"]
+        dem = convert_image(img, Colorspace.RGB, Chroma.C444)
+        err = np.abs(np.asarray(dem.plane(Channel.R)).astype(int)
+                     - rgb[:, :, 0].astype(int))
+        assert err.mean() < 3
+
+    def test_encoder_writes_reference_components(self, tmp_path):
+        """cpat must reference plane-less R/G/B cmpd components while
+        uncC references only the filter_array plane."""
+        import numpy as np
+        from libheif_tpu.api import HeifContext, EncodingOptions
+        from libheif_tpu.boxes.unc import Box_cmpd, Box_cpat, Box_uncC
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma,
+                                                   BayerPattern)
+        img = PixelImage(8, 8, Colorspace.FilterArray, Chroma.Monochrome)
+        img.set_plane(Channel.FilterArray,
+                      np.arange(64, dtype=np.uint8).reshape(8, 8), 8)
+        img.bayer_pattern = BayerPattern.rggb()
+        ctx = HeifContext()
+        iid = ctx.encode_image(img, fmt="unci",
+                               options=EncodingOptions())
+        data = ctx.write()
+        back = HeifContext.read_from_bytes(data)
+        item = back.get_item(back.primary_item_id)
+        cmpd = item.get_property(Box_cmpd)
+        uncC = item.get_property(Box_uncC)
+        cpat = item.get_property(Box_cpat)
+        types = [c.component_type for c in cmpd.components]
+        assert 11 in types and {4, 5, 6} <= set(types)
+        assert len(uncC.components) == 1            # only the plane
+        assert [types[i] for i in cpat.components] == [4, 5, 5, 6]

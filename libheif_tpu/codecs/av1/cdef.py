@@ -127,12 +127,122 @@ def _filter_block(dst, src_pad, y0, x0, h, w, pri, sec, damping, direction,
             dst[y0 + dy, x0 + dx] = max(mn, min(mx, v))
 
 
+def _bit_length_vec(v: np.ndarray) -> np.ndarray:
+    """Per-element int.bit_length() (exact: frexp on float64 is exact
+    for integers < 2^53; frexp(0) = (0, 0) matches bit_length(0)=0)."""
+    return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+
+
+def _find_directions_vec(blocks: np.ndarray, coeff_shift: int):
+    """Vectorized 8x8 direction search over N blocks (spec §7.15.2).
+
+    Bit-exact batch form of _find_direction: the eight partial-sum maps
+    become (64,15) one-hot matrices so all N blocks reduce with integer
+    matmuls; cost formulas are the same integer expressions.
+    Returns (dirs (N,), vars (N,))."""
+    n = blocks.shape[0]
+    x = ((blocks.astype(np.int64) >> coeff_shift) - 128).reshape(n, 64)
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    maps = [i + j, i + j // 2, i + 0 * j, 3 + i - j // 2, 7 + i - j,
+            3 - i // 2 + j, 0 * i + j, i // 2 + j]
+    partial = np.empty((n, 8, 15), np.int64)
+    for d, m in enumerate(maps):
+        onehot = np.zeros((64, 15), np.int64)
+        onehot[np.arange(64), np.broadcast_to(m, (8, 8)).ravel()] = 1
+        partial[:, d, :] = x @ onehot
+    div = np.asarray(_DIV_TABLE, np.int64)
+    cost = np.zeros((n, 8), np.int64)
+    cost[:, 2] = (partial[:, 2, :8] ** 2).sum(1) * 105
+    cost[:, 6] = (partial[:, 6, :8] ** 2).sum(1) * 105
+    for d in (0, 4):
+        cost[:, d] = ((partial[:, d, :7] ** 2 +
+                       partial[:, d, 14:7:-1] ** 2) * div[1:8]).sum(1) \
+            + partial[:, d, 7] ** 2 * div[8]
+    for d in (1, 3, 5, 7):
+        cost[:, d] = (partial[:, d, 3:8] ** 2).sum(1) * 105 + \
+            ((partial[:, d, :3] ** 2 + partial[:, d, 10:7:-1] ** 2) *
+             div[2:7:2]).sum(1)
+    best = np.argmax(cost, axis=1)          # first max, like the scalar
+    var = (cost[np.arange(n), best] -
+           cost[np.arange(n), (best + 4) & 7]) >> 10
+    return best.astype(np.int64), var
+
+
+def _filter_blocks_vec(out: np.ndarray, pad: np.ndarray,
+                       ys: np.ndarray, xs: np.ndarray,
+                       pri: np.ndarray, sec: np.ndarray, damping: int,
+                       dirs: np.ndarray, coeff_shift: int,
+                       bh: int, bw: int) -> None:
+    """Vectorized _filter_block over N same-sized blocks: each of the
+    12 tap positions is one gathered (N,bh,bw) read; constrain/minmax
+    are elementwise integer ops.  Bit-exact vs the scalar loop."""
+    n = len(ys)
+    if n == 0:
+        return
+    yy = ys[:, None, None] + np.arange(bh)[None, :, None] + 2
+    xx = xs[:, None, None] + np.arange(bw)[None, None, :] + 2
+    x = pad[yy, xx].astype(np.int64)
+    s = np.zeros_like(x)
+    mx = x.copy()
+    mn = x.copy()
+    pri_c = pri[:, None, None].astype(np.int64)
+    sec_c = sec[:, None, None].astype(np.int64)
+    dmp_pri = np.maximum(0, damping - (_bit_length_vec(pri) - 1)
+                         )[:, None, None]
+    dmp_sec = np.maximum(0, damping - (_bit_length_vec(sec) - 1)
+                         )[:, None, None]
+    tap_sel = (pri >> coeff_shift) & 1
+    pri_tap = np.stack([np.where(tap_sel, 3, 4),
+                        np.where(tap_sel, 3, 2)], axis=1)   # (N,2)
+    dir_off = np.asarray(CDEF_DIRECTIONS, np.int64)         # (8,2,2)
+
+    def constrain(diff, thr, damp):
+        a = np.abs(diff)
+        v = np.minimum(a, np.maximum(0, thr - (a >> damp)))
+        return np.where(diff < 0, -v, v)
+
+    def accumulate(p, taps, thr, damp, active):
+        nonlocal s, mx, mn
+        s = s + np.where(active, taps * constrain(p - x, thr, damp), 0)
+        valid = active & (p != CDEF_VERY_LARGE)
+        mx = np.where(valid, np.maximum(mx, p), mx)
+        mn = np.where(valid, np.minimum(mn, p), mn)
+
+    pri_on = pri_c > 0
+    sec_on = sec_c > 0
+    for k in range(2):
+        oy = dir_off[dirs, k, 0][:, None, None]
+        ox = dir_off[dirs, k, 1][:, None, None]
+        taps = pri_tap[:, k][:, None, None]
+        for sgn in (1, -1):
+            p = pad[yy + sgn * oy, xx + sgn * ox].astype(np.int64)
+            accumulate(p, taps, pri_c, dmp_pri, pri_on)
+    for k in range(2):
+        for dd in (2, 6):
+            d2 = (dirs + dd) & 7
+            oy = dir_off[d2, k, 0][:, None, None]
+            ox = dir_off[d2, k, 1][:, None, None]
+            for sgn in (1, -1):
+                p = pad[yy + sgn * oy, xx + sgn * ox].astype(np.int64)
+                accumulate(p, _SEC_TAPS[k], sec_c, dmp_sec, sec_on)
+    v = x + ((8 + s - (s < 0)) >> 4)
+    res = np.maximum(mn, np.minimum(mx, v))
+    out[yy - 2, xx - 2] = res.astype(out.dtype)
+
+
 def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
                frame_w: int, frame_h: int) -> List[np.ndarray]:
     """Filter the frame in 64x64 units (spec §7.15.1); returns new
     planes (source remains the unfiltered deblocked frame).  Operates
     on the mi-aligned decode planes; outside them neighbors read
-    CDEF_VERY_LARGE."""
+    CDEF_VERY_LARGE.
+
+    Batched formulation: every candidate 8x8 block's strengths are
+    gathered from the per-64x64 cdef_idx map, skip-covered blocks are
+    masked out, then direction search and filtering run once over the
+    whole frame as (N,8,8) integer array programs instead of the
+    reference's per-block loops (aom cdef_frame/cdef_fb)."""
     c = fh.cdef
     coeff_shift = seq.bit_depth - 8
     maxv = (1 << seq.bit_depth) - 1
@@ -161,63 +271,76 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
         outs.append(planes[p_idx].copy())
 
     mi_rows, mi_cols = dec.mi_rows, dec.mi_cols
-    skips = dec.skip_map
+    skips = np.asarray(dec.skip_map, bool)
     y_damp = c.damping + coeff_shift
     uv_damp = y_damp - 1
 
-    for r in range(0, mi_rows, 16):
-        for col in range(0, mi_cols, 16):
-            idx = int(dec.cdef_idx[r, col])
-            if idx < 0:
-                continue
-            y_pri = c.y_pri[idx] << coeff_shift
-            y_sec = c.y_sec[idx] << coeff_shift
-            uv_pri = (c.uv_pri[idx] << coeff_shift) if num_planes > 1 else 0
-            uv_sec = (c.uv_sec[idx] << coeff_shift) if num_planes > 1 else 0
-            n_hb = min(16, mi_rows - r) >> 1
-            n_wb = min(16, mi_cols - col) >> 1
-            for i in range(n_hb):
-                for j in range(n_wb):
-                    mr = r + (i << 1)
-                    mc = col + (j << 1)
-                    if skips[mr, mc] and skips[mr, mc + 1] and \
-                            skips[mr + 1, mc] and skips[mr + 1, mc + 1]:
-                        continue
-                    ly, lx = mr * 4, mc * 4
-                    # direction search on the luma 8x8 (aom cdef_fb:
-                    # computed when luma pri OR sec filtering is on)
-                    direction, var = 0, 0
-                    if y_pri or y_sec:
-                        blk = pads[0][ly + 2:ly + 10, lx + 2:lx + 10]
-                        direction, var = _find_direction(blk, coeff_shift)
-                    # luma primary strength adjusted by local variance
-                    # (aom adjust_strength): zero variance disables it
-                    if y_pri:
-                        if var:
-                            i_log = min((var >> 6).bit_length() - 1, 12) \
-                                if (var >> 6) else 0
-                            pri_adj = (y_pri * (4 + i_log) + 8) >> 4
-                        else:
-                            pri_adj = 0
-                    else:
-                        pri_adj = 0
-                    pw0, ph0 = dims[0]
-                    h = min(8, ph0 - ly)
-                    w = min(8, pw0 - lx)
-                    if h > 0 and w > 0:
-                        _filter_block(outs[0], pads[0], ly, lx, h, w,
-                                      pri_adj, y_sec, y_damp, direction,
-                                      coeff_shift, maxv)
-                    if num_planes > 1 and (uv_pri or uv_sec):
-                        cy, cx = (ly >> ssy), (lx >> ssx)
-                        cdir = direction  # Cdef_Uv_Dir[1][1] = identity
-                        cpw, cph = dims[1]
-                        chh = min(8 >> ssy, cph - cy)
-                        cww = min(8 >> ssx, cpw - cx)
-                        if chh <= 0 or cww <= 0:
-                            continue
-                        for p_idx in (1, 2):
-                            _filter_block(outs[p_idx], pads[p_idx], cy, cx,
-                                          chh, cww, uv_pri, uv_sec,
-                                          uv_damp, cdir, coeff_shift, maxv)
+    # --- block grid: one entry per 8x8 luma block (2x2 mi) ------------
+    nby, nbx = mi_rows >> 1, mi_cols >> 1
+    if nby == 0 or nbx == 0:
+        return outs
+    # all four covering mi units skipped → block skipped (spec: cdef
+    # only on non-skip blocks)
+    blk_skip = (skips[0:nby * 2:2, 0:nbx * 2:2] &
+                skips[0:nby * 2:2, 1:nbx * 2:2] &
+                skips[1:nby * 2:2, 0:nbx * 2:2] &
+                skips[1:nby * 2:2, 1:nbx * 2:2])
+    # per-block 64x64 unit index (cdef_idx is stored at 16-mi stride)
+    cdef_map = np.asarray(dec.cdef_idx)
+    unit_r = np.minimum(np.arange(nby) * 2 // 16 * 16, mi_rows - 1)
+    unit_c = np.minimum(np.arange(nbx) * 2 // 16 * 16, mi_cols - 1)
+    blk_idx = cdef_map[unit_r[:, None], unit_c[None, :]].astype(np.int64)
+    active = (blk_idx >= 0) & ~blk_skip
+    if not active.any():
+        return outs
+    by, bx = np.nonzero(active)
+    idxs = blk_idx[by, bx]
+    ys = (by * 8).astype(np.int64)
+    xs = (bx * 8).astype(np.int64)
+
+    y_pri_tab = np.asarray(c.y_pri, np.int64) << coeff_shift
+    y_sec_tab = np.asarray(c.y_sec, np.int64) << coeff_shift
+    y_pri = y_pri_tab[idxs]
+    y_sec = y_sec_tab[idxs]
+
+    # --- direction search for blocks with any luma filtering ----------
+    dirs = np.zeros(len(ys), np.int64)
+    var = np.zeros(len(ys), np.int64)
+    need_dir = (y_pri > 0) | (y_sec > 0)
+    if need_dir.any():
+        sel = np.nonzero(need_dir)[0]
+        yy = ys[sel][:, None, None] + np.arange(8)[None, :, None] + 2
+        xx = xs[sel][:, None, None] + np.arange(8)[None, None, :] + 2
+        blocks = pads[0][yy, xx]
+        d, v = _find_directions_vec(blocks, coeff_shift)
+        dirs[sel] = d
+        var[sel] = v
+
+    # luma primary strength adjusted by local variance
+    # (aom adjust_strength): zero variance disables it
+    v6 = var >> 6
+    i_log = np.where(v6 > 0,
+                     np.minimum(_bit_length_vec(v6) - 1, 12), 0)
+    pri_adj = np.where(var != 0, (y_pri * (4 + i_log) + 8) >> 4, 0)
+    pri_adj = np.where(y_pri > 0, pri_adj, 0)
+
+    luma_on = (pri_adj > 0) | (y_sec > 0) | (y_pri > 0)
+    lsel = np.nonzero(luma_on)[0]
+    _filter_blocks_vec(outs[0], pads[0], ys[lsel], xs[lsel],
+                       pri_adj[lsel], y_sec[lsel], y_damp, dirs[lsel],
+                       coeff_shift, 8, 8)
+
+    if num_planes > 1:
+        uv_pri = (np.asarray(c.uv_pri, np.int64) << coeff_shift)[idxs]
+        uv_sec = (np.asarray(c.uv_sec, np.int64) << coeff_shift)[idxs]
+        csel = np.nonzero((uv_pri > 0) | (uv_sec > 0))[0]
+        if len(csel):
+            cy = ys[csel] >> ssy
+            cx = xs[csel] >> ssx
+            cdirs = dirs[csel]     # Cdef_Uv_Dir[1][1] = identity
+            for p_idx in (1, 2):
+                _filter_blocks_vec(outs[p_idx], pads[p_idx], cy, cx,
+                                   uv_pri[csel], uv_sec[csel], uv_damp,
+                                   cdirs, coeff_shift,
+                                   8 >> ssy, 8 >> ssx)
     return outs

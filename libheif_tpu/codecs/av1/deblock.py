@@ -217,45 +217,44 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
                 tdim = tdim.T
                 pw, ph = ph, pw
                 gh, gw = gw, gh
-            # columns with an edge: filter each 4-row segment
-            for gx in range(1, (pw + 3) // 4):
+            # Columns are filtered strictly left-to-right (a wide edge
+            # reads pixels a previous column's filter wrote, like aom's
+            # in-place pass).  WITHIN a column every 4-row segment is
+            # disjoint, so all segments of a column batch into one
+            # (M,14) gather → filter → scatter per filter length.
+            n_gy = (ph + 3) // 4
+            for gx in range(1, min((pw + 3) // 4, edge.shape[1])):
                 x = gx * 4
                 if x >= pw:
                     break
-                col_edges = edge[:, gx] if gx < edge.shape[1] else None
-                if col_edges is None or not col_edges.any():
+                col = edge[:min(gh, n_gy), gx]
+                gys = np.nonzero(col)[0]
+                if len(gys) == 0:
                     continue
-                for gy in range((ph + 3) // 4):
-                    if gy >= gh or not edge[gy, gx]:
+                cur = tdim[gys, gx].astype(np.int64)
+                prev = tdim[gys, gx - 1].astype(np.int64)
+                ln_raw = np.minimum(np.minimum(cur, prev), max_len)
+                if plane == 0:
+                    ln = np.where(ln_raw >= 14, 14,
+                                  np.where(ln_raw >= 8, 8,
+                                           np.where(ln_raw >= 6, 6, 4)))
+                else:
+                    ln = np.where(ln_raw >= 6, 6, 4)
+                s0, s1 = x - 7, x + 7
+                col_idx = np.clip(np.arange(s0, s1), 0, pw - 1)
+                write_cols = np.arange(max(s0, 0), min(s1, pw))
+                wc_off = write_cols - s0
+                for ln_val in (4, 6, 8, 14):
+                    sel = gys[ln == ln_val]
+                    if len(sel) == 0:
                         continue
-                    cur = int(tdim[gy, gx])
-                    prev = int(tdim[gy, gx - 1])
-                    ln = min(cur, prev, max_len)
-                    if ln >= 14:
-                        ln = 14
-                    elif ln >= 8:
-                        ln = 8 if plane == 0 else 6
-                    elif ln >= 6:
-                        ln = 6 if plane != 0 else 4
-                    else:
-                        ln = 4
-                    y0 = gy * 4
-                    rows = slice(y0, min(y0 + 4, ph))
-                    s0, s1 = x - 7, x + 7
-                    c0, c1 = max(s0, 0), min(s1, pw)
-                    seg = work[rows, c0:c1]
-                    if c0 == s0 and c1 == s1:
-                        _filter_segment(seg, 7, ln, blimit, limit,
-                                        thresh)
-                    else:
-                        pad = np.concatenate(
-                            ([np.repeat(seg[:, :1], c0 - s0, axis=1)]
-                             if c0 > s0 else []) + [seg] +
-                            ([np.repeat(seg[:, -1:], s1 - c1, axis=1)]
-                             if s1 > c1 else []), axis=1)
-                        _filter_segment(pad, 7, ln, blimit, limit,
-                                        thresh)
-                        work[rows, c0:c1] = pad[:, c0 - s0:
-                                                (c0 - s0) + (c1 - c0)]
+                    rows = (sel[:, None] * 4 +
+                            np.arange(4)[None, :]).ravel()
+                    rows = rows[rows < ph]
+                    seg = work[rows[:, None], col_idx[None, :]]
+                    _filter_segment(seg, 7, int(ln_val), blimit, limit,
+                                    thresh)
+                    work[rows[:, None], write_cols[None, :]] = \
+                        seg[:, wc_off]
             if direction == 1:
                 pw, ph = ph, pw

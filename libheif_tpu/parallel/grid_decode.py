@@ -56,7 +56,8 @@ def build_sharded_pipeline(layout: UncLayout, mesh=None,
             r = y + 2 * (1 - kr) * (cr - half)
             b = y + 2 * (1 - kb) * (cb - half)
             g = (y - kr * r - kb * b) / (1 - kr - kb)
-            clip = lambda v: jnp.clip(jnp.round(v), 0, maxval).astype(jnp.uint8)
+            out_dtype = jnp.uint8 if bits <= 8 else jnp.uint16
+            clip = lambda v: jnp.clip(jnp.round(v), 0, maxval).astype(out_dtype)
             planes = {"R": clip(r), "G": clip(g), "B": clip(b)}
         return planes
 

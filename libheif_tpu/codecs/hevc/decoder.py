@@ -6,7 +6,7 @@ libheif/plugins/decoder_libde265.cc:479-521, codecs/hevc_dec.cc).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple  # noqa: F401
 
 import numpy as np
 
@@ -100,9 +100,8 @@ def _substreams(nal: bytes, rbsp: bytes, data_offset_bits: int,
     return subs
 
 
-def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]
-                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one intra picture from its slice NALs → (Y, Cb, Cr)."""
+def check_picture_supported(sps: H.SPS, pps: H.PPS,
+                            slice_nals: List[bytes]) -> None:
     if pps.tiles_enabled:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "HEVC tiles not yet supported")
@@ -119,17 +118,56 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "explicit scaling lists")
 
+
+def parse_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]):
+    """Entropy-decode one intra picture → SliceSyntax (host side)."""
+    check_picture_supported(sps, pps, slice_nals)
+    nal = slice_nals[0]
+    sh = H.parse_slice_header(nal, sps, {pps.pps_id: pps})
+    rbsp = remove_emulation_prevention(nal[2:])
+    subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
+    return parse_slice(sps, pps, sh, rbsp, subs)
+
+
+def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
+                         engine: Optional[str] = None
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one intra picture from its slice NALs → (Y, Cb, Cr).
+
+    engine: "native" (host C++), "python" (numpy reference), "device"
+    (TPU wavefront pipeline, device_recon.py), or None/"auto" (env var
+    LIBHEIF_TPU_HEVC_ENGINE, falling back native → python)."""
+    import os
+    if engine is None:
+        engine = os.environ.get("LIBHEIF_TPU_HEVC_ENGINE", "auto")
+    check_picture_supported(sps, pps, slice_nals)
+
     nal = slice_nals[0]
     sh = H.parse_slice_header(nal, sps, {pps.pps_id: pps})
     rbsp = remove_emulation_prevention(nal[2:])
     subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
 
-    # fully-native fast path: parse + recon + filters in C++ without
-    # per-TU Python objects; falls back to the Python reference pipeline
-    from .native_parse import decode_picture_native
-    planes = decode_picture_native(sps, pps, sh, rbsp, subs)
-    if planes is not None:
-        return planes
+    if engine in ("native", "auto"):
+        # fully-native fast path: parse + recon + filters in C++ without
+        # per-TU Python objects
+        from .native_parse import decode_picture_native
+        planes = decode_picture_native(sps, pps, sh, rbsp, subs)
+        if planes is not None:
+            return planes
+        if engine == "native":
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "native engine unavailable")
+
+    if engine == "device":
+        from .device_recon import decode_pictures_device
+        from .native_parse import parse_picture_raw
+        raw = parse_picture_raw(sps, pps, sh, rbsp, subs)
+        if raw is not None:
+            syn, cols, coeff, offs = raw
+            return decode_pictures_device(
+                [syn], raw_tus=[(cols, coeff, offs)])[0]
+        syntax = parse_slice(sps, pps, sh, rbsp, subs)
+        return decode_pictures_device([syntax])[0]
 
     syntax = parse_slice(sps, pps, sh, rbsp, subs)
 

@@ -1,0 +1,996 @@
+"""HEVC intra reconstruction on the TPU (jnp under jit).
+
+The TPU-native replacement for the pixel work the reference outsources
+to libde265 (reference: libheif/plugins/decoder_libde265.cc:479).
+Entropy decode stays host-side (native_parse.cc); everything after the
+parse runs as ONE jitted device program per (shape-bucket):
+
+  stage A  dequant + inverse transforms   batched int32 matmuls per
+                                          TU-size class (MXU-shaped)
+  stage B  intra prediction + recon       lax.scan over dependency
+                                          WAVES: all TUs whose reference
+                                          samples are already
+                                          reconstructed predict/scatter
+                                          together (SURVEY.md §7 hard
+                                          part (a) wavefront batching)
+  stage C  deblocking                     dense vectorized passes (the
+                                          8px edge lattice reshapes to a
+                                          (segments, 8) tensor with no
+                                          gathers)
+  stage D  SAO                            per-CTB params broadcast to
+                                          the pixel grid, elementwise
+
+Bit-exact vs recon.py/filters.py (which difftest vs libde265); all
+arithmetic is int32 with HEVC's arithmetic shifts.
+
+The picture axis is a batch axis: N tiles of a grid decode as one
+program, waves running in lockstep across tiles — the TPU analog of
+the reference's per-tile thread pool (grid.cc:285-453).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .ctu import SliceSyntax, INTRA_PLANAR, INTRA_DC
+from .tables import (DCT, DST4, INTRA_PRED_ANGLE, INTRA_INV_ANGLE,
+                     chroma_qp)
+from .filters import BETA_TABLE, TC_TABLE
+
+_LEVEL_SCALE = np.array([40, 45, 51, 57, 64, 72], np.int32)
+
+# group keys: (is_luma, log2). DST-VII applies to the (True, 2) group.
+_GROUP_KEYS = [(True, 2), (True, 3), (True, 4), (True, 5),
+               (False, 2), (False, 3), (False, 4)]
+
+# prediction-angle tables as dense arrays indexed by mode 0..34
+_ANGLE = np.zeros(35, np.int32)
+_INV_ANGLE = np.zeros(35, np.int32)
+for _m in range(2, 35):
+    _ANGLE[_m] = INTRA_PRED_ANGLE[_m]
+    if INTRA_PRED_ANGLE[_m] < 0:
+        _INV_ANGLE[_m] = INTRA_INV_ANGLE[INTRA_PRED_ANGLE[_m]]
+
+
+def _pow2_bucket(n: int, lo: int = 8) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+# ===========================================================================
+# host: plan building
+# ===========================================================================
+
+@dataclass
+class _GroupPlan:
+    key: Tuple[bool, int]
+    n: int                 # real TU count
+    n_pad: int             # padded
+    k: int                 # max TUs of this group in one wave (padded)
+    # numpy arrays, sorted by wave
+    coeffs: np.ndarray     # (n_pad, s, s) int32
+    qp: np.ndarray         # (n_pad,) int32
+    ts: np.ndarray         # (n_pad,) bool   transform-skip
+    tqb: np.ndarray        # (n_pad,) bool
+    mode: np.ndarray       # (n_pad,) int32
+    ref_idx: np.ndarray    # (n_pad, 4s+1) int32 flat gather indices
+    ref_avail: np.ndarray  # (n_pad, 4s+1) bool
+    scat_idx: np.ndarray   # (n_pad, s*s) int32 flat scatter indices
+    starts: np.ndarray     # (n_waves,) int32
+    counts: np.ndarray     # (n_waves,) int32
+
+
+@dataclass
+class ReconPlan:
+    t: int                          # batch (tile) count
+    width: int
+    height: int
+    bd: int
+    strong_smoothing: bool
+    n_waves: int
+    groups: List[_GroupPlan]
+    # deblock (None when disabled for every tile)
+    deblock: Optional[Dict[str, np.ndarray]]
+    # sao (None when no CTB uses SAO)
+    sao: Optional[Dict[str, np.ndarray]]
+    tqb_mask: Optional[np.ndarray]  # (t, h4, w4) uint8 or None
+
+
+_AVAIL_STRIDE = 4 * 32 + 1        # ref array length of the largest TU
+
+# in-order ref coordinate offset templates per TU size:
+# left column bottom→top, corner, top row (recon.py:_gather_refs)
+_REF_DX: Dict[int, np.ndarray] = {}
+_REF_DY: Dict[int, np.ndarray] = {}
+for _n in (4, 8, 16, 32):
+    _i = np.arange(2 * _n)
+    _REF_DX[_n] = np.concatenate(
+        [np.full(2 * _n, -1), [-1], _i]).astype(np.int32)
+    _REF_DY[_n] = np.concatenate(
+        [2 * _n - 1 - _i, [-1], np.full(2 * _n, -1)]).astype(np.int32)
+
+
+def tu_columns_from_syntax(syn: SliceSyntax):
+    """(N, 8) int32 columns [x y log2 c mode qp ts tqb] + flat coeff
+    buffer + per-TU offsets (-1 = no residual)."""
+    N = len(syn.tus)
+    cols = np.zeros((N, 8), np.int32)
+    offs = np.full(N, -1, np.int64)
+    bufs = []
+    pos = 0
+    for i, tu in enumerate(syn.tus):
+        cols[i] = (tu.x, tu.y, tu.log2, tu.c_idx, tu.pred_mode, tu.qp,
+                   int(tu.transform_skip), int(tu.tqb))
+        if tu.coeffs is not None:
+            offs[i] = pos
+            bufs.append(np.asarray(tu.coeffs, np.int32).ravel())
+            pos += 1 << (2 * tu.log2)
+    coeff = np.concatenate(bufs) if bufs else np.zeros(0, np.int32)
+    return cols, coeff, offs
+
+
+def _plan_waves_python(cols: np.ndarray, W: int, H: int):
+    """Pure-Python replay — fallback + difftest anchor for hevc_plan.cc."""
+    cw, ch = W >> 1, H >> 1
+    N = len(cols)
+    avail4 = np.zeros(((H + 3) // 4 + 8, (W + 3) // 4 + 8), bool)
+    wr = [np.zeros((H, W), np.int32),
+          np.zeros((ch, cw), np.int32),
+          np.zeros((ch, cw), np.int32)]
+    waves = np.zeros(N, np.int32)
+    avail = np.zeros((N, _AVAIL_STRIDE), np.uint8)
+    for i in range(N):
+        x, y, log2, c = (int(cols[i, 0]), int(cols[i, 1]),
+                         int(cols[i, 2]), int(cols[i, 3]))
+        n = 1 << log2
+        if c == 0:
+            px, py, pw, ph = x, y, W, H
+        else:
+            px, py, pw, ph = x >> 1, y >> 1, cw, ch
+        xs = px + _REF_DX[n]
+        ys = py + _REF_DY[n]
+        inb = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
+        sh = 1 if c else 0
+        lbx = np.clip(xs << sh, 0, W - 1) >> 2
+        lby = np.clip(ys << sh, 0, H - 1) >> 2
+        av = inb & avail4[lby, lbx]
+        cxs = np.clip(xs, 0, pw - 1)
+        cys = np.clip(ys, 0, ph - 1)
+        wvals = wr[c][cys, cxs]
+        wave = int(wvals[av].max()) + 1 if av.any() else 0
+        waves[i] = wave
+        avail[i, :4 * n + 1] = av
+        hh = min(n, ph - py)
+        ww = min(n, pw - px)
+        wr[c][py:py + hh, px:px + ww] = wave
+        if c == 0:
+            avail4[y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
+    return waves, avail
+
+
+def _plan_waves(cols: np.ndarray, W: int, H: int):
+    """Wave schedule + per-TU ref availability (native C++ when built)."""
+    import ctypes
+    from ... import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "tpuheif_hevc_plan"):
+        return _plan_waves_python(cols, W, H)
+    N = len(cols)
+    waves = np.zeros(N, np.int32)
+    avail = np.zeros((N, _AVAIL_STRIDE), np.uint8)
+    cols_c = np.ascontiguousarray(cols, np.int32)
+    rc = lib.tpuheif_hevc_plan(
+        cols_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(N), ctypes.c_int32(cols_c.shape[1]),
+        ctypes.c_int32(W), ctypes.c_int32(H),
+        waves.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        avail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(_AVAIL_STRIDE))
+    if rc != 0:
+        return _plan_waves_python(cols, W, H)
+    return waves, avail
+
+
+def build_plan(syntaxes: Sequence[SliceSyntax],
+               raw_tus: Optional[Sequence[tuple]] = None) -> ReconPlan:
+    """Wavefront schedule + padded flat TU tables for a tile batch.
+
+    All pictures must share dimensions/bit depth (grid tiles do).
+    raw_tus: optional per-picture (cols, coeff_buf, offs) from the
+    native parser, bypassing TU-object extraction."""
+    sps0 = syntaxes[0].sps
+    W, H = sps0.pic_width, sps0.pic_height
+    bd = sps0.bit_depth_luma
+    cw, ch = W >> 1, H >> 1
+    T = len(syntaxes)
+    for syn in syntaxes:
+        if (syn.sps.pic_width, syn.sps.pic_height) != (W, H) or \
+                syn.sps.bit_depth_luma != bd:
+            raise ValueError("batch pictures must share shape/depth")
+
+    y_plane_sz = H * W
+    c_plane_sz = ch * cw
+    trash_y = T * y_plane_sz          # one extra slot at the end
+    trash_c = T * 2 * c_plane_sz
+
+    staging = {k: {f: [] for f in
+                   ("coeffs", "qp", "ts", "tqb", "mode", "ref_idx",
+                    "ref_avail", "scat_idx", "wave")}
+               for k in _GROUP_KEYS}
+
+    max_wave = 0
+    for t_idx, syn in enumerate(syntaxes):
+        if raw_tus is not None:
+            cols, coeff, offs = raw_tus[t_idx]
+        else:
+            cols, coeff, offs = tu_columns_from_syntax(syn)
+        waves, avail = _plan_waves(cols, W, H)
+        if len(waves):
+            max_wave = max(max_wave, int(waves.max()))
+        coeff1 = np.concatenate([coeff, np.zeros(1, np.int32)])
+        xc, yc = cols[:, 0], cols[:, 1]
+        log2c, cc = cols[:, 2], cols[:, 3]
+
+        for key in _GROUP_KEYS:
+            luma, lg = key
+            sel = np.nonzero(((cc == 0) == luma) & (log2c == lg))[0]
+            if len(sel) == 0:
+                continue
+            s = 1 << lg
+            if luma:
+                px = xc[sel].astype(np.int64)
+                py = yc[sel].astype(np.int64)
+                pw, ph = W, H
+                base = np.full(len(sel), t_idx * y_plane_sz, np.int64)
+                trash = trash_y
+            else:
+                px = (xc[sel] >> 1).astype(np.int64)
+                py = (yc[sel] >> 1).astype(np.int64)
+                pw, ph = cw, ch
+                base = (t_idx * 2 * c_plane_sz +
+                        (cc[sel].astype(np.int64) - 1) * c_plane_sz)
+                trash = trash_c
+
+            xs = px[:, None] + _REF_DX[s][None, :]
+            ys = py[:, None] + _REF_DY[s][None, :]
+            cxs = np.clip(xs, 0, pw - 1)
+            cys = np.clip(ys, 0, ph - 1)
+            av = avail[sel, :4 * s + 1].astype(bool)
+            ridx = np.where(av, base[:, None] + cys * pw + cxs, 0) \
+                .astype(np.int32)
+
+            ii, jj = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+            sx = px[:, None] + jj.ravel()[None, :]
+            sy = py[:, None] + ii.ravel()[None, :]
+            s_in = (sx < pw) & (sy < ph)
+            scat = np.where(s_in, base[:, None] + sy * pw + sx, trash) \
+                .astype(np.int32)
+
+            off = offs[sel]
+            has = off >= 0
+            gidx = np.where(has, off, 0)[:, None] + np.arange(s * s)[None, :]
+            cf = coeff1[np.minimum(gidx, coeff1.size - 1)]
+            cf = np.where(has[:, None], cf, 0) \
+                .reshape(-1, s, s).astype(np.int32)
+
+            g = staging[key]
+            g["coeffs"].append(cf)
+            g["qp"].append(cols[sel, 5])
+            g["ts"].append(cols[sel, 6].astype(bool))
+            g["tqb"].append(cols[sel, 7].astype(bool))
+            g["mode"].append(cols[sel, 4])
+            g["ref_idx"].append(ridx)
+            g["ref_avail"].append(av)
+            g["scat_idx"].append(scat)
+            g["wave"].append(waves[sel])
+
+    n_waves = max_wave + 1
+    n_waves_pad = ((n_waves + 31) // 32) * 32
+
+    groups: List[_GroupPlan] = []
+    for key in _GROUP_KEYS:
+        g = staging[key]
+        if not g["wave"]:
+            continue
+        s = 1 << key[1]
+        waves = np.concatenate(g["wave"]).astype(np.int32)
+        n_real = len(waves)
+        order = np.argsort(waves, kind="stable")
+        waves_sorted = waves[order]
+        starts = np.searchsorted(waves_sorted, np.arange(n_waves_pad)) \
+            .astype(np.int32)
+        counts = np.searchsorted(waves_sorted,
+                                 np.arange(n_waves_pad) + 1) \
+            .astype(np.int32) - starts
+        k = _pow2_bucket(max(1, int(counts.max())))
+        n_pad = _pow2_bucket(n_real) + k  # slack so slice never OOB
+
+        def pack(name, shape_tail, dtype, fill=0):
+            arr = np.full((n_pad,) + shape_tail, fill, dtype)
+            data = np.concatenate([np.asarray(a, dtype) for a in g[name]])
+            arr[:n_real] = data[order]
+            return arr
+
+        trash = trash_y if key[0] else trash_c
+        groups.append(_GroupPlan(
+            key=key, n=n_real, n_pad=n_pad, k=k,
+            coeffs=pack("coeffs", (s, s), np.int32),
+            qp=pack("qp", (), np.int32),
+            ts=pack("ts", (), bool),
+            tqb=pack("tqb", (), bool),
+            mode=pack("mode", (), np.int32, fill=INTRA_DC),
+            ref_idx=pack("ref_idx", (4 * s + 1,), np.int32),
+            ref_avail=pack("ref_avail", (4 * s + 1,), bool),
+            scat_idx=pack("scat_idx", (s * s,), np.int32, fill=trash),
+            starts=starts, counts=counts))
+
+    deblock = _build_deblock_params(syntaxes, W, H, bd)
+    sao, tqb_mask = _build_sao_params(syntaxes, W, H)
+    return ReconPlan(t=T, width=W, height=H, bd=bd,
+                     strong_smoothing=bool(sps0.strong_intra_smoothing),
+                     n_waves=n_waves_pad, groups=groups,
+                     deblock=deblock, sao=sao, tqb_mask=tqb_mask)
+
+
+# ---------------------------------------------------------------- deblock
+
+_CHROMA_QP_TABLE = np.array([chroma_qp(i) for i in range(58)], np.int32)
+
+
+def _build_deblock_params(syntaxes, W, H, bd):
+    """Per-edge-segment beta/tc/enabled arrays (filters.py decisions that
+    depend only on the parse maps, not on pixels).  Vectorized over the
+    (segment, edge) lattice."""
+    if all(syn.sh.deblocking_filter_disabled for syn in syntaxes):
+        return None
+    T = len(syntaxes)
+    cw, ch = W >> 1, H >> 1
+
+    # luma vertical:  edges x=8,16,..,≤W-4  segments y=0,4,..
+    # (pic luma dims are multiples of 8; chroma dims only of 4, so the
+    # chroma edge count is len(range(8, d, 8)) = (d-1)//8)
+    ev = max(0, (W - 4) // 8)
+    sv = H // 4
+    eh = max(0, (H - 4) // 8)
+    sh_ = W // 4
+    # chroma: edges every 8 chroma samples
+    cev = max(0, (cw - 1) // 8)
+    csv = ch // 4
+    ceh = max(0, (ch - 1) // 8)
+    csh = cw // 4
+
+    out = dict(
+        beta_v=np.zeros((T, sv, ev), np.int32),
+        tc_v=np.zeros((T, sv, ev), np.int32),
+        en_v=np.zeros((T, sv, ev), bool),
+        beta_h=np.zeros((T, sh_, eh), np.int32),
+        tc_h=np.zeros((T, sh_, eh), np.int32),
+        en_h=np.zeros((T, sh_, eh), bool),
+        ctc_v=np.zeros((T, 2, csv, cev), np.int32),
+        cen_v=np.zeros((T, 2, csv, cev), bool),
+        ctc_h=np.zeros((T, 2, csh, ceh), np.int32),
+        cen_h=np.zeros((T, 2, csh, ceh), bool),
+    )
+
+    for t, syn in enumerate(syntaxes):
+        if syn.sh.deblocking_filter_disabled:
+            continue
+        beta_off = syn.sh.beta_offset_div2 * 2
+        tc_off = syn.sh.tc_offset_div2 * 2
+        qp_y = np.asarray(syn.qp_y, np.int32)
+        tu4 = np.asarray(syn.tu_log2, np.int32)
+        cu4 = np.asarray(syn.cu_log2, np.int32)
+
+        def edge_mask(x, y, vertical):
+            """filters.py:_is_block_edge over coordinate arrays."""
+            bx, by = x >> 2, y >> 2
+            tl = tu4[by, bx]
+            cl = cu4[by, bx]
+            tl = np.where(tl == 0, np.where(cl != 0, cl, 3), tl)
+            pos = x if vertical else y
+            is_tu = (pos & ((1 << tl) - 1)) == 0
+            is_cu = (cl != 0) & ((pos & ((1 << cl) - 1)) == 0)
+            return is_tu | is_cu
+
+        def avg_qp(x, y, vertical):
+            if vertical:
+                return (qp_y[y >> 2, (x - 1) >> 2] +
+                        qp_y[y >> 2, x >> 2] + 1) >> 1
+            return (qp_y[(y - 1) >> 2, x >> 2] +
+                    qp_y[y >> 2, x >> 2] + 1) >> 1
+
+        for vertical, ne, ns, bkey, tkey, ekey in (
+                (True, ev, sv, "beta_v", "tc_v", "en_v"),
+                (False, eh, sh_, "beta_h", "tc_h", "en_h")):
+            if ne == 0:
+                continue
+            pos = 8 * (np.arange(ne) + 1)[None, :]       # (1, E)
+            seg = 4 * np.arange(ns)[:, None]             # (S, 1)
+            x, y = (pos, seg) if vertical else (seg, pos)
+            x = np.broadcast_to(x, (ns, ne))
+            y = np.broadcast_to(y, (ns, ne))
+            en = edge_mask(x, y, vertical)
+            qp = avg_qp(x, y, vertical)
+            beta = BETA_TABLE[np.clip(qp + beta_off, 0, 51)]
+            tc = TC_TABLE[np.clip(qp + 2 + tc_off, 0, 53)]
+            out[bkey][t] = np.where(en, beta, 0)
+            out[tkey][t] = np.where(en, tc, 0)
+            out[ekey][t] = en
+
+        for vertical, ne, ns, tkey, ekey in (
+                (True, cev, csv, "ctc_v", "cen_v"),
+                (False, ceh, csh, "ctc_h", "cen_h")):
+            if ne == 0:
+                continue
+            pos = 8 * (np.arange(ne) + 1)[None, :]
+            seg = 4 * np.arange(ns)[:, None]
+            cx, cy = (pos, seg) if vertical else (seg, pos)
+            lx = np.broadcast_to(cx, (ns, ne)) << 1
+            ly = np.broadcast_to(cy, (ns, ne)) << 1
+            en = edge_mask(lx, ly, vertical)
+            qp_l = avg_qp(lx, ly, vertical)
+            for ci, off in ((0, syn.pps.cb_qp_offset),
+                            (1, syn.pps.cr_qp_offset)):
+                qpc = _CHROMA_QP_TABLE[np.clip(qp_l + off, 0, 57)]
+                tc = TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)]
+                en_c = en & (tc != 0)
+                out[tkey][t, ci] = np.where(en_c, tc, 0)
+                out[ekey][t, ci] = en_c
+    return out
+
+
+# -------------------------------------------------------------------- sao
+
+def _build_sao_params(syntaxes, W, H):
+    if not any(syn.sao for syn in syntaxes):
+        return None, None
+    T = len(syntaxes)
+    sps0 = syntaxes[0].sps
+    ctb = sps0.ctb_size
+    ncx = (W + ctb - 1) // ctb
+    ncy = (H + ctb - 1) // ctb
+    # per component: type (0/1/2), band_pos, eo_class, offsets[4]
+    typ = np.zeros((T, 3, ncy, ncx), np.int32)
+    bpos = np.zeros((T, 3, ncy, ncx), np.int32)
+    eoc = np.zeros((T, 3, ncy, ncx), np.int32)
+    offs = np.zeros((T, 3, 4, ncy, ncx), np.int32)
+    for t, syn in enumerate(syntaxes):
+        for (cx, cy), sp in syn.sao.items():
+            for c in range(3):
+                typ[t, c, cy, cx] = sp.type_idx[c]
+                bpos[t, c, cy, cx] = sp.band_pos[c]
+                eoc[t, c, cy, cx] = sp.eo_class[0 if c == 0 else 1]
+                for k in range(4):
+                    offs[t, c, k, cy, cx] = sp.offsets[c][k]
+    sao = dict(typ=typ, bpos=bpos, eoc=eoc, offs=offs,
+               ctb=np.int32(ctb))
+    tqb = None
+    if any(syn.tqb_map.any() for syn in syntaxes):
+        h4 = (H + 3) // 4
+        w4 = (W + 3) // 4
+        tqb = np.zeros((T, h4, w4), np.uint8)
+        for t, syn in enumerate(syntaxes):
+            tqb[t] = syn.tqb_map[:h4, :w4]
+    return sao, tqb
+
+
+# ===========================================================================
+# device program
+# ===========================================================================
+
+def _plan_meta(plan: ReconPlan):
+    """Static (hashable) signature for jit caching."""
+    gmeta = tuple((g.key, g.n_pad, g.k) for g in plan.groups)
+    dmeta = None
+    if plan.deblock is not None:
+        dmeta = tuple(sorted((k, v.shape) for k, v in plan.deblock.items()))
+    smeta = None
+    if plan.sao is not None:
+        smeta = plan.sao["typ"].shape + (int(plan.sao["ctb"]),)
+    return (plan.t, plan.width, plan.height, plan.bd,
+            plan.strong_smoothing, plan.n_waves, gmeta, dmeta, smeta,
+            plan.tqb_mask is not None)
+
+
+def _plan_arrays(plan: ReconPlan):
+    arrays = {}
+    for i, g in enumerate(plan.groups):
+        for f in ("coeffs", "qp", "ts", "tqb", "mode", "ref_idx",
+                  "ref_avail", "scat_idx", "starts", "counts"):
+            arrays[f"g{i}_{f}"] = getattr(g, f)
+    if plan.deblock is not None:
+        for k, v in plan.deblock.items():
+            arrays[f"db_{k}"] = v
+    if plan.sao is not None:
+        for k in ("typ", "bpos", "eoc", "offs"):
+            arrays[f"sao_{k}"] = plan.sao[k]
+    if plan.tqb_mask is not None:
+        arrays["tqb_mask"] = plan.tqb_mask
+    return arrays
+
+
+@functools.lru_cache(maxsize=64)
+def _build_program(meta):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    (T, W, H, bd, strong_sm, n_waves, gmeta, dmeta, smeta,
+     has_tqb) = meta
+    cw, ch = W >> 1, H >> 1
+    maxv = (1 << bd) - 1
+    half = 1 << (bd - 1)
+
+    level_scale = jnp.asarray(_LEVEL_SCALE)
+    angle_tab = jnp.asarray(_ANGLE)
+    inv_angle_tab = jnp.asarray(_INV_ANGLE)
+    mats = {4: jnp.asarray(DCT[4], jnp.int32),
+            8: jnp.asarray(DCT[8], jnp.int32),
+            16: jnp.asarray(DCT[16], jnp.int32),
+            32: jnp.asarray(DCT[32], jnp.int32)}
+    dst4 = jnp.asarray(DST4, jnp.int32)
+
+    def residuals(g_idx, key, arrays):
+        luma, log2 = key
+        s = 1 << log2
+        c = arrays[f"g{g_idx}_coeffs"]
+        qp = arrays[f"g{g_idx}_qp"]
+        ts = arrays[f"g{g_idx}_ts"]
+        tqb = arrays[f"g{g_idx}_tqb"]
+        bs = bd + log2 - 5
+        scale = level_scale[qp % 6] << (qp // 6)          # (N,)
+        # (c*16*scale + 2^(bs-1)) >> bs  ==  (c*scale + 2^(bs-5)) >> (bs-4)
+        d = (c * scale[:, None, None] + (1 << (bs - 5))) >> (bs - 4)
+        d = jnp.clip(d, -32768, 32767)
+        m = dst4 if (luma and s == 4) else mats[s]
+        e = (jnp.einsum("ij,nik->njk", m, d,
+                        preferred_element_type=jnp.int32) + 64) >> 7
+        e = jnp.clip(e, -32768, 32767)
+        shift2 = 20 - bd
+        r = (jnp.einsum("nij,jk->nik", e, m,
+                        preferred_element_type=jnp.int32)
+             + (1 << (shift2 - 1))) >> shift2
+        r = jnp.clip(r, -32768, 32767)
+        if s == 4:  # transform skip only exists at 4x4
+            ts_shift = 5 + log2
+            bd2 = 20 - bd
+            tsr = ((d << ts_shift) + (1 << (bd2 - 1))) >> bd2
+            r = jnp.where(ts[:, None, None], tsr, r)
+        r = jnp.where(tqb[:, None, None], c, r)
+        return r
+
+    # ---------------------------------------------------- prediction step
+
+    def predict(key, refs, av, mode, k):
+        """refs/av: (K, 4n+1); returns pred (K, n, n) pre-clip-to-range
+        where the spec clips (edge filters), raw otherwise."""
+        luma, log2 = key
+        n = 1 << log2
+        L = 4 * n + 1
+        corner_i = 2 * n
+
+        # --- substitution (recon.py:_gather_refs) ---
+        j = lax.broadcasted_iota(jnp.int32, (k, L), 1)
+        vidx = jnp.where(av, j, -1)
+        ff = lax.cummax(vidx, axis=1)
+        first = jnp.argmax(av, axis=1).astype(jnp.int32)
+        fidx = jnp.where(ff >= 0, ff, first[:, None])
+        vals = jnp.take_along_axis(refs, fidx, axis=1)
+        any_av = av.any(axis=1)
+        vals = jnp.where(any_av[:, None], vals, half)
+
+        # --- reference filtering (recon.py:_filter_refs) ---
+        if luma and n > 4:
+            sm = jnp.concatenate([
+                vals[:, :1],
+                (vals[:, :-2] + 2 * vals[:, 1:-1] + vals[:, 2:] + 2) >> 2,
+                vals[:, -1:]], axis=1)
+            if n == 32 and strong_sm and bd == 8:
+                cv = vals[:, corner_i]
+                v0 = vals[:, 0]
+                v4n = vals[:, 4 * n]
+                flat_top = jnp.abs(cv + v4n - 2 * vals[:, corner_i + n]) \
+                    < (1 << (bd - 5))
+                flat_left = jnp.abs(cv + v0 - 2 * vals[:, n]) \
+                    < (1 << (bd - 5))
+                i_rel = j - corner_i               # -2n..2n
+                a = jnp.abs(i_rel)
+                top_side = i_rel > 0
+                endv = jnp.where(top_side, v4n[:, None], v0[:, None])
+                bil = ((2 * n - a) * vals[:, corner_i][:, None] +
+                       a * endv + n) >> (log2 + 1)
+                interior = (a >= 1) & (a <= 2 * n - 1)
+                bil = jnp.where(interior, bil, vals)
+                use_bil = (flat_top & flat_left)[:, None]
+                sm = jnp.where(use_bil, bil, sm)
+            dist = jnp.minimum(jnp.abs(mode - 26), jnp.abs(mode - 10))
+            thresh = {8: 7, 16: 1, 32: 0}[n]
+            use = (mode != INTRA_DC) & \
+                  ((mode == INTRA_PLANAR) | (dist > thresh))
+            vals = jnp.where(use[:, None], sm, vals)
+
+        corner = vals[:, corner_i]                       # (K,)
+        left = vals[:, corner_i - 1::-1]                 # (K, 2n)
+        top = vals[:, corner_i + 1:]                     # (K, 2n)
+
+        x1 = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        y1 = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+
+        # --- planar ---
+        tr = top[:, n][:, None, None]
+        bl = left[:, n][:, None, None]
+        l_col = left[:, :n][:, :, None]                  # (K, n, 1)
+        t_row = top[:, :n][:, None, :]                   # (K, 1, n)
+        planar = ((n - 1 - x1)[None] * l_col + (x1 + 1)[None] * tr +
+                  (n - 1 - y1)[None] * t_row + (y1 + 1)[None] * bl +
+                  n) >> (log2 + 1)
+
+        # --- DC ---
+        dc = (top[:, :n].sum(axis=1) + left[:, :n].sum(axis=1) + n) \
+            >> (log2 + 1)                                # (K,)
+        dcp = jnp.broadcast_to(dc[:, None, None], (k, n, n))
+        if luma and n < 32:
+            row0 = (top[:, :n] + 3 * dc[:, None] + 2) >> 2
+            col0 = (left[:, :n] + 3 * dc[:, None] + 2) >> 2
+            c00 = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+            dcp = jnp.where((y1 == 0)[None], row0[:, None, :], dcp)
+            dcp = jnp.where((x1 == 0)[None], col0[:, :, None], dcp)
+            dcp = dcp.at[:, 0, 0].set(c00)
+
+        # --- angular ---
+        angle = angle_tab[jnp.clip(mode, 0, 34)]          # (K,)
+        inv = inv_angle_tab[jnp.clip(mode, 0, 34)]
+        vertical = mode >= 18
+        main = jnp.where(vertical[:, None], top, left)    # (K, 2n)
+        side = jnp.where(vertical[:, None], left, top)
+
+        # ext[e] = ref[e - n], e in [0, 3n]
+        ext_len = 3 * n + 1
+        xneg = jnp.arange(-n, 0, dtype=jnp.int32)         # (n,)
+        nidx = (xneg[None, :] * inv[:, None] + 128) >> 8  # (K, n) ≥ 0
+        nval = jnp.where(
+            nidx == 0, corner[:, None],
+            jnp.take_along_axis(
+                side, jnp.clip(nidx - 1, 0, 2 * n - 1), axis=1))
+        ext = jnp.concatenate([nval, corner[:, None], main], axis=1)
+        assert ext.shape[1] == ext_len
+
+        kk = jnp.arange(1, n + 1, dtype=jnp.int32)        # (n,)
+        prod = kk[None, :] * angle[:, None]               # (K, n)
+        i_idx = prod >> 5
+        i_fact = prod & 31
+        base = n + i_idx + 1                               # (K, n)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        idx0 = jnp.minimum(base[:, :, None] + pos[None, None, :],
+                           ext_len - 1)
+        idx1 = jnp.minimum(idx0 + 1, ext_len - 1)
+        e0 = jnp.take_along_axis(ext[:, None, :],
+                                 idx0.reshape(k, 1, -1), axis=2) \
+            .reshape(k, n, n)
+        e1 = jnp.take_along_axis(ext[:, None, :],
+                                 idx1.reshape(k, 1, -1), axis=2) \
+            .reshape(k, n, n)
+        f = i_fact[:, :, None]
+        ang = ((32 - f) * e0 + f * e1 + 16) >> 5          # rows=distance
+        ang = jnp.where(vertical[:, None, None], ang,
+                        jnp.transpose(ang, (0, 2, 1)))
+        if luma and n < 32:
+            # pure vertical (26) / horizontal (10) edge filter
+            col = jnp.clip(top[:, 0][:, None] +
+                           ((left[:, :n] - corner[:, None]) >> 1), 0, maxv)
+            row = jnp.clip(left[:, 0][:, None] +
+                           ((top[:, :n] - corner[:, None]) >> 1), 0, maxv)
+            is26 = (mode == 26)[:, None, None]
+            is10 = (mode == 10)[:, None, None]
+            ang = jnp.where(is26 & (x1 == 0)[None], col[:, :, None], ang)
+            ang = jnp.where(is10 & (y1 == 0)[None], row[:, None, :], ang)
+
+        pred = jnp.where((mode == INTRA_PLANAR)[:, None, None], planar,
+                         jnp.where((mode == INTRA_DC)[:, None, None],
+                                   dcp, ang))
+        return pred
+
+    # ---------------------------------------------------------- deblock
+
+    def deblock_luma_pass(plane2d, beta, tc, en):
+        """Vertical-edge luma pass over a (T, H', W') plane; horizontal
+        is the same function on the transposed plane.  beta/tc/en:
+        (T, S, E) with S = H'//4 segments, E edges at x=8(e+1)."""
+        t_, hh, ww = plane2d.shape
+        E = en.shape[2]
+        if E == 0:
+            return plane2d
+        S = hh // 4
+        win = plane2d[:, :, 4:4 + 8 * E]
+        lines = win.reshape(t_, S, 4, E, 8).astype(jnp.int32)
+        # columns: [p3 p2 p1 p0 q0 q1 q2 q3]
+        p = lines[..., 3::-1]   # (..., 4) p0..p3
+        q = lines[..., 4:]
+
+        def dgrad(r):
+            return (jnp.abs(p[:, :, r, :, 2] - 2 * p[:, :, r, :, 1] +
+                            p[:, :, r, :, 0]),
+                    jnp.abs(q[:, :, r, :, 2] - 2 * q[:, :, r, :, 1] +
+                            q[:, :, r, :, 0]))
+        dp0, dq0 = dgrad(0)
+        dp3, dq3 = dgrad(3)
+        dpq0 = dp0 + dq0
+        dpq3 = dp3 + dq3
+        d = dpq0 + dpq3                                   # (T, S, E)
+        beta_e = beta
+        tc_e = tc
+        act = en & ~((beta_e == 0) & (tc_e == 0)) & (d < beta_e)
+
+        def strong_cond(dpq, r):
+            return ((2 * dpq < (beta_e >> 2)) &
+                    (jnp.abs(p[:, :, r, :, 3] - p[:, :, r, :, 0]) +
+                     jnp.abs(q[:, :, r, :, 0] - q[:, :, r, :, 3])
+                     < (beta_e >> 3)) &
+                    (jnp.abs(p[:, :, r, :, 0] - q[:, :, r, :, 0])
+                     < ((5 * tc_e + 1) >> 1)))
+        strong = strong_cond(dpq0, 0) & strong_cond(dpq3, 3)
+
+        tc4 = tc_e[:, :, None, :]                          # per line
+        p0, p1, p2, p3 = (p[..., 0], p[..., 1], p[..., 2], p[..., 3])
+        q0, q1, q2, q3 = (q[..., 0], q[..., 1], q[..., 2], q[..., 3])
+        c2 = 2 * tc4
+
+        def cl(lo_hi, v):
+            base_, c_ = lo_hi
+            return jnp.clip(v, base_ - c_, base_ + c_)
+        sp0 = cl((p0, c2), (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+        sp1 = cl((p1, c2), (p2 + p1 + p0 + q0 + 2) >> 2)
+        sp2 = cl((p2, c2), (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+        sq0 = cl((q0, c2), (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+        sq1 = cl((q1, c2), (p0 + q0 + q1 + q2 + 2) >> 2)
+        sq2 = cl((q2, c2), (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
+
+        d_ep = (dp0 + dp3 < ((beta_e + (beta_e >> 1)) >> 3))
+        d_eq = (dq0 + dq3 < ((beta_e + (beta_e >> 1)) >> 3))
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        line_on = jnp.abs(delta) < tc4 * 10
+        delta = jnp.clip(delta, -tc4, tc4)
+        np0 = jnp.clip(p0 + delta, 0, maxv)
+        nq0 = jnp.clip(q0 - delta, 0, maxv)
+        tch = tc4 >> 1
+        dp = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1, -tch, tch)
+        dq = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1, -tch, tch)
+        np1 = jnp.clip(p1 + dp, 0, maxv)
+        nq1 = jnp.clip(q1 + dq, 0, maxv)
+
+        ep4 = d_ep[:, :, None, :]
+        eq4 = d_eq[:, :, None, :]
+        # normal-mode outputs
+        n_p0 = jnp.where(line_on, np0, p0)
+        n_q0 = jnp.where(line_on, nq0, q0)
+        n_p1 = jnp.where(line_on & ep4, np1, p1)
+        n_q1 = jnp.where(line_on & eq4, nq1, q1)
+
+        st4 = strong[:, :, None, :]
+        o_p0 = jnp.where(st4, sp0, n_p0)
+        o_p1 = jnp.where(st4, sp1, n_p1)
+        o_p2 = jnp.where(st4, sp2, p2)
+        o_q0 = jnp.where(st4, sq0, n_q0)
+        o_q1 = jnp.where(st4, sq1, n_q1)
+        o_q2 = jnp.where(st4, sq2, q2)
+
+        a4 = act[:, :, None, :]
+        out = lines
+        for col, v in ((1, o_p2), (2, o_p1), (3, o_p0),
+                       (4, o_q0), (5, o_q1), (6, o_q2)):
+            nv = jnp.clip(v, 0, maxv)
+            out = out.at[..., col].set(
+                jnp.where(a4, nv, lines[..., col]))
+        new_win = out.reshape(t_, hh, 8 * E)
+        return plane2d.at[:, :, 4:4 + 8 * E].set(
+            new_win.astype(plane2d.dtype))
+
+    def deblock_chroma_pass(plane2d, tc, en):
+        """Vertical-edge chroma pass; tc/en: (T, S, E)."""
+        t_, hh, ww = plane2d.shape
+        E = en.shape[2]
+        if E == 0:
+            return plane2d
+        S = hh // 4
+        need = 6 + 8 * E
+        padw = max(0, need - ww)
+        src = jnp.pad(plane2d, ((0, 0), (0, 0), (0, padw))) if padw \
+            else plane2d
+        win = src[:, :, 6:need]
+        blocks = win.reshape(t_, S, 4, E, 8).astype(jnp.int32)
+        seg = blocks[..., :4]                              # p1 p0 q0 q1
+        p1, p0, q0, q1 = (seg[..., 0], seg[..., 1],
+                          seg[..., 2], seg[..., 3])
+        tc4 = tc[:, :, None, :]
+        delta = jnp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc4, tc4)
+        np0 = jnp.clip(p0 + delta, 0, maxv)
+        nq0 = jnp.clip(q0 - delta, 0, maxv)
+        a4 = en[:, :, None, :]
+        out = blocks
+        out = out.at[..., 1].set(jnp.where(a4, np0, p0))
+        out = out.at[..., 2].set(jnp.where(a4, nq0, q0))
+        new_win = out.reshape(t_, hh, 8 * E)
+        res = src.at[:, :, 6:need].set(new_win.astype(plane2d.dtype))
+        return res[:, :, :ww] if padw else res
+
+    # -------------------------------------------------------------- sao
+
+    def sao_apply(src, typ, bpos, eoc, offs, ctb_sz):
+        """src (T, h, w) int32; params (T, ncy, ncx); offs (T,4,ncy,ncx)."""
+        t_, hh, ww = src.shape
+        rep = lambda a: jnp.repeat(jnp.repeat(a, ctb_sz, axis=-2),
+                                   ctb_sz, axis=-1)[..., :hh, :ww]
+        typ_p = rep(typ)
+        bpos_p = rep(bpos)
+        eoc_p = rep(eoc)
+        offs_p = rep(offs)                                 # (T,4,h,w)
+
+        # band offset
+        band = src >> (bd - 5)
+        res_b = src
+        for kq in range(4):
+            match = band == ((bpos_p + kq) & 31)
+            res_b = jnp.where(match, src + offs_p[:, kq], res_b)
+
+        # edge offset: 4 classes
+        pad = jnp.pad(src, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        yy = lax.broadcasted_iota(jnp.int32, (hh, ww), 0)[None]
+        xx = lax.broadcasted_iota(jnp.int32, (hh, ww), 1)[None]
+        eo_d = {0: ((0, -1), (0, 1)), 1: ((-1, 0), (1, 0)),
+                2: ((-1, -1), (1, 1)), 3: ((-1, 1), (1, -1))}
+        res_e = src
+        for cls, ((dy0, dx0), (dy1, dx1)) in eo_d.items():
+            n1 = pad[:, 1 + dy0:1 + dy0 + hh, 1 + dx0:1 + dx0 + ww]
+            n2 = pad[:, 1 + dy1:1 + dy1 + hh, 1 + dx1:1 + dx1 + ww]
+            valid = ((yy + dy0 >= 0) & (yy + dy0 < hh) &
+                     (yy + dy1 >= 0) & (yy + dy1 < hh) &
+                     (xx + dx0 >= 0) & (xx + dx0 < ww) &
+                     (xx + dx1 >= 0) & (xx + dx1 < ww))
+            eidx = 2 + jnp.sign(src - n1) + jnp.sign(src - n2)
+            v = src
+            for ei, kq in ((0, 0), (1, 1), (3, 2), (4, 3)):
+                v = jnp.where(eidx == ei, src + offs_p[:, kq], v)
+            v = jnp.where(valid, v, src)
+            res_e = jnp.where(eoc_p == cls, v, res_e)
+
+        out = jnp.where(typ_p == 1, jnp.clip(res_b, 0, maxv),
+                        jnp.where(typ_p == 2, jnp.clip(res_e, 0, maxv),
+                                  src))
+        return out
+
+    # ------------------------------------------------------ full program
+
+    group_keys = [g[0] for g in gmeta]
+    group_k = [g[2] for g in gmeta]
+
+    def program(arrays):
+        res = {i: residuals(i, key, arrays)
+               for i, key in enumerate(group_keys)}
+
+        ybuf = jnp.zeros(T * H * W + 1, jnp.int32)
+        cbuf = jnp.zeros(T * 2 * ch * cw + 1, jnp.int32)
+
+        starts = jnp.stack([arrays[f"g{i}_starts"]
+                            for i in range(len(group_keys))], axis=1)
+        counts = jnp.stack([arrays[f"g{i}_counts"]
+                            for i in range(len(group_keys))], axis=1)
+
+        def wave_body(carry, sc):
+            ybuf, cbuf = carry
+            st, cn = sc                                    # (G,), (G,)
+            for i, key in enumerate(group_keys):
+                luma, log2 = key
+                n = 1 << log2
+                k = group_k[i]
+                s0 = st[i]
+                buf = ybuf if luma else cbuf
+
+                def process(buf, i=i, key=key, n=n, k=k, s0=s0,
+                            cnt=cn[i], luma=luma):
+                    valid = (jnp.arange(k, dtype=jnp.int32) < cnt)
+                    dsl = lambda a: lax.dynamic_slice_in_dim(
+                        a, s0, k, axis=0)
+                    ridx = dsl(arrays[f"g{i}_ref_idx"])
+                    rav = dsl(arrays[f"g{i}_ref_avail"])
+                    mode = dsl(arrays[f"g{i}_mode"])
+                    sidx = dsl(arrays[f"g{i}_scat_idx"])
+                    r = dsl(res[i])
+                    refs = buf[ridx]
+                    pred = predict(key, refs, rav, mode, k)
+                    rec = jnp.clip(pred + r, 0, maxv).reshape(k, n * n)
+                    trash = T * H * W if luma else T * 2 * ch * cw
+                    widx = jnp.where(valid[:, None], sidx, trash)
+                    return buf.at[widx.reshape(-1)].set(
+                        rec.reshape(-1), mode="drop")
+
+                # most waves have TUs in only 1-2 groups: skip the rest
+                buf = lax.cond(cn[i] > 0, process, lambda b: b, buf)
+                if luma:
+                    ybuf = buf
+                else:
+                    cbuf = buf
+            return (ybuf, cbuf), None
+
+        (ybuf, cbuf), _ = lax.scan(wave_body, (ybuf, cbuf),
+                                   (starts, counts))
+        y = ybuf[:-1].reshape(T, H, W)
+        cpl = cbuf[:-1].reshape(T, 2, ch, cw)
+        cb = cpl[:, 0]
+        cr = cpl[:, 1]
+
+        if dmeta is not None:
+            y = deblock_luma_pass(y, arrays["db_beta_v"],
+                                  arrays["db_tc_v"], arrays["db_en_v"])
+            cb = deblock_chroma_pass(cb, arrays["db_ctc_v"][:, 0],
+                                     arrays["db_cen_v"][:, 0])
+            cr = deblock_chroma_pass(cr, arrays["db_ctc_v"][:, 1],
+                                     arrays["db_cen_v"][:, 1])
+            yt = deblock_luma_pass(
+                jnp.transpose(y, (0, 2, 1)),
+                arrays["db_beta_h"], arrays["db_tc_h"],
+                arrays["db_en_h"])
+            y = jnp.transpose(yt, (0, 2, 1))
+            cbt = deblock_chroma_pass(jnp.transpose(cb, (0, 2, 1)),
+                                      arrays["db_ctc_h"][:, 0],
+                                      arrays["db_cen_h"][:, 0])
+            cb = jnp.transpose(cbt, (0, 2, 1))
+            crt = deblock_chroma_pass(jnp.transpose(cr, (0, 2, 1)),
+                                      arrays["db_ctc_h"][:, 1],
+                                      arrays["db_cen_h"][:, 1])
+            cr = jnp.transpose(crt, (0, 2, 1))
+
+        if smeta is not None:
+            ctb_sz = smeta[-1]
+            cctb = ctb_sz >> 1
+            y_new = sao_apply(y, arrays["sao_typ"][:, 0],
+                              arrays["sao_bpos"][:, 0],
+                              arrays["sao_eoc"][:, 0],
+                              arrays["sao_offs"][:, 0], ctb_sz)
+            cb_new = sao_apply(cb, arrays["sao_typ"][:, 1],
+                               arrays["sao_bpos"][:, 1],
+                               arrays["sao_eoc"][:, 1],
+                               arrays["sao_offs"][:, 1], cctb)
+            cr_new = sao_apply(cr, arrays["sao_typ"][:, 2],
+                               arrays["sao_bpos"][:, 2],
+                               arrays["sao_eoc"][:, 2],
+                               arrays["sao_offs"][:, 2], cctb)
+            if has_tqb:
+                t4 = arrays["tqb_mask"].astype(bool)
+                my = jnp.repeat(jnp.repeat(t4, 4, axis=1), 4, axis=2)[
+                    :, :H, :W]
+                mc = my[:, ::2, ::2]
+                y_new = jnp.where(my, y, y_new)
+                cb_new = jnp.where(mc, cb, cb_new)
+                cr_new = jnp.where(mc, cr, cr_new)
+            y, cb, cr = y_new, cb_new, cr_new
+
+        return y, cb, cr
+
+    import jax
+    return jax.jit(program)
+
+
+# ===========================================================================
+# public entry points
+# ===========================================================================
+
+def decode_pictures_device(syntaxes: Sequence[SliceSyntax],
+                           raw_tus: Optional[Sequence[tuple]] = None
+                           ) -> List[Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]]:
+    """Reconstruct a batch of parsed intra pictures on the device.
+
+    Returns per picture (Y, Cb, Cr) numpy int32 planes (uncropped)."""
+    plan = build_plan(syntaxes, raw_tus=raw_tus)
+    prog = _build_program(_plan_meta(plan))
+    y, cb, cr = prog(_plan_arrays(plan))
+    y = np.asarray(y)
+    cb = np.asarray(cb)
+    cr = np.asarray(cr)
+    return [(y[i], cb[i], cr[i]) for i in range(plan.t)]

@@ -138,6 +138,21 @@ def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     return out, tu_meta, int(counts[0]), coeff_buf, sao_buf
 
 
+def _unpack_sao(out: SliceSyntax, sao_buf, sps: SPS, sh: SliceHeader):
+    if sps.sample_adaptive_offset_enabled and (sh.sao_luma or sh.sao_chroma):
+        n_cols = sps.pic_width_in_ctbs
+        for cy in range(sps.pic_height_in_ctbs):
+            for cx in range(n_cols):
+                e = sao_buf[cy * n_cols + cx]
+                sp = SaoParam()
+                sp.type_idx = [int(e[0]), int(e[1]), int(e[2])]
+                sp.offsets = [[int(e[3 + c * 4 + i]) for i in range(4)]
+                              for c in range(3)]
+                sp.band_pos = [int(e[15]), int(e[16]), int(e[17])]
+                sp.eo_class = [int(e[18]), int(e[19])]
+                out.sao[(cx, cy)] = sp
+
+
 def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
                        substreams: List[Tuple[int, int]]
                        ) -> Optional[SliceSyntax]:
@@ -158,20 +173,25 @@ def parse_slice_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
             x=int(m[0]), y=int(m[1]), log2=int(m[2]), c_idx=int(m[3]),
             pred_mode=int(m[4]), qp=int(m[5]), qg_serial=int(m[6]),
             transform_skip=bool(m[7]), tqb=bool(m[8]), coeffs=coeffs))
-
-    if sps.sample_adaptive_offset_enabled and (sh.sao_luma or sh.sao_chroma):
-        n_cols = sps.pic_width_in_ctbs
-        for cy in range(sps.pic_height_in_ctbs):
-            for cx in range(n_cols):
-                e = sao_buf[cy * n_cols + cx]
-                sp = SaoParam()
-                sp.type_idx = [int(e[0]), int(e[1]), int(e[2])]
-                sp.offsets = [[int(e[3 + c * 4 + i]) for i in range(4)]
-                              for c in range(3)]
-                sp.band_pos = [int(e[15]), int(e[16]), int(e[17])]
-                sp.eo_class = [int(e[18]), int(e[19])]
-                out.sao[(cx, cy)] = sp
+    _unpack_sao(out, sao_buf, sps, sh)
     return out
+
+
+def parse_picture_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
+                      substreams: List[Tuple[int, int]]):
+    """Native parse for the device reconstructor: returns
+    (SliceSyntax with maps+SAO but NO TU objects, cols (N,8) int32
+    [x y log2 c mode qp ts tqb], coeff_buf, offs) — the flat-array
+    form device_recon.build_plan consumes.  None without the lib."""
+    raw = _parse_raw(sps, pps, sh, rbsp, substreams)
+    if raw is None:
+        return None
+    out, tu_meta, n_tus, coeff_buf, sao_buf = raw
+    cols = np.ascontiguousarray(
+        tu_meta[:n_tus][:, [0, 1, 2, 3, 4, 5, 7, 8]], np.int32)
+    offs = tu_meta[:n_tus, 9].astype(np.int64)
+    _unpack_sao(out, sao_buf, sps, sh)
+    return out, cols, coeff_buf, offs
 
 
 def parse_slice(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,

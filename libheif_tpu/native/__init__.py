@@ -20,7 +20,8 @@ _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
 _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_build")
 
-_SOURCES = ["jpeg_scan.cc", "hevc_parse.cc", "hevc_recon.cc"]
+_SOURCES = ["jpeg_scan.cc", "hevc_parse.cc", "hevc_recon.cc",
+            "hevc_plan.cc"]
 _LIB_NAME = "libtpuheif_native.so"
 
 _lock = threading.Lock()

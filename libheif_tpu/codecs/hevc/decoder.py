@@ -179,6 +179,45 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
     return y, cb, cr
 
 
+def extract_stream(config_box, data: bytes):
+    """hvcC + item payload → (sps, pps, slice NAL list)."""
+    if config_box is None:
+        raise HeifError.invalid_input(SubError.No_hvcC_box)
+    sps = pps = None
+    for nal in config_box.get_header_nals():
+        t = H.nal_type(nal)
+        if t == H.NAL_SPS:
+            sps = H.parse_sps(nal)
+        elif t == H.NAL_PPS:
+            pps = H.parse_pps(nal)
+    nals = split_length_prefixed(data, config_box.length_size)
+    slices = []
+    for nal in nals:
+        t = H.nal_type(nal)
+        if t == H.NAL_SPS:
+            sps = H.parse_sps(nal)
+        elif t == H.NAL_PPS:
+            pps = H.parse_pps(nal)
+        elif H.is_slice(t):
+            slices.append(nal)
+    if sps is None or pps is None:
+        raise HeifError.invalid_input(SubError.No_hvcC_box,
+                                      "missing SPS/PPS")
+    return sps, pps, slices
+
+
+def crop_to_conformance(sps: H.SPS, y, cb, cr):
+    """Apply the SPS conformance window to uncropped planes."""
+    w, h = sps.cropped_size
+    sub_w = 2 if sps.chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if sps.chroma_format_idc == 1 else 1
+    l, _, t, _ = sps.conf_win
+    y = y[t * sub_h:t * sub_h + h, l * sub_w:l * sub_w + w]
+    cb = cb[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
+    cr = cr[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
+    return y, cb, cr
+
+
 class HevcDecoder(Decoder):
     id = "tpu-hevc"
     format = "hevc"
@@ -186,28 +225,7 @@ class HevcDecoder(Decoder):
 
     def decode_single_image(self, config_box, data: bytes,
                             declared_size=None, limits=None) -> PixelImage:
-        if config_box is None:
-            raise HeifError.invalid_input(SubError.No_hvcC_box)
-        sps = pps = None
-        for nal in config_box.get_header_nals():
-            t = H.nal_type(nal)
-            if t == H.NAL_SPS:
-                sps = H.parse_sps(nal)
-            elif t == H.NAL_PPS:
-                pps = H.parse_pps(nal)
-        nals = split_length_prefixed(data, config_box.length_size)
-        slices = []
-        for nal in nals:
-            t = H.nal_type(nal)
-            if t == H.NAL_SPS:
-                sps = H.parse_sps(nal)
-            elif t == H.NAL_PPS:
-                pps = H.parse_pps(nal)
-            elif H.is_slice(t):
-                slices.append(nal)
-        if sps is None or pps is None:
-            raise HeifError.invalid_input(SubError.No_hvcC_box,
-                                          "missing SPS/PPS")
+        sps, pps, slices = extract_stream(config_box, data)
         if limits is not None:
             limits.check_image_size(sps.pic_width, sps.pic_height)
             if declared_size is not None:
@@ -220,16 +238,8 @@ class HevcDecoder(Decoder):
                         "coded size much larger than declared size")
 
         y, cb, cr = decode_intra_picture(sps, pps, slices)
-
-        # conformance window crop
+        y, cb, cr = crop_to_conformance(sps, y, cb, cr)
         w, h = sps.cropped_size
-        sub_w = 2 if sps.chroma_format_idc in (1, 2) else 1
-        sub_h = 2 if sps.chroma_format_idc == 1 else 1
-        l, _, t, _ = sps.conf_win
-        y = y[t * sub_h:t * sub_h + h, l * sub_w:l * sub_w + w]
-        cb = cb[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
-        cr = cr[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
-
         img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
         img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth_luma)
         img.set_plane(Channel.Cb, cb.astype(np.uint8), sps.bit_depth_chroma)

@@ -495,7 +495,7 @@ def _plan_meta(plan: ReconPlan):
         smeta = plan.sao["typ"].shape + (int(plan.sao["ctb"]),)
     return (plan.t, plan.width, plan.height, plan.bd,
             plan.strong_smoothing, plan.n_waves, gmeta, dmeta, smeta,
-            plan.tqb_mask is not None)
+            plan.tqb_mask is not None, ())
 
 
 def _plan_arrays(plan: ReconPlan):
@@ -522,7 +522,7 @@ def _build_program(meta):
     from jax import lax
 
     (T, W, H, bd, strong_sm, n_waves, gmeta, dmeta, smeta,
-     has_tqb) = meta
+     has_tqb, vma_axes) = meta
     cw, ch = W >> 1, H >> 1
     maxv = (1 << bd) - 1
     half = 1 << (bd - 1)
@@ -875,6 +875,11 @@ def _build_program(meta):
 
         ybuf = jnp.zeros(T * H * W + 1, jnp.int32)
         cbuf = jnp.zeros(T * 2 * ch * cw + 1, jnp.int32)
+        if vma_axes:
+            # under shard_map the scan carry must be device-varying from
+            # the start so both lax.cond branches agree on the VMA type
+            ybuf = lax.pcast(ybuf, vma_axes, to="varying")
+            cbuf = lax.pcast(cbuf, vma_axes, to="varying")
 
         starts = jnp.stack([arrays[f"g{i}_starts"]
                             for i in range(len(group_keys))], axis=1)

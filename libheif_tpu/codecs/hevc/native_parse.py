@@ -190,6 +190,15 @@ def parse_picture_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     cols = np.ascontiguousarray(
         tu_meta[:n_tus][:, [0, 1, 2, 3, 4, 5, 7, 8]], np.int32)
     offs = tu_meta[:n_tus, 9].astype(np.int64)
+    # trim the scratch coefficient buffer to its used length (it is
+    # over-allocated and the tail is uninitialized)
+    has = offs >= 0
+    if has.any():
+        used = int((offs[has] + (1 << (2 * cols[has, 2].astype(np.int64)))
+                    ).max())
+    else:
+        used = 0
+    coeff_buf = np.ascontiguousarray(coeff_buf[:used])
     _unpack_sao(out, sao_buf, sps, sh)
     return out, cols, coeff_buf, offs
 

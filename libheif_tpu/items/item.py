@@ -50,6 +50,11 @@ class DecodingOptions:
     # progress/cancel callbacks
     on_progress: Optional[Callable[[int, int], None]] = None
     cancel: Optional[Callable[[], bool]] = None
+    # TPU execution knobs (no reference analog — the replacement for
+    # heif_decoding_options.num_codec_threads): decode coded grid tiles
+    # as one batched device program, optionally sharded over `mesh`
+    prefer_device_grid: bool = False
+    mesh: Optional[object] = None
 
 
 def alloc_item(ctx, item_id: int, item_type: str) -> "ImageItem":

@@ -318,7 +318,8 @@ class VisualSampleEntry(Box):
                 f"compressor={self.compressor_name!r}"]
 
 
-for _fourcc in ("hvc1", "hev1", "av01", "avc1", "vvc1", "mjpg", "j2ki"):
+for _fourcc in ("hvc1", "hev1", "av01", "avc1", "vvc1", "mjpg", "j2ki",
+                "uncv"):
     register_box(_fourcc)(type(f"Box_{_fourcc}", (VisualSampleEntry,), {
         "__init__": (lambda fc: lambda self: VisualSampleEntry.__init__(
             self, fc))(_fourcc)}))

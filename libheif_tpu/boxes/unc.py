@@ -1,4 +1,5 @@
-"""ISO/IEC 23001-17 "uncompressed" codec boxes: cmpd, uncC, cmpC, icef, cpat.
+"""ISO/IEC 23001-17 "uncompressed" codec boxes: cmpd, uncC, cmpC, icef,
+cpat, splz, sbpm, snuc, cloc.
 
 Re-designed equivalents of the reference's unc box layer (reference:
 libheif/codecs/uncompressed/unc_boxes.{h,cc} — Box_cmpd unc_boxes.h:41,
@@ -391,3 +392,204 @@ class Box_cpat(FullBox):
             w.write32(comp)
             w.write16s(int(round(gain)))
             w.write16s(1)
+
+
+def _read_f32(r: ByteReader) -> float:
+    import struct
+    return struct.unpack(">f", r.read_bytes(4))[0]
+
+
+def _write_f32(w: ByteWriter, v: float) -> None:
+    import struct
+    w.write_bytes(struct.pack(">f", v))
+
+
+@register_box("splz")
+class Box_splz(FullBox):
+    """Polarization pattern definition (ref: unc_boxes.h:391 Box_splz,
+    parse unc_boxes.cc:1090): per-cell polarization filter angles over
+    a repeating pattern, float32 degrees (NaN = no filter)."""
+
+    def __init__(self):
+        super().__init__()
+        self.component_ids: List[int] = []
+        self.pattern_width = 0
+        self.pattern_height = 0
+        self.polarization_angles: List[float] = []
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits,
+                      depth=0) -> None:
+        n_comp = r.read32()
+        if limits.max_components and n_comp > limits.max_components:
+            raise HeifError.security("splz component count")
+        self.component_ids = [r.read32() for _ in range(n_comp)]
+        self.pattern_width = r.read16()
+        self.pattern_height = r.read16()
+        if self.pattern_width == 0 or self.pattern_height == 0:
+            raise HeifError.invalid_input(
+                SubError.Invalid_parameter_value,
+                "zero polarization pattern size")
+        if limits.max_bayer_pattern_pixels and self.pattern_height > \
+                limits.max_bayer_pattern_pixels // self.pattern_width:
+            raise HeifError.security("polarization pattern size")
+        n = self.pattern_width * self.pattern_height
+        self.polarization_angles = [_read_f32(r) for _ in range(n)]
+
+    def write_payload(self, w: ByteWriter) -> None:
+        if len(self.polarization_angles) != \
+                self.pattern_width * self.pattern_height:
+            raise HeifError.usage(SubError.Invalid_parameter_value,
+                                  "wrong polarization angle count")
+        self.write_full_header(w)
+        w.write32(len(self.component_ids))
+        for cid in self.component_ids:
+            w.write32(cid)
+        w.write16(self.pattern_width)
+        w.write16(self.pattern_height)
+        for a in self.polarization_angles:
+            _write_f32(w, a)
+
+    def dump_fields(self) -> List[str]:
+        return [f"components: {self.component_ids}",
+                f"pattern: {self.pattern_width}x{self.pattern_height}"]
+
+
+@dataclass
+class BadPixel:
+    row: int = 0
+    column: int = 0
+
+
+@register_box("sbpm")
+class Box_sbpm(FullBox):
+    """Sensor bad-pixels map (ref: unc_boxes.h:420 Box_sbpm, parse
+    unc_boxes.cc:1195)."""
+
+    def __init__(self):
+        super().__init__()
+        self.component_ids: List[int] = []
+        self.correction_applied = False
+        self.bad_rows: List[int] = []
+        self.bad_columns: List[int] = []
+        self.bad_pixels: List[BadPixel] = []
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits,
+                      depth=0) -> None:
+        n_comp = r.read32()
+        if limits.max_components and n_comp > limits.max_components:
+            raise HeifError.security("sbpm component count")
+        self.component_ids = [r.read32() for _ in range(n_comp)]
+        self.correction_applied = bool(r.read8() & 0x80)
+        n_rows = r.read32()
+        n_cols = r.read32()
+        n_pix = r.read32()
+        if limits.max_bad_pixels and \
+                n_rows + n_cols + n_pix > limits.max_bad_pixels:
+            raise HeifError.security("sbpm bad pixel entries")
+        self.bad_rows = [r.read32() for _ in range(n_rows)]
+        self.bad_columns = [r.read32() for _ in range(n_cols)]
+        self.bad_pixels = [BadPixel(r.read32(), r.read32())
+                           for _ in range(n_pix)]
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write32(len(self.component_ids))
+        for cid in self.component_ids:
+            w.write32(cid)
+        w.write8(0x80 if self.correction_applied else 0)
+        w.write32(len(self.bad_rows))
+        w.write32(len(self.bad_columns))
+        w.write32(len(self.bad_pixels))
+        for v in self.bad_rows:
+            w.write32(v)
+        for v in self.bad_columns:
+            w.write32(v)
+        for p in self.bad_pixels:
+            w.write32(p.row)
+            w.write32(p.column)
+
+    def dump_fields(self) -> List[str]:
+        return [f"components: {self.component_ids}",
+                f"correction_applied: {self.correction_applied}",
+                f"bad rows/cols/pixels: {len(self.bad_rows)}/"
+                f"{len(self.bad_columns)}/{len(self.bad_pixels)}"]
+
+
+@register_box("snuc")
+class Box_snuc(FullBox):
+    """Sensor non-uniformity correction: per-pixel gain/offset planes
+    (ref: unc_boxes.h:446 Box_snuc, parse unc_boxes.cc:1319)."""
+
+    def __init__(self):
+        super().__init__()
+        self.component_ids: List[int] = []
+        self.nuc_is_applied = False
+        self.image_width = 0
+        self.image_height = 0
+        self.nuc_gains: List[float] = []
+        self.nuc_offsets: List[float] = []
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits,
+                      depth=0) -> None:
+        n_comp = r.read32()
+        if limits.max_components and n_comp > limits.max_components:
+            raise HeifError.security("snuc component count")
+        self.component_ids = [r.read32() for _ in range(n_comp)]
+        self.nuc_is_applied = bool(r.read8() & 0x80)
+        self.image_width = r.read32()
+        self.image_height = r.read32()
+        if self.image_width == 0 or self.image_height == 0:
+            raise HeifError.invalid_input(
+                SubError.Invalid_parameter_value,
+                "snuc image size must be non-zero")
+        n = self.image_width * self.image_height
+        if limits.max_image_size_pixels and n > limits.max_image_size_pixels:
+            raise HeifError.security("snuc image size")
+        limits.check_block_size(n * 8, "snuc box")
+        import struct
+        raw = r.read_bytes(8 * n)
+        self.nuc_gains = list(struct.unpack(f">{n}f", raw[:4 * n]))
+        self.nuc_offsets = list(struct.unpack(f">{n}f", raw[4 * n:]))
+
+    def write_payload(self, w: ByteWriter) -> None:
+        import struct
+        self.write_full_header(w)
+        w.write32(len(self.component_ids))
+        for cid in self.component_ids:
+            w.write32(cid)
+        w.write8(0x80 if self.nuc_is_applied else 0)
+        w.write32(self.image_width)
+        w.write32(self.image_height)
+        n = self.image_width * self.image_height
+        w.write_bytes(struct.pack(f">{n}f", *self.nuc_gains))
+        w.write_bytes(struct.pack(f">{n}f", *self.nuc_offsets))
+
+    def dump_fields(self) -> List[str]:
+        return [f"components: {self.component_ids}",
+                f"nuc_is_applied: {self.nuc_is_applied}",
+                f"size: {self.image_width}x{self.image_height}"]
+
+
+@register_box("cloc")
+class Box_cloc(FullBox):
+    """Chroma sample location (ref: unc_boxes.h:472 Box_cloc; values
+    0-6 per H.273 chroma_sample_loc_type)."""
+
+    def __init__(self):
+        super().__init__()
+        self.chroma_location = 0
+
+    def parse_payload(self, r: ByteReader, limits: SecurityLimits,
+                      depth=0) -> None:
+        self.chroma_location = r.read8()
+        if self.chroma_location > 6:
+            raise HeifError.invalid_input(
+                SubError.Invalid_parameter_value,
+                "cloc chroma_location out of range (0-6)")
+
+    def write_payload(self, w: ByteWriter) -> None:
+        self.write_full_header(w)
+        w.write8(self.chroma_location)
+
+    def dump_fields(self) -> List[str]:
+        return [f"chroma_location: {self.chroma_location}"]

@@ -448,13 +448,34 @@ class TrackVisual(Track):
         return None
 
     def decode_sample(self, idx: int, limits=None):
-        from ..codecs import registry
-        dec = registry.get_decoder(self._codec_format())
         data = self.sample_data(idx)
-        img = dec.decode_single_image(self._config_box(), data,
-                                      declared_size=(self.width,
-                                                     self.height),
-                                      limits=limits)
+        if self.coding == "uncv":
+            # ISO 23001-17 uncompressed video sample entry
+            # (ref: unc_boxes.h:494 Box_uncv): config lives as uncC/cmpd
+            # children of the sample entry, samples are raw frames
+            from ..codecs.unc import UnciDecoder
+            from ..boxes.unc import (Box_uncC, Box_cmpd, Box_cmpC,
+                                     Box_icef)
+
+            def child(cls):
+                return next((c for c in self.entry.children
+                             if isinstance(c, cls)), None)
+            uncC = child(Box_uncC)
+            cmpd = child(Box_cmpd)
+            if uncC is None:
+                raise HeifError.invalid_input(
+                    SubError.Unspecified, "uncv entry without uncC")
+            dec = UnciDecoder(uncC, cmpd, self.width, self.height,
+                              cmpC=child(Box_cmpC), icef=child(Box_icef),
+                              limits=limits)
+            img = dec.decode(data)
+        else:
+            from ..codecs import registry
+            dec = registry.get_decoder(self._codec_format())
+            img = dec.decode_single_image(self._config_box(), data,
+                                          declared_size=(self.width,
+                                                         self.height),
+                                          limits=limits)
         img.duration = self.samples[idx].duration
         ts = self.sample_tai_timestamp(idx)
         if ts is not None:
@@ -565,7 +586,8 @@ class VisualTrackWriter:
         self.fmt = fmt
         self.sample_entry_type = {"hevc": "hvc1", "av1": "av01",
                                   "avc": "avc1", "vvc": "vvc1",
-                                  "jpeg": "mjpg", "j2k": "j2ki"}.get(
+                                  "jpeg": "mjpg", "j2k": "j2ki",
+                                  "unc": "uncv", "uncv": "uncv"}.get(
                                       fmt, "hvc1")
         self.options = options or TrackOptions(timescale=timescale)
         if timescale != 90000:
@@ -599,10 +621,22 @@ class VisualTrackWriter:
         from ..codecs import registry
         if duration == 0:
             raise HeifError.usage(msg="Sample duration may not be 0")
-        enc = registry.get_encoder(self.fmt)
-        data, cfg, _props = enc.encode_single_image(img, options)
-        if self.config_box is None:
-            self.config_box = cfg
+        if self.sample_entry_type == "uncv":
+            # uncompressed video track (ref: Box_uncv unc_boxes.h:494):
+            # raw 23001-17 frames, uncC/cmpd as sample-entry children
+            from ..codecs.unc import UnciEncoder
+            enc = UnciEncoder()
+            data, cmpd, uncC, cmpC, icef = enc.encode(img)
+            if cmpC is not None or icef is not None:
+                raise HeifError.usage(
+                    msg="generic compression unsupported for uncv tracks")
+            if self.config_box is None:
+                self.config_box = [cmpd, uncC]
+        else:
+            enc = registry.get_encoder(self.fmt)
+            data, cfg, _props = enc.encode_single_image(img, options)
+            if self.config_box is None:
+                self.config_box = cfg
         if tai is None:
             tai = getattr(img, "tai_timestamp", None)
         if gimi_content_id is None:
@@ -704,7 +738,10 @@ class VisualTrackWriter:
         entry.width = self.width
         entry.height = self.height
         if self.config_box is not None:
-            entry.children.append(self.config_box)
+            if isinstance(self.config_box, list):
+                entry.children.extend(self.config_box)
+            else:
+                entry.children.append(self.config_box)
         if self.aux_type_urn:
             entry.children.append(Box_auxi(self.aux_type_urn))
         if self.options.tai_clock_info is not None:

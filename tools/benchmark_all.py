@@ -1,0 +1,219 @@
+"""Full benchmark table for BASELINE.md (reference harness:
+/root/reference/examples/benchmark.cc:26 compute_psnr + heif-enc
+--benchmark; the reference publishes no absolute numbers, so these are
+the project's own measured rows).
+
+Rows (BASELINE.json targets):
+  1. unci YCbCr420→RGB fused decode (headline, also in bench.py)
+  2. HEIC decode of examples/example.heic — native host engine and TPU
+     device engine (both bit-exact vs libde265)
+  3. AVIF decode of examples/example.avif (host, bit-exact vs libaom)
+  4. HEIC lossy encode RD at q≈50 (PSNR + bpp, closed loop)
+  5. Tiled grid decode: batched device program over hvc1 tiles, MP/s
+
+Usage: python tools/benchmark_all.py [--json out.json] [--skip-device]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLES = "/root/reference/examples"
+
+
+def _psnr(a: np.ndarray, b: np.ndarray, maxv: int = 255) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(maxv * maxv / mse)
+
+
+def _hevc_stream(path):
+    from libheif_tpu.file import HeifFile
+    from libheif_tpu.boxes.codec_cfg import Box_hvcC
+    from libheif_tpu.codecs.hevc.decoder import extract_stream
+    hf = HeifFile.from_file(path)
+    pid = hf.primary_item_id
+    return extract_stream(hf.get_property(pid, Box_hvcC),
+                          hf.get_item_data(pid))
+
+
+def bench_heic_decode(results, skip_device=False):
+    path = os.path.join(EXAMPLES, "example.heic")
+    if not os.path.exists(path):
+        return
+    from libheif_tpu.codecs.hevc.decoder import decode_intra_picture
+    sps, pps, slices = _hevc_stream(path)
+    mp = sps.pic_width * sps.pic_height / 1e6
+
+    # host native engine
+    decode_intra_picture(sps, pps, slices, engine="native")  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_intra_picture(sps, pps, slices, engine="native")
+        best = min(best, time.perf_counter() - t0)
+    results["heic_decode_native_mps"] = round(mp / best, 2)
+
+    if not skip_device:
+        ref = decode_intra_picture(sps, pps, slices, engine="native")
+        t0 = time.perf_counter()
+        dev = decode_intra_picture(sps, pps, slices, engine="device")
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = decode_intra_picture(sps, pps, slices, engine="device")
+            best = min(best, time.perf_counter() - t0)
+        results["heic_decode_device_mps"] = round(mp / best, 2)
+        results["heic_decode_device_compile_s"] = round(compile_s, 1)
+        results["heic_decode_device_bitexact"] = bool(
+            all(np.array_equal(a, b) for a, b in zip(ref, dev)))
+
+
+def bench_avif_decode(results):
+    path = os.path.join(EXAMPLES, "example.avif")
+    if not os.path.exists(path):
+        return
+    from libheif_tpu.api import HeifContext
+    ctx = HeifContext.read_from_file(path)
+    pid = ctx.primary_item_id
+    img = ctx.decode_image(pid)       # warm / parse caches
+    mp = img.width * img.height / 1e6
+    best = float("inf")
+    for _ in range(2):
+        ctx2 = HeifContext.read_from_file(path)
+        t0 = time.perf_counter()
+        ctx2.decode_image(ctx2.primary_item_id)
+        best = min(best, time.perf_counter() - t0)
+    results["avif_decode_host_mps"] = round(mp / best, 2)
+
+
+def bench_heic_encode_rd(results):
+    """Encode example.heic's decoded image at q≈50 and report RD."""
+    path = os.path.join(EXAMPLES, "example.heic")
+    if not os.path.exists(path):
+        return
+    from libheif_tpu.codecs.hevc.decoder import decode_intra_picture
+    from libheif_tpu.codecs.hevc.encoder import IntraEncoder, EncParams
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    sps, pps, slices = _hevc_stream(path)
+    y, cb, cr = decode_intra_picture(sps, pps, slices, engine="native")
+    # crop to an 8-multiple frame for the encoder
+    h = y.shape[0] // 8 * 8
+    w = y.shape[1] // 8 * 8
+    img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420)
+    img.set_plane(Channel.Y, y[:h, :w].astype(np.uint8), 8)
+    img.set_plane(Channel.Cb, cb[:h // 2, :w // 2].astype(np.uint8), 8)
+    img.set_plane(Channel.Cr, cr[:h // 2, :w // 2].astype(np.uint8), 8)
+    qp = 32   # ≈ heif quality 50 on x265's quality→QP mapping
+    t0 = time.perf_counter()
+    enc = IntraEncoder(w, h, EncParams(qp=qp))
+    slice_nal, cfg_nals = enc.encode(img)
+    enc_s = time.perf_counter() - t0
+    bits = 8 * (len(slice_nal) + sum(len(n) for n in cfg_nals))
+    from libheif_tpu.codecs.hevc import headers as Hh
+    dec = decode_intra_picture(Hh.parse_sps(cfg_nals[0]),
+                               Hh.parse_pps(cfg_nals[1]),
+                               [slice_nal], engine="native")
+    results["heic_encode_qp32_psnr_y_db"] = round(
+        _psnr(dec[0][:h, :w], y[:h, :w]), 2)
+    results["heic_encode_qp32_bpp"] = round(bits / (w * h), 3)
+    results["heic_encode_mps"] = round(w * h / 1e6 / enc_s, 3)
+
+
+def bench_grid_device(results, n_tiles=16, mesh_devices=1):
+    """Batched device decode of an hvc1 tile grid (one 512x512 coded
+    tile replicated — identical decode work per tile)."""
+    from libheif_tpu.codecs.hevc.encoder import IntraEncoder, EncParams
+    from libheif_tpu.codecs.hevc import headers as Hh
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.parallel.coded_grid import parse_tile, \
+        decode_tiles_device
+    from libheif_tpu.boxes.codec_cfg import Box_hvcC
+
+    rng = np.random.default_rng(3)
+    # smooth-ish content: realistic TU-size mix rather than all-4x4
+    base = rng.integers(0, 256, (64, 64)).astype(np.float64)
+    up = np.kron(base, np.ones((8, 8)))[:512, :512]
+    noise = rng.integers(-6, 7, (512, 512))
+    ych = np.clip(up + noise, 0, 255).astype(np.uint8)
+    img = PixelImage(512, 512, Colorspace.YCbCr, Chroma.C420)
+    img.set_plane(Channel.Y, ych, 8)
+    img.set_plane(Channel.Cb, ych[::2, ::2], 8)
+    img.set_plane(Channel.Cr, ych[1::2, 1::2], 8)
+    enc = IntraEncoder(512, 512, EncParams(qp=30, ctb_log2=6, cu_log2=6,
+                                           var_cu=True, rqt_depth=1))
+    slice_nal, cfg_nals = enc.encode(img)
+    cfg = Box_hvcC()
+    cfg.length_size = 4
+    for nal in cfg_nals:
+        cfg.add_nal(nal)
+    data = len(slice_nal).to_bytes(4, "big") + slice_nal
+
+    t0 = time.perf_counter()
+    parsed = [parse_tile(cfg, data) for _ in range(n_tiles)]
+    parse_s = time.perf_counter() - t0
+    syns = [p[1] for p in parsed]
+    raws = [p[2] for p in parsed]
+    if any(r is None for r in raws):
+        raws = None
+
+    mesh = None
+    if mesh_devices > 1:
+        from libheif_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(mesh_devices)
+
+    decode_tiles_device(syns, raw_tus=raws, mesh=mesh)   # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_tiles_device(syns, raw_tus=raws, mesh=mesh)
+        best = min(best, time.perf_counter() - t0)
+    mp = n_tiles * 512 * 512 / 1e6
+    key = f"grid_device_{n_tiles}tiles"
+    if mesh_devices > 1:
+        key += f"_{mesh_devices}dev"
+    results[key + "_mps"] = round(mp / best, 2)
+    results[key + "_parse_s"] = round(parse_s, 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--skip-device", action="store_true")
+    ap.add_argument("--tiles", type=int, default=16)
+    ap.add_argument("--mesh", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    results = {"backend": jax.default_backend()}
+
+    t_all = time.perf_counter()
+    bench_heic_decode(results, skip_device=args.skip_device)
+    bench_avif_decode(results)
+    bench_heic_encode_rd(results)
+    if not args.skip_device:
+        bench_grid_device(results, n_tiles=args.tiles,
+                          mesh_devices=args.mesh)
+    results["total_s"] = round(time.perf_counter() - t_all, 1)
+
+    out = json.dumps(results, indent=2)
+    print(out)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()

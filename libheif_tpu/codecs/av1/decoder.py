@@ -17,8 +17,13 @@ from . import obu as O
 from .tile import TileDecoder
 
 
-def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
-    """Decode the first (still) frame from a byte stream of OBUs."""
+def decode_intra_frame(data: bytes,
+                       engine: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Decode the first (still) frame from a byte stream of OBUs.
+
+    engine: "host" (numpy job replay) or "device" (TPU wavefront
+    program, device_recon.py); None → LIBHEIF_TPU_AV1_ENGINE env var,
+    default host."""
     seq: Optional[O.SequenceHeader] = None
     fh: Optional[O.FrameHeader] = None
     tiles: List[bytes] = []
@@ -70,6 +75,16 @@ def decode_intra_frame(data: bytes) -> Dict[str, np.ndarray]:
             mr1 = min(ti.row_starts[trow + 1] * sb_mi, dec.mi_rows)
             dec.decode_tile(tiles[idx], mc0, mc1, mr0, mr1)
             idx += 1
+    # entropy decode done; run the deferred pixel plane
+    # (parse/recon split — tile.py run_jobs / device_recon)
+    import os
+    if engine is None:
+        engine = os.environ.get("LIBHEIF_TPU_AV1_ENGINE", "host")
+    if engine == "device":
+        from .device_recon import run_jobs_device
+        run_jobs_device([dec])
+    else:
+        dec.run_jobs()
 
     # in-loop filters: deblock → CDEF → loop restoration (LR reads the
     # deblocked frame at stripe boundaries, spec §7.17.1)

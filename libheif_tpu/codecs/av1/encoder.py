@@ -411,6 +411,10 @@ class TileEncoder(TL.TileDecoder):
     # angle passed by the shared _transform_block path for planning
     _cur_angle = 0
 
+    # the encoder's rate planner reads reconstructed neighbors during
+    # the walk, so jobs must execute inline (tile.py parse/recon split)
+    eager_recon = True
+
     def _transform_block(self, plane, px, py, tx, mode, angle, skip,
                          mr, mc, bsize):
         self._cur_angle = angle

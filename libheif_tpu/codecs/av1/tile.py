@@ -55,6 +55,43 @@ def _round2(x: int, n: int) -> int:
     return (x + (1 << (n - 1))) >> n
 
 
+from dataclasses import dataclass, field as _field  # noqa: E402
+
+
+@dataclass
+class TxbJob:
+    """One transform block's reconstruction work order.
+
+    Everything the pixel plane needs, captured at parse time — the AV1
+    analog of the HEVC TU table (codecs/hevc/ctu.py TU): entropy decode
+    stays serial, reconstruction replays these in order (host) or as
+    wavefront batches (device_recon)."""
+
+    plane: int
+    px: int
+    py: int
+    tw: int
+    th: int
+    tx: int
+    mode: int
+    angle: int
+    have_above: bool
+    have_left: bool
+    n_tr: int
+    n_bl: int
+    filt_type: int
+    fi_mode: Optional[int]
+    pal_pred: Optional[np.ndarray]
+    cfl_alpha: int
+    is_cfl: bool
+    eob: int
+    coeffs: Optional[np.ndarray]
+    tx_type: int
+    qindex: int
+    hh: int
+    ww: int
+
+
 def _tx_class(tx_type: int) -> str:
     if tx_type in (T.V_DCT, T.V_ADST, T.V_FLIPADST):
         return 'v'
@@ -152,6 +189,10 @@ def br_ctx(levels, row, col, pos, bwl, tcls) -> int:
 class TileDecoder:
     _filt_type_y = 0
     _filt_type_uv = 0
+    # the encoder's closed loop (TileEncoder) needs reconstructed
+    # neighbors DURING the parse walk → it overrides this to run each
+    # TxbJob immediately; the decoder defers them (run_jobs)
+    eager_recon = False
     _fi_mode = None
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
                  planes: List[np.ndarray]):
@@ -188,6 +229,8 @@ class TileDecoder:
         self._cur_qindex = fh.quant.base_q_idx
         self._cur_tx_type = T.DCT_DCT
         self.edges = EdgeMaps([p.shape for p in planes])
+        self.jobs: List[TxbJob] = []   # deferred pixel work (parse/recon
+        #                                split; see run_jobs)
 
         # CDEF filter index per 64x64 unit, stored at its top-left mi
         # (-1 = every block skipped; spec read_cdef 5.11.56)
@@ -875,58 +918,13 @@ class TileDecoder:
         elif plane == 2 and self._pal["v"] is not None:
             pal_colors, pal_map = self._pal["v"], self._pal["uv_map"]
             pal_org = self._pal["uv_org"]
+        pal_pred = None
         if pal_colors is not None:
-            # palette prediction (spec 7.11.4): map indices -> colors
+            # palette prediction (spec 7.11.4) depends only on parsed
+            # indices — computed here, carried on the job
             rx, ry = px - pal_org[0], py - pal_org[1]
             idxs = pal_map[ry:ry + th, rx:rx + tw]
-            pred = np.asarray(pal_colors, np.int64)[idxs]
-        elif plane == 0 and self._fi_mode is not None:
-            pred = R.predict_filter_intra(
-                frame, px, py, tw, th, self._fi_mode, have_above,
-                have_left, self.bd)
-        else:
-            pred = R.predict_intra(
-                frame, px, py, tw, th, pred_mode, angle, have_above,
-                have_left, n_tr, n_bl, self.bd,
-                enable_edge_filter=seq.enable_intra_edge_filter,
-                filter_type=(self._filt_type_y if plane == 0
-                             else self._filt_type_uv))
-        if plane and mode == T.UV_CFL_PRED:
-            # CfL (spec §7.11.5): Q3 box-subsampled co-located luma
-            # minus the txb average, scaled by the signed alpha
-            alpha = self._cfl_alphas[plane - 1]
-            luma = self.planes[0]
-            ly, lx = py << self.ssy, px << self.ssx
-            if self.ssx and self.ssy:          # 420: 2x2 box, Q3 = sum<<1
-                box = luma[ly:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
-                    luma[ly:ly + 2 * th:2, lx + 1:lx + 2 * tw:2] + \
-                    luma[ly + 1:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
-                    luma[ly + 1:ly + 2 * th:2, lx + 1:lx + 2 * tw:2]
-                q3 = box.astype(np.int64) << 1
-            elif self.ssx:                     # 422: 1x2 box, Q3 = sum<<2
-                box = luma[ly:ly + th, lx:lx + 2 * tw:2] + \
-                    luma[ly:ly + th, lx + 1:lx + 2 * tw:2]
-                q3 = box.astype(np.int64) << 2
-            else:                              # 444: Q3 = sample<<3
-                q3 = luma[ly:ly + th, lx:lx + tw].astype(np.int64) << 3
-            if q3.shape != (th, tw):
-                # tx extends past the decode plane: replicate the last
-                # available row/col (aom cfl_pad)
-                full = np.empty((th, tw), np.int64)
-                bh, bw = q3.shape
-                full[:bh, :bw] = q3
-                if bw < tw:
-                    full[:bh, bw:] = full[:bh, bw - 1:bw]
-                if bh < th:
-                    full[bh:, :] = full[bh - 1:bh, :]
-                q3 = full
-            avg = int(q3.sum()) >> (tw.bit_length() - 1 +
-                                    th.bit_length() - 1)
-            ac = q3 - avg
-            scaled = alpha * ac
-            adj = np.where(scaled >= 0, (scaled + 32) >> 6,
-                           -((-scaled + 32) >> 6))
-            pred = np.clip(pred + adj, 0, (1 << self.bd) - 1)
+            pal_pred = np.asarray(pal_colors, np.int64)[idxs]
 
         w_b, h_b = T.BLOCK_SIZES[bsize]
         blk_w = max(w_b >> sx, 4)
@@ -938,13 +936,30 @@ class TileDecoder:
 
         hh = min(th, ph - py)
         ww = min(tw, pw - px)
-        if eob > 0:
-            res = self._inv_transform(plane, tx, coeffs, eob, mode)
-            out = pred[:hh, :ww] + res[:hh, :ww]
-            frame[py:py + hh, px:px + ww] = np.clip(out, 0,
-                                                    (1 << self.bd) - 1)
+
+        # defer all pixel work (prediction + transform + recon) to the
+        # job executor — the parse/recon split that lets entropy decode
+        # stay serial while reconstruction batches on device
+        # (mirrors codecs/hevc: parse → flat arrays → recon)
+        is_cfl = bool(plane) and mode == T.UV_CFL_PRED
+        job = TxbJob(
+            plane=plane, px=px, py=py, tw=tw, th=th, tx=tx,
+            mode=pred_mode, angle=angle,
+            have_above=have_above, have_left=have_left,
+            n_tr=n_tr, n_bl=n_bl,
+            filt_type=(self._filt_type_y if plane == 0
+                       else self._filt_type_uv),
+            fi_mode=(self._fi_mode if plane == 0 else None),
+            pal_pred=pal_pred,
+            cfl_alpha=(self._cfl_alphas[plane - 1] if is_cfl else 0),
+            is_cfl=is_cfl,
+            eob=eob, coeffs=coeffs,
+            tx_type=self._cur_tx_type, qindex=self._cur_qindex,
+            hh=hh, ww=ww)
+        if self.eager_recon:
+            self._run_job(job)
         else:
-            frame[py:py + hh, px:px + ww] = pred[:hh, :ww]
+            self.jobs.append(job)
 
         # context updates (plane-4px units); spans clip at the mi-area
         # edges like aom av1_set_entropy_contexts — cells beyond the
@@ -1133,7 +1148,8 @@ class TileDecoder:
 
     _luma_tx_type = T.DCT_DCT
 
-    def _inv_transform(self, plane, tx, coeffs, eob, mode) -> np.ndarray:
+    def _inv_transform(self, plane, tx, coeffs, eob, qindex,
+                       tx_type) -> np.ndarray:
         fh = self.fh
         q = fh.quant
         if plane == 0:
@@ -1142,9 +1158,8 @@ class TileDecoder:
             dc_d, ac_d = q.delta_q_u_dc, q.delta_q_u_ac
         else:
             dc_d, ac_d = q.delta_q_v_dc, q.delta_q_v_ac
-        qidx = self._cur_qindex
-        dc_q = int(T.DC_QLOOKUP[np.clip(qidx + dc_d, 0, 255)])
-        ac_q = int(T.AC_QLOOKUP[np.clip(qidx + ac_d, 0, 255)])
+        dc_q = int(T.DC_QLOOKUP[np.clip(qindex + dc_d, 0, 255)])
+        ac_q = int(T.AC_QLOOKUP[np.clip(qindex + ac_d, 0, 255)])
         if fh.coded_lossless:
             d = coeffs * ac_q
             d.flat[0] = coeffs.flat[0] * dc_q
@@ -1157,5 +1172,79 @@ class TileDecoder:
         qm.flat[0] = dc_q
         mag = ((np.abs(coeffs) * qm) & 0xFFFFFF) >> shift
         d = np.where(coeffs < 0, -mag, mag)
-        return ITX.inv_txfm2d(d, T.tx_w(tx), T.tx_h(tx),
-                              self._cur_tx_type)
+        return ITX.inv_txfm2d(d, T.tx_w(tx), T.tx_h(tx), tx_type)
+
+    # ------------------------------------------------------ job executor
+
+    def run_jobs(self) -> None:
+        """Sequential host replay of the deferred pixel work — the
+        correctness anchor the batched device executor is validated
+        against (mirrors codecs/hevc/recon.IntraReconstructor)."""
+        for job in self.jobs:
+            self._run_job(job)
+        self.jobs = []
+
+    def _run_job(self, job: "TxbJob") -> None:
+        seq = self.seq
+        frame = self.planes[job.plane]
+        px, py, tw, th = job.px, job.py, job.tw, job.th
+
+        if job.pal_pred is not None:
+            pred = job.pal_pred
+        elif job.plane == 0 and job.fi_mode is not None:
+            pred = R.predict_filter_intra(
+                frame, px, py, tw, th, job.fi_mode, job.have_above,
+                job.have_left, self.bd)
+        else:
+            pred = R.predict_intra(
+                frame, px, py, tw, th, job.mode, job.angle,
+                job.have_above, job.have_left, job.n_tr, job.n_bl,
+                self.bd,
+                enable_edge_filter=seq.enable_intra_edge_filter,
+                filter_type=job.filt_type)
+        if job.is_cfl:
+            # CfL (spec §7.11.5): Q3 box-subsampled co-located luma
+            # minus the txb average, scaled by the signed alpha
+            alpha = job.cfl_alpha
+            luma = self.planes[0]
+            ly, lx = py << self.ssy, px << self.ssx
+            if self.ssx and self.ssy:          # 420: 2x2 box, Q3 = sum<<1
+                box = luma[ly:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                    luma[ly:ly + 2 * th:2, lx + 1:lx + 2 * tw:2] + \
+                    luma[ly + 1:ly + 2 * th:2, lx:lx + 2 * tw:2] + \
+                    luma[ly + 1:ly + 2 * th:2, lx + 1:lx + 2 * tw:2]
+                q3 = box.astype(np.int64) << 1
+            elif self.ssx:                     # 422: 1x2 box, Q3 = sum<<2
+                box = luma[ly:ly + th, lx:lx + 2 * tw:2] + \
+                    luma[ly:ly + th, lx + 1:lx + 2 * tw:2]
+                q3 = box.astype(np.int64) << 2
+            else:                              # 444: Q3 = sample<<3
+                q3 = luma[ly:ly + th, lx:lx + tw].astype(np.int64) << 3
+            if q3.shape != (th, tw):
+                # tx extends past the decode plane: replicate the last
+                # available row/col (aom cfl_pad)
+                full = np.empty((th, tw), np.int64)
+                bh, bw = q3.shape
+                full[:bh, :bw] = q3
+                if bw < tw:
+                    full[:bh, bw:] = full[:bh, bw - 1:bw]
+                if bh < th:
+                    full[bh:, :] = full[bh - 1:bh, :]
+                q3 = full
+            avg = int(q3.sum()) >> (tw.bit_length() - 1 +
+                                    th.bit_length() - 1)
+            ac = q3 - avg
+            scaled = alpha * ac
+            adj = np.where(scaled >= 0, (scaled + 32) >> 6,
+                           -((-scaled + 32) >> 6))
+            pred = np.clip(pred + adj, 0, (1 << self.bd) - 1)
+
+        hh, ww = job.hh, job.ww
+        if job.eob > 0:
+            res = self._inv_transform(job.plane, job.tx, job.coeffs,
+                                      job.eob, job.qindex, job.tx_type)
+            out = pred[:hh, :ww] + res[:hh, :ww]
+            frame[py:py + hh, px:px + ww] = np.clip(out, 0,
+                                                    (1 << self.bd) - 1)
+        else:
+            frame[py:py + hh, px:px + ww] = pred[:hh, :ww]

@@ -29,11 +29,11 @@ CDEF_DIRECTIONS = (
 _DIV_TABLE = (0, 840, 420, 280, 210, 168, 140, 120, 105)
 
 # CDEF neighbor reads cover aom's full 8-aligned decode buffer; pixels
-# there beyond the true frame are recon padding.  Known corner: for
-# frames with non-8-aligned dims our padding pixel values can differ
-# from aom's in the outer 2px strip (don't-care region feeding taps),
-# leaving a handful of +-2 diffs at the frame edge; interior is
-# bit-exact.
+# there beyond the true frame are recon padding (aom's superblock
+# decode writes the same full-width transform blocks ours does, so the
+# padding values match).  Known corner: for frames whose CHROMA plane
+# is not 8-aligned, a few ±1 tap diffs remain at the right/bottom
+# chroma edge; luma is bit-exact (see test_av1_filters difftest).
 _VALID_ALIGN = 8
 
 _PRI_TAPS = ((4, 2), (3, 3))
@@ -275,16 +275,20 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
     y_damp = c.damping + coeff_shift
     uv_damp = y_damp - 1
 
-    # --- block grid: one entry per 8x8 luma block (2x2 mi) ------------
-    nby, nbx = mi_rows >> 1, mi_cols >> 1
+    # --- block grid: one entry per 8x8 luma block (2x2 mi), incl.
+    # partial blocks at odd mi counts (clipped mi indices) -------------
+    nby, nbx = (mi_rows + 1) >> 1, (mi_cols + 1) >> 1
     if nby == 0 or nbx == 0:
         return outs
-    # all four covering mi units skipped → block skipped (spec: cdef
-    # only on non-skip blocks)
-    blk_skip = (skips[0:nby * 2:2, 0:nbx * 2:2] &
-                skips[0:nby * 2:2, 1:nbx * 2:2] &
-                skips[1:nby * 2:2, 0:nbx * 2:2] &
-                skips[1:nby * 2:2, 1:nbx * 2:2])
+    # all covering mi units skipped → block skipped (spec: cdef only on
+    # non-skip blocks); clipped indices make partial blocks check only
+    # their existing mi units
+    r0 = np.arange(nby) * 2
+    r1 = np.minimum(r0 + 1, mi_rows - 1)
+    c0 = np.arange(nbx) * 2
+    c1 = np.minimum(c0 + 1, mi_cols - 1)
+    blk_skip = (skips[np.ix_(r0, c0)] & skips[np.ix_(r0, c1)] &
+                skips[np.ix_(r1, c0)] & skips[np.ix_(r1, c1)])
     # per-block 64x64 unit index (cdef_idx is stored at 16-mi stride)
     cdef_map = np.asarray(dec.cdef_idx)
     unit_r = np.minimum(np.arange(nby) * 2 // 16 * 16, mi_rows - 1)
@@ -303,10 +307,12 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
     y_pri = y_pri_tab[idxs]
     y_sec = y_sec_tab[idxs]
 
-    # --- direction search for blocks with any luma filtering ----------
+    # --- direction search: only when the PRIMARY strength is nonzero
+    # (spec 7.15.1: dir stays 0 otherwise — secondary-only filtering
+    # uses the fixed dir-0 cross taps) ---------------------------------
     dirs = np.zeros(len(ys), np.int64)
     var = np.zeros(len(ys), np.int64)
-    need_dir = (y_pri > 0) | (y_sec > 0)
+    need_dir = (y_pri > 0)
     if need_dir.any():
         sel = np.nonzero(need_dir)[0]
         yy = ys[sel][:, None, None] + np.arange(8)[None, :, None] + 2

@@ -142,12 +142,33 @@ def _build_extractor(key, jit: bool = False):
     return jax.jit(run) if jit else run
 
 
+def _should_fuse() -> bool:
+    import os
+    e = os.environ.get("LIBHEIF_TPU_FUSED_UNC", "auto")
+    if e == "0":
+        return False
+    if e == "1":
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def decode_tiles(layout: UncLayout, tiles_u8: np.ndarray):
     """Decode stacked tile buffers → dict of full channel planes.
 
     tiles_u8: (num_tiles, tile_size + _GATHER_PAD) uint8 host array.
     Returns dict channel → jax.Array plane (device).
+
+    On TPU, byte-aligned uniform-stride layouts (8/16-bit component/
+    pixel/row interleave at any sampling) take the fused strided path
+    (pallas_fast.fused_strided_decode); everything else goes through
+    the generic bit-gather program.
     """
+    if _should_fuse():
+        from . import pallas_fast
+        out = pallas_fast.fused_strided_decode(layout, tiles_u8)
+        if out is not None:
+            return out
     fn = _build_extractor(_layout_key(layout), jit=_should_jit())
     return fn(tiles_u8)
 

@@ -29,6 +29,7 @@ path the same way.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -290,3 +291,193 @@ def planar8_tiles_to_image(tiles_u8, *, tile_rows: int, tile_cols: int,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
         interpret=interpret,
     )(planes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_rows", "tile_cols", "tile_h", "tile_w",
+                     "sub_x", "sub_y", "kr", "kb", "full_range",
+                     "interpret"))
+def yuv_tiles_to_rgb(tiles_u8, *, tile_rows: int, tile_cols: int,
+                     tile_h: int, tile_w: int, sub_x: int, sub_y: int,
+                     kr: float, kb: float, full_range: bool = True,
+                     interpret: bool = False):
+    """Generalized fused tile decode+convert for 8-bit component-
+    interleave YCbCr at ANY sampling: 4:2:0 (sub 2,2), 4:2:2 (2,1),
+    4:4:4 (1,1).  Same program structure as yuv420_tiles_to_rgb; the
+    chroma upsample matmuls only run on subsampled axes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = tile_rows * tile_cols
+    ch, cw = tile_h // sub_y, tile_w // sub_x
+    ys = tile_h * tile_w
+    cs = ch * cw
+    H, W = tile_rows * tile_h, tile_cols * tile_w
+
+    y = jax.lax.slice(tiles_u8, (0, 0), (T, ys)).reshape(T, tile_h, tile_w)
+    cb = jax.lax.slice(tiles_u8, (0, ys), (T, ys + cs)).reshape(T, ch, cw)
+    cr = jax.lax.slice(tiles_u8, (0, ys + cs),
+                       (T, ys + 2 * cs)).reshape(T, ch, cw)
+
+    krf = np.float32(kr)
+    kbf = np.float32(kb)
+    c_cr = np.float32(2.0 * (1.0 - kr))
+    c_cb = np.float32(2.0 * (1.0 - kb))
+    g_den = np.float32(1.0 - kr - kb)
+
+    def kernel(y_ref, cb_ref, cr_ref, out_ref):
+        yf = y_ref[0].astype(jnp.int32).astype(jnp.float32)
+        cbf = cb_ref[0].astype(jnp.int32).astype(jnp.float32) - 128.0
+        crf = cr_ref[0].astype(jnp.int32).astype(jnp.float32) - 128.0
+        if not full_range:
+            yf = (yf - 16.0) * (255.0 / 219.0)
+            cbf = cbf * (255.0 / 224.0)
+            crf = crf * (255.0 / 224.0)
+        th, tw = tile_h, tile_w
+
+        def up(p):
+            # nearest-neighbour expansion per subsampled axis as
+            # 0/1-matrix matmuls (see yuv420_tiles_to_rgb)
+            if sub_y == 2:
+                rh = jax.lax.broadcasted_iota(
+                    jnp.int32, (th, th // 2), 0) // 2
+                chi = jax.lax.broadcasted_iota(
+                    jnp.int32, (th, th // 2), 1)
+                e_up = (rh == chi).astype(jnp.bfloat16)
+                p = jnp.dot(e_up, p.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            if sub_x == 2:
+                rw = jax.lax.broadcasted_iota(
+                    jnp.int32, (tw // 2, tw), 0)
+                cwi = jax.lax.broadcasted_iota(
+                    jnp.int32, (tw // 2, tw), 1) // 2
+                e_right = (rw == cwi).astype(jnp.bfloat16)
+                p = jnp.dot(p.astype(jnp.bfloat16), e_right,
+                            preferred_element_type=jnp.float32)
+            return p.astype(jnp.float32)
+
+        cbf = up(cbf)
+        crf = up(crf)
+        r = yf + c_cr * crf
+        b = yf + c_cb * cbf
+        g = (yf - krf * r - kbf * b) / g_den
+        rgb = jnp.stack([r, g, b])
+        rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)
+        out_ref[:] = rgb.astype(jnp.int32).astype(jnp.uint8)
+
+    tc = tile_cols
+    return pl.pallas_call(
+        kernel,
+        grid=(tile_rows, tile_cols),
+        in_specs=[
+            pl.BlockSpec((1, tile_h, tile_w),
+                         lambda i, j: (i * tc + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch, cw), lambda i, j: (i * tc + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch, cw), lambda i, j: (i * tc + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile_h, tile_w),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, H, W), jnp.uint8),
+        interpret=interpret,
+    )(y, cb, cr)
+
+
+def _paste_tiles(arr, tile_rows, tile_cols, dtype, interpret):
+    """(T, h, w) per-tile planes → (rows*h, cols*w) full plane via a
+    per-tile Pallas grid (the grid.cc:482 paste for free)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    t, h, w = arr.shape
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = in_ref[0]
+
+    tc = tile_cols
+    return pl.pallas_call(
+        kernel,
+        grid=(tile_rows, tile_cols),
+        in_specs=[pl.BlockSpec((1, h, w),
+                               lambda i, j: (i * tc + j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((h, w), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tile_rows * h, tile_cols * w),
+                                       dtype),
+        interpret=interpret,
+    )(arr)
+
+
+def fused_strided_decode(layout, tiles_u8,
+                         interpret: Optional[bool] = None):
+    """General fused decode for byte-aligned uniform-stride layouts:
+    8/16-bit big-endian samples at constant byte strides — which covers
+    component, pixel AND row interleave (and their 4:2:2/4:4:4/16-bit
+    variants; ref: unc_decoder_pixel_interleave.cc:88,
+    unc_decoder_row_interleave.cc).  Extraction is XLA strided slicing
+    (memcpy-shaped, no gather); the per-tile paste into image position
+    is a Pallas grid.  Returns dict channel → plane, or None when the
+    layout needs the generic bit-gather path (odd depths, little-
+    endian, mixed alignment, multi-Y, tile-component mode)."""
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if layout.comp_tile_sizes is not None:
+        return None
+    views = layout.views
+    if not views or any(not v.channel for v in views):
+        return None
+    for v in views:
+        if getattr(v, "multi_y_phase", None) is not None:
+            return None
+        if v.col_offsets is not None:
+            return None
+        if v.depth not in (8, 16) or v.read_bits != v.depth:
+            return None
+        if v.le_bytes:
+            return None
+        if v.mask != (1 << v.depth) - 1:
+            return None
+        if v.base_bits % 8 or v.row_stride_bits % 8 or \
+                v.x_stride_bits % 8:
+            return None
+    seen = set()
+    for v in views:
+        if v.channel in seen:
+            return None          # one view per channel only
+        seen.add(v.channel)
+
+    t = layout.num_tiles
+    s = layout.tile_size_bytes
+    data = jnp.asarray(tiles_u8)[:, :s]
+    out = {}
+    for v in views:
+        base = v.base_bits // 8
+        rs = v.row_stride_bits // 8
+        xs = v.x_stride_bits // 8
+        nbytes = v.depth // 8
+        rows = jax.lax.slice(data, (0, base),
+                             (t, min(base + v.height * rs, s)))
+        pad = v.height * rs - rows.shape[1]
+        if pad > 0:      # last row may end before the row stride does
+            rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        rows = rows.reshape(t, v.height, rs)
+        cols = rows[:, :, :v.width * xs].reshape(t, v.height, v.width, xs)
+        if v.depth == 8:
+            plane = cols[..., 0]
+            dtype = jnp.uint8
+        else:
+            hi = cols[..., 0].astype(jnp.uint16)
+            lo = cols[..., 1].astype(jnp.uint16)
+            plane = (hi << 8) | lo
+            dtype = jnp.uint16
+        out[v.channel] = _paste_tiles(plane.astype(dtype),
+                                      layout.tile_rows,
+                                      layout.tile_cols, dtype,
+                                      interpret)
+    return out

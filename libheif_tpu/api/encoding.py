@@ -7,6 +7,7 @@ points over HeifContext.encode_image.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from ..codecs import registry
@@ -114,23 +115,87 @@ def heif_encoder_set_logging_level(encoder: heif_encoder,
     encoder.values["logging"] = level
 
 
-def heif_encoder_list_parameters(encoder: heif_encoder) -> List[dict]:
+@dataclass(frozen=True)
+class HeifEncoderParameter:
+    """Typed encoder parameter descriptor with validated ranges and
+    string sets (ref: heif_encoder_parameter heif_encoding.h:154+,
+    plugin side heif_plugin.h:232+).  Field access is attribute-style;
+    dict-style access is kept for source compatibility."""
+
+    name: str
+    type: str                       # "integer" | "boolean" | "string"
+    default: object = None
+    minimum: Optional[int] = None
+    maximum: Optional[int] = None
+    have_minimum_maximum: bool = False
+    valid_values: Optional[tuple] = None
+
+    def __getitem__(self, key):
+        v = getattr(self, key)
+        if v is None:
+            raise KeyError(key)
+        return v
+
+    def get(self, key, default=None):
+        v = getattr(self, key, None)
+        return default if v is None else v
+
+    def __contains__(self, key):
+        return getattr(self, key, None) is not None
+
+    def validate(self, value) -> None:
+        if self.type == "integer":
+            if not isinstance(value, int):
+                raise HeifError.usage(msg=f"{self.name} expects integer")
+            if self.have_minimum_maximum and not \
+                    (self.minimum <= value <= self.maximum):
+                raise HeifError.usage(
+                    msg=f"{self.name} out of range "
+                        f"[{self.minimum}, {self.maximum}]")
+            if self.valid_values and value not in self.valid_values:
+                raise HeifError.usage(
+                    msg=f"{self.name}: {value} not in valid set")
+        elif self.type == "string":
+            if self.valid_values and value not in self.valid_values:
+                raise HeifError.usage(
+                    msg=f"invalid value {value!r} for {self.name}")
+
+
+def _as_param(p) -> "HeifEncoderParameter":
+    if isinstance(p, HeifEncoderParameter):
+        return p
+    return HeifEncoderParameter(
+        name=p["name"], type=p["type"], default=p.get("default"),
+        minimum=p.get("minimum"), maximum=p.get("maximum"),
+        have_minimum_maximum=bool(p.get("have_minimum_maximum")),
+        valid_values=(tuple(p["valid_values"])
+                      if p.get("valid_values") else None))
+
+
+_BASE_PARAMS = (
+    HeifEncoderParameter(name="quality", type="integer", default=50,
+                         minimum=0, maximum=100,
+                         have_minimum_maximum=True),
+    HeifEncoderParameter(name="lossless", type="boolean", default=False),
+)
+
+
+def heif_encoder_list_parameters(encoder: heif_encoder
+                                 ) -> List[HeifEncoderParameter]:
     """Typed parameter descriptors (ref: heif_encoding.h:154+,
-    heif_plugin.h:232+): dicts with name/type/default/range/valid."""
-    base = [
-        {"name": "quality", "type": "integer", "default": 50,
-         "minimum": 0, "maximum": 100, "have_minimum_maximum": True},
-        {"name": "lossless", "type": "boolean", "default": False},
-    ]
-    return base + encoder.impl.parameters()
+    heif_plugin.h:232+)."""
+    return list(_BASE_PARAMS) + [_as_param(p)
+                                 for p in encoder.impl.parameters()]
 
 
-def heif_encoder_parameter_get_name(param: dict) -> str:
-    return param["name"]
+def heif_encoder_parameter_get_name(param) -> str:
+    return param.name if isinstance(param, HeifEncoderParameter) \
+        else param["name"]
 
 
-def heif_encoder_parameter_get_type(param: dict) -> str:
-    return param["type"]
+def heif_encoder_parameter_get_type(param) -> str:
+    return param.type if isinstance(param, HeifEncoderParameter) \
+        else param["type"]
 
 
 def _param_desc(encoder, name):
@@ -143,9 +208,7 @@ def _param_desc(encoder, name):
 def heif_encoder_set_parameter_integer(encoder, name: str,
                                        value: int) -> None:
     d = _param_desc(encoder, name)
-    if d.get("have_minimum_maximum") and not \
-            d["minimum"] <= value <= d["maximum"]:
-        raise HeifError.usage(msg=f"{name} out of range")
+    d.validate(int(value))
     encoder.values[name] = int(value)
 
 
@@ -174,9 +237,7 @@ def heif_encoder_get_parameter_boolean(encoder, name: str) -> bool:
 def heif_encoder_set_parameter_string(encoder, name: str,
                                       value: str) -> None:
     d = _param_desc(encoder, name)
-    valid = d.get("valid_values")
-    if valid and value not in valid:
-        raise HeifError.usage(msg=f"invalid value {value} for {name}")
+    d.validate(str(value))
     encoder.values[name] = value
 
 

@@ -17,13 +17,10 @@ from . import obu as O
 from .tile import TileDecoder
 
 
-def decode_intra_frame(data: bytes,
-                       engine: Optional[str] = None) -> Dict[str, np.ndarray]:
-    """Decode the first (still) frame from a byte stream of OBUs.
-
-    engine: "host" (numpy job replay) or "device" (TPU wavefront
-    program, device_recon.py); None → LIBHEIF_TPU_AV1_ENGINE env var,
-    default host."""
+def parse_frame(data: bytes):
+    """Host entropy decode of the first (still) frame: OBU walk + tile
+    parse into a TileDecoder with deferred recon jobs.  Returns
+    (seq, fh, dec) — pair with finish_frame()."""
     seq: Optional[O.SequenceHeader] = None
     fh: Optional[O.FrameHeader] = None
     tiles: List[bytes] = []
@@ -75,16 +72,13 @@ def decode_intra_frame(data: bytes,
             mr1 = min(ti.row_starts[trow + 1] * sb_mi, dec.mi_rows)
             dec.decode_tile(tiles[idx], mc0, mc1, mr0, mr1)
             idx += 1
-    # entropy decode done; run the deferred pixel plane
-    # (parse/recon split — tile.py run_jobs / device_recon)
-    import os
-    if engine is None:
-        engine = os.environ.get("LIBHEIF_TPU_AV1_ENGINE", "host")
-    if engine == "device":
-        from .device_recon import run_jobs_device
-        run_jobs_device([dec])
-    else:
-        dec.run_jobs()
+    return seq, fh, dec
+
+
+def finish_frame(seq, fh, dec) -> Dict[str, np.ndarray]:
+    """In-loop filters + crop after the recon jobs have run."""
+    planes = dec.planes
+    w, h = fh.frame_width, fh.frame_height
 
     # in-loop filters: deblock → CDEF → loop restoration (LR reads the
     # deblocked frame at stripe boundaries, spec §7.17.1)
@@ -102,9 +96,29 @@ def decode_intra_frame(data: bytes,
         planes = apply_lr(planes, deblocked, dec, seq, fh, w, h)
     if seq.monochrome:
         return {"Y": planes[0][:h, :w]}
+    ssx, ssy = seq.subsampling_x, seq.subsampling_y
     cw, ch = (w + (1 << ssx) - 1) >> ssx, (h + (1 << ssy) - 1) >> ssy
     return {"Y": planes[0][:h, :w], "U": planes[1][:ch, :cw],
             "V": planes[2][:ch, :cw]}
+
+
+def decode_intra_frame(data: bytes,
+                       engine: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Decode the first (still) frame from a byte stream of OBUs.
+
+    engine: "host" (numpy job replay) or "device" (TPU wavefront
+    program, device_recon.py); None → LIBHEIF_TPU_AV1_ENGINE env var,
+    default host."""
+    import os
+    if engine is None:
+        engine = os.environ.get("LIBHEIF_TPU_AV1_ENGINE", "host")
+    seq, fh, dec = parse_frame(data)
+    if engine == "device":
+        from .device_recon import run_jobs_device
+        run_jobs_device([dec])
+    else:
+        dec.run_jobs()
+    return finish_frame(seq, fh, dec)
 
 
 class Av1Decoder(Decoder):

@@ -102,15 +102,23 @@ class ImageItem_Grid(ImageItem):
         self.ctx.limits.check_image_size(grid.output_width, grid.output_height)
         self.ctx.limits.check_tile_count(grid.columns, grid.rows)
 
-        # batched device fast path: all-hvc1 grids reconstruct as ONE
-        # device program over the tile batch (parallel/coded_grid.py —
-        # the TPU analog of the reference's thread pool, grid.cc:285)
+        # batched device fast path: all-hvc1 / all-av01 grids
+        # reconstruct as ONE device program over the tile batch
+        # (parallel/coded_grid.py — the TPU analog of the reference's
+        # thread pool, grid.cc:285)
         import os as _os
         if options.prefer_device_grid or \
                 _os.environ.get("LIBHEIF_TPU_HEVC_ENGINE") == "device":
             from ..parallel.coded_grid import try_batched_hevc_grid
             fast = try_batched_hevc_grid(self, grid, tile_ids, options,
                                          processed_ids)
+            if fast is not None:
+                return fast
+        if options.prefer_device_grid or \
+                _os.environ.get("LIBHEIF_TPU_AV1_ENGINE") == "device":
+            from ..parallel.coded_grid import try_batched_av1_grid
+            fast = try_batched_av1_grid(self, grid, tile_ids, options,
+                                        processed_ids)
             if fast is not None:
                 return fast
 

@@ -274,3 +274,89 @@ def try_batched_hevc_grid(grid_item, grid, tile_ids, options,
     out.set_plane(Channel.Cb, cb_out, sps0.bit_depth_chroma)
     out.set_plane(Channel.Cr, cr_out, sps0.bit_depth_chroma)
     return out
+
+
+def try_batched_av1_grid(grid_item, grid, tile_ids, options,
+                         processed_ids):
+    """Batched device decode of an all-av01 grid: every tile's
+    wavefront reconstruction runs as ONE device program (the AV1 analog
+    of try_batched_hevc_grid); in-loop filters + compose follow on
+    host.  Returns a composed PixelImage or None."""
+    from ..items.codec_items import ImageItem_AVIF
+    from ..image.pixel_image import (PixelImage, Channel, Colorspace,
+                                     Chroma)
+    from ..core.error import HeifError
+    from ..codecs.av1.decoder import parse_frame, finish_frame
+    from ..codecs.av1.device_recon import run_jobs_device
+
+    ctx = grid_item.ctx
+    try:
+        tiles = [ctx.get_item(tid) for tid in tile_ids]
+        if not all(isinstance(t, ImageItem_AVIF) for t in tiles):
+            return None
+        for t in tiles:
+            if t.init_error is not None or t.alpha_item is not None:
+                return None
+            from ..boxes.meta import Box_irot, Box_imir, Box_clap
+            if any(isinstance(p, (Box_irot, Box_imir, Box_clap))
+                   for p in t.properties()):
+                return None
+        if options.cancel is not None and options.cancel():
+            return None
+        parsed = []
+        for t in tiles:
+            cfg = t.config_box()
+            stream = (cfg.config_obus or b"") + t.coded_data() \
+                if cfg is not None else t.coded_data()
+            parsed.append(parse_frame(stream))
+    except HeifError:
+        return None
+
+    decs = [p[2] for p in parsed]
+    shapes = {d.planes[0].shape for d in decs}
+    if len(shapes) != 1 or any(d.bd != decs[0].bd for d in decs):
+        return None
+    try:
+        run_jobs_device(decs)
+    except ValueError:
+        return None
+
+    planes0 = finish_frame(*parsed[0])
+    mono = "U" not in planes0
+    tw = planes0["Y"].shape[1]
+    th = planes0["Y"].shape[0]
+    gw, gh = grid.output_width, grid.output_height
+    out = PixelImage(gw, gh,
+                     Colorspace.Monochrome if mono else Colorspace.YCbCr,
+                     Chroma.Monochrome if mono else Chroma.C420,
+                     ctx.limits)
+    dt = np.uint8
+    y_out = np.zeros((gh, gw), dt)
+    if not mono:
+        cb_out = np.zeros(((gh + 1) // 2, (gw + 1) // 2), dt)
+        cr_out = np.zeros_like(cb_out)
+    n_total = len(tile_ids)
+    for idx, p in enumerate(parsed):
+        pl = planes0 if idx == 0 else finish_frame(*p)
+        ty, tx = divmod(idx, grid.columns)
+        x0, y0 = tx * tw, ty * th
+        w = min(tw, gw - x0)
+        h = min(th, gh - y0)
+        if w <= 0 or h <= 0:
+            continue
+        y_out[y0:y0 + h, x0:x0 + w] = pl["Y"][:h, :w].astype(dt)
+        if not mono:
+            cx0, cy0 = x0 >> 1, y0 >> 1
+            cww = min((w + 1) // 2, cb_out.shape[1] - cx0)
+            chh = min((h + 1) // 2, cb_out.shape[0] - cy0)
+            cb_out[cy0:cy0 + chh, cx0:cx0 + cww] = \
+                pl["U"][:chh, :cww].astype(dt)
+            cr_out[cy0:cy0 + chh, cx0:cx0 + cww] = \
+                pl["V"][:chh, :cww].astype(dt)
+        if options.on_progress is not None:
+            options.on_progress(idx + 1, n_total)
+    out.set_plane(Channel.Y, y_out, 8)
+    if not mono:
+        out.set_plane(Channel.Cb, cb_out, 8)
+        out.set_plane(Channel.Cr, cr_out, 8)
+    return out

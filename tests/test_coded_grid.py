@@ -94,3 +94,29 @@ def test_parse_tiles_threaded(hevc_grid):
         if raw1 is not None and raw2 is not None:
             np.testing.assert_array_equal(raw1[0], raw2[0])
             np.testing.assert_array_equal(raw1[1], raw2[1])
+
+
+@pytest.fixture(scope="module")
+def av1_grid(tmp_path_factory):
+    import heif_enc
+    from libheif_tpu import io as hio
+    d = tmp_path_factory.mktemp("av1grid")
+    yy, xx = np.mgrid[0:128, 0:192]
+    arr = np.dstack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) // 2) % 256]).astype(np.uint8)
+    p = d / "in.png"
+    p.write_bytes(hio.write_png(arr))
+    out = str(d / "g.avif")
+    rc = heif_enc.main([str(p), "-o", out, "--cut-tiles", "64",
+                        "-c", "av1"])
+    assert rc == 0
+    return out
+
+
+def test_av1_batched_matches_serial(av1_grid):
+    """All-av01 grid through the AV1 device engine as one program."""
+    serial = _decode(av1_grid)
+    batched = _decode(av1_grid, DecodingOptions(prefer_device_grid=True))
+    for ch in serial.planes:
+        np.testing.assert_array_equal(batched.planes[ch],
+                                      serial.planes[ch], err_msg=str(ch))

@@ -141,12 +141,27 @@ class J2KEncoder_Registry(Encoder):
         planes = [np.asarray(img.plane(c)).astype(np.int32) for c in chans]
         data = encode_codestream(planes, depth=depth,
                                  reversible=lossless,
-                                 quality=quality)
+                                 quality=quality,
+                                 htj2k=self.htj2k)
         j2kh = Box_j2kH()
         j2kh.children.append(cdef)
         return data, j2kh, [(Box_ispe(img.width, img.height), False)]
+
+    htj2k = False
+
+
+class HTJ2KEncoder_Registry(J2KEncoder_Registry):
+    """Registry encoder for the `htj2k` compression format: same j2k1
+    container path, HT (15444-15) cleanup-pass block coding.  Reference
+    analog: Encoder_HTJ2K (jpeg2000_enc.h:84) backed by OpenJPH
+    (plugins/encoder_openjph.cc)."""
+
+    id = "tpu-htj2k"
+    format = "htj2k"
+    htj2k = True
 
 
 def _register():
     register_decoder(J2KDecoder_Registry())
     register_encoder(J2KEncoder_Registry())
+    register_encoder(HTJ2KEncoder_Registry())

@@ -16,6 +16,7 @@ from ...core.error import HeifError
 
 # Marker codes
 SOC = 0xFF4F
+CAP = 0xFF50
 SIZ = 0xFF51
 COD = 0xFF52
 COC = 0xFF53
@@ -127,10 +128,38 @@ class TilePart:
 
 
 @dataclass
+class CapSeg:
+    """CAP extended-capabilities marker (A.5.2).  Pcap flags which
+    Ccap^i fields follow; bit 15 (counted from the MSB of the 32-bit
+    word) marks Part 15 / HT-J2K with its Ccap15 word."""
+    pcap: int = 0
+    ccap: List[int] = field(default_factory=list)
+
+    @property
+    def has_htj2k(self) -> bool:
+        return bool(self.pcap & 0x00020000)
+
+
+def parse_cap(body: bytes) -> CapSeg:
+    if len(body) < 4:
+        raise _err("CAP too short")
+    pcap = struct.unpack(">I", body[:4])[0]
+    n = (len(body) - 4) // 2
+    ccap = list(struct.unpack(">%dH" % n, body[4:4 + 2 * n]))
+    return CapSeg(pcap, ccap)
+
+
+def write_cap(cap: CapSeg) -> bytes:
+    return struct.pack(">I", cap.pcap) + b"".join(
+        struct.pack(">H", c) for c in cap.ccap)
+
+
+@dataclass
 class Codestream:
     siz: SizSeg = None
     cod: CodStyle = None
     qcd: QuantStyle = None
+    cap: Optional["CapSeg"] = None
     coc: Dict[int, CodStyle] = field(default_factory=dict)
     qcc: Dict[int, QuantStyle] = field(default_factory=dict)
     comments: List[bytes] = field(default_factory=list)
@@ -322,6 +351,8 @@ def parse_codestream(data: bytes) -> Codestream:
         body = data[pos + 2:pos + lseg]
         if marker == SIZ:
             cs.siz = parse_siz(body)
+        elif marker == CAP:
+            cs.cap = parse_cap(body)
         elif marker == COD:
             cs.cod = parse_cod(body)
         elif marker == QCD:

@@ -56,11 +56,10 @@ def decode_codestream(data: bytes, max_layers: Optional[int] = None,
 class J2KDecoder:
     def __init__(self, cs: Codestream):
         self.cs = cs
-        if cs.cod.cbstyle & ~0x0:
-            # selective bypass / reset / termall / causal / segsym
-            if cs.cod.cbstyle != 0:
-                raise HeifError.invalid_input(
-                    msg="unsupported code-block style 0x%x" % cs.cod.cbstyle)
+        if cs.cod.cbstyle not in (0, 0x40):
+            # selective bypass / reset / termall / causal / segsym / mixed HT
+            raise HeifError.invalid_input(
+                msg="unsupported code-block style 0x%x" % cs.cod.cbstyle)
 
     def decode(self, max_layers: Optional[int] = None) -> List[np.ndarray]:
         siz = self.cs.siz
@@ -270,9 +269,20 @@ class J2KDecoder:
                             if cb.num_passes == 0:
                                 continue
                             bw, bh = cb.x1 - cb.x0, cb.y1 - cb.y0
-                            t1 = T1Decoder(bw, bh, band.orient)
-                            coef = t1.decode(bytes(cb.data), cb.num_passes,
-                                             mb, cb.zero_planes)
+                            if cod.cbstyle & 0x40:
+                                if cb.num_passes > 1 or \
+                                        mb - cb.zero_planes > 1:
+                                    raise HeifError.invalid_input(
+                                        msg="HT refinement passes not "
+                                            "supported")
+                                from .htj2k import decode_cleanup
+                                coef = decode_cleanup(
+                                    bytes(cb.data), bw, bh, mb)
+                            else:
+                                t1 = T1Decoder(bw, bh, band.orient)
+                                coef = t1.decode(bytes(cb.data),
+                                                 cb.num_passes,
+                                                 mb, cb.zero_planes)
                             sub = coef.astype(arr.dtype)
                             if not reversible:
                                 # midpoint reconstruction: (m + ½)·Δ

@@ -28,16 +28,17 @@ def encode_codestream(planes: List[np.ndarray], depth: int = 8,
                       signed: bool = False, levels: int = 5,
                       reversible: bool = True, mct: Optional[bool] = None,
                       quality: int = 100,
-                      cb_exp: Tuple[int, int] = (6, 6)) -> bytes:
+                      cb_exp: Tuple[int, int] = (6, 6),
+                      htj2k: bool = False) -> bytes:
     enc = J2KEncoder(depth=depth, signed=signed, levels=levels,
                      reversible=reversible, mct=mct, quality=quality,
-                     cb_exp=cb_exp)
+                     cb_exp=cb_exp, htj2k=htj2k)
     return enc.encode(planes)
 
 
 class J2KEncoder:
     def __init__(self, depth=8, signed=False, levels=5, reversible=True,
-                 mct=None, quality=100, cb_exp=(6, 6)):
+                 mct=None, quality=100, cb_exp=(6, 6), htj2k=False):
         self.depth = depth
         self.signed = signed
         self.levels = levels
@@ -45,6 +46,7 @@ class J2KEncoder:
         self.quality = quality
         self.mct = mct
         self.xcb, self.ycb = cb_exp
+        self.htj2k = htj2k
 
     def encode(self, planes: List[np.ndarray]) -> bytes:
         ncomp = len(planes)
@@ -56,12 +58,13 @@ class J2KEncoder:
         while levels > 0 and (1 << levels) > max(w, h):
             levels -= 1
 
-        siz = SizSeg(0, w, h, 0, 0, w, h, 0, 0,
+        siz = SizSeg(0x4000 if self.htj2k else 0, w, h, 0, 0, w, h, 0, 0,
                      [ComponentSiz(self.depth, self.signed, 1, 1)
                       for _ in range(ncomp)])
         cod = CodStyle(scod=0, prog_order=0, nlayers=1,
                        mct=1 if do_mct else 0, levels=levels,
-                       xcb=self.xcb, ycb=self.ycb, cbstyle=0,
+                       xcb=self.xcb, ycb=self.ycb,
+                       cbstyle=0x40 if self.htj2k else 0,
                        transform=1 if self.reversible else 0)
         qs = self._quant_style(levels)
 
@@ -90,9 +93,15 @@ class J2KEncoder:
         # ---- marker assembly ----
         out = bytearray()
         out += struct.pack(">H", csm.SOC)
-        for marker, seg in ((csm.SIZ, csm.write_siz(siz)),
-                            (csm.COD, csm.write_cod(cod)),
-                            (csm.QCD, csm.write_qcd(qs))):
+        segs = [(csm.SIZ, csm.write_siz(siz))]
+        if self.htj2k:
+            # CAP with Ccap15: HT code-blocks only, MAGB = max M_b
+            max_mb = max(qs.guard + e - 1 for (e, _m) in qs.steps)
+            cap = csm.CapSeg(0x00020000, [min(max_mb, 31) & 0x1F])
+            segs.append((csm.CAP, csm.write_cap(cap)))
+        segs += [(csm.COD, csm.write_cod(cod)),
+                 (csm.QCD, csm.write_qcd(qs))]
+        for marker, seg in segs:
             out += struct.pack(">HH", marker, len(seg) + 2) + seg
         for t, body in enumerate(tile_bodies):
             psot = 12 + 2 + len(body)
@@ -177,9 +186,24 @@ class J2KEncoder:
                             for (x0, y0, x1, y1) in blocks:
                                 sub = qarr[y0 - band.y0:y1 - band.y0,
                                            x0 - band.x0:x1 - band.x0]
-                                t1 = T1Encoder(x1 - x0, y1 - y0, band.orient)
-                                data, npasses, nplanes = t1.encode(
-                                    np.ascontiguousarray(sub))
+                                if self.htj2k:
+                                    if not sub.any():
+                                        data, npasses, nplanes = b"", 0, 0
+                                    else:
+                                        from .htj2k import encode_cleanup
+                                        data, _b = encode_cleanup(
+                                            np.ascontiguousarray(sub))
+                                        npasses = 1
+                                        # for HT blocks Mb - zp signals the
+                                        # pass-plane count p, not the
+                                        # magnitude depth: cleanup-only full
+                                        # precision means p = 1
+                                        nplanes = 1
+                                else:
+                                    t1 = T1Encoder(x1 - x0, y1 - y0,
+                                                   band.orient)
+                                    data, npasses, nplanes = t1.encode(
+                                        np.ascontiguousarray(sub))
                                 zp = max(mb - nplanes, 0)
                                 cbs.append(dict(data=data, npasses=npasses,
                                                 nplanes=nplanes, zp=zp))

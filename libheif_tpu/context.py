@@ -520,7 +520,7 @@ class HeifContext:
         data, config_box, extra = enc.encode_single_image(img, options)
         item_type = {"hevc": "hvc1", "av1": "av01", "vvc": "vvc1",
                      "avc": "avc1", "jpeg": "jpeg",
-                     "jpeg2000": "j2k1"}.get(fmt, fmt)
+                     "jpeg2000": "j2k1", "htj2k": "j2k1"}.get(fmt, fmt)
         item_id = self._register_encoded_item(item_type)
         self.file.append_item_data(item_id, data)
         self._add_common_props(item_id, img, options)

@@ -100,7 +100,8 @@ class SyntaxIO:
 class CuData:
     x: int = 0
     y: int = 0
-    log2: int = 3
+    log2w: int = 3
+    log2h: int = 3
     luma_mode: int = INTRA_PLANAR
     chroma_coded: int = 4                # 0..3 list index, 4 = DM
     chroma_mode: int = INTRA_PLANAR     # resolved prediction mode
@@ -109,19 +110,29 @@ class CuData:
     coeffs_cr: Optional[np.ndarray] = None
 
 
+# split kinds recorded in an EncodePlan
+SPLIT_NONE = "none"
+SPLIT_QT = "qt"
+SPLIT_BT_H = "bth"
+SPLIT_BT_V = "btv"
+SPLIT_TT_H = "tth"
+SPLIT_TT_V = "ttv"
+
+
 class EncodePlan:
     """Encoder-side source of decisions for SliceCoder (built by the
     encoder's planning pass): split map + CU list in coding order."""
 
     def __init__(self):
-        self.splits: Dict[Tuple[int, int, int], bool] = {}
+        self.splits: Dict[Tuple[int, int, int, int], str] = {}
         self.cus: Dict[Tuple[int, int], CuData] = {}
 
     def add_cu(self, cu: CuData) -> None:
         self.cus[(cu.x, cu.y)] = cu
 
-    def set_split(self, x: int, y: int, log2: int, split: bool) -> None:
-        self.splits[(x, y, log2)] = split
+    def set_split(self, x: int, y: int, log2w: int, log2h: int,
+                  kind: str) -> None:
+        self.splits[(x, y, log2w, log2h)] = kind
 
 
 # --------------------------------------------------------------------------
@@ -221,7 +232,7 @@ class SliceCoder:
         for cy in range(n_ctu_y):
             for cx in range(n_ctu_x):
                 self._coding_tree(cx << self.ctu_log2, cy << self.ctu_log2,
-                                  self.ctu_log2, 0)
+                                  self.ctu_log2, self.ctu_log2, 0, 0)
         # end_of_slice_one_bit after the last CTU
         if self.io.terminate(1) != 1:
             raise HeifError.invalid_input(msg="missing end_of_slice bit")
@@ -241,33 +252,121 @@ class SliceCoder:
                 inc += 1
         return inc + 3 * min(2, depth)
 
-    def _coding_tree(self, x0: int, y0: int, log2: int, depth: int) -> None:
+    def _allowed_splits(self, lw: int, lh: int, md: int):
+        """(allow_qt, bt_v, bt_h, tt_v, tt_h) under this package's MTT
+        toolset: MTT leaves >= 8 in each dimension, TT only from 32."""
+        sps = self.sps
+        max_mtt = getattr(sps, "max_mtt_depth_intra", 0)
+        max_bt = sps.max_bt_log2 if max_mtt else 0
+        max_tt = sps.max_tt_log2 if max_mtt else 0
+        allow_qt = lw == lh and lw > self.min_qt_log2 and md == 0
+        mtt_ok = md < max_mtt
+        bt_v = mtt_ok and lw >= 4 and lw <= max_bt and lh <= max_bt
+        bt_h = mtt_ok and lh >= 4 and lw <= max_bt and lh <= max_bt
+        tt_v = mtt_ok and lw >= 5 and lw <= max_tt and lh <= max_tt
+        tt_h = mtt_ok and lh >= 5 and lw <= max_tt and lh <= max_tt
+        return allow_qt, bt_v, bt_h, tt_v, tt_h
+
+    def _coding_tree(self, x0: int, y0: int, lw: int, lh: int,
+                     qd: int, md: int) -> None:
+        """coding_tree (§7.3.11.4): QT + multi-type (BT/TT) splits."""
         if x0 >= self.w or y0 >= self.h:
             return
-        size = 1 << log2
-        crosses = (x0 + size > self.w) or (y0 + size > self.h)
+        w = 1 << lw
+        h = 1 << lh
+        io = self.io
+        depth = qd + md
+        crosses = (x0 + w > self.w) or (y0 + h > self.h)
+        allow_qt, bt_v, bt_h, tt_v, tt_h = self._allowed_splits(lw, lh, md)
+        kind = SPLIT_NONE
         if crosses:
-            if log2 <= self.min_qt_log2:
+            # implicit boundary split: QT when square above minQT,
+            # else binary toward the crossing dimension
+            if allow_qt or (lw == lh and lw > self.min_qt_log2):
+                kind = SPLIT_QT
+            elif x0 + w > self.w and lw > 3:
+                kind = SPLIT_BT_V
+            elif y0 + h > self.h and lh > 3:
+                kind = SPLIT_BT_H
+            else:
                 raise HeifError.invalid_input(
                     SubError.Invalid_parameter_value,
                     "picture size not a multiple of the minimum CU")
-            split = 1                     # implicit boundary split
-        elif log2 > self.min_qt_log2:
+        elif allow_qt or bt_v or bt_h or tt_v or tt_h:
             want = None
             if self.plan is not None:
-                want = 1 if self.plan.splits.get((x0, y0, log2), False) else 0
-            split = self.io.bin("split_cu_flag",
-                                self._split_ctx(x0, y0, depth), want)
+                want_kind = self.plan.splits.get((x0, y0, lw, lh),
+                                                 SPLIT_NONE)
+                want = 0 if want_kind == SPLIT_NONE else 1
+            split = io.bin("split_cu_flag", self._split_ctx(x0, y0, depth),
+                           want)
+            if split:
+                mtt_any = bt_v or bt_h or tt_v or tt_h
+                if allow_qt and mtt_any:
+                    want_qt = None
+                    if self.plan is not None:
+                        want_qt = 1 if want_kind == SPLIT_QT else 0
+                    qt = io.bin("split_qt_flag", min(5, depth), want_qt)
+                elif allow_qt:
+                    qt = 1
+                else:
+                    qt = 0
+                if qt:
+                    kind = SPLIT_QT
+                else:
+                    ver_ok = bt_v or tt_v
+                    hor_ok = bt_h or tt_h
+                    if ver_ok and hor_ok:
+                        want_v = None
+                        if self.plan is not None:
+                            want_v = 1 if want_kind in (SPLIT_BT_V,
+                                                        SPLIT_TT_V) else 0
+                        inc = 0 if lw > lh else (1 if lw == lh else 2)
+                        ver = io.bin("mtt_split_cu_vertical_flag", inc,
+                                     want_v)
+                    else:
+                        ver = 1 if ver_ok else 0
+                    bt_ok = bt_v if ver else bt_h
+                    tt_ok = tt_v if ver else tt_h
+                    if bt_ok and tt_ok:
+                        want_b = None
+                        if self.plan is not None:
+                            want_b = 1 if want_kind in (SPLIT_BT_V,
+                                                        SPLIT_BT_H) else 0
+                        binary = io.bin("mtt_split_cu_binary_flag",
+                                        min(3, md), want_b)
+                    else:
+                        binary = 1 if bt_ok else 0
+                    if ver:
+                        kind = SPLIT_BT_V if binary else SPLIT_TT_V
+                    else:
+                        kind = SPLIT_BT_H if binary else SPLIT_TT_H
+
+        if kind == SPLIT_QT:
+            half_w, half_h = w >> 1, h >> 1
+            self._coding_tree(x0, y0, lw - 1, lh - 1, qd + 1, 0)
+            self._coding_tree(x0 + half_w, y0, lw - 1, lh - 1, qd + 1, 0)
+            self._coding_tree(x0, y0 + half_h, lw - 1, lh - 1, qd + 1, 0)
+            self._coding_tree(x0 + half_w, y0 + half_h, lw - 1, lh - 1,
+                              qd + 1, 0)
+        elif kind == SPLIT_BT_V:
+            self._coding_tree(x0, y0, lw - 1, lh, qd, md + 1)
+            self._coding_tree(x0 + (w >> 1), y0, lw - 1, lh, qd, md + 1)
+        elif kind == SPLIT_BT_H:
+            self._coding_tree(x0, y0, lw, lh - 1, qd, md + 1)
+            self._coding_tree(x0, y0 + (h >> 1), lw, lh - 1, qd, md + 1)
+        elif kind == SPLIT_TT_V:
+            q = w >> 2
+            self._coding_tree(x0, y0, lw - 2, lh, qd, md + 1)
+            self._coding_tree(x0 + q, y0, lw - 1, lh, qd, md + 1)
+            self._coding_tree(x0 + 3 * q, y0, lw - 2, lh, qd, md + 1)
+        elif kind == SPLIT_TT_H:
+            q = h >> 2
+            self._coding_tree(x0, y0, lw, lh - 2, qd, md + 1)
+            self._coding_tree(x0, y0 + q, lw, lh - 1, qd, md + 1)
+            self._coding_tree(x0, y0 + 3 * q, lw, lh - 2, qd, md + 1)
         else:
-            split = 0
-        if split:
-            half = size >> 1
-            self._coding_tree(x0, y0, log2 - 1, depth + 1)
-            self._coding_tree(x0 + half, y0, log2 - 1, depth + 1)
-            self._coding_tree(x0, y0 + half, log2 - 1, depth + 1)
-            self._coding_tree(x0 + half, y0 + half, log2 - 1, depth + 1)
-        else:
-            self._coding_unit(x0, y0, log2, depth)
+            self._coding_unit(x0, y0, lw, lh, depth)
 
     # ------------------------------------------------------------- CU
 
@@ -282,9 +381,11 @@ class SliceCoder:
             return INTRA_PLANAR
         return int(self.mode_map[y >> 2, x >> 2])
 
-    def _coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+    def _coding_unit(self, x0: int, y0: int, log2w: int, log2h: int,
+                     depth: int) -> None:
         io = self.io
-        size = 1 << log2
+        w = 1 << log2w
+        h = 1 << log2h
         if self.max_cus is not None and len(self.cus) >= self.max_cus:
             raise HeifError.security("VVC CU count exceeds limit")
 
@@ -296,8 +397,8 @@ class SliceCoder:
                                       f"({x0},{y0})")
 
         # ---- luma intra mode
-        cand_l = self._neighbor_mode(x0 - 1, y0 + size - 1, False, y0)
-        cand_a = self._neighbor_mode(x0 + size - 1, y0 - 1, True, y0)
+        cand_l = self._neighbor_mode(x0 - 1, y0 + h - 1, False, y0)
+        cand_a = self._neighbor_mode(x0 + w - 1, y0 - 1, True, y0)
         mpm = build_mpm_list(cand_l, cand_a)
 
         if src is not None:
@@ -358,39 +459,46 @@ class SliceCoder:
             cbf_cr = io.bin("tu_cbf_cr", cbf_cb)
             cbf_y = io.bin("tu_cbf_luma", 0)
 
-        cu = CuData(x=x0, y=y0, log2=log2, luma_mode=luma_mode,
+        cu = CuData(x=x0, y=y0, log2w=log2w, log2h=log2h,
+                    luma_mode=luma_mode,
                     chroma_coded=cm, chroma_mode=chroma_mode)
         if cbf_y:
-            cu.coeffs_y = self._residual(log2, 0,
+            cu.coeffs_y = self._residual(log2w, log2h, 0,
                                          None if src is None
                                          else src.coeffs_y)
         if cbf_cb:
-            cu.coeffs_cb = self._residual(log2 - 1, 1,
+            cu.coeffs_cb = self._residual(log2w - 1, log2h - 1, 1,
                                           None if src is None
                                           else src.coeffs_cb)
         if cbf_cr:
-            cu.coeffs_cr = self._residual(log2 - 1, 2,
+            cu.coeffs_cr = self._residual(log2w - 1, log2h - 1, 2,
                                           None if src is None
                                           else src.coeffs_cr)
         self.cus.append(cu)
 
         # update neighbor maps
-        self.depth_map[y0 >> 2:(y0 + size) >> 2,
-                       x0 >> 2:(x0 + size) >> 2] = depth
-        self.mode_map[y0 >> 2:(y0 + size) >> 2,
-                      x0 >> 2:(x0 + size) >> 2] = luma_mode
-        self.coded_map[y0 >> 2:(y0 + size) >> 2,
-                       x0 >> 2:(x0 + size) >> 2] = True
+        self.depth_map[y0 >> 2:(y0 + h) >> 2,
+                       x0 >> 2:(x0 + w) >> 2] = depth
+        self.mode_map[y0 >> 2:(y0 + h) >> 2,
+                      x0 >> 2:(x0 + w) >> 2] = luma_mode
+        self.coded_map[y0 >> 2:(y0 + h) >> 2,
+                       x0 >> 2:(x0 + w) >> 2] = True
 
     # -------------------------------------------------------- residual
 
-    def _residual(self, log2: int, c_idx: int,
+    def _residual(self, log2w: int, log2h: int, c_idx: int,
                   enc_coeffs: Optional[np.ndarray]) -> np.ndarray:
-        """residual_coding (§7.3.11.11), regular path, square TB."""
+        """residual_coding (§7.3.11.11), regular path, 4x4 subblocks
+        (TB dims >= 4 in this toolset)."""
         io = self.io
-        n = 1 << log2
-        n_sb = n >> 2
-        sb_scan = SB_SCANS[(n_sb, n_sb)]
+        if log2w < 2 or log2h < 2:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "TB narrower than 4 samples")
+        w = 1 << log2w
+        h = 1 << log2h
+        w_sb = w >> 2
+        h_sb = h >> 2
+        sb_scan = SB_SCANS[(w_sb, h_sb)]
         # forward full scan (DC first)
         order: List[Tuple[int, int]] = []
         for sbx, sby in sb_scan:
@@ -411,7 +519,7 @@ class SliceCoder:
         chroma = c_idx > 0
 
         # ---- last significant position
-        def code_last(val: Optional[int]) -> int:
+        def code_last(val: Optional[int], log2: int) -> int:
             c_max = (log2 << 1) - 1
             if val is not None:
                 # value → prefix/suffix
@@ -449,33 +557,33 @@ class SliceCoder:
             return ((2 + (prefix & 1)) << bits) + suffix
 
         self._last_name = "last_sig_coeff_x_prefix"
-        lx = code_last(last_x if enc_coeffs is not None else None)
+        lx = code_last(last_x if enc_coeffs is not None else None, log2w)
         self._last_name = "last_sig_coeff_y_prefix"
-        ly = code_last(last_y if enc_coeffs is not None else None)
+        ly = code_last(last_y if enc_coeffs is not None else None, log2h)
         if enc_coeffs is None:
-            if lx >= n or ly >= n:
+            if lx >= w or ly >= h:
                 raise HeifError.invalid_input(
                     msg="last significant coefficient out of range")
             last = pos_of[(lx, ly)]
 
         last_sb = last >> 4
-        coeffs = np.zeros((n, n), np.int32)
-        abs1 = np.zeros((n, n), np.int32)      # AbsLevelPass1
-        absf = np.zeros((n, n), np.int32)      # final AbsLevel
-        csbf = np.zeros((n_sb, n_sb), bool)
-        rem_bins = ((n * n) * 7) >> 2          # MaxCcbs pass-1 budget
+        coeffs = np.zeros((h, w), np.int32)
+        abs1 = np.zeros((h, w), np.int32)      # AbsLevelPass1
+        absf = np.zeros((h, w), np.int32)      # final AbsLevel
+        csbf = np.zeros((h_sb, w_sb), bool)
+        rem_bins = ((w * h) * 7) >> 2          # MaxCcbs pass-1 budget
 
         def tmpl_sum(arr: np.ndarray, x: int, y: int) -> int:
             s = 0
-            if x + 1 < n:
+            if x + 1 < w:
                 s += arr[y, x + 1]
-                if x + 2 < n:
+                if x + 2 < w:
                     s += arr[y, x + 2]
-                if y + 1 < n:
+                if y + 1 < h:
                     s += arr[y + 1, x + 1]
-            if y + 1 < n:
+            if y + 1 < h:
                 s += arr[y + 1, x]
-                if y + 2 < n:
+                if y + 2 < h:
                     s += arr[y + 2, x]
             return int(s)
 
@@ -483,7 +591,7 @@ class SliceCoder:
             s = 0
             for (tx, ty) in ((x + 1, y), (x + 2, y), (x, y + 1),
                              (x, y + 2), (x + 1, y + 1)):
-                if tx < n and ty < n and abs1[ty, tx] != 0:
+                if tx < w and ty < h and abs1[ty, tx] != 0:
                     s += 1
             return s
 
@@ -493,8 +601,8 @@ class SliceCoder:
                 sb_flag = 1
                 explicit_sb = False
             else:
-                right = csbf[sby, sbx + 1] if sbx + 1 < n_sb else False
-                below = csbf[sby + 1, sbx] if sby + 1 < n_sb else False
+                right = csbf[sby, sbx + 1] if sbx + 1 < w_sb else False
+                below = csbf[sby + 1, sbx] if sby + 1 < h_sb else False
                 inc = (2 if chroma else 0) + (1 if (right or below) else 0)
                 if enc_coeffs is not None:
                     has = any(enc_coeffs[sby * 4 + dy, sbx * 4 + dx] != 0

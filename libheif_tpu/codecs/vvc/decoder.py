@@ -29,9 +29,9 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nal: bytes
     if sps.chroma_format_idc != 1:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "only 4:2:0 VVC supported")
-    if sps.bit_depth != 8:
+    if sps.bit_depth not in (8, 10):
         raise HeifError.unsupported(SubError.Unsupported_bit_depth,
-                                    "only 8-bit VVC supported")
+                                    "only 8/10-bit VVC supported")
     sh = H.parse_slice_header(slice_nal, sps, {pps.pps_id: pps})
     rbsp = remove_emulation_prevention(slice_nal[2:])
 
@@ -44,12 +44,12 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nal: bytes
     recon = PictureRecon(sps.pic_width, sps.pic_height, sps.bit_depth)
     cqp = chroma_qp_from_luma(sh.qp)
     for cu in cus:
-        recon.reconstruct_tb(cu.x, cu.y, cu.log2, 0, cu.luma_mode,
-                             cu.coeffs_y, sh.qp)
-        recon.reconstruct_tb(cu.x, cu.y, cu.log2 - 1, 1, cu.chroma_mode,
-                             cu.coeffs_cb, cqp)
-        recon.reconstruct_tb(cu.x, cu.y, cu.log2 - 1, 2, cu.chroma_mode,
-                             cu.coeffs_cr, cqp)
+        recon.reconstruct_tb(cu.x, cu.y, cu.log2w, cu.log2h, 0,
+                             cu.luma_mode, cu.coeffs_y, sh.qp)
+        recon.reconstruct_tb(cu.x, cu.y, cu.log2w - 1, cu.log2h - 1, 1,
+                             cu.chroma_mode, cu.coeffs_cb, cqp)
+        recon.reconstruct_tb(cu.x, cu.y, cu.log2w - 1, cu.log2h - 1, 2,
+                             cu.chroma_mode, cu.coeffs_cr, cqp)
     return tuple(recon.planes)
 
 
@@ -99,10 +99,11 @@ class VvcDecoder(Decoder):
         cb = cb[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
         cr = cr[t:t + (h + 1) // 2, l:l + (w + 1) // 2]
 
+        dt = np.uint8 if sps.bit_depth <= 8 else np.uint16
         img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
-        img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth)
-        img.set_plane(Channel.Cb, cb.astype(np.uint8), sps.bit_depth)
-        img.set_plane(Channel.Cr, cr.astype(np.uint8), sps.bit_depth)
+        img.set_plane(Channel.Y, y.astype(dt), sps.bit_depth)
+        img.set_plane(Channel.Cb, cb.astype(dt), sps.bit_depth)
+        img.set_plane(Channel.Cr, cr.astype(dt), sps.bit_depth)
         return img
 
 

@@ -25,8 +25,8 @@ from ...core.error import HeifError, SubError
 from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
 from ..registry import Encoder as RegistryEncoder, register_encoder
 from . import headers as H
-from .tables import (QUANT_SCALE, INTRA_PLANAR, INTRA_DC, INTRA_HOR,
-                     INTRA_VER)
+from .tables import (QUANT_SCALE, QUANT_SCALE_RECT, INTRA_PLANAR, INTRA_DC,
+                     INTRA_HOR, INTRA_VER)
 from .cabac import ContextModels
 from .cabac_enc import CabacEncoder
 from .ctu import SyntaxIO, SliceCoder, EncodePlan, CuData, build_mpm_list
@@ -39,14 +39,18 @@ class EncParams:
     qp: int = 30
     split_thresh: float = 6.0       # mean-abs-residual → split heuristic
     angular_step: int = 4           # first-stage angular sweep stride
+    mtt_depth: int = 1              # MTT hierarchy depth (0 = QT only)
+    bit_depth: int = 8
 
 
-def quantize(coeffs: np.ndarray, qp: int, log2: int,
+def quantize(coeffs: np.ndarray, qp: int, log2w: int, log2h: int,
              bit_depth: int = 8) -> np.ndarray:
-    """Forward scalar quantization inverting recon.dequant's scale."""
-    tshift = 15 - bit_depth - log2
-    qbits = 14 + qp // 6 + tshift
-    scale = QUANT_SCALE[qp % 6]
+    """Forward scalar quantization inverting recon.dequant's scale
+    (incl. the rectangular sqrt2 compensation)."""
+    rect = (log2w + log2h) & 1
+    tshift = 15 - bit_depth - ((log2w + log2h) >> 1)
+    qbits = 14 + qp // 6 + tshift + rect
+    scale = (QUANT_SCALE_RECT if rect else QUANT_SCALE)[qp % 6]
     add = 171 << (qbits - 9)        # intra rounding
     mag = (np.abs(coeffs.astype(np.int64)) * scale + add) >> qbits
     return (np.sign(coeffs) * mag).astype(np.int32)
@@ -59,8 +63,15 @@ class VvcIntraEncoder:
         self.width = (width + ctu - 1) // ctu * ctu
         self.height = (height + ctu - 1) // ctu * ctu
         self.src_w, self.src_h = width, height
+        mtt = max(0, min(4, params.mtt_depth))
         self.sps_nal = H.write_sps(H.SPS(pic_width=self.width,
-                                         pic_height=self.height))
+                                         pic_height=self.height,
+                                         bit_depth=params.bit_depth,
+                                         max_mtt_depth_intra=mtt,
+                                         log2_diff_max_bt_min_qt=2 if mtt
+                                         else 0,
+                                         log2_diff_max_tt_min_qt=2 if mtt
+                                         else 0))
         # re-parse our own writers so encoder and decoder agree
         self.sps = H.parse_sps(self.sps_nal)
         self.pps_nal = H.write_pps(H.PPS(pic_width=self.width,
@@ -69,6 +80,7 @@ class VvcIntraEncoder:
         self.pps = H.parse_pps(self.pps_nal)
         self.qp = max(0, min(63, params.qp))
         self.cqp = chroma_qp_from_luma(self.qp)
+        self.bd = params.bit_depth
         self._mode_plan = {}
 
     # ------------------------------------------------------------- plan
@@ -85,12 +97,12 @@ class VvcIntraEncoder:
         cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
                          (0, self.width // 2 - cr.shape[1])), mode="edge")
         self.src = [y, cb, cr]
-        self.recon = PictureRecon(self.width, self.height, 8)
+        self.recon = PictureRecon(self.width, self.height, self.bd)
         self.plan = EncodePlan()
 
         for cy in range(0, self.height, 32):
             for cx in range(0, self.width, 32):
-                self._tree(cx, cy, 5)
+                self._tree(cx, cy, 5, 5, 0)
 
         # serialization pass
         ctx = ContextModels(self.qp)
@@ -108,50 +120,115 @@ class VvcIntraEncoder:
 
     # ------------------------------------------------------------- tree
 
-    def _tree(self, x0: int, y0: int, log2: int) -> None:
+    def _tree(self, x0: int, y0: int, lw: int, lh: int, md: int) -> None:
+        from .ctu import (SPLIT_QT, SPLIT_BT_H, SPLIT_BT_V, SPLIT_TT_H,
+                          SPLIT_TT_V, SPLIT_NONE)
         if x0 >= self.width or y0 >= self.height:
             return
-        size = 1 << log2
-        crosses = (x0 + size > self.width) or (y0 + size > self.height)
+        w, h = 1 << lw, 1 << lh
+        crosses = (x0 + w > self.width) or (y0 + h > self.height)
+        kind = SPLIT_NONE
         if crosses:
-            split = True                 # implicit (not in plan map)
-        elif log2 > 3:
-            split = self._want_split(x0, y0, log2)
-            self.plan.set_split(x0, y0, log2, split)
+            kind = SPLIT_QT              # implicit (not in plan map)
         else:
-            split = False
-        if split:
-            half = size >> 1
-            self._tree(x0, y0, log2 - 1)
-            self._tree(x0 + half, y0, log2 - 1)
-            self._tree(x0, y0 + half, log2 - 1)
-            self._tree(x0 + half, y0 + half, log2 - 1)
+            if md < self.p.mtt_depth:
+                kind = self._want_mtt(x0, y0, lw, lh)
+            if kind == SPLIT_NONE and lw == lh and md == 0 and lw > 3 \
+                    and self._want_split(x0, y0, lw, lh):
+                kind = SPLIT_QT
+            if kind != SPLIT_NONE:
+                self.plan.set_split(x0, y0, lw, lh, kind)
+        if kind == SPLIT_QT:
+            hw, hh = w >> 1, h >> 1
+            self._tree(x0, y0, lw - 1, lh - 1, 0)
+            self._tree(x0 + hw, y0, lw - 1, lh - 1, 0)
+            self._tree(x0, y0 + hh, lw - 1, lh - 1, 0)
+            self._tree(x0 + hw, y0 + hh, lw - 1, lh - 1, 0)
+        elif kind == SPLIT_BT_V:
+            self._tree(x0, y0, lw - 1, lh, md + 1)
+            self._tree(x0 + (w >> 1), y0, lw - 1, lh, md + 1)
+        elif kind == SPLIT_BT_H:
+            self._tree(x0, y0, lw, lh - 1, md + 1)
+            self._tree(x0, y0 + (h >> 1), lw, lh - 1, md + 1)
+        elif kind == SPLIT_TT_V:
+            q = w >> 2
+            self._tree(x0, y0, lw - 2, lh, md + 1)
+            self._tree(x0 + q, y0, lw - 1, lh, md + 1)
+            self._tree(x0 + 3 * q, y0, lw - 2, lh, md + 1)
+        elif kind == SPLIT_TT_H:
+            q = h >> 2
+            self._tree(x0, y0, lw, lh - 2, md + 1)
+            self._tree(x0, y0 + q, lw, lh - 1, md + 1)
+            self._tree(x0, y0 + 3 * q, lw, lh - 2, md + 1)
         else:
-            self._encode_cu(x0, y0, log2)
+            self._encode_cu(x0, y0, lw, lh)
 
-    def _want_split(self, x0: int, y0: int, log2: int) -> bool:
-        n = 1 << log2
-        blk = self.src[0][y0:y0 + n, x0:x0 + n]
-        # quick detail probe: mean |gradient| vs QP-scaled threshold
-        gx = np.abs(np.diff(blk.astype(np.int32), axis=1)).mean()
-        gy = np.abs(np.diff(blk.astype(np.int32), axis=0)).mean()
-        detail = gx + gy
+    def _grad(self, x0: int, y0: int, lw: int, lh: int):
+        blk = self.src[0][y0:y0 + (1 << lh), x0:x0 + (1 << lw)]
+        gx = np.abs(np.diff(blk.astype(np.int32), axis=1))
+        gy = np.abs(np.diff(blk.astype(np.int32), axis=0))
+        return gx, gy
+
+    def _want_split(self, x0: int, y0: int, lw: int, lh: int) -> bool:
+        gx, gy = self._grad(x0, y0, lw, lh)
+        detail = (gx.mean() + gy.mean()) / (1 << max(0, self.bd - 8))
         return detail > self.p.split_thresh * (1.0 + (32 - self.qp) / 16.0)
+
+    def _want_mtt(self, x0: int, y0: int, lw: int, lh: int) -> str:
+        """Directional split heuristic: strongly anisotropic detail →
+        binary split across the dominant gradient; detail concentrated
+        in the middle half → ternary split."""
+        from .ctu import (SPLIT_BT_H, SPLIT_BT_V, SPLIT_TT_H, SPLIT_TT_V,
+                          SPLIT_NONE)
+        max_bt = self.sps.max_bt_log2
+        max_tt = self.sps.max_tt_log2
+        gx, gy = self._grad(x0, y0, lw, lh)
+        norm = 1 << max(0, self.bd - 8)
+        mgx, mgy = gx.mean() / norm, gy.mean() / norm
+        thresh = self.p.split_thresh * (1.0 + (32 - self.qp) / 16.0)
+        if mgx + mgy < thresh:
+            return SPLIT_NONE
+        w, h = 1 << lw, 1 << lh
+        # a directional split only pays off when it separates detail
+        # from flat area (concentration), otherwise deep QT wins
+        if mgx > 1.5 * mgy and lw >= 4 and lw <= max_bt and lh <= max_bt:
+            col = gx.sum(axis=0).astype(np.float64)
+            total = float(col.sum()) + 1e-9
+            if lw >= 5 and lw <= max_tt and lh <= max_tt:
+                mid = float(col[w // 4:3 * w // 4 - 1].sum())
+                if mid > 0.8 * total:
+                    return SPLIT_TT_V
+            halves = (float(col[:w // 2].sum()),
+                      float(col[w // 2 - 1:].sum()))
+            if max(halves) > 0.8 * total:
+                return SPLIT_BT_V
+        if mgy > 1.5 * mgx and lh >= 4 and lw <= max_bt and lh <= max_bt:
+            row = gy.sum(axis=1).astype(np.float64)
+            total = float(row.sum()) + 1e-9
+            if lh >= 5 and lw <= max_tt and lh <= max_tt:
+                mid = float(row[h // 4:3 * h // 4 - 1].sum())
+                if mid > 0.8 * total:
+                    return SPLIT_TT_H
+            halves = (float(row[:h // 2].sum()),
+                      float(row[h // 2 - 1:].sum()))
+            if max(halves) > 0.8 * total:
+                return SPLIT_BT_H
+        return SPLIT_NONE
 
     # --------------------------------------------------------------- CU
 
-    def _choose_luma_mode(self, x0: int, y0: int, log2: int) -> int:
-        n = 1 << log2
-        src = self.src[0][y0:y0 + n, x0:x0 + n]
-        ref = self.recon.gather_refs(x0, y0, log2, 0)
-        size = 1 << log2
-        cand_l = self._plan_neighbor_mode(x0 - 1, y0 + size - 1, y0)
-        cand_a = self._plan_neighbor_mode(x0 + size - 1, y0 - 1, y0,
+    def _choose_luma_mode(self, x0: int, y0: int, log2w: int,
+                          log2h: int) -> int:
+        w, h = 1 << log2w, 1 << log2h
+        src = self.src[0][y0:y0 + h, x0:x0 + w]
+        ref = self.recon.gather_refs(x0, y0, log2w, log2h, 0)
+        cand_l = self._plan_neighbor_mode(x0 - 1, y0 + h - 1, y0)
+        cand_a = self._plan_neighbor_mode(x0 + w - 1, y0 - 1, y0,
                                           same_ctu_row=True)
         mpm = set(build_mpm_list(cand_l, cand_a))
 
         def cost(mode: int) -> float:
-            pred = predict_intra(ref, mode, log2, 0, 8)
+            pred = predict_intra(ref, mode, log2w, log2h, 0, self.bd)
             sse = float(((src - pred).astype(np.int64) ** 2).sum())
             return sse * (1.0 if mode in mpm else 1.02)
 
@@ -171,43 +248,46 @@ class VvcIntraEncoder:
             return INTRA_PLANAR
         return self._mode_plan.get((x >> 2, y >> 2), INTRA_PLANAR)
 
-    def _encode_cu(self, x0: int, y0: int, log2: int) -> None:
-        n = 1 << log2
-        luma_mode = self._choose_luma_mode(x0, y0, log2)
-        cu = CuData(x=x0, y=y0, log2=log2, luma_mode=luma_mode,
+    def _encode_cu(self, x0: int, y0: int, log2w: int, log2h: int) -> None:
+        w, h = 1 << log2w, 1 << log2h
+        bd = self.bd
+        luma_mode = self._choose_luma_mode(x0, y0, log2w, log2h)
+        cu = CuData(x=x0, y=y0, log2w=log2w, log2h=log2h,
+                    luma_mode=luma_mode,
                     chroma_coded=4, chroma_mode=luma_mode)
 
         # luma residual
-        src = self.src[0][y0:y0 + n, x0:x0 + n]
-        ref = self.recon.gather_refs(x0, y0, log2, 0)
-        pred = predict_intra(ref, luma_mode, log2, 0, 8)
+        src = self.src[0][y0:y0 + h, x0:x0 + w]
+        ref = self.recon.gather_refs(x0, y0, log2w, log2h, 0)
+        pred = predict_intra(ref, luma_mode, log2w, log2h, 0, bd)
         res = src - pred
-        coeffs = quantize(forward_transform(res, log2, 8), self.qp, log2, 8)
+        coeffs = quantize(forward_transform(res, log2w, log2h, bd),
+                          self.qp, log2w, log2h, bd)
         if np.any(coeffs):
             cu.coeffs_y = coeffs
-        self.recon.reconstruct_tb(x0, y0, log2, 0, luma_mode,
+        self.recon.reconstruct_tb(x0, y0, log2w, log2h, 0, luma_mode,
                                   cu.coeffs_y, self.qp)
 
         # chroma residuals (TB = half size, DM mode)
-        clog2 = log2 - 1
-        cn = 1 << clog2
+        clw, clh = log2w - 1, log2h - 1
+        cw, ch = 1 << clw, 1 << clh
         cxx, cyy = x0 >> 1, y0 >> 1
         for c_idx, plane_attr in ((1, "coeffs_cb"), (2, "coeffs_cr")):
-            csrc = self.src[c_idx][cyy:cyy + cn, cxx:cxx + cn]
-            cref = self.recon.gather_refs(x0, y0, clog2, c_idx)
-            cpred = predict_intra(cref, cu.chroma_mode, clog2, c_idx, 8)
+            csrc = self.src[c_idx][cyy:cyy + ch, cxx:cxx + cw]
+            cref = self.recon.gather_refs(x0, y0, clw, clh, c_idx)
+            cpred = predict_intra(cref, cu.chroma_mode, clw, clh, c_idx, bd)
             cres = csrc - cpred
-            ccoef = quantize(forward_transform(cres, clog2, 8),
-                             self.cqp, clog2, 8)
+            ccoef = quantize(forward_transform(cres, clw, clh, bd),
+                             self.cqp, clw, clh, bd)
             if np.any(ccoef):
                 setattr(cu, plane_attr, ccoef)
-        self.recon.reconstruct_tb(x0, y0, clog2, 1, cu.chroma_mode,
+        self.recon.reconstruct_tb(x0, y0, clw, clh, 1, cu.chroma_mode,
                                   cu.coeffs_cb, self.cqp)
-        self.recon.reconstruct_tb(x0, y0, clog2, 2, cu.chroma_mode,
+        self.recon.reconstruct_tb(x0, y0, clw, clh, 2, cu.chroma_mode,
                                   cu.coeffs_cr, self.cqp)
 
-        for yy in range(y0 >> 2, (y0 + n) >> 2):
-            for xx in range(x0 >> 2, (x0 + n) >> 2):
+        for yy in range(y0 >> 2, (y0 + h) >> 2):
+            for xx in range(x0 >> 2, (x0 + w) >> 2):
                 self._mode_plan[(xx, yy)] = luma_mode
         self.plan.add_cu(cu)
 
@@ -231,7 +311,12 @@ class VvcEncoder(RegistryEncoder):
         qp = min(qp, 51)
         if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
             img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
-        enc = VvcIntraEncoder(img.width, img.height, EncParams(qp=qp))
+        bd = img.bit_depth(Channel.Y)
+        if bd not in (8, 10):
+            raise HeifError.unsupported(SubError.Unsupported_bit_depth,
+                                        f"VVC encode from {bd}-bit input")
+        enc = VvcIntraEncoder(img.width, img.height,
+                              EncParams(qp=qp, bit_depth=bd))
         slice_nal, cfg_nals = enc.encode(img)
 
         cfg = Box_vvcC()

@@ -108,6 +108,8 @@ class SPS:
     log2_min_cb_size: int = 3         # min CB 8
     log2_diff_min_qt_min_cb_intra: int = 0
     max_mtt_depth_intra: int = 0
+    log2_diff_max_bt_min_qt: int = 0
+    log2_diff_max_tt_min_qt: int = 0
     dual_tree_intra: bool = False
     # chroma QP table signalling (identity):
     qp_table_start_minus26: int = 0
@@ -120,6 +122,14 @@ class SPS:
     @property
     def min_qt_log2(self) -> int:
         return self.log2_min_cb_size + self.log2_diff_min_qt_min_cb_intra
+
+    @property
+    def max_bt_log2(self) -> int:
+        return self.min_qt_log2 + self.log2_diff_max_bt_min_qt
+
+    @property
+    def max_tt_log2(self) -> int:
+        return self.min_qt_log2 + self.log2_diff_max_tt_min_qt
 
     @property
     def cropped_size(self) -> Tuple[int, int]:
@@ -221,8 +231,8 @@ def write_sps(sps: SPS) -> bytes:
     write_ue(w, sps.log2_diff_min_qt_min_cb_intra)
     write_ue(w, sps.max_mtt_depth_intra)
     if sps.max_mtt_depth_intra:
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "MTT partitioning")
+        write_ue(w, sps.log2_diff_max_bt_min_qt)
+        write_ue(w, sps.log2_diff_max_tt_min_qt)
     if sps.chroma_format_idc:
         w.write_bits(1 if sps.dual_tree_intra else 0, 1)
         if sps.dual_tree_intra:
@@ -337,8 +347,8 @@ def parse_sps(nal: bytes) -> SPS:
     sps.log2_diff_min_qt_min_cb_intra = br.read_ue()
     sps.max_mtt_depth_intra = br.read_ue()
     if sps.max_mtt_depth_intra:
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "MTT partitioning")
+        sps.log2_diff_max_bt_min_qt = br.read_ue()
+        sps.log2_diff_max_tt_min_qt = br.read_ue()
     if sps.chroma_format_idc:
         sps.dual_tree_intra = bool(br.read_bits(1))
         if sps.dual_tree_intra:

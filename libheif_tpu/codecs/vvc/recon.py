@@ -1,9 +1,10 @@
 """VVC intra reconstruction: dequant, inverse DCT-II, prediction + PDPC.
 
-Spec anchors: scaling H.266 §8.7.3, transforms §8.7.4, intra
-prediction §8.4.5.2 (reference samples §8.4.5.2.5/.7, planar/DC
-§8.4.5.2.10-11, angular §8.4.5.2.12, PDPC §8.4.5.2.15).  Square TBs
-only (QT-only toolset), refIdx 0, 4:2:0.
+Spec anchors: scaling H.266 §8.7.3 (incl. the rectangular
+1/sqrt2 levelScale), transforms §8.7.4, intra prediction §8.4.5.2
+(reference samples §8.4.5.2.5/.7, wide-angle remapping §8.4.5.2.6,
+planar/DC §8.4.5.2.10-11, angular §8.4.5.2.12, PDPC §8.4.5.2.15).
+Rectangular TBs from MTT partitioning are supported; refIdx 0, 4:2:0.
 
 Reference-correct numpy implementation; prediction for angular modes
 is vectorized per row so the decoder's hot loop stays matrix-shaped.
@@ -17,10 +18,11 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .tables import (DCT, ANGLE_TABLE, inv_angle, FILTER_C, FILTER_G,
+from .tables import (DCT, ANGLE_TABLE, inv_angle, map_wide_angle,
+                     FILTER_C, FILTER_G,
                      INTRA_HOR_VER_DIST_THRES, CHROMA_QP_TABLE,
                      INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER,
-                     LEVEL_SCALE)
+                     LEVEL_SCALE, LEVEL_SCALE_RECT)
 
 _FC = FILTER_C.astype(np.int64)
 _FG = FILTER_G.astype(np.int64)
@@ -31,40 +33,45 @@ def chroma_qp_from_luma(qp_y: int) -> int:
     return CHROMA_QP_TABLE[max(0, min(63, qp_y))]
 
 
-def dequant(coeffs: np.ndarray, log2: int, qp: int,
+def dequant(coeffs: np.ndarray, log2w: int, log2h: int, qp: int,
             bit_depth: int) -> np.ndarray:
-    """Scaling process (§8.7.3, flat scaling list m=16, square TB)."""
-    bd_shift = bit_depth + log2 - 5
-    scale = LEVEL_SCALE[qp % 6] << (qp // 6)
+    """Scaling process (§8.7.3, flat scaling list m=16).  Rectangular
+    TBs with odd log2(W*H) use the sqrt2-scaled levelScale row and one
+    extra shift."""
+    rect = (log2w + log2h) & 1
+    bd_shift = bit_depth + ((log2w + log2h) >> 1) - 5 + rect
+    ls = LEVEL_SCALE_RECT if rect else LEVEL_SCALE
+    scale = ls[qp % 6] << (qp // 6)
     c = coeffs.astype(np.int64)
     d = (c * 16 * scale + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
-def inverse_transform(d: np.ndarray, log2: int,
+def inverse_transform(d: np.ndarray, log2w: int, log2h: int,
                       bit_depth: int) -> np.ndarray:
-    """Inverse DCT-II, two stages with intermediate clip (§8.7.4)."""
-    n = 1 << log2
-    m = DCT[n]
-    e = (m.T @ d.astype(np.int64) + 64) >> 7
+    """Inverse DCT-II, two stages with intermediate clip (§8.7.4);
+    column transform of size H then row transform of size W."""
+    mh = DCT[1 << log2h]
+    mw = DCT[1 << log2w]
+    e = (mh.T @ d.astype(np.int64) + 64) >> 7
     e = np.clip(e, -32768, 32767)
     shift2 = 20 - bit_depth
-    r = (e @ m + (1 << (shift2 - 1))) >> shift2
+    r = (e @ mw + (1 << (shift2 - 1))) >> shift2
     return np.clip(r, -32768, 32767).astype(np.int32)
 
 
-def forward_transform(block: np.ndarray, log2: int,
+def forward_transform(block: np.ndarray, log2w: int, log2h: int,
                       bit_depth: int) -> np.ndarray:
     """Forward DCT-II matching inverse_transform's scaling (encoder)."""
-    n = 1 << log2
-    m = DCT[n]
-    shift1 = log2 + bit_depth - 9
-    tmp = (m @ block.astype(np.int64) + (1 << (shift1 - 1) if shift1 > 0
-                                         else 0)) >> max(shift1, 0)
-    if shift1 < 0:
-        tmp = (m @ block.astype(np.int64)) << (-shift1)
-    shift2 = log2 + 6
-    out = (tmp @ m.T + (1 << (shift2 - 1))) >> shift2
+    mh = DCT[1 << log2h]
+    mw = DCT[1 << log2w]
+    shift1 = log2h + bit_depth - 9
+    if shift1 > 0:
+        tmp = (mh @ block.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
+    else:
+        tmp = (mh @ block.astype(np.int64)) << (-shift1)
+    shift2 = log2w + 6
+    out = (tmp @ mw.T + (1 << (shift2 - 1))) >> shift2
     return out
 
 
@@ -72,21 +79,27 @@ def forward_transform(block: np.ndarray, log2: int,
 # Intra prediction
 # --------------------------------------------------------------------------
 
-def _filter_flag(mode: int, log2: int, c_idx: int) -> Tuple[bool, bool]:
+def _filter_flag(mode: int, log2w: int, log2h: int,
+                 c_idx: int) -> Tuple[bool, bool]:
     """(smooth_refs, use_gauss): reference [1 2 1] smoothing for
     integer-slope modes / planar, Gaussian interpolation filter for
-    fractional-slope modes beyond the distance threshold (§8.4.5.2.5)."""
+    fractional-slope modes beyond the distance threshold (§8.4.5.2.5).
+    `mode` is the wide-angle-mapped mode."""
     if c_idx != 0:
         return False, False
-    n = 1 << log2
-    if n * n <= 32:
+    if (1 << (log2w + log2h)) <= 32:
         return False, False
     if mode == INTRA_PLANAR:
         return True, False
     if mode == INTRA_DC:
         return False, False
+    if mode < 2 or mode > 66:
+        # wide-angle: always beyond the distance threshold
+        angle = ANGLE_TABLE[mode]
+        return (True, False) if angle % 32 == 0 else (False, True)
     min_dist = min(abs(mode - INTRA_VER), abs(mode - INTRA_HOR))
-    if min_dist <= INTRA_HOR_VER_DIST_THRES[log2]:
+    ntbs = (log2w + log2h) >> 1
+    if min_dist <= INTRA_HOR_VER_DIST_THRES.get(ntbs, 0):
         return False, False
     angle = ANGLE_TABLE[mode]
     if angle % 32 == 0:
@@ -94,15 +107,17 @@ def _filter_flag(mode: int, log2: int, c_idx: int) -> Tuple[bool, bool]:
     return False, True              # fractional: smoothing via fG
 
 
-def predict_intra(ref: np.ndarray, mode: int, log2: int, c_idx: int,
-                  bit_depth: int) -> np.ndarray:
-    """Predict an n×n block from the 4n+1 reference array (ordered
-    bottom-left → corner → top-right as in the HEVC module)."""
-    n = 1 << log2
-    corner = 2 * n
+def predict_intra(ref: np.ndarray, mode: int, log2w: int, log2h: int,
+                  c_idx: int, bit_depth: int) -> np.ndarray:
+    """Predict a (h x w) block from the 2(w+h)+1 reference array
+    (ordered bottom-left -> corner -> top-right)."""
+    w = 1 << log2w
+    h = 1 << log2h
+    corner = w + h                    # index of the (x0-1, y0-1) sample
     maxv = (1 << bit_depth) - 1
 
-    smooth, use_gauss = _filter_flag(mode, log2, c_idx)
+    mode = map_wide_angle(mode, log2w, log2h)
+    smooth, use_gauss = _filter_flag(mode, log2w, log2h, c_idx)
     if smooth:
         out = ref.copy()
         out[1:-1] = (ref[:-2].astype(np.int64) + 2 * ref[1:-1].astype(np.int64)
@@ -114,53 +129,65 @@ def predict_intra(ref: np.ndarray, mode: int, log2: int, c_idx: int,
     cval = int(ref[corner])
 
     if mode == INTRA_PLANAR:
-        x = np.arange(n)
-        y = np.arange(n)[:, None]
-        tr = int(top[n])
-        bl = int(left[n])
-        pred_v = ((n - 1 - y) * top[:n][None, :] + (y + 1) * bl) << log2
-        pred_h = ((n - 1 - x) * left[:n][y] + (x + 1) * tr) << log2
-        pred = (pred_v + pred_h + (n * n)) >> (2 * log2 + 1)
-        return _pdpc(pred.astype(np.int64), mode, log2, left, top,
+        x = np.arange(w)
+        y = np.arange(h)[:, None]
+        tr = int(top[w])
+        bl = int(left[h])
+        pred_v = ((h - 1 - y) * top[:w][None, :] + (y + 1) * bl) << log2w
+        pred_h = ((w - 1 - x) * left[:h][y] + (x + 1) * tr) << log2h
+        pred = (pred_v + pred_h + (w * h)) >> (log2w + log2h + 1)
+        return _pdpc(pred.astype(np.int64), mode, log2w, log2h, left, top,
                      maxv).astype(np.int32)
 
     if mode == INTRA_DC:
-        dc = (int(top[:n].sum()) + int(left[:n].sum()) + n) >> (log2 + 1)
-        pred = np.full((n, n), dc, np.int64)
-        return _pdpc(pred, mode, log2, left, top, maxv).astype(np.int32)
+        if log2w == log2h:
+            dc = (int(top[:w].sum()) + int(left[:h].sum()) + w) >> \
+                (log2w + 1)
+        elif log2w > log2h:
+            dc = (int(top[:w].sum()) + (w >> 1)) >> log2w
+        else:
+            dc = (int(left[:h].sum()) + (h >> 1)) >> log2h
+        pred = np.full((h, w), dc, np.int64)
+        return _pdpc(pred, mode, log2w, log2h, left, top,
+                     maxv).astype(np.int32)
 
     angle = ANGLE_TABLE[mode]
     vertical = mode >= 34
     main_src = top if vertical else left
     side_src = left if vertical else top
+    # main-direction block extents
+    mn = w if vertical else h         # samples per predicted line
+    lines = h if vertical else w      # number of predicted lines
+    log2mn = log2w if vertical else log2h
 
-    # extended main reference, indices lo..2n (0 = corner)
-    lo = (n * angle) >> 5 if angle < 0 else 0
+    # extended main reference, indices lo..(len) (0 = corner)
+    lo = (lines * angle) >> 5 if angle < 0 else 0
     off = -lo
-    ext = np.zeros(off + 2 * n + 1, np.int64)
+    ext = np.zeros(off + len(main_src) + 1, np.int64)
     ext[off] = cval
     ext[off + 1:] = main_src
     if angle < 0:
         inv = inv_angle(angle)               # negative for negative angles
+        smax = len(side_src) - 1
         for x in range(-1, lo - 1, -1):
             idx = (x * inv + 256) >> 9       # distance along the side edge
             ext[off + x] = cval if idx <= 0 else \
-                side_src[min(idx - 1, 2 * n - 1)]
+                side_src[min(idx - 1, smax)]
 
-    k = np.arange(1, n + 1)
+    k = np.arange(1, lines + 1)
     i_idx = (k * angle) >> 5
     i_fact = (k * angle) & 31
-    pos = np.arange(n)
+    pos = np.arange(mn)
     hi = len(ext) - 1
-    predT = np.zeros((n, n), np.int64)
+    predT = np.zeros((lines, mn), np.int64)
     filt = _FG if use_gauss else _FC
-    for d_i in range(n):
+    for d_i in range(lines):
         base = off + int(i_idx[d_i]) + 1
         f = int(i_fact[d_i])
         if c_idx == 0:
             # 4-tap interpolation over taps at base-1 .. base+2 (§8.4.5.2.12)
             taps = filt[f]
-            acc = np.zeros(n, np.int64)
+            acc = np.zeros(mn, np.int64)
             for t in range(4):
                 idx = np.clip(pos + base - 1 + t, 0, hi)
                 acc += taps[t] * ext[idx]
@@ -176,29 +203,30 @@ def predict_intra(ref: np.ndarray, mode: int, log2: int, c_idx: int,
 
     pred = predT if vertical else predT.T
     if mode in (INTRA_HOR, INTRA_VER):
-        pred = _pdpc(pred, mode, log2, left, top, maxv)
+        pred = _pdpc(pred, mode, log2w, log2h, left, top, maxv)
     return np.clip(pred, 0, maxv).astype(np.int32)
 
 
-def _pdpc(pred: np.ndarray, mode: int, log2: int, left: np.ndarray,
-          top: np.ndarray, maxv: int) -> np.ndarray:
+def _pdpc(pred: np.ndarray, mode: int, log2w: int, log2h: int,
+          left: np.ndarray, top: np.ndarray, maxv: int) -> np.ndarray:
     """Position-dependent prediction combination (§8.4.5.2.15) for
-    planar/DC/horizontal/vertical modes (square blocks, refIdx 0)."""
-    n = 1 << log2
-    scale = (2 * log2 - 2) >> 2
-    x = np.arange(n)
-    y = np.arange(n)[:, None]
+    planar/DC/horizontal/vertical modes (refIdx 0)."""
+    w = 1 << log2w
+    h = 1 << log2h
+    scale = (log2w + log2h - 2) >> 2
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
     if mode in (INTRA_PLANAR, INTRA_DC):
         w_t = 32 >> np.minimum(31, (2 * y) >> scale)
         w_l = 32 >> np.minimum(31, (2 * x) >> scale)
-        out = (w_l * left[:n][y] + w_t * top[:n][None, :] +
+        out = (w_l * left[:h][y] + w_t * top[:w][None, :] +
                (64 - w_l - w_t) * pred + 32) >> 6
     elif mode == INTRA_VER:
         w_l = 16 >> np.minimum(31, (2 * x) >> scale)
-        out = (w_l * left[:n][y] + (64 - w_l) * pred + 32) >> 6
+        out = (w_l * left[:h][y] + (64 - w_l) * pred + 32) >> 6
     else:  # INTRA_HOR
         w_t = 16 >> np.minimum(31, (2 * y) >> scale)
-        out = (w_t * top[:n][None, :] + (64 - w_t) * pred + 32) >> 6
+        out = (w_t * top[:w][None, :] + (64 - w_t) * pred + 32) >> 6
     return np.clip(out, 0, maxv)
 
 
@@ -228,25 +256,28 @@ class PictureRecon:
             return False
         return bool(self.avail[ly >> 2, lx >> 2])
 
-    def gather_refs(self, x: int, y: int, log2: int,
+    def gather_refs(self, x: int, y: int, log2w: int, log2h: int,
                     c_idx: int) -> np.ndarray:
-        """4n+1 reference array with unavailable-sample substitution
+        """2(w+h)+1 reference array with unavailable-sample substitution
         (§8.4.5.2.7).  (x, y) are luma coords of the block."""
-        n = 1 << log2
+        w = 1 << log2w
+        h = 1 << log2h
+        span = w + h
         shift = 1 if c_idx else 0
         px, py = x >> shift, y >> shift
         plane = self.planes[c_idx]
         ph, pw = plane.shape
 
         coords = []
-        for i in range(2 * n):
-            coords.append((px - 1, py + 2 * n - 1 - i))
+        for i in range(span):
+            coords.append((px - 1, py + span - 1 - i))
         coords.append((px - 1, py - 1))
-        for i in range(2 * n):
+        for i in range(span):
             coords.append((px + i, py - 1))
 
-        vals = np.zeros(4 * n + 1, np.int32)
-        avail = np.zeros(4 * n + 1, bool)
+        n_ref = 2 * span + 1
+        vals = np.zeros(n_ref, np.int32)
+        avail = np.zeros(n_ref, bool)
         for i, (sx, sy) in enumerate(coords):
             if 0 <= sx < pw and 0 <= sy < ph and \
                     self._sample_available(sx << shift, sy << shift):
@@ -261,29 +292,30 @@ class PictureRecon:
                 idx = int(np.argmax(avail))
                 vals[0] = vals[idx]
                 avail[0] = True
-            for i in range(1, 4 * n + 1):
+            for i in range(1, n_ref):
                 if not avail[i]:
                     vals[i] = vals[i - 1]
         return vals
 
-    def reconstruct_tb(self, x: int, y: int, log2: int, c_idx: int,
-                       mode: int, coeffs: Optional[np.ndarray],
-                       qp: int) -> None:
+    def reconstruct_tb(self, x: int, y: int, log2w: int, log2h: int,
+                       c_idx: int, mode: int,
+                       coeffs: Optional[np.ndarray], qp: int) -> None:
         """Predict + add residual + store; marks luma availability."""
-        n = 1 << log2
-        ref = self.gather_refs(x, y, log2, c_idx)
-        pred = predict_intra(ref, mode, log2, c_idx, self.bd)
+        w = 1 << log2w
+        h = 1 << log2h
+        ref = self.gather_refs(x, y, log2w, log2h, c_idx)
+        pred = predict_intra(ref, mode, log2w, log2h, c_idx, self.bd)
         if coeffs is not None:
-            d = dequant(coeffs, log2, qp, self.bd)
-            res = inverse_transform(d, log2, self.bd)
+            d = dequant(coeffs, log2w, log2h, qp, self.bd)
+            res = inverse_transform(d, log2w, log2h, self.bd)
             pred = pred + res
         shift = 1 if c_idx else 0
         px, py = x >> shift, y >> shift
         plane = self.planes[c_idx]
         ph, pw = plane.shape
-        h = min(n, ph - py)
-        w = min(n, pw - px)
+        hh = min(h, ph - py)
+        ww = min(w, pw - px)
         maxv = (1 << self.bd) - 1
-        plane[py:py + h, px:px + w] = np.clip(pred[:h, :w], 0, maxv)
+        plane[py:py + hh, px:px + ww] = np.clip(pred[:hh, :ww], 0, maxv)
         if c_idx == 0:
-            self.avail[y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
+            self.avail[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = True

@@ -54,9 +54,35 @@ for _i in range(35, 51):                # 35..50: -29 up to 0
 for _i in range(51, 67):                # 51..66: +1 up to +32
     ANGLE_TABLE[_i] = _ANGLES_HALF[66 - _i]
 
+# wide-angle extension (H.266 Table 27 full range, modes -14..-1 and
+# 67..80, reached through the §8.4.5.2.6 remapping for non-square TBs)
+_WIDE = [35, 39, 45, 51, 57, 68, 85, 102, 128, 171, 256, 341, 512, 1024]
+for _i, _a in enumerate(_WIDE):
+    ANGLE_TABLE[67 + _i] = _a          # beyond vertical-diagonal
+    ANGLE_TABLE[-1 - _i] = _a          # beyond horizontal-diagonal
+
 assert ANGLE_TABLE[2] == 32 and ANGLE_TABLE[18] == 0
 assert ANGLE_TABLE[34] == -32 and ANGLE_TABLE[50] == 0
 assert ANGLE_TABLE[66] == 32 and ANGLE_TABLE[19] == -1
+assert ANGLE_TABLE[67] == 35 and ANGLE_TABLE[80] == 1024
+assert ANGLE_TABLE[-1] == 35 and ANGLE_TABLE[-11] == 256
+
+
+def map_wide_angle(mode: int, log2w: int, log2h: int) -> int:
+    """Wide-angle intra mode remapping for non-square blocks
+    (H.266 §8.4.5.2.6)."""
+    if mode in (INTRA_PLANAR, INTRA_DC) or log2w == log2h:
+        return mode
+    ratio = abs(log2w - log2h)
+    if log2w > log2h:
+        thresh = (8 + 2 * ratio) if ratio > 1 else 8
+        if 2 <= mode < thresh:
+            return mode + 65
+    else:
+        thresh = (60 - 2 * ratio) if ratio > 1 else 60
+        if thresh < mode <= 66:
+            return mode - 67
+    return mode
 
 
 def inv_angle(angle: int) -> int:
@@ -106,8 +132,12 @@ FILTER_C = np.array([_cubic_filter(p) for p in range(32)], np.int32)
 # --------------------------------------------------------------------------
 
 LEVEL_SCALE = [40, 45, 51, 57, 64, 72]
+# rectangular TBs with odd log2(W*H) carry the extra 1/sqrt2 in the
+# scaling stage (H.266 §8.7.3 levelScale[rectNonTsFlag][..])
+LEVEL_SCALE_RECT = [57, 64, 72, 80, 90, 102]
 # forward scale such that fwd*inv ≈ 2^(14+6)=2^20 per qp%6 step
 QUANT_SCALE = [26214, 23302, 20560, 18396, 16384, 14564]
+QUANT_SCALE_RECT = [36792, 32768, 29127, 26214, 23302, 20560]
 
 
 def build_chroma_qp_table(start_minus26: int = 0,
@@ -191,6 +221,9 @@ def _iv(slope: int, offset: int) -> int:
 CONTEXTS: Dict[str, Tuple[int, int, int]] = {
     # partitioning
     "split_cu_flag":             (9,  _iv(4, 3), 4),
+    "split_qt_flag":             (6,  _iv(4, 3), 4),
+    "mtt_split_cu_vertical_flag": (3, _iv(4, 4), 4),
+    "mtt_split_cu_binary_flag":  (4,  _iv(4, 4), 4),
     # intra luma
     "intra_luma_mpm_flag":       (1,  _iv(4, 4), 4),
     "intra_luma_not_planar_flag": (2, _iv(4, 3), 4),

@@ -286,3 +286,43 @@ class TestWebP:
         from libheif_tpu.core.error import HeifError
         with pytest.raises(HeifError):
             hio.read_webp(b"not a webp file at all")
+
+
+def test_cli_heif_test_and_view(tmp_path, capsys):
+    """heif-test raw-plane dump + heif-view renderers (ref:
+    examples/heif_test.cc, examples/heif_view.cc)."""
+    import heif_test, heif_view
+    from libheif_tpu.context import HeifContext
+
+    src = "/root/reference/tests/data/uncompressed_comp_RGB.heif"
+    ctx = HeifContext.read_from_file(src)
+    pid = ctx.primary_item_id
+    img = ctx.decode_image(pid)
+
+    import contextlib, io as _io
+    from libheif_tpu.image.pixel_image import Channel
+    buf = _io.BytesIO()
+
+    class _Out:
+        buffer = buf
+    old = sys.stdout
+    sys.stdout = _Out()
+    try:
+        assert heif_test.main(["-d", str(pid), src]) == 0
+    finally:
+        sys.stdout = old
+    raw = buf.getvalue()
+    planes = b"".join(
+        np.ascontiguousarray(np.asarray(img.plane(c))).tobytes()
+        for c in (Channel.R, Channel.G, Channel.B))
+    assert raw == planes
+
+    png = str(tmp_path / "v.png")
+    assert heif_view.main(["--png", png, src]) == 0
+    from libheif_tpu.io import read_png
+    arr, _ = read_png(open(png, "rb").read())
+    assert arr.shape[:2] == (20, 30)
+
+    assert heif_view.main(["-w", "16", src]) == 0
+    out = capsys.readouterr().out
+    assert "\x1b[38;2;" in out

@@ -188,6 +188,35 @@ def bench_grid_device(results, n_tiles=16, mesh_devices=1):
     results[key + "_parse_s"] = round(parse_s, 2)
 
 
+def bench_j2k_htj2k(results, mp_side=512):
+    """Classic EBCOT vs HT-J2K block coding on the same content
+    (lossless 5/3): encode/decode throughput and size ratio.  The HT
+    cleanup pass is the reference's OpenJPH boundary
+    (plugins/encoder_openjph.cc)."""
+    from libheif_tpu.codecs.j2k.encoder import encode_codestream
+    from libheif_tpu.codecs.j2k.decoder import decode_codestream
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (mp_side // 8, mp_side // 8)).astype(
+        np.float64)
+    img = np.clip(np.kron(base, np.ones((8, 8)))
+                  + rng.integers(-12, 13, (mp_side, mp_side)),
+                  0, 255).astype(np.int32)
+    mp = mp_side * mp_side / 1e6
+    for name, ht in (("j2k", False), ("htj2k", True)):
+        t0 = time.perf_counter()
+        data = encode_codestream([img], depth=8, levels=5,
+                                 reversible=True, htj2k=ht)
+        enc_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        planes, _ = decode_codestream(data)
+        dec_s = time.perf_counter() - t0
+        assert (planes[0] == img).all()
+        results[f"{name}_lossless_enc_mps"] = round(mp / enc_s, 3)
+        results[f"{name}_lossless_dec_mps"] = round(mp / dec_s, 3)
+        results[f"{name}_lossless_bpp"] = round(len(data) * 8 / (mp * 1e6),
+                                                3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -203,6 +232,7 @@ def main():
     bench_heic_decode(results, skip_device=args.skip_device)
     bench_avif_decode(results)
     bench_heic_encode_rd(results)
+    bench_j2k_htj2k(results)
     if not args.skip_device:
         bench_grid_device(results, n_tiles=args.tiles,
                           mesh_devices=args.mesh)

@@ -33,10 +33,24 @@ class ColorConversionOptions:
     AVERAGE = "average"
     SHARP_YUV = "sharp-yuv"
 
+    # alpha composition modes (ref: heif_alpha_composition_mode,
+    # heif_color.h:74)
+    ALPHA_NONE = "none"
+    ALPHA_SOLID = "solid-color"
+    ALPHA_CHECKERBOARD = "checkerboard"
+
     def __init__(self, chroma_upsampling: str = BILINEAR,
-                 chroma_downsampling: str = AVERAGE):
+                 chroma_downsampling: str = AVERAGE,
+                 alpha_composition_mode: str = ALPHA_NONE,
+                 background_rgb=(0xFFFF, 0xFFFF, 0xFFFF),
+                 secondary_background_rgb=(0x6666, 0x6666, 0x6666),
+                 checkerboard_square_size: int = 16):
         self.chroma_upsampling = chroma_upsampling
         self.chroma_downsampling = chroma_downsampling
+        self.alpha_composition_mode = alpha_composition_mode
+        self.background_rgb = background_rgb
+        self.secondary_background_rgb = secondary_background_rgb
+        self.checkerboard_square_size = checkerboard_square_size
 
 
 def _jnp():
@@ -134,6 +148,11 @@ class ColorOp:
     """Base op (ref: ColorConversionOperation colorconversion.h:78)."""
 
     cost = 4
+
+    def enabled(self, options: Optional[ColorConversionOptions]) -> bool:
+        """Whether this op participates in pipeline search under the
+        given conversion options."""
+        return True
 
     def output_state(self, inp: ColorState,
                      target: ColorState) -> Optional[ColorState]:
@@ -468,6 +487,11 @@ class DropAlpha(ColorOp):
 
     cost = 1
 
+    def enabled(self, options):
+        # when a composition mode is requested, FlattenAlpha takes over
+        return options is None or options.alpha_composition_mode == \
+            ColorConversionOptions.ALPHA_NONE
+
     def output_state(self, inp, target):
         if not inp.has_alpha or target.has_alpha:
             return None
@@ -478,6 +502,55 @@ class DropAlpha(ColorOp):
         for ch in img.channels():
             if ch != Channel.Alpha:
                 out.set_plane(ch, img.plane(ch), img.bit_depth(ch))
+        return out
+
+
+class FlattenAlpha(ColorOp):
+    """Composite the alpha plane over a background and drop it
+    (ref: alpha.cc Op_flatten_alpha_plane): solid-color or
+    checkerboard composition, RGB 4:4:4 input.
+
+    out = (c*a + bkg*(a_max - a)) >> alpha_bits, with the 16-bit
+    background reference scaled to the image bit depth."""
+
+    cost = 2
+
+    def enabled(self, options):
+        return options is not None and options.alpha_composition_mode != \
+            ColorConversionOptions.ALPHA_NONE
+
+    def output_state(self, inp, target):
+        if not inp.has_alpha or target.has_alpha:
+            return None
+        if inp.colorspace != Colorspace.RGB or inp.chroma != Chroma.C444:
+            return None
+        return inp.with_(has_alpha=False)
+
+    def apply(self, img, inp, outp, options):
+        jnp = _jnp()
+        bits = img.bit_depth(Channel.R)
+        abits = img.bit_depth(Channel.Alpha)
+        amax = (1 << abits) - 1
+        a = jnp.asarray(img.plane(Channel.Alpha)).astype(jnp.int64)
+        h, w = a.shape
+        checker = (options.alpha_composition_mode ==
+                   ColorConversionOptions.ALPHA_CHECKERBOARD and
+                   options.checkerboard_square_size > 0)
+        if checker:
+            s = options.checkerboard_square_size
+            yy = jnp.arange(h)[:, None] // s
+            xx = jnp.arange(w)[None, :] // s
+            parity = (yy + xx) & 1
+        out = self._base_output(img, outp)
+        dt = _out_dtype(bits)
+        for i, ch in enumerate((Channel.R, Channel.G, Channel.B)):
+            c = jnp.asarray(img.plane(ch)).astype(jnp.int64)
+            bkg = options.background_rgb[i] >> (16 - bits)
+            if checker:
+                bkg2 = options.secondary_background_rgb[i] >> (16 - bits)
+                bkg = jnp.where(parity == 0, bkg, bkg2)
+            res = (c * a + bkg * (amax - a)) >> abits
+            out.set_plane(ch, np.asarray(res).astype(dt), bits)
         return out
 
 
@@ -686,7 +759,7 @@ class InterleavedToPlanarRGB(ColorOp):
 
 ALL_OPS: List[ColorOp] = [
     YCbCrToRGB(), RGBToYCbCr(), MonoToRGB(), MonoToYCbCr(),
-    ChromaResample(), BitDepthConvert(), DropAlpha(), AddAlpha(),
-    RGBToMono(), BayerToRGB(), PlanarToInterleavedRGB(),
+    ChromaResample(), BitDepthConvert(), DropAlpha(), FlattenAlpha(),
+    AddAlpha(), RGBToMono(), BayerToRGB(), PlanarToInterleavedRGB(),
     InterleavedToPlanarRGB(),
 ]

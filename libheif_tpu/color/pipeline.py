@@ -24,11 +24,13 @@ from .ops import ALL_OPS, ColorOp, ColorConversionOptions
 _MAX_CHAIN = 6
 
 
-def find_pipeline(inp: ColorState, target: ColorState
+def find_pipeline(inp: ColorState, target: ColorState,
+                  options: Optional[ColorConversionOptions] = None
                   ) -> Optional[List[Tuple[ColorOp, ColorState]]]:
     """Dijkstra over (state) nodes; returns [(op, out_state), ...]."""
     if inp.matches(target):
         return []
+    ops = [op for op in ALL_OPS if op.enabled(options)]
     counter = 0
     heap = [(0, counter, inp, [])]
     best = {inp: 0}
@@ -36,7 +38,7 @@ def find_pipeline(inp: ColorState, target: ColorState
         cost, _, state, chain = heapq.heappop(heap)
         if len(chain) >= _MAX_CHAIN:
             continue
-        for op in ALL_OPS:
+        for op in ops:
             out = op.output_state(state, target)
             if out is None:
                 continue
@@ -80,7 +82,7 @@ def convert_image(img: PixelImage,
         full_range=inp.full_range if target_full_range is None
         else target_full_range,
     )
-    chain = find_pipeline(inp, target)
+    chain = find_pipeline(inp, target, options)
     if chain is None:
         raise HeifError.unsupported(
             SubError.Unsupported_color_conversion,

@@ -338,14 +338,25 @@ class HeifContext:
     def _convert_output(self, img, colorspace, chroma, options):
         opts = options or DecodingOptions()
         target_bits = 8 if opts.convert_hdr_to_8bit else 0
+        conv = getattr(opts, "color_conversion_options", None)
+        flatten = (conv is not None and
+                   getattr(conv, "alpha_composition_mode", "none") != "none"
+                   and img.has_alpha())
         needs = ((colorspace != Colorspace.Undefined and
                   img.colorspace != colorspace) or
                  (chroma != Chroma.Undefined and img.chroma != chroma) or
+                 flatten or
                  (target_bits and any(img.bit_depth(c) != 8
                                       for c in img.channels())))
         if needs:
+            if flatten and colorspace == Colorspace.Undefined:
+                colorspace = img.colorspace
+            if flatten and chroma == Chroma.Undefined:
+                chroma = img.chroma
             img = convert_image(img, colorspace, chroma,
-                                target_bits=target_bits)
+                                target_has_alpha=False if flatten else None,
+                                target_bits=target_bits,
+                                options=conv)
         return img
 
     def get_image_tiling(self, item_id: int) -> ImageTiling:

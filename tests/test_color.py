@@ -256,3 +256,132 @@ class TestInterleavedRGB:
         r = np.asarray(planar.plane(Channel.R))
         assert np.array_equal(a.reshape(r.shape[0], r.shape[1], 4)[:, :, 0],
                               r)
+
+
+class TestFlattenAlpha:
+    """Op_flatten_alpha_plane equivalent (ref: alpha.cc:95, activated
+    via heif_alpha_composition_mode, heif_color.h:74)."""
+
+    def _rgba(self, w=20, h=12):
+        import numpy as np
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(11)
+        img = PixelImage(w, h, Colorspace.RGB, Chroma.C444)
+        for ch in (Channel.R, Channel.G, Channel.B, Channel.Alpha):
+            img.set_plane(ch, rng.integers(0, 256, (h, w), dtype=np.uint8),
+                          8)
+        return img
+
+    def test_solid_color_flatten(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.color.ops import ColorConversionOptions
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        img = self._rgba()
+        opts = ColorConversionOptions(
+            alpha_composition_mode=ColorConversionOptions.ALPHA_SOLID,
+            background_rgb=(0xFFFF, 0x0000, 0x8080))
+        out = convert_image(img, Colorspace.RGB, Chroma.C444,
+                            target_has_alpha=False, options=opts)
+        assert not out.has_channel(Channel.Alpha)
+        a = np.asarray(img.plane(Channel.Alpha)).astype(np.int64)
+        for ch, bkg16 in ((Channel.R, 0xFFFF), (Channel.G, 0x0000),
+                          (Channel.B, 0x8080)):
+            c = np.asarray(img.plane(ch)).astype(np.int64)
+            bkg = bkg16 >> 8
+            expect = (c * a + bkg * (255 - a)) >> 8
+            assert (np.asarray(out.plane(ch)) == expect).all()
+
+    def test_checkerboard_flatten(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.color.ops import ColorConversionOptions
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        img = self._rgba(16, 16)
+        opts = ColorConversionOptions(
+            alpha_composition_mode=ColorConversionOptions.ALPHA_CHECKERBOARD,
+            background_rgb=(0xFFFF,) * 3,
+            secondary_background_rgb=(0x0000,) * 3,
+            checkerboard_square_size=4)
+        out = convert_image(img, Colorspace.RGB, Chroma.C444,
+                            target_has_alpha=False, options=opts)
+        a = np.asarray(img.plane(Channel.Alpha)).astype(np.int64)
+        c = np.asarray(img.plane(Channel.R)).astype(np.int64)
+        yy, xx = np.mgrid[0:16, 0:16]
+        bkg = np.where(((yy // 4 + xx // 4) & 1) == 0, 255, 0)
+        expect = (c * a + bkg * (255 - a)) >> 8
+        assert (np.asarray(out.plane(Channel.R)) == expect).all()
+
+    def test_mode_none_drops_alpha(self):
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.image.pixel_image import (Channel, Colorspace,
+                                                   Chroma)
+        import numpy as np
+        img = self._rgba()
+        out = convert_image(img, Colorspace.RGB, Chroma.C444,
+                            target_has_alpha=False)
+        assert not out.has_channel(Channel.Alpha)
+        # plain drop: color planes unchanged
+        assert (np.asarray(out.plane(Channel.R))
+                == np.asarray(img.plane(Channel.R))).all()
+
+    def test_flatten_from_yuv_routes_through_rgb(self):
+        import numpy as np
+        from libheif_tpu.color import convert_image
+        from libheif_tpu.color.ops import ColorConversionOptions
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(12)
+        img = PixelImage(16, 16, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, rng.integers(0, 256, (16, 16),
+                                              dtype=np.uint8), 8)
+        img.set_plane(Channel.Cb, rng.integers(0, 256, (8, 8),
+                                               dtype=np.uint8), 8)
+        img.set_plane(Channel.Cr, rng.integers(0, 256, (8, 8),
+                                               dtype=np.uint8), 8)
+        img.set_plane(Channel.Alpha, rng.integers(0, 256, (16, 16),
+                                                  dtype=np.uint8), 8)
+        opts = ColorConversionOptions(
+            alpha_composition_mode=ColorConversionOptions.ALPHA_SOLID)
+        out = convert_image(img, Colorspace.RGB, Chroma.C444,
+                            target_has_alpha=False, options=opts)
+        assert not out.has_channel(Channel.Alpha)
+        assert out.has_channel(Channel.R)
+
+    def test_context_decode_with_alpha_composition(self):
+        """heif_decoding_options.color_conversion_options_ext analog:
+        decoding with a composition mode flattens aux alpha."""
+        import numpy as np
+        from libheif_tpu.context import HeifContext
+        from libheif_tpu.api.types import EncodingOptions
+        from libheif_tpu.items.item import DecodingOptions
+        from libheif_tpu.color.ops import ColorConversionOptions
+        from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                                   Colorspace, Chroma)
+        rng = np.random.default_rng(13)
+        img = PixelImage(32, 24, Colorspace.RGB, Chroma.C444)
+        for ch in (Channel.R, Channel.G, Channel.B):
+            img.set_plane(ch, rng.integers(0, 256, (24, 32),
+                                           dtype=np.uint8), 8)
+        img.set_plane(Channel.Alpha,
+                      rng.integers(0, 256, (24, 32), dtype=np.uint8), 8)
+        ctx = HeifContext()
+        ctx.encode_image(img, fmt="unci",
+                         options=EncodingOptions(lossless=True))
+        data = ctx.write()
+        ctx2 = HeifContext.read_from_bytes(data)
+        opts = DecodingOptions()
+        opts.color_conversion_options = ColorConversionOptions(
+            alpha_composition_mode=ColorConversionOptions.ALPHA_SOLID,
+            background_rgb=(0xFFFF,) * 3)
+        out = ctx2.decode_image(options=opts)
+        assert not out.has_channel(Channel.Alpha)
+        # flattened over white: result >= source color wherever a < 255
+        a = np.asarray(img.plane(Channel.Alpha)).astype(np.int64)
+        c = np.asarray(img.plane(Channel.R)).astype(np.int64)
+        expect = (c * a + 255 * (255 - a)) >> 8
+        got = np.asarray(out.plane(Channel.R)).astype(np.int64)
+        assert (got == expect).all()

@@ -158,6 +158,23 @@ class TestOracleDifftest:
                                  levels=4, reversible=True, htj2k=True)
         assert (_opj_decode(data) == img).all()
 
+    @pytest.mark.parametrize("quality", [90, 60])
+    def test_lossy_97(self, quality):
+        y, x = np.mgrid[0:96, 0:128]
+        img = ((np.sin(x / 9.0) + np.cos(y / 7.0)) * 60 + 128).astype(
+            np.uint8)
+        data = encode_codestream([img.astype(np.int32)], depth=8,
+                                 levels=4, reversible=False,
+                                 quality=quality, htj2k=True)
+        ref = _opj_decode(data).astype(np.int64)
+        mine, _ = decode_codestream(data)
+        # same codestream: both decoders within 1 LSB of each other
+        # (9/7 float reconstruction), both near the source
+        assert np.abs(mine[0].astype(np.int64) - ref).max() <= 1
+        psnr = 10 * np.log10(
+            255 ** 2 / max(((img.astype(float) - ref) ** 2).mean(), 1e-9))
+        assert psnr > (55 if quality == 90 else 40)
+
     def test_sparse_extremes(self):
         img = np.full((32, 32), 128, np.uint8)
         img[0, 0] = 255

@@ -95,7 +95,7 @@ def measure(k: int = K, repeats: int = REPEATS) -> float:
     return (W * H * k / 1e6) / best  # MP/s
 
 
-def _extras(budget_s: float = 420.0) -> dict:
+def _extras(budget_s: float = 240.0) -> dict:
     """Best-effort additional BASELINE rows (tools/benchmark_all.py has
     the standalone harness); each guarded so the headline always lands."""
     extras = {}
@@ -145,7 +145,7 @@ def main():
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu"],
-            capture_output=True, text=True, timeout=600)
+            capture_output=True, text=True, timeout=240)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 cpu_mps = json.loads(line)["cpu_mps"]

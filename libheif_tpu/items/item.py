@@ -47,6 +47,10 @@ class DecodingOptions:
     strict_decoding: bool = False
     decoder_id: Optional[str] = None
     ignore_aux_alpha: bool = False
+    # color-conversion options applied to the decoded output
+    # (ref: heif_decoding_options.color_conversion_options /
+    # heif_color_conversion_options_ext incl. alpha composition)
+    color_conversion_options: Optional[object] = None
     # progress/cancel callbacks
     on_progress: Optional[Callable[[int, int], None]] = None
     cancel: Optional[Callable[[], bool]] = None

@@ -184,6 +184,32 @@ class TestOracleDifftest:
                                  levels=2, reversible=True, htj2k=True)
         assert (_opj_decode(data) == img).all()
 
+    def test_randomized_oracle_sweep(self):
+        rng = np.random.default_rng(20)
+        for t in range(12):
+            h = int(rng.integers(1, 130))
+            w = int(rng.integers(1, 170))
+            lv = int(rng.integers(0, 6))
+            kind = t % 3
+            if kind == 0:
+                img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            elif kind == 1:
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((np.sin(xx / (1 + rng.random() * 20))
+                        * np.cos(yy / (1 + rng.random() * 20)))
+                       * 100 + 128).astype(np.uint8)
+            else:
+                img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+                for _ in range(8):
+                    y0 = int(rng.integers(0, h))
+                    x0 = int(rng.integers(0, w))
+                    img[y0:y0 + int(rng.integers(1, 20)),
+                        x0:x0 + int(rng.integers(1, 20))] = \
+                        int(rng.integers(0, 256))
+            data = encode_codestream([img.astype(np.int32)], depth=8,
+                                     levels=lv, reversible=True, htj2k=True)
+            assert (_opj_decode(data) == img).all(), (h, w, lv, kind)
+
 
 class TestHeifIntegration:
     """encode_htj2k.cc equivalent: htj2k format through the context."""

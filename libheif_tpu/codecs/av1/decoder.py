@@ -17,10 +17,9 @@ from . import obu as O
 from .tile import TileDecoder
 
 
-def parse_frame(data: bytes):
-    """Host entropy decode of the first (still) frame: OBU walk + tile
-    parse into a TileDecoder with deferred recon jobs.  Returns
-    (seq, fh, dec) — pair with finish_frame()."""
+def parse_obus(data: bytes):
+    """OBU walk of the first (still) frame: headers + raw tile bytes.
+    Returns (seq, fh, tiles)."""
     seq: Optional[O.SequenceHeader] = None
     fh: Optional[O.FrameHeader] = None
     tiles: List[bytes] = []
@@ -49,7 +48,19 @@ def parse_frame(data: bytes):
             break
     if seq is None or fh is None or not tiles:
         raise HeifError.invalid_input(msg="incomplete AV1 stream")
+    return seq, fh, tiles
 
+
+def parse_frame(data: bytes):
+    """Host entropy decode of the first (still) frame: OBU walk + tile
+    parse into a TileDecoder with deferred recon jobs.  Returns
+    (seq, fh, dec) — pair with finish_frame()."""
+    seq, fh, tiles = parse_obus(data)
+    return _build_tile_decoder(seq, fh, tiles)
+
+
+def _build_tile_decoder(seq, fh, tiles):
+    """Python tile-parse path: TileDecoder over the parsed tiles."""
     w, h = fh.frame_width, fh.frame_height
     # decode into the padded mi area (blocks snap to the 8px mi grid),
     # crop to the frame size at the end
@@ -106,13 +117,24 @@ def decode_intra_frame(data: bytes,
                        engine: Optional[str] = None) -> Dict[str, np.ndarray]:
     """Decode the first (still) frame from a byte stream of OBUs.
 
-    engine: "host" (numpy job replay) or "device" (TPU wavefront
-    program, device_recon.py); None → LIBHEIF_TPU_AV1_ENGINE env var,
-    default host."""
+    engine: "native" (C++ host engine), "host" (numpy job replay),
+    "device" (TPU wavefront program, device_recon.py), or None/"auto"
+    (LIBHEIF_TPU_AV1_ENGINE env var, falling back native → host)."""
     import os
     if engine is None:
-        engine = os.environ.get("LIBHEIF_TPU_AV1_ENGINE", "host")
-    seq, fh, dec = parse_frame(data)
+        engine = os.environ.get("LIBHEIF_TPU_AV1_ENGINE", "auto")
+    if engine in ("native", "auto"):
+        from .native_decode import decode_frame_native
+        seq, fh, tiles = parse_obus(data)
+        planes = decode_frame_native(seq, fh, tiles)
+        if planes is not None:
+            return planes
+        if engine == "native":
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "native AV1 engine unavailable")
+        seq, fh, dec = _build_tile_decoder(seq, fh, tiles)
+    else:
+        seq, fh, dec = parse_frame(data)
     if engine == "device":
         from .device_recon import run_jobs_device
         run_jobs_device([dec])

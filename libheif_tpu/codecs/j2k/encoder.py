@@ -95,9 +95,20 @@ class J2KEncoder:
         out += struct.pack(">H", csm.SOC)
         segs = [(csm.SIZ, csm.write_siz(siz))]
         if self.htj2k:
-            # CAP with Ccap15: HT code-blocks only, MAGB = max M_b
+            # CAP with Ccap15: HT code-blocks only.  Bits 0-4 carry
+            # MAGB with the T.814 offset scheme (B<=8 -> 0,
+            # 8<B<28 -> B-8, 28<=B<48 -> 13+(B>>2), else 31), not the
+            # raw max M_b value.
             max_mb = max(qs.guard + e - 1 for (e, _m) in qs.steps)
-            cap = csm.CapSeg(0x00020000, [min(max_mb, 31) & 0x1F])
+            if max_mb <= 8:
+                magb = 0
+            elif max_mb < 28:
+                magb = max_mb - 8
+            elif max_mb < 48:
+                magb = 13 + (max_mb >> 2)
+            else:
+                magb = 31
+            cap = csm.CapSeg(0x00020000, [magb & 0x1F])
             segs.append((csm.CAP, csm.write_cap(cap)))
         segs += [(csm.COD, csm.write_cod(cod)),
                  (csm.QCD, csm.write_qcd(qs))]

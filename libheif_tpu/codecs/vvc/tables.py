@@ -56,7 +56,7 @@ for _i in range(51, 67):                # 51..66: +1 up to +32
 
 # wide-angle extension (H.266 Table 27 full range, modes -14..-1 and
 # 67..80, reached through the §8.4.5.2.6 remapping for non-square TBs)
-_WIDE = [35, 39, 45, 51, 57, 68, 85, 102, 128, 171, 256, 341, 512, 1024]
+_WIDE = [35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512]
 for _i, _a in enumerate(_WIDE):
     ANGLE_TABLE[67 + _i] = _a          # beyond vertical-diagonal
     ANGLE_TABLE[-1 - _i] = _a          # beyond horizontal-diagonal
@@ -64,8 +64,8 @@ for _i, _a in enumerate(_WIDE):
 assert ANGLE_TABLE[2] == 32 and ANGLE_TABLE[18] == 0
 assert ANGLE_TABLE[34] == -32 and ANGLE_TABLE[50] == 0
 assert ANGLE_TABLE[66] == 32 and ANGLE_TABLE[19] == -1
-assert ANGLE_TABLE[67] == 35 and ANGLE_TABLE[80] == 1024
-assert ANGLE_TABLE[-1] == 35 and ANGLE_TABLE[-11] == 256
+assert ANGLE_TABLE[67] == 35 and ANGLE_TABLE[80] == 512
+assert ANGLE_TABLE[-1] == 35 and ANGLE_TABLE[-12] == 256
 
 
 def map_wide_angle(mode: int, log2w: int, log2h: int) -> int:

@@ -548,7 +548,9 @@ class FlattenAlpha(ColorOp):
             bkg = options.background_rgb[i] >> (16 - bits)
             if checker:
                 bkg2 = options.secondary_background_rgb[i] >> (16 - bits)
-                bkg = jnp.where(parity == 0, bkg, bkg2)
+                # parity-0 (top-left) square gets the SECONDARY
+                # background (ref: alpha.cc `bkg = parity ? bkg1 : bkg2`)
+                bkg = jnp.where(parity == 0, bkg2, bkg)
             res = (c * a + bkg * (amax - a)) >> abits
             out.set_plane(ch, np.asarray(res).astype(dt), bits)
         return out

@@ -21,7 +21,7 @@ _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_build")
 
 _SOURCES = ["jpeg_scan.cc", "hevc_parse.cc", "hevc_recon.cc",
-            "hevc_plan.cc"]
+            "hevc_plan.cc", "av1_native.cc"]
 _LIB_NAME = "libtpuheif_native.so"
 
 _lock = threading.Lock()
@@ -43,8 +43,10 @@ def _build() -> str:
     srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     if os.path.exists(out) and os.path.getmtime(out) >= _newest_mtime(srcs):
         return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", out] + srcs
+    # -march=native is safe: the library is always compiled on the
+    # machine that runs it (build-on-first-import)
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+           "-fPIC", "-std=c++17", "-o", out] + srcs
     subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     return out
 

@@ -1,0 +1,3625 @@
+// AV1 intra-frame native decode engine (C++ host runtime).
+//
+// Full-speed port of this package's own Python AV1 decoder
+// (libheif_tpu/codecs/av1/{msac,cdf,tile,recon,itx,palette,deblock,
+// cdef,lr}.py), which is the conformance anchor (bit-exact vs libaom,
+// tests/test_av1_conformance.py).  The Python engine remains the
+// reference; tests/test_av1_native.py difftests this engine against it
+// plane-for-plane.  This replaces the external decode boundary the
+// reference delegates to dav1d/aom (reference:
+// libheif/plugins/decoder_dav1d.cc:457, decoder_aom.cc).
+//
+// Interface: one C ABI entry point, tpuheif_av1_decode_frame.  The
+// Python side (codecs/av1/native_decode.py) parses OBUs, flattens the
+// frame-header parameters and the default CDF tables (single source of
+// truth: codecs/av1/default_cdfs.npz + cdf.py), and receives the fully
+// reconstructed + loop-filtered planes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <cmath>
+#include <ctime>
+#include <vector>
+#include <algorithm>
+
+namespace av1n {
+
+typedef int64_t i64;
+typedef int32_t i32;
+typedef uint8_t u8;
+typedef uint16_t u16;
+
+static inline int floor_log2(uint32_t v) { return 31 - __builtin_clz(v); }
+static inline int bitlen(i64 v) { return v <= 0 ? 0 : 64 - __builtin_clzll((uint64_t)v); }
+static inline i64 round2(i64 x, int n) { return n == 0 ? x : ((x + ((i64)1 << (n - 1))) >> n); }
+static inline i64 clampi(i64 v, i64 lo, i64 hi) { return v < lo ? lo : (v > hi ? hi : v); }
+
+// ======================================================================
+// MSAC (codecs/av1/msac.py; spec 8.2, daala EC)
+// ======================================================================
+
+static const int EC_PROB_SHIFT = 6;
+static const int EC_MIN_PROB = 4;
+
+struct Msac {
+  const u8* data;
+  i64 size;
+  i64 bitpos;
+  i64 max_bits;
+  uint32_t value;
+  uint32_t range;
+  bool allow_update;
+
+  void init(const u8* d, i64 n, bool update) {
+    data = d; size = n; bitpos = 0;
+    max_bits = n * 8 - 15;
+    int num_bits = (int)std::min<i64>(n * 8, 15);
+    uint32_t buf = read_bits(num_bits);
+    uint32_t padded = buf << (15 - num_bits);
+    value = ((1u << 15) - 1) ^ padded;
+    range = 1u << 15;
+    allow_update = update;
+  }
+
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      i64 byte_i = bitpos >> 3;
+      int avail = 8 - (int)(bitpos & 7);
+      int take = n < avail ? n : avail;
+      uint8_t byte = byte_i < size ? data[byte_i] : 0;
+      uint32_t bits = (byte >> (avail - take)) & ((1u << take) - 1);
+      v = (v << take) | bits;
+      bitpos += take;
+      n -= take;
+    }
+    return v;
+  }
+
+  void renorm() {
+    uint32_t rng = range;
+    int bits = 15 - floor_log2(rng);
+    if (bits == 0) return;
+    range = rng << bits;
+    int num_bits = (int)std::min<i64>(bits, std::max<i64>(0, max_bits));
+    uint32_t new_data = read_bits(num_bits);
+    uint32_t read_data = new_data << (bits - num_bits);
+    value = ((value + 1) << bits) - read_data - 1;
+    max_bits -= bits;
+  }
+
+  // decode against an icdf row of n symbols; row[n] is the adaptation
+  // counter.  adapt=false for ephemeral rows (split bool).
+  int read_symbol_n(u16* icdf, int n, bool adapt = true) {
+    uint32_t rng8 = range >> 8;
+    uint32_t val = value;
+    uint32_t cur = range;
+    int symbol = -1;
+    uint32_t prev;
+    while (true) {
+      symbol++;
+      prev = cur;
+      uint32_t f = icdf[symbol];
+      cur = ((rng8 * (f >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) +
+            EC_MIN_PROB * (n - 1 - symbol);
+      if (val >= cur) break;
+    }
+    range = prev - cur;
+    value = val - cur;
+    renorm();
+    if (allow_update && adapt) {
+      int count = icdf[n];
+      int rate = 3 + (count > 15) + (count > 31) +
+                 std::min(floor_log2(n), 2);
+      for (int i = 0; i < n - 1; i++) {
+        int v = icdf[i];
+        if (i < symbol)
+          icdf[i] = (u16)(v + ((32768 - v) >> rate));
+        else
+          icdf[i] = (u16)(v - (v >> rate));
+      }
+      icdf[n] = (u16)(count + (count < 32));
+    }
+    return symbol;
+  }
+
+  int read_bit() {
+    uint32_t rng8 = range >> 8;
+    uint32_t cur = (rng8 << 7) + EC_MIN_PROB;
+    int bit;
+    if (value >= cur) {
+      bit = 0;
+      range -= cur;
+      value -= cur;
+    } else {
+      bit = 1;
+      range = cur;
+    }
+    renorm();
+    return bit;
+  }
+
+  int read_literal(int n) {
+    int v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  int read_golomb() {
+    int length = 0;
+    while (!read_bit()) {
+      length++;
+      if (length > 20) break;
+    }
+    int v = 1;
+    for (int i = 0; i < length; i++) v = (v << 1) | read_bit();
+    return v - 1;
+  }
+};
+
+// ======================================================================
+// Static tables (codecs/av1/tables.py; spec 6.10.4 / 9.3 / 9.24)
+// ======================================================================
+
+static const int N_BSIZES = 22;
+static const int BW[N_BSIZES] = {4,4,8,8,8,16,16,16,32,32,32,64,64,64,128,128,4,16,8,32,16,64};
+static const int BH[N_BSIZES] = {4,8,4,8,16,8,16,32,16,32,64,32,64,128,64,128,16,4,32,8,64,16};
+static const int BLOCK_INVALID = 255;
+static const int BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12,
+                 BLOCK_128X128 = 15;
+
+enum {
+  PARTITION_NONE = 0, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT,
+  PARTITION_HORZ_A, PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_VERT_B,
+  PARTITION_HORZ_4, PARTITION_VERT_4
+};
+
+enum {
+  DC_PRED = 0, V_PRED, H_PRED, D45_PRED, D135_PRED, D113_PRED, D157_PRED,
+  D203_PRED, D67_PRED, SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED,
+  PAETH_PRED, UV_CFL_PRED
+};
+
+// INTRA_MODE_TO_TX_TYPE (tables.py)
+static const int INTRA_MODE_TO_TX_TYPE[14] = {0,1,2,0,3,1,2,2,1,3,1,2,3,0};
+static const int INTRA_MODE_CONTEXT[13] = {0,1,2,3,4,4,4,4,3,0,1,2,0};
+
+static int mode_to_angle(int mode) {
+  switch (mode) {
+    case V_PRED: return 90;
+    case H_PRED: return 180;
+    case D45_PRED: return 45;
+    case D135_PRED: return 135;
+    case D113_PRED: return 113;
+    case D157_PRED: return 157;
+    case D203_PRED: return 203;
+    case D67_PRED: return 67;
+  }
+  return -1;
+}
+
+static const int N_TXS = 19;
+static const int TXW[N_TXS] = {4,8,16,32,64,4,8,8,16,16,32,32,64,4,16,8,32,16,64};
+static const int TXH[N_TXS] = {4,8,16,32,64,8,4,16,8,32,16,64,32,16,4,32,8,64,16};
+static const int TX_4X4 = 0;
+
+enum {
+  DCT_DCT = 0, ADST_DCT, DCT_ADST, ADST_ADST, FLIPADST_DCT, DCT_FLIPADST,
+  FLIPADST_FLIPADST, ADST_FLIPADST, FLIPADST_ADST, IDTX, V_DCT, H_DCT,
+  V_ADST, H_ADST, V_FLIPADST, H_FLIPADST, WHT_WHT
+};
+
+struct Tables {
+  int partition_subsize[10][N_BSIZES];
+  int max_tx_size_rect[N_BSIZES];
+  int split_tx_size[N_TXS];
+  int tx_size_sqr[N_TXS];
+  int tx_size_sqr_up[N_TXS];
+  // scans: per (tx, class) flat indices; class 0='2d',1='h',2='v'
+  std::vector<i32> scans[N_TXS][3];
+
+  int bs_index(int w, int h) const {
+    for (int i = 0; i < N_BSIZES; i++)
+      if (BW[i] == w && BH[i] == h) return i;
+    return BLOCK_INVALID;
+  }
+  int tx_index(int w, int h) const {
+    for (int i = 0; i < N_TXS; i++)
+      if (TXW[i] == w && TXH[i] == h) return i;
+    return -1;
+  }
+
+  void init() {
+    for (int b = 0; b < N_BSIZES; b++) {
+      int w = BW[b], h = BH[b];
+      partition_subsize[PARTITION_NONE][b] = b;
+      partition_subsize[PARTITION_HORZ][b] = bs_index(w, h / 2);
+      partition_subsize[PARTITION_VERT][b] = bs_index(w / 2, h);
+      partition_subsize[PARTITION_SPLIT][b] = bs_index(w / 2, h / 2);
+      partition_subsize[PARTITION_HORZ_A][b] = bs_index(w, h / 2);
+      partition_subsize[PARTITION_HORZ_B][b] = bs_index(w, h / 2);
+      partition_subsize[PARTITION_VERT_A][b] = bs_index(w / 2, h);
+      partition_subsize[PARTITION_VERT_B][b] = bs_index(w / 2, h);
+      partition_subsize[PARTITION_HORZ_4][b] = bs_index(w, h / 4);
+      partition_subsize[PARTITION_VERT_4][b] = bs_index(w / 4, h);
+      int tw = std::min(w, 64), th = std::min(h, 64);
+      while (tw > 2 * th) tw /= 2;
+      while (th > 2 * tw) th /= 2;
+      max_tx_size_rect[b] = tx_index(tw, th);
+    }
+    for (int i = 0; i < N_TXS; i++) {
+      int w = TXW[i], h = TXH[i];
+      if (w == 4 && h == 4) {
+        split_tx_size[i] = i;
+      } else if (w == h) {
+        split_tx_size[i] = tx_index(w / 2, h / 2);
+      } else {
+        int nw = (w >= h && w > 4) ? w / 2 : w;
+        int nh = (h >= w && h > 4) ? h / 2 : h;
+        split_tx_size[i] = tx_index(nw, nh);
+      }
+      int s = std::min(w, h);
+      int u = std::min(std::max(w, h), 64);
+      tx_size_sqr[i] = tx_index(s, s);
+      tx_size_sqr_up[i] = tx_index(u, u);
+    }
+    // scans (tables.py get_scan)
+    for (int t = 0; t < N_TXS; t++) {
+      int w = std::min(TXW[t], 32), h = std::min(TXH[t], 32);
+      // 2d
+      {
+        std::vector<i32>& s = scans[t][0];
+        s.clear();
+        if (w == h) {
+          for (int d = 0; d < w + h - 1; d++) {
+            std::vector<std::pair<int,int>> cells;
+            for (int r = 0; r < h; r++) {
+              int c = d - r;
+              if (c >= 0 && c < w) cells.push_back({r, c});
+            }
+            // even diagonals: bottom-left -> top-right (reverse row sort)
+            if (d % 2 == 0)
+              std::sort(cells.begin(), cells.end(),
+                        [](const std::pair<int,int>& a,
+                           const std::pair<int,int>& b) { return a.first > b.first; });
+            else
+              std::sort(cells.begin(), cells.end());
+            for (auto& rc : cells) s.push_back(rc.first * w + rc.second);
+          }
+        } else {
+          for (int d = 0; d < w + h - 1; d++) {
+            std::vector<std::pair<int,int>> cells;
+            int r0 = std::max(0, d - w + 1), r1 = std::min(h, d + 1);
+            for (int r = r0; r < r1; r++) cells.push_back({r, d - r});
+            if (w > h) std::reverse(cells.begin(), cells.end());
+            for (auto& rc : cells) s.push_back(rc.first * w + rc.second);
+          }
+        }
+      }
+      // h class: column-by-column
+      {
+        std::vector<i32>& s = scans[t][1];
+        s.clear();
+        for (int c = 0; c < w; c++)
+          for (int r = 0; r < h; r++) s.push_back(r * w + c);
+      }
+      // v class: row-by-row
+      {
+        std::vector<i32>& s = scans[t][2];
+        s.clear();
+        for (int r = 0; r < h; r++)
+          for (int c = 0; c < w; c++) s.push_back(r * w + c);
+      }
+    }
+  }
+};
+
+static Tables g_tables;
+static bool g_tables_init = false;
+
+// quantizer lookups (tables.py DC_QLOOKUP / AC_QLOOKUP, 8-bit)
+static const i32 DC_QLOOKUP[256] = {
+  4,8,8,9,10,11,12,12,13,14,15,16,17,18,19,19,20,21,22,23,24,25,26,26,
+  27,28,29,30,31,32,32,33,34,35,36,37,38,38,39,40,41,42,43,43,44,45,46,
+  47,48,48,49,50,51,52,53,53,54,55,56,57,57,58,59,60,61,62,62,63,64,65,
+  66,66,67,68,69,70,70,71,72,73,74,74,75,76,77,78,78,79,80,81,81,82,83,
+  84,85,85,87,88,90,92,93,95,96,98,99,101,102,104,105,107,108,110,111,
+  113,114,116,117,118,120,121,123,125,127,129,131,134,136,138,140,142,
+  144,146,148,150,152,154,156,158,161,164,166,169,172,174,177,180,182,
+  185,187,190,192,195,199,202,205,208,211,214,217,220,223,226,230,233,
+  237,240,243,247,250,253,257,261,265,269,272,276,280,284,288,292,296,
+  300,304,309,313,317,322,326,330,335,340,344,349,354,359,364,369,374,
+  379,384,389,395,400,406,411,417,423,429,435,441,447,454,461,467,475,
+  482,489,497,505,513,522,530,539,549,559,569,579,590,602,614,626,640,
+  654,668,684,700,717,736,755,775,796,819,843,869,896,925,955,988,1022,
+  1058,1098,1139,1184,1232,1282,1336,
+};
+static const i32 AC_QLOOKUP[256] = {
+  4,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,29,30,
+  31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,46,47,48,49,50,51,52,53,
+  54,55,56,57,58,59,60,61,62,63,64,65,66,67,68,69,70,71,72,73,74,75,76,
+  77,78,79,80,81,82,83,84,85,86,87,88,89,90,91,92,93,94,95,96,97,98,99,
+  100,101,102,104,106,108,110,112,114,116,118,120,122,124,126,128,130,
+  132,134,136,138,140,142,144,146,148,150,152,155,158,161,164,167,170,
+  173,176,179,182,185,188,191,194,197,200,203,207,211,215,219,223,227,
+  231,235,239,243,247,251,255,260,265,270,275,280,285,290,295,300,305,
+  311,317,323,329,335,341,347,353,359,366,373,380,387,394,401,408,416,
+  424,432,440,448,456,465,474,483,492,501,510,520,530,540,550,560,571,
+  582,593,604,615,627,639,651,663,676,689,702,715,729,743,757,771,786,
+  801,816,832,848,864,881,898,915,933,951,969,988,1007,1026,1046,1066,
+  1087,1108,1129,1151,1173,1196,1219,1243,1267,1292,1317,1343,1369,1396,
+  1423,1451,1479,1508,1537,1567,1597,1628,1660,1692,1725,1759,1793,1828,
+};
+
+// ======================================================================
+// CDF set (codecs/av1/cdf.py; defaults flattened by native_decode.py)
+// ======================================================================
+
+// fixed flattening order shared with native_decode.py _flatten_cdf_buf
+struct CdfSet {
+  u16 txb_skip[5][13][3];
+  u16 eob_extra[5][2][9][3];
+  u16 dc_sign[2][3][3];
+  u16 eob_pt16[2][2][6];
+  u16 eob_pt32[2][2][7];
+  u16 eob_pt64[2][2][8];
+  u16 eob_pt128[2][2][9];
+  u16 eob_pt256[2][2][10];
+  u16 eob_pt512[2][2][11];
+  u16 eob_pt1024[2][2][12];
+  u16 coeff_base_eob[5][2][4][4];
+  u16 coeff_base[5][2][42][5];
+  u16 coeff_br[5][2][21][5];
+  u16 kf_y_mode[5][5][14];
+  u16 uv_mode[2][13][15];
+  u16 partition[20][11];
+  u16 intra_ext_tx[3][4][13][17];
+  u16 cfl_sign[9];
+  u16 cfl_alpha[6][17];
+  u16 filter_intra_use[22][3];
+  u16 filter_intra_mode[6];
+  u16 tx_size[4][3][4];
+  u16 angle_delta[8][8];
+  u16 skip[3][3];
+  u16 palette_y_mode[7][3][3];
+  u16 palette_uv_mode[2][3];
+  u16 palette_y_size[7][8];
+  u16 palette_uv_size[7][8];
+  u16 palette_y_color[7][5][9];
+  u16 palette_uv_color[7][5][9];
+  u16 restore_switchable[4];
+  u16 restore_wiener[3];
+  u16 restore_sgrproj[3];
+};
+
+// table sizes in int32 units, in flattening order
+static const i64 CDF_SIZES[] = {
+  5*13*3, 5*2*9*3, 2*3*3, 2*2*6, 2*2*7, 2*2*8, 2*2*9, 2*2*10, 2*2*11,
+  2*2*12, 5*2*4*4, 5*2*42*5, 5*2*21*5, 5*5*14, 2*13*15, 20*11,
+  3*4*13*17, 9, 6*17, 22*3, 6, 4*3*4, 8*8, 3*3, 7*3*3, 2*3, 7*8, 7*8,
+  7*5*9, 7*5*9, 4, 3, 3,
+};
+static const int N_CDF_TABLES = (int)(sizeof(CDF_SIZES) / sizeof(i64));
+// extras appended after CDFs: sm_weights[124], dr_intra_derivative[90],
+// filter_intra_taps[5*8*8] (signed)
+static const i64 EXTRA_SIZES[] = {124, 90, 5*8*8};
+
+static i64 cdf_total_size() {
+  i64 t = 0;
+  for (int i = 0; i < N_CDF_TABLES; i++) t += CDF_SIZES[i];
+  for (int i = 0; i < 3; i++) t += EXTRA_SIZES[i];
+  return t;
+}
+
+static void cdf_init_from_buf(CdfSet* c, const i32* buf) {
+  u16* dst[] = {
+    &c->txb_skip[0][0][0], &c->eob_extra[0][0][0][0], &c->dc_sign[0][0][0],
+    &c->eob_pt16[0][0][0], &c->eob_pt32[0][0][0], &c->eob_pt64[0][0][0],
+    &c->eob_pt128[0][0][0], &c->eob_pt256[0][0][0], &c->eob_pt512[0][0][0],
+    &c->eob_pt1024[0][0][0], &c->coeff_base_eob[0][0][0][0],
+    &c->coeff_base[0][0][0][0], &c->coeff_br[0][0][0][0],
+    &c->kf_y_mode[0][0][0], &c->uv_mode[0][0][0], &c->partition[0][0],
+    &c->intra_ext_tx[0][0][0][0], &c->cfl_sign[0], &c->cfl_alpha[0][0],
+    &c->filter_intra_use[0][0], &c->filter_intra_mode[0],
+    &c->tx_size[0][0][0], &c->angle_delta[0][0], &c->skip[0][0],
+    &c->palette_y_mode[0][0][0], &c->palette_uv_mode[0][0],
+    &c->palette_y_size[0][0], &c->palette_uv_size[0][0],
+    &c->palette_y_color[0][0][0], &c->palette_uv_color[0][0][0],
+    &c->restore_switchable[0], &c->restore_wiener[0],
+    &c->restore_sgrproj[0],
+  };
+  i64 off = 0;
+  for (int t = 0; t < N_CDF_TABLES; t++) {
+    for (i64 i = 0; i < CDF_SIZES[t]; i++)
+      dst[t][i] = (u16)buf[off + i];
+    off += CDF_SIZES[t];
+  }
+}
+
+// ======================================================================
+// Frame parameters (flattened by native_decode.py)
+// ======================================================================
+
+struct Params {
+  int mi_cols, mi_rows, frame_w, frame_h;
+  int bit_depth, ssx, ssy, monochrome;
+  int sb128;
+  int base_q_idx;
+  int dq[5];  // y_dc, u_dc, u_ac, v_dc, v_ac
+  int coded_lossless, tx_mode_select, reduced_tx_set;
+  int allow_screen_content, enable_filter_intra, enable_intra_edge_filter;
+  int enable_cdef, allow_intrabc, disable_cdf_update, delta_q_present;
+  int cdef_damping, cdef_bits;
+  int cdef_y_pri[8], cdef_y_sec[8], cdef_uv_pri[8], cdef_uv_sec[8];
+  int lr_type[3], lr_unit_size[3];
+  int lf_levels[4], lf_sharpness, lf_delta_enabled, lf_ref_delta_intra;
+};
+
+static void params_from_buf(Params* p, const i32* b) {
+  int k = 0;
+  p->mi_cols = b[k++]; p->mi_rows = b[k++];
+  p->frame_w = b[k++]; p->frame_h = b[k++];
+  p->bit_depth = b[k++]; p->ssx = b[k++]; p->ssy = b[k++];
+  p->monochrome = b[k++]; p->sb128 = b[k++];
+  p->base_q_idx = b[k++];
+  for (int i = 0; i < 5; i++) p->dq[i] = b[k++];
+  p->coded_lossless = b[k++]; p->tx_mode_select = b[k++];
+  p->reduced_tx_set = b[k++]; p->allow_screen_content = b[k++];
+  p->enable_filter_intra = b[k++]; p->enable_intra_edge_filter = b[k++];
+  p->enable_cdef = b[k++]; p->allow_intrabc = b[k++];
+  p->disable_cdf_update = b[k++]; p->delta_q_present = b[k++];
+  p->cdef_damping = b[k++]; p->cdef_bits = b[k++];
+  for (int i = 0; i < 8; i++) p->cdef_y_pri[i] = b[k++];
+  for (int i = 0; i < 8; i++) p->cdef_y_sec[i] = b[k++];
+  for (int i = 0; i < 8; i++) p->cdef_uv_pri[i] = b[k++];
+  for (int i = 0; i < 8; i++) p->cdef_uv_sec[i] = b[k++];
+  for (int i = 0; i < 3; i++) p->lr_type[i] = b[k++];
+  for (int i = 0; i < 3; i++) p->lr_unit_size[i] = b[k++];
+  for (int i = 0; i < 4; i++) p->lf_levels[i] = b[k++];
+  p->lf_sharpness = b[k++]; p->lf_delta_enabled = b[k++];
+  p->lf_ref_delta_intra = b[k++];
+}
+static const int N_PARAMS = 72;
+
+}  // namespace av1n
+
+namespace av1n {
+
+// ======================================================================
+// Intra prediction (codecs/av1/recon.py; spec 7.11.2)
+// ======================================================================
+
+struct PredTables {
+  const i32* sm_weights;          // [124]
+  const i32* dr_deriv;            // [90]
+  const i32* fi_taps;             // [5][8][8] signed
+};
+
+static const i32* sm_w_for(const PredTables& pt, int n) {
+  switch (n) {
+    case 4: return pt.sm_weights + 0;
+    case 8: return pt.sm_weights + 4;
+    case 16: return pt.sm_weights + 12;
+    case 32: return pt.sm_weights + 28;
+    default: return pt.sm_weights + 60;  // 64
+  }
+}
+
+// spec 7.11.2.7 Intra_Edge_Filter_Strength (recon.py _edge_filter_strength)
+static int edge_filter_strength(int w, int h, int delta, int filter_type) {
+  int d = std::abs(delta);
+  int blk_wh = w + h;
+  int strength = 0;
+  if (filter_type == 0) {
+    if (blk_wh <= 8) { if (d >= 56) strength = 1; }
+    else if (blk_wh <= 12) { if (d >= 40) strength = 1; }
+    else if (blk_wh <= 16) { if (d >= 40) strength = 1; }
+    else if (blk_wh <= 24) {
+      if (d >= 8) strength = 1;
+      if (d >= 16) strength = 2;
+      if (d >= 32) strength = 3;
+    } else if (blk_wh <= 32) {
+      if (d >= 1) strength = 1;
+      if (d >= 4) strength = 2;
+      if (d >= 32) strength = 3;
+    } else { if (d >= 1) strength = 3; }
+  } else {
+    if (blk_wh <= 8) {
+      if (d >= 40) strength = 1;
+      if (d >= 64) strength = 2;
+    } else if (blk_wh <= 16) {
+      if (d >= 20) strength = 1;
+      if (d >= 48) strength = 2;
+    } else if (blk_wh <= 24) { if (d >= 4) strength = 3; }
+    else { if (d >= 1) strength = 3; }
+  }
+  return strength;
+}
+
+static const int EDGE_KERNELS[3][5] = {
+  {0, 4, 8, 4, 0}, {0, 5, 6, 5, 0}, {2, 4, 4, 4, 2},
+};
+
+// spec 7.11.2.8, in place over buf[0:n]
+static void filter_edge(i64* buf, int n, int strength) {
+  if (strength == 0) return;
+  const int* k = EDGE_KERNELS[strength - 1];
+  i64 src[280];
+  memcpy(src, buf, sizeof(i64) * n);
+  for (int i = 1; i < n; i++) {
+    i64 s = 0;
+    for (int j = 0; j < 5; j++) {
+      int idx = std::min(std::max(i - 2 + j, 0), n - 1);
+      s += k[j] * src[idx];
+    }
+    buf[i] = (s + 8) >> 4;
+  }
+}
+
+// spec 7.11.2.10
+static int use_upsample(int w, int h, int delta, int filter_type) {
+  int d = std::abs(delta);
+  int blk_wh = w + h;
+  if (d <= 0 || d >= 40) return 0;
+  return (filter_type == 0 ? blk_wh <= 16 : blk_wh <= 8) ? 1 : 0;
+}
+
+// spec 7.11.2.11: buf[0]=corner, buf[1..n]=edge.  Writes `out` (offset
+// 2 indexing) which must hold 2 + 2*n + 8 entries.
+static void upsample_edge(const i64* buf, int n, int bit_depth, i64* out,
+                          int out_len) {
+  i64 maxv = (1 << bit_depth) - 1;
+  i64 s[284];
+  memset(s, 0, sizeof(i64) * (n + 4));
+  s[1] = buf[0];
+  for (int i = 0; i < n; i++) s[2 + i] = buf[1 + i];
+  s[0] = s[1];
+  s[n + 2] = s[n + 1];
+  s[n + 3] = s[n + 1];
+  for (int i = 0; i < out_len; i++) out[i] = 0;
+  for (int k = -1; k < n; k++) {
+    out[2 + 2 * k] = s[k + 2];
+    if (k < n - 1) {
+      i64 v = -s[k + 1] + 9 * s[k + 2] + 9 * s[k + 3] - s[k + 4];
+      out[2 + 2 * k + 1] = clampi(round2(v, 4), 0, maxv);
+    }
+  }
+  for (int i = 2 + 2 * (n - 1) + 1; i < out_len; i++)
+    out[i] = out[2 + 2 * (n - 1)];
+}
+
+// Plane view: int32 data with row stride.
+struct PlaneView {
+  i32* data;
+  int w, h, stride;
+  i64 at(int y, int x) const { return data[(i64)y * stride + x]; }
+  void set(int y, int x, i64 v) { data[(i64)y * stride + x] = (i32)v; }
+};
+
+// predict a (h, w) block at (x, y); out is row-major h*w i64
+static void predict_intra(const PredTables& pt, const PlaneView& plane,
+                          int x, int y, int w, int h, int mode,
+                          int angle_delta, bool have_above, bool have_left,
+                          int n_top_right, int n_bottom_left, int bit_depth,
+                          bool enable_edge_filter, int filter_type,
+                          i64* out) {
+  i64 maxv = (1 << bit_depth) - 1;
+  i64 base = 1 << (bit_depth - 1);
+  int ma = mode_to_angle(mode);
+  bool is_dir = ma >= 0;
+  int p_angle = is_dir ? ma + angle_delta * 3 : 0;
+
+  int buf_n = w + h + 16;
+  i64 above[144], left[144];
+  memset(above, 0, sizeof(i64) * buf_n);
+  memset(left, 0, sizeof(i64) * buf_n);
+  int plane_w = plane.w, plane_h = plane.h;
+
+  if (have_above) {
+    int avail = std::min(w, plane_w - x);
+    for (int i = 0; i < avail; i++) above[i] = plane.at(y - 1, x + i);
+    for (int i = avail; i < w; i++) above[i] = above[avail - 1];
+    int ntr = std::min(n_top_right, w);
+    if (ntr > 0) {
+      int ext_avail = std::min(ntr, plane_w - (x + w));
+      for (int i = 0; i < ext_avail; i++)
+        above[w + i] = plane.at(y - 1, x + w + i);
+      i64 last = ext_avail > 0 ? above[w + ext_avail - 1] : above[w - 1];
+      for (int i = w + ext_avail; i < buf_n; i++) above[i] = last;
+    } else {
+      for (int i = w; i < buf_n; i++) above[i] = above[w - 1];
+    }
+  } else {
+    i64 fill = have_left ? plane.at(y, x - 1) : base - 1;
+    for (int i = 0; i < buf_n; i++) above[i] = fill;
+  }
+  if (have_left) {
+    int avail = std::min(h, plane_h - y);
+    for (int i = 0; i < avail; i++) left[i] = plane.at(y + i, x - 1);
+    for (int i = avail; i < h; i++) left[i] = left[avail - 1];
+    int nbl = std::min(n_bottom_left, h);
+    if (nbl > 0) {
+      int ext_avail = std::min(nbl, plane_h - (y + h));
+      for (int i = 0; i < ext_avail; i++)
+        left[h + i] = plane.at(y + h + i, x - 1);
+      i64 last = ext_avail > 0 ? left[h + ext_avail - 1] : left[h - 1];
+      for (int i = h + ext_avail; i < buf_n; i++) left[i] = last;
+    } else {
+      for (int i = h; i < buf_n; i++) left[i] = left[h - 1];
+    }
+  } else {
+    i64 fill = have_above ? above[0] : base + 1;
+    for (int i = 0; i < buf_n; i++) left[i] = fill;
+  }
+  i64 corner;
+  if (have_above && have_left) corner = plane.at(y - 1, x - 1);
+  else if (have_above) corner = above[0];
+  else if (have_left) corner = left[0];
+  else corner = base;
+
+  // non-directional
+  if (mode == DC_PRED) {
+    i64 dc;
+    if (have_above && have_left) {
+      i64 s = 0;
+      for (int i = 0; i < w; i++) s += above[i];
+      for (int i = 0; i < h; i++) s += left[i];
+      dc = (s + ((w + h) >> 1)) / (w + h);
+    } else if (have_above) {
+      i64 s = 0;
+      for (int i = 0; i < w; i++) s += above[i];
+      dc = round2(s, floor_log2(w));
+    } else if (have_left) {
+      i64 s = 0;
+      for (int i = 0; i < h; i++) s += left[i];
+      dc = round2(s, floor_log2(h));
+    } else {
+      dc = base;
+    }
+    for (int i = 0; i < h * w; i++) out[i] = dc;
+    return;
+  }
+  if (mode == PAETH_PRED) {
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        i64 t = above[j], l = left[i], tl = corner;
+        i64 pbase = t + l - tl;
+        i64 pl = std::abs(pbase - l), ptp = std::abs(pbase - t),
+            ptl = std::abs(pbase - tl);
+        i64 v = (pl <= ptp && pl <= ptl) ? l : (ptp <= ptl ? t : tl);
+        out[i * w + j] = v;
+      }
+    return;
+  }
+  if (mode == SMOOTH_PRED || mode == SMOOTH_V_PRED ||
+      mode == SMOOTH_H_PRED) {
+    const i32* wv = sm_w_for(pt, h);
+    const i32* wh = sm_w_for(pt, w);
+    i64 below = left[h - 1];
+    i64 right = above[w - 1];
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        if (mode == SMOOTH_PRED) {
+          i64 sv = (i64)wv[i] * above[j] + (256 - wv[i]) * below;
+          i64 sh = (i64)wh[j] * left[i] + (256 - wh[j]) * right;
+          out[i * w + j] = round2(sv + sh, 9);
+        } else if (mode == SMOOTH_V_PRED) {
+          i64 sv = (i64)wv[i] * above[j] + (256 - wv[i]) * below;
+          out[i * w + j] = round2(sv, 8);
+        } else {
+          i64 sh = (i64)wh[j] * left[i] + (256 - wh[j]) * right;
+          out[i * w + j] = round2(sh, 8);
+        }
+      }
+    return;
+  }
+
+  // directional
+  int ebuf_n = 1 + w + h + 8;
+  i64 edge_a[280], edge_l[280], up_a[280], up_l[280];
+  i64* above_row = edge_a;
+  i64* left_col = edge_l;
+  memset(edge_a, 0, sizeof(i64) * ebuf_n);
+  memset(edge_l, 0, sizeof(i64) * ebuf_n);
+  above_row[0] = corner;
+  for (int i = 0; i < w + h + 7; i++) above_row[1 + i] = above[i];
+  left_col[0] = corner;
+  for (int i = 0; i < h + w + 7; i++) left_col[1 + i] = left[i];
+  int upsample_above = 0, upsample_left = 0;
+  if (enable_edge_filter) {
+    if (p_angle != 90 && p_angle != 180) {
+      if (p_angle > 90 && p_angle < 180 && (w + h) >= 24) {
+        i64 s = round2(5 * above_row[1] + 6 * corner + 5 * left_col[1], 4);
+        above_row[0] = left_col[0] = s;
+      }
+      int filt = filter_type;
+      if (have_above) {
+        int strength = edge_filter_strength(w, h, p_angle - 90, filt);
+        int num = w + (p_angle < 90 ? h : 0) + 1;
+        filter_edge(above_row, num, strength);
+      }
+      if (have_left) {
+        int strength = edge_filter_strength(w, h, p_angle - 180, filt);
+        int num = h + (p_angle > 180 ? w : 0) + 1;
+        filter_edge(left_col, num, strength);
+      }
+    }
+    upsample_above = have_above ?
+        use_upsample(w, h, p_angle - 90, filter_type) : 0;
+    upsample_left = have_left ?
+        use_upsample(w, h, p_angle - 180, filter_type) : 0;
+    if (upsample_above) {
+      int n = w + (p_angle < 90 ? h : 0);
+      upsample_edge(above_row, n, bit_depth, up_a, 2 + 2 * n + 8);
+      above_row = up_a;
+    }
+    if (upsample_left) {
+      int n = h + (p_angle > 180 ? w : 0);
+      upsample_edge(left_col, n, bit_depth, up_l, 2 + 2 * n + 8);
+      left_col = up_l;
+    }
+  }
+
+  i64 dx = 0, dy = 0;
+  if (p_angle > 0 && p_angle < 90) dx = pt.dr_deriv[p_angle];
+  else if (p_angle > 90 && p_angle < 180) dx = pt.dr_deriv[180 - p_angle];
+  if (p_angle > 90 && p_angle < 180) dy = pt.dr_deriv[p_angle - 90];
+  else if (p_angle > 180 && p_angle < 270) dy = pt.dr_deriv[270 - p_angle];
+
+  int a_off = upsample_above ? 2 : 1;
+  int l_off = upsample_left ? 2 : 1;
+
+  if (p_angle < 90) {
+    int upa = upsample_above;
+    i64 maxbase = (i64)(w + h - 1) << upa;
+    for (int i = 0; i < h; i++) {
+      i64 idx = (i64)(i + 1) * dx;
+      for (int j = 0; j < w; j++) {
+        i64 b = (idx >> (6 - upa)) + ((i64)j << upa);
+        i64 shift = ((idx << upa) >> 1) & 0x1F;
+        i64 v;
+        if (b < maxbase)
+          v = round2(above_row[a_off + b] * (32 - shift) +
+                     above_row[a_off + b + 1] * shift, 5);
+        else
+          v = above_row[a_off + maxbase];
+        out[i * w + j] = clampi(v, 0, maxv);
+      }
+    }
+  } else if (p_angle == 90) {
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++)
+        out[i * w + j] = clampi(above_row[a_off + j], 0, maxv);
+  } else if (p_angle < 180) {
+    int upa = upsample_above, upl = upsample_left;
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        i64 idx = ((i64)j << 6) - (i64)(i + 1) * dx;
+        i64 b = idx >> (6 - upa);
+        i64 v;
+        if (b >= -((i64)1 << upa)) {
+          i64 shift = ((idx << upa) >> 1) & 0x1F;
+          v = round2(above_row[a_off + b] * (32 - shift) +
+                     above_row[a_off + b + 1] * shift, 5);
+        } else {
+          i64 idx2 = ((i64)i << 6) - (i64)(j + 1) * dy;
+          i64 b2 = idx2 >> (6 - upl);
+          i64 shift2 = ((idx2 << upl) >> 1) & 0x1F;
+          v = round2(left_col[l_off + b2] * (32 - shift2) +
+                     left_col[l_off + b2 + 1] * shift2, 5);
+        }
+        out[i * w + j] = clampi(v, 0, maxv);
+      }
+  } else if (p_angle == 180) {
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++)
+        out[i * w + j] = clampi(left_col[l_off + i], 0, maxv);
+  } else {
+    int upl = upsample_left;
+    i64 maxbase = (i64)(w + h - 1) << upl;
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        i64 idx = (i64)(j + 1) * dy;
+        i64 b = (idx >> (6 - upl)) + ((i64)i << upl);
+        i64 shift = ((idx << upl) >> 1) & 0x1F;
+        i64 v;
+        if (b < maxbase)
+          v = round2(left_col[l_off + b] * (32 - shift) +
+                     left_col[l_off + b + 1] * shift, 5);
+        else
+          v = left_col[l_off + maxbase];
+        out[i * w + j] = clampi(v, 0, maxv);
+      }
+  }
+}
+
+// recursive filter-intra (recon.py predict_filter_intra; spec 7.11.2.3)
+static void predict_filter_intra(const PredTables& pt,
+                                 const PlaneView& plane, int x, int y,
+                                 int w, int h, int fi_mode,
+                                 bool have_above, bool have_left,
+                                 int bit_depth, i64* out) {
+  const i32* taps = pt.fi_taps + fi_mode * 64;
+  i64 base = 1 << (bit_depth - 1);
+  i64 maxv = (1 << bit_depth) - 1;
+  int bw = w + 1, bh = h + 1;
+  i64 buf[33 * 33];
+  memset(buf, 0, sizeof(i64) * bh * bw);
+  int plane_w = plane.w, plane_h = plane.h;
+  if (have_above) {
+    int avail = std::min(w, plane_w - x);
+    for (int i = 0; i < avail; i++) buf[1 + i] = plane.at(y - 1, x + i);
+    for (int i = avail; i < w; i++) buf[1 + i] = buf[avail];  // last avail
+  } else {
+    i64 fill = have_left ? plane.at(y, x - 1) : base - 1;
+    for (int i = 0; i < w; i++) buf[1 + i] = fill;
+  }
+  if (have_left) {
+    int avail = std::min(h, plane_h - y);
+    for (int i = 0; i < avail; i++)
+      buf[(i64)(1 + i) * bw] = plane.at(y + i, x - 1);
+    for (int i = avail; i < h; i++)
+      buf[(i64)(1 + i) * bw] = buf[(i64)avail * bw];
+  } else {
+    i64 fill = have_above ? buf[1] : base + 1;
+    for (int i = 0; i < h; i++) buf[(i64)(1 + i) * bw] = fill;
+  }
+  if (have_above && have_left) buf[0] = plane.at(y - 1, x - 1);
+  else if (have_above) buf[0] = buf[1];
+  else if (have_left) buf[0] = buf[bw];
+  else buf[0] = base;
+
+  for (int r = 1; r < h + 1; r += 2)
+    for (int c = 1; c < w + 1; c += 4) {
+      i64 p[8] = {
+        buf[(i64)(r - 1) * bw + c - 1], buf[(i64)(r - 1) * bw + c],
+        buf[(i64)(r - 1) * bw + c + 1], buf[(i64)(r - 1) * bw + c + 2],
+        buf[(i64)(r - 1) * bw + c + 3], buf[(i64)r * bw + c - 1],
+        buf[(i64)(r + 1) * bw + c - 1], 0,
+      };
+      for (int k = 0; k < 8; k++) {
+        int ro = k >> 2, co = k & 3;
+        i64 v = 0;
+        for (int t = 0; t < 8; t++) v += (i64)taps[k * 8 + t] * p[t];
+        v = v >= 0 ? (v + 8) >> 4 : -((-v + 8) >> 4);
+        buf[(i64)(r + ro) * bw + c + co] = clampi(v, 0, maxv);
+      }
+    }
+  for (int i = 0; i < h; i++)
+    for (int j = 0; j < w; j++)
+      out[i * w + j] = buf[(i64)(1 + i) * bw + 1 + j];
+}
+
+// ======================================================================
+// Inverse transforms (codecs/av1/itx.py; spec 7.13.3)
+// ======================================================================
+
+static const int COS_BIT = 12;
+static i64 COSPI[64];
+static i64 SINPI[5];
+static const i64 INV_SQRT2 = 2896;
+static const i64 NEW_SQRT2 = 5793;
+static bool g_itx_init = false;
+
+static void itx_init() {
+  if (g_itx_init) return;
+  for (int i = 0; i < 64; i++)
+    COSPI[i] = (i64)llround(cos(i * M_PI / 128) * (1 << COS_BIT));
+  SINPI[0] = 0;
+  for (int i = 1; i < 5; i++)
+    SINPI[i] = (i64)llround(sin(i * M_PI / 9) * sqrt(2.0) * (2.0 / 3.0) *
+                            (1 << COS_BIT));
+  g_itx_init = true;
+}
+
+static inline i64 half_btf(i64 w0, i64 in0, i64 w1, i64 in1) {
+  return round2(w0 * in0 + w1 * in1, COS_BIT);
+}
+
+static void idct4(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 s0 = half_btf(c[32], x[0], c[32], x[2]);
+  i64 s1 = half_btf(c[32], x[0], -c[32], x[2]);
+  i64 s2 = half_btf(c[48], x[1], -c[16], x[3]);
+  i64 s3 = half_btf(c[16], x[1], c[48], x[3]);
+  o[0] = s0 + s3; o[1] = s1 + s2; o[2] = s1 - s2; o[3] = s0 - s3;
+}
+
+static void idct8(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 ein[4] = {x[0], x[2], x[4], x[6]};
+  i64 e[4];
+  idct4(ein, e);
+  i64 s4 = half_btf(c[56], x[1], -c[8], x[7]);
+  i64 s7 = half_btf(c[8], x[1], c[56], x[7]);
+  i64 s5 = half_btf(c[24], x[5], -c[40], x[3]);
+  i64 s6 = half_btf(c[40], x[5], c[24], x[3]);
+  i64 t4 = s4 + s5, t5 = s4 - s5, t7 = s7 + s6, t6 = s7 - s6;
+  i64 u5 = half_btf(c[32], t6, -c[32], t5);
+  i64 u6 = half_btf(c[32], t6, c[32], t5);
+  i64 od[4] = {t4, u5, u6, t7};
+  o[0] = e[0] + od[3]; o[1] = e[1] + od[2];
+  o[2] = e[2] + od[1]; o[3] = e[3] + od[0];
+  o[4] = e[3] - od[0]; o[5] = e[2] - od[1];
+  o[6] = e[1] - od[2]; o[7] = e[0] - od[3];
+}
+
+static void idct16(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 ein[8], e[8];
+  for (int i = 0; i < 8; i++) ein[i] = x[2 * i];
+  idct8(ein, e);
+  i64 s8 = half_btf(c[60], x[1], -c[4], x[15]);
+  i64 s15 = half_btf(c[4], x[1], c[60], x[15]);
+  i64 s9 = half_btf(c[28], x[9], -c[36], x[7]);
+  i64 s14 = half_btf(c[36], x[9], c[28], x[7]);
+  i64 s10 = half_btf(c[44], x[5], -c[20], x[11]);
+  i64 s13 = half_btf(c[20], x[5], c[44], x[11]);
+  i64 s11 = half_btf(c[12], x[13], -c[52], x[3]);
+  i64 s12 = half_btf(c[52], x[13], c[12], x[3]);
+  i64 t8 = s8 + s9, t9 = s8 - s9;
+  i64 t10 = s11 - s10, t11 = s11 + s10;
+  i64 t12 = s12 + s13, t13 = s12 - s13;
+  i64 t14 = s15 - s14, t15 = s15 + s14;
+  i64 u9 = half_btf(-c[16], t9, c[48], t14);
+  i64 u14 = half_btf(c[48], t9, c[16], t14);
+  i64 u10 = half_btf(-c[48], t10, -c[16], t13);
+  i64 u13 = half_btf(-c[16], t10, c[48], t13);
+  i64 v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
+  i64 v12 = t15 - t12, v13 = u14 - u13, v14 = u14 + u13, v15 = t15 + t12;
+  i64 w10 = half_btf(-c[32], v10, c[32], v13);
+  i64 w13 = half_btf(c[32], v10, c[32], v13);
+  i64 w11 = half_btf(-c[32], v11, c[32], v12);
+  i64 w12 = half_btf(c[32], v11, c[32], v12);
+  i64 od[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
+  for (int i = 0; i < 8; i++) o[i] = e[i] + od[7 - i];
+  for (int i = 0; i < 8; i++) o[8 + i] = e[7 - i] - od[i];
+}
+
+static void idct32(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 ein[16], e[16];
+  for (int i = 0; i < 16; i++) ein[i] = x[2 * i];
+  idct16(ein, e);
+  i64 xo[16] = {x[1], x[3], x[5], x[7], x[9], x[11], x[13], x[15],
+                x[17], x[19], x[21], x[23], x[25], x[27], x[29], x[31]};
+  i64 s[16];
+  s[0] = half_btf(c[62], xo[0], -c[2], xo[15]);
+  s[15] = half_btf(c[2], xo[0], c[62], xo[15]);
+  s[1] = half_btf(c[30], xo[8], -c[34], xo[7]);
+  s[14] = half_btf(c[34], xo[8], c[30], xo[7]);
+  s[2] = half_btf(c[46], xo[4], -c[18], xo[11]);
+  s[13] = half_btf(c[18], xo[4], c[46], xo[11]);
+  s[3] = half_btf(c[14], xo[12], -c[50], xo[3]);
+  s[12] = half_btf(c[50], xo[12], c[14], xo[3]);
+  s[4] = half_btf(c[54], xo[2], -c[10], xo[13]);
+  s[11] = half_btf(c[10], xo[2], c[54], xo[13]);
+  s[5] = half_btf(c[22], xo[10], -c[42], xo[5]);
+  s[10] = half_btf(c[42], xo[10], c[22], xo[5]);
+  s[6] = half_btf(c[38], xo[6], -c[26], xo[9]);
+  s[9] = half_btf(c[26], xo[6], c[38], xo[9]);
+  s[7] = half_btf(c[6], xo[14], -c[58], xo[1]);
+  s[8] = half_btf(c[58], xo[14], c[6], xo[1]);
+  i64 t[16];
+  t[0] = s[0] + s[1]; t[1] = s[0] - s[1];
+  t[3] = s[3] + s[2]; t[2] = s[3] - s[2];
+  t[4] = s[4] + s[5]; t[5] = s[4] - s[5];
+  t[7] = s[7] + s[6]; t[6] = s[7] - s[6];
+  t[8] = s[8] + s[9]; t[9] = s[8] - s[9];
+  t[11] = s[11] + s[10]; t[10] = s[11] - s[10];
+  t[12] = s[12] + s[13]; t[13] = s[12] - s[13];
+  t[15] = s[15] + s[14]; t[14] = s[15] - s[14];
+  i64 u[16];
+  for (int i = 0; i < 16; i++) u[i] = t[i];
+  u[1] = half_btf(-c[8], t[1], c[56], t[14]);
+  u[14] = half_btf(c[56], t[1], c[8], t[14]);
+  u[2] = half_btf(-c[56], t[2], -c[8], t[13]);
+  u[13] = half_btf(-c[8], t[2], c[56], t[13]);
+  u[5] = half_btf(-c[40], t[5], c[24], t[10]);
+  u[10] = half_btf(c[24], t[5], c[40], t[10]);
+  u[6] = half_btf(-c[24], t[6], -c[40], t[9]);
+  u[9] = half_btf(-c[40], t[6], c[24], t[9]);
+  i64 v[16];
+  v[0] = u[0] + u[3]; v[3] = u[0] - u[3];
+  v[1] = u[1] + u[2]; v[2] = u[1] - u[2];
+  v[7] = u[7] + u[4]; v[4] = u[7] - u[4];
+  v[6] = u[6] + u[5]; v[5] = u[6] - u[5];
+  v[8] = u[8] + u[11]; v[11] = u[8] - u[11];
+  v[9] = u[9] + u[10]; v[10] = u[9] - u[10];
+  v[15] = u[15] + u[12]; v[12] = u[15] - u[12];
+  v[14] = u[14] + u[13]; v[13] = u[14] - u[13];
+  i64 w[16];
+  for (int i = 0; i < 16; i++) w[i] = v[i];
+  w[2] = half_btf(-c[16], v[2], c[48], v[13]);
+  w[13] = half_btf(c[48], v[2], c[16], v[13]);
+  w[3] = half_btf(-c[16], v[3], c[48], v[12]);
+  w[12] = half_btf(c[48], v[3], c[16], v[12]);
+  w[4] = half_btf(-c[48], v[4], -c[16], v[11]);
+  w[11] = half_btf(-c[16], v[4], c[48], v[11]);
+  w[5] = half_btf(-c[48], v[5], -c[16], v[10]);
+  w[10] = half_btf(-c[16], v[5], c[48], v[10]);
+  i64 a[16];
+  a[0] = w[0] + w[7]; a[7] = w[0] - w[7];
+  a[1] = w[1] + w[6]; a[6] = w[1] - w[6];
+  a[2] = w[2] + w[5]; a[5] = w[2] - w[5];
+  a[3] = w[3] + w[4]; a[4] = w[3] - w[4];
+  a[8] = w[15] - w[8]; a[15] = w[15] + w[8];
+  a[9] = w[14] - w[9]; a[14] = w[14] + w[9];
+  a[10] = w[13] - w[10]; a[13] = w[13] + w[10];
+  a[11] = w[12] - w[11]; a[12] = w[12] + w[11];
+  i64 b[16];
+  for (int i = 0; i < 16; i++) b[i] = a[i];
+  b[4] = half_btf(-c[32], a[4], c[32], a[11]);
+  b[11] = half_btf(c[32], a[4], c[32], a[11]);
+  b[5] = half_btf(-c[32], a[5], c[32], a[10]);
+  b[10] = half_btf(c[32], a[5], c[32], a[10]);
+  b[6] = half_btf(-c[32], a[6], c[32], a[9]);
+  b[9] = half_btf(c[32], a[6], c[32], a[9]);
+  b[7] = half_btf(-c[32], a[7], c[32], a[8]);
+  b[8] = half_btf(c[32], a[7], c[32], a[8]);
+  for (int i = 0; i < 16; i++) o[i] = e[i] + b[15 - i];
+  for (int i = 0; i < 16; i++) o[16 + i] = e[15 - i] - b[i];
+}
+
+static int brev(int nbits, int v) {
+  int out = 0;
+  for (int i = 0; i < nbits; i++) out |= ((v >> i) & 1) << (nbits - 1 - i);
+  return out;
+}
+
+static void idct64(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 ein[32], e[32];
+  for (int i = 0; i < 32; i++) ein[i] = x[2 * i];
+  idct32(ein, e);
+  i64 s[32];
+  for (int j = 0; j < 16; j++) {
+    int a = brev(6, 32 + j);
+    i64 xi = x[a], xj = x[64 - a];
+    s[j] = half_btf(c[64 - a], xi, -c[a], xj);
+    s[31 - j] = half_btf(c[a], xi, c[64 - a], xj);
+  }
+  i64 t[32];
+  for (int p = 0; p < 16; p++) {
+    int i0 = 2 * p, i1 = 2 * p + 1;
+    if (p % 2 == 0) { t[i0] = s[i0] + s[i1]; t[i1] = s[i0] - s[i1]; }
+    else { t[i1] = s[i1] + s[i0]; t[i0] = s[i1] - s[i0]; }
+  }
+  i64 u[32];
+  for (int i = 0; i < 32; i++) u[i] = t[i];
+  for (int k = 0; k < 8; k++) {
+    int b = 4 * brev(4, 8 + k);
+    int i0 = 4 * k + 1, i1 = 4 * k + 2;
+    int j0 = 30 - 4 * k, j1 = 29 - 4 * k;
+    u[i0] = half_btf(c[b], t[i0], -c[64 - b], t[j0]);
+    u[j0] = half_btf(-c[64 - b], t[i0], -c[b], t[j0]);
+    u[i1] = half_btf(c[64 - b], t[i1], c[b], t[j1]);
+    u[j1] = half_btf(c[b], t[i1], -c[64 - b], t[j1]);
+  }
+  i64 v[32];
+  for (int g = 0; g < 8; g++) {
+    int off = 4 * g;
+    if (g % 2 == 0) {
+      v[off] = u[off] + u[off + 3]; v[off + 3] = u[off] - u[off + 3];
+      v[off + 1] = u[off + 1] + u[off + 2];
+      v[off + 2] = u[off + 1] - u[off + 2];
+    } else {
+      v[off + 3] = u[off + 3] + u[off]; v[off] = u[off + 3] - u[off];
+      v[off + 2] = u[off + 2] + u[off + 1];
+      v[off + 1] = u[off + 2] - u[off + 1];
+    }
+  }
+  i64 w[32];
+  for (int i = 0; i < 32; i++) w[i] = v[i];
+  {
+    const int spec[8][4] = {
+      {2, 29, 8, 0}, {3, 28, 8, 0}, {4, 27, 8, 1}, {5, 26, 8, 1},
+      {10, 21, 40, 0}, {11, 20, 40, 0}, {12, 19, 40, 1}, {13, 18, 40, 1},
+    };
+    for (int q = 0; q < 8; q++) {
+      int i = spec[q][0], j = spec[q][1], b = spec[q][2], form = spec[q][3];
+      if (form == 0) {
+        w[i] = half_btf(-c[b], v[i], c[64 - b], v[j]);
+        w[j] = half_btf(c[64 - b], v[i], c[b], v[j]);
+      } else {
+        w[i] = half_btf(-c[64 - b], v[i], -c[b], v[j]);
+        w[j] = half_btf(-c[b], v[i], c[64 - b], v[j]);
+      }
+    }
+  }
+  i64 a6[32];
+  for (int g = 0; g < 4; g++) {
+    int off = 8 * g;
+    for (int i = 0; i < 4; i++) {
+      int lo = off + i, hi = off + 7 - i;
+      if (g % 2 == 0) { a6[lo] = w[lo] + w[hi]; a6[hi] = w[lo] - w[hi]; }
+      else { a6[hi] = w[hi] + w[lo]; a6[lo] = w[hi] - w[lo]; }
+    }
+  }
+  i64 b7[32];
+  for (int i = 0; i < 32; i++) b7[i] = a6[i];
+  for (int i = 4; i < 8; i++) {
+    int j = 31 - i;
+    b7[i] = half_btf(-c[16], a6[i], c[48], a6[j]);
+    b7[j] = half_btf(c[48], a6[i], c[16], a6[j]);
+  }
+  for (int i = 8; i < 12; i++) {
+    int j = 31 - i;
+    b7[i] = half_btf(-c[48], a6[i], -c[16], a6[j]);
+    b7[j] = half_btf(-c[16], a6[i], c[48], a6[j]);
+  }
+  i64 r8[32];
+  for (int i = 0; i < 8; i++) {
+    int lo = i, hi = 15 - i;
+    r8[lo] = b7[lo] + b7[hi]; r8[hi] = b7[lo] - b7[hi];
+    int lo2 = 16 + i, hi2 = 31 - i;
+    r8[hi2] = b7[hi2] + b7[lo2]; r8[lo2] = b7[hi2] - b7[lo2];
+  }
+  i64 q[32];
+  for (int i = 0; i < 32; i++) q[i] = r8[i];
+  for (int i = 8; i < 16; i++) {
+    int j = 31 - i;
+    q[i] = half_btf(-c[32], r8[i], c[32], r8[j]);
+    q[j] = half_btf(c[32], r8[i], c[32], r8[j]);
+  }
+  for (int i = 0; i < 32; i++) o[i] = e[i] + q[31 - i];
+  for (int i = 0; i < 32; i++) o[32 + i] = e[31 - i] - q[i];
+}
+
+static void iadst4(const i64* x, i64* o) {
+  const i64* sp = SINPI;
+  i64 x0 = x[0], x1 = x[1], x2 = x[2], x3 = x[3];
+  i64 s0 = sp[1] * x0;
+  i64 s1 = sp[2] * x0;
+  i64 s2 = sp[3] * x1;
+  i64 s3 = sp[4] * x2;
+  i64 s4 = sp[1] * x2;
+  i64 s5 = sp[2] * x3;
+  i64 s6 = sp[4] * x3;
+  i64 s7 = (x0 - x2) + x3;
+  s0 = s0 + s3;
+  s1 = s1 - s4;
+  s3 = s2;
+  s2 = sp[3] * s7;
+  s0 = s0 + s5;
+  s1 = s1 - s6;
+  i64 y0 = s0 + s3, y1 = s1 + s3, y2 = s2, y3 = (s0 + s1) - s3;
+  o[0] = round2(y0, COS_BIT); o[1] = round2(y1, COS_BIT);
+  o[2] = round2(y2, COS_BIT); o[3] = round2(y3, COS_BIT);
+}
+
+static void iadst8(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 b[8] = {x[7], x[0], x[5], x[2], x[3], x[4], x[1], x[6]};
+  i64 s[8] = {
+    half_btf(c[4], b[0], c[60], b[1]),
+    half_btf(c[60], b[0], -c[4], b[1]),
+    half_btf(c[20], b[2], c[44], b[3]),
+    half_btf(c[44], b[2], -c[20], b[3]),
+    half_btf(c[36], b[4], c[28], b[5]),
+    half_btf(c[28], b[4], -c[36], b[5]),
+    half_btf(c[52], b[6], c[12], b[7]),
+    half_btf(c[12], b[6], -c[52], b[7]),
+  };
+  i64 t[8] = {s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
+              s[0] - s[4], s[1] - s[5], s[2] - s[6], s[3] - s[7]};
+  i64 u[8] = {t[0], t[1], t[2], t[3],
+              half_btf(c[16], t[4], c[48], t[5]),
+              half_btf(c[48], t[4], -c[16], t[5]),
+              half_btf(-c[48], t[6], c[16], t[7]),
+              half_btf(c[16], t[6], c[48], t[7])};
+  i64 v[8] = {u[0] + u[2], u[1] + u[3], u[0] - u[2], u[1] - u[3],
+              u[4] + u[6], u[5] + u[7], u[4] - u[6], u[5] - u[7]};
+  i64 w[8] = {v[0], v[1],
+              half_btf(c[32], v[2], c[32], v[3]),
+              half_btf(c[32], v[2], -c[32], v[3]),
+              v[4], v[5],
+              half_btf(c[32], v[6], c[32], v[7]),
+              half_btf(c[32], v[6], -c[32], v[7])};
+  o[0] = w[0]; o[1] = -w[4]; o[2] = w[6]; o[3] = -w[2];
+  o[4] = w[3]; o[5] = -w[7]; o[6] = w[5]; o[7] = -w[1];
+}
+
+static void iadst16(const i64* x, i64* o) {
+  const i64* c = COSPI;
+  i64 b[16] = {x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
+               x[7], x[8], x[5], x[10], x[3], x[12], x[1], x[14]};
+  i64 s[16];
+  for (int k = 0; k < 8; k++) {
+    int ang = 2 + 8 * k;
+    s[2 * k] = half_btf(c[ang], b[2 * k], c[64 - ang], b[2 * k + 1]);
+    s[2 * k + 1] = half_btf(c[64 - ang], b[2 * k], -c[ang], b[2 * k + 1]);
+  }
+  i64 t[16];
+  for (int i = 0; i < 8; i++) t[i] = s[i] + s[i + 8];
+  for (int i = 0; i < 8; i++) t[8 + i] = s[i] - s[i + 8];
+  i64 u[16];
+  for (int i = 0; i < 8; i++) u[i] = t[i];
+  u[8] = half_btf(c[8], t[8], c[56], t[9]);
+  u[9] = half_btf(c[56], t[8], -c[8], t[9]);
+  u[10] = half_btf(c[40], t[10], c[24], t[11]);
+  u[11] = half_btf(c[24], t[10], -c[40], t[11]);
+  u[12] = half_btf(-c[56], t[12], c[8], t[13]);
+  u[13] = half_btf(c[8], t[12], c[56], t[13]);
+  u[14] = half_btf(-c[24], t[14], c[40], t[15]);
+  u[15] = half_btf(c[40], t[14], c[24], t[15]);
+  i64 v[16] = {u[0] + u[4], u[1] + u[5], u[2] + u[6], u[3] + u[7],
+               u[0] - u[4], u[1] - u[5], u[2] - u[6], u[3] - u[7],
+               u[8] + u[12], u[9] + u[13], u[10] + u[14], u[11] + u[15],
+               u[8] - u[12], u[9] - u[13], u[10] - u[14], u[11] - u[15]};
+  i64 w[16];
+  for (int i = 0; i < 4; i++) w[i] = v[i];
+  w[4] = half_btf(c[16], v[4], c[48], v[5]);
+  w[5] = half_btf(c[48], v[4], -c[16], v[5]);
+  w[6] = half_btf(-c[48], v[6], c[16], v[7]);
+  w[7] = half_btf(c[16], v[6], c[48], v[7]);
+  for (int i = 8; i < 12; i++) w[i] = v[i];
+  w[12] = half_btf(c[16], v[12], c[48], v[13]);
+  w[13] = half_btf(c[48], v[12], -c[16], v[13]);
+  w[14] = half_btf(-c[48], v[14], c[16], v[15]);
+  w[15] = half_btf(c[16], v[14], c[48], v[15]);
+  i64 a[16];
+  {
+    int idx = 0;
+    const int offs[4] = {0, 4, 8, 12};
+    for (int oi = 0; oi < 4; oi++) {
+      int off = offs[oi];
+      a[idx++] = w[off] + w[off + 2];
+      a[idx++] = w[off + 1] + w[off + 3];
+      a[idx++] = w[off] - w[off + 2];
+      a[idx++] = w[off + 1] - w[off + 3];
+    }
+  }
+  i64 z[16];
+  {
+    int idx = 0;
+    const int offs[4] = {0, 4, 8, 12};
+    for (int oi = 0; oi < 4; oi++) {
+      int off = offs[oi];
+      z[idx++] = a[off];
+      z[idx++] = a[off + 1];
+      z[idx++] = half_btf(c[32], a[off + 2], c[32], a[off + 3]);
+      z[idx++] = half_btf(c[32], a[off + 2], -c[32], a[off + 3]);
+    }
+  }
+  o[0] = z[0]; o[1] = -z[8]; o[2] = z[12]; o[3] = -z[4];
+  o[4] = z[6]; o[5] = -z[14]; o[6] = z[10]; o[7] = -z[2];
+  o[8] = z[3]; o[9] = -z[11]; o[10] = z[15]; o[11] = -z[7];
+  o[12] = z[5]; o[13] = -z[13]; o[14] = z[9]; o[15] = -z[1];
+}
+
+static void iidentity(const i64* x, i64* o, int n) {
+  if (n == 4) for (int i = 0; i < 4; i++) o[i] = round2(x[i] * NEW_SQRT2, 12);
+  else if (n == 8) for (int i = 0; i < 8; i++) o[i] = x[i] * 2;
+  else if (n == 16)
+    for (int i = 0; i < 16; i++) o[i] = round2(x[i] * 2 * NEW_SQRT2, 12);
+  else for (int i = 0; i < 32; i++) o[i] = x[i] * 4;
+}
+
+// kind: 0 = DCT, 1 = ADST, 2 = identity
+static void txfm1d(int kind, int n, const i64* x, i64* o) {
+  if (kind == 2) { iidentity(x, o, n); return; }
+  if (kind == 0) {
+    switch (n) {
+      case 4: idct4(x, o); return;
+      case 8: idct8(x, o); return;
+      case 16: idct16(x, o); return;
+      case 32: idct32(x, o); return;
+      default: idct64(x, o); return;
+    }
+  }
+  switch (n) {
+    case 4: iadst4(x, o); return;
+    case 8: iadst8(x, o); return;
+    default: iadst16(x, o); return;
+  }
+}
+
+// tx_type -> (vkind, hkind, ud_flip, lr_flip)
+static const int TX1D[16][4] = {
+  {0, 0, 0, 0}, {1, 0, 0, 0}, {0, 1, 0, 0}, {1, 1, 0, 0},
+  {1, 0, 1, 0}, {0, 1, 0, 1}, {1, 1, 1, 1}, {1, 1, 0, 1},
+  {1, 1, 1, 0}, {2, 2, 0, 0}, {0, 2, 0, 0}, {2, 0, 0, 0},
+  {1, 2, 0, 0}, {2, 1, 0, 0}, {1, 2, 1, 0}, {2, 1, 0, 1},
+};
+
+static void shift_pair(int tw, int th, int* sh_row, int* sh_col) {
+  // itx.py _SHIFTS: right-shift amounts (positive here)
+  *sh_col = 4;
+  int mx = std::max(tw, th);
+  if (tw == th) {
+    *sh_row = tw == 4 ? 0 : (tw == 8 ? 1 : 2);
+  } else if ((tw == 4 && th == 8) || (tw == 8 && th == 4)) {
+    *sh_row = 0;
+  } else if ((tw == 8 && th == 16) || (tw == 16 && th == 8) ||
+             (tw == 16 && th == 32) || (tw == 32 && th == 16) ||
+             (tw == 32 && th == 64) || (tw == 64 && th == 32) ||
+             (tw == 4 && th == 16) || (tw == 16 && th == 4)) {
+    *sh_row = 1;
+  } else {
+    *sh_row = 2;  // 8x32, 32x8, 16x64, 64x16
+  }
+  (void)mx;
+}
+
+// full 2-D inverse transform: coeffs (ch, cw) into res (th, tw)
+static void inv_txfm2d(const i64* coeffs, int cw, int ch, int tw, int th,
+                       int tx_type, i64* res) {
+  int vk = TX1D[tx_type][0], hk = TX1D[tx_type][1];
+  int ud_flip = TX1D[tx_type][2], lr_flip = TX1D[tx_type][3];
+  int sh_row, sh_col;
+  shift_pair(tw, th, &sh_row, &sh_col);
+  i64 buf[64 * 64];
+  memset(buf, 0, sizeof(i64) * th * tw);
+  for (int r = 0; r < ch; r++)
+    for (int c2 = 0; c2 < cw; c2++) buf[(i64)r * tw + c2] = coeffs[r * cw + c2];
+  // rows at/after the last nonzero coefficient row transform to all
+  // zeros in the row pass (every 1-D transform maps 0 -> 0), so only
+  // the populated prefix needs work
+  int n_rows = 0;
+  for (int r = ch - 1; r >= 0; r--) {
+    bool nz = false;
+    for (int c2 = 0; c2 < cw; c2++)
+      if (buf[(i64)r * tw + c2]) { nz = true; break; }
+    if (nz) { n_rows = r + 1; break; }
+  }
+  int lw = floor_log2(tw), lh = floor_log2(th);
+  bool rect2 = std::abs(lw - lh) == 1;
+  if (rect2)
+    for (i64 i = 0; i < (i64)n_rows * tw; i++)
+      buf[i] = round2(buf[i] * INV_SQRT2, 12);
+  // row pass (horizontal transform of each row)
+  i64 tmp_in[64], tmp_out[64];
+  for (int r = 0; r < n_rows; r++) {
+    for (int c2 = 0; c2 < tw; c2++) tmp_in[c2] = buf[(i64)r * tw + c2];
+    txfm1d(hk, tw, tmp_in, tmp_out);
+    for (int c2 = 0; c2 < tw; c2++)
+      buf[(i64)r * tw + c2] = round2(tmp_out[c2], sh_row);
+  }
+  if (lr_flip)
+    for (int r = 0; r < th; r++)
+      for (int c2 = 0; c2 < tw / 2; c2++)
+        std::swap(buf[(i64)r * tw + c2], buf[(i64)r * tw + tw - 1 - c2]);
+  // column pass
+  for (int c2 = 0; c2 < tw; c2++) {
+    for (int r = 0; r < th; r++) tmp_in[r] = buf[(i64)r * tw + c2];
+    txfm1d(vk, th, tmp_in, tmp_out);
+    for (int r = 0; r < th; r++)
+      buf[(i64)r * tw + c2] = round2(tmp_out[r], sh_col);
+  }
+  if (ud_flip)
+    for (int r = 0; r < th / 2; r++)
+      for (int c2 = 0; c2 < tw; c2++)
+        std::swap(buf[(i64)r * tw + c2], buf[(i64)(th - 1 - r) * tw + c2]);
+  for (i64 i = 0; i < (i64)th * tw; i++) res[i] = buf[i];
+}
+
+// inverse 4x4 Walsh-Hadamard (recon.py iwht4; lossless)
+static void iwht4(const i64* in, i64* out) {
+  i64 m[16];
+  for (int i = 0; i < 16; i++) m[i] = in[i] >> 2;
+  // rows then columns, butterfly over (a, c, d, b) element order
+  for (int r = 0; r < 4; r++) {
+    i64 a = m[r * 4 + 0], c2 = m[r * 4 + 1], d = m[r * 4 + 2],
+        b = m[r * 4 + 3];
+    a = a + c2; d = d - b;
+    i64 e = (a - d) >> 1;
+    b = e - b; c2 = e - c2;
+    a = a - b; d = d + c2;
+    m[r * 4 + 0] = a; m[r * 4 + 1] = b; m[r * 4 + 2] = c2; m[r * 4 + 3] = d;
+  }
+  for (int c2 = 0; c2 < 4; c2++) {
+    i64 a = m[0 * 4 + c2], cc = m[1 * 4 + c2], d = m[2 * 4 + c2],
+        b = m[3 * 4 + c2];
+    a = a + cc; d = d - b;
+    i64 e = (a - d) >> 1;
+    b = e - b; cc = e - cc;
+    a = a - b; d = d + cc;
+    m[0 * 4 + c2] = a; m[1 * 4 + c2] = b; m[2 * 4 + c2] = cc;
+    m[3 * 4 + c2] = d;
+  }
+  for (int i = 0; i < 16; i++) out[i] = m[i];
+}
+
+}  // namespace av1n
+
+namespace av1n {
+
+// ======================================================================
+// Palette helpers (codecs/av1/palette.py)
+// ======================================================================
+
+static const int PALETTE_MAX_SIZE = 8;
+static const int PAL_W[3] = {2, 1, 2};      // left, above-left, above
+static const int PAL_HM[3] = {1, 2, 2};
+
+static int pal_ctx_lookup(int h) {
+  switch (h) {
+    case 2: return 0;
+    case 5: return 4;
+    case 6: return 3;
+    case 7: return 2;
+    case 8: return 1;
+  }
+  return 0;
+}
+
+static int ceil_log2(int n) {
+  if (n < 2) return 0;
+  return bitlen(n - 1);
+}
+
+static int read_uniform(Msac& r, int n) {
+  int l = bitlen(n);
+  int m = (1 << l) - n;
+  int v = l > 1 ? r.read_literal(l - 1) : 0;
+  if (v < m) return v;
+  return (v << 1) - m + r.read_literal(1);
+}
+
+// merged sorted color cache (palette.py get_palette_cache)
+static int palette_cache(const u8* n_map, const i32* c_map, int mi_cols,
+                         int mi_r, int mi_c, int mr0, int mc0, int* out) {
+  const i32* above = nullptr;
+  int n_above = 0;
+  const i32* left = nullptr;
+  int n_left = 0;
+  if ((mi_r * 4) % 64 != 0 && mi_r > mr0) {
+    i64 idx = (i64)(mi_r - 1) * mi_cols + mi_c;
+    n_above = n_map[idx];
+    above = c_map + idx * PALETTE_MAX_SIZE;
+  }
+  if (mi_c > mc0) {
+    i64 idx = (i64)mi_r * mi_cols + mi_c - 1;
+    n_left = n_map[idx];
+    left = c_map + idx * PALETTE_MAX_SIZE;
+  }
+  int n_out = 0;
+  int i = 0, j = 0;
+  while (i < n_above && j < n_left) {
+    int va = above[i], vl = left[j];
+    if (vl < va) {
+      if (n_out == 0 || vl != out[n_out - 1]) out[n_out++] = vl;
+      j++;
+    } else {
+      if (n_out == 0 || va != out[n_out - 1]) out[n_out++] = va;
+      i++;
+      if (vl == va) j++;
+    }
+  }
+  for (; i < n_above; i++)
+    if (n_out == 0 || above[i] != out[n_out - 1]) out[n_out++] = above[i];
+  for (; j < n_left; j++)
+    if (n_out == 0 || left[j] != out[n_out - 1]) out[n_out++] = left[j];
+  return n_out;
+}
+
+static void read_colors_y(Msac& r, const int* cache, int n_cache, int n,
+                          int bd, int* out) {
+  int cached[PALETTE_MAX_SIZE];
+  int nc = 0;
+  for (int i = 0; i < n_cache && nc < n; i++)
+    if (r.read_literal(1)) cached[nc++] = cache[i];
+  int rest[PALETTE_MAX_SIZE];
+  int nr = 0;
+  if (nc < n) {
+    rest[nr++] = r.read_literal(bd);
+    if (nc + nr < n) {
+      int min_bits = bd - 3;
+      int bits = min_bits + r.read_literal(2);
+      int rng = (1 << bd) - rest[nr - 1] - 1;
+      while (nc + nr < n) {
+        int delta = r.read_literal(bits) + 1;
+        int v = (int)clampi(rest[nr - 1] + delta, 0, (1 << bd) - 1);
+        rng -= v - rest[nr - 1];
+        rest[nr++] = v;
+        bits = std::min(bits, ceil_log2(rng));
+      }
+    }
+  }
+  for (int i = 0; i < nc; i++) out[i] = cached[i];
+  for (int i = 0; i < nr; i++) out[nc + i] = rest[i];
+  std::sort(out, out + n);
+}
+
+static void read_colors_uv(Msac& r, const int* cache, int n_cache, int n,
+                           int bd, int* out_u, int* out_v) {
+  int cached[PALETTE_MAX_SIZE];
+  int nc = 0;
+  for (int i = 0; i < n_cache && nc < n; i++)
+    if (r.read_literal(1)) cached[nc++] = cache[i];
+  int rest[PALETTE_MAX_SIZE];
+  int nr = 0;
+  if (nc < n) {
+    rest[nr++] = r.read_literal(bd);
+    if (nc + nr < n) {
+      int min_bits = bd - 3;
+      int bits = min_bits + r.read_literal(2);
+      int rng = (1 << bd) - rest[nr - 1];
+      while (nc + nr < n) {
+        int delta = r.read_literal(bits);
+        int v = (int)clampi(rest[nr - 1] + delta, 0, (1 << bd) - 1);
+        rng -= v - rest[nr - 1];
+        rest[nr++] = v;
+        bits = std::min(bits, ceil_log2(rng));
+      }
+    }
+  }
+  for (int i = 0; i < nc; i++) out_u[i] = cached[i];
+  for (int i = 0; i < nr; i++) out_u[nc + i] = rest[i];
+  std::sort(out_u, out_u + n);
+
+  int max_val = 1 << bd;
+  if (r.read_literal(1)) {  // delta encoding
+    int bits = (bd - 4) + r.read_literal(2);
+    out_v[0] = r.read_literal(bd);
+    for (int i = 1; i < n; i++) {
+      int delta = r.read_literal(bits);
+      if (delta && r.read_literal(1)) delta = -delta;
+      int v = out_v[i - 1] + delta;
+      if (v < 0) v += max_val;
+      if (v >= max_val) v -= max_val;
+      out_v[i] = v;
+    }
+  } else {
+    for (int i = 0; i < n; i++) out_v[i] = r.read_literal(bd);
+  }
+}
+
+static int color_index_context(const u8* m, int stride, int row, int col,
+                               int n, int* order) {
+  int scores[PALETTE_MAX_SIZE] = {0};
+  if (col > 0) scores[m[row * stride + col - 1]] += PAL_W[0];
+  if (row > 0 && col > 0) scores[m[(row - 1) * stride + col - 1]] += PAL_W[1];
+  if (row > 0) scores[m[(row - 1) * stride + col]] += PAL_W[2];
+  for (int i = 0; i < PALETTE_MAX_SIZE; i++) order[i] = i;
+  for (int i = 0; i < 3; i++) {
+    int max_v = scores[i];
+    int max_idx = i;
+    for (int j = i + 1; j < n; j++)
+      if (scores[j] > max_v) { max_v = scores[j]; max_idx = j; }
+    if (max_idx != i) {
+      int max_score = scores[max_idx];
+      int max_order = order[max_idx];
+      for (int k = max_idx; k > i; k--) {
+        scores[k] = scores[k - 1];
+        order[k] = order[k - 1];
+      }
+      scores[i] = max_score;
+      order[i] = max_order;
+    }
+  }
+  int hsh = scores[0] * PAL_HM[0] + scores[1] * PAL_HM[1] +
+            scores[2] * PAL_HM[2];
+  return pal_ctx_lookup(hsh);
+}
+
+// wavefront index-map parse (palette.py read_color_map)
+static void read_color_map(Msac& r, u16 (*cdf_rows)[5][9], int n, int rows,
+                           int cols, int block_h, int block_w, u8* m) {
+  memset(m, 0, (size_t)block_h * block_w);
+  m[0] = (u8)read_uniform(r, n);
+  int order[PALETTE_MAX_SIZE];
+  for (int i = 1; i < rows + cols - 1; i++) {
+    int r0 = std::max(0, i - cols + 1), r1 = std::min(i, rows - 1);
+    for (int row = r0; row <= r1; row++) {
+      int col = i - row;
+      int ctx = color_index_context(m, block_w, row, col, n, order);
+      int sym = r.read_symbol_n(cdf_rows[n - 2][ctx], n);
+      m[row * block_w + col] = (u8)order[sym];
+    }
+  }
+  for (int row = 0; row < rows; row++)
+    for (int col = cols; col < block_w; col++)
+      m[row * block_w + col] = m[row * block_w + cols - 1];
+  for (int row = rows; row < block_h; row++)
+    for (int col = 0; col < block_w; col++)
+      m[row * block_w + col] = m[(rows - 1) * block_w + col];
+}
+
+// ======================================================================
+// Frame context + tile parser (codecs/av1/tile.py)
+// ======================================================================
+
+static const int SKIP_CONTEXTS_TAB[5][5] = {
+  {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5},
+  {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6},
+};
+static const int EOB_GROUP_START[12] = {0,1,2,3,5,9,17,33,65,129,257,513};
+static const int EOB_OFFSET_BITS[12] = {0,0,0,1,2,3,4,5,6,7,8,9};
+
+// tx class: 0 = 2d, 1 = h (H_*), 2 = v (V_*)
+static int tx_class_of(int tx_type) {
+  if (tx_type == V_DCT || tx_type == V_ADST || tx_type == V_FLIPADST)
+    return 2;
+  if (tx_type == H_DCT || tx_type == H_ADST || tx_type == H_FLIPADST)
+    return 1;
+  return 0;
+}
+
+static const int EXT_TX_SET_INTRA_1[7] = {IDTX, DCT_DCT, V_DCT, H_DCT,
+                                          ADST_ADST, ADST_DCT, DCT_ADST};
+static const int EXT_TX_SET_INTRA_2[5] = {IDTX, DCT_DCT, ADST_ADST,
+                                          ADST_DCT, DCT_ADST};
+
+struct FrameCtx {
+  Params p;
+  PredTables pt;
+  int mi_cols, mi_rows, sb_mi, num_planes;
+  int bd;
+  i64 mi_total;
+  // planes: 0=Y (padded mi area), 1=U, 2=V
+  PlaneView planes[3];
+  std::vector<i32> plane_buf[3];
+  // frame-lifetime maps (mi granularity)
+  std::vector<i32> y_modes, uv_modes, skip_map, pal_y_flag, tx_wide, tx_high;
+  std::vector<i32> cdef_idx;
+  std::vector<u8> pal_y_n, pal_u_n;
+  std::vector<i32> pal_y_c, pal_u_c;
+  std::vector<u8> block_decoded[3];   // (mi_rows+2) x (mi_cols+2)
+  // deblock edge maps, per plane at 4px granularity over padded dims
+  std::vector<u8> edge_vert[3], edge_horz[3];
+  std::vector<i32> edge_tw[3], edge_th[3];
+  int egw[3], egh[3];
+  // loop restoration
+  int lr_ur[3], lr_uc[3];
+  std::vector<i32> lr_type_map[3];
+  std::vector<i32> lr_wiener[3];      // [ur][uc][2][3]
+  std::vector<i32> lr_sgr_set[3];
+  std::vector<i32> lr_xqd[3];         // [ur][uc][2]
+  // per-tile state
+  Msac r;
+  CdfSet cdf;
+  const i32* cdf_defaults;
+  int mc0, mc1, mr0, mr1, sb_mi_row, sb_mi_col;
+  std::vector<i32> above_part, left_part, above_skip, left_skip;
+  std::vector<i32> above_lvl[3], left_lvl[3], above_sign[3], left_sign[3];
+  int ref_lr_wiener[3][2][3];
+  int ref_sgr_xqd[3][2];
+  // block-scope state
+  int pal_colors[3][PALETTE_MAX_SIZE];
+  int pal_n[3];                       // y, u, v color counts (0 = none)
+  std::vector<u8> pal_y_map, pal_uv_map;
+  int pal_y_org_x, pal_y_org_y, pal_uv_org_x, pal_uv_org_y;
+  int pal_map_w[2];                   // strides of y/uv maps
+  int fi_mode;                        // -1 = none
+  int cfl_alpha_u, cfl_alpha_v;
+  int filt_type_y, filt_type_uv;
+  int cur_tx_type, cur_qindex;
+  char* err;
+  int errlen;
+  int rc;
+
+  void fail(int code, const char* msg) {
+    if (rc == 0) {
+      rc = code;
+      snprintf(err, errlen, "%s", msg);
+    }
+  }
+
+  int init(const Params& pp, const i32* cdf_buf, char* e, int el) {
+    p = pp;
+    err = e; errlen = el; rc = 0;
+    if (!g_tables_init) { g_tables.init(); g_tables_init = true; }
+    itx_init();
+    if (p.bit_depth != 8) { fail(2, "only 8-bit AV1"); return rc; }
+    if (p.delta_q_present) { fail(2, "delta_q in tiles"); return rc; }
+    bd = p.bit_depth;
+    mi_cols = p.mi_cols; mi_rows = p.mi_rows;
+    mi_total = (i64)mi_rows * mi_cols;
+    sb_mi = p.sb128 ? 32 : 16;
+    num_planes = p.monochrome ? 1 : 3;
+    cdf_defaults = cdf_buf;
+    // pred tables live after the CDFs in the same buffer
+    i64 off = 0;
+    for (int i = 0; i < N_CDF_TABLES; i++) off += CDF_SIZES[i];
+    pt.sm_weights = cdf_buf + off; off += EXTRA_SIZES[0];
+    pt.dr_deriv = cdf_buf + off; off += EXTRA_SIZES[1];
+    pt.fi_taps = cdf_buf + off;
+
+    int pw = mi_cols * 4, ph = mi_rows * 4;
+    for (int pl = 0; pl < num_planes; pl++) {
+      int w = pl == 0 ? pw : pw >> p.ssx;
+      int h = pl == 0 ? ph : ph >> p.ssy;
+      plane_buf[pl].assign((i64)w * h, 0);
+      planes[pl] = PlaneView{plane_buf[pl].data(), w, h, w};
+      egw[pl] = (w + 3) / 4;
+      egh[pl] = (h + 3) / 4;
+      edge_vert[pl].assign((i64)egh[pl] * egw[pl], 0);
+      edge_horz[pl].assign((i64)egh[pl] * egw[pl], 0);
+      edge_tw[pl].assign((i64)egh[pl] * egw[pl], 4);
+      edge_th[pl].assign((i64)egh[pl] * egw[pl], 4);
+    }
+    y_modes.assign(mi_total, DC_PRED);
+    uv_modes.assign(mi_total, DC_PRED);
+    skip_map.assign(mi_total, 0);
+    pal_y_flag.assign(mi_total, 0);
+    tx_wide.assign(mi_total, 0);
+    tx_high.assign(mi_total, 0);
+    cdef_idx.assign(mi_total, -1);
+    pal_y_n.assign(mi_total, 0);
+    pal_u_n.assign(mi_total, 0);
+    pal_y_c.assign(mi_total * PALETTE_MAX_SIZE, 0);
+    pal_u_c.assign(mi_total * PALETTE_MAX_SIZE, 0);
+    for (int pl = 0; pl < 3; pl++)
+      block_decoded[pl].assign((i64)(mi_rows + 2) * (mi_cols + 2), 0);
+    // loop restoration unit grids
+    for (int pl = 0; pl < num_planes; pl++) {
+      int sub_x = pl == 0 ? 0 : p.ssx;
+      int sub_y = pl == 0 ? 0 : p.ssy;
+      int usize = p.lr_unit_size[pl];
+      int fw = (int)round2(p.frame_w, sub_x);
+      int fh = (int)round2(p.frame_h, sub_y);
+      int ur = std::max((fh + (usize >> 1)) / usize, 1);
+      int uc = std::max((fw + (usize >> 1)) / usize, 1);
+      lr_ur[pl] = ur; lr_uc[pl] = uc;
+      lr_type_map[pl].assign((i64)ur * uc, 0);
+      lr_wiener[pl].assign((i64)ur * uc * 6, 0);
+      lr_sgr_set[pl].assign((i64)ur * uc, 0);
+      lr_xqd[pl].assign((i64)ur * uc * 2, 0);
+    }
+    above_part.assign(mi_cols + 32, 0);
+    left_part.assign(sb_mi, 0);
+    above_skip.assign(mi_cols + 32, 0);
+    left_skip.assign(sb_mi, 0);
+    for (int pl = 0; pl < 3; pl++) {
+      above_lvl[pl].assign(mi_cols + 32, 0);
+      left_lvl[pl].assign(sb_mi, 0);
+      above_sign[pl].assign(mi_cols + 32, 0);
+      left_sign[pl].assign(sb_mi, 0);
+    }
+    pal_y_map.assign(128 * 128, 0);
+    pal_uv_map.assign(128 * 128, 0);
+    cur_tx_type = DCT_DCT;
+    cur_qindex = p.base_q_idx;
+    fi_mode = -1;
+    return 0;
+  }
+
+  // -------------------------------------------------------- tile driver
+
+  void decode_tile(const u8* data, i64 size, int c0, int c1, int r0,
+                   int r1) {
+    r.init(data, size, !p.disable_cdf_update);
+    cdf_init_from_buf(&cdf, cdf_defaults);
+    mc0 = c0; mc1 = c1; mr0 = r0; mr1 = r1;
+    std::fill(above_part.begin(), above_part.end(), 0);
+    std::fill(above_skip.begin(), above_skip.end(), 0);
+    for (int pl = 0; pl < 3; pl++) {
+      std::fill(above_lvl[pl].begin(), above_lvl[pl].end(), 0);
+      std::fill(above_sign[pl].begin(), above_sign[pl].end(), 0);
+    }
+    for (int pl = 0; pl < 3; pl++)
+      std::fill(block_decoded[pl].begin(), block_decoded[pl].end(), 0);
+    for (int pl = 0; pl < num_planes; pl++) {
+      for (int pp2 = 0; pp2 < 2; pp2++) {
+        ref_lr_wiener[pl][pp2][0] = 3;
+        ref_lr_wiener[pl][pp2][1] = -7;
+        ref_lr_wiener[pl][pp2][2] = 15;
+      }
+      ref_sgr_xqd[pl][0] = -32;
+      ref_sgr_xqd[pl][1] = 31;
+    }
+    int sb_bsize = p.sb128 ? BLOCK_128X128 : BLOCK_64X64;
+    for (int mr = mr0; mr < mr1; mr += sb_mi) {
+      std::fill(left_part.begin(), left_part.end(), 0);
+      std::fill(left_skip.begin(), left_skip.end(), 0);
+      for (int pl = 0; pl < 3; pl++) {
+        std::fill(left_lvl[pl].begin(), left_lvl[pl].end(), 0);
+        std::fill(left_sign[pl].begin(), left_sign[pl].end(), 0);
+      }
+      sb_mi_row = mr;
+      for (int mc = mc0; mc < mc1; mc += sb_mi) {
+        sb_mi_col = mc;
+        read_lr(mr, mc);
+        decode_partition(mr, mc, sb_bsize);
+        if (rc) return;
+      }
+    }
+  }
+
+  // -------------------------------------------------- loop restoration
+
+  int decode_subexp_bool(int num_syms, int k) {
+    int i = 0, mk = 0;
+    while (true) {
+      int b2 = i ? k + i - 1 : k;
+      int a = 1 << b2;
+      if (num_syms <= mk + 3 * a) {
+        int n = num_syms - mk;
+        int w = bitlen(n);
+        int m = (1 << w) - n;
+        int v = w > 1 ? r.read_literal(w - 1) : 0;
+        if (v < m) return v + mk;
+        return ((v << 1) - m + r.read_literal(1)) + mk;
+      }
+      if (r.read_literal(1)) {
+        i++;
+        mk += a;
+      } else {
+        return r.read_literal(b2) + mk;
+      }
+    }
+  }
+
+  int decode_signed_subexp_with_ref(int low, int high, int k, int ref) {
+    int mx = high - low;
+    int rr = ref - low;
+    int v = decode_subexp_bool(mx, k);
+    auto inverse_recenter = [](int r0, int v0) {
+      if (v0 > 2 * r0) return v0;
+      if (v0 & 1) return r0 + ((v0 + 1) >> 1);
+      return r0 - (v0 >> 1);
+    };
+    if ((rr << 1) <= mx) return inverse_recenter(rr, v) + low;
+    return mx - 1 - inverse_recenter(mx - 1 - rr, v) + low;
+  }
+
+  void read_lr(int mr, int mc) {
+    if (p.allow_intrabc) return;
+    static const int WIENER_MIN[3] = {-5, -23, -17};
+    static const int WIENER_MAX[3] = {10, 8, 46};
+    static const int WIENER_K[3] = {1, 2, 3};
+    for (int plane = 0; plane < num_planes; plane++) {
+      if (p.lr_type[plane] == 0) continue;
+      int sub_x = plane == 0 ? 0 : p.ssx;
+      int sub_y = plane == 0 ? 0 : p.ssy;
+      int usize = p.lr_unit_size[plane];
+      int ur_total = lr_ur[plane], uc_total = lr_uc[plane];
+      int row_start = ((mr * 4 >> sub_y) + usize - 1) / usize;
+      int row_end = std::min(ur_total,
+          (((mr + sb_mi) * 4 >> sub_y) + usize - 1) / usize);
+      int numer = 4 >> sub_x;
+      int denom = usize;
+      int col_start = (mc * numer + denom - 1) / denom;
+      int col_end = std::min(uc_total,
+          ((mc + sb_mi) * numer + denom - 1) / denom);
+      for (int ur = row_start; ur < row_end; ur++)
+        for (int uc = col_start; uc < col_end; uc++) {
+          // read_lr_unit (spec 5.11.58)
+          int frame_type = p.lr_type[plane];
+          int unit_type;
+          if (frame_type == 1) {
+            int sym = r.read_symbol_n(cdf.restore_switchable, 3);
+            unit_type = sym == 0 ? 0 : (sym == 1 ? 2 : 3);
+          } else if (frame_type == 2) {
+            unit_type = r.read_symbol_n(cdf.restore_wiener, 2) ? 2 : 0;
+          } else {
+            unit_type = r.read_symbol_n(cdf.restore_sgrproj, 2) ? 3 : 0;
+          }
+          i64 ui = (i64)ur * uc_total + uc;
+          lr_type_map[plane][ui] = unit_type;
+          if (unit_type == 2) {
+            for (int pp2 = 0; pp2 < 2; pp2++) {
+              int first = plane ? 1 : 0;
+              if (plane) lr_wiener[plane][ui * 6 + pp2 * 3 + 0] = 0;
+              for (int j = first; j < 3; j++) {
+                int v = decode_signed_subexp_with_ref(
+                    WIENER_MIN[j], WIENER_MAX[j] + 1, WIENER_K[j],
+                    ref_lr_wiener[plane][pp2][j]);
+                lr_wiener[plane][ui * 6 + pp2 * 3 + j] = v;
+                ref_lr_wiener[plane][pp2][j] = v;
+              }
+            }
+          } else if (unit_type == 3) {
+            static const int SGR_R[16][2] = {
+              {2,1},{2,1},{2,1},{2,1},{2,1},{2,1},{2,1},{2,1},
+              {2,1},{2,1},{2,1},{2,1},{2,0},{2,0},{2,0},{2,0}};
+            static const int XQD_MIN[2] = {-96, -32};
+            static const int XQD_MAX[2] = {31, 95};
+            int set2 = r.read_literal(4);
+            lr_sgr_set[plane][ui] = set2;
+            for (int i = 0; i < 2; i++) {
+              int radius = SGR_R[set2][i];
+              int mn = XQD_MIN[i], mx = XQD_MAX[i];
+              int v;
+              if (radius) {
+                v = decode_signed_subexp_with_ref(mn, mx + 1, 4,
+                                                  ref_sgr_xqd[plane][i]);
+              } else {
+                v = 0;
+                if (i == 1)
+                  v = (int)clampi((1 << 7) - lr_xqd[plane][ui * 2 + 0],
+                                  mn, mx);
+              }
+              lr_xqd[plane][ui * 2 + i] = v;
+              ref_sgr_xqd[plane][i] = v;
+            }
+          }
+        }
+    }
+  }
+
+  // --------------------------------------------------------- partition
+
+  int prob_of(const u16* cdf_row, int k) {
+    int hi = k == 0 ? 32768 : cdf_row[k - 1];
+    return hi - cdf_row[k];
+  }
+
+  int read_split_bool(const u16* cdf_row, int n_parts, bool vert) {
+    int subtract_v[6] = {PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
+                         PARTITION_VERT_A, PARTITION_VERT_B,
+                         PARTITION_VERT_4};
+    int subtract_h[6] = {PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                         PARTITION_HORZ_B, PARTITION_VERT_A,
+                         PARTITION_HORZ_4};
+    const int* subtract = vert ? subtract_v : subtract_h;
+    int cnt = n_parts > 8 ? 6 : 5;
+    int s = 0;
+    for (int i = 0; i < cnt; i++)
+      if (subtract[i] < n_parts) s += prob_of(cdf_row, subtract[i]);
+    u16 tmp[3] = {(u16)s, 0, 0};
+    return r.read_symbol_n(tmp, 2, /*adapt=*/false);
+  }
+
+  void update_partition_ctx(int mr, int mc, int bsize, int subsize) {
+    int w = BW[bsize], h = BH[bsize];
+    int sw = BW[subsize], sh = BH[subsize];
+    int mi_w = w / 4, mi_h = h / 4;
+    int above_val = (32 - (2 << (bitlen(sw / 4) - 1))) & 31;
+    int left_val = (32 - (2 << (bitlen(sh / 4) - 1))) & 31;
+    for (int i = 0; i < mi_w; i++)
+      if (mc + i < (int)above_part.size()) above_part[mc + i] = above_val;
+    int lr0 = mr - sb_mi_row;
+    for (int i = 0; i < mi_h; i++)
+      if (lr0 + i < (int)left_part.size()) left_part[lr0 + i] = left_val;
+  }
+
+  void decode_partition(int mr, int mc, int bsize) {
+    if (mr >= mr1 || mc >= mc1 || rc) return;
+    int w = BW[bsize], h = BH[bsize];
+    int mi_w = w / 4, mi_h = h / 4;
+    bool has_rows = mr + mi_h / 2 < mr1;
+    bool has_cols = mc + mi_w / 2 < mc1;
+    int bsl = bitlen(mi_w) - 1;
+
+    int part;
+    if (bsize == BLOCK_4X4) {
+      part = PARTITION_NONE;
+    } else {
+      int above = (above_part[mc] >> bsl) & 1;
+      int left = (left_part[mr - sb_mi_row] >> bsl) & 1;
+      int ctx = left * 2 + above;
+      u16* cdf_row = cdf.partition[(bsl - 1) * 4 + ctx];
+      int n_parts = bsize == BLOCK_8X8 ? 4 :
+                    (bsize == BLOCK_128X128 ? 8 : 10);
+      if (has_rows && has_cols) {
+        part = r.read_symbol_n(cdf_row, n_parts);
+      } else if (has_cols) {
+        int split = read_split_bool(cdf_row, n_parts, true);
+        part = split ? PARTITION_SPLIT : PARTITION_HORZ;
+      } else if (has_rows) {
+        int split = read_split_bool(cdf_row, n_parts, false);
+        part = split ? PARTITION_SPLIT : PARTITION_VERT;
+      } else {
+        part = PARTITION_SPLIT;
+      }
+    }
+
+    int sub = g_tables.partition_subsize[part][bsize];
+    int half_w = mi_w / 2, half_h = mi_h / 2;
+    int quarter_w = mi_w / 4, quarter_h = mi_h / 4;
+    int bsize2 = g_tables.partition_subsize[PARTITION_SPLIT][bsize];
+
+    switch (part) {
+      case PARTITION_NONE:
+        decode_block(mr, mc, bsize);
+        break;
+      case PARTITION_HORZ:
+        decode_block(mr, mc, sub);
+        if (has_rows) decode_block(mr + half_h, mc, sub);
+        break;
+      case PARTITION_VERT:
+        decode_block(mr, mc, sub);
+        if (has_cols) decode_block(mr, mc + half_w, sub);
+        break;
+      case PARTITION_SPLIT:
+        decode_partition(mr, mc, sub);
+        decode_partition(mr, mc + half_w, sub);
+        decode_partition(mr + half_h, mc, sub);
+        decode_partition(mr + half_h, mc + half_w, sub);
+        break;
+      case PARTITION_HORZ_A:
+        decode_block(mr, mc, bsize2);
+        decode_block(mr, mc + half_w, bsize2);
+        decode_block(mr + half_h, mc, sub);
+        break;
+      case PARTITION_HORZ_B:
+        decode_block(mr, mc, sub);
+        decode_block(mr + half_h, mc, bsize2);
+        decode_block(mr + half_h, mc + half_w, bsize2);
+        break;
+      case PARTITION_VERT_A:
+        decode_block(mr, mc, bsize2);
+        decode_block(mr + half_h, mc, bsize2);
+        decode_block(mr, mc + half_w, sub);
+        break;
+      case PARTITION_VERT_B:
+        decode_block(mr, mc, sub);
+        decode_block(mr, mc + half_w, bsize2);
+        decode_block(mr + half_h, mc + half_w, bsize2);
+        break;
+      case PARTITION_HORZ_4:
+        for (int i = 0; i < 4; i++) {
+          int row = mr + quarter_h * i;
+          if (row >= mr1) break;
+          decode_block(row, mc, sub);
+        }
+        break;
+      case PARTITION_VERT_4:
+        for (int i = 0; i < 4; i++) {
+          int col = mc + quarter_w * i;
+          if (col >= mc1) break;
+          decode_block(mr, col, sub);
+        }
+        break;
+    }
+
+    if (part == PARTITION_SPLIT && bsize != BLOCK_8X8) {
+      // children updated their own contexts
+    } else if (part == PARTITION_HORZ_A) {
+      update_partition_ctx(mr, mc, sub, bsize2);
+      update_partition_ctx(mr + half_h, mc, sub, sub);
+    } else if (part == PARTITION_HORZ_B) {
+      update_partition_ctx(mr, mc, sub, sub);
+      update_partition_ctx(mr + half_h, mc, sub, bsize2);
+    } else if (part == PARTITION_VERT_A) {
+      update_partition_ctx(mr, mc, sub, bsize2);
+      update_partition_ctx(mr, mc + half_w, sub, sub);
+    } else if (part == PARTITION_VERT_B) {
+      update_partition_ctx(mr, mc, sub, sub);
+      update_partition_ctx(mr, mc + half_w, sub, bsize2);
+    } else {
+      update_partition_ctx(mr, mc, bsize, sub);
+    }
+  }
+
+  // ------------------------------------------------------------- block
+
+  bool has_chroma_of(int mr, int mc, int bsize) {
+    if (num_planes == 1) return false;
+    int w = BW[bsize], h = BH[bsize];
+    int mi_w = w / 4, mi_h = h / 4;
+    bool need_c = !(p.ssx && mi_w == 1) || (mc & 1);
+    bool need_r = !(p.ssy && mi_h == 1) || (mr & 1);
+    return need_c && need_r;
+  }
+
+  bool cfl_allowed_of(int w, int h) {
+    if (p.coded_lossless)
+      return (w >> p.ssx) <= 4 && (h >> p.ssy) <= 4;
+    return w <= 32 && h <= 32;
+  }
+
+  static bool use_angle_delta_of(int w, int h) {
+    return w >= 8 && h >= 8;
+  }
+
+  static int max_tx_depth(int bsize) {
+    int w = BW[bsize], h = BH[bsize];
+    if (w == 4 && h == 4) return 0;
+    if (std::max(w, h) == 8) return 1;
+    return 2;
+  }
+
+  int read_tx_size(int mr, int mc, int bsize, bool have_above,
+                   bool have_left) {
+    int max_tx = g_tables.max_tx_size_rect[bsize];
+    int w = BW[bsize], h = BH[bsize];
+    if (w <= 4 && h <= 4) return TX_4X4;
+    int sqr_up = g_tables.tx_size_sqr_up[max_tx];
+    int sqw = TXW[sqr_up];
+    int cat = sqw == 4 || sqw == 8 ? 0 : (sqw == 16 ? 1 : (sqw == 32 ? 2 : 3));
+    int ctx;
+    if (have_above && have_left)
+      ctx = (tx_wide[(i64)(mr - 1) * mi_cols + mc] >= TXW[max_tx]) +
+            (tx_high[(i64)mr * mi_cols + mc - 1] >= TXH[max_tx]);
+    else if (have_above)
+      ctx = tx_wide[(i64)(mr - 1) * mi_cols + mc] >= TXW[max_tx];
+    else if (have_left)
+      ctx = tx_high[(i64)mr * mi_cols + mc - 1] >= TXH[max_tx];
+    else
+      ctx = 0;
+    int n = std::min(max_tx_depth(bsize) + 1, 3);
+    int depth = r.read_symbol_n(cdf.tx_size[cat][ctx], n);
+    int tx = max_tx;
+    for (int i = 0; i < depth; i++) tx = g_tables.split_tx_size[tx];
+    return tx;
+  }
+
+  int uv_tx_size_of(int bsize) {
+    int w = BW[bsize], h = BH[bsize];
+    int cw = std::max(w >> p.ssx, 4), ch = std::max(h >> p.ssy, 4);
+    cw = std::min(cw, 32); ch = std::min(ch, 32);
+    while (cw > 2 * ch) cw /= 2;
+    while (ch > 2 * cw) ch /= 2;
+    return g_tables.tx_index(cw, ch);
+  }
+
+  void decode_block(int mr, int mc, int bsize) {
+    if (mr >= mr1 || mc >= mc1 || rc) return;
+    int w = BW[bsize], h = BH[bsize];
+    int mi_w = std::max(w / 4, 1), mi_h = std::max(h / 4, 1);
+    bool have_above = mr > mr0;
+    bool have_left = mc > mc0;
+
+    // skip
+    int a_skip = have_above ? above_skip[mc] : 0;
+    int l_skip = have_left ? left_skip[mr - sb_mi_row] : 0;
+    int skip = r.read_symbol_n(cdf.skip[a_skip + l_skip], 2);
+
+    // cdef index (spec read_cdef 5.11.56)
+    if (!skip && !p.coded_lossless && p.enable_cdef && !p.allow_intrabc) {
+      int r1b = mr & ~15, c1b = mc & ~15;
+      if (cdef_idx[(i64)r1b * mi_cols + c1b] == -1) {
+        int idx = r.read_literal(p.cdef_bits);
+        for (int i = r1b; i < r1b + std::max(mi_h, 1); i += 16)
+          for (int j = c1b; j < c1b + std::max(mi_w, 1); j += 16)
+            if (i < mi_rows && j < mi_cols)
+              cdef_idx[(i64)i * mi_cols + j] = idx;
+      }
+    }
+
+    // y mode
+    int above_mode = have_above ? y_modes[(i64)(mr - 1) * mi_cols + mc]
+                                : DC_PRED;
+    int left_mode = have_left ? y_modes[(i64)mr * mi_cols + mc - 1]
+                              : DC_PRED;
+    int ctx_a = INTRA_MODE_CONTEXT[above_mode];
+    int ctx_l = INTRA_MODE_CONTEXT[left_mode];
+    int y_mode = r.read_symbol_n(cdf.kf_y_mode[ctx_a][ctx_l], 13);
+    int angle_y = 0;
+    if (mode_to_angle(y_mode) >= 0 && use_angle_delta_of(w, h)) {
+      int sym = r.read_symbol_n(cdf.angle_delta[y_mode - V_PRED], 7);
+      angle_y = sym - 3;
+    }
+
+    // chroma
+    bool has_chroma = has_chroma_of(mr, mc, bsize);
+    int uv_mode = DC_PRED;
+    int angle_uv = 0;
+    cfl_alpha_u = cfl_alpha_v = 0;
+    if (has_chroma) {
+      bool cfl_allowed = cfl_allowed_of(w, h);
+      uv_mode = r.read_symbol_n(cdf.uv_mode[cfl_allowed ? 1 : 0][y_mode],
+                                cfl_allowed ? 14 : 13);
+      if (uv_mode == UV_CFL_PRED) {
+        int js = r.read_symbol_n(cdf.cfl_sign, 8);
+        int sign_u = (js + 1) / 3, sign_v = (js + 1) % 3;
+        int alpha_u = 0, alpha_v = 0;
+        if (sign_u != 0) {
+          int idx = r.read_symbol_n(cdf.cfl_alpha[js - 2], 16);
+          alpha_u = (idx + 1) * (sign_u == 2 ? 1 : -1);
+        }
+        if (sign_v != 0) {
+          int ctx_v = sign_v * 3 + sign_u - 3;
+          int idx = r.read_symbol_n(cdf.cfl_alpha[ctx_v], 16);
+          alpha_v = (idx + 1) * (sign_v == 2 ? 1 : -1);
+        }
+        cfl_alpha_u = alpha_u;
+        cfl_alpha_v = alpha_v;
+      }
+      if (mode_to_angle(uv_mode) >= 0 && use_angle_delta_of(w, h)) {
+        int sym = r.read_symbol_n(cdf.angle_delta[uv_mode - V_PRED], 7);
+        angle_uv = sym - 3;
+      }
+    }
+
+    // palette (spec 5.11.46)
+    pal_n[0] = pal_n[1] = pal_n[2] = 0;
+    int has_pal_y = 0;
+    if (p.allow_screen_content && bsize >= BLOCK_8X8 && w <= 64 &&
+        h <= 64) {
+      if (y_mode == DC_PRED) {
+        int bctx = bitlen(w * h) - 1 - 6;
+        int pal_ctx =
+            (have_above ? pal_y_flag[(i64)(mr - 1) * mi_cols + mc] : 0) +
+            (have_left ? pal_y_flag[(i64)mr * mi_cols + mc - 1] : 0);
+        has_pal_y = r.read_symbol_n(cdf.palette_y_mode[bctx][pal_ctx], 2);
+        if (has_pal_y) {
+          int n_y = r.read_symbol_n(cdf.palette_y_size[bctx], 7) + 2;
+          int cache[2 * PALETTE_MAX_SIZE];
+          int nc = palette_cache(pal_y_n.data(), pal_y_c.data(), mi_cols,
+                                 mr, mc, mr0, mc0, cache);
+          read_colors_y(r, cache, nc, n_y, bd, pal_colors[0]);
+          pal_n[0] = n_y;
+        }
+      }
+      if (has_chroma && uv_mode == DC_PRED) {
+        int bctx = bitlen(w * h) - 1 - 6;
+        int has_pal_uv =
+            r.read_symbol_n(cdf.palette_uv_mode[has_pal_y ? 1 : 0], 2);
+        if (has_pal_uv) {
+          int n_uv = r.read_symbol_n(cdf.palette_uv_size[bctx], 7) + 2;
+          int cache[2 * PALETTE_MAX_SIZE];
+          int nc = palette_cache(pal_u_n.data(), pal_u_c.data(), mi_cols,
+                                 mr, mc, mr0, mc0, cache);
+          read_colors_uv(r, cache, nc, n_uv, bd, pal_colors[1],
+                         pal_colors[2]);
+          pal_n[1] = pal_n[2] = n_uv;
+        }
+      }
+    }
+    fi_mode = -1;
+    if (p.enable_filter_intra && y_mode == DC_PRED && pal_n[0] == 0 &&
+        w <= 32 && h <= 32) {
+      int use_fi = r.read_symbol_n(cdf.filter_intra_use[bsize], 2);
+      if (use_fi) fi_mode = r.read_symbol_n(cdf.filter_intra_mode, 5);
+    }
+
+    // palette color-index maps (before the tx-size symbol)
+    if (pal_n[0] > 0 || pal_n[1] > 0) {
+      int vis_h = std::min(h, (mi_rows - mr) * 4);
+      int vis_w = std::min(w, (mi_cols - mc) * 4);
+      if (pal_n[0] > 0) {
+        pal_map_w[0] = w;
+        read_color_map(r, cdf.palette_y_color, pal_n[0], vis_h, vis_w, h,
+                       w, pal_y_map.data());
+        pal_y_org_x = mc * 4;
+        pal_y_org_y = mr * 4;
+      }
+      if (pal_n[1] > 0) {
+        int cbw = std::max(w, p.ssx ? 8 : 4) >> p.ssx;
+        int cbh = std::max(h, p.ssy ? 8 : 4) >> p.ssy;
+        pal_map_w[1] = cbw;
+        read_color_map(r, cdf.palette_uv_color, pal_n[1], vis_h >> p.ssy,
+                       vis_w >> p.ssx, cbh, cbw, pal_uv_map.data());
+      }
+    }
+
+    // tx size
+    int tx;
+    if (p.coded_lossless) tx = TX_4X4;
+    else if (!p.tx_mode_select || skip)
+      tx = g_tables.max_tx_size_rect[bsize];
+    else
+      tx = read_tx_size(mr, mc, bsize, have_above, have_left);
+
+    // record maps
+    for (int i = mr; i < std::min(mr + mi_h, mi_rows); i++)
+      for (int j = mc; j < std::min(mc + mi_w, mi_cols); j++) {
+        i64 idx = (i64)i * mi_cols + j;
+        y_modes[idx] = y_mode;
+        uv_modes[idx] = uv_mode;
+        skip_map[idx] = skip;
+        pal_y_flag[idx] = pal_n[0] > 0 ? 1 : 0;
+        tx_wide[idx] = TXW[tx];
+        tx_high[idx] = TXH[tx];
+        pal_y_n[idx] = (u8)pal_n[0];
+        pal_u_n[idx] = (u8)pal_n[1];
+        if (pal_n[0])
+          for (int k = 0; k < pal_n[0]; k++)
+            pal_y_c[idx * PALETTE_MAX_SIZE + k] = pal_colors[0][k];
+        if (pal_n[1])
+          for (int k = 0; k < pal_n[1]; k++)
+            pal_u_c[idx * PALETTE_MAX_SIZE + k] = pal_colors[1][k];
+      }
+    for (int j = mc; j < std::min(mc + mi_w, (int)above_skip.size()); j++)
+      above_skip[j] = skip;
+    for (int i = mr - sb_mi_row;
+         i < std::min(mr - sb_mi_row + mi_h, (int)left_skip.size()); i++)
+      left_skip[i] = skip;
+
+    // intra-edge filter type
+    auto smooth = [](int m) {
+      return m == SMOOTH_PRED || m == SMOOTH_V_PRED || m == SMOOTH_H_PRED;
+    };
+    int ab_y = have_above ? y_modes[(i64)(mr - 1) * mi_cols + mc] : -1;
+    int le_y = have_left ? y_modes[(i64)mr * mi_cols + mc - 1] : -1;
+    filt_type_y = (smooth(ab_y) || smooth(le_y)) ? 1 : 0;
+    int cr_ = (h / 4) == 1 ? (mr & ~1) : mr;
+    int cc_ = (w / 4) == 1 ? (mc & ~1) : mc;
+    int ab_uv = cr_ > mr0 ? uv_modes[(i64)(cr_ - 1) * mi_cols + cc_] : -1;
+    int le_uv = cc_ > mc0 ? uv_modes[(i64)cr_ * mi_cols + cc_ - 1] : -1;
+    filt_type_uv = (smooth(ab_uv) || smooth(le_uv)) ? 1 : 0;
+
+    residual(mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv, tx, skip,
+             has_chroma);
+  }
+
+  void residual(int mr, int mc, int bsize, int y_mode, int uv_mode,
+                int angle_y, int angle_uv, int tx, int skip,
+                bool has_chroma) {
+    int w = BW[bsize], h = BH[bsize];
+    int tw = TXW[tx], th = TXH[tx];
+    int x0 = mc * 4, y0 = mr * 4;
+    int cr = mr, cc = mc;
+    if (p.ssy && (h / 4) == 1) cr = mr & ~1;
+    if (p.ssx && (w / 4) == 1) cc = mc & ~1;
+    int cw = std::max(w, p.ssx ? 8 : 4) >> p.ssx;
+    int ch = std::max(h, p.ssy ? 8 : 4) >> p.ssy;
+    int uv_tx = p.coded_lossless ? TX_4X4 : uv_tx_size_of(bsize);
+    int utw = TXW[uv_tx], uth = TXH[uv_tx];
+    int cx0 = (cc * 4) >> p.ssx, cy0 = (cr * 4) >> p.ssy;
+    pal_uv_org_x = cx0;
+    pal_uv_org_y = cy0;
+    for (int cy = 0; cy < h; cy += 64)
+      for (int cx = 0; cx < w; cx += 64) {
+        for (int ty = cy; ty < std::min(cy + 64, h); ty += th)
+          for (int tx_x = cx; tx_x < std::min(cx + 64, w); tx_x += tw)
+            transform_block(0, x0 + tx_x, y0 + ty, tx, y_mode, angle_y,
+                            skip, mr, mc, bsize);
+        if (has_chroma) {
+          int ccy0 = cy >> p.ssy, ccx0 = cx >> p.ssx;
+          int ccy1 = std::min(ccy0 + (64 >> p.ssy), ch);
+          int ccx1 = std::min(ccx0 + (64 >> p.ssx), cw);
+          for (int plane = 1; plane < num_planes; plane++)
+            for (int ty = ccy0; ty < ccy1; ty += uth)
+              for (int tx_x = ccx0; tx_x < ccx1; tx_x += utw)
+                transform_block(plane, cx0 + tx_x, cy0 + ty, uv_tx,
+                                uv_mode, angle_uv, skip, mr, mc, bsize);
+        }
+      }
+  }
+
+  // ------------------------------------------------------ coefficients
+
+  int txb_skip_ctx_of(int plane, int px, int py, int tx, int blk_w,
+                      int blk_h) {
+    int tw = TXW[tx], th = TXH[tx];
+    int sy = plane ? p.ssy : 0;
+    int au = px / 4;
+    int lrow = (py - ((sb_mi_row * 4) >> sy)) / 4;
+    int n_w = std::max(tw / 4, 1), n_h = std::max(th / 4, 1);
+    int top = 0, left = 0;
+    for (int i = 0; i < n_w && au + i < (int)above_lvl[plane].size(); i++)
+      top |= above_lvl[plane][au + i];
+    for (int i = 0; i < n_h && lrow + i < (int)left_lvl[plane].size(); i++)
+      left |= left_lvl[plane][lrow + i];
+    if (plane == 0) {
+      if (blk_w == tw && blk_h == th) return 0;
+      top &= 63;
+      left &= 63;
+      int mx = std::min(top | left, 4);
+      int mn = std::min(std::min(top, left), 4);
+      return SKIP_CONTEXTS_TAB[mn][mx];
+    }
+    int ctx_base = (top != 0) + (left != 0);
+    int ctx_offset = (i64)blk_w * blk_h > (i64)tw * th ? 10 : 7;
+    return ctx_base + ctx_offset;
+  }
+
+  int dc_sign_ctx_of(int plane, int px, int py, int tx) {
+    int tw = TXW[tx], th = TXH[tx];
+    int sy = plane ? p.ssy : 0;
+    int au = px / 4;
+    int lrow = (py - ((sb_mi_row * 4) >> sy)) / 4;
+    int n_w = std::max(tw / 4, 1), n_h = std::max(th / 4, 1);
+    int s = 0;
+    for (int i = 0; i < n_w && au + i < (int)above_sign[plane].size();
+         i++) {
+      int v = above_sign[plane][au + i];
+      s += v == 2 ? 1 : (v == 1 ? -1 : 0);
+    }
+    for (int i = 0; i < n_h && lrow + i < (int)left_sign[plane].size();
+         i++) {
+      int v = left_sign[plane][lrow + i];
+      s += v == 2 ? 1 : (v == 1 ? -1 : 0);
+    }
+    if (s < 0) return 1;
+    if (s > 0) return 2;
+    return 0;
+  }
+
+  int read_tx_type(int plane, int tx, int mode) {
+    if (p.coded_lossless) return WHT_WHT;
+    int sup = TXW[g_tables.tx_size_sqr_up[tx]];
+    if (plane != 0) {
+      if (sup >= 32) return DCT_DCT;
+      int tt = INTRA_MODE_TO_TX_TYPE[mode];
+      int sq = TXW[g_tables.tx_size_sqr[tx]];
+      const int* tx_set = (p.reduced_tx_set || sq == 16)
+                              ? EXT_TX_SET_INTRA_2 : EXT_TX_SET_INTRA_1;
+      int set_n = (p.reduced_tx_set || sq == 16) ? 5 : 7;
+      for (int i = 0; i < set_n; i++)
+        if (tx_set[i] == tt) return tt;
+      return DCT_DCT;
+    }
+    if (sup >= 32) return DCT_DCT;
+    int sq = TXW[g_tables.tx_size_sqr[tx]];
+    const int* tx_set;
+    int set_idx, set_n;
+    if (p.reduced_tx_set || sq == 16) {
+      tx_set = EXT_TX_SET_INTRA_2; set_idx = 2; set_n = 5;
+    } else {
+      tx_set = EXT_TX_SET_INTRA_1; set_idx = 1; set_n = 7;
+    }
+    int sq_idx = std::min(sq, 32) == 4 ? 0 : (sq == 8 ? 1 : (sq == 16 ? 2 : 3));
+    int sym = r.read_symbol_n(cdf.intra_ext_tx[set_idx][sq_idx][mode],
+                              set_n);
+    return tx_set[sym];
+  }
+
+  // coeff base context (tile.py base_ctx)
+  static int base_ctx_of(const u8* levels, int lstride, int row, int col,
+                         int pos, int tcls, int full_w, int full_h) {
+    auto L = [&](int r0, int c0) {
+      return (int)levels[(i64)r0 * lstride + c0];
+    };
+    if (tcls == 0) {
+      if (pos == 0) return 0;
+      int mag = std::min(L(row, col + 1), 3) + std::min(L(row + 1, col), 3) +
+                std::min(L(row + 1, col + 1), 3) +
+                std::min(L(row, col + 2), 3) + std::min(L(row + 2, col), 3);
+      mag = std::min((mag + 1) >> 1, 4);
+      if (full_w < full_h && row < 2) return mag + 11;
+      if (full_w > full_h && col < 2) return mag + 16;
+      int d = row + col;
+      if (d < 2) return mag + 1;
+      if (d < 4) return mag + 6;
+      return mag + 21;
+    }
+    int mag = std::min(L(row + 1, col), 3) + std::min(L(row, col + 1), 3);
+    int coord;
+    if (tcls == 2) {  // 'v'
+      mag += std::min(L(row + 2, col), 3) + std::min(L(row + 3, col), 3) +
+             std::min(L(row + 4, col), 3);
+      coord = row;
+    } else {          // 'h'
+      mag += std::min(L(row, col + 2), 3) + std::min(L(row, col + 3), 3) +
+             std::min(L(row, col + 4), 3);
+      coord = col;
+    }
+    mag = std::min((mag + 1) >> 1, 4);
+    return mag + 26 + (coord == 0 ? 0 : (coord == 1 ? 5 : 10));
+  }
+
+  static int br_ctx_of(const u8* levels, int lstride, int row, int col,
+                       int pos, int tcls) {
+    auto L = [&](int r0, int c0) {
+      return (int)levels[(i64)r0 * lstride + c0];
+    };
+    int mag = L(row, col + 1) + L(row + 1, col);
+    if (tcls == 0) {
+      mag += L(row + 1, col + 1);
+      mag = std::min((mag + 1) >> 1, 6);
+      if (pos == 0) return mag;
+      return mag + (row < 2 && col < 2 ? 7 : 14);
+    }
+    if (tcls == 1) {
+      mag += L(row, col + 2);
+      mag = std::min((mag + 1) >> 1, 6);
+      if (pos == 0) return mag;
+      return mag + (col == 0 ? 7 : 14);
+    }
+    mag += L(row + 2, col);
+    mag = std::min((mag + 1) >> 1, 6);
+    if (pos == 0) return mag;
+    return mag + (row == 0 ? 7 : 14);
+  }
+
+  static int base_eob_ctx_of(int c, int n_coeffs) {
+    if (c == 0) return 0;
+    if (c <= n_coeffs / 8) return 1;
+    if (c <= n_coeffs / 4) return 2;
+    return 3;
+  }
+
+  // returns eob; coeffs (th*tw, scan-resident) written; cul/dcsign out
+  int read_coeffs(int plane, int px, int py, int tx, int mode, int blk_w,
+                  int blk_h, i64* coeffs, int* cul_out, int* dcsign_out,
+                  int* tx_type_out) {
+    int tw = std::min(TXW[tx], 32), th = std::min(TXH[tx], 32);
+    int ptp = plane == 0 ? 0 : 1;
+    static const int sizes[5] = {4, 8, 16, 32, 64};
+    auto size_idx = [&](int v) {
+      for (int i = 0; i < 5; i++) if (sizes[i] == v) return i;
+      return 4;
+    };
+    int txs_ctx = std::min(
+        (size_idx(TXW[g_tables.tx_size_sqr[tx]]) +
+         size_idx(TXW[g_tables.tx_size_sqr_up[tx]]) + 1) >> 1, 4);
+
+    int skip_ctx = txb_skip_ctx_of(plane, px, py, tx, blk_w, blk_h);
+    int all_zero = r.read_symbol_n(cdf.txb_skip[txs_ctx][skip_ctx], 2);
+    if (all_zero) {
+      *cul_out = 0;
+      *dcsign_out = 0;
+      return 0;
+    }
+
+    int tx_type = read_tx_type(plane, tx, mode);
+    cur_tx_type = tx_type;
+    *tx_type_out = tx_type;
+    int tcls = tx_class_of(tx_type);
+    const std::vector<i32>& scan = g_tables.scans[tx][tcls];
+    int n_coeffs = tw * th;
+
+    int eob_multi_ctx = tcls == 0 ? 0 : 1;
+    u16* eob_cdf;
+    int eob_cdf_n;
+    switch (n_coeffs) {
+      case 16: eob_cdf = cdf.eob_pt16[ptp][eob_multi_ctx]; eob_cdf_n = 5; break;
+      case 32: eob_cdf = cdf.eob_pt32[ptp][eob_multi_ctx]; eob_cdf_n = 6; break;
+      case 64: eob_cdf = cdf.eob_pt64[ptp][eob_multi_ctx]; eob_cdf_n = 7; break;
+      case 128: eob_cdf = cdf.eob_pt128[ptp][eob_multi_ctx]; eob_cdf_n = 8; break;
+      case 256: eob_cdf = cdf.eob_pt256[ptp][eob_multi_ctx]; eob_cdf_n = 9; break;
+      case 512: eob_cdf = cdf.eob_pt512[ptp][eob_multi_ctx]; eob_cdf_n = 10; break;
+      default: eob_cdf = cdf.eob_pt1024[ptp][eob_multi_ctx]; eob_cdf_n = 11; break;
+    }
+    int eob_pt = r.read_symbol_n(eob_cdf, eob_cdf_n) + 1;
+    int eob = EOB_GROUP_START[eob_pt];
+    int extra_bits = EOB_OFFSET_BITS[eob_pt];
+    if (extra_bits > 0) {
+      int ctx_idx = eob_pt - 3;
+      int bit = r.read_symbol_n(cdf.eob_extra[txs_ctx][ptp][ctx_idx], 2);
+      if (bit) eob += 1 << (extra_bits - 1);
+      for (int k = 1; k < extra_bits; k++)
+        if (r.read_bit()) eob += 1 << (extra_bits - 1 - k);
+    }
+
+    int lstride = tw + 4;
+    u8 levels[36 * 36];
+    memset(levels, 0, (size_t)(th + 4) * lstride);
+    memset(coeffs, 0, sizeof(i64) * th * tw);
+
+    for (int c = eob - 1; c >= 0; c--) {
+      int pos = scan[c];
+      int row = pos >> (bitlen(tw) - 1), col = pos & (tw - 1);
+      int level;
+      if (c == eob - 1) {
+        int ctx = base_eob_ctx_of(c, n_coeffs);
+        int sym = r.read_symbol_n(cdf.coeff_base_eob[txs_ctx][ptp][ctx], 3);
+        level = sym + 1;
+      } else {
+        int ctx = base_ctx_of(levels, lstride, row, col, pos, tcls,
+                              TXW[tx], TXH[tx]);
+        level = r.read_symbol_n(cdf.coeff_base[txs_ctx][ptp][ctx], 4);
+      }
+      if (level > 2) {
+        int bctx = br_ctx_of(levels, lstride, row, col, pos, tcls);
+        for (int t = 0; t < 4; t++) {
+          int k = r.read_symbol_n(
+              cdf.coeff_br[std::min(txs_ctx, 3)][ptp][bctx], 4);
+          level += k;
+          if (k < 3) break;
+        }
+      }
+      levels[(i64)row * lstride + col] = (u8)std::min(level, 63);
+      coeffs[pos] = level;
+    }
+
+    i64 cul = 0;
+    int dc_sign_val = 0;
+    for (int c = 0; c < eob; c++) {
+      int pos = scan[c];
+      i64 level = coeffs[pos];
+      if (level == 0) continue;
+      int sign;
+      if (c == 0) {
+        int ctx = dc_sign_ctx_of(plane, px, py, tx);
+        sign = r.read_symbol_n(cdf.dc_sign[ptp][ctx], 2);
+      } else {
+        sign = r.read_bit();
+      }
+      if (level > 14) level += r.read_golomb();
+      cul += level;
+      if (c == 0) dc_sign_val = sign ? 1 : 2;
+      coeffs[pos] = sign ? -level : level;
+    }
+    *cul_out = (int)std::min<i64>(cul, 63);
+    *dcsign_out = dc_sign_val;
+    return eob;
+  }
+
+  // -------------------------------------------- dequant + inverse txfm
+
+  void inv_transform(int plane, int tx, const i64* coeffs, int qindex,
+                     int tx_type, i64* res) {
+    int dc_d, ac_d;
+    if (plane == 0) { dc_d = p.dq[0]; ac_d = 0; }
+    else if (plane == 1) { dc_d = p.dq[1]; ac_d = p.dq[2]; }
+    else { dc_d = p.dq[3]; ac_d = p.dq[4]; }
+    i64 dc_q = DC_QLOOKUP[clampi(qindex + dc_d, 0, 255)];
+    i64 ac_q = AC_QLOOKUP[clampi(qindex + ac_d, 0, 255)];
+    int tw = TXW[tx], th = TXH[tx];
+    int cw = std::min(tw, 32), ch = std::min(th, 32);
+    if (p.coded_lossless) {
+      i64 d[16];
+      for (int i = 0; i < 16; i++) d[i] = coeffs[i] * ac_q;
+      d[0] = coeffs[0] * dc_q;
+      iwht4(d, res);
+      return;
+    }
+    i64 pels = (i64)tw * th;
+    int shift = (pels > 256 ? 1 : 0) + (pels > 1024 ? 1 : 0);
+    i64 d[32 * 32];
+    for (i64 i = 0; i < (i64)ch * cw; i++) {
+      i64 q = i == 0 ? dc_q : ac_q;
+      i64 mag = ((std::abs(coeffs[i]) * q) & 0xFFFFFF) >> shift;
+      d[i] = coeffs[i] < 0 ? -mag : mag;
+    }
+    inv_txfm2d(d, cw, ch, tw, th, tx_type, res);
+  }
+
+  // ------------------------------------------------- transform block
+
+  void transform_block(int plane, int px, int py, int tx, int mode,
+                       int angle, int skip, int mr, int mc, int bsize) {
+    int sx = plane ? p.ssx : 0;
+    int sy = plane ? p.ssy : 0;
+    int pw = (mi_cols * 4) >> sx;
+    int ph = (mi_rows * 4) >> sy;
+    if (px >= pw || py >= ph) return;
+    int tw = TXW[tx], th = TXH[tx];
+    PlaneView& frame = planes[plane];
+    // deblock edge maps
+    {
+      int gy = py / 4, gx = px / 4;
+      int nh = std::max(th / 4, 1), nw = std::max(tw / 4, 1);
+      int gw = egw[plane];
+      for (int i = 0; i < nh && gy + i < egh[plane]; i++)
+        edge_vert[plane][(i64)(gy + i) * gw + gx] = 1;
+      for (int j = 0; j < nw && gx + j < gw; j++)
+        edge_horz[plane][(i64)gy * gw + gx + j] = 1;
+      for (int i = 0; i < nh && gy + i < egh[plane]; i++)
+        for (int j = 0; j < nw && gx + j < gw; j++) {
+          edge_tw[plane][(i64)(gy + i) * gw + gx + j] = tw;
+          edge_th[plane][(i64)(gy + i) * gw + gx + j] = th;
+        }
+    }
+
+    u8* dec = block_decoded[plane].data();
+    int dstride = mi_cols + 2;
+    int u_r = py / 4, u_c = px / 4;
+    int n_w = std::max(tw / 4, 1), n_h = std::max(th / 4, 1);
+    bool have_above = py > 0 && dec[(i64)u_r * dstride + u_c + 1];
+    bool have_left = px > 0 && dec[(i64)(u_r + 1) * dstride + u_c];
+    int n_tr = 0;
+    if (py > 0 && px + tw < pw) {
+      int steps = 0;
+      int cc = u_c + n_w;
+      while (steps < th && (cc * 4) < pw &&
+             dec[(i64)u_r * dstride + cc + 1]) {
+        steps += 4;
+        cc += 1;
+      }
+      n_tr = steps;
+    }
+    int n_bl = 0;
+    if (px > 0 && py + th < ph) {
+      int steps = 0;
+      int rr2 = u_r + n_h;
+      while (steps < tw && (rr2 * 4) < ph &&
+             dec[(i64)(rr2 + 1) * dstride + u_c]) {
+        steps += 4;
+        rr2 += 1;
+      }
+      n_bl = steps;
+    }
+
+    int pred_mode = (plane && mode == UV_CFL_PRED) ? DC_PRED : mode;
+    // palette prediction (computed from the parsed index map)
+    bool use_pal = false;
+    const u8* pmap = nullptr;
+    const int* pcolors = nullptr;
+    int pmw = 0, rx = 0, ry = 0;
+    if (plane == 0 && pal_n[0] > 0) {
+      use_pal = true;
+      pmap = pal_y_map.data();
+      pcolors = pal_colors[0];
+      pmw = pal_map_w[0];
+      rx = px - pal_y_org_x;
+      ry = py - pal_y_org_y;
+    } else if (plane == 1 && pal_n[1] > 0) {
+      use_pal = true;
+      pmap = pal_uv_map.data();
+      pcolors = pal_colors[1];
+      pmw = pal_map_w[1];
+      rx = px - pal_uv_org_x;
+      ry = py - pal_uv_org_y;
+    } else if (plane == 2 && pal_n[2] > 0) {
+      use_pal = true;
+      pmap = pal_uv_map.data();
+      pcolors = pal_colors[2];
+      pmw = pal_map_w[1];
+      rx = px - pal_uv_org_x;
+      ry = py - pal_uv_org_y;
+    }
+
+    int w_b = BW[bsize], h_b = BH[bsize];
+    int blk_w = std::max(w_b >> sx, 4);
+    int blk_h = std::max(h_b >> sy, 4);
+    i64 coeffs[32 * 32];
+    int eob = 0, cul = 0, dcsign = 0, tx_type = cur_tx_type;
+    if (!skip)
+      eob = read_coeffs(plane, px, py, tx, mode, blk_w, blk_h,
+                        coeffs, &cul, &dcsign, &tx_type);
+
+    int hh = std::min(th, ph - py);
+    int ww = std::min(tw, pw - px);
+
+    // ---- eager reconstruction (tile.py _run_job) ----
+    i64 pred[64 * 64];
+    if (use_pal) {
+      for (int i = 0; i < th; i++)
+        for (int j = 0; j < tw; j++)
+          pred[i * tw + j] = pcolors[pmap[(i64)(ry + i) * pmw + rx + j]];
+    } else if (plane == 0 && fi_mode >= 0) {
+      predict_filter_intra(pt, frame, px, py, tw, th, fi_mode, have_above,
+                           have_left, bd, pred);
+    } else {
+      predict_intra(pt, frame, px, py, tw, th, pred_mode, angle,
+                    have_above, have_left, n_tr, n_bl, bd,
+                    p.enable_intra_edge_filter,
+                    plane == 0 ? filt_type_y : filt_type_uv, pred);
+    }
+    bool is_cfl = plane && mode == UV_CFL_PRED;
+    if (is_cfl) {
+      int alpha = plane == 1 ? cfl_alpha_u : cfl_alpha_v;
+      const PlaneView& luma = planes[0];
+      int ly = py << p.ssy, lx = px << p.ssx;
+      i64 q3[64 * 64];
+      int bh2, bw2;
+      if (p.ssx && p.ssy) {
+        bh2 = std::min(th, (luma.h - ly + 1) >> 1);
+        bw2 = std::min(tw, (luma.w - lx + 1) >> 1);
+        for (int i = 0; i < bh2; i++)
+          for (int j = 0; j < bw2; j++) {
+            int yy = ly + 2 * i, xx = lx + 2 * j;
+            i64 box = luma.at(yy, xx) +
+                      (xx + 1 < luma.w ? luma.at(yy, xx + 1) : 0) +
+                      (yy + 1 < luma.h ? luma.at(yy + 1, xx) : 0) +
+                      (yy + 1 < luma.h && xx + 1 < luma.w
+                           ? luma.at(yy + 1, xx + 1) : 0);
+            q3[i * tw + j] = box << 1;
+          }
+      } else if (p.ssx) {
+        bh2 = std::min(th, luma.h - ly);
+        bw2 = std::min(tw, (luma.w - lx + 1) >> 1);
+        for (int i = 0; i < bh2; i++)
+          for (int j = 0; j < bw2; j++) {
+            int xx = lx + 2 * j;
+            i64 box = luma.at(ly + i, xx) +
+                      (xx + 1 < luma.w ? luma.at(ly + i, xx + 1) : 0);
+            q3[i * tw + j] = box << 2;
+          }
+      } else {
+        bh2 = std::min(th, luma.h - ly);
+        bw2 = std::min(tw, luma.w - lx);
+        for (int i = 0; i < bh2; i++)
+          for (int j = 0; j < bw2; j++)
+            q3[i * tw + j] = luma.at(ly + i, lx + j) << 3;
+      }
+      // cfl_pad: replicate last row/col
+      for (int i = 0; i < bh2; i++)
+        for (int j = bw2; j < tw; j++)
+          q3[i * tw + j] = q3[i * tw + bw2 - 1];
+      for (int i = bh2; i < th; i++)
+        for (int j = 0; j < tw; j++)
+          q3[i * tw + j] = q3[(bh2 - 1) * tw + j];
+      i64 sum = 0;
+      for (i64 i = 0; i < (i64)th * tw; i++) sum += q3[i];
+      i64 avg = sum >> (bitlen(tw) - 1 + bitlen(th) - 1);
+      i64 maxv = (1 << bd) - 1;
+      for (i64 i = 0; i < (i64)th * tw; i++) {
+        i64 ac = q3[i] - avg;
+        i64 scaled = (i64)alpha * ac;
+        i64 adj = scaled >= 0 ? (scaled + 32) >> 6 : -((-scaled + 32) >> 6);
+        pred[i] = clampi(pred[i] + adj, 0, maxv);
+      }
+    }
+
+    if (eob > 0) {
+      i64 res[64 * 64];
+      inv_transform(plane, tx, coeffs, cur_qindex, tx_type, res);
+      i64 maxv = (1 << bd) - 1;
+      for (int i = 0; i < hh; i++)
+        for (int j = 0; j < ww; j++)
+          frame.set(py + i, px + j,
+                    clampi(pred[i * tw + j] + res[i * tw + j], 0, maxv));
+    } else {
+      for (int i = 0; i < hh; i++)
+        for (int j = 0; j < ww; j++)
+          frame.set(py + i, px + j, pred[i * tw + j]);
+    }
+
+    // context updates
+    int sb_py = (sb_mi_row * 4) >> sy;
+    int lrow = (py - sb_py) / 4;
+    int w_cells = std::min(n_w, std::max((pw - px) / 4, 0));
+    int h_cells = std::min(n_h, std::max((ph - py) / 4, 0));
+    for (int i = 0; i < w_cells && u_c + i < (int)above_lvl[plane].size();
+         i++) {
+      above_lvl[plane][u_c + i] = std::min(cul, 63);
+      above_sign[plane][u_c + i] = dcsign;
+    }
+    for (int i = 0; i < h_cells && lrow + i < (int)left_lvl[plane].size();
+         i++) {
+      left_lvl[plane][lrow + i] = std::min(cul, 63);
+      left_sign[plane][lrow + i] = dcsign;
+    }
+    for (int i = 0; i < n_h && u_r + 1 + i < mi_rows + 2; i++)
+      for (int j = 0; j < n_w && u_c + 1 + j < dstride; j++)
+        dec[(i64)(u_r + 1 + i) * dstride + u_c + 1 + j] = 1;
+  }
+};
+
+}  // namespace av1n
+
+namespace av1n {
+
+// ======================================================================
+// Deblocking (codecs/av1/deblock.py; spec 7.14, intra specialization)
+// ======================================================================
+
+static int adjust_lf_level(int base, bool delta_enabled, int intra_delta) {
+  if (base == 0) return 0;
+  if (!delta_enabled) return base;
+  int scale = 1 << (base >> 5);
+  return (int)clampi(base + intra_delta * scale, 0, 63);
+}
+
+static void lf_thresholds(int lvl, int sharpness, int* blimit, int* limit,
+                          int* thresh) {
+  int shift = sharpness > 4 ? 2 : (sharpness > 0 ? 1 : 0);
+  int lim;
+  if (sharpness > 0)
+    lim = (int)clampi(lvl >> shift, 1, 9 - sharpness);
+  else
+    lim = std::max(1, lvl);
+  *blimit = 2 * (lvl + 2) + lim;
+  *limit = lim;
+  *thresh = lvl >> 4;
+}
+
+// filter one line: samples via get/set with signed offset from the edge
+// (offset 0 = first sample right of / below the edge)
+template <typename GET, typename SET>
+static void deblock_line(GET g, SET setv, int length, int blimit, int limit,
+                         int thresh) {
+  i64 p6 = g(-7), p5 = g(-6), p4 = g(-5), p3 = g(-4), p2 = g(-3),
+      p1 = g(-2), p0 = g(-1);
+  i64 q0 = g(0), q1 = g(1), q2 = g(2), q3 = g(3), q4 = g(4), q5 = g(5),
+      q6 = g(6);
+  auto ab = [](i64 x) { return x < 0 ? -x : x; };
+  bool fm = ab(p1 - p0) <= limit && ab(q1 - q0) <= limit &&
+            ab(p0 - q0) * 2 + (ab(p1 - q1) >> 1) <= blimit;
+  if (length >= 6) fm = fm && ab(p2 - p1) <= limit && ab(q2 - q1) <= limit;
+  if (length >= 8) fm = fm && ab(p3 - p2) <= limit && ab(q3 - q2) <= limit;
+  if (!fm) return;
+
+  const i64 F = 1;
+  bool flat = false, flat2 = false;
+  if (length >= 6) {
+    flat = ab(p1 - p0) <= F && ab(q1 - q0) <= F && ab(p2 - p0) <= F &&
+           ab(q2 - q0) <= F;
+    if (length >= 8) flat = flat && ab(p3 - p0) <= F && ab(q3 - q0) <= F;
+  }
+  if (length >= 14)
+    flat2 = flat && ab(p6 - p0) <= F && ab(q6 - q0) <= F &&
+            ab(p5 - p0) <= F && ab(q5 - q0) <= F && ab(p4 - p0) <= F &&
+            ab(q4 - q0) <= F;
+
+  // narrow filter (filter4)
+  bool hev = ab(p1 - p0) > thresh || ab(q1 - q0) > thresh;
+  auto c8 = [](i64 x) { return clampi(x, -128, 127); };
+  i64 ps1 = p1 - 128, ps0 = p0 - 128, qs0 = q0 - 128, qs1 = q1 - 128;
+  i64 f = hev ? c8(ps1 - qs1) : 0;
+  f = c8(f + 3 * (qs0 - ps0));
+  i64 f1 = c8(f + 4) >> 3;
+  i64 f2 = c8(f + 3) >> 3;
+  i64 n_q0 = clampi(c8(qs0 - f1) + 128, 0, 255);
+  i64 n_p0 = clampi(c8(ps0 + f2) + 128, 0, 255);
+  i64 f3 = (f1 + 1) >> 1;
+  i64 n_q1 = hev ? q1 : clampi(c8(qs1 - f3) + 128, 0, 255);
+  i64 n_p1 = hev ? p1 : clampi(c8(ps1 + f3) + 128, 0, 255);
+
+  auto r2 = [](i64 x) { return (x + 4) >> 3; };
+  auto r4 = [](i64 x) { return (x + 8) >> 4; };
+  if (length == 4) {
+    setv(-2, n_p1); setv(-1, n_p0); setv(0, n_q0); setv(1, n_q1);
+    return;
+  }
+  if (length == 6) {
+    if (flat) {
+      setv(-2, r2(p2 * 3 + p1 * 2 + p0 * 2 + q0));
+      setv(-1, r2(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1));
+      setv(0, r2(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2));
+      setv(1, r2(q2 * 3 + q1 * 2 + q0 * 2 + p0));
+    } else {
+      setv(-2, n_p1); setv(-1, n_p0); setv(0, n_q0); setv(1, n_q1);
+    }
+    return;
+  }
+  // length >= 8
+  if (length >= 14 && flat2) {
+    setv(-6, r4(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0));
+    setv(-5, r4(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 +
+                q1));
+    setv(-4, r4(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 +
+                q1 + q2));
+    setv(-3, r4(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 +
+                q1 + q2 + q3));
+    setv(-2, r4(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 +
+                q1 + q2 + q3 + q4));
+    setv(-1, r4(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 +
+                q2 + q3 + q4 + q5));
+    setv(0, r4(q6 + q5 + q4 + q3 + q2 + q1 * 2 + q0 * 2 + p0 * 2 + p1 +
+               p2 + p3 + p4 + p5));
+    setv(1, r4(q6 * 2 + q5 + q4 + q3 + q2 * 2 + q1 * 2 + q0 * 2 + p0 +
+               p1 + p2 + p3 + p4));
+    setv(2, r4(q6 * 3 + q5 + q4 + q3 * 2 + q2 * 2 + q1 * 2 + q0 + p0 +
+               p1 + p2 + p3));
+    setv(3, r4(q6 * 4 + q5 + q4 * 2 + q3 * 2 + q2 * 2 + q1 + q0 + p0 +
+               p1 + p2));
+    setv(4, r4(q6 * 5 + q5 * 2 + q4 * 2 + q3 * 2 + q2 + q1 + q0 + p0 +
+               p1));
+    setv(5, r4(q6 * 7 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0 + p0));
+    return;
+  }
+  if (flat) {
+    setv(-3, r2(p3 * 3 + p2 * 2 + p1 + p0 + q0));
+    setv(-2, r2(p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1));
+    setv(-1, r2(p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2));
+    setv(0, r2(q3 + q2 + q1 + q0 * 2 + p0 + p1 + p2));
+    setv(1, r2(q3 * 2 + q2 + q1 * 2 + q0 + p0 + p1));
+    setv(2, r2(q3 * 3 + q2 * 2 + q1 + q0 + p0));
+  } else {
+    setv(-2, n_p1); setv(-1, n_p0); setv(0, n_q0); setv(1, n_q1);
+  }
+}
+
+static void apply_deblock(FrameCtx& ctx) {
+  const Params& p = ctx.p;
+  int intra_delta = p.lf_ref_delta_intra;
+  bool delta_en = p.lf_delta_enabled;
+  int sharp = p.lf_sharpness;
+  int lvls[4];
+  for (int i = 0; i < 4; i++)
+    lvls[i] = adjust_lf_level(p.lf_levels[i], delta_en, intra_delta);
+
+  for (int plane = 0; plane < std::min(3, ctx.num_planes); plane++) {
+    PlaneView& buf = ctx.planes[plane];
+    int max_len = plane == 0 ? 14 : 6;
+    for (int direction = 0; direction < 2; direction++) {
+      int lvl = plane == 0 ? lvls[direction] : lvls[plane + 1];
+      if (lvl == 0) continue;
+      int blimit, limit, thresh;
+      lf_thresholds(lvl, sharp, &blimit, &limit, &thresh);
+      const u8* edge = direction == 0 ? ctx.edge_vert[plane].data()
+                                      : ctx.edge_horz[plane].data();
+      const i32* tdim = direction == 0 ? ctx.edge_tw[plane].data()
+                                       : ctx.edge_th[plane].data();
+      int gw = ctx.egw[plane], gh = ctx.egh[plane];
+      // axis semantics: direction 0 filters along x (vertical edges,
+      // columns left->right); direction 1 along y (transposed walk)
+      int pw = direction == 0 ? buf.w : buf.h;
+      int ph = direction == 0 ? buf.h : buf.w;
+      int egx = direction == 0 ? gw : gh;  // transposed edge dims
+      int egy = direction == 0 ? gh : gw;
+      int n_gy = (ph + 3) / 4;
+      for (int gx = 1; gx < std::min((pw + 3) / 4, egx); gx++) {
+        int x = gx * 4;
+        if (x >= pw) break;
+        for (int gy = 0; gy < std::min(egy, n_gy); gy++) {
+          u8 e = direction == 0 ? edge[(i64)gy * gw + gx]
+                                : edge[(i64)gx * gw + gy];
+          if (!e) continue;
+          i64 cur = direction == 0 ? tdim[(i64)gy * gw + gx]
+                                   : tdim[(i64)gx * gw + gy];
+          i64 prev = direction == 0 ? tdim[(i64)gy * gw + gx - 1]
+                                    : tdim[(i64)(gx - 1) * gw + gy];
+          int ln_raw = (int)std::min<i64>(std::min(cur, prev), max_len);
+          int ln;
+          if (plane == 0)
+            ln = ln_raw >= 14 ? 14 : (ln_raw >= 8 ? 8 :
+                                      (ln_raw >= 6 ? 6 : 4));
+          else
+            ln = ln_raw >= 6 ? 6 : 4;
+          for (int rr = gy * 4; rr < std::min(gy * 4 + 4, ph); rr++) {
+            if (direction == 0) {
+              auto g = [&](int k) {
+                int xc = (int)clampi(x + k, 0, pw - 1);
+                return buf.at(rr, xc);
+              };
+              auto s = [&](int k, i64 v) {
+                int xc = x + k;
+                if (xc >= 0 && xc < pw) buf.set(rr, xc, v);
+              };
+              deblock_line(g, s, ln, blimit, limit, thresh);
+            } else {
+              auto g = [&](int k) {
+                int yc = (int)clampi(x + k, 0, pw - 1);
+                return buf.at(yc, rr);
+              };
+              auto s = [&](int k, i64 v) {
+                int yc = x + k;
+                if (yc >= 0 && yc < pw) buf.set(yc, rr, v);
+              };
+              deblock_line(g, s, ln, blimit, limit, thresh);
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+// ======================================================================
+// CDEF (codecs/av1/cdef.py; spec 7.15)
+// ======================================================================
+
+static const int CDEF_VERY_LARGE = 30000;
+static const int CDEF_DIR[8][2][2] = {
+  {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
+  {{0, 1}, {1, 2}}, {{1, 1}, {2, 2}}, {{1, 0}, {2, 1}},
+  {{1, 0}, {2, 0}}, {{1, 0}, {2, -1}},
+};
+static const int CDEF_DIV[9] = {0, 840, 420, 280, 210, 168, 140, 120, 105};
+static const int CDEF_PRI_TAPS[2][2] = {{4, 2}, {3, 3}};
+static const int CDEF_SEC_TAPS[2] = {2, 1};
+
+static void cdef_find_dir(const u16* pad, int pstride, int y0, int x0,
+                          int coeff_shift, int* dir_out, i64* var_out) {
+  i64 partial[8][15];
+  memset(partial, 0, sizeof(partial));
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      i64 x = ((i64)pad[(i64)(y0 + i + 2) * pstride + x0 + j + 2] >>
+               coeff_shift) - 128;
+      partial[0][i + j] += x;
+      partial[1][i + j / 2] += x;
+      partial[2][i] += x;
+      partial[3][3 + i - j / 2] += x;
+      partial[4][7 + i - j] += x;
+      partial[5][3 - i / 2 + j] += x;
+      partial[6][j] += x;
+      partial[7][i / 2 + j] += x;
+    }
+  i64 cost[8] = {0};
+  for (int i = 0; i < 8; i++) {
+    cost[2] += partial[2][i] * partial[2][i];
+    cost[6] += partial[6][i] * partial[6][i];
+  }
+  cost[2] *= 105;
+  cost[6] *= 105;
+  for (int i = 0; i < 7; i++) {
+    cost[0] += (partial[0][i] * partial[0][i] +
+                partial[0][14 - i] * partial[0][14 - i]) * CDEF_DIV[i + 1];
+    cost[4] += (partial[4][i] * partial[4][i] +
+                partial[4][14 - i] * partial[4][14 - i]) * CDEF_DIV[i + 1];
+  }
+  cost[0] += partial[0][7] * partial[0][7] * CDEF_DIV[8];
+  cost[4] += partial[4][7] * partial[4][7] * CDEF_DIV[8];
+  for (int d = 1; d < 8; d += 2) {
+    for (int j = 0; j < 5; j++)
+      cost[d] += partial[d][3 + j] * partial[d][3 + j];
+    cost[d] *= 105;
+    for (int j = 0; j < 3; j++)
+      cost[d] += (partial[d][j] * partial[d][j] +
+                  partial[d][10 - j] * partial[d][10 - j]) *
+                 CDEF_DIV[2 * j + 2];
+  }
+  int best = 0;
+  for (int d = 1; d < 8; d++)
+    if (cost[d] > cost[best]) best = d;
+  *dir_out = best;
+  *var_out = (cost[best] - cost[(best + 4) & 7]) >> 10;
+}
+
+static i64 cdef_constrain(i64 diff, i64 threshold, int damping) {
+  if (!threshold) return 0;
+  int damp = std::max(0, damping - (bitlen(threshold) - 1));
+  i64 a = diff < 0 ? -diff : diff;
+  i64 v = std::min(a, std::max<i64>(0, threshold - (a >> damp)));
+  return diff < 0 ? -v : v;
+}
+
+static void cdef_filter_block(i32* dst, int dstride, const u16* pad,
+                              int pstride, int y0, int x0, int h, int w,
+                              i64 pri, i64 sec, int damping, int dir,
+                              int coeff_shift) {
+  // flat tap list (offset, tap, threshold, damp): up to 4 pri + 8 sec;
+  // the inner per-row loops are branch-light so -O3 vectorizes them
+  const int* pri_taps = CDEF_PRI_TAPS[(pri >> coeff_shift) & 1];
+  int damp_pri = pri ? std::max(0, damping - (bitlen(pri) - 1)) : 0;
+  int damp_sec = sec ? std::max(0, damping - (bitlen(sec) - 1)) : 0;
+  int n_taps = 0;
+  int t_off[12], t_tap[12];
+  i32 t_thr[12];
+  int t_damp[12];
+  if (pri) {
+    for (int k = 0; k < 2; k++) {
+      int oy = CDEF_DIR[dir][k][0], ox = CDEF_DIR[dir][k][1];
+      for (int sg = 1; sg >= -1; sg -= 2) {
+        t_off[n_taps] = sg * (oy * pstride + ox);
+        t_tap[n_taps] = pri_taps[k];
+        t_thr[n_taps] = (i32)pri;
+        t_damp[n_taps] = damp_pri;
+        n_taps++;
+      }
+    }
+  }
+  if (sec) {
+    for (int k = 0; k < 2; k++)
+      for (int dd = 0; dd < 2; dd++) {
+        int d2 = (dir + (dd == 0 ? 2 : 6)) & 7;
+        int oy = CDEF_DIR[d2][k][0], ox = CDEF_DIR[d2][k][1];
+        for (int sg = 1; sg >= -1; sg -= 2) {
+          t_off[n_taps] = sg * (oy * pstride + ox);
+          t_tap[n_taps] = CDEF_SEC_TAPS[k];
+          t_thr[n_taps] = (i32)sec;
+          t_damp[n_taps] = damp_sec;
+          n_taps++;
+        }
+      }
+  }
+  i32 xr[8], sr[8], mnr[8], mxr[8];
+  for (int dy = 0; dy < h; dy++) {
+    const u16* row = pad + (i64)(y0 + dy + 2) * pstride + x0 + 2;
+    for (int j = 0; j < w; j++) {
+      xr[j] = row[j];
+      sr[j] = 0;
+      mnr[j] = xr[j];
+      mxr[j] = xr[j];
+    }
+    for (int t = 0; t < n_taps; t++) {
+      const u16* prow = row + t_off[t];
+      i32 thr = t_thr[t], tap = t_tap[t];
+      int damp = t_damp[t];
+      for (int j = 0; j < w; j++) {
+        i32 pv = prow[j];
+        i32 diff = pv - xr[j];
+        i32 a = diff < 0 ? -diff : diff;
+        i32 cl = std::max(0, thr - (a >> damp));
+        i32 v = a < cl ? a : cl;
+        sr[j] += tap * (diff < 0 ? -v : v);
+        bool valid = pv != CDEF_VERY_LARGE;
+        mxr[j] = valid && pv > mxr[j] ? pv : mxr[j];
+        mnr[j] = valid && pv < mnr[j] ? pv : mnr[j];
+      }
+    }
+    i32* drow = dst + (i64)(y0 + dy) * dstride + x0;
+    for (int j = 0; j < w; j++) {
+      i32 v = xr[j] + ((8 + sr[j] - (sr[j] < 0 ? 1 : 0)) >> 4);
+      drow[j] = std::max(mnr[j], std::min(mxr[j], v));
+    }
+  }
+}
+
+// filter the frame; planes are overwritten with the CDEF output.
+// deblocked copies are the source.
+static void apply_cdef(FrameCtx& ctx,
+                       const std::vector<i32>* deblocked) {
+  const Params& p = ctx.p;
+  int coeff_shift = p.bit_depth - 8;
+  int num_planes = ctx.num_planes;
+  int a = 7;  // 8-align mask
+  int vw = (p.frame_w + a) & ~a;
+  int vh = (p.frame_h + a) & ~a;
+  std::vector<u16> pads[3];
+  int pstride[3], pvw[3], pvh[3];
+  for (int pl = 0; pl < num_planes; pl++) {
+    int pw = pl == 0 ? vw : vw >> p.ssx;
+    int ph = pl == 0 ? vh : vh >> p.ssy;
+    pvw[pl] = pw; pvh[pl] = ph;
+    int fw = ctx.planes[pl].w, fh = ctx.planes[pl].h;
+    pstride[pl] = fw + 4;
+    pads[pl].assign((i64)(fh + 4) * (fw + 4), CDEF_VERY_LARGE);
+    for (int y = 0; y < ph; y++)
+      for (int x = 0; x < pw; x++)
+        pads[pl][(i64)(y + 2) * pstride[pl] + x + 2] =
+            (u16)deblocked[pl][(i64)y * fw + x];
+  }
+
+  int mi_rows = ctx.mi_rows, mi_cols = ctx.mi_cols;
+  int y_damp = p.cdef_damping + coeff_shift;
+  int uv_damp = y_damp - 1;
+  int nby = (mi_rows + 1) >> 1, nbx = (mi_cols + 1) >> 1;
+  for (int by = 0; by < nby; by++)
+    for (int bx = 0; bx < nbx; bx++) {
+      int r0 = by * 2, c0 = bx * 2;
+      int r1 = std::min(r0 + 1, mi_rows - 1);
+      int c1 = std::min(c0 + 1, mi_cols - 1);
+      bool blk_skip = ctx.skip_map[(i64)r0 * mi_cols + c0] &&
+                      ctx.skip_map[(i64)r0 * mi_cols + c1] &&
+                      ctx.skip_map[(i64)r1 * mi_cols + c0] &&
+                      ctx.skip_map[(i64)r1 * mi_cols + c1];
+      int unit_r = std::min(by * 2 / 16 * 16, mi_rows - 1);
+      int unit_c = std::min(bx * 2 / 16 * 16, mi_cols - 1);
+      i64 idx = ctx.cdef_idx[(i64)unit_r * mi_cols + unit_c];
+      if (idx < 0 || blk_skip) continue;
+      int ys = by * 8, xs = bx * 8;
+      i64 y_pri = (i64)p.cdef_y_pri[idx] << coeff_shift;
+      i64 y_sec = (i64)p.cdef_y_sec[idx] << coeff_shift;
+      int dir = 0;
+      i64 var = 0;
+      if (y_pri > 0)
+        cdef_find_dir(pads[0].data(), pstride[0], ys, xs, coeff_shift,
+                      &dir, &var);
+      i64 v6 = var >> 6;
+      i64 i_log = v6 > 0 ? std::min(bitlen(v6) - 1, 12) : 0;
+      i64 pri_adj = var != 0 ? (y_pri * (4 + i_log) + 8) >> 4 : 0;
+      if (y_pri <= 0) pri_adj = 0;
+      bool luma_on = pri_adj > 0 || y_sec > 0 || y_pri > 0;
+      if (luma_on)
+        cdef_filter_block(ctx.planes[0].data, ctx.planes[0].stride,
+                          pads[0].data(), pstride[0], ys, xs, 8, 8,
+                          pri_adj, y_sec, y_damp, dir, coeff_shift);
+      if (num_planes > 1) {
+        i64 uv_pri = (i64)p.cdef_uv_pri[idx] << coeff_shift;
+        i64 uv_sec = (i64)p.cdef_uv_sec[idx] << coeff_shift;
+        if (uv_pri > 0 || uv_sec > 0) {
+          int cy = ys >> p.ssy, cx = xs >> p.ssx;
+          for (int pl = 1; pl < 3; pl++)
+            cdef_filter_block(ctx.planes[pl].data, ctx.planes[pl].stride,
+                              pads[pl].data(), pstride[pl], cy, cx,
+                              8 >> p.ssy, 8 >> p.ssx, uv_pri, uv_sec,
+                              uv_damp, dir, coeff_shift);
+        }
+      }
+    }
+}
+
+// ======================================================================
+// Loop restoration (codecs/av1/lr.py; spec 7.17)
+// ======================================================================
+
+static const int SGR_PARAMS_T[16][4] = {
+  {2, 12, 1, 4}, {2, 15, 1, 6}, {2, 18, 1, 9}, {2, 21, 1, 12},
+  {2, 24, 1, 14}, {2, 29, 1, 18}, {2, 36, 1, 24}, {2, 45, 1, 32},
+  {2, 56, 1, 40}, {2, 68, 1, 52}, {2, 80, 1, 68}, {2, 95, 1, 88},
+  {2, 108, 0, 0}, {2, 110, 0, 0}, {2, 120, 0, 0}, {2, 127, 0, 0},
+};
+
+// padded source rectangle per the get_source_sample rule (lr.py
+// _gather_piece): margin 3
+static void lr_gather(const i32* cdef_p, const i32* deblk_p, int stride,
+                      int x0, int x1, int y0, int h, int ss_start,
+                      int ss_end, int plane_w, int plane_h, i64* out,
+                      int ow) {
+  int w = x1 - x0;
+  int margin = 3;
+  int ph = h + 2 * margin;
+  for (int i = 0; i < ph; i++) {
+    int y = y0 - margin + i;
+    y = std::min(std::max(y, 0), plane_h - 1);
+    const i32* row;
+    if (y < ss_start) {
+      int yy = std::max(ss_start - 2, y);
+      row = deblk_p + (i64)yy * stride;
+    } else if (y > ss_end) {
+      int yy = std::min(ss_end + 2, y);
+      row = deblk_p + (i64)yy * stride;
+    } else {
+      row = cdef_p + (i64)y * stride;
+    }
+    for (int j = 0; j < w + 2 * margin; j++) {
+      int x = (int)clampi(x0 - margin + j, 0, plane_w - 1);
+      out[(i64)i * ow + j] = row[x];
+    }
+  }
+}
+
+static void wiener_filter(const i64* pad, int ow, int w, int h,
+                          const i32* vcoeff, const i32* hcoeff, int bd,
+                          i32* out, int ostride) {
+  i64 hf[7], vf[7];
+  {
+    i64 w0 = hcoeff[0], w1 = hcoeff[1], w2 = hcoeff[2];
+    i64 w3 = 128 - 2 * (w0 + w1 + w2);
+    hf[0] = w0; hf[1] = w1; hf[2] = w2; hf[3] = w3;
+    hf[4] = w2; hf[5] = w1; hf[6] = w0;
+    w0 = vcoeff[0]; w1 = vcoeff[1]; w2 = vcoeff[2];
+    w3 = 128 - 2 * (w0 + w1 + w2);
+    vf[0] = w0; vf[1] = w1; vf[2] = w2; vf[3] = w3;
+    vf[4] = w2; vf[5] = w1; vf[6] = w0;
+  }
+  int inter_round0 = bd == 8 ? 3 : 5;
+  int inter_round1 = 11;
+  i64 offset = (i64)1 << (bd + 7 - inter_round0 - 1);
+  i64 limit = ((i64)1 << (bd + 1 + 7 - inter_round0)) - 1;
+
+  std::vector<i64> inter((i64)(h + 6) * w);
+  for (int i = 0; i < h + 6; i++)
+    for (int j = 0; j < w; j++) {
+      i64 s = 0;
+      for (int t = 0; t < 7; t++) s += hf[t] * pad[(i64)i * ow + t + j];
+      s = (s + (1 << (inter_round0 - 1))) >> inter_round0;
+      inter[(i64)i * w + j] = clampi(s, -offset, limit - offset);
+    }
+  i64 maxv = (1 << bd) - 1;
+  for (int i = 0; i < h; i++)
+    for (int j = 0; j < w; j++) {
+      i64 s = 0;
+      for (int t = 0; t < 7; t++) s += vf[t] * inter[(i64)(t + i) * w + j];
+      s = (s + (1 << (inter_round1 - 1))) >> inter_round1;
+      out[(i64)i * ostride + j] = (i32)clampi(s, 0, maxv);
+    }
+}
+
+// a2 = ((z<<8) + z/2) / (z+1) for z in [0,254]; z=0 -> 1 (lr.py)
+static i64 g_sgr_a2[255];
+static bool g_sgr_a2_init = false;
+static void sgr_a2_init() {
+  if (g_sgr_a2_init) return;
+  g_sgr_a2[0] = 1;
+  for (i64 z = 1; z < 255; z++)
+    g_sgr_a2[z] = ((z << 8) + z / 2) / (z + 1);
+  g_sgr_a2_init = true;
+}
+
+static const int SGRPROJ_RST_BITS = 4;
+static const int SGRPROJ_PRJ_BITS = 7;
+static const int SGRPROJ_SGR_BITS = 8;
+static const int SGRPROJ_MTABLE_BITS = 20;
+static const int SGRPROJ_RECIP_BITS = 12;
+
+// one box-filter pass (lr.py _box_filter); flt (h, w)
+static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
+                       int pass_idx, int bd, i64* flt) {
+  sgr_a2_init();
+  int r = SGR_PARAMS_T[sgr_set][pass_idx * 2];
+  i64 eps = SGR_PARAMS_T[sgr_set][pass_idx * 2 + 1];
+  i64 n = (i64)(2 * r + 1) * (2 * r + 1);
+  i64 n2e = n * n * eps;
+  i64 s_val = (((i64)1 << SGRPROJ_MTABLE_BITS) + n2e / 2) / n2e;
+  i64 one_over_n = (((i64)1 << SGRPROJ_RECIP_BITS) + (n >> 1)) / n;
+
+  // A/B grids for i in -1..h, j in -1..w  (grid index [i+1][j+1]);
+  // window sums via integral images over the padded piece
+  int gh = h + 2, gw = w + 2;
+  std::vector<i64> A((i64)gh * gw), B((i64)gh * gw);
+  int shift = 2 * (bd - 8);
+  int ph6 = h + 6, pw6 = w + 6;
+  std::vector<i64> csq((i64)(ph6 + 1) * (pw6 + 1), 0),
+      cs((i64)(ph6 + 1) * (pw6 + 1), 0);
+  for (int y = 0; y < ph6; y++) {
+    i64 row_sq = 0, row_s = 0;
+    for (int x = 0; x < pw6; x++) {
+      i64 v = pad[(i64)y * ow + x];
+      row_sq += v * v;
+      row_s += v;
+      csq[(i64)(y + 1) * (pw6 + 1) + x + 1] =
+          csq[(i64)y * (pw6 + 1) + x + 1] + row_sq;
+      cs[(i64)(y + 1) * (pw6 + 1) + x + 1] =
+          cs[(i64)y * (pw6 + 1) + x + 1] + row_s;
+    }
+  }
+  int wn = 2 * r + 1;
+  for (int gi = 0; gi < gh; gi++)
+    for (int gj = 0; gj < gw; gj++) {
+      int y0w = gi - 1 + 3 - r;   // window top-left in padded coords
+      int x0w = gj - 1 + 3 - r;
+      i64 a_sum = csq[(i64)(y0w + wn) * (pw6 + 1) + x0w + wn] -
+                  csq[(i64)y0w * (pw6 + 1) + x0w + wn] -
+                  csq[(i64)(y0w + wn) * (pw6 + 1) + x0w] +
+                  csq[(i64)y0w * (pw6 + 1) + x0w];
+      i64 b_sum = cs[(i64)(y0w + wn) * (pw6 + 1) + x0w + wn] -
+                  cs[(i64)y0w * (pw6 + 1) + x0w + wn] -
+                  cs[(i64)(y0w + wn) * (pw6 + 1) + x0w] +
+                  cs[(i64)y0w * (pw6 + 1) + x0w];
+      i64 a_r = shift ? round2(a_sum, shift) : a_sum;
+      i64 d_r = bd > 8 ? round2(b_sum, bd - 8) : b_sum;
+      i64 pv = std::max<i64>(0, a_r * n - d_r * d_r);
+      i64 z = (pv * s_val + ((i64)1 << (SGRPROJ_MTABLE_BITS - 1))) >>
+              SGRPROJ_MTABLE_BITS;
+      i64 a2 = z >= 255 ? 256 : g_sgr_a2[z];
+      i64 b2 = ((((i64)1 << SGRPROJ_SGR_BITS) - a2) * b_sum * one_over_n +
+                ((i64)1 << (SGRPROJ_RECIP_BITS - 1))) >> SGRPROJ_RECIP_BITS;
+      A[(i64)gi * gw + gj] = a2;
+      B[(i64)gi * gw + gj] = b2;
+    }
+
+  for (int i = 0; i < h; i++) {
+    int gi = i + 1;
+    for (int j = 0; j < w; j++) {
+      i64 center = pad[(i64)(i + 3) * ow + j + 3];
+      i64 av, bv;
+      int nb;
+      if (pass_idx == 0) {
+        if (i % 2 == 0) {
+          av = 6 * (A[(i64)(gi - 1) * gw + j + 1] +
+                    A[(i64)(gi + 1) * gw + j + 1]) +
+               5 * (A[(i64)(gi - 1) * gw + j] + A[(i64)(gi - 1) * gw + j + 2] +
+                    A[(i64)(gi + 1) * gw + j] + A[(i64)(gi + 1) * gw + j + 2]);
+          bv = 6 * (B[(i64)(gi - 1) * gw + j + 1] +
+                    B[(i64)(gi + 1) * gw + j + 1]) +
+               5 * (B[(i64)(gi - 1) * gw + j] + B[(i64)(gi - 1) * gw + j + 2] +
+                    B[(i64)(gi + 1) * gw + j] + B[(i64)(gi + 1) * gw + j + 2]);
+          nb = 5;
+        } else {
+          av = 6 * A[(i64)gi * gw + j + 1] +
+               5 * (A[(i64)gi * gw + j] + A[(i64)gi * gw + j + 2]);
+          bv = 6 * B[(i64)gi * gw + j + 1] +
+               5 * (B[(i64)gi * gw + j] + B[(i64)gi * gw + j + 2]);
+          nb = 4;
+        }
+      } else {
+        nb = 3;
+        av = 4 * (A[(i64)gi * gw + j + 1] + A[(i64)(gi - 1) * gw + j + 1] +
+                  A[(i64)(gi + 1) * gw + j + 1] + A[(i64)gi * gw + j] +
+                  A[(i64)gi * gw + j + 2]) +
+             3 * (A[(i64)(gi - 1) * gw + j] + A[(i64)(gi - 1) * gw + j + 2] +
+                  A[(i64)(gi + 1) * gw + j] + A[(i64)(gi + 1) * gw + j + 2]);
+        bv = 4 * (B[(i64)gi * gw + j + 1] + B[(i64)(gi - 1) * gw + j + 1] +
+                  B[(i64)(gi + 1) * gw + j + 1] + B[(i64)gi * gw + j] +
+                  B[(i64)gi * gw + j + 2]) +
+             3 * (B[(i64)(gi - 1) * gw + j] + B[(i64)(gi - 1) * gw + j + 2] +
+                  B[(i64)(gi + 1) * gw + j] + B[(i64)(gi + 1) * gw + j + 2]);
+      }
+      i64 v = av * center + bv;
+      flt[(i64)i * w + j] =
+          (v + ((i64)1 << (SGRPROJ_SGR_BITS + nb - SGRPROJ_RST_BITS - 1)))
+          >> (SGRPROJ_SGR_BITS + nb - SGRPROJ_RST_BITS);
+    }
+  }
+}
+
+static void sgrproj_filter(const i64* pad, int ow, int w, int h,
+                           int sgr_set, const i32* xqd, int bd, i32* out,
+                           int ostride) {
+  int r0 = SGR_PARAMS_T[sgr_set][0];
+  int r1 = SGR_PARAMS_T[sgr_set][2];
+  std::vector<i64> flt0((i64)h * w), flt1((i64)h * w), u((i64)h * w);
+  for (int i = 0; i < h; i++)
+    for (int j = 0; j < w; j++)
+      u[(i64)i * w + j] = pad[(i64)(i + 3) * ow + j + 3]
+                          << SGRPROJ_RST_BITS;
+  if (r0) box_filter(pad, ow, w, h, sgr_set, 0, bd, flt0.data());
+  else flt0 = u;
+  if (r1) box_filter(pad, ow, w, h, sgr_set, 1, bd, flt1.data());
+  else flt1 = u;
+  i64 w0 = xqd[0], w2 = xqd[1];
+  i64 w1 = ((i64)1 << SGRPROJ_PRJ_BITS) - w0 - w2;
+  i64 maxv = (1 << bd) - 1;
+  for (int i = 0; i < h; i++)
+    for (int j = 0; j < w; j++) {
+      i64 v = w0 * flt0[(i64)i * w + j] + w1 * u[(i64)i * w + j] +
+              w2 * flt1[(i64)i * w + j];
+      i64 s = (v + ((i64)1 << (SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS - 1)))
+              >> (SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS);
+      out[(i64)i * ostride + j] = (i32)clampi(s, 0, maxv);
+    }
+}
+
+// frame loop-restore; planes currently hold the CDEF output, deblocked
+// holds the pre-CDEF frame.  Output written in place.
+static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
+                     const std::vector<i32>* deblocked) {
+  const Params& p = ctx.p;
+  int bd = p.bit_depth;
+  for (int plane = 0; plane < ctx.num_planes; plane++) {
+    if (p.lr_type[plane] == 0) continue;
+    int sub_x = plane == 0 ? 0 : p.ssx;
+    int sub_y = plane == 0 ? 0 : p.ssy;
+    int plane_w = (int)round2(p.frame_w, sub_x);
+    int plane_h = (int)round2(p.frame_h, sub_y);
+    int usize = p.lr_unit_size[plane];
+    int ur_total = ctx.lr_ur[plane], uc_total = ctx.lr_uc[plane];
+    int stripe_size = 64 >> sub_y;
+    int voffset = 8 >> sub_y;
+    int stride = ctx.planes[plane].stride;
+    const i32* cdef_p = cdef_src[plane].data();
+    const i32* deblk_p = deblocked[plane].data();
+    for (int ur = 0; ur < ur_total; ur++) {
+      int uy0 = ur * usize;
+      int uy1 = ur == ur_total - 1 ? plane_h
+                                   : std::min((ur + 1) * usize, plane_h);
+      for (int uc = 0; uc < uc_total; uc++) {
+        i64 ui = (i64)ur * uc_total + uc;
+        int unit_type = ctx.lr_type_map[plane][ui];
+        if (unit_type == 0) continue;
+        int ux0 = uc * usize;
+        int ux1 = uc == uc_total - 1 ? plane_w
+                                     : std::min((uc + 1) * usize, plane_w);
+        int w = ux1 - ux0;
+        if (w <= 0) continue;
+        int y = uy0;
+        while (y < uy1) {
+          int stripe_num = (y + voffset) / stripe_size;
+          int ss_start = stripe_num * stripe_size - voffset;
+          int ss_end = ss_start + stripe_size - 1;
+          int h = std::min(uy1 - 1, ss_end) - y + 1;
+          int ow = w + 6;
+          std::vector<i64> pad((i64)(h + 6) * ow);
+          lr_gather(cdef_p, deblk_p, stride, ux0, ux1, y, h, ss_start,
+                    ss_end, plane_w, plane_h, pad.data(), ow);
+          i32* outp = ctx.planes[plane].data + (i64)y * stride + ux0;
+          if (unit_type == 2) {
+            const i32* wn = &ctx.lr_wiener[plane][ui * 6];
+            wiener_filter(pad.data(), ow, w, h, wn, wn + 3, bd, outp,
+                          stride);
+          } else {
+            sgrproj_filter(pad.data(), ow, w, h,
+                           ctx.lr_sgr_set[plane][ui],
+                           &ctx.lr_xqd[plane][ui * 2], bd, outp, stride);
+          }
+          y += h;
+        }
+      }
+    }
+  }
+}
+
+}  // namespace av1n
+
+// ======================================================================
+// C ABI
+// ======================================================================
+
+extern "C" int tpuheif_av1_decode_frame(
+    const uint8_t* tiles_buf, long long tiles_len,
+    const long long* tile_meta, int n_tiles,
+    const int* params_buf, int n_params,
+    const int* cdf_buf, long long cdf_len,
+    int* y_out, int* u_out, int* v_out,
+    char* err, int errlen) {
+  using namespace av1n;
+  if (n_params < N_PARAMS) {
+    snprintf(err, errlen, "params too short");
+    return 1;
+  }
+  Params p;
+  params_from_buf(&p, params_buf);
+  bool prof = getenv("TPUHEIF_AV1_PROF") != nullptr;
+  auto nowus = []() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec * 1e6 + ts.tv_nsec / 1e3;
+  };
+  double t0 = nowus();
+  if (cdf_len < cdf_total_size()) {
+    snprintf(err, errlen, "cdf buffer too short");
+    return 1;
+  }
+  FrameCtx* ctx = new FrameCtx();
+  int rc = ctx->init(p, cdf_buf, err, errlen);
+  if (rc) { delete ctx; return rc; }
+  for (int t = 0; t < n_tiles; t++) {
+    const long long* m = tile_meta + (i64)t * 6;
+    i64 off = m[0], size = m[1];
+    if (off < 0 || size < 0 || off + size > tiles_len) {
+      snprintf(err, errlen, "tile range out of bounds");
+      delete ctx;
+      return 1;
+    }
+    ctx->decode_tile(tiles_buf + off, size, (int)m[2], (int)m[3],
+                     (int)m[4], (int)m[5]);
+    if (ctx->rc) { rc = ctx->rc; delete ctx; return rc; }
+  }
+
+  double t_tiles = nowus();
+  // in-loop filters: deblock -> CDEF -> LR (decoder.py finish_frame)
+  bool any_lf = p.lf_levels[0] || p.lf_levels[1] || p.lf_levels[2] ||
+                p.lf_levels[3];
+  if (!p.coded_lossless && any_lf) apply_deblock(*ctx);
+  double t_dbk = nowus();
+  bool any_cdef = false;
+  for (int i = 0; i < 8; i++)
+    any_cdef = any_cdef || p.cdef_y_pri[i] || p.cdef_y_sec[i] ||
+               p.cdef_uv_pri[i] || p.cdef_uv_sec[i];
+  bool any_lr = p.lr_type[0] || p.lr_type[1] || p.lr_type[2];
+  std::vector<i32> deblocked[3];
+  if ((!p.coded_lossless && any_cdef) || any_lr)
+    for (int pl = 0; pl < ctx->num_planes; pl++)
+      deblocked[pl] = ctx->plane_buf[pl];
+  if (!p.coded_lossless && any_cdef) apply_cdef(*ctx, deblocked);
+  double t_cdef = nowus();
+  if (any_lr) {
+    std::vector<i32> cdef_out[3];
+    for (int pl = 0; pl < ctx->num_planes; pl++)
+      cdef_out[pl] = ctx->plane_buf[pl];
+    apply_lr(*ctx, cdef_out, deblocked);
+  }
+
+  if (prof)
+    fprintf(stderr, "[av1prof] tiles=%.0fus deblock=%.0fus cdef=%.0fus"
+            " lr=%.0fus\n",
+            t_tiles - t0, t_dbk - t_tiles, t_cdef - t_dbk, nowus() - t_cdef);
+  // copy out full padded planes
+  memcpy(y_out, ctx->plane_buf[0].data(),
+         ctx->plane_buf[0].size() * sizeof(i32));
+  if (ctx->num_planes > 1) {
+    memcpy(u_out, ctx->plane_buf[1].data(),
+           ctx->plane_buf[1].size() * sizeof(i32));
+    memcpy(v_out, ctx->plane_buf[2].data(),
+           ctx->plane_buf[2].size() * sizeof(i32));
+  }
+  delete ctx;
+  return 0;
+}

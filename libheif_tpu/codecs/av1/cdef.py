@@ -307,12 +307,14 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
     y_pri = y_pri_tab[idxs]
     y_sec = y_sec_tab[idxs]
 
-    # --- direction search: only when the PRIMARY strength is nonzero
-    # (spec 7.15.1: dir stays 0 otherwise — secondary-only filtering
-    # uses the fixed dir-0 cross taps) ---------------------------------
+    # --- direction search: when the LUMA or CHROMA primary strength is
+    # nonzero (dav1d cdef_brow: y_pri_lvl || uv_pri_lvl — chroma-only
+    # primary filtering still uses the luma-derived direction);
+    # secondary-only filtering uses the fixed dir-0 cross taps --------
+    uv_pri_tab = np.asarray(c.uv_pri, np.int64) << coeff_shift
     dirs = np.zeros(len(ys), np.int64)
     var = np.zeros(len(ys), np.int64)
-    need_dir = (y_pri > 0)
+    need_dir = (y_pri > 0) | (uv_pri_tab[idxs] > 0)
     if need_dir.any():
         sel = np.nonzero(need_dir)[0]
         yy = ys[sel][:, None, None] + np.arange(8)[None, :, None] + 2

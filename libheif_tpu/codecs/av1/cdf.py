@@ -99,12 +99,21 @@ class CdfContext:
         self.partition = _to_lists(d["partition"])           # [20]
         self.intra_ext_tx = _to_lists(d["intra_ext_tx"])     # [3][4][13]
         self.cfl_alpha = _to_lists(d["cfl_alpha"])           # [6]
-        self.cfl_sign = list(int(v) for v in d["cfl_sign"])
+        # default_cfl_sign_cdf = AOM_CDF8(1418, 2123, 13340, 18405,
+        # 26972, 28343, 32294): the npz extractor had misattributed a
+        # different 8-symbol table to this name (caught by the lossless
+        # CfL oracle difftest; the true row sits immediately before
+        # cfl_alpha in libaom rodata)
+        self.cfl_sign = [31350, 30645, 19428, 14363, 5796, 4425, 474,
+                         0, 0]
         self.filter_intra_use = _to_lists(d["filter_intra_use"])  # [22]
-        # filter_intra_mode default row: fitted empirically (see
-        # tests/av1_lossy_difftest.py filter-intra cases)
+        # default_filter_intra_mode_cdf = AOM_CDF5(8949, 12776, 17211,
+        # 29558) — located in the libaom binary (the npz extractor does
+        # not carry this single row); the earlier fitted guess was wrong
+        # and desynced lossless filter-intra streams
         self.filter_intra_mode = list(d["filter_intra_mode"]) \
-            if "filter_intra_mode" in d else [26214, 19661, 13107, 6554, 0, 0]
+            if "filter_intra_mode" in d else [23819, 19992, 15557, 3210,
+                                              0, 0]
         self.tx_size = _to_lists(d["tx_size"])               # [4][3]
         self.angle_delta = _to_lists(d["angle_delta"])       # [8]
         self.skip = _to_lists(d["skip"])                     # [3]

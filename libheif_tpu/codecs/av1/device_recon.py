@@ -838,7 +838,8 @@ def _build_program(meta):
         y1 = lax.broadcasted_iota(jnp.int32, (sq, sq), 0)[None]
         valid = (x1 < wv[:, None, None]) & (y1 < hv[:, None, None])
         tot = jnp.where(valid, q3, 0).reshape(k, -1).sum(axis=1)
-        avg = tot >> (lgw + lgh)
+        # rounded average (aom subtract_average; matches tile.py)
+        avg = (tot + (1 << (lgw + lgh - 1))) >> (lgw + lgh)
         ac = q3 - avg[:, None, None]
         scaled = alpha[:, None, None] * ac
         adj = jnp.where(scaled >= 0, (scaled + 32) >> 6,

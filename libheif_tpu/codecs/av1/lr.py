@@ -14,12 +14,16 @@ from typing import List
 
 import numpy as np
 
-# Sgr_Params[set] = (r0, e0, r1, e1) (spec §7.17.3)
+# Sgr_Params[set] = (r0, e0, r1, e1) — derived from libaom's
+# av1_sgr_params {r0,r1,s0,s1} rodata (s = (2^20 + n^2 e/2)/(n^2 e));
+# the earlier guessed rows beyond set 2 were wrong, including the
+# radius-zero sets 10-13, which also gate the xqd parse (caught by the
+# sgrproj oracle difftest)
 SGR_PARAMS = (
-    (2, 12, 1, 4), (2, 15, 1, 6), (2, 18, 1, 9), (2, 21, 1, 12),
-    (2, 24, 1, 14), (2, 29, 1, 18), (2, 36, 1, 24), (2, 45, 1, 32),
-    (2, 56, 1, 40), (2, 68, 1, 52), (2, 80, 1, 68), (2, 95, 1, 88),
-    (2, 108, 0, 0), (2, 110, 0, 0), (2, 120, 0, 0), (2, 127, 0, 0),
+    (2, 12, 1, 4), (2, 15, 1, 6), (2, 18, 1, 8), (2, 21, 1, 9),
+    (2, 24, 1, 10), (2, 29, 1, 11), (2, 36, 1, 12), (2, 45, 1, 13),
+    (2, 56, 1, 14), (2, 68, 1, 15), (0, 0, 1, 5), (0, 0, 1, 8),
+    (0, 0, 1, 11), (0, 0, 1, 14), (2, 30, 0, 0), (2, 76, 0, 0),
 )
 
 SGRPROJ_RST_BITS = 4
@@ -178,8 +182,10 @@ def _box_filter(pad, w, h, sgr_set, pass_idx, bd):
                                  SGRPROJ_RST_BITS - 1))) >> \
                 (SGRPROJ_SGR_BITS + nb - SGRPROJ_RST_BITS)
     else:
-        # r=1: full 3x3 cross weights 4 / corner weights 3
-        nb = 3
+        # r=1: full 3x3, cross weights 4 / corner weights 3 — total
+        # weight 32, so nb = 5 like the pass-0 even rows (nb=3 left a
+        # 4x gain; caught by the sgrproj oracle difftest)
+        nb = 5
         a = 4 * (A[1:h + 1, 1:w + 1] + A[0:h, 1:w + 1] + A[2:h + 2, 1:w + 1] +
                  A[1:h + 1, 0:w] + A[1:h + 1, 2:w + 2]) + \
             3 * (A[0:h, 0:w] + A[0:h, 2:w + 2] +
@@ -203,8 +209,17 @@ def _sgrproj_filter(pad, w, h, sgr_set, xqd, bd):
     u = center << SGRPROJ_RST_BITS
     flt0 = _box_filter(pad, w, h, sgr_set, 0, bd) if r0 else u
     flt1 = _box_filter(pad, w, h, sgr_set, 1, bd) if r1 else u
-    w0 = int(xqd[0])
-    w2 = int(xqd[1])
+    # aom decode_xq: xqd[1] codes the COMPLEMENT weight — the second
+    # projection weight is 128 - xq0 - xqd1 (128 - xqd1 when r0 == 0),
+    # not xqd1 itself (caught by the sgrproj oracle difftest)
+    if r0 == 0:
+        xq0, xq1 = 0, (1 << SGRPROJ_PRJ_BITS) - int(xqd[1])
+    elif r1 == 0:
+        xq0, xq1 = int(xqd[0]), 0
+    else:
+        xq0 = int(xqd[0])
+        xq1 = (1 << SGRPROJ_PRJ_BITS) - xq0 - int(xqd[1])
+    w0, w2 = xq0, xq1
     w1 = (1 << SGRPROJ_PRJ_BITS) - w0 - w2
     v = w0 * flt0 + w1 * u + w2 * flt1
     s = (v + (1 << (SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS - 1))) >> \
@@ -234,9 +249,13 @@ def apply_lr(cdef_planes: List[np.ndarray], deblk_planes: List[np.ndarray],
         deblk_p = deblk_planes[plane]
 
         for ur in range(ur_total):
-            uy0 = ur * usize
+            # unit-row extents are shifted up by the stripe offset
+            # (spec: unitRow = Min(unitRows-1, (y + StripeOffset) /
+            # unitSize)) so unit boundaries align with stripes; caught
+            # by the multi-unit wiener oracle difftest
+            uy0 = 0 if ur == 0 else ur * usize - voffset
             uy1 = plane_h if ur == ur_total - 1 else \
-                min((ur + 1) * usize, plane_h)
+                min((ur + 1) * usize - voffset, plane_h)
             for uc in range(uc_total):
                 unit_type = int(dec.lr_unit_type[plane][ur, uc])
                 if unit_type == 0:

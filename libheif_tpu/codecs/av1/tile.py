@@ -328,8 +328,9 @@ class TileDecoder:
             b2 = k + i - 1 if i else k
             a = 1 << b2
             if num_syms <= mk + 3 * a:
-                # decode_uniform(num_syms - mk) (spec 9.2.x: w =
-                # FloorLog2(n) + 1, m = (1 << w) - n)
+                # decode_uniform(num_syms - mk) (aom
+                # read_primitive_quniform: w = FloorLog2(n) + 1,
+                # m = (1 << w) - n)
                 n = num_syms - mk
                 w = n.bit_length()
                 m = (1 << w) - n
@@ -350,11 +351,15 @@ class TileDecoder:
         v = self._decode_subexp_bool(mx, k)
 
         def inverse_recenter(r0, v0):
+            # aom inv_recenter_nonneg: EVEN v lands above the ref,
+            # ODD below — the swapped convention decoded mirrored
+            # Wiener/sgrproj coefficients (caught by the LR oracle
+            # difftest)
             if v0 > 2 * r0:
                 return v0
             if v0 & 1:
-                return r0 + ((v0 + 1) >> 1)
-            return r0 - (v0 >> 1)
+                return r0 - ((v0 + 1) >> 1)
+            return r0 + (v0 >> 1)
 
         if (rr << 1) <= mx:
             return inverse_recenter(rr, v) + low
@@ -565,12 +570,15 @@ class TileDecoder:
     def _update_partition_ctx(self, mr, mc, bsize, subsize) -> None:
         """Store the neighbor-context byte: bit b set ⇔ a size-b query
         sees this block as split finer (so an equal-size neighbor gives
-        ctx bit 0 — validated against libaom multi-SB streams)."""
+        ctx bit 0).  The value must keep 6 bits — bit 5 answers
+        128-level queries in sb128 streams; masking to 5 bits made that
+        query read 0 and desynced multi-SB 128-superblock streams
+        (caught by the example.avif oracle difftest)."""
         w, h = T.BLOCK_SIZES[bsize]
         sw, sh = T.BLOCK_SIZES[subsize]
         mi_w, mi_h = w // 4, h // 4
-        above_val = (32 - (2 << ((sw // 4).bit_length() - 1))) & 31
-        left_val = (32 - (2 << ((sh // 4).bit_length() - 1))) & 31
+        above_val = (64 - (2 << ((sw // 4).bit_length() - 1))) & 63
+        left_val = (64 - (2 << ((sh // 4).bit_length() - 1))) & 63
         self.above_part[mc:mc + mi_w] = above_val
         lr = mr - self.sb_mi_row
         self.left_part[lr:lr + mi_h] = left_val
@@ -746,8 +754,15 @@ class TileDecoder:
         self._filt_type_y = 1 if (smooth(ab_y) or smooth(le_y)) else 0
         cr_ = mr & ~1 if (h // 4) == 1 else mr
         cc_ = mc & ~1 if (w // 4) == 1 else mc
-        ab_uv = int(self.uv_modes[cr_ - 1, cc_]) if cr_ > self.mr0 else -1
-        le_uv = int(self.uv_modes[cr_, cc_ - 1]) if cc_ > self.mc0 else -1
+        # chroma neighbor mbmi: the bottom-right-most mi of the above /
+        # left chroma reference block — row -1 col +ssx above, row +ssy
+        # col -1 left of the chroma-group origin (aom set_mi_row_col
+        # chroma_above/left_mbmi; caught by the lossless 4x4 oracle
+        # difftest)
+        ac_ = min(cc_ + self.ssx, self.mi_cols - 1)
+        lr_ = min(cr_ + self.ssy, self.mi_rows - 1)
+        ab_uv = int(self.uv_modes[cr_ - 1, ac_]) if cr_ > self.mr0 else -1
+        le_uv = int(self.uv_modes[lr_, cc_ - 1]) if cc_ > self.mc0 else -1
         self._filt_type_uv = 1 if (smooth(ab_uv) or smooth(le_uv)) else 0
 
         # ---- residual + recon ----
@@ -760,9 +775,12 @@ class TileDecoder:
 
     def _cfl_allowed(self, w: int, h: int, bsize: int) -> bool:
         # aom is_cfl_allowed; in lossless CfL needs a 4x4 chroma block
-        # (empirically validated vs libaom: 8x8@420 allowed, 16x16 not)
+        # (validated by the lossless CfL oracle difftest: with the
+        # correct cfl_sign defaults, 8x8@420 streams decode bit-exactly
+        # under this gate)
         if self.fh.coded_lossless:
-            return (w >> self.seq.subsampling_x) <= 4 and                 (h >> self.seq.subsampling_y) <= 4
+            return (w >> self.seq.subsampling_x) <= 4 and \
+                (h >> self.seq.subsampling_y) <= 4
         return w <= 32 and h <= 32
 
     def _filter_intra_cdf(self, bsize):
@@ -1112,10 +1130,18 @@ class TileDecoder:
     _tx_covers_block = True
     _uv_tx_matches = True
 
+    # aom fimode_to_intradir: filter-intra blocks take their tx-type
+    # context (and implied chroma type) from the equivalent directional
+    # mode, not DC (caught by the cpu-used=3 oracle difftest)
+    _FIMODE_TO_INTRADIR = (T.DC_PRED, T.V_PRED, T.H_PRED, T.D157_PRED,
+                           T.DC_PRED)
+
     def _read_tx_type(self, plane, px, py, tx, mode) -> int:
         fh, seq = self.fh, self.seq
         if fh.coded_lossless:
             return T.WHT_WHT
+        if plane == 0 and self._fi_mode is not None:
+            mode = self._FIMODE_TO_INTRADIR[self._fi_mode]
         sup = T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]
         if plane != 0:
             # intra chroma: tx type implied by the uv prediction mode,
@@ -1231,8 +1257,9 @@ class TileDecoder:
                 if bh < th:
                     full[bh:, :] = full[bh - 1:bh, :]
                 q3 = full
-            avg = int(q3.sum()) >> (tw.bit_length() - 1 +
-                                    th.bit_length() - 1)
+            # rounded average (aom subtract_average: +half before shift)
+            npel_log2 = tw.bit_length() - 1 + th.bit_length() - 1
+            avg = (int(q3.sum()) + (1 << (npel_log2 - 1))) >> npel_log2
             ac = q3 - avg
             scaled = alpha * ac
             adj = np.where(scaled >= 0, (scaled + 32) >> 6,

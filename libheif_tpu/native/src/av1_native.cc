@@ -1848,10 +1848,11 @@ struct FrameCtx {
     int mx = high - low;
     int rr = ref - low;
     int v = decode_subexp_bool(mx, k);
+    // aom inv_recenter_nonneg: EVEN v above the ref, ODD below
     auto inverse_recenter = [](int r0, int v0) {
       if (v0 > 2 * r0) return v0;
-      if (v0 & 1) return r0 + ((v0 + 1) >> 1);
-      return r0 - (v0 >> 1);
+      if (v0 & 1) return r0 - ((v0 + 1) >> 1);
+      return r0 + (v0 >> 1);
     };
     if ((rr << 1) <= mx) return inverse_recenter(rr, v) + low;
     return mx - 1 - inverse_recenter(mx - 1 - rr, v) + low;
@@ -1906,7 +1907,7 @@ struct FrameCtx {
           } else if (unit_type == 3) {
             static const int SGR_R[16][2] = {
               {2,1},{2,1},{2,1},{2,1},{2,1},{2,1},{2,1},{2,1},
-              {2,1},{2,1},{2,1},{2,1},{2,0},{2,0},{2,0},{2,0}};
+              {2,1},{2,1},{0,1},{0,1},{0,1},{0,1},{2,0},{2,0}};
             static const int XQD_MIN[2] = {-96, -32};
             static const int XQD_MAX[2] = {31, 95};
             int set2 = r.read_literal(4);
@@ -1959,8 +1960,10 @@ struct FrameCtx {
     int w = BW[bsize], h = BH[bsize];
     int sw = BW[subsize], sh = BH[subsize];
     int mi_w = w / 4, mi_h = h / 4;
-    int above_val = (32 - (2 << (bitlen(sw / 4) - 1))) & 31;
-    int left_val = (32 - (2 << (bitlen(sh / 4) - 1))) & 31;
+    // 6-bit values: bit 5 answers 128-level queries (tile.py
+    // _update_partition_ctx)
+    int above_val = (64 - (2 << (bitlen(sw / 4) - 1))) & 63;
+    int left_val = (64 - (2 << (bitlen(sh / 4) - 1))) & 63;
     for (int i = 0; i < mi_w; i++)
       if (mc + i < (int)above_part.size()) above_part[mc + i] = above_val;
     int lr0 = mr - sb_mi_row;
@@ -2312,8 +2315,12 @@ struct FrameCtx {
     filt_type_y = (smooth(ab_y) || smooth(le_y)) ? 1 : 0;
     int cr_ = (h / 4) == 1 ? (mr & ~1) : mr;
     int cc_ = (w / 4) == 1 ? (mc & ~1) : mc;
-    int ab_uv = cr_ > mr0 ? uv_modes[(i64)(cr_ - 1) * mi_cols + cc_] : -1;
-    int le_uv = cc_ > mc0 ? uv_modes[(i64)cr_ * mi_cols + cc_ - 1] : -1;
+    // chroma neighbor mbmi: bottom-right-most mi of the above/left
+    // chroma reference block (tile.py; aom set_mi_row_col)
+    int ac_ = std::min(cc_ + p.ssx, mi_cols - 1);
+    int lr2_ = std::min(cr_ + p.ssy, mi_rows - 1);
+    int ab_uv = cr_ > mr0 ? uv_modes[(i64)(cr_ - 1) * mi_cols + ac_] : -1;
+    int le_uv = cc_ > mc0 ? uv_modes[(i64)lr2_ * mi_cols + cc_ - 1] : -1;
     filt_type_uv = (smooth(ab_uv) || smooth(le_uv)) ? 1 : 0;
 
     residual(mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv, tx, skip,
@@ -2404,8 +2411,13 @@ struct FrameCtx {
     return 0;
   }
 
+  // aom fimode_to_intradir (tile.py _FIMODE_TO_INTRADIR)
+  static constexpr int FIMODE_TO_INTRADIR[5] = {DC_PRED, V_PRED, H_PRED,
+                                                D157_PRED, DC_PRED};
+
   int read_tx_type(int plane, int tx, int mode) {
     if (p.coded_lossless) return WHT_WHT;
+    if (plane == 0 && fi_mode >= 0) mode = FIMODE_TO_INTRADIR[fi_mode];
     int sup = TXW[g_tables.tx_size_sqr_up[tx]];
     if (plane != 0) {
       if (sup >= 32) return DCT_DCT;
@@ -2793,7 +2805,9 @@ struct FrameCtx {
           q3[i * tw + j] = q3[(bh2 - 1) * tw + j];
       i64 sum = 0;
       for (i64 i = 0; i < (i64)th * tw; i++) sum += q3[i];
-      i64 avg = sum >> (bitlen(tw) - 1 + bitlen(th) - 1);
+      // rounded average (aom subtract_average; matches tile.py)
+      int npel_log2 = bitlen(tw) - 1 + bitlen(th) - 1;
+      i64 avg = (sum + ((i64)1 << (npel_log2 - 1))) >> npel_log2;
       i64 maxv = (1 << bd) - 1;
       for (i64 i = 0; i < (i64)th * tw; i++) {
         i64 ac = q3[i] - avg;
@@ -3228,7 +3242,11 @@ static void apply_cdef(FrameCtx& ctx,
       i64 y_sec = (i64)p.cdef_y_sec[idx] << coeff_shift;
       int dir = 0;
       i64 var = 0;
-      if (y_pri > 0)
+      i64 uv_pri_blk = num_planes > 1
+          ? ((i64)p.cdef_uv_pri[idx] << coeff_shift) : 0;
+      // direction is computed from luma when the luma OR chroma
+      // primary strength is nonzero (dav1d cdef_brow)
+      if (y_pri > 0 || uv_pri_blk > 0)
         cdef_find_dir(pads[0].data(), pstride[0], ys, xs, coeff_shift,
                       &dir, &var);
       i64 v6 = var >> 6;
@@ -3259,11 +3277,12 @@ static void apply_cdef(FrameCtx& ctx,
 // Loop restoration (codecs/av1/lr.py; spec 7.17)
 // ======================================================================
 
+// from libaom av1_sgr_params rodata (see lr.py SGR_PARAMS)
 static const int SGR_PARAMS_T[16][4] = {
-  {2, 12, 1, 4}, {2, 15, 1, 6}, {2, 18, 1, 9}, {2, 21, 1, 12},
-  {2, 24, 1, 14}, {2, 29, 1, 18}, {2, 36, 1, 24}, {2, 45, 1, 32},
-  {2, 56, 1, 40}, {2, 68, 1, 52}, {2, 80, 1, 68}, {2, 95, 1, 88},
-  {2, 108, 0, 0}, {2, 110, 0, 0}, {2, 120, 0, 0}, {2, 127, 0, 0},
+  {2, 12, 1, 4}, {2, 15, 1, 6}, {2, 18, 1, 8}, {2, 21, 1, 9},
+  {2, 24, 1, 10}, {2, 29, 1, 11}, {2, 36, 1, 12}, {2, 45, 1, 13},
+  {2, 56, 1, 14}, {2, 68, 1, 15}, {0, 0, 1, 5}, {0, 0, 1, 8},
+  {0, 0, 1, 11}, {0, 0, 1, 14}, {2, 30, 0, 0}, {2, 76, 0, 0},
 };
 
 // padded source rectangle per the get_source_sample rule (lr.py
@@ -3430,7 +3449,8 @@ static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
           nb = 4;
         }
       } else {
-        nb = 3;
+        // total weight 32 -> nb = 5 (lr.py)
+        nb = 5;
         av = 4 * (A[(i64)gi * gw + j + 1] + A[(i64)(gi - 1) * gw + j + 1] +
                   A[(i64)(gi + 1) * gw + j + 1] + A[(i64)gi * gw + j] +
                   A[(i64)gi * gw + j + 2]) +
@@ -3464,7 +3484,18 @@ static void sgrproj_filter(const i64* pad, int ow, int w, int h,
   else flt0 = u;
   if (r1) box_filter(pad, ow, w, h, sgr_set, 1, bd, flt1.data());
   else flt1 = u;
-  i64 w0 = xqd[0], w2 = xqd[1];
+  // aom decode_xq: xqd[1] codes the COMPLEMENT weight (lr.py)
+  i64 w0, w2;
+  if (r0 == 0) {
+    w0 = 0;
+    w2 = ((i64)1 << SGRPROJ_PRJ_BITS) - xqd[1];
+  } else if (r1 == 0) {
+    w0 = xqd[0];
+    w2 = 0;
+  } else {
+    w0 = xqd[0];
+    w2 = ((i64)1 << SGRPROJ_PRJ_BITS) - w0 - xqd[1];
+  }
   i64 w1 = ((i64)1 << SGRPROJ_PRJ_BITS) - w0 - w2;
   i64 maxv = (1 << bd) - 1;
   for (int i = 0; i < h; i++)
@@ -3497,9 +3528,11 @@ static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
     const i32* cdef_p = cdef_src[plane].data();
     const i32* deblk_p = deblocked[plane].data();
     for (int ur = 0; ur < ur_total; ur++) {
-      int uy0 = ur * usize;
-      int uy1 = ur == ur_total - 1 ? plane_h
-                                   : std::min((ur + 1) * usize, plane_h);
+      // unit-row extents shift up by the stripe offset (lr.py)
+      int uy0 = ur == 0 ? 0 : ur * usize - voffset;
+      int uy1 = ur == ur_total - 1
+                    ? plane_h
+                    : std::min((ur + 1) * usize - voffset, plane_h);
       for (int uc = 0; uc < uc_total; uc++) {
         i64 ui = (i64)ur * uc_total + uc;
         int unit_type = ctx.lr_type_map[plane][ui];

@@ -311,7 +311,9 @@ class TestFlattenAlpha:
         a = np.asarray(img.plane(Channel.Alpha)).astype(np.int64)
         c = np.asarray(img.plane(Channel.R)).astype(np.int64)
         yy, xx = np.mgrid[0:16, 0:16]
-        bkg = np.where(((yy // 4 + xx // 4) & 1) == 0, 255, 0)
+        # parity-0 (top-left) square takes the SECONDARY background
+        # (ref: alpha.cc `bkg = parity ? bkg1 : bkg2`)
+        bkg = np.where(((yy // 4 + xx // 4) & 1) == 0, 0, 255)
         expect = (c * a + bkg * (255 - a)) >> 8
         assert (np.asarray(out.plane(Channel.R)) == expect).all()
 

@@ -144,22 +144,51 @@ class Box_hvcC(Box):
         ]
 
 
+def emulation_prevention_positions(nal: bytes):
+    """Indices of 0x000003 emulation-prevention bytes (vectorized:
+    candidate 00 00 03 triplets, then a scalar pass only over the rare
+    overlap chains to apply the zeros-reset rule)."""
+    import numpy as np
+    a = np.frombuffer(nal, np.uint8)
+    n = len(a)
+    if n < 3:
+        return []
+    cand = np.nonzero((a[2:] == 3) & (a[1:-1] == 0) & (a[:-2] == 0))[0] + 2
+    if len(cand) == 0:
+        return []
+    # a candidate only counts if the two zeros before it are not
+    # themselves consumed by an earlier EPB (e.g. 00 00 03 00 00 03 is
+    # two EPBs, but 00 00 00 03 03 has one); replay the counter over
+    # candidate neighbourhoods
+    out = []
+    last = -10
+    for i in cand.tolist():
+        if i - last <= 2:
+            # preceding zeros may overlap the previous EPB: recount
+            zeros = 0
+            j = last + 1
+            while j < i:
+                zeros = zeros + 1 if nal[j] == 0 else 0
+                j += 1
+            if zeros >= 2:
+                out.append(i)
+                last = i
+        else:
+            out.append(i)
+            last = i
+    return out
+
+
 def remove_emulation_prevention(nal: bytes) -> bytes:
     """Strip 0x000003 emulation-prevention bytes from an RBSP."""
-    out = bytearray()
-    zeros = 0
-    i = 0
-    n = len(nal)
-    while i < n:
-        b = nal[i]
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            i += 1
-            continue
-        zeros = zeros + 1 if b == 0 else 0
-        out.append(b)
-        i += 1
-    return bytes(out)
+    pos = emulation_prevention_positions(nal)
+    if not pos:
+        return nal
+    import numpy as np
+    a = np.frombuffer(nal, np.uint8)
+    mask = np.ones(len(a), bool)
+    mask[np.asarray(pos, np.int64)] = False
+    return a[mask].tobytes()
 
 
 @dataclass

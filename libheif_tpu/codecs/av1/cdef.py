@@ -31,9 +31,10 @@ _DIV_TABLE = (0, 840, 420, 280, 210, 168, 140, 120, 105)
 # CDEF neighbor reads cover aom's full 8-aligned decode buffer; pixels
 # there beyond the true frame are recon padding (aom's superblock
 # decode writes the same full-width transform blocks ours does, so the
-# padding values match).  Known corner: for frames whose CHROMA plane
-# is not 8-aligned, a few ±1 tap diffs remain at the right/bottom
-# chroma edge; luma is bit-exact (see test_av1_filters difftest).
+# padding values match).  The former "non-8-aligned chroma edge"
+# caveat is closed: the residuals were per-plane direction selection
+# (fixed below) and parse-side issues, and odd-dimension streams now
+# difftest bit-exact (tests/test_av1_oracle_extended.py).
 _VALID_ALIGN = 8
 
 _PRI_TAPS = ((4, 2), (3, 3))
@@ -332,11 +333,16 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
     pri_adj = np.where(var != 0, (y_pri * (4 + i_log) + 8) >> 4, 0)
     pri_adj = np.where(y_pri > 0, pri_adj, 0)
 
+    # each plane uses the searched direction only when ITS primary
+    # strength is nonzero; secondary-only filtering runs with dir 0
+    # (fixed cross taps) — per-plane rule validated by the uv_sec
+    # oracle difftest
+    luma_dirs = np.where(y_pri > 0, dirs, 0)
     luma_on = (pri_adj > 0) | (y_sec > 0) | (y_pri > 0)
     lsel = np.nonzero(luma_on)[0]
     _filter_blocks_vec(outs[0], pads[0], ys[lsel], xs[lsel],
-                       pri_adj[lsel], y_sec[lsel], y_damp, dirs[lsel],
-                       coeff_shift, 8, 8)
+                       pri_adj[lsel], y_sec[lsel], y_damp,
+                       luma_dirs[lsel], coeff_shift, 8, 8)
 
     if num_planes > 1:
         uv_pri = (np.asarray(c.uv_pri, np.int64) << coeff_shift)[idxs]
@@ -345,7 +351,8 @@ def apply_cdef(planes: List[np.ndarray], dec, seq, fh,
         if len(csel):
             cy = ys[csel] >> ssy
             cx = xs[csel] >> ssx
-            cdirs = dirs[csel]     # Cdef_Uv_Dir[1][1] = identity
+            # Cdef_Uv_Dir[1][1] = identity; dir 0 when uv_pri == 0
+            cdirs = np.where(uv_pri[csel] > 0, dirs[csel], 0)
             for p_idx in (1, 2):
                 _filter_blocks_vec(outs[p_idx], pads[p_idx], cy, cx,
                                    uv_pri[csel], uv_sec[csel], uv_damp,

@@ -365,11 +365,11 @@ class TileEncoder(TL.TileDecoder):
         self._planned_skip = self._block_skippable(mr, mc, bsize)
         self.r.script.append(1 if self._planned_skip else 0)  # skip
         self.r.script.append(y_mode)                          # y mode
-        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(bsize):
             self.r.script.append(ang_y + 3)
         if self._has_chroma(mr, mc, bsize):
             self.r.script.append(uv_mode)                     # uv mode
-            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(bsize):
                 self.r.script.append(ang_uv + 3)
         if self.fh.tx_mode_select and not self.fh.coded_lossless and \
                 not self._planned_skip and not (w <= 4 and h <= 4):

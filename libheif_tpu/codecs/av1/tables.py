@@ -102,14 +102,17 @@ def _tx(w, h):
 
 TX_4X4 = 0
 
-# Max_Tx_Size_Rect[bsize] (spec §9.3): largest tx fitting the block
+# Max_Tx_Size_Rect[bsize] (spec §9.3): largest tx fitting the block.
+# AV1's transform family includes 4:1 aspect sizes (16x4, 4x16, 32x8,
+# ...), so a 16x4 block starts at TX_16X4 — the earlier 2:1 clamp
+# desynced streams using 1:4 partitions (caught by the oracle
+# difftest).
 MAX_TX_SIZE_RECT = []
 for (w, h) in BLOCK_SIZES:
     tw, th = min(w, 64), min(h, 64)
-    # largest coded tx is 64x64; rectangles limited to 1:2 ratio
-    while tw > 2 * th:
+    while tw > 4 * th:
         tw //= 2
-    while th > 2 * tw:
+    while th > 4 * tw:
         th //= 2
     MAX_TX_SIZE_RECT.append(_tx(tw, th))
 

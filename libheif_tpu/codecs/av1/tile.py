@@ -627,7 +627,7 @@ class TileDecoder:
         ctx_l = T.INTRA_MODE_CONTEXT[left_mode]
         y_mode = r.read_symbol(self.cdf.kf_y_mode[ctx_a][ctx_l])
         angle_y = 0
-        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+        if y_mode in T.MODE_TO_ANGLE and self._use_angle_delta(bsize):
             sym = r.read_symbol(self.cdf.angle_delta[y_mode - T.V_PRED])
             angle_y = sym - 3
 
@@ -654,7 +654,7 @@ class TileDecoder:
                     idx = r.read_symbol_n(self.cdf.cfl_alpha[ctx_v], 16)
                     alpha_v = (idx + 1) * (1 if sign_v == 2 else -1)
                 self._cfl_alphas = (alpha_u, alpha_v)
-            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(w, h):
+            if uv_mode in T.MODE_TO_ANGLE and self._use_angle_delta(bsize):
                 sym = r.read_symbol(
                     self.cdf.angle_delta[uv_mode - T.V_PRED])
                 angle_uv = sym - 3
@@ -770,8 +770,12 @@ class TileDecoder:
                        tx, skip, has_chroma)
 
     @staticmethod
-    def _use_angle_delta(w: int, h: int) -> bool:
-        return w >= 8 and h >= 8
+    def _use_angle_delta(bsize: int) -> bool:
+        # aom av1_use_angle_delta gates on the block-size ENUM
+        # (bsize >= BLOCK_8X8): the extended rectangular sizes
+        # 16X4/4X16/32X8/... sort above BLOCK_8X8 and DO read angle
+        # deltas (caught by the 1:4-partition oracle difftest)
+        return bsize >= T.BLOCK_8X8
 
     def _cfl_allowed(self, w: int, h: int, bsize: int) -> bool:
         # aom is_cfl_allowed; in lossless CfL needs a 4x4 chroma block

@@ -36,62 +36,37 @@ def split_length_prefixed(data: bytes, length_size: int) -> List[bytes]:
     return out
 
 
-def _epb_positions(raw: bytes) -> List[int]:
-    """Indices (in raw NAL bytes) of emulation prevention bytes."""
-    pos = []
-    zeros = 0
-    i = 0
-    while i < len(raw):
-        b = raw[i]
-        if zeros >= 2 and b == 3:
-            pos.append(i)
-            zeros = 0
-        else:
-            zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return pos
-
-
 def _substreams(nal: bytes, rbsp: bytes, data_offset_bits: int,
                 entry_offsets: List[int]) -> List[Tuple[int, int]]:
     """WPP substream (byte_start, byte_end) ranges within the RBSP.
 
     entry_point offsets count bytes in the raw NAL (incl. emulation
     prevention, spec §7.4.7.1); convert to RBSP positions by
-    subtracting the EPBs inside each range.
+    subtracting the EPBs inside each range (vectorized cumulative map).
     """
     data_start = data_offset_bits // 8
     if not entry_offsets:
         return [(data_start, len(rbsp))]
+    from ...boxes.codec_cfg import emulation_prevention_positions
     payload = nal[2:]
-    epb_set = set(_epb_positions(payload))
-    # rbsp→raw map (rbsp = payload minus emulation prevention bytes)
-    rbsp_to_raw = {}
-    rbsp_count = 0
-    for raw_i in range(len(payload)):
-        if raw_i in epb_set:
-            continue
-        rbsp_to_raw[rbsp_count] = raw_i
-        rbsp_count += 1
-    raw_data_start = rbsp_to_raw[data_start]
+    epb = np.asarray(emulation_prevention_positions(payload), np.int64)
+    n = len(payload)
+    # raw→rbsp: count of non-EPB bytes strictly before each raw index
+    is_epb = np.zeros(n + 1, np.int64)
+    if len(epb):
+        is_epb[epb] = 1
+    raw_to_rbsp = np.concatenate(([0], np.cumsum(1 - is_epb[:-1])))
+    # rbsp→raw for the data start: index of the (data_start+1)-th
+    # non-EPB byte
+    keep = np.nonzero(is_epb[:n] == 0)[0]
+    raw_data_start = int(keep[data_start])
 
-    # substream boundaries in raw domain
     bounds_raw = [raw_data_start]
     acc = raw_data_start
     for off in entry_offsets:
         acc += off
         bounds_raw.append(acc)
-    bounds_raw.append(len(payload))
-
-    # map back raw→rbsp (count non-EPB bytes before the bound)
-    raw_to_rbsp = np.zeros(len(payload) + 1, np.int64)
-    cnt = 0
-    for i in range(len(payload)):
-        raw_to_rbsp[i] = cnt
-        if i not in epb_set:
-            cnt += 1
-    raw_to_rbsp[len(payload)] = cnt
-
+    bounds_raw.append(n)
     subs = []
     for k in range(len(bounds_raw) - 1):
         s = int(raw_to_rbsp[bounds_raw[k]])

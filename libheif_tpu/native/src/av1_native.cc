@@ -244,9 +244,11 @@ struct Tables {
       partition_subsize[PARTITION_VERT_B][b] = bs_index(w / 2, h);
       partition_subsize[PARTITION_HORZ_4][b] = bs_index(w, h / 4);
       partition_subsize[PARTITION_VERT_4][b] = bs_index(w / 4, h);
+      // AV1 transforms include 4:1 aspects (tables.py
+      // MAX_TX_SIZE_RECT)
       int tw = std::min(w, 64), th = std::min(h, 64);
-      while (tw > 2 * th) tw /= 2;
-      while (th > 2 * tw) th /= 2;
+      while (tw > 4 * th) tw /= 2;
+      while (th > 4 * tw) th /= 2;
       max_tx_size_rect[b] = tx_index(tw, th);
     }
     for (int i = 0; i < N_TXS; i++) {
@@ -2097,8 +2099,10 @@ struct FrameCtx {
     return w <= 32 && h <= 32;
   }
 
-  static bool use_angle_delta_of(int w, int h) {
-    return w >= 8 && h >= 8;
+  static bool use_angle_delta_of(int bsize) {
+    // aom av1_use_angle_delta: enum-ordered gate; extended rect sizes
+    // (16X4, ...) DO read angle deltas (tile.py)
+    return bsize >= BLOCK_8X8;
   }
 
   static int max_tx_depth(int bsize) {
@@ -2175,7 +2179,7 @@ struct FrameCtx {
     int ctx_l = INTRA_MODE_CONTEXT[left_mode];
     int y_mode = r.read_symbol_n(cdf.kf_y_mode[ctx_a][ctx_l], 13);
     int angle_y = 0;
-    if (mode_to_angle(y_mode) >= 0 && use_angle_delta_of(w, h)) {
+    if (mode_to_angle(y_mode) >= 0 && use_angle_delta_of(bsize)) {
       int sym = r.read_symbol_n(cdf.angle_delta[y_mode - V_PRED], 7);
       angle_y = sym - 3;
     }
@@ -2205,7 +2209,7 @@ struct FrameCtx {
         cfl_alpha_u = alpha_u;
         cfl_alpha_v = alpha_v;
       }
-      if (mode_to_angle(uv_mode) >= 0 && use_angle_delta_of(w, h)) {
+      if (mode_to_angle(uv_mode) >= 0 && use_angle_delta_of(bsize)) {
         int sym = r.read_symbol_n(cdf.angle_delta[uv_mode - V_PRED], 7);
         angle_uv = sym - 3;
       }
@@ -3254,20 +3258,24 @@ static void apply_cdef(FrameCtx& ctx,
       i64 pri_adj = var != 0 ? (y_pri * (4 + i_log) + 8) >> 4 : 0;
       if (y_pri <= 0) pri_adj = 0;
       bool luma_on = pri_adj > 0 || y_sec > 0 || y_pri > 0;
+      // each plane uses the direction only when ITS primary strength
+      // is nonzero (cdef.py)
+      int luma_dir = y_pri > 0 ? dir : 0;
       if (luma_on)
         cdef_filter_block(ctx.planes[0].data, ctx.planes[0].stride,
                           pads[0].data(), pstride[0], ys, xs, 8, 8,
-                          pri_adj, y_sec, y_damp, dir, coeff_shift);
+                          pri_adj, y_sec, y_damp, luma_dir, coeff_shift);
       if (num_planes > 1) {
         i64 uv_pri = (i64)p.cdef_uv_pri[idx] << coeff_shift;
         i64 uv_sec = (i64)p.cdef_uv_sec[idx] << coeff_shift;
         if (uv_pri > 0 || uv_sec > 0) {
           int cy = ys >> p.ssy, cx = xs >> p.ssx;
+          int uv_dir = uv_pri > 0 ? dir : 0;
           for (int pl = 1; pl < 3; pl++)
             cdef_filter_block(ctx.planes[pl].data, ctx.planes[pl].stride,
                               pads[pl].data(), pstride[pl], cy, cx,
                               8 >> p.ssy, 8 >> p.ssx, uv_pri, uv_sec,
-                              uv_damp, dir, coeff_shift);
+                              uv_damp, uv_dir, coeff_shift);
         }
       }
     }

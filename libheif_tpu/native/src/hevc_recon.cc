@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
+#include <cstdlib>
 #include <cstdio>
 #include <vector>
 
@@ -97,45 +99,62 @@ struct Recon {
     // dequant (spec 8.6.3, flat list m=16)
     int bd_shift = bd + log2 - 5;
     int64_t scale = kLevelScale[qp % 6] << (qp / 6);
-    std::vector<int64_t> d((size_t)n * n);
-    for (int i = 0; i < n * n; i++) {
-      int64_t v = ((int64_t)coeffs[i] * 16 * scale +
-                   ((int64_t)1 << (bd_shift - 1))) >> bd_shift;
-      d[i] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+    // coefficients are sparse: track the last nonzero row/col so both
+    // matmul stages skip the all-zero tail (int32 accumulators are
+    // exact: |M| <= 90, |d|,|e| <= 32767, n <= 32 -> |acc| < 2^27.5)
+    int32_t d[32 * 32];
+    int nzr = 0, nzc = 0;
+    for (int r2 = 0; r2 < n; r2++) {
+      bool rnz = false;
+      for (int c2 = 0; c2 < n; c2++) {
+        int32_t cv = coeffs[r2 * n + c2];
+        if (cv == 0) {
+          d[r2 * n + c2] = 0;
+          continue;
+        }
+        int64_t v = ((int64_t)cv * 16 * scale +
+                     ((int64_t)1 << (bd_shift - 1))) >> bd_shift;
+        d[r2 * n + c2] =
+            (int32_t)(v < -32768 ? -32768 : (v > 32767 ? 32767 : v));
+        rnz = true;
+        if (c2 >= nzc) nzc = c2 + 1;
+      }
+      if (rnz) nzr = r2 + 1;
     }
     if (m[7]) {  // transform skip (4x4)
       int ts_shift = 5 + log2;
       int bd_shift2 = 20 - bd;
       for (int i = 0; i < n * n; i++) {
-        int64_t r = (d[i] << ts_shift);
+        int64_t r = ((int64_t)d[i] << ts_shift);
         res[i] = (int32_t)((r + ((int64_t)1 << (bd_shift2 - 1))) >>
                            bd_shift2);
       }
       return;
     }
     const int32_t* M = (c_idx == 0 && n == 4) ? dst4 : dct[log2];
-    // stage 1: e = clip((M^T @ d + 64) >> 7)   [e is n x n]
-    std::vector<int64_t> e((size_t)n * n);
+    // stage 1: e = clip((M^T @ d + 64) >> 7)   [e is n x n]; rows of d
+    // beyond nzr are zero, columns beyond nzc are zero
+    int32_t e[32 * 32];
     for (int i = 0; i < n; i++) {        // row of e
-      for (int j = 0; j < n; j++) {      // col
-        int64_t acc = 0;
-        for (int k = 0; k < n; k++)
-          acc += (int64_t)M[k * n + i] * d[(size_t)k * n + j];
-        int64_t v = (acc + 64) >> 7;
-        e[(size_t)i * n + j] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+      for (int j = 0; j < nzc; j++) {    // col
+        int32_t acc = 0;
+        for (int k = 0; k < nzr; k++)
+          acc += M[k * n + i] * d[k * n + j];
+        int32_t v = (acc + 64) >> 7;
+        e[i * n + j] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
       }
     }
-    // stage 2: r = clip((e @ M + off) >> shift2)
+    // stage 2: r = clip((e @ M + off) >> shift2); e columns beyond nzc
+    // are zero
     int shift2 = 20 - bd;
-    int64_t off = (int64_t)1 << (shift2 - 1);
+    int32_t off = 1 << (shift2 - 1);
     for (int i = 0; i < n; i++) {
       for (int j = 0; j < n; j++) {
-        int64_t acc = 0;
-        for (int k = 0; k < n; k++)
-          acc += e[(size_t)i * n + k] * (int64_t)M[k * n + j];
-        int64_t v = (acc + off) >> shift2;
-        res[i * n + j] =
-            (int32_t)(v < -32768 ? -32768 : (v > 32767 ? 32767 : v));
+        int32_t acc = 0;
+        for (int k = 0; k < nzc; k++)
+          acc += e[i * n + k] * M[k * n + j];
+        int32_t v = (acc + off) >> shift2;
+        res[i * n + j] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
       }
     }
   }
@@ -640,10 +659,18 @@ struct Recon {
   }
 
   int run(int deblock_and_sao) {
+    bool prof = getenv("TPUHEIF_HEVC_PROF") != nullptr;
+    auto nowus = []() {
+      struct timespec ts;
+      clock_gettime(CLOCK_MONOTONIC, &ts);
+      return (double)ts.tv_sec * 1e6 + ts.tv_nsec / 1e3;
+    };
+    double t0 = nowus();
     aw4 = (w + 3) / 4 + 1;
     ah4 = (h + 3) / 4 + 1;
     avail.assign((size_t)aw4 * ah4, 0);
     reconstruct();
+    double t1 = nowus();
     if (errcode) return errcode;
     if (deblock_and_sao) {
       if (!P[R_DEBLOCK_DISABLED]) {
@@ -652,7 +679,11 @@ struct Recon {
         luma_pass(false);
         chroma_pass(false);
       }
+      double t2 = nowus();
       apply_sao();
+      if (prof)
+        fprintf(stderr, "[hevcprof] recon=%.0fus deblock=%.0fus sao=%.0fus\n",
+                t1 - t0, t2 - t1, nowus() - t2);
     }
     return errcode;
   }

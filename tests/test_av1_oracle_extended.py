@@ -83,3 +83,18 @@ def test_oracle_extended(name, opts, size, kind):
     base = {"cpu-used": opts.get("cpu-used", "6")}
     base.update(opts)
     _exact(base, size, kind)
+
+
+@pytest.mark.xfail(strict=False, reason="open conformance gap: streams "
+                   "combining filter-intra with 1:4 partitions (16x4/4x16 "
+                   "blocks) still desync vs libaom; see ROADMAP")
+def test_oracle_1to4_filter_intra_open():
+    _exact({"cpu-used": "3", "_min_q": "45", "_max_q": "45"}, (64, 44),
+           "noise")
+
+
+@pytest.mark.xfail(strict=False, reason="open conformance gap: rare 1-px "
+                   "residuals on some photo streams at odd dims")
+def test_oracle_odd_dims_photo_open():
+    _exact({"cpu-used": "3", "_min_q": "30", "_max_q": "30"}, (108, 76),
+           "photo")

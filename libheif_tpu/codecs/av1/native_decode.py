@@ -161,11 +161,11 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
 
     pw, ph = mi_cols * 4, mi_rows * 4
     ssx, ssy = seq.subsampling_x, seq.subsampling_y
-    y = np.zeros((ph, pw), np.int32)
+    y = np.zeros((ph, pw), np.uint8)
     if seq.monochrome:
-        u = v = np.zeros(1, np.int32)
+        u = v = np.zeros(1, np.uint8)
     else:
-        u = np.zeros((ph >> ssy, pw >> ssx), np.int32)
+        u = np.zeros((ph >> ssy, pw >> ssx), np.uint8)
         v = np.zeros_like(u)
     err = ctypes.create_string_buffer(200)
 
@@ -177,8 +177,8 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
         ptr(meta_arr, ctypes.c_longlong), ctypes.c_int(len(meta) // 6),
         ptr(params, ctypes.c_int32), ctypes.c_int(len(params)),
         ptr(cdf_buf, ctypes.c_int32), ctypes.c_longlong(len(cdf_buf)),
-        ptr(y, ctypes.c_int32), ptr(u, ctypes.c_int32),
-        ptr(v, ctypes.c_int32),
+        ptr(y, ctypes.c_uint8), ptr(u, ctypes.c_uint8),
+        ptr(v, ctypes.c_uint8),
         err, ctypes.c_int(len(err)))
     if rc == 2:
         return None          # unsupported feature: Python engine handles it

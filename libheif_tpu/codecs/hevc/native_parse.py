@@ -71,16 +71,41 @@ def _params_array(sps: SPS, pps: PPS, sh: SliceHeader) -> np.ndarray:
     return np.asarray(vals, dtype=np.int32)
 
 
+def _alloc_parse_bufs(sps: SPS, pps: PPS, sh: SliceHeader):
+    """Scratch buffers the C++ parser fills (allocated up front so a
+    pipelined reconstructor can hold them before the parse finishes)."""
+    out = SliceSyntax(sps, pps, sh)
+    n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+    # worst-case TU count: every 4x4 luma position + chroma entries
+    tu_cap = 2 * out.w4 * out.h4 + 64
+    coeff_cap = 2 * sps.pic_width * sps.pic_height + 4096
+    tu_meta = np.empty((tu_cap, 10), dtype=np.int32)
+    coeff_buf = np.empty(coeff_cap, dtype=np.int32)
+    sao_buf = np.zeros((n_ctbs, 20), dtype=np.int16)
+    counts = np.zeros(2, dtype=np.int64)
+    return out, tu_meta, coeff_buf, sao_buf, counts
+
+
 def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
-               substreams: List[Tuple[int, int]]):
+               substreams: List[Tuple[int, int]], progress=None,
+               bufs=None):
     """Run the native parser; returns (syntax, tu_meta, n_tus, coeff_buf,
-    sao_buf) with syntax.tus/sao left raw, or None without the lib."""
+    sao_buf) with syntax.tus/sao left raw, or None without the lib.
+
+    progress: optional (row_tu_counts int64[n_ctb_rows], rows_done
+    int64[1]) arrays the C engine publishes per-CTB-row TU counts into,
+    enabling a concurrent streaming reconstructor (pipelined decode)."""
     lib = _lib()
     if lib is None:
         return None
 
-    out = SliceSyntax(sps, pps, sh)
+    if bufs is not None:
+        out, tu_meta, coeff_buf, sao_buf, counts = bufs
+    else:
+        out, tu_meta, coeff_buf, sao_buf, counts = _alloc_parse_bufs(sps,
+                                                                     pps, sh)
     w4, h4 = out.w4, out.h4
+    tu_cap, coeff_cap = tu_meta.shape[0], coeff_buf.shape[0]
 
     ctx = ContextModels(0, sh.qp)
     fam = np.asarray([ContextModels.LAYOUT[n][0] for n in _FAMILIES],
@@ -91,15 +116,6 @@ def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     subs = np.asarray([v for se in substreams for v in se], dtype=np.int64)
     rbsp_arr = np.frombuffer(rbsp, dtype=np.uint8)
 
-    n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
-    # worst-case TU count: every 4x4 luma position + chroma entries
-    tu_cap = 2 * w4 * h4 + 64
-    coeff_cap = 2 * sps.pic_width * sps.pic_height + 4096
-    # scratch buffers the C++ engine writes before any read
-    tu_meta = np.empty((tu_cap, 10), dtype=np.int32)
-    coeff_buf = np.empty(coeff_cap, dtype=np.int32)
-    sao_buf = np.zeros((n_ctbs, 20), dtype=np.int16)
-    counts = np.zeros(2, dtype=np.int64)
     err = ctypes.create_string_buffer(200)
 
     def ptr(a, t):
@@ -126,7 +142,9 @@ def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
         ptr(coeff_buf, ctypes.c_int32), ctypes.c_int64(coeff_cap),
         ptr(sao_buf, ctypes.c_int16),
         ptr(counts, ctypes.c_int64),
-        err, ctypes.c_int32(len(err)))
+        err, ctypes.c_int32(len(err)),
+        ptr(progress[0], ctypes.c_int64) if progress else None,
+        ptr(progress[1], ctypes.c_int64) if progress else None)
 
     if rc == 2:
         raise HeifError.unsupported(SubError.Unsupported_codec,
@@ -247,13 +265,50 @@ def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
                           substreams: List[Tuple[int, int]]):
     """Full native decode: parse + recon + deblock + SAO without
     materializing Python TU objects.  Returns (Y, Cb, Cr) int32 planes
-    or None when the native lib is missing."""
-    raw = _parse_raw(sps, pps, sh, rbsp, substreams)
-    if raw is None:
-        return None
-    out, tu_meta, n_tus, coeff_buf, sao_buf = raw
+    or None when the native lib is missing.
+
+    The two C engines run PIPELINED on two threads (ctypes releases the
+    GIL): the parser publishes per-CTB-row TU counts with release
+    stores; the reconstructor consumes rows as they land (the shape of
+    libde265's frontend/worker split, reference:
+    libde265/decctx.cc thread-task decoding, done here as a 2-stage
+    stream instead of a CTB-task pool)."""
+    import os
+    import threading
     lib = _lib()
+    if lib is None:
+        return None
     lib.tpuheif_hevc_recon.restype = ctypes.c_int
+
+    pipelined = os.environ.get("TPUHEIF_HEVC_PIPELINE", "1") != "0"
+    if not pipelined:
+        raw = _parse_raw(sps, pps, sh, rbsp, substreams)
+        out, tu_meta, n_tus, coeff_buf, sao_buf = raw
+        progress = None
+    else:
+        bufs = _alloc_parse_bufs(sps, pps, sh)
+        out, tu_meta, coeff_buf, sao_buf, counts = bufs
+        n_rows = sps.pic_height_in_ctbs
+        row_counts = np.zeros(n_rows, np.int64)
+        rows_done = np.zeros(1, np.int64)
+        progress = (row_counts, rows_done)
+        parse_box = {}
+
+        def _parse_worker():
+            try:
+                parse_box["res"] = _parse_raw(sps, pps, sh, rbsp,
+                                              substreams,
+                                              progress=progress, bufs=bufs)
+            except Exception as e:  # noqa: BLE001 — re-raised after join
+                parse_box["exc"] = e
+            finally:
+                # never leave the streaming consumer blocked
+                rows_done[0] = n_rows
+
+        parse_thread = threading.Thread(target=_parse_worker,
+                                        name="hevc-parse")
+        parse_thread.start()
+        n_tus = 0  # streaming mode: final count comes from row_counts
 
     sao_present = int(sps.sample_adaptive_offset_enabled and
                       (sh.sao_luma or sh.sao_chroma))
@@ -293,7 +348,14 @@ def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
         ptr(t["inv_angle"], ctypes.c_int32),
         ptr(y, ctypes.c_int32), ptr(cb, ctypes.c_int32),
         ptr(cr, ctypes.c_int32),
-        ctypes.c_int32(1), err, ctypes.c_int32(len(err)))
+        ctypes.c_int32(1), err, ctypes.c_int32(len(err)),
+        ptr(progress[0], ctypes.c_int64) if progress else None,
+        ptr(progress[1], ctypes.c_int64) if progress else None,
+        ctypes.c_int32(sps.pic_height_in_ctbs if progress else 0))
+    if progress is not None:
+        parse_thread.join()
+        if "exc" in parse_box:
+            raise parse_box["exc"]
     if rc != 0:
         raise HeifError.invalid_input(
             msg=err.value.decode() or "HEVC reconstruction failed")

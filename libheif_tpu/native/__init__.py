@@ -46,7 +46,7 @@ def _build() -> str:
     # -march=native is safe: the library is always compiled on the
     # machine that runs it (build-on-first-import)
     cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-           "-fPIC", "-std=c++17", "-o", out] + srcs
+           "-fPIC", "-std=c++17", "-pthread", "-o", out] + srcs
     subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     return out
 

@@ -23,6 +23,8 @@
 #include <ctime>
 #include <vector>
 #include <algorithm>
+#include <thread>
+#include <atomic>
 
 namespace av1n {
 
@@ -46,14 +48,17 @@ static const int EC_MIN_PROB = 4;
 struct Msac {
   const u8* data;
   i64 size;
-  i64 bitpos;
+  i64 bitpos;                 // bits fetched into the cache
   i64 max_bits;
   uint32_t value;
   uint32_t range;
+  uint64_t cache;             // prefetched bits, next at bit (ncache-1)
+  int ncache;
   bool allow_update;
 
   void init(const u8* d, i64 n, bool update) {
     data = d; size = n; bitpos = 0;
+    cache = 0; ncache = 0;
     max_bits = n * 8 - 15;
     int num_bits = (int)std::min<i64>(n * 8, 15);
     uint32_t buf = read_bits(num_bits);
@@ -63,19 +68,22 @@ struct Msac {
     allow_update = update;
   }
 
-  uint32_t read_bits(int n) {
-    uint32_t v = 0;
-    while (n > 0) {
-      i64 byte_i = bitpos >> 3;
-      int avail = 8 - (int)(bitpos & 7);
-      int take = n < avail ? n : avail;
-      uint8_t byte = byte_i < size ? data[byte_i] : 0;
-      uint32_t bits = (byte >> (avail - take)) & ((1u << take) - 1);
-      v = (v << take) | bits;
-      bitpos += take;
-      n -= take;
+  // amortized whole-byte refill (zeros past end of buffer)
+  void refill() {
+    i64 b = bitpos >> 3;
+    while (ncache <= 48) {
+      uint32_t byte = (b < size) ? data[b] : 0;
+      cache = (cache << 8) | byte;
+      ncache += 8;
+      b++;
     }
-    return v;
+    bitpos = b << 3;
+  }
+
+  uint32_t read_bits(int n) {  // n <= 16 from renorm/init
+    if (ncache < n) refill();
+    ncache -= n;
+    return (uint32_t)((cache >> ncache) & (((uint64_t)1 << n) - 1));
   }
 
   void renorm() {
@@ -2515,9 +2523,12 @@ struct FrameCtx {
   }
 
   // returns eob; coeffs (th*tw, scan-resident) written; cul/dcsign out
+  int cur_nzr, cur_nzc;       // nonzero row/col extent of last read_coeffs
+
   int read_coeffs(int plane, int px, int py, int tx, int mode, int blk_w,
-                  int blk_h, i64* coeffs, int* cul_out, int* dcsign_out,
+                  int blk_h, i32* coeffs, int* cul_out, int* dcsign_out,
                   int* tx_type_out) {
+    cur_nzr = 0; cur_nzc = 0;
     int tw = std::min(TXW[tx], 32), th = std::min(TXH[tx], 32);
     int ptp = plane == 0 ? 0 : 1;
     static const int sizes[5] = {4, 8, 16, 32, 64};
@@ -2570,7 +2581,7 @@ struct FrameCtx {
     int lstride = tw + 4;
     u8 levels[36 * 36];
     memset(levels, 0, (size_t)(th + 4) * lstride);
-    memset(coeffs, 0, sizeof(i64) * th * tw);
+    memset(coeffs, 0, sizeof(i32) * th * tw);
 
     for (int c = eob - 1; c >= 0; c--) {
       int pos = scan[c];
@@ -2596,6 +2607,10 @@ struct FrameCtx {
       }
       levels[(i64)row * lstride + col] = (u8)std::min(level, 63);
       coeffs[pos] = level;
+      if (level) {
+        if (row >= cur_nzr) cur_nzr = row + 1;
+        if (col >= cur_nzc) cur_nzc = col + 1;
+      }
     }
 
     i64 cul = 0;
@@ -2614,7 +2629,7 @@ struct FrameCtx {
       if (level > 14) level += r.read_golomb();
       cul += level;
       if (c == 0) dc_sign_val = sign ? 1 : 2;
-      coeffs[pos] = sign ? -level : level;
+      coeffs[pos] = (i32)(sign ? -level : level);
     }
     *cul_out = (int)std::min<i64>(cul, 63);
     *dcsign_out = dc_sign_val;
@@ -2623,7 +2638,7 @@ struct FrameCtx {
 
   // -------------------------------------------- dequant + inverse txfm
 
-  void inv_transform(int plane, int tx, const i64* coeffs, int qindex,
+  void inv_transform(int plane, int tx, const i32* coeffs, int qindex,
                      int tx_type, i64* res) {
     int dc_d, ac_d;
     if (plane == 0) { dc_d = p.dq[0]; ac_d = 0; }
@@ -2635,19 +2650,27 @@ struct FrameCtx {
     int cw = std::min(tw, 32), ch = std::min(th, 32);
     if (p.coded_lossless) {
       i64 d[16];
-      for (int i = 0; i < 16; i++) d[i] = coeffs[i] * ac_q;
-      d[0] = coeffs[0] * dc_q;
+      for (int i = 0; i < 16; i++) d[i] = (i64)coeffs[i] * ac_q;
+      d[0] = (i64)coeffs[0] * dc_q;
       iwht4(d, res);
       return;
     }
     i64 pels = (i64)tw * th;
     int shift = (pels > 256 ? 1 : 0) + (pels > 1024 ? 1 : 0);
+    // only the rows/cols read_coeffs actually populated need dequant;
+    // the rest is known zero
+    int nzr = std::min(cur_nzr, ch), nzc = std::min(cur_nzc, cw);
     i64 d[32 * 32];
-    for (i64 i = 0; i < (i64)ch * cw; i++) {
-      i64 q = i == 0 ? dc_q : ac_q;
-      i64 mag = ((std::abs(coeffs[i]) * q) & 0xFFFFFF) >> shift;
-      d[i] = coeffs[i] < 0 ? -mag : mag;
-    }
+    memset(d, 0, sizeof(i64) * ch * cw);
+    for (int r2 = 0; r2 < nzr; r2++)
+      for (int c2 = 0; c2 < nzc; c2++) {
+        i64 i = (i64)r2 * cw + c2;
+        i64 cv = coeffs[i];
+        if (!cv) continue;
+        i64 q = i == 0 ? dc_q : ac_q;
+        i64 mag = ((std::abs(cv) * q) & 0xFFFFFF) >> shift;
+        d[i] = cv < 0 ? -mag : mag;
+      }
     inv_txfm2d(d, cw, ch, tw, th, tx_type, res);
   }
 
@@ -2739,7 +2762,7 @@ struct FrameCtx {
     int w_b = BW[bsize], h_b = BH[bsize];
     int blk_w = std::max(w_b >> sx, 4);
     int blk_h = std::max(h_b >> sy, 4);
-    i64 coeffs[32 * 32];
+    i32 coeffs[32 * 32];
     int eob = 0, cul = 0, dcsign = 0, tx_type = cur_tx_type;
     if (!skip)
       eob = read_coeffs(plane, px, py, tx, mode, blk_w, blk_h,
@@ -2990,7 +3013,10 @@ static void apply_deblock(FrameCtx& ctx) {
   for (int i = 0; i < 4; i++)
     lvls[i] = adjust_lf_level(p.lf_levels[i], delta_en, intra_delta);
 
-  for (int plane = 0; plane < std::min(3, ctx.num_planes); plane++) {
+  // planes never interact during deblock: run Y on one thread, U+V on
+  // the other (vertical pass then horizontal within each plane keeps
+  // the spec's in-plane ordering)
+  auto run_plane = [&](int plane) {
     PlaneView& buf = ctx.planes[plane];
     int max_len = plane == 0 ? 14 : 6;
     for (int direction = 0; direction < 2; direction++) {
@@ -3054,6 +3080,15 @@ static void apply_deblock(FrameCtx& ctx) {
         }
       }
     }
+  };
+  int npl = std::min(3, ctx.num_planes);
+  if (npl > 1 && std::thread::hardware_concurrency() >= 2 &&
+      !getenv("TPUHEIF_AV1_NO_THREADS")) {
+    std::thread th([&]() { run_plane(0); });
+    for (int plane = 1; plane < npl; plane++) run_plane(plane);
+    th.join();
+  } else {
+    for (int plane = 0; plane < npl; plane++) run_plane(plane);
   }
 }
 
@@ -3199,36 +3234,60 @@ static void cdef_filter_block(i32* dst, int dstride, const u16* pad,
   }
 }
 
+
+// u16 padded snapshot of the current planes (border = CDEF_VERY_LARGE,
+// interior offset +2) shared by CDEF (tap source) and LR (boundary
+// source) so no full-precision i32 frame copies are needed
+struct PadSnap {
+  std::vector<u16> buf[3];
+  int stride[3], vw[3], vh[3];
+};
+
+static void build_pad_snapshot(FrameCtx& ctx, PadSnap* out) {
+  const Params& p = ctx.p;
+  int a = 7;
+  int vw0 = (p.frame_w + a) & ~a;
+  int vh0 = (p.frame_h + a) & ~a;
+  auto build = [&](int pl) {
+    int pw = pl == 0 ? vw0 : vw0 >> p.ssx;
+    int ph = pl == 0 ? vh0 : vh0 >> p.ssy;
+    out->vw[pl] = pw; out->vh[pl] = ph;
+    int fw = ctx.planes[pl].w, fh = ctx.planes[pl].h;
+    out->stride[pl] = fw + 4;
+    out->buf[pl].assign((i64)(fh + 4) * (fw + 4), CDEF_VERY_LARGE);
+    const i32* src = ctx.planes[pl].data;
+    for (int y = 0; y < ph; y++) {
+      u16* dr = out->buf[pl].data() + (i64)(y + 2) * out->stride[pl] + 2;
+      const i32* sr = src + (i64)y * fw;
+      for (int x = 0; x < pw; x++) dr[x] = (u16)sr[x];
+    }
+  };
+  if (ctx.num_planes > 1 && std::thread::hardware_concurrency() >= 2 &&
+      !getenv("TPUHEIF_AV1_NO_THREADS")) {
+    std::thread tp([&]() { build(0); });
+    for (int pl = 1; pl < ctx.num_planes; pl++) build(pl);
+    tp.join();
+  } else {
+    for (int pl = 0; pl < ctx.num_planes; pl++) build(pl);
+  }
+}
+
 // filter the frame; planes are overwritten with the CDEF output.
-// deblocked copies are the source.
-static void apply_cdef(FrameCtx& ctx,
-                       const std::vector<i32>* deblocked) {
+// pre->buf holds the deblocked-frame snapshot used as the tap source.
+static void apply_cdef(FrameCtx& ctx, const PadSnap* pre) {
   const Params& p = ctx.p;
   int coeff_shift = p.bit_depth - 8;
   int num_planes = ctx.num_planes;
-  int a = 7;  // 8-align mask
-  int vw = (p.frame_w + a) & ~a;
-  int vh = (p.frame_h + a) & ~a;
-  std::vector<u16> pads[3];
-  int pstride[3], pvw[3], pvh[3];
-  for (int pl = 0; pl < num_planes; pl++) {
-    int pw = pl == 0 ? vw : vw >> p.ssx;
-    int ph = pl == 0 ? vh : vh >> p.ssy;
-    pvw[pl] = pw; pvh[pl] = ph;
-    int fw = ctx.planes[pl].w, fh = ctx.planes[pl].h;
-    pstride[pl] = fw + 4;
-    pads[pl].assign((i64)(fh + 4) * (fw + 4), CDEF_VERY_LARGE);
-    for (int y = 0; y < ph; y++)
-      for (int x = 0; x < pw; x++)
-        pads[pl][(i64)(y + 2) * pstride[pl] + x + 2] =
-            (u16)deblocked[pl][(i64)y * fw + x];
-  }
+  const std::vector<u16>* pads = pre->buf;
+  const int* pstride = pre->stride;
 
   int mi_rows = ctx.mi_rows, mi_cols = ctx.mi_cols;
   int y_damp = p.cdef_damping + coeff_shift;
   int uv_damp = y_damp - 1;
   int nby = (mi_rows + 1) >> 1, nbx = (mi_cols + 1) >> 1;
-  for (int by = 0; by < nby; by++)
+  // 8x8 block rows write disjoint plane rows and read only the frozen
+  // padded copies: dispatch rows over 2 threads
+  auto run_row = [&](int by) {
     for (int bx = 0; bx < nbx; bx++) {
       int r0 = by * 2, c0 = bx * 2;
       int r1 = std::min(r0 + 1, mi_rows - 1);
@@ -3279,6 +3338,24 @@ static void apply_cdef(FrameCtx& ctx,
         }
       }
     }
+  };
+  bool threads_ok = nby > 1 && std::thread::hardware_concurrency() >= 2 &&
+                    !getenv("TPUHEIF_AV1_NO_THREADS");
+  if (threads_ok) {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        int by = next.fetch_add(1);
+        if (by >= nby) break;
+        run_row(by);
+      }
+    };
+    std::thread th(worker);
+    worker();
+    th.join();
+  } else {
+    for (int by = 0; by < nby; by++) run_row(by);
+  }
 }
 
 // ======================================================================
@@ -3295,7 +3372,7 @@ static const int SGR_PARAMS_T[16][4] = {
 
 // padded source rectangle per the get_source_sample rule (lr.py
 // _gather_piece): margin 3
-static void lr_gather(const i32* cdef_p, const i32* deblk_p, int stride,
+static void lr_gather(const u16* cdef_p, const u16* deblk_p, int stride,
                       int x0, int x1, int y0, int h, int ss_start,
                       int ss_end, int plane_w, int plane_h, i64* out,
                       int ow) {
@@ -3305,15 +3382,15 @@ static void lr_gather(const i32* cdef_p, const i32* deblk_p, int stride,
   for (int i = 0; i < ph; i++) {
     int y = y0 - margin + i;
     y = std::min(std::max(y, 0), plane_h - 1);
-    const i32* row;
+    const u16* row;
     if (y < ss_start) {
       int yy = std::max(ss_start - 2, y);
-      row = deblk_p + (i64)yy * stride;
+      row = deblk_p + (i64)(yy + 2) * stride + 2;
     } else if (y > ss_end) {
       int yy = std::min(ss_end + 2, y);
-      row = deblk_p + (i64)yy * stride;
+      row = deblk_p + (i64)(yy + 2) * stride + 2;
     } else {
-      row = cdef_p + (i64)y * stride;
+      row = cdef_p + (i64)(y + 2) * stride + 2;
     }
     for (int j = 0; j < w + 2 * margin; j++) {
       int x = (int)clampi(x0 - margin + j, 0, plane_w - 1);
@@ -3518,12 +3595,20 @@ static void sgrproj_filter(const i64* pad, int ow, int w, int h,
 
 // frame loop-restore; planes currently hold the CDEF output, deblocked
 // holds the pre-CDEF frame.  Output written in place.
-static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
-                     const std::vector<i32>* deblocked) {
+static void apply_lr(FrameCtx& ctx, const PadSnap* cdef_snap,
+                     const PadSnap* deblk_snap) {
   const Params& p = ctx.p;
   int bd = p.bit_depth;
+  // every (plane, unit-row) writes a disjoint output rect and reads
+  // only the frozen cdef/deblocked copies: dispatch them over 2 threads
+  struct LrTask { int plane, ur; };
+  std::vector<LrTask> tasks;
   for (int plane = 0; plane < ctx.num_planes; plane++) {
     if (p.lr_type[plane] == 0) continue;
+    for (int ur = 0; ur < ctx.lr_ur[plane]; ur++)
+      tasks.push_back({plane, ur});
+  }
+  auto run_task = [&](int plane, int ur) {
     int sub_x = plane == 0 ? 0 : p.ssx;
     int sub_y = plane == 0 ? 0 : p.ssy;
     int plane_w = (int)round2(p.frame_w, sub_x);
@@ -3533,9 +3618,10 @@ static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
     int stripe_size = 64 >> sub_y;
     int voffset = 8 >> sub_y;
     int stride = ctx.planes[plane].stride;
-    const i32* cdef_p = cdef_src[plane].data();
-    const i32* deblk_p = deblocked[plane].data();
-    for (int ur = 0; ur < ur_total; ur++) {
+    int pad_stride = cdef_snap->stride[plane];
+    const u16* cdef_p = cdef_snap->buf[plane].data();
+    const u16* deblk_p = deblk_snap->buf[plane].data();
+    {
       // unit-row extents shift up by the stripe offset (lr.py)
       int uy0 = ur == 0 ? 0 : ur * usize - voffset;
       int uy1 = ur == ur_total - 1
@@ -3558,7 +3644,7 @@ static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
           int h = std::min(uy1 - 1, ss_end) - y + 1;
           int ow = w + 6;
           std::vector<i64> pad((i64)(h + 6) * ow);
-          lr_gather(cdef_p, deblk_p, stride, ux0, ux1, y, h, ss_start,
+          lr_gather(cdef_p, deblk_p, pad_stride, ux0, ux1, y, h, ss_start,
                     ss_end, plane_w, plane_h, pad.data(), ow);
           i32* outp = ctx.planes[plane].data + (i64)y * stride + ux0;
           if (unit_type == 2) {
@@ -3574,6 +3660,24 @@ static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
         }
       }
     }
+  };
+  bool threads_ok = tasks.size() > 1 &&
+                    std::thread::hardware_concurrency() >= 2 &&
+                    !getenv("TPUHEIF_AV1_NO_THREADS");
+  if (threads_ok) {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= tasks.size()) break;
+        run_task(tasks[i].plane, tasks[i].ur);
+      }
+    };
+    std::thread th(worker);
+    worker();
+    th.join();
+  } else {
+    for (const LrTask& t : tasks) run_task(t.plane, t.ur);
   }
 }
 
@@ -3583,12 +3687,75 @@ static void apply_lr(FrameCtx& ctx, const std::vector<i32>* cdef_src,
 // C ABI
 // ======================================================================
 
+namespace av1n {
+
+// merge the frame-wide outputs a second tile-decoding context produced
+// for its tiles into the main context.  AV1 tiles are fully independent
+// (no cross-tile prediction or entropy state), so every buffer below is
+// written in disjoint regions and a plain region copy is exact.
+static void merge_tile_worker(FrameCtx* a, FrameCtx* b,
+                              const long long* tile_meta, int n_tiles,
+                              const signed char* owner) {
+  for (int t = 0; t < n_tiles; t++) {
+    if (!owner[t]) continue;
+    const long long* m = tile_meta + (i64)t * 6;
+    int c0 = (int)m[2], c1 = (int)m[3], r0 = (int)m[4], r1 = (int)m[5];
+    for (int r = r0; r < r1; r++) {
+      i64 o = (i64)r * a->mi_cols;
+      memcpy(&a->skip_map[o + c0], &b->skip_map[o + c0],
+             (size_t)(c1 - c0) * sizeof(i32));
+      memcpy(&a->cdef_idx[o + c0], &b->cdef_idx[o + c0],
+             (size_t)(c1 - c0) * sizeof(i32));
+    }
+    for (int pl = 0; pl < a->num_planes; pl++) {
+      int sx = pl ? a->p.ssx : 0, sy = pl ? a->p.ssy : 0;
+      int x0 = (c0 * 4) >> sx, x1 = std::min((c1 * 4) >> sx, a->planes[pl].w);
+      int y0 = (r0 * 4) >> sy, y1 = std::min((r1 * 4) >> sy, a->planes[pl].h);
+      int stride = a->planes[pl].stride;
+      for (int y = y0; y < y1; y++)
+        memcpy(a->plane_buf[pl].data() + (i64)y * stride + x0,
+               b->plane_buf[pl].data() + (i64)y * stride + x0,
+               (size_t)(x1 - x0) * sizeof(i32));
+      int gw = a->egw[pl];
+      int gx0 = x0 >> 2, gx1 = std::min((x1 + 3) >> 2, gw);
+      int gy0 = y0 >> 2, gy1 = std::min((y1 + 3) >> 2, a->egh[pl]);
+      for (int g = gy0; g < gy1; g++) {
+        i64 o = (i64)g * gw;
+        memcpy(&a->edge_vert[pl][o + gx0], &b->edge_vert[pl][o + gx0],
+               (size_t)(gx1 - gx0));
+        memcpy(&a->edge_horz[pl][o + gx0], &b->edge_horz[pl][o + gx0],
+               (size_t)(gx1 - gx0));
+        memcpy(&a->edge_tw[pl][o + gx0], &b->edge_tw[pl][o + gx0],
+               (size_t)(gx1 - gx0) * sizeof(i32));
+        memcpy(&a->edge_th[pl][o + gx0], &b->edge_th[pl][o + gx0],
+               (size_t)(gx1 - gx0) * sizeof(i32));
+      }
+    }
+  }
+  // loop-restoration units: the worker only writes units owned by its
+  // tiles' superblocks, all other entries stay at their zero init
+  for (int pl = 0; pl < a->num_planes; pl++) {
+    i64 nunits = (i64)a->lr_ur[pl] * a->lr_uc[pl];
+    for (i64 u = 0; u < nunits; u++) {
+      if (b->lr_type_map[pl][u] == 0) continue;
+      a->lr_type_map[pl][u] = b->lr_type_map[pl][u];
+      for (int k = 0; k < 6; k++)
+        a->lr_wiener[pl][u * 6 + k] = b->lr_wiener[pl][u * 6 + k];
+      a->lr_sgr_set[pl][u] = b->lr_sgr_set[pl][u];
+      a->lr_xqd[pl][u * 2] = b->lr_xqd[pl][u * 2];
+      a->lr_xqd[pl][u * 2 + 1] = b->lr_xqd[pl][u * 2 + 1];
+    }
+  }
+}
+
+}  // namespace av1n
+
 extern "C" int tpuheif_av1_decode_frame(
     const uint8_t* tiles_buf, long long tiles_len,
     const long long* tile_meta, int n_tiles,
     const int* params_buf, int n_params,
     const int* cdf_buf, long long cdf_len,
-    int* y_out, int* u_out, int* v_out,
+    unsigned char* y_out, unsigned char* u_out, unsigned char* v_out,
     char* err, int errlen) {
   using namespace av1n;
   if (n_params < N_PARAMS) {
@@ -3611,17 +3778,66 @@ extern "C" int tpuheif_av1_decode_frame(
   FrameCtx* ctx = new FrameCtx();
   int rc = ctx->init(p, cdf_buf, err, errlen);
   if (rc) { delete ctx; return rc; }
-  for (int t = 0; t < n_tiles; t++) {
-    const long long* m = tile_meta + (i64)t * 6;
-    i64 off = m[0], size = m[1];
-    if (off < 0 || size < 0 || off + size > tiles_len) {
-      snprintf(err, errlen, "tile range out of bounds");
-      delete ctx;
-      return 1;
+  // decode tiles; with >1 tile and >1 core, split across two contexts
+  // pulling from a shared work queue (AV1 tiles are independent)
+  bool threaded = n_tiles > 1 &&
+                  std::thread::hardware_concurrency() >= 2 &&
+                  !getenv("TPUHEIF_AV1_NO_THREADS");
+  if (threaded) {
+    char werr[200] = {0};
+    FrameCtx* wctx = new FrameCtx();
+    std::atomic<int> next{0};
+    std::atomic<bool> w_ok{false};
+    std::vector<signed char> owner((size_t)n_tiles, 0);
+    auto run_tiles = [&](FrameCtx* c, signed char tag) {
+      for (;;) {
+        int t = next.fetch_add(1);
+        if (t >= n_tiles) break;
+        owner[t] = tag;
+        const long long* m = tile_meta + (i64)t * 6;
+        i64 off = m[0], size = m[1];
+        if (off < 0 || size < 0 || off + size > tiles_len) {
+          c->fail(1, "tile range out of bounds");
+          break;
+        }
+        c->decode_tile(tiles_buf + off, size, (int)m[2], (int)m[3],
+                       (int)m[4], (int)m[5]);
+        if (c->rc) break;
+      }
+    };
+    // the worker initializes its own context so the ~10MB of zeroing
+    // overlaps the main thread's first tiles; if init fails the shared
+    // work queue lets the main context finish everything
+    std::thread th([&]() {
+      if (wctx->init(p, cdf_buf, werr, sizeof(werr)) == 0) {
+        w_ok.store(true);
+        run_tiles(wctx, 1);
+      }
+    });
+    run_tiles(ctx, 0);
+    th.join();
+    if (ctx->rc) rc = ctx->rc;
+    else if (w_ok.load() && wctx->rc) {
+      snprintf(err, errlen, "%s", werr);
+      rc = wctx->rc;
     }
-    ctx->decode_tile(tiles_buf + off, size, (int)m[2], (int)m[3],
-                     (int)m[4], (int)m[5]);
-    if (ctx->rc) { rc = ctx->rc; delete ctx; return rc; }
+    if (!rc && w_ok.load())
+      merge_tile_worker(ctx, wctx, tile_meta, n_tiles, owner.data());
+    delete wctx;
+    if (rc) { delete ctx; return rc; }
+  } else {
+    for (int t = 0; t < n_tiles; t++) {
+      const long long* m = tile_meta + (i64)t * 6;
+      i64 off = m[0], size = m[1];
+      if (off < 0 || size < 0 || off + size > tiles_len) {
+        snprintf(err, errlen, "tile range out of bounds");
+        delete ctx;
+        return 1;
+      }
+      ctx->decode_tile(tiles_buf + off, size, (int)m[2], (int)m[3],
+                       (int)m[4], (int)m[5]);
+      if (ctx->rc) { rc = ctx->rc; delete ctx; return rc; }
+    }
   }
 
   double t_tiles = nowus();
@@ -3635,31 +3851,37 @@ extern "C" int tpuheif_av1_decode_frame(
     any_cdef = any_cdef || p.cdef_y_pri[i] || p.cdef_y_sec[i] ||
                p.cdef_uv_pri[i] || p.cdef_uv_sec[i];
   bool any_lr = p.lr_type[0] || p.lr_type[1] || p.lr_type[2];
-  std::vector<i32> deblocked[3];
-  if ((!p.coded_lossless && any_cdef) || any_lr)
-    for (int pl = 0; pl < ctx->num_planes; pl++)
-      deblocked[pl] = ctx->plane_buf[pl];
-  if (!p.coded_lossless && any_cdef) apply_cdef(*ctx, deblocked);
+  bool run_cdef = !p.coded_lossless && any_cdef;
+  // one u16 snapshot of the deblocked frame serves as both the CDEF tap
+  // source and LR's above/below-stripe source; a second snapshot after
+  // CDEF is LR's in-stripe source (8-bit samples fit u16, no i32 copies)
+  PadSnap pre_snap;
+  if (run_cdef || any_lr) build_pad_snapshot(*ctx, &pre_snap);
+  if (run_cdef) apply_cdef(*ctx, &pre_snap);
   double t_cdef = nowus();
   if (any_lr) {
-    std::vector<i32> cdef_out[3];
-    for (int pl = 0; pl < ctx->num_planes; pl++)
-      cdef_out[pl] = ctx->plane_buf[pl];
-    apply_lr(*ctx, cdef_out, deblocked);
+    PadSnap post_snap;
+    const PadSnap* cdef_src = &pre_snap;
+    if (run_cdef) {
+      build_pad_snapshot(*ctx, &post_snap);
+      cdef_src = &post_snap;
+    }
+    apply_lr(*ctx, cdef_src, &pre_snap);
   }
 
   if (prof)
     fprintf(stderr, "[av1prof] tiles=%.0fus deblock=%.0fus cdef=%.0fus"
             " lr=%.0fus\n",
             t_tiles - t0, t_dbk - t_tiles, t_cdef - t_dbk, nowus() - t_cdef);
-  // copy out full padded planes
-  memcpy(y_out, ctx->plane_buf[0].data(),
-         ctx->plane_buf[0].size() * sizeof(i32));
-  if (ctx->num_planes > 1) {
-    memcpy(u_out, ctx->plane_buf[1].data(),
-           ctx->plane_buf[1].size() * sizeof(i32));
-    memcpy(v_out, ctx->plane_buf[2].data(),
-           ctx->plane_buf[2].size() * sizeof(i32));
+  // narrow the full padded planes to u8 (8-bit-only engine)
+  {
+    unsigned char* outs[3] = {y_out, u_out, v_out};
+    for (int pl = 0; pl < ctx->num_planes; pl++) {
+      const i32* src = ctx->plane_buf[pl].data();
+      unsigned char* dst = outs[pl];
+      i64 n = (i64)ctx->plane_buf[pl].size();
+      for (i64 i = 0; i < n; i++) dst[i] = (unsigned char)src[i];
+    }
   }
   delete ctx;
   return 0;

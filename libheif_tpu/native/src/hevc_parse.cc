@@ -18,6 +18,10 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <limits.h>
+#include <linux/futex.h>
+#include <sys/syscall.h>
+#include <unistd.h>
 #include <vector>
 
 // bin-level trace for difftesting against the Python engine
@@ -186,27 +190,38 @@ struct ParseError {
 
 struct Cabac {
   const uint8_t* data;
-  int64_t pos;                // bit position
+  int64_t pos;                // bit position (byte-aligned when assigned)
   int64_t end;                // end byte (exclusive)
   uint32_t range, offset;
+  uint64_t cache;             // prefetched bits, next bit at (ncache-1)
+  int ncache;
   uint8_t* p_state;
   uint8_t* val_mps;
 
-  int read_bit() {
-    int64_t p = pos;
-    if ((p >> 3) >= end) {
-      pos++;
-      return 0;
+  // amortized refill: pulls whole bytes (zeros past `end`, matching the
+  // spec's read-past-end-as-zero behavior the old per-bit reader had)
+  inline void refill() {
+    int64_t b = pos >> 3;
+    while (ncache <= 48) {
+      uint32_t byte = (b < end) ? data[b] : 0;
+      cache = (cache << 8) | byte;
+      ncache += 8;
+      b++;
     }
-    int bit = (data[p >> 3] >> (7 - (p & 7))) & 1;
-    pos = p + 1;
-    return bit;
+    pos = b << 3;
+  }
+
+  inline uint32_t get_bits(int n) {  // n <= 24
+    if (ncache < n) refill();
+    ncache -= n;
+    return (uint32_t)((cache >> ncache) & ((1u << n) - 1));
   }
 
   bool init() {               // spec 9.3.4.3.1
     range = 510;
-    offset = 0;
-    for (int i = 0; i < 9; i++) offset = (offset << 1) | read_bit();
+    cache = 0;
+    ncache = 0;
+    offset = get_bits(9);
     return offset < 510;
   }
 
@@ -224,17 +239,20 @@ struct Cabac {
     } else {
       binval = val_mps[ctx_idx];
       p_state[ctx_idx] = kTransIdxMPS[ps];
+      if (range >= 256) {     // common case: no renorm needed
+        if (g_trace) fprintf(stderr, "B %d %d\n", ctx_idx, binval);
+        return binval;
+      }
     }
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
-    }
+    int sh = __builtin_clz(range) - 23;  // range in [2,255] -> sh in [1,7]
+    range <<= sh;
+    offset = (offset << sh) | get_bits(sh);
     if (g_trace) fprintf(stderr, "B %d %d\n", ctx_idx, binval);
     return binval;
   }
 
   int decode_bypass() {
-    offset = (offset << 1) | read_bit();
+    offset = (offset << 1) | get_bits(1);
     int v = 0;
     if (offset >= range) {
       offset -= range;
@@ -244,18 +262,33 @@ struct Cabac {
     return v;
   }
 
+  // n bypass bins at once: bypass decoding is long division of the
+  // offset window by `range`, so the n bins are the n quotient bits
   uint32_t decode_bypass_bits(int n) {
+    if (g_trace) {            // keep the per-bit trace stream identical
+      uint32_t v = 0;
+      for (int i = 0; i < n; i++) v = (v << 1) | decode_bypass();
+      return v;
+    }
     uint32_t v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | decode_bypass();
+    while (n > 0) {
+      int c = n > 16 ? 16 : n;
+      uint32_t ext = (offset << c) | get_bits(c);
+      uint32_t q = ext / range;       // < 2^c since offset < range
+      offset = ext - q * range;
+      v = (v << c) | q;
+      n -= c;
+    }
     return v;
   }
 
   int decode_terminate() {
     range -= 2;
     if (offset >= range) return 1;
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
+    if (range < 256) {
+      int sh = __builtin_clz(range) - 23;
+      range <<= sh;
+      offset = (offset << sh) | get_bits(sh);
     }
     return 0;
   }
@@ -281,7 +314,6 @@ struct Cabac {
     return (int)value;
   }
 };
-
 struct Parser {
   // config
   int32_t P[N_PARAMS];
@@ -373,11 +405,13 @@ struct Parser {
     m[2] = log2;
     m[3] = c_idx;
     m[4] = pred_mode;
-    m[5] = 0;                 // qp — assigned later
+    m[5] = 0;                 // qp — assigned below or per-CU
     m[6] = qg_serial;
     m[7] = transform_skip;
     m[8] = cur_tqb ? 1 : 0;
     m[9] = -1;
+    if (!P[P_CU_QP_DELTA_ENABLED])
+      assign_tu_qp(n_tus, P[P_SH_QP]);
     if (coeffs) {
       int64_t n = (int64_t)1 << (2 * log2);
       if (n_coeff + n > coeff_cap) {
@@ -388,6 +422,48 @@ struct Parser {
       m[9] = (int32_t)n_coeff;
       n_coeff += n;
     }
+    n_tus++;
+  }
+
+  // pipeline progress: when set, the cumulative TU count is published
+  // after each finished CTB row so a concurrent reconstructor can
+  // stream rows (release store pairs with the consumer's acquire load)
+  int64_t* row_counts = nullptr;
+  int64_t* rows_done = nullptr;
+  int published_rows = 0;
+
+  void publish_row(int row) {
+    if (!row_counts) return;
+    row_counts[row] = n_tus;
+    published_rows = row + 1;
+    __atomic_store_n(rows_done, (int64_t)(row + 1), __ATOMIC_RELEASE);
+    // wake the streaming consumer (futex word = low 32 bits, LE)
+    syscall(SYS_futex, (uint32_t*)rows_done, FUTEX_WAKE, INT_MAX,
+            nullptr, nullptr, 0);
+  }
+
+  // variant for coefficients already decoded in place at coeff_buf +
+  // n_coeff (skips the scratch copy)
+  void emit_tu_inplace(int x, int y, int log2, int c_idx, int pred_mode,
+                       int transform_skip, int64_t n_vals) {
+    if (n_tus >= tu_cap) {
+      fail(1, "TU buffer overflow");
+      return;
+    }
+    int32_t* m = tu_meta + n_tus * 10;
+    m[0] = x;
+    m[1] = y;
+    m[2] = log2;
+    m[3] = c_idx;
+    m[4] = pred_mode;
+    m[5] = 0;
+    m[6] = qg_serial;
+    m[7] = transform_skip;
+    m[8] = cur_tqb ? 1 : 0;
+    m[9] = (int32_t)n_coeff;
+    n_coeff += n_vals;
+    if (!P[P_CU_QP_DELTA_ENABLED])
+      assign_tu_qp(n_tus, P[P_SH_QP]);
     n_tus++;
   }
 
@@ -781,6 +857,15 @@ struct Parser {
 
   // -------------------------------------------------------- residual
 
+  // sig-coeff ctx pattern by csbf-neighbor state `prev`, indexed yp*4+xp
+  // (spec 9.3.4.2.5 condensed to tables)
+  static constexpr uint8_t kSigPat[4][16] = {
+      {2, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0},
+      {2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+      {2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0},
+      {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2},
+  };
+
   int sig_ctx(int xc, int yc, int log2, int c_idx, int scan_idx, int sx,
               int sy, const uint8_t* csbf, int n_sb) {
     int s;
@@ -879,8 +964,16 @@ struct Parser {
     int last_sb = sbs.of[(last_y >> 2) * n_sb + (last_x >> 2)];
     int last_pos = pos.of[(last_y & 3) * 4 + (last_x & 3)];
 
-    std::vector<int32_t> coeffs((size_t)size * size, 0);
-    std::vector<uint8_t> csbf((size_t)n_sb * n_sb, 0);
+    // decode directly into the shared coefficient stream (no scratch
+    // copy); emit_tu_inplace records the offset afterwards
+    int64_t n_coeff_vals = (int64_t)size * size;
+    if (n_coeff + n_coeff_vals > coeff_cap) {
+      fail(1, "coeff buffer overflow");
+      return;
+    }
+    int32_t* coeffs = coeff_buf + n_coeff;
+    memset(coeffs, 0, sizeof(int32_t) * size * size);
+    uint8_t csbf[8 * 8] = {0};
     csbf[(last_y >> 2) * n_sb + (last_x >> 2)] = 1;
     csbf[0] = 1;
 
@@ -905,6 +998,27 @@ struct Parser {
       }
       if (!sb_coded) continue;
 
+      // hoist the sig-coeff ctx derivation: within one subblock it only
+      // depends on (xp, yp), so precompute all 16 entries once
+      int cadd = c_idx ? 27 : 0;
+      uint8_t sctx[16];
+      if (log2 == 2) {
+        for (int t = 0; t < 16; t++)
+          sctx[t] = (uint8_t)(kCtxIdxMap4x4[t] + cadd);
+      } else {
+        int right = sx + 1 < n_sb ? csbf[sy * n_sb + sx + 1] : 0;
+        int below = sy + 1 < n_sb ? csbf[(sy + 1) * n_sb + sx] : 0;
+        int prev = right + 2 * below;
+        int add = (c_idx == 0)
+                      ? (((sx | sy) ? 3 : 0) +
+                         (log2 == 3 ? (scan_idx == 0 ? 9 : 15) : 21))
+                      : (log2 == 3 ? 9 : 12);
+        for (int t = 0; t < 16; t++)
+          sctx[t] = (uint8_t)(kSigPat[prev][t] + add + cadd);
+        if (sx == 0 && sy == 0) sctx[0] = (uint8_t)cadd;  // DC special case
+      }
+      int sig_base = ctx(F_SIG_COEFF, 0);
+
       bool infer_dc = explicit_csbf;
       int start_n = (i == last_sb) ? last_pos - 1 : 15;
       int n_sig = 0;
@@ -915,11 +1029,7 @@ struct Parser {
           sig = 1;
         } else {
           int qx = pos.x[n], qy = pos.y[n];
-          int xc = (sx << 2) + qx, yc = (sy << 2) + qy;
-          sig = dec.decode_bin(ctx(
-              F_SIG_COEFF,
-              sig_ctx(xc, yc, log2, c_idx, scan_idx, sx, sy, csbf.data(),
-                      n_sb)));
+          sig = dec.decode_bin(sig_base + sctx[(qy << 2) + qx]);
         }
         if (sig) sig_pos[n_sig++] = n;
       }
@@ -952,14 +1062,8 @@ struct Parser {
 
       bool sign_hidden = P[P_SIGN_DATA_HIDING] && !cur_tqb &&
                          (sig_pos[0] - sig_pos[n_sig - 1]) > 3;
-      int signs[16];
-      for (int k = 0; k < n_sig; k++) {
-        if (sign_hidden && k == n_sig - 1) {
-          signs[k] = 0;
-          continue;
-        }
-        signs[k] = dec.decode_bypass();
-      }
+      int n_signs = sign_hidden ? n_sig - 1 : n_sig;
+      uint32_t sgnbits = dec.decode_bypass_bits(n_signs);
 
       int rice = 0;
       int levels[16];
@@ -1006,12 +1110,13 @@ struct Parser {
         if (sign_hidden && k == n_sig - 1)
           neg = (sum_abs & 1) == 1;
         else
-          neg = signs[k] != 0;
+          neg = ((sgnbits >> (n_signs - 1 - k)) & 1) != 0;
         coeffs[(size_t)yc * size + xc] = neg ? -level : level;
       }
     }
 
-    emit_tu(x0, y0, log2, c_idx, pred_mode, transform_skip, coeffs.data());
+    emit_tu_inplace(x0, y0, log2, c_idx, pred_mode, transform_skip,
+                    n_coeff_vals);
   }
 
   // ------------------------------------------------------------- toplevel
@@ -1088,13 +1193,13 @@ struct Parser {
           return err.code;
         }
       }
+      publish_row(row);
     }
 
     if (!P[P_CU_QP_DELTA_ENABLED]) {
       // uniform QP (ctu.py _finalize_qgs)
       for (int64_t i = 0; i < (int64_t)w4 * h4; i++)
         qp_y[i] = (int16_t)P[P_SH_QP];
-      for (int64_t t = 0; t < n_tus; t++) assign_tu_qp(t, P[P_SH_QP]);
     }
     return 0;
   }
@@ -1115,7 +1220,8 @@ int tpuheif_hevc_parse_slice(
     int16_t* qp_y, uint8_t* tqb_map, uint8_t* nonzero_y, uint8_t* avail,
     int32_t w4, int32_t h4, int32_t* tu_meta, int64_t tu_cap,
     int32_t* coeff_buf, int64_t coeff_cap, int16_t* sao_buf,
-    int64_t* out_counts, char* err_msg, int32_t err_cap) {
+    int64_t* out_counts, char* err_msg, int32_t err_cap,
+    int64_t* row_tu_counts, int64_t* rows_done) {
   Parser ps;
   memcpy(ps.P, params, sizeof(ps.P));
   ps.fam = family_offsets;
@@ -1143,7 +1249,20 @@ int tpuheif_hevc_parse_slice(
   ps.coeff_cap = coeff_cap;
   ps.sao_buf = sao_buf;
 
+  ps.row_counts = row_tu_counts;
+  ps.rows_done = rows_done;
   int rc = ps.run();
+  if (row_tu_counts) {
+    // on failure (or early return) publish the remaining rows at the
+    // current TU count so a streaming consumer never blocks or reads
+    // partially-written TU records
+    int n_rows = ps.P[P_N_CTB_ROWS];
+    for (int r = ps.published_rows; r < n_rows; r++)
+      row_tu_counts[r] = ps.n_tus;
+    __atomic_store_n(rows_done, (int64_t)n_rows, __ATOMIC_RELEASE);
+    syscall(SYS_futex, (uint32_t*)rows_done, FUTEX_WAKE, INT_MAX,
+            nullptr, nullptr, 0);
+  }
   out_counts[0] = ps.n_tus;
   out_counts[1] = ps.n_coeff;
   if (rc && err_msg && err_cap > 0) {

@@ -16,6 +16,10 @@
 #include <ctime>
 #include <cstdlib>
 #include <cstdio>
+#include <sched.h>
+#include <linux/futex.h>
+#include <sys/syscall.h>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -351,19 +355,19 @@ struct Recon {
 
   // ----------------------------------------------------------- recon loop
 
-  void reconstruct() {
+  void reconstruct_range(int64_t t_begin, int64_t t_end) {
     int maxv = (1 << bd) - 1;
-    std::vector<int32_t> pred(32 * 32), res(32 * 32);
-    for (int64_t t = 0; t < n_tus; t++) {
+    int32_t pred[32 * 32], res[32 * 32];
+    for (int64_t t = t_begin; t < t_end; t++) {
       const int32_t* m = tu_meta + t * 10;
       int log2 = m[2], c_idx = m[3];
       int n = 1 << log2;
       int shift = c_idx ? 1 : 0;
       int px = c_idx ? (m[0] >> shift) : m[0];
       int py = c_idx ? (m[1] >> shift) : m[1];
-      predict(m, pred.data());
+      predict(m, pred);
       if (m[9] >= 0) {
-        residual(m, res.data());
+        residual(m, res);
         for (int i = 0; i < n * n; i++) pred[i] += res[i];
       }
       int32_t* plane = planes[c_idx];
@@ -595,17 +599,19 @@ struct Recon {
           int y1 = y0 + (ctb >> shift) < ph ? y0 + (ctb >> shift) : ph;
           if (x0 >= x1 || y0 >= y1) continue;
           const int16_t* offs = e + 3 + c_idx * 4;
-          if (t == 1) {  // band
+          if (t == 1) {  // band: 32-entry offset table kills the k-loop
             int band_pos = e[15 + c_idx];
-            for (int y = y0; y < y1; y++)
+            int32_t bofs[32] = {0};
+            for (int k = 0; k < 4; k++) bofs[(band_pos + k) & 31] = offs[k];
+            int sh5 = bd - 5;
+            for (int y = y0; y < y1; y++) {
+              const int32_t* sr = src.data() + (int64_t)y * pw;
+              int32_t* dr = plane + (int64_t)y * pw;
               for (int x = x0; x < x1; x++) {
-                int v = src[(int64_t)y * pw + x];
-                int band = v >> (bd - 5);
-                int res = v;
-                for (int k = 0; k < 4; k++)
-                  if (band == ((band_pos + k) & 31)) res = v + offs[k];
-                plane[(int64_t)y * pw + x] = clip3(0, maxv, res);
+                int v = sr[x];
+                dr[x] = clip3(0, maxv, v + bofs[(v >> sh5) & 31]);
               }
+            }
           } else {       // edge
             int eo = e[18 + (c_idx == 0 ? 0 : 1)];
             int dx0 = eo_dx[eo][0], dx1 = eo_dx[eo][1];
@@ -621,25 +627,30 @@ struct Recon {
             int gx0 = x0 > -mindx ? x0 : -mindx;
             int gx1 = x1 < pw - maxdx ? x1 : pw - maxdx;
             if (gx0 >= gx1 || ys0 >= ys1) continue;
-            for (int y = y0; y < y1; y++)
-              for (int x = x0; x < x1; x++) {
-                int v = src[(int64_t)y * pw + x];
-                int res = v;
-                if (y >= ys0 && y < ys1 && x >= gx0 && x < gx1) {
-                  int n1 = src[(int64_t)(y + dy0) * pw + x + dx0];
-                  int n2 = src[(int64_t)(y + dy1) * pw + x + dx1];
-                  int sgn1 = (v > n1) - (v < n1);
-                  int sgn2 = (v > n2) - (v < n2);
-                  int edge_idx = 2 + sgn1 + sgn2;
-                  int k = -1;
-                  if (edge_idx == 0) k = 0;
-                  else if (edge_idx == 1) k = 1;
-                  else if (edge_idx == 3) k = 2;
-                  else if (edge_idx == 4) k = 3;
-                  if (k >= 0) res = v + offs[k];
+            // 5-entry table over edge_idx; branchless interior rows
+            const int32_t eofs[5] = {offs[0], offs[1], 0, offs[2], offs[3]};
+            for (int y = y0; y < y1; y++) {
+              const int32_t* sr = src.data() + (int64_t)y * pw;
+              const int32_t* s1 = sr + (int64_t)dy0 * pw + dx0;
+              const int32_t* s2 = sr + (int64_t)dy1 * pw + dx1;
+              int32_t* dr = plane + (int64_t)y * pw;
+              bool row_in = (y >= ys0 && y < ys1);
+              if (row_in) {
+                for (int x = gx0; x < gx1; x++) {
+                  int v = sr[x];
+                  int e_idx = 2 + ((v > s1[x]) - (v < s1[x])) +
+                              ((v > s2[x]) - (v < s2[x]));
+                  dr[x] = clip3(0, maxv, v + eofs[e_idx]);
                 }
-                plane[(int64_t)y * pw + x] = clip3(0, maxv, res);
               }
+              // untouched border columns/rows just copy through
+              int cxa = row_in ? gx0 : x1;
+              for (int x = x0; x < cxa; x++)
+                dr[x] = clip3(0, maxv, sr[x]);
+              int cxb = row_in ? gx1 : x1;
+              for (int x = cxb; x < x1; x++)
+                dr[x] = clip3(0, maxv, sr[x]);
+            }
           }
         }
       }
@@ -658,6 +669,11 @@ struct Recon {
     }
   }
 
+  // streaming mode: consume TU rows as the parser publishes them
+  const int64_t* row_counts = nullptr;
+  const int64_t* rows_done = nullptr;
+  int n_ctb_rows = 0;
+
   int run(int deblock_and_sao) {
     bool prof = getenv("TPUHEIF_HEVC_PROF") != nullptr;
     auto nowus = []() {
@@ -669,7 +685,26 @@ struct Recon {
     aw4 = (w + 3) / 4 + 1;
     ah4 = (h + 3) / 4 + 1;
     avail.assign((size_t)aw4 * ah4, 0);
-    reconstruct();
+    if (row_counts) {
+      int64_t done = 0;
+      for (int r = 0; r < n_ctb_rows; r++) {
+        // futex sleep until the producer publishes row r (no polling:
+        // on small core counts any spin steals producer cycles)
+        for (;;) {
+          int64_t done = __atomic_load_n(rows_done, __ATOMIC_ACQUIRE);
+          if (done > r) break;
+          syscall(SYS_futex, (const uint32_t*)rows_done, FUTEX_WAIT,
+                  (uint32_t)done, nullptr, nullptr, 0);
+        }
+        int64_t t_end = row_counts[r];
+        reconstruct_range(done, t_end);
+        done = t_end;
+        if (errcode) break;
+      }
+      n_tus = done;
+    } else {
+      reconstruct_range(0, n_tus);
+    }
     double t1 = nowus();
     if (errcode) return errcode;
     if (deblock_and_sao) {
@@ -703,7 +738,9 @@ int tpuheif_hevc_recon(
     const int32_t* beta_table, const int32_t* tc_table,
     const int32_t* pred_angle, const int32_t* inv_angle, int32_t* out_y,
     int32_t* out_cb, int32_t* out_cr, int32_t deblock_and_sao,
-    char* err_msg, int32_t err_cap) {
+    char* err_msg, int32_t err_cap,
+    const int64_t* row_tu_counts, const int64_t* rows_done,
+    int32_t n_ctb_rows) {
   Recon rc;
   memcpy(rc.P, rparams, sizeof(rc.P));
   rc.tu_meta = tu_meta;
@@ -737,6 +774,11 @@ int tpuheif_hevc_recon(
   memset(out_cb, 0, (size_t)rc.cw * rc.ch * sizeof(int32_t));
   memset(out_cr, 0, (size_t)rc.cw * rc.ch * sizeof(int32_t));
 
+  if (row_tu_counts) {
+    rc.row_counts = row_tu_counts;
+    rc.rows_done = rows_done;
+    rc.n_ctb_rows = n_ctb_rows;
+  }
   int code = rc.run(deblock_and_sao);
   if (code && err_msg && err_cap > 0)
     snprintf(err_msg, err_cap, "%s", rc.errmsg);

@@ -96,6 +96,18 @@ def bench_avif_decode(results):
         best = min(best, time.perf_counter() - t0)
     results["avif_decode_host_mps"] = round(mp / best, 2)
 
+    # codec-core throughput of the native C++ engine alone (the number
+    # comparable to BASELINE's libaom/dav1d single-image rows)
+    from libheif_tpu.codecs.av1.decoder import decode_intra_frame
+    obus = ctx.items[pid].coded_data()
+    decode_intra_frame(obus, engine="native")  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_intra_frame(obus, engine="native")
+        best = min(best, time.perf_counter() - t0)
+    results["avif_decode_native_mps"] = round(mp / best, 2)
+
 
 def bench_heic_encode_rd(results):
     """Encode example.heic's decoded image at q≈50 and report RD."""

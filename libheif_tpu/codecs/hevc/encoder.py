@@ -285,6 +285,13 @@ class IntraEncoder:
         cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
                          (0, self.width // 2 - cr.shape[1])), mode="edge")
         self.src = [y, cb, cr]
+
+        payload = self._encode_native(y, cb, cr)
+        if payload is not None:
+            sh_writer = write_slice_header(self.p, False, False, None)
+            nal = bytes([19 << 1, 1]) + add_emulation_prevention(
+                sh_writer.data() + payload)
+            return nal, [self.sps_nal, self.pps_nal]
         self.recon = [np.zeros_like(y), np.zeros_like(cb), np.zeros_like(cr)]
 
         diff = (self.p.diff_qg_depth if self.p.diff_qg_depth is not None
@@ -351,6 +358,82 @@ class IntraEncoder:
         nal = bytes([19 << 1, 1]) + add_emulation_prevention(
             sh_writer.data() + payload)
         return nal, [self.sps_nal, self.pps_nal]
+
+    def _encode_native(self, y, cb, cr) -> Optional[bytes]:
+        """C++ fast path (native/src/hevc_enc.cc) for the default
+        parameter set; byte-identical to the Python loop (difftested).
+        Returns the CABAC slice payload, or None to use the Python
+        path (feature outside the fast path, or lib missing)."""
+        import os
+        p = self.p
+        if os.environ.get("TPUHEIF_HEVC_ENC_NATIVE", "1") == "0":
+            return None
+        if (p.sao or p.sign_hiding or p.cu_qp_delta or p.nxn or
+                p.rqt_depth or p.wpp or p.var_cu or p.chroma_modes):
+            return None
+        if isinstance(p.mode, str):
+            if p.mode == "auto":
+                fixed = -1
+            elif p.mode == "dc":
+                fixed = 1
+            elif p.mode == "planar":
+                fixed = 0
+            else:
+                return None
+        else:
+            fixed = int(p.mode)
+        max_tb = min(p.ctb_log2, 5)
+        if p.cu_log2 > max_tb or p.cu_log2 < 3:
+            return None
+        from ... import native
+        import ctypes
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        lib.tpuheif_hevc_encode_slice.restype = ctypes.c_int
+
+        from .native_parse import _FAMILIES, _get_recon_tables
+        from .cabac import ContextModels
+        cm = ContextModels(0, p.qp)
+        fam = np.asarray([ContextModels.LAYOUT[n][0] for n in _FAMILIES],
+                         np.int32)
+        init_p = np.asarray(cm.p_state, np.uint8)
+        init_m = np.asarray(cm.val_mps, np.uint8)
+        t = _get_recon_tables()
+        params = np.asarray([p.qp, p.ctb_log2, p.cu_log2, self.width,
+                             self.height, fixed,
+                             int(p.strong_smoothing), max_tb], np.int32)
+        ya = np.ascontiguousarray(y, np.int32)
+        cba = np.ascontiguousarray(cb, np.int32)
+        cra = np.ascontiguousarray(cr, np.int32)
+        cap = 8 * self.width * self.height + 65536
+        out = np.empty(cap, np.uint8)
+        out_len = np.zeros(1, np.int64)
+        rec_y = np.zeros((self.height, self.width), np.int32)
+        rec_cb = np.zeros((self.height // 2, self.width // 2), np.int32)
+        rec_cr = np.zeros_like(rec_cb)
+        err = ctypes.create_string_buffer(200)
+
+        def ptr(a, ty):
+            return a.ctypes.data_as(ctypes.POINTER(ty))
+
+        rc = lib.tpuheif_hevc_encode_slice(
+            ptr(params, ctypes.c_int32), ptr(fam, ctypes.c_int32),
+            ptr(init_p, ctypes.c_uint8), ptr(init_m, ctypes.c_uint8),
+            ctypes.c_int32(len(init_p)),
+            ptr(ya, ctypes.c_int32), ptr(cba, ctypes.c_int32),
+            ptr(cra, ctypes.c_int32),
+            ptr(t["dst4"], ctypes.c_int32), ptr(t["dct4"], ctypes.c_int32),
+            ptr(t["dct8"], ctypes.c_int32), ptr(t["dct16"], ctypes.c_int32),
+            ptr(t["dct32"], ctypes.c_int32),
+            ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+            ptr(out_len, ctypes.c_int64),
+            ptr(rec_y, ctypes.c_int32), ptr(rec_cb, ctypes.c_int32),
+            ptr(rec_cr, ctypes.c_int32), err, ctypes.c_int32(len(err)))
+        if rc != 0:
+            return None
+        self.recon = [rec_y, rec_cb, rec_cr]
+        return out[:int(out_len[0])].tobytes()
 
     # ------------------------------------------------------------- blocks
 

@@ -225,19 +225,35 @@ class J2KDecoder:
                     npasses = read_numpasses(rd)
                     while rd.bit():
                         cb.lblock += 1
-                    nbits = cb.lblock + _floorlog2(npasses)
-                    seg_len = rd.bits(nbits)
-                    contributions.append((cb, npasses, seg_len))
+                    if (cod.cbstyle & 0x40) and npasses > 1:
+                        # HT blocks terminate after the cleanup pass:
+                        # one length per segment (cleanup; then
+                        # SigProp+MagRef), T.814 segmentation
+                        l1 = rd.bits(cb.lblock)
+                        l2 = rd.bits(cb.lblock +
+                                     _floorlog2(npasses - 1))
+                        contributions.append((cb, npasses, [l1, l2]))
+                    else:
+                        nbits = cb.lblock + _floorlog2(npasses)
+                        seg_len = rd.bits(nbits)
+                        contributions.append((cb, npasses, seg_len))
             pos = rd.align()
         except (EOFError, IndexError):
             return len(tdata)
         if cod.has_eph and tdata[pos:pos + 2] == b"\xff\x92":
             pos += 2
         for (cb, npasses, seg_len) in contributions:
-            if not skip:
-                cb.data += tdata[pos:pos + seg_len]
-                cb.num_passes += npasses
-            pos += seg_len
+            if isinstance(seg_len, list):
+                if not skip:
+                    cb.ht_seg1 = seg_len[0]
+                    cb.data += tdata[pos:pos + sum(seg_len)]
+                    cb.num_passes += npasses
+                pos += sum(seg_len)
+            else:
+                if not skip:
+                    cb.data += tdata[pos:pos + seg_len]
+                    cb.num_passes += npasses
+                pos += seg_len
         return pos
 
     # ----------------------------------------------------- reconstruction
@@ -270,14 +286,24 @@ class J2KDecoder:
                                 continue
                             bw, bh = cb.x1 - cb.x0, cb.y1 - cb.y0
                             if cod.cbstyle & 0x40:
-                                if cb.num_passes > 1 or \
-                                        mb - cb.zero_planes > 1:
+                                from .htj2k import (decode_cleanup,
+                                                    decode_refinement)
+                                p = mb - cb.zero_planes
+                                if cb.num_passes >= 3 and p == 2:
+                                    s1 = getattr(cb, "ht_seg1",
+                                                 len(cb.data))
+                                    high = decode_cleanup(
+                                        bytes(cb.data[:s1]), bw, bh,
+                                        mb - 1)
+                                    coef = decode_refinement(
+                                        bytes(cb.data[s1:]), high, bw, bh)
+                                elif cb.num_passes == 1 and p <= 1:
+                                    coef = decode_cleanup(
+                                        bytes(cb.data), bw, bh, mb)
+                                else:
                                     raise HeifError.invalid_input(
-                                        msg="HT refinement passes not "
-                                            "supported")
-                                from .htj2k import decode_cleanup
-                                coef = decode_cleanup(
-                                    bytes(cb.data), bw, bh, mb)
+                                        msg="unsupported HT pass "
+                                            "structure")
                             else:
                                 t1 = T1Decoder(bw, bh, band.orient)
                                 coef = t1.decode(bytes(cb.data),

@@ -29,16 +29,19 @@ def encode_codestream(planes: List[np.ndarray], depth: int = 8,
                       reversible: bool = True, mct: Optional[bool] = None,
                       quality: int = 100,
                       cb_exp: Tuple[int, int] = (6, 6),
-                      htj2k: bool = False) -> bytes:
+                      htj2k: bool = False,
+                      ht_passes: int = 1) -> bytes:
     enc = J2KEncoder(depth=depth, signed=signed, levels=levels,
                      reversible=reversible, mct=mct, quality=quality,
-                     cb_exp=cb_exp, htj2k=htj2k)
+                     cb_exp=cb_exp, htj2k=htj2k, ht_passes=ht_passes)
     return enc.encode(planes)
 
 
 class J2KEncoder:
     def __init__(self, depth=8, signed=False, levels=5, reversible=True,
-                 mct=None, quality=100, cb_exp=(6, 6), htj2k=False):
+                 mct=None, quality=100, cb_exp=(6, 6), htj2k=False,
+                 ht_passes=1):
+        self.ht_passes = ht_passes
         self.depth = depth
         self.signed = signed
         self.levels = levels
@@ -47,6 +50,30 @@ class J2KEncoder:
         self.mct = mct
         self.xcb, self.ycb = cb_exp
         self.htj2k = htj2k
+
+    def _encode_ht_block(self, sub):
+        """One HT code-block: cleanup only, or cleanup + SigProp +
+        MagRef (T.814 7.4/7.5) when `ht_passes == 3` and the split is
+        lossless-representable (every |v|==1 sample is reachable by
+        significance propagation)."""
+        from .htj2k import (encode_cleanup, encode_refinement,
+                            decode_refinement)
+        sub = np.ascontiguousarray(sub)
+        if self.ht_passes == 3:
+            a = np.abs(sub)
+            high = (np.sign(sub) * (a >> 1)).astype(sub.dtype)
+            if high.any():
+                h, w = sub.shape
+                seg2 = encode_refinement(sub, high)
+                if np.array_equal(
+                        decode_refinement(seg2, high, w, h), sub):
+                    seg1, _b = encode_cleanup(high)
+                    # Mb - zp signals the pass-plane count p = 2
+                    return [seg1, seg2], 3, 2
+        data, _b = encode_cleanup(sub)
+        # for HT blocks Mb - zp signals the pass-plane count p, not
+        # the magnitude depth: cleanup-only full precision means p = 1
+        return data, 1, 1
 
     def encode(self, planes: List[np.ndarray]) -> bytes:
         ncomp = len(planes)
@@ -201,15 +228,8 @@ class J2KEncoder:
                                     if not sub.any():
                                         data, npasses, nplanes = b"", 0, 0
                                     else:
-                                        from .htj2k import encode_cleanup
-                                        data, _b = encode_cleanup(
-                                            np.ascontiguousarray(sub))
-                                        npasses = 1
-                                        # for HT blocks Mb - zp signals the
-                                        # pass-plane count p, not the
-                                        # magnitude depth: cleanup-only full
-                                        # precision means p = 1
-                                        nplanes = 1
+                                        data, npasses, nplanes = \
+                                            self._encode_ht_block(sub)
                                 else:
                                     t1 = T1Encoder(x1 - x0, y1 - y0,
                                                    band.orient)
@@ -281,16 +301,36 @@ class J2KEncoder:
                     t += 1
                 write_numpasses(wr, cb["npasses"])
                 lblock = 3
-                length = len(cb["data"])
-                bits_needed = max(length.bit_length(), 1)
-                avail = lblock + _floorlog2(cb["npasses"])
-                while avail < bits_needed:
-                    wr.bit(1)
-                    lblock += 1
-                    avail += 1
-                wr.bit(0)
-                wr.bits(length, avail)
-                segs.append(cb["data"])
+                if isinstance(cb["data"], list):
+                    # HT multi-segment contribution (cleanup; then
+                    # SigProp+MagRef): one comma code, then one length
+                    # per segment with lblock + floor(log2(seg passes))
+                    # bits (seg passes: 1, then 2)
+                    seg_passes = [1, cb["npasses"] - 1]
+                    lens = [len(d) for d in cb["data"]]
+                    need = 0
+                    for ln, np_ in zip(lens, seg_passes):
+                        need = max(need,
+                                   max(ln.bit_length(), 1) -
+                                   _floorlog2(np_))
+                    while lblock < need:
+                        wr.bit(1)
+                        lblock += 1
+                    wr.bit(0)
+                    for ln, np_ in zip(lens, seg_passes):
+                        wr.bits(ln, lblock + _floorlog2(np_))
+                    segs.extend(cb["data"])
+                else:
+                    length = len(cb["data"])
+                    bits_needed = max(length.bit_length(), 1)
+                    avail = lblock + _floorlog2(cb["npasses"])
+                    while avail < bits_needed:
+                        wr.bit(1)
+                        lblock += 1
+                        avail += 1
+                    wr.bit(0)
+                    wr.bits(length, avail)
+                    segs.append(cb["data"])
         out = wr.flush()
         return out + b"".join(segs)
 

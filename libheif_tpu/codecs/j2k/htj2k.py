@@ -616,3 +616,237 @@ def decode_cleanup(seg: bytes, w: int, h: int, B: int) -> np.ndarray:
             qx += npair
         prev_s, prev_e = cur_s, cur_e
     return out.astype(np.int32)
+
+
+# ------------------------------------------------- SigProp / MagRef
+
+class SigPropReader(MagSgnReader):
+    """Forward LSB-first reader for the SigProp raw stream: same
+    0xFF/7-bit unstuffing as MagSgn but zero padding past the end
+    (ht_dec.c frwd_init<0>)."""
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                self.pos += 1
+            else:
+                b = 0x00
+            take = 7 if self.prev_ff else 8
+            self.acc |= (b & ((1 << take) - 1)) << self.nbits
+            self.nbits += take
+            self.prev_ff = b == 0xFF
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+class MagRefWriter:
+    """Backward-growing MagRef raw stream: bytes pack LSB-first at
+    decreasing addresses from the segment end.  Stuffing rule (pinned
+    against the OpenJPEG 2.5 HT decoder, ht_dec.c rev_*_mrp): when the
+    previously read byte's LOW SEVEN bits are all ones, the next byte
+    (toward the segment start) holds only 7 data bits in bits 1..7 and
+    bit 0 is a stuffed zero."""
+
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def bit(self, b: int) -> None:
+        self.bits.append(b & 1)
+
+    def pack(self) -> bytes:
+        b = self.bits
+        out: List[int] = []       # out[0] = byte at the segment end
+        i = 0
+        skip_next = False         # this byte's bit 0 is stuffed
+        unstuff = True            # previous byte (read order) > 0x8F
+        while i < len(b):
+            if skip_next:
+                # data at bits 1..7; stuffed bit 0 = 0 keeps the low-7
+                # pattern away from 0x7F so no special form triggers
+                take = min(7, len(b) - i)
+                val = 0
+                for j in range(take):
+                    val |= b[i + j] << (j + 1)
+                i += take
+            elif unstuff and len(b) - i >= 7 and \
+                    all(b[i + j] for j in range(7)):
+                # seven ones in the low bits would decode as a special
+                # byte: bit 7 carries the 8th data bit if it is a one
+                # (0xFF, stuffed bit deferred to the next byte's bit 0),
+                # else bit 7 is the stuffed zero (0x7F, 7 bits)
+                if len(b) - i >= 8 and b[i + 7]:
+                    val = 0xFF
+                    i += 8
+                else:
+                    val = 0x7F
+                    i += 7
+            else:
+                take = min(8, len(b) - i)
+                val = 0
+                for j in range(take):
+                    val |= b[i + j] << j
+                i += take
+            skip_next = unstuff and (val & 0x7F) == 0x7F and val > 0x7F
+            unstuff = val > 0x8F
+            out.append(val)
+        return bytes(reversed(out))
+
+
+class MagRefReader:
+    """Backward LSB-first reader mirroring MagRefWriter; reads past
+    the available bytes return zero bits."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = len(data) - 1
+        self.acc = 0
+        self.nbits = 0
+        self.skip_next = False
+        self.unstuff = True
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= 0:
+                b = self.data[self.pos]
+                self.pos -= 1
+            else:
+                b = 0
+            start = 1 if self.skip_next else 0
+            special = self.unstuff and (b & 0x7F) == 0x7F
+            if special and b > 0x7F:          # 0xFF-form: 8th bit data
+                end = 8
+                self.skip_next = True
+            elif special:                      # 0x7F-form: bit 7 stuffed
+                end = 7
+                self.skip_next = False
+            else:
+                end = 8
+                self.skip_next = False
+            self.acc = (b >> start) & ((1 << (end - start)) - 1)
+            self.nbits = end - start
+            self.unstuff = b > 0x8F
+        v = self.acc & 1
+        self.acc >>= 1
+        self.nbits -= 1
+        return v
+
+
+def _sigprop_scan(w: int, h: int):
+    """(x, y) scan order of the SigProp/MagRef passes: stripes of 4
+    rows, columns left to right, top to bottom within a column."""
+    for ys in range(0, h, 4):
+        sh = min(4, h - ys)
+        for x in range(w):
+            for dy in range(sh):
+                yield x, ys + dy
+
+
+def _sigprop_groups(w: int, h: int):
+    """SigProp sample groups: four stripe columns per group, samples
+    column-major within the group."""
+    for ys in range(0, h, 4):
+        sh = min(4, h - ys)
+        for xb in range(0, w, 4):
+            group = []
+            for x in range(xb, min(xb + 4, w)):
+                for dy in range(sh):
+                    group.append((x, ys + dy))
+            yield group
+
+
+def encode_refinement(coef: np.ndarray, high: np.ndarray) -> bytes:
+    """Encode the SigProp + MagRef passes refining the cleanup-coded
+    `high` halves (T.814 clauses 7.4/7.5) to full precision `coef`
+    (pass planes p = 2: the refinement plane is bit 0)."""
+    coef = np.asarray(coef, np.int64)
+    high = np.asarray(high, np.int64)
+    h, w = coef.shape
+    sig0 = high != 0                       # significant after cleanup
+    low = (np.abs(coef) & 1).astype(np.int64)
+
+    sp = MagSgnWriter()                    # same forward packing rules
+    new_sig = np.zeros((h, w), bool)
+
+    def neighbor_sig(x, y):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < h and \
+                        (sig0[ny, nx] or new_sig[ny, nx]):
+                    return True
+        return False
+
+    # groups span FOUR stripe columns (pinned against the OpenJPEG 2.5
+    # HT decoder): each group codes its candidates' significance bits in
+    # column-major order (causal within the group), then the sign bits
+    # of the samples that just became significant
+    for group in _sigprop_groups(w, h):
+        grp_new = []
+        for (x, y) in group:
+            if sig0[y, x] or new_sig[y, x]:
+                continue
+            if not neighbor_sig(x, y):
+                continue
+            bit = int(low[y, x])
+            sp.bits(bit, 1)
+            if bit:
+                new_sig[y, x] = True
+                grp_new.append((x, y))
+        for (sx, sy) in grp_new:
+            sp.bits(1 if coef[sy, sx] < 0 else 0, 1)
+
+    mr = MagRefWriter()
+    for x, y in _sigprop_scan(w, h):
+        if sig0[y, x]:
+            mr.bit(int(low[y, x]))
+
+    return bytes(sp.flush()) + mr.pack()
+
+
+def decode_refinement(seg: bytes, high: np.ndarray, w: int,
+                      h: int) -> np.ndarray:
+    """Decode a SigProp + MagRef refinement segment against the
+    cleanup-decoded halves `high`; returns full-precision int32."""
+    high = np.asarray(high, np.int64)
+    sig0 = high != 0
+    sp = SigPropReader(seg)
+    out = 2 * np.abs(high)
+    sign = np.where(high < 0, -1, 1)
+    new_sig = np.zeros((h, w), bool)
+
+    def neighbor_sig(x, y):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < h and \
+                        (sig0[ny, nx] or new_sig[ny, nx]):
+                    return True
+        return False
+
+    for group in _sigprop_groups(w, h):
+        grp_new = []
+        for (x, y) in group:
+            if sig0[y, x] or new_sig[y, x]:
+                continue
+            if not neighbor_sig(x, y):
+                continue
+            if sp.bits(1):
+                new_sig[y, x] = True
+                grp_new.append((x, y))
+        for (sx, sy) in grp_new:
+            out[sy, sx] = 1
+            sign[sy, sx] = -1 if sp.bits(1) else 1
+
+    mr = MagRefReader(seg)
+    for x, y in _sigprop_scan(w, h):
+        if sig0[y, x]:
+            out[y, x] |= mr.bit()
+
+    return (sign * out).astype(np.int32)

@@ -75,6 +75,24 @@ class ImageGrid:
         return w.data()
 
 
+def _auto_device_grid(n_tiles: int) -> bool:
+    """Device-grid heuristic: on a TPU backend the batched wavefront
+    decode wins once the tile batch is large enough to fill the chip;
+    on CPU backends the threaded host engines win.  Override with
+    LIBHEIF_TPU_AUTO_DEVICE_GRID=0/1."""
+    import os
+    ov = os.environ.get("LIBHEIF_TPU_AUTO_DEVICE_GRID")
+    if ov is not None:
+        return ov not in ("0", "false", "")
+    if n_tiles < 16:
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:   # noqa: BLE001 — no jax, no device
+        return False
+
+
 @register_item("grid")
 class ImageItem_Grid(ImageItem):
     """(ref: ImageItem_Grid grid.h:77)."""
@@ -105,16 +123,20 @@ class ImageItem_Grid(ImageItem):
         # batched device fast path: all-hvc1 / all-av01 grids
         # reconstruct as ONE device program over the tile batch
         # (parallel/coded_grid.py — the TPU analog of the reference's
-        # thread pool, grid.cc:285)
+        # thread pool, grid.cc:285).  Heuristic: on a TPU backend, big
+        # grids go to the device automatically; small grids and CPU
+        # backends stay on the host thread pool.
         import os as _os
-        if options.prefer_device_grid or \
+        want_device = options.prefer_device_grid or _auto_device_grid(
+            len(tile_ids))
+        if want_device or \
                 _os.environ.get("LIBHEIF_TPU_HEVC_ENGINE") == "device":
             from ..parallel.coded_grid import try_batched_hevc_grid
             fast = try_batched_hevc_grid(self, grid, tile_ids, options,
                                          processed_ids)
             if fast is not None:
                 return fast
-        if options.prefer_device_grid or \
+        if want_device or \
                 _os.environ.get("LIBHEIF_TPU_AV1_ENGINE") == "device":
             from ..parallel.coded_grid import try_batched_av1_grid
             fast = try_batched_av1_grid(self, grid, tile_ids, options,
@@ -122,24 +144,55 @@ class ImageItem_Grid(ImageItem):
             if fast is not None:
                 return fast
 
-        out: Optional[PixelImage] = None
-        tile_w = tile_h = 0
+        # default host path: decode tiles on a thread pool (the native
+        # engines release the GIL, giving real parallelism — the analog
+        # of the reference's std::async fan-out, grid.cc:285-453), then
+        # compose in grid order
         n_total = len(tile_ids)
-        for idx, tid in enumerate(tile_ids):
-            ty, tx = divmod(idx, grid.columns)
-            if options.cancel is not None and options.cancel():
-                raise HeifError(code=12)  # Canceled
+        n_threads = options.max_decoding_threads
+        if n_threads is None:
+            n_threads = getattr(self.ctx, "max_decoding_threads", 4) or 1
+        n_threads = max(1, min(n_threads, _os.cpu_count() or 1, n_total))
+        # prefetch item objects serially: ctx.get_item lazily builds the
+        # item graph and is not thread-safe
+        items = []
+        for tid in tile_ids:
             try:
-                tile_item = self.ctx.get_item(tid)
-                tile_img = tile_item.decode_image(options, processed_ids)
+                items.append(self.ctx.get_item(tid))
             except HeifError as e:
-                # non-strict mode: skip missing tiles with a warning
-                # (ref: grid.cc:323-348)
                 if options.strict_decoding:
                     raise
-                if out is None:
-                    raise
-                out.add_warning(e)
+                items.append(e)
+
+        def _decode_one(it):
+            if isinstance(it, HeifError):
+                return it
+            if options.cancel is not None and options.cancel():
+                return HeifError(code=12)  # Canceled
+            try:
+                return it.decode_image(options, processed_ids)
+            except HeifError as e:
+                return e
+
+        if n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                results = list(ex.map(_decode_one, items))
+        else:
+            results = [_decode_one(it) for it in items]
+        if options.cancel is not None and options.cancel():
+            raise HeifError(code=12)
+
+        out: Optional[PixelImage] = None
+        tile_w = tile_h = 0
+        for idx, tile_img in enumerate(results):
+            ty, tx = divmod(idx, grid.columns)
+            if isinstance(tile_img, HeifError):
+                # non-strict mode: skip missing tiles with a warning
+                # (ref: grid.cc:323-348)
+                if options.strict_decoding or out is None:
+                    raise tile_img
+                out.add_warning(tile_img)
                 continue
             if out is None:
                 tile_w, tile_h = tile_img.width, tile_img.height

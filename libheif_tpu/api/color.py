@@ -123,3 +123,140 @@ def heif_image_handle_get_number_of_color_profiles(handle) -> int:
     if _colr(handle, "nclx") is not None:
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# HDR metadata on images and handles (ref: heif_color.h clli/mdcv/amve/
+# ndwt accessor families) and color-conversion options
+# ---------------------------------------------------------------------------
+
+from ..boxes.meta import Box_clli, Box_mdcv, Box_amve, Box_ndwt
+
+
+def _hdr_prop(handle, box_cls):
+    for p in handle.ctx.file.get_properties(handle.item_id):
+        if isinstance(p, box_cls):
+            return p
+    return None
+
+
+def heif_image_handle_has_content_light_level(handle) -> bool:
+    return _hdr_prop(handle, Box_clli) is not None
+
+
+def heif_image_handle_get_content_light_level(handle):
+    return _hdr_prop(handle, Box_clli)
+
+
+def heif_image_handle_set_content_light_level(handle, clli) -> None:
+    handle.ctx.file.add_property(handle.item_id, clli, essential=False)
+
+
+def heif_image_handle_has_mastering_display_colour_volume(handle) -> bool:
+    return _hdr_prop(handle, Box_mdcv) is not None
+
+
+def heif_image_handle_get_mastering_display_colour_volume(handle):
+    return _hdr_prop(handle, Box_mdcv)
+
+
+def heif_image_handle_set_mastering_display_colour_volume(handle,
+                                                          mdcv) -> None:
+    handle.ctx.file.add_property(handle.item_id, mdcv, essential=False)
+
+
+def heif_image_handle_has_ambient_viewing_environment(handle) -> bool:
+    return _hdr_prop(handle, Box_amve) is not None
+
+
+def heif_image_handle_get_ambient_viewing_environment(handle):
+    return _hdr_prop(handle, Box_amve)
+
+
+def heif_image_handle_set_ambient_viewing_environment(handle,
+                                                      amve) -> None:
+    handle.ctx.file.add_property(handle.item_id, amve, essential=False)
+
+
+def heif_image_handle_has_nominal_diffuse_white_luminance(handle) -> bool:
+    return _hdr_prop(handle, Box_ndwt) is not None
+
+
+def heif_image_handle_get_nominal_diffuse_white_luminance(handle) -> int:
+    p = _hdr_prop(handle, Box_ndwt)
+    return p.diffuse_white_luminance if p else 0
+
+
+def heif_image_handle_set_nominal_diffuse_white_luminance(
+        handle, luminance: int) -> None:
+    handle.ctx.file.add_property(handle.item_id, Box_ndwt(luminance),
+                                 essential=False)
+
+
+def heif_image_has_ambient_viewing_environment(img) -> bool:
+    return getattr(img, "amve", None) is not None
+
+
+def heif_image_get_ambient_viewing_environment(img):
+    return getattr(img, "amve", None)
+
+
+def heif_image_set_ambient_viewing_environment(img, amve) -> None:
+    img.amve = amve
+
+
+def heif_image_has_nominal_diffuse_white_luminance(img) -> bool:
+    return getattr(img, "ndwt", None) is not None
+
+
+def heif_image_get_nominal_diffuse_white_luminance(img) -> int:
+    return getattr(img, "ndwt", 0) or 0
+
+
+def heif_image_set_nominal_diffuse_white_luminance(img,
+                                                   luminance: int) -> None:
+    img.ndwt = int(luminance)
+
+
+def heif_mastering_display_colour_volume_decode(mdcv):
+    """Raw fixed-point mdcv -> floats in the units of CTA-861.3
+    (chromaticities x0.00002, luminances cd/m²; ref: heif_color.h
+    heif_decoded_mastering_display_colour_volume)."""
+    class decoded:
+        pass
+    d = decoded()
+    d.display_primaries_x = [px * 0.00002
+                             for (px, py) in mdcv.display_primaries]
+    d.display_primaries_y = [py * 0.00002
+                             for (px, py) in mdcv.display_primaries]
+    d.white_point_x = mdcv.white_point[0] * 0.00002
+    d.white_point_y = mdcv.white_point[1] * 0.00002
+    d.max_display_mastering_luminance = \
+        mdcv.max_display_mastering_luminance * 0.0001
+    d.min_display_mastering_luminance = \
+        mdcv.min_display_mastering_luminance * 0.0001
+    return d
+
+
+# color-conversion options (ref: heif_color.h
+# heif_color_conversion_options / _ext; the _ext alloc/copy/free trio is
+# C memory management — kept for API parity as plain object helpers)
+
+def heif_color_conversion_options_set_defaults(options) -> None:
+    options.preferred_chroma_downsampling_algorithm = "average"
+    options.preferred_chroma_upsampling_algorithm = "bilinear"
+    options.only_use_preferred_chroma_algorithm = False
+
+
+def heif_color_conversion_options_ext_alloc():
+    from ..color.ops import ColorConversionOptions
+    return ColorConversionOptions()
+
+
+def heif_color_conversion_options_ext_copy(options):
+    import copy
+    return copy.copy(options) if options is not None else None
+
+
+def heif_color_conversion_options_ext_free(options) -> None:
+    pass

@@ -224,3 +224,197 @@ def heif_item_get_property_pixel_aspect_ratio(ctx, item_id: int
                                                                   int]]:
     p = ctx.file.get_property(item_id, Box_pasp)
     return (p.h_spacing, p.v_spacing) if p else None
+
+
+# ---------------------------------------------------------------------------
+# Camera intrinsic/extrinsic matrices on image handles (ref:
+# heif_properties.h heif_image_handle_*_camera_* over Box_cmin/Box_cmex)
+# ---------------------------------------------------------------------------
+
+from ..boxes.meta import Box_cmin, Box_cmex
+
+
+def _handle_prop(handle, box_cls):
+    for p in handle.ctx.file.get_properties(handle.item_id):
+        if isinstance(p, box_cls):
+            return p
+    return None
+
+
+def heif_image_handle_has_camera_intrinsic_matrix(handle) -> bool:
+    return _handle_prop(handle, Box_cmin) is not None
+
+
+def heif_image_handle_get_camera_intrinsic_matrix(handle):
+    from .experimental import _decode_cmin
+    box = _handle_prop(handle, Box_cmin)
+    if box is None:
+        raise HeifError.usage(msg="no camera intrinsic matrix")
+    return _decode_cmin(box)
+
+
+def heif_image_handle_has_camera_extrinsic_matrix(handle) -> bool:
+    return _handle_prop(handle, Box_cmex) is not None
+
+
+def heif_image_handle_get_camera_extrinsic_matrix(handle):
+    from .experimental import _decode_cmex
+    box = _handle_prop(handle, Box_cmex)
+    if box is None:
+        raise HeifError.usage(msg="no camera extrinsic matrix")
+    return _decode_cmex(box)
+
+
+def heif_camera_extrinsic_matrix_get_rotation_matrix(matrix):
+    """3x3 rotation from the extrinsic orientation (ref:
+    heif_properties.cc rotation-matrix derivation from the unit
+    quaternion)."""
+    import math
+    qx, qy, qz = matrix.quaternion_xyz
+    sq = qx * qx + qy * qy + qz * qz
+    qw = math.sqrt(max(0.0, 1.0 - sq))
+    return [
+        1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+        2 * (qx * qz + qy * qw),
+        2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+        2 * (qy * qz - qx * qw),
+        2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+        1 - 2 * (qx * qx + qy * qy),
+    ]
+
+
+def heif_camera_extrinsic_matrix_release(matrix) -> None:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Sensor/image description properties on decoded images (ref:
+# heif_properties.h bayer/chroma-location/polarization/bad-pixels/NUC
+# families over the unci description boxes cpat/cloc/splz/sbpm/snuc)
+# ---------------------------------------------------------------------------
+
+def _img_desc(img):
+    from ..image.image_description import ImageDescription
+    if not hasattr(img, "_sensor_desc"):
+        img._sensor_desc = ImageDescription()
+    d = img._sensor_desc
+    for attr, init in (("bayer_pattern", None),
+                       ("polarization_patterns", []),
+                       ("sensor_bad_pixels_maps", []),
+                       ("sensor_nucs", []),
+                       ("chroma_location", None)):
+        if not hasattr(d, attr):
+            setattr(d, attr, list(init) if isinstance(init, list) else init)
+    return d
+
+
+def heif_image_set_bayer_pattern(img, pattern) -> None:
+    """pattern: Box_cpat or anything with pattern_width/height +
+    components (+ gains)."""
+    _img_desc(img).bayer_pattern = pattern
+
+
+def heif_image_get_bayer_pattern(img):
+    return _img_desc(img).bayer_pattern
+
+
+def heif_image_get_bayer_pattern_size(img):
+    p = _img_desc(img).bayer_pattern
+    return (p.pattern_width, p.pattern_height) if p else (0, 0)
+
+
+def heif_image_has_chroma_location(img) -> bool:
+    return _img_desc(img).chroma_location is not None
+
+
+def heif_image_get_chroma_location(img) -> int:
+    loc = _img_desc(img).chroma_location
+    return 0 if loc is None else loc
+
+
+def heif_image_set_chroma_location(img, loc: int) -> None:
+    if not 0 <= loc <= 6:
+        raise HeifError.usage(msg="chroma location must be 0..6")
+    _img_desc(img).chroma_location = loc
+
+
+def heif_polarization_angle_no_filter() -> float:
+    import struct
+    return struct.unpack(">f", b"\xff\xff\xff\xff")[0]
+
+
+def heif_polarization_angle_is_no_filter(angle: float) -> bool:
+    import math
+    return math.isnan(angle)
+
+
+def heif_image_add_polarization_pattern(img, pattern) -> None:
+    """pattern: Box_splz or object with component_ids,
+    pattern_width/height, polarization_angles."""
+    _img_desc(img).polarization_patterns.append(pattern)
+
+
+def heif_image_get_number_of_polarization_patterns(img) -> int:
+    return len(_img_desc(img).polarization_patterns)
+
+
+def heif_image_get_polarization_pattern_info(img, idx: int):
+    return _img_desc(img).polarization_patterns[idx]
+
+
+def heif_image_get_polarization_pattern_data(img, idx: int):
+    return list(_img_desc(img).polarization_patterns[idx]
+                .polarization_angles)
+
+
+def heif_image_get_polarization_pattern_index_for_component(
+        img, component_id: int) -> int:
+    for i, p in enumerate(_img_desc(img).polarization_patterns):
+        if not p.component_ids or component_id in p.component_ids:
+            return i
+    return -1
+
+
+def heif_image_add_sensor_bad_pixels_map(img, bpm) -> None:
+    _img_desc(img).sensor_bad_pixels_maps.append(bpm)
+
+
+def heif_image_get_number_of_sensor_bad_pixels_maps(img) -> int:
+    return len(_img_desc(img).sensor_bad_pixels_maps)
+
+
+def heif_image_get_sensor_bad_pixels_map_info(img, idx: int):
+    return _img_desc(img).sensor_bad_pixels_maps[idx]
+
+
+def heif_image_get_sensor_bad_pixels_map_data(img, idx: int):
+    m = _img_desc(img).sensor_bad_pixels_maps[idx]
+    return (list(m.bad_rows), list(m.bad_columns),
+            [(p.row, p.column) for p in m.bad_pixels])
+
+
+def heif_image_add_sensor_nuc(img, nuc) -> None:
+    _img_desc(img).sensor_nucs.append(nuc)
+
+
+def heif_image_get_number_of_sensor_nucs(img) -> int:
+    return len(_img_desc(img).sensor_nucs)
+
+
+def heif_image_get_sensor_nuc_info(img, idx: int):
+    return _img_desc(img).sensor_nucs[idx]
+
+
+def heif_image_get_sensor_nuc_data(img, idx: int):
+    n = _img_desc(img).sensor_nucs[idx]
+    return (list(n.nuc_gains), list(n.nuc_offsets))
+
+
+def heif_image_add_bayer_component(img, component_type: str) -> int:
+    """Mint a filter-array component of the given cmpd type (ref:
+    heif_properties.h:239); returns the new component id."""
+    from .components import _components, _Component
+    comps = _components(img)
+    cid = max(comps, default=-1) + 1
+    comps[cid] = _Component(cid, component_type)
+    return cid

@@ -126,6 +126,9 @@ _FUSED_FIXTURES = [
     "uncompressed_comp_YUV_420.heif",          # 4:2:0 sampling
     "uncompressed_comp_Y16U16V16_422.heif",    # 16-bit + 4:2:2
     "uncompressed_pix_YUV_tiled.heif",         # pixel-interleave YUV
+    "uncompressed_pix_B16R16G16_tiled.heif",   # 16-bit pixel interleave
+    "uncompressed_row_B16R16G16.heif",         # 16-bit row interleave
+    "uncompressed_row_YUV_tiled.heif",         # row-interleave YUV
 ]
 
 

@@ -117,9 +117,17 @@ def _extras(budget_s: float = 240.0) -> dict:
             extras[step.__name__ + "_error"] = type(e).__name__
     if left() > 120:
         try:
-            B.bench_grid_device(extras, n_tiles=16)
+            # host vs device coded-grid scaling + crossover; 256-tile
+            # program compiles once and is reused by the gigapixel row
+            counts = (16, 64, 256) if left() > 600 else (64,)
+            B.bench_grid_scaling(extras, counts=counts, budget_left=left)
         except Exception as e:   # noqa: BLE001
             extras["grid_error"] = type(e).__name__
+    if left() > 120:
+        try:
+            B.bench_gigapixel(extras, budget_left=left)
+        except Exception as e:   # noqa: BLE001
+            extras["gigapixel_error"] = type(e).__name__
     return extras
 
 

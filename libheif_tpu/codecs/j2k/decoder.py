@@ -49,8 +49,15 @@ def decode_codestream(data: bytes, max_layers: Optional[int] = None,
     planes are int32 (or float32 for irreversible) arrays, one per
     component, at full resolution, already level-shifted to unsigned
     range when the component is unsigned."""
-    cs = csm.parse_codestream(data)
-    return J2KDecoder(cs).decode(max_layers=max_layers), cs
+    try:
+        cs = csm.parse_codestream(data)
+        return J2KDecoder(cs).decode(max_layers=max_layers), cs
+    except (IndexError, ValueError, EOFError, KeyError) as e:
+        # truncated/corrupt codestreams must surface as decode errors,
+        # not raw container exceptions (ref: error propagation in
+        # jpeg2000_dec.cc)
+        raise HeifError.invalid_input(
+            msg=f"corrupt JPEG 2000 codestream: {type(e).__name__}")
 
 
 class J2KDecoder:
@@ -288,22 +295,42 @@ class J2KDecoder:
                             if cod.cbstyle & 0x40:
                                 from .htj2k import (decode_cleanup,
                                                     decode_refinement)
-                                p = mb - cb.zero_planes
-                                if cb.num_passes >= 3 and p == 2:
+                                # Mb - zp signals the pass-plane count p
+                                # (T.814): cleanup codes units of
+                                # 2^(p-1); SigProp/MagRef (passes 2-3)
+                                # refine plane p-2.  Foreign encoders
+                                # may use any p (ADVICE r3: accept
+                                # their conventions, not just ours).
+                                p = max(mb - cb.zero_planes, 1)
+                                if cb.num_passes >= 2 and p >= 2:
                                     s1 = getattr(cb, "ht_seg1",
                                                  len(cb.data))
                                     high = decode_cleanup(
                                         bytes(cb.data[:s1]), bw, bh,
-                                        mb - 1)
+                                        mb - (p - 1))
                                     coef = decode_refinement(
-                                        bytes(cb.data[s1:]), high, bw, bh)
-                                elif cb.num_passes == 1 and p <= 1:
+                                        bytes(cb.data[s1:]), high, bw,
+                                        bh,
+                                        magref=cb.num_passes >= 3)
+                                    coef = coef.astype(np.int64) \
+                                        << (p - 2)
+                                elif cb.num_passes == 1:
                                     coef = decode_cleanup(
-                                        bytes(cb.data), bw, bh, mb)
+                                        bytes(cb.data), bw, bh,
+                                        mb - (p - 1)).astype(np.int64)
+                                    coef = coef << (p - 1)
+                                    if p >= 2:
+                                        # midpoint reconstruction of
+                                        # the untransmitted planes
+                                        # (matches the OpenJPEG HT
+                                        # decoder's r=1/2 bias)
+                                        coef += np.sign(coef) * \
+                                            (1 << (p - 2))
                                 else:
                                     raise HeifError.invalid_input(
                                         msg="unsupported HT pass "
                                             "structure")
+                                coef = coef.astype(np.int32)
                             else:
                                 t1 = T1Decoder(bw, bh, band.orient)
                                 coef = t1.decode(bytes(cb.data),

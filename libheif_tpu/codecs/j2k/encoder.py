@@ -30,18 +30,23 @@ def encode_codestream(planes: List[np.ndarray], depth: int = 8,
                       quality: int = 100,
                       cb_exp: Tuple[int, int] = (6, 6),
                       htj2k: bool = False,
-                      ht_passes: int = 1) -> bytes:
+                      ht_passes: int = 1,
+                      ht_drop_planes: int = 0) -> bytes:
     enc = J2KEncoder(depth=depth, signed=signed, levels=levels,
                      reversible=reversible, mct=mct, quality=quality,
-                     cb_exp=cb_exp, htj2k=htj2k, ht_passes=ht_passes)
+                     cb_exp=cb_exp, htj2k=htj2k, ht_passes=ht_passes,
+                     ht_drop_planes=ht_drop_planes)
     return enc.encode(planes)
 
 
 class J2KEncoder:
     def __init__(self, depth=8, signed=False, levels=5, reversible=True,
                  mct=None, quality=100, cb_exp=(6, 6), htj2k=False,
-                 ht_passes=1):
+                 ht_passes=1, ht_drop_planes=0):
         self.ht_passes = ht_passes
+        # lossy cleanup-only mode: code floor(|v| / 2^k), signal
+        # p = k+1 (T.814 coarse pass-planes; foreign-convention check)
+        self.ht_drop_planes = ht_drop_planes
         self.depth = depth
         self.signed = signed
         self.levels = levels
@@ -59,6 +64,13 @@ class J2KEncoder:
         from .htj2k import (encode_cleanup, encode_refinement,
                             decode_refinement)
         sub = np.ascontiguousarray(sub)
+        if self.ht_drop_planes:
+            k = self.ht_drop_planes
+            coarse = (np.sign(sub) * (np.abs(sub) >> k)).astype(sub.dtype)
+            if not coarse.any():
+                return b"", 0, 0
+            data, _b = encode_cleanup(coarse)
+            return data, 1, k + 1
         if self.ht_passes == 3:
             a = np.abs(sub)
             high = (np.sign(sub) * (a >> 1)).astype(sub.dtype)

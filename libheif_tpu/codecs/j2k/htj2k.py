@@ -809,7 +809,7 @@ def encode_refinement(coef: np.ndarray, high: np.ndarray) -> bytes:
 
 
 def decode_refinement(seg: bytes, high: np.ndarray, w: int,
-                      h: int) -> np.ndarray:
+                      h: int, magref: bool = True) -> np.ndarray:
     """Decode a SigProp + MagRef refinement segment against the
     cleanup-decoded halves `high`; returns full-precision int32."""
     high = np.asarray(high, np.int64)
@@ -844,9 +844,10 @@ def decode_refinement(seg: bytes, high: np.ndarray, w: int,
             out[sy, sx] = 1
             sign[sy, sx] = -1 if sp.bits(1) else 1
 
-    mr = MagRefReader(seg)
-    for x, y in _sigprop_scan(w, h):
-        if sig0[y, x]:
-            out[y, x] |= mr.bit()
+    if magref:                   # absent when only 2 passes were coded
+        mr = MagRefReader(seg)
+        for x, y in _sigprop_scan(w, h):
+            if sig0[y, x]:
+                out[y, x] |= mr.bit()
 
     return (sign * out).astype(np.int32)

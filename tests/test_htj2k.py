@@ -304,3 +304,20 @@ class TestHTRefinementPasses:
         data = encode_codestream([img], depth=8, levels=3,
                                  reversible=True, htj2k=True, ht_passes=3)
         assert (_opj_decode(data) == img).all()
+
+    def test_opj_oracle_coarse_plane_convention(self):
+        """Cleanup-only streams at p>1 (foreign zero-bit-plane
+        conventions, ADVICE r3) decode with the same midpoint
+        reconstruction as OpenJPEG."""
+        rng = np.random.default_rng(3)
+        for k in (1, 2, 3):
+            h, w = [int(v) for v in rng.integers(4, 33, 2)]
+            img = rng.integers(0, 256, (h, w)).astype(np.int32)
+            cs = encode_codestream([img], depth=8, levels=0,
+                                   reversible=True, htj2k=True,
+                                   ht_drop_planes=k)
+            mine, _ = decode_codestream(cs)
+            ref = np.asarray(_opj_decode(cs), np.int64)
+            np.testing.assert_array_equal(ref,
+                                          np.clip(mine[0], 0, 255),
+                                          err_msg=f"drop_planes={k}")

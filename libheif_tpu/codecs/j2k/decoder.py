@@ -269,6 +269,7 @@ class J2KDecoder:
         guard = qs.guard
         n = cod.levels
         band_arrays = {}
+        jobs = []          # (cb, bw, bh, mb, orient, delta, arr)
         for res in res_list:
             for band in res.bands:
                 w, h = band.w, band.h
@@ -291,61 +292,66 @@ class J2KDecoder:
                         for cb in pr.cblks:
                             if cb.num_passes == 0:
                                 continue
-                            bw, bh = cb.x1 - cb.x0, cb.y1 - cb.y0
-                            if cod.cbstyle & 0x40:
-                                from .htj2k import (decode_cleanup,
-                                                    decode_refinement)
-                                # Mb - zp signals the pass-plane count p
-                                # (T.814): cleanup codes units of
-                                # 2^(p-1); SigProp/MagRef (passes 2-3)
-                                # refine plane p-2.  Foreign encoders
-                                # may use any p (ADVICE r3: accept
-                                # their conventions, not just ours).
-                                p = max(mb - cb.zero_planes, 1)
-                                if cb.num_passes >= 2 and p >= 2:
-                                    s1 = getattr(cb, "ht_seg1",
-                                                 len(cb.data))
-                                    high = decode_cleanup(
-                                        bytes(cb.data[:s1]), bw, bh,
-                                        mb - (p - 1))
-                                    coef = decode_refinement(
-                                        bytes(cb.data[s1:]), high, bw,
-                                        bh,
-                                        magref=cb.num_passes >= 3)
-                                    coef = coef.astype(np.int64) \
-                                        << (p - 2)
-                                elif cb.num_passes == 1:
-                                    coef = decode_cleanup(
-                                        bytes(cb.data), bw, bh,
-                                        mb - (p - 1)).astype(np.int64)
-                                    coef = coef << (p - 1)
-                                    if p >= 2:
-                                        # midpoint reconstruction of
-                                        # the untransmitted planes
-                                        # (matches the OpenJPEG HT
-                                        # decoder's r=1/2 bias)
-                                        coef += np.sign(coef) * \
-                                            (1 << (p - 2))
-                                else:
-                                    raise HeifError.invalid_input(
-                                        msg="unsupported HT pass "
-                                            "structure")
-                                coef = coef.astype(np.int32)
-                            else:
-                                t1 = T1Decoder(bw, bh, band.orient)
-                                coef = t1.decode(bytes(cb.data),
-                                                 cb.num_passes,
-                                                 mb, cb.zero_planes)
-                            sub = coef.astype(arr.dtype)
-                            if not reversible:
-                                # midpoint reconstruction: (m + ½)·Δ
-                                sub = np.where(
-                                    sub > 0, (sub + 0.5) * delta,
-                                    np.where(sub < 0, (sub - 0.5) * delta,
-                                             0.0))
-                            arr[cb.y0 - band.y0:cb.y1 - band.y0,
-                                cb.x0 - band.x0:cb.x1 - band.x0] = sub
+                            jobs.append((cb, cb.x1 - cb.x0,
+                                         cb.y1 - cb.y0, mb, band.orient,
+                                         delta, arr, band.x0, band.y0))
                 band_arrays[(res.r, band.orient)] = arr
+
+        def _decode_cb(job):
+            cb, bw, bh, mb, orient, delta, arr, bx0, by0 = job
+            if cod.cbstyle & 0x40:
+                from .htj2k import decode_cleanup, decode_refinement
+                # Mb - zp signals the pass-plane count p (T.814):
+                # cleanup codes units of 2^(p-1); SigProp/MagRef
+                # (passes 2-3) refine plane p-2.  Foreign encoders may
+                # use any p (ADVICE r3: accept their conventions).
+                p = max(mb - cb.zero_planes, 1)
+                if cb.num_passes >= 2 and p >= 2:
+                    s1 = getattr(cb, "ht_seg1", len(cb.data))
+                    high = decode_cleanup(bytes(cb.data[:s1]), bw, bh,
+                                          mb - (p - 1))
+                    coef = decode_refinement(bytes(cb.data[s1:]), high,
+                                             bw, bh,
+                                             magref=cb.num_passes >= 3)
+                    coef = coef.astype(np.int64) << (p - 2)
+                elif cb.num_passes == 1:
+                    coef = decode_cleanup(bytes(cb.data), bw, bh,
+                                          mb - (p - 1)).astype(np.int64)
+                    coef = coef << (p - 1)
+                    if p >= 2:
+                        # midpoint reconstruction of the untransmitted
+                        # planes (matches the OpenJPEG HT decoder)
+                        coef += np.sign(coef) * (1 << (p - 2))
+                else:
+                    raise HeifError.invalid_input(
+                        msg="unsupported HT pass structure")
+                return coef.astype(np.int32)
+            t1 = T1Decoder(bw, bh, orient)
+            return t1.decode(bytes(cb.data), cb.num_passes, mb,
+                             cb.zero_planes)
+
+        # the native T1 engine releases the GIL, so code-blocks decode
+        # in parallel on a small pool (the OpenJPEG T1 thread pool
+        # analog, opj_thread_pool in opj_t1.c)
+        import os
+        if len(jobs) > 3 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(
+                    os.cpu_count() or 1, 8)) as ex:
+                coefs = list(ex.map(_decode_cb, jobs))
+        else:
+            coefs = [_decode_cb(j) for j in jobs]
+
+        for (cb, bw, bh, mb, orient, delta, arr, bx0,
+             by0), coef in zip(jobs, coefs):
+            sub = coef.astype(arr.dtype)
+            if not reversible:
+                # midpoint reconstruction: (m + 1/2) * delta
+                sub = np.where(sub > 0, (sub + 0.5) * delta,
+                               np.where(sub < 0, (sub - 0.5) * delta,
+                                        0.0))
+            arr[cb.y0 - by0:cb.y1 - by0, cb.x0 - bx0:cb.x1 - bx0] = sub
+
         # multi-level synthesis
         ll = band_arrays[(0, 0)]
         for r in range(1, n + 1):

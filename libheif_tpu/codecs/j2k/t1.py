@@ -117,13 +117,45 @@ def _stripe_iter(w: int, h: int):
             yield k0, x
 
 
+def _t1_native_lib():
+    import os
+    if os.environ.get("TPUHEIF_J2K_NATIVE", "1") == "0":
+        return None
+    from ... import native
+    import ctypes
+    lib = native.get_lib()
+    if lib is not None:
+        lib.tpuheif_j2k_t1_decode.restype = ctypes.c_int
+        lib.tpuheif_j2k_t1_encode.restype = ctypes.c_int
+    return lib
+
+
 class T1Decoder(_BlockState):
-    """Decode one code-block's coding passes → signed magnitudes."""
+    """Decode one code-block's coding passes → signed magnitudes.
+
+    Dispatches to the native MQ/T1 engine (native/src/j2k_t1.cc) when
+    available; this Python path is the conformance anchor the native
+    engine is difftested against."""
 
     def decode(self, data: bytes, num_passes: int, mb: int,
                zero_planes: int) -> np.ndarray:
         """mb = max bit-planes (guard + exponent - 1); returns int32
         (h, w) array of sign*magnitude in fixed point (integer)."""
+        lib = _t1_native_lib()
+        if lib is not None and self.w <= 4096 and self.h <= 4096:
+            import ctypes
+            buf = np.frombuffer(bytes(data), np.uint8) if data \
+                else np.zeros(1, np.uint8)
+            out = np.empty((self.h, self.w), np.int32)
+            rc = lib.tpuheif_j2k_t1_decode(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(len(data)), ctypes.c_int32(num_passes),
+                ctypes.c_int32(mb), ctypes.c_int32(zero_planes),
+                ctypes.c_int32(self.w), ctypes.c_int32(self.h),
+                ctypes.c_int32(self.orient),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc == 0:
+                return out
         nplanes = mb - zero_planes
         if nplanes <= 0 or num_passes <= 0:
             return self.mag.astype(np.int32)
@@ -230,6 +262,27 @@ class T1Encoder(_BlockState):
     def encode(self, coeffs: np.ndarray) -> Tuple[bytes, int, int]:
         h, w = coeffs.shape
         assert (h, w) == (self.h, self.w)
+        lib = _t1_native_lib()
+        if lib is not None and w <= 4096 and h <= 4096:
+            import ctypes
+            src = np.ascontiguousarray(coeffs, np.int32)
+            cap = 4 * w * h + 1024
+            out = np.empty(cap, np.uint8)
+            out_len = np.zeros(1, np.int64)
+            np_ = np.zeros(1, np.int32)
+            npl = np.zeros(1, np.int32)
+            rc = lib.tpuheif_j2k_t1_encode(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int32(w), ctypes.c_int32(h),
+                ctypes.c_int32(self.orient),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(cap),
+                out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                np_.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                npl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc == 0:
+                return (out[:int(out_len[0])].tobytes(), int(np_[0]),
+                        int(npl[0]))
         mags = np.abs(coeffs.astype(np.int64))
         self._src_sign = np.where(coeffs < 0, -1, 1).astype(np.int8)
         self._src_mag = mags

@@ -216,3 +216,34 @@ class TestHeifIntegration:
         assert j2kh is not None
         cdef = j2kh.get_child(Box_cdef)
         assert cdef.channels == [(0, 0, 1), (1, 0, 2), (2, 0, 3)]
+
+
+class TestNativeT1:
+    """Native MQ/EBCOT tier-1 engine (native/src/j2k_t1.cc) must match
+    the Python anchor bit-for-bit, both directions, incl. truncated
+    pass counts."""
+
+    def test_native_matches_python(self, monkeypatch):
+        from libheif_tpu.codecs.j2k.t1 import T1Decoder, T1Encoder
+        from libheif_tpu.native import get_lib
+        if get_lib() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(11)
+        for _ in range(12):
+            h, w = [int(v) for v in rng.integers(1, 65, 2)]
+            orient = int(rng.integers(0, 4))
+            coeffs = rng.integers(-500, 501, (h, w)).astype(np.int32)
+            monkeypatch.setenv("TPUHEIF_J2K_NATIVE", "0")
+            d_py, np_py, npl = T1Encoder(w, h, orient).encode(coeffs)
+            monkeypatch.setenv("TPUHEIF_J2K_NATIVE", "1")
+            d_nat, np_nat, npl_n = T1Encoder(w, h, orient).encode(coeffs)
+            assert (d_py, np_py, npl) == (d_nat, np_nat, npl_n)
+            mb = npl + 2
+            for npass in (np_py, max(1, np_py - 2)):
+                monkeypatch.setenv("TPUHEIF_J2K_NATIVE", "0")
+                r_py = T1Decoder(w, h, orient).decode(d_py, npass, mb,
+                                                      mb - npl)
+                monkeypatch.setenv("TPUHEIF_J2K_NATIVE", "1")
+                r_nat = T1Decoder(w, h, orient).decode(d_py, npass, mb,
+                                                       mb - npl)
+                np.testing.assert_array_equal(r_py, r_nat)

@@ -449,25 +449,51 @@ class JpegParser:
 
 # ------------------------------------------------------------------ recon
 
+_RECON_JIT = {}
+
+
+def _recon_program(bh: int, bw: int, backend: str):
+    """Compiled dequant + de-zigzag + batched islow IDCT + reassembly
+    for one block grid (cached per shape; CPU backend for single-image
+    host decode so dispatch isn\'t relay-latency-bound, device backend
+    available for batched pipelines)."""
+    key = (bh, bw, backend)
+    fn = _RECON_JIT.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from .idct import idct8x8_islow
+
+        zz = np.asarray(ZIGZAG)
+
+        def run(coeffs, quant):
+            nb = bh * bw
+            dq = jnp.zeros((nb, 64), jnp.int32)
+            dq = dq.at[:, zz].set(coeffs.astype(jnp.int32) *
+                                  quant[zz][None, :])
+            blocks = idct8x8_islow(dq.reshape(nb, 8, 8))
+            plane = blocks.reshape(bh, bw, 8, 8).transpose(
+                0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            return plane.astype(jnp.uint8)
+
+        device = jax.local_devices(backend=backend)[0]
+        fn = jax.jit(run, device=device)
+        _RECON_JIT[key] = fn
+    return fn
+
+
 def reconstruct_component(comp: JpegComponent, quant: np.ndarray):
     """coeffs (N,64 zigzag) → (blocks_h*8, blocks_w*8) uint8 plane.
 
-    One jnp program: dequant + de-zigzag + batched islow IDCT + tile
-    reassembly (all blocks of the component at once).
-    """
-    import jax.numpy as jnp
-    from .idct import idct8x8_islow
-
-    nb = comp.coeffs.shape[0]
-    zz = jnp.asarray(ZIGZAG)
-    dq = jnp.zeros((nb, 64), jnp.int32)
-    dq = dq.at[:, zz].set(jnp.asarray(comp.coeffs, jnp.int32) *
-                          jnp.asarray(quant)[zz][None, :])
-    blocks = idct8x8_islow(dq.reshape(nb, 8, 8))
-    bh, bw = comp.blocks_h, comp.blocks_w
-    plane = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
-        bh * 8, bw * 8)
-    return plane.astype(jnp.uint8)
+    One COMPILED jnp program: dequant + de-zigzag + batched islow IDCT
+    + tile reassembly (all blocks of the component at once)."""
+    import os
+    backend = os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "cpu")
+    try:
+        fn = _recon_program(comp.blocks_h, comp.blocks_w, backend)
+    except RuntimeError:
+        fn = _recon_program(comp.blocks_h, comp.blocks_w, None)
+    return np.asarray(fn(comp.coeffs, np.asarray(quant)))
 
 
 def decode_jpeg(data: bytes) -> PixelImage:

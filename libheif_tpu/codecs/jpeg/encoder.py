@@ -39,10 +39,42 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
         -1, 8, 8)
 
 
+_FQ_JIT = {}
+
+
+def _fdct_quant_program(nb: int):
+    """Compiled FDCT + quantize for one block count (CPU backend for
+    host encode: dispatch-latency-free; see decoder._recon_program)."""
+    import os
+    backend = os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "cpu")
+    key = (nb, backend)
+    fn = _FQ_JIT.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from .idct import fdct8x8_islow
+        zz = np.asarray(ZIGZAG)
+
+        def run(blocks, quant):
+            coeffs = fdct8x8_islow(blocks)
+            q8 = quant.astype(jnp.int32).reshape(1, 8, 8) * 8
+            mag = (jnp.abs(coeffs) + (q8 >> 1)) // q8
+            out = jnp.where(coeffs < 0, -mag, mag).reshape(-1, 64)
+            return out.astype(jnp.int16)[:, zz]
+
+        try:
+            device = jax.local_devices(backend=backend)[0]
+        except RuntimeError:
+            device = None
+        fn = jax.jit(run, device=device)
+        _FQ_JIT[key] = fn
+    return fn
+
+
 def _quantize(coeffs, quant: np.ndarray):
     """fdct output (×8 scale) → quantized zigzag coeffs (N, 64) int16.
 
-    Symmetric round-half-away division by 8*Q, batched on device.
+    Symmetric round-half-away division by 8*Q, batched.
     """
     import jax.numpy as jnp
     q8 = jnp.asarray(quant, jnp.int32).reshape(1, 8, 8) * 8
@@ -121,9 +153,9 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
         bh = mcus_h * sv
         plane = _pad_to(plane, bh * 8, bw * 8)
         blocks = _blocks_of(plane.astype(np.int32) - 128)
-        coeffs = fdct8x8_islow(jnp.asarray(blocks))
         quant = luma_q if i == 0 else chroma_q
-        zz = _quantize(coeffs, quant)
+        zz = np.asarray(_fdct_quant_program(blocks.shape[0])(
+            blocks, np.asarray(quant)))
         plans.append(_CompPlan(
             comp_id=i + 1, h=sh, v=sv, tq=0 if i == 0 else 1,
             dc_table=dc_l if i == 0 else dc_c,

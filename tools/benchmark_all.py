@@ -57,8 +57,8 @@ def bench_heic_decode(results, skip_device=False):
     # host native engine
     decode_intra_picture(sps, pps, slices, engine="native")  # warm
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(6):       # threaded engine: more reps ride out
+        t0 = time.perf_counter()          # scheduler jitter
         decode_intra_picture(sps, pps, slices, engine="native")
         best = min(best, time.perf_counter() - t0)
     results["heic_decode_native_mps"] = round(mp / best, 2)
@@ -125,8 +125,8 @@ def bench_avif_decode(results):
     obus = ctx.items[pid].coded_data()
     decode_intra_frame(obus, engine="native")  # warm
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(6):       # threaded engine: more reps ride out
+        t0 = time.perf_counter()          # scheduler jitter
         decode_intra_frame(obus, engine="native")
         best = min(best, time.perf_counter() - t0)
     results["avif_decode_native_mps"] = round(mp / best, 2)

@@ -322,8 +322,8 @@ def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     ], dtype=np.int32)
 
     t = _get_recon_tables()
-    y = np.zeros((sps.pic_height, sps.pic_width), np.int32)
-    cb = np.zeros((sps.pic_height >> 1, sps.pic_width >> 1), np.int32)
+    y = np.zeros((sps.pic_height, sps.pic_width), np.uint16)
+    cb = np.zeros((sps.pic_height >> 1, sps.pic_width >> 1), np.uint16)
     cr = np.zeros_like(cb)
     err = ctypes.create_string_buffer(200)
 
@@ -346,8 +346,8 @@ def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
         ptr(t["beta"], ctypes.c_int32), ptr(t["tc"], ctypes.c_int32),
         ptr(t["pred_angle"], ctypes.c_int32),
         ptr(t["inv_angle"], ctypes.c_int32),
-        ptr(y, ctypes.c_int32), ptr(cb, ctypes.c_int32),
-        ptr(cr, ctypes.c_int32),
+        ptr(y, ctypes.c_uint16), ptr(cb, ctypes.c_uint16),
+        ptr(cr, ctypes.c_uint16),
         ctypes.c_int32(1), err, ctypes.c_int32(len(err)),
         ptr(progress[0], ctypes.c_int64) if progress else None,
         ptr(progress[1], ctypes.c_int64) if progress else None,

@@ -602,10 +602,12 @@ static void upsample_edge(const i64* buf, int n, int bit_depth, i64* out,
 
 // Plane view: int32 data with row stride.
 struct PlaneView {
-  i32* data;
+  // 8-bit engine: pixels live in u16 planes (halved bandwidth, wider
+  // SIMD lanes in the filters); arithmetic happens in int registers
+  u16* data;
   int w, h, stride;
   i64 at(int y, int x) const { return data[(i64)y * stride + x]; }
-  void set(int y, int x, i64 v) { data[(i64)y * stride + x] = (i32)v; }
+  void set(int y, int x, i64 v) { data[(i64)y * stride + x] = (u16)v; }
 };
 
 // predict a (h, w) block at (x, y); out is row-major h*w i64
@@ -1662,7 +1664,7 @@ struct FrameCtx {
   i64 mi_total;
   // planes: 0=Y (padded mi area), 1=U, 2=V
   PlaneView planes[3];
-  std::vector<i32> plane_buf[3];
+  std::vector<u16> plane_buf[3];
   // frame-lifetime maps (mi granularity)
   std::vector<i32> y_modes, uv_modes, skip_map, pal_y_flag, tx_wide, tx_high;
   std::vector<i32> cdef_idx;
@@ -3162,7 +3164,7 @@ static i64 cdef_constrain(i64 diff, i64 threshold, int damping) {
   return diff < 0 ? -v : v;
 }
 
-static void cdef_filter_block(i32* dst, int dstride, const u16* pad,
+static void cdef_filter_block(u16* dst, int dstride, const u16* pad,
                               int pstride, int y0, int x0, int h, int w,
                               i64 pri, i64 sec, int damping, int dir,
                               int coeff_shift) {
@@ -3226,10 +3228,10 @@ static void cdef_filter_block(i32* dst, int dstride, const u16* pad,
         mnr[j] = valid && pv < mnr[j] ? pv : mnr[j];
       }
     }
-    i32* drow = dst + (i64)(y0 + dy) * dstride + x0;
+    u16* drow = dst + (i64)(y0 + dy) * dstride + x0;
     for (int j = 0; j < w; j++) {
       i32 v = xr[j] + ((8 + sr[j] - (sr[j] < 0 ? 1 : 0)) >> 4);
-      drow[j] = std::max(mnr[j], std::min(mxr[j], v));
+      drow[j] = (u16)std::max(mnr[j], std::min(mxr[j], v));
     }
   }
 }
@@ -3255,10 +3257,10 @@ static void build_pad_snapshot(FrameCtx& ctx, PadSnap* out) {
     int fw = ctx.planes[pl].w, fh = ctx.planes[pl].h;
     out->stride[pl] = fw + 4;
     out->buf[pl].assign((i64)(fh + 4) * (fw + 4), CDEF_VERY_LARGE);
-    const i32* src = ctx.planes[pl].data;
+    const u16* src = ctx.planes[pl].data;
     for (int y = 0; y < ph; y++) {
       u16* dr = out->buf[pl].data() + (i64)(y + 2) * out->stride[pl] + 2;
-      const i32* sr = src + (i64)y * fw;
+      const u16* sr = src + (i64)y * fw;
       for (int x = 0; x < pw; x++) dr[x] = (u16)sr[x];
     }
   };
@@ -3401,7 +3403,7 @@ static void lr_gather(const u16* cdef_p, const u16* deblk_p, int stride,
 
 static void wiener_filter(const i64* pad, int ow, int w, int h,
                           const i32* vcoeff, const i32* hcoeff, int bd,
-                          i32* out, int ostride) {
+                          u16* out, int ostride) {
   i64 hf[7], vf[7];
   {
     i64 w0 = hcoeff[0], w1 = hcoeff[1], w2 = hcoeff[2];
@@ -3432,7 +3434,7 @@ static void wiener_filter(const i64* pad, int ow, int w, int h,
       i64 s = 0;
       for (int t = 0; t < 7; t++) s += vf[t] * inter[(i64)(t + i) * w + j];
       s = (s + (1 << (inter_round1 - 1))) >> inter_round1;
-      out[(i64)i * ostride + j] = (i32)clampi(s, 0, maxv);
+      out[(i64)i * ostride + j] = (u16)clampi(s, 0, maxv);
     }
 }
 
@@ -3556,7 +3558,7 @@ static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
 }
 
 static void sgrproj_filter(const i64* pad, int ow, int w, int h,
-                           int sgr_set, const i32* xqd, int bd, i32* out,
+                           int sgr_set, const i32* xqd, int bd, u16* out,
                            int ostride) {
   int r0 = SGR_PARAMS_T[sgr_set][0];
   int r1 = SGR_PARAMS_T[sgr_set][2];
@@ -3589,7 +3591,7 @@ static void sgrproj_filter(const i64* pad, int ow, int w, int h,
               w2 * flt1[(i64)i * w + j];
       i64 s = (v + ((i64)1 << (SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS - 1)))
               >> (SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS);
-      out[(i64)i * ostride + j] = (i32)clampi(s, 0, maxv);
+      out[(i64)i * ostride + j] = (u16)clampi(s, 0, maxv);
     }
 }
 
@@ -3646,7 +3648,7 @@ static void apply_lr(FrameCtx& ctx, const PadSnap* cdef_snap,
           std::vector<i64> pad((i64)(h + 6) * ow);
           lr_gather(cdef_p, deblk_p, pad_stride, ux0, ux1, y, h, ss_start,
                     ss_end, plane_w, plane_h, pad.data(), ow);
-          i32* outp = ctx.planes[plane].data + (i64)y * stride + ux0;
+          u16* outp = ctx.planes[plane].data + (i64)y * stride + ux0;
           if (unit_type == 2) {
             const i32* wn = &ctx.lr_wiener[plane][ui * 6];
             wiener_filter(pad.data(), ow, w, h, wn, wn + 3, bd, outp,
@@ -3715,7 +3717,7 @@ static void merge_tile_worker(FrameCtx* a, FrameCtx* b,
       for (int y = y0; y < y1; y++)
         memcpy(a->plane_buf[pl].data() + (i64)y * stride + x0,
                b->plane_buf[pl].data() + (i64)y * stride + x0,
-               (size_t)(x1 - x0) * sizeof(i32));
+               (size_t)(x1 - x0) * sizeof(u16));
       int gw = a->egw[pl];
       int gx0 = x0 >> 2, gx1 = std::min((x1 + 3) >> 2, gw);
       int gy0 = y0 >> 2, gy1 = std::min((y1 + 3) >> 2, a->egh[pl]);
@@ -3877,7 +3879,7 @@ extern "C" int tpuheif_av1_decode_frame(
   {
     unsigned char* outs[3] = {y_out, u_out, v_out};
     for (int pl = 0; pl < ctx->num_planes; pl++) {
-      const i32* src = ctx->plane_buf[pl].data();
+      const u16* src = ctx->plane_buf[pl].data();
       unsigned char* dst = outs[pl];
       i64 n = (i64)ctx->plane_buf[pl].size();
       for (i64 i = 0; i < n; i++) dst[i] = (unsigned char)src[i];

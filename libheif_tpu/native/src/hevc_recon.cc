@@ -67,7 +67,9 @@ struct Recon {
   const int32_t *dst4, *dct[6];  // dct[2..5] = 4..32
   const int32_t *beta_table, *tc_table;
   const int32_t *pred_angle, *inv_angle;  // indexed by mode 0..34
-  int32_t* planes[3];
+  // 8-bit engine: pixel planes are u16 (halved bandwidth, wider SIMD
+  // lanes in deblock/SAO); arithmetic stays in int registers
+  uint16_t* planes[3];
   int w, h, cw, ch, bd;
 
   std::vector<uint8_t> avail;  // recon z-order availability, 4x4 luma
@@ -172,7 +174,7 @@ struct Recon {
     int shift = c_idx ? 1 : 0;
     int px = c_idx ? (m[0] >> shift) : m[0];
     int py = c_idx ? (m[1] >> shift) : m[1];
-    const int32_t* plane = planes[c_idx];
+    const uint16_t* plane = planes[c_idx];
     int pw = c_idx ? cw : w, ph = c_idx ? ch : h;
 
     int total = 4 * n + 1;
@@ -370,7 +372,7 @@ struct Recon {
         residual(m, res);
         for (int i = 0; i < n * n; i++) pred[i] += res[i];
       }
-      int32_t* plane = planes[c_idx];
+      uint16_t* plane = planes[c_idx];
       int pw = c_idx ? cw : w, ph = c_idx ? ch : h;
       int hh = n < ph - py ? n : ph - py;
       int ww = n < pw - px ? n : pw - px;
@@ -411,7 +413,7 @@ struct Recon {
   }
 
   void luma_pass(bool vertical) {
-    int32_t* plane = planes[0];
+    uint16_t* plane = planes[0];
     int maxv = (1 << bd) - 1;
     int edge_end = vertical ? w : h;
     int seg_end = vertical ? h : w;
@@ -523,7 +525,7 @@ struct Recon {
 
   void chroma_pass(bool vertical) {
     for (int c_idx = 1; c_idx <= 2; c_idx++) {
-      int32_t* plane = planes[c_idx];
+      uint16_t* plane = planes[c_idx];
       int maxv = (1 << P[R_BIT_DEPTH_CHROMA]) - 1;
       int off = c_idx == 1 ? P[R_PPS_CB_QP_OFFSET] : P[R_PPS_CR_QP_OFFSET];
       int edge_end = vertical ? cw : ch;
@@ -585,7 +587,7 @@ struct Recon {
       int shift = c_idx == 0 ? 0 : 1;
       int pw = c_idx ? cw : w, ph = c_idx ? ch : h;
       int maxv = (1 << bd) - 1;
-      int32_t* plane = planes[c_idx];
+      uint16_t* plane = planes[c_idx];
       std::vector<int32_t> src(plane, plane + (int64_t)pw * ph);
 
       for (int cy = 0; cy < n_ctb_rows; cy++) {
@@ -606,10 +608,10 @@ struct Recon {
             int sh5 = bd - 5;
             for (int y = y0; y < y1; y++) {
               const int32_t* sr = src.data() + (int64_t)y * pw;
-              int32_t* dr = plane + (int64_t)y * pw;
+              uint16_t* dr = plane + (int64_t)y * pw;
               for (int x = x0; x < x1; x++) {
                 int v = sr[x];
-                dr[x] = clip3(0, maxv, v + bofs[(v >> sh5) & 31]);
+                dr[x] = (uint16_t)clip3(0, maxv, v + bofs[(v >> sh5) & 31]);
               }
             }
           } else {       // edge
@@ -633,23 +635,23 @@ struct Recon {
               const int32_t* sr = src.data() + (int64_t)y * pw;
               const int32_t* s1 = sr + (int64_t)dy0 * pw + dx0;
               const int32_t* s2 = sr + (int64_t)dy1 * pw + dx1;
-              int32_t* dr = plane + (int64_t)y * pw;
+              uint16_t* dr = plane + (int64_t)y * pw;
               bool row_in = (y >= ys0 && y < ys1);
               if (row_in) {
                 for (int x = gx0; x < gx1; x++) {
                   int v = sr[x];
                   int e_idx = 2 + ((v > s1[x]) - (v < s1[x])) +
                               ((v > s2[x]) - (v < s2[x]));
-                  dr[x] = clip3(0, maxv, v + eofs[e_idx]);
+                  dr[x] = (uint16_t)clip3(0, maxv, v + eofs[e_idx]);
                 }
               }
               // untouched border columns/rows just copy through
               int cxa = row_in ? gx0 : x1;
               for (int x = x0; x < cxa; x++)
-                dr[x] = clip3(0, maxv, sr[x]);
+                dr[x] = (uint16_t)clip3(0, maxv, sr[x]);
               int cxb = row_in ? gx1 : x1;
               for (int x = cxb; x < x1; x++)
-                dr[x] = clip3(0, maxv, sr[x]);
+                dr[x] = (uint16_t)clip3(0, maxv, sr[x]);
             }
           }
         }
@@ -736,8 +738,9 @@ int tpuheif_hevc_recon(
     const int16_t* sao_buf, const int32_t* dst4, const int32_t* dct4,
     const int32_t* dct8, const int32_t* dct16, const int32_t* dct32,
     const int32_t* beta_table, const int32_t* tc_table,
-    const int32_t* pred_angle, const int32_t* inv_angle, int32_t* out_y,
-    int32_t* out_cb, int32_t* out_cr, int32_t deblock_and_sao,
+    const int32_t* pred_angle, const int32_t* inv_angle,
+    uint16_t* out_y, uint16_t* out_cb, uint16_t* out_cr,
+    int32_t deblock_and_sao,
     char* err_msg, int32_t err_cap,
     const int64_t* row_tu_counts, const int64_t* rows_done,
     int32_t n_ctb_rows) {
@@ -770,9 +773,9 @@ int tpuheif_hevc_recon(
   rc.planes[0] = out_y;
   rc.planes[1] = out_cb;
   rc.planes[2] = out_cr;
-  memset(out_y, 0, (size_t)rc.w * rc.h * sizeof(int32_t));
-  memset(out_cb, 0, (size_t)rc.cw * rc.ch * sizeof(int32_t));
-  memset(out_cr, 0, (size_t)rc.cw * rc.ch * sizeof(int32_t));
+  memset(out_y, 0, (size_t)rc.w * rc.h * sizeof(uint16_t));
+  memset(out_cb, 0, (size_t)rc.cw * rc.ch * sizeof(uint16_t));
+  memset(out_cr, 0, (size_t)rc.cw * rc.ch * sizeof(uint16_t));
 
   if (row_tu_counts) {
     rc.row_counts = row_tu_counts;

@@ -926,78 +926,78 @@ static void itx_init() {
   g_itx_init = true;
 }
 
-static inline i64 half_btf(i64 w0, i64 in0, i64 w1, i64 in1) {
+static inline i64 half_btf(i32 w0, i64 in0, i32 w1, i64 in1) {
   return round2(w0 * in0 + w1 * in1, COS_BIT);
 }
 
-static void idct4(const i64* x, i64* o) {
+static void idct4(const i32* x, i32* o) {
   const i64* c = COSPI;
-  i64 s0 = half_btf(c[32], x[0], c[32], x[2]);
-  i64 s1 = half_btf(c[32], x[0], -c[32], x[2]);
-  i64 s2 = half_btf(c[48], x[1], -c[16], x[3]);
-  i64 s3 = half_btf(c[16], x[1], c[48], x[3]);
+  i32 s0 = half_btf(c[32], x[0], c[32], x[2]);
+  i32 s1 = half_btf(c[32], x[0], -c[32], x[2]);
+  i32 s2 = half_btf(c[48], x[1], -c[16], x[3]);
+  i32 s3 = half_btf(c[16], x[1], c[48], x[3]);
   o[0] = s0 + s3; o[1] = s1 + s2; o[2] = s1 - s2; o[3] = s0 - s3;
 }
 
-static void idct8(const i64* x, i64* o) {
+static void idct8(const i32* x, i32* o) {
   const i64* c = COSPI;
-  i64 ein[4] = {x[0], x[2], x[4], x[6]};
-  i64 e[4];
+  i32 ein[4] = {x[0], x[2], x[4], x[6]};
+  i32 e[4];
   idct4(ein, e);
-  i64 s4 = half_btf(c[56], x[1], -c[8], x[7]);
-  i64 s7 = half_btf(c[8], x[1], c[56], x[7]);
-  i64 s5 = half_btf(c[24], x[5], -c[40], x[3]);
-  i64 s6 = half_btf(c[40], x[5], c[24], x[3]);
-  i64 t4 = s4 + s5, t5 = s4 - s5, t7 = s7 + s6, t6 = s7 - s6;
-  i64 u5 = half_btf(c[32], t6, -c[32], t5);
-  i64 u6 = half_btf(c[32], t6, c[32], t5);
-  i64 od[4] = {t4, u5, u6, t7};
+  i32 s4 = half_btf(c[56], x[1], -c[8], x[7]);
+  i32 s7 = half_btf(c[8], x[1], c[56], x[7]);
+  i32 s5 = half_btf(c[24], x[5], -c[40], x[3]);
+  i32 s6 = half_btf(c[40], x[5], c[24], x[3]);
+  i32 t4 = s4 + s5, t5 = s4 - s5, t7 = s7 + s6, t6 = s7 - s6;
+  i32 u5 = half_btf(c[32], t6, -c[32], t5);
+  i32 u6 = half_btf(c[32], t6, c[32], t5);
+  i32 od[4] = {t4, u5, u6, t7};
   o[0] = e[0] + od[3]; o[1] = e[1] + od[2];
   o[2] = e[2] + od[1]; o[3] = e[3] + od[0];
   o[4] = e[3] - od[0]; o[5] = e[2] - od[1];
   o[6] = e[1] - od[2]; o[7] = e[0] - od[3];
 }
 
-static void idct16(const i64* x, i64* o) {
+static void idct16(const i32* x, i32* o) {
   const i64* c = COSPI;
-  i64 ein[8], e[8];
+  i32 ein[8], e[8];
   for (int i = 0; i < 8; i++) ein[i] = x[2 * i];
   idct8(ein, e);
-  i64 s8 = half_btf(c[60], x[1], -c[4], x[15]);
-  i64 s15 = half_btf(c[4], x[1], c[60], x[15]);
-  i64 s9 = half_btf(c[28], x[9], -c[36], x[7]);
-  i64 s14 = half_btf(c[36], x[9], c[28], x[7]);
-  i64 s10 = half_btf(c[44], x[5], -c[20], x[11]);
-  i64 s13 = half_btf(c[20], x[5], c[44], x[11]);
-  i64 s11 = half_btf(c[12], x[13], -c[52], x[3]);
-  i64 s12 = half_btf(c[52], x[13], c[12], x[3]);
-  i64 t8 = s8 + s9, t9 = s8 - s9;
-  i64 t10 = s11 - s10, t11 = s11 + s10;
-  i64 t12 = s12 + s13, t13 = s12 - s13;
-  i64 t14 = s15 - s14, t15 = s15 + s14;
-  i64 u9 = half_btf(-c[16], t9, c[48], t14);
-  i64 u14 = half_btf(c[48], t9, c[16], t14);
-  i64 u10 = half_btf(-c[48], t10, -c[16], t13);
-  i64 u13 = half_btf(-c[16], t10, c[48], t13);
-  i64 v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
-  i64 v12 = t15 - t12, v13 = u14 - u13, v14 = u14 + u13, v15 = t15 + t12;
-  i64 w10 = half_btf(-c[32], v10, c[32], v13);
-  i64 w13 = half_btf(c[32], v10, c[32], v13);
-  i64 w11 = half_btf(-c[32], v11, c[32], v12);
-  i64 w12 = half_btf(c[32], v11, c[32], v12);
-  i64 od[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
+  i32 s8 = half_btf(c[60], x[1], -c[4], x[15]);
+  i32 s15 = half_btf(c[4], x[1], c[60], x[15]);
+  i32 s9 = half_btf(c[28], x[9], -c[36], x[7]);
+  i32 s14 = half_btf(c[36], x[9], c[28], x[7]);
+  i32 s10 = half_btf(c[44], x[5], -c[20], x[11]);
+  i32 s13 = half_btf(c[20], x[5], c[44], x[11]);
+  i32 s11 = half_btf(c[12], x[13], -c[52], x[3]);
+  i32 s12 = half_btf(c[52], x[13], c[12], x[3]);
+  i32 t8 = s8 + s9, t9 = s8 - s9;
+  i32 t10 = s11 - s10, t11 = s11 + s10;
+  i32 t12 = s12 + s13, t13 = s12 - s13;
+  i32 t14 = s15 - s14, t15 = s15 + s14;
+  i32 u9 = half_btf(-c[16], t9, c[48], t14);
+  i32 u14 = half_btf(c[48], t9, c[16], t14);
+  i32 u10 = half_btf(-c[48], t10, -c[16], t13);
+  i32 u13 = half_btf(-c[16], t10, c[48], t13);
+  i32 v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
+  i32 v12 = t15 - t12, v13 = u14 - u13, v14 = u14 + u13, v15 = t15 + t12;
+  i32 w10 = half_btf(-c[32], v10, c[32], v13);
+  i32 w13 = half_btf(c[32], v10, c[32], v13);
+  i32 w11 = half_btf(-c[32], v11, c[32], v12);
+  i32 w12 = half_btf(c[32], v11, c[32], v12);
+  i32 od[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
   for (int i = 0; i < 8; i++) o[i] = e[i] + od[7 - i];
   for (int i = 0; i < 8; i++) o[8 + i] = e[7 - i] - od[i];
 }
 
-static void idct32(const i64* x, i64* o) {
+static void idct32(const i32* x, i32* o) {
   const i64* c = COSPI;
-  i64 ein[16], e[16];
+  i32 ein[16], e[16];
   for (int i = 0; i < 16; i++) ein[i] = x[2 * i];
   idct16(ein, e);
-  i64 xo[16] = {x[1], x[3], x[5], x[7], x[9], x[11], x[13], x[15],
+  i32 xo[16] = {x[1], x[3], x[5], x[7], x[9], x[11], x[13], x[15],
                 x[17], x[19], x[21], x[23], x[25], x[27], x[29], x[31]};
-  i64 s[16];
+  i32 s[16];
   s[0] = half_btf(c[62], xo[0], -c[2], xo[15]);
   s[15] = half_btf(c[2], xo[0], c[62], xo[15]);
   s[1] = half_btf(c[30], xo[8], -c[34], xo[7]);
@@ -1014,7 +1014,7 @@ static void idct32(const i64* x, i64* o) {
   s[9] = half_btf(c[26], xo[6], c[38], xo[9]);
   s[7] = half_btf(c[6], xo[14], -c[58], xo[1]);
   s[8] = half_btf(c[58], xo[14], c[6], xo[1]);
-  i64 t[16];
+  i32 t[16];
   t[0] = s[0] + s[1]; t[1] = s[0] - s[1];
   t[3] = s[3] + s[2]; t[2] = s[3] - s[2];
   t[4] = s[4] + s[5]; t[5] = s[4] - s[5];
@@ -1023,7 +1023,7 @@ static void idct32(const i64* x, i64* o) {
   t[11] = s[11] + s[10]; t[10] = s[11] - s[10];
   t[12] = s[12] + s[13]; t[13] = s[12] - s[13];
   t[15] = s[15] + s[14]; t[14] = s[15] - s[14];
-  i64 u[16];
+  i32 u[16];
   for (int i = 0; i < 16; i++) u[i] = t[i];
   u[1] = half_btf(-c[8], t[1], c[56], t[14]);
   u[14] = half_btf(c[56], t[1], c[8], t[14]);
@@ -1081,25 +1081,25 @@ static int brev(int nbits, int v) {
   return out;
 }
 
-static void idct64(const i64* x, i64* o) {
+static void idct64(const i32* x, i32* o) {
   const i64* c = COSPI;
-  i64 ein[32], e[32];
+  i32 ein[32], e[32];
   for (int i = 0; i < 32; i++) ein[i] = x[2 * i];
   idct32(ein, e);
-  i64 s[32];
+  i32 s[32];
   for (int j = 0; j < 16; j++) {
     int a = brev(6, 32 + j);
     i64 xi = x[a], xj = x[64 - a];
     s[j] = half_btf(c[64 - a], xi, -c[a], xj);
     s[31 - j] = half_btf(c[a], xi, c[64 - a], xj);
   }
-  i64 t[32];
+  i32 t[32];
   for (int p = 0; p < 16; p++) {
     int i0 = 2 * p, i1 = 2 * p + 1;
     if (p % 2 == 0) { t[i0] = s[i0] + s[i1]; t[i1] = s[i0] - s[i1]; }
     else { t[i1] = s[i1] + s[i0]; t[i0] = s[i1] - s[i0]; }
   }
-  i64 u[32];
+  i32 u[32];
   for (int i = 0; i < 32; i++) u[i] = t[i];
   for (int k = 0; k < 8; k++) {
     int b = 4 * brev(4, 8 + k);
@@ -1180,17 +1180,17 @@ static void idct64(const i64* x, i64* o) {
   for (int i = 0; i < 32; i++) o[32 + i] = e[31 - i] - q[i];
 }
 
-static void iadst4(const i64* x, i64* o) {
+static void iadst4(const i32* x, i32* o) {
   const i64* sp = SINPI;
   i64 x0 = x[0], x1 = x[1], x2 = x[2], x3 = x[3];
-  i64 s0 = sp[1] * x0;
-  i64 s1 = sp[2] * x0;
-  i64 s2 = sp[3] * x1;
-  i64 s3 = sp[4] * x2;
-  i64 s4 = sp[1] * x2;
-  i64 s5 = sp[2] * x3;
-  i64 s6 = sp[4] * x3;
-  i64 s7 = (x0 - x2) + x3;
+  i32 s0 = sp[1] * x0;
+  i32 s1 = sp[2] * x0;
+  i32 s2 = sp[3] * x1;
+  i32 s3 = sp[4] * x2;
+  i32 s4 = sp[1] * x2;
+  i32 s5 = sp[2] * x3;
+  i32 s6 = sp[4] * x3;
+  i32 s7 = (x0 - x2) + x3;
   s0 = s0 + s3;
   s1 = s1 - s4;
   s3 = s2;
@@ -1202,10 +1202,10 @@ static void iadst4(const i64* x, i64* o) {
   o[2] = round2(y2, COS_BIT); o[3] = round2(y3, COS_BIT);
 }
 
-static void iadst8(const i64* x, i64* o) {
+static void iadst8(const i32* x, i32* o) {
   const i64* c = COSPI;
   i64 b[8] = {x[7], x[0], x[5], x[2], x[3], x[4], x[1], x[6]};
-  i64 s[8] = {
+  i32 s[8] = {
     half_btf(c[4], b[0], c[60], b[1]),
     half_btf(c[60], b[0], -c[4], b[1]),
     half_btf(c[20], b[2], c[44], b[3]),
@@ -1215,9 +1215,9 @@ static void iadst8(const i64* x, i64* o) {
     half_btf(c[52], b[6], c[12], b[7]),
     half_btf(c[12], b[6], -c[52], b[7]),
   };
-  i64 t[8] = {s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
+  i32 t[8] = {s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
               s[0] - s[4], s[1] - s[5], s[2] - s[6], s[3] - s[7]};
-  i64 u[8] = {t[0], t[1], t[2], t[3],
+  i32 u[8] = {t[0], t[1], t[2], t[3],
               half_btf(c[16], t[4], c[48], t[5]),
               half_btf(c[48], t[4], -c[16], t[5]),
               half_btf(-c[48], t[6], c[16], t[7]),
@@ -1234,20 +1234,20 @@ static void iadst8(const i64* x, i64* o) {
   o[4] = w[3]; o[5] = -w[7]; o[6] = w[5]; o[7] = -w[1];
 }
 
-static void iadst16(const i64* x, i64* o) {
+static void iadst16(const i32* x, i32* o) {
   const i64* c = COSPI;
   i64 b[16] = {x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
                x[7], x[8], x[5], x[10], x[3], x[12], x[1], x[14]};
-  i64 s[16];
+  i32 s[16];
   for (int k = 0; k < 8; k++) {
     int ang = 2 + 8 * k;
     s[2 * k] = half_btf(c[ang], b[2 * k], c[64 - ang], b[2 * k + 1]);
     s[2 * k + 1] = half_btf(c[64 - ang], b[2 * k], -c[ang], b[2 * k + 1]);
   }
-  i64 t[16];
+  i32 t[16];
   for (int i = 0; i < 8; i++) t[i] = s[i] + s[i + 8];
   for (int i = 0; i < 8; i++) t[8 + i] = s[i] - s[i + 8];
-  i64 u[16];
+  i32 u[16];
   for (int i = 0; i < 8; i++) u[i] = t[i];
   u[8] = half_btf(c[8], t[8], c[56], t[9]);
   u[9] = half_btf(c[56], t[8], -c[8], t[9]);
@@ -1302,7 +1302,7 @@ static void iadst16(const i64* x, i64* o) {
   o[12] = z[5]; o[13] = -z[13]; o[14] = z[9]; o[15] = -z[1];
 }
 
-static void iidentity(const i64* x, i64* o, int n) {
+static void iidentity(const i32* x, i32* o, int n) {
   if (n == 4) for (int i = 0; i < 4; i++) o[i] = round2(x[i] * NEW_SQRT2, 12);
   else if (n == 8) for (int i = 0; i < 8; i++) o[i] = x[i] * 2;
   else if (n == 16)
@@ -1311,7 +1311,7 @@ static void iidentity(const i64* x, i64* o, int n) {
 }
 
 // kind: 0 = DCT, 1 = ADST, 2 = identity
-static void txfm1d(int kind, int n, const i64* x, i64* o) {
+static void txfm1d(int kind, int n, const i32* x, i32* o) {
   if (kind == 2) { iidentity(x, o, n); return; }
   if (kind == 0) {
     switch (n) {
@@ -1357,14 +1357,14 @@ static void shift_pair(int tw, int th, int* sh_row, int* sh_col) {
 }
 
 // full 2-D inverse transform: coeffs (ch, cw) into res (th, tw)
-static void inv_txfm2d(const i64* coeffs, int cw, int ch, int tw, int th,
-                       int tx_type, i64* res) {
+static void inv_txfm2d(const i32* coeffs, int cw, int ch, int tw, int th,
+                       int tx_type, i32* res) {
   int vk = TX1D[tx_type][0], hk = TX1D[tx_type][1];
   int ud_flip = TX1D[tx_type][2], lr_flip = TX1D[tx_type][3];
   int sh_row, sh_col;
   shift_pair(tw, th, &sh_row, &sh_col);
-  i64 buf[64 * 64];
-  memset(buf, 0, sizeof(i64) * th * tw);
+  i32 buf[64 * 64];
+  memset(buf, 0, sizeof(i32) * th * tw);
   for (int r = 0; r < ch; r++)
     for (int c2 = 0; c2 < cw; c2++) buf[(i64)r * tw + c2] = coeffs[r * cw + c2];
   // rows at/after the last nonzero coefficient row transform to all
@@ -1383,7 +1383,7 @@ static void inv_txfm2d(const i64* coeffs, int cw, int ch, int tw, int th,
     for (i64 i = 0; i < (i64)n_rows * tw; i++)
       buf[i] = round2(buf[i] * INV_SQRT2, 12);
   // row pass (horizontal transform of each row)
-  i64 tmp_in[64], tmp_out[64];
+  i32 tmp_in[64], tmp_out[64];
   for (int r = 0; r < n_rows; r++) {
     for (int c2 = 0; c2 < tw; c2++) tmp_in[c2] = buf[(i64)r * tw + c2];
     txfm1d(hk, tw, tmp_in, tmp_out);
@@ -1409,15 +1409,15 @@ static void inv_txfm2d(const i64* coeffs, int cw, int ch, int tw, int th,
 }
 
 // inverse 4x4 Walsh-Hadamard (recon.py iwht4; lossless)
-static void iwht4(const i64* in, i64* out) {
-  i64 m[16];
+static void iwht4(const i32* in, i32* out) {
+  i32 m[16];
   for (int i = 0; i < 16; i++) m[i] = in[i] >> 2;
   // rows then columns, butterfly over (a, c, d, b) element order
   for (int r = 0; r < 4; r++) {
     i64 a = m[r * 4 + 0], c2 = m[r * 4 + 1], d = m[r * 4 + 2],
         b = m[r * 4 + 3];
     a = a + c2; d = d - b;
-    i64 e = (a - d) >> 1;
+    i32 e = (a - d) >> 1;
     b = e - b; c2 = e - c2;
     a = a - b; d = d + c2;
     m[r * 4 + 0] = a; m[r * 4 + 1] = b; m[r * 4 + 2] = c2; m[r * 4 + 3] = d;
@@ -1426,7 +1426,7 @@ static void iwht4(const i64* in, i64* out) {
     i64 a = m[0 * 4 + c2], cc = m[1 * 4 + c2], d = m[2 * 4 + c2],
         b = m[3 * 4 + c2];
     a = a + cc; d = d - b;
-    i64 e = (a - d) >> 1;
+    i32 e = (a - d) >> 1;
     b = e - b; cc = e - cc;
     a = a - b; d = d + cc;
     m[0 * 4 + c2] = a; m[1 * 4 + c2] = b; m[2 * 4 + c2] = cc;
@@ -2641,7 +2641,7 @@ struct FrameCtx {
   // -------------------------------------------- dequant + inverse txfm
 
   void inv_transform(int plane, int tx, const i32* coeffs, int qindex,
-                     int tx_type, i64* res) {
+                     int tx_type, i32* res) {
     int dc_d, ac_d;
     if (plane == 0) { dc_d = p.dq[0]; ac_d = 0; }
     else if (plane == 1) { dc_d = p.dq[1]; ac_d = p.dq[2]; }
@@ -2651,9 +2651,9 @@ struct FrameCtx {
     int tw = TXW[tx], th = TXH[tx];
     int cw = std::min(tw, 32), ch = std::min(th, 32);
     if (p.coded_lossless) {
-      i64 d[16];
-      for (int i = 0; i < 16; i++) d[i] = (i64)coeffs[i] * ac_q;
-      d[0] = (i64)coeffs[0] * dc_q;
+      i32 d[16];
+      for (int i = 0; i < 16; i++) d[i] = (i32)((i64)coeffs[i] * ac_q);
+      d[0] = (i32)((i64)coeffs[0] * dc_q);
       iwht4(d, res);
       return;
     }
@@ -2662,8 +2662,8 @@ struct FrameCtx {
     // only the rows/cols read_coeffs actually populated need dequant;
     // the rest is known zero
     int nzr = std::min(cur_nzr, ch), nzc = std::min(cur_nzc, cw);
-    i64 d[32 * 32];
-    memset(d, 0, sizeof(i64) * ch * cw);
+    i32 d[32 * 32];
+    memset(d, 0, sizeof(i32) * ch * cw);
     for (int r2 = 0; r2 < nzr; r2++)
       for (int c2 = 0; c2 < nzc; c2++) {
         i64 i = (i64)r2 * cw + c2;
@@ -2671,7 +2671,7 @@ struct FrameCtx {
         if (!cv) continue;
         i64 q = i == 0 ? dc_q : ac_q;
         i64 mag = ((std::abs(cv) * q) & 0xFFFFFF) >> shift;
-        d[i] = cv < 0 ? -mag : mag;
+        d[i] = (i32)(cv < 0 ? -mag : mag);
       }
     inv_txfm2d(d, cw, ch, tw, th, tx_type, res);
   }
@@ -2847,7 +2847,7 @@ struct FrameCtx {
     }
 
     if (eob > 0) {
-      i64 res[64 * 64];
+      i32 res[64 * 64];
       inv_transform(plane, tx, coeffs, cur_qindex, tx_type, res);
       i64 maxv = (1 << bd) - 1;
       for (int i = 0; i < hh; i++)

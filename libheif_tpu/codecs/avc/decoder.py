@@ -21,6 +21,13 @@ from .mb import SliceDecoder
 
 def decode_intra_frame(nals: List[bytes]) -> Dict[str, np.ndarray]:
     """Decode the first (intra) frame from a list of NAL units."""
+    from . import native_decode as N
+    if N.native_enabled():
+        planes = N.decode_intra_frame_native(nals)
+        if planes is None:
+            raise HeifError.invalid_input(
+                msg="no decodable AVC slice found")
+        return planes
     sps_map: Dict[int, H.SPS] = {}
     pps_map: Dict[int, H.PPS] = {}
     dec: Optional[SliceDecoder] = None

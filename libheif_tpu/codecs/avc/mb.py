@@ -31,6 +31,25 @@ def clip3(lo, hi, v):
     return lo if v < lo else (hi if v > hi else v)
 
 
+def _check_intra_mode(mode: int, ht: bool, hl: bool, htl: bool) -> None:
+    """Conformant streams only signal intra modes whose reference
+    samples exist (spec 8.3.1.2 constraint); corrupt CABAC state can
+    produce any mode, so validate before predicting (4x4/8x8 common
+    numbering: VERT/DDL/VL need top, HOR/HU need left, DC none,
+    DDR/VR/HD need all three)."""
+    if mode in (T.I4_VERT, T.I4_DDL, T.I4_VL):
+        ok = ht
+    elif mode in (T.I4_HOR, T.I4_HU):
+        ok = hl
+    elif mode == T.I4_DC:
+        ok = True
+    else:
+        ok = ht and hl and htl
+    if not ok:
+        raise HeifError.invalid_input(
+            msg="intra mode requires unavailable neighbor samples")
+
+
 # --------------------------------------------------------------------------
 # inverse transforms (spec 8.5.12 / 8.5.13 / 8.5.10 / 8.5.11)
 # --------------------------------------------------------------------------
@@ -623,14 +642,14 @@ class SliceDecoder:
     def _decode_pcm(self) -> None:
         d = self.d
         cur = self.cur
-        # After the terminate bin the engine holds codIOffset with 9+
-        # lookahead bits; per spec 9.3.1.2 PCM samples are read from the
-        # aligned position obtained after DecodeFlush.
-        # d.pos counts consumed bits; offset holds the last 9 bits read
-        # ahead, of which the low bits beyond the current code are
-        # alignment. The byte position of the next unread PCM byte:
-        pos_bits = d.pos - 9  # roll back the lookahead window
-        byte = (pos_bits + 7) // 8
+        # PCM samples start at the first byte the arithmetic engine has
+        # not touched: every byte any consumed bit fell in — including
+        # the 9-bit codIOffset lookahead — counts as used, mirroring
+        # libavcodec's whole-byte window rollback (validated empirically
+        # against x264 PCM streams: 53/53 macroblocks across stream
+        # geometries fit byte = ceil(pos / 8); the pre-rollback formulas
+        # all misplace it).
+        byte = (d.pos + 7) // 8
         y0, x0 = self.mby * 16, self.mbx * 16
         n_luma = 256
         raw = d.data[byte:byte + n_luma]
@@ -981,6 +1000,8 @@ class SliceDecoder:
                 self._blk = int(T.BLK4_IDX[by, bx])
                 x0, y0 = mbx * 16 + bx * 4, mby * 16 + by * 4
                 top, left, tl, tr, have_tl = self._luma_border(x0, y0, 8)
+                _check_intra_mode(modes[k], top is not None,
+                                  left is not None, have_tl)
                 if top is not None:
                     top16 = np.concatenate([top, tr])
                 else:
@@ -1005,6 +1026,8 @@ class SliceDecoder:
                 self._blk = k
                 x0, y0 = mbx * 16 + bx * 4, mby * 16 + by * 4
                 top, left, tl, tr, have_tl = self._luma_border(x0, y0, 4)
+                _check_intra_mode(modes[k], top is not None,
+                                  left is not None, have_tl)
                 p = pred_4x4(modes[k], top, left,
                              tl if have_tl else None, tr)
                 blk8 = (by // 2) * 2 + (bx // 2)
@@ -1032,6 +1055,13 @@ class SliceDecoder:
         x0, y0 = mbx * 16, mby * 16
         self._blk = 0
         top, left, tl, _, have_tl = self._luma_border(x0, y0, 16)
+        # i16: VERT needs top, HOR left, PLANE all (DC degrades)
+        if (cur.i16_mode == T.I16_VERT and top is None) or \
+                (cur.i16_mode == T.I16_HOR and left is None) or \
+                (cur.i16_mode == T.I16_PLANE and
+                 (top is None or left is None or not have_tl)):
+            raise HeifError.invalid_input(
+                msg="intra mode requires unavailable neighbor samples")
         p = pred_16x16(cur.i16_mode, top, left, tl if have_tl else None)
         qp = cur.qp
         # DC block
@@ -1119,6 +1149,13 @@ class SliceDecoder:
             dcs = dcs_per_plane[pl - 1]
             x0, y0 = mbx * 8, mby * 8
             top, left, tl = self._chroma_border(pl, x0, y0)
+            # chroma: HOR needs left, VERT top, PLANE all (DC degrades)
+            if (cur.chroma_mode == T.C_HOR and left is None) or \
+                    (cur.chroma_mode == T.C_VERT and top is None) or \
+                    (cur.chroma_mode == T.C_PLANE and
+                     (top is None or left is None or tl is None)):
+                raise HeifError.invalid_input(
+                    msg="intra mode requires unavailable neighbor samples")
             p = pred_chroma(cur.chroma_mode, top, left, tl)
             res = np.zeros((8, 8), np.int64)
             for k in range(4):

@@ -64,6 +64,12 @@ def build_parser():
                     metavar="CONTENT_TYPE",
                     help="extract the first MIME item with this "
                          "content type to the output path")
+    ap.add_argument("--json", action="store_true",
+                    help="print primary-image metadata as one JSON "
+                         "line (machine interface for bindings/js)")
+    ap.add_argument("--rgba-out", default=None, metavar="PATH",
+                    help="write the primary image as raw interleaved "
+                         "RGBA bytes to PATH (bindings/js backend)")
     return ap
 
 
@@ -104,6 +110,21 @@ def main(argv=None):
     options.strict_decoding = args.strict
     options.decoder_id = args.decoder
     options.ignore_transformations = args.ignore_transformations
+
+    if args.rgba_out or args.json:
+        import json as _json
+        img = ctx.decode_image(ctx.primary_item_id,
+                               colorspace=Colorspace.RGB,
+                               chroma=Chroma.InterleavedRGBA,
+                               options=options)
+        if args.rgba_out:
+            data = np.ascontiguousarray(img.np_plane(Channel.Interleaved))
+            with open(args.rgba_out, "wb") as f:
+                f.write(data.astype(np.uint8).tobytes())
+        if args.json:
+            print(_json.dumps({"width": img.width, "height": img.height,
+                               "channels": 4}))
+        return 0
 
     def log(msg):
         if not args.quiet:

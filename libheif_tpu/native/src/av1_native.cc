@@ -42,8 +42,36 @@ static inline i64 clampi(i64 v, i64 lo, i64 hi) { return v < lo ? lo : (v > hi ?
 // MSAC (codecs/av1/msac.py; spec 8.2, daala EC)
 // ======================================================================
 
+// fine-grained profiling accumulators (TPUHEIF_AV1_PROF=2)
+#include <atomic>
+static std::atomic<long long> g_prof_coeffs{0}, g_prof_pred{0},
+    g_prof_itx{0};
+static std::atomic<long long> g_n_sym{0}, g_n_bit{0}, g_n_txb{0};
+static bool g_prof_fine = false;
+static inline long long prof_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (long long)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
 static const int EC_PROB_SHIFT = 6;
 static const int EC_MIN_PROB = 4;
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+// per-n bias vectors: lane i = EC_MIN_PROB * (n - 1 - i)
+static const u16 kMsacBias[9][8] = {
+    {0}, {0},
+    {4, 0, 0, 0, 0, 0, 0, 0},
+    {8, 4, 0, 0, 0, 0, 0, 0},
+    {12, 8, 4, 0, 0, 0, 0, 0},
+    {16, 12, 8, 4, 0, 0, 0, 0},
+    {20, 16, 12, 8, 4, 0, 0, 0},
+    {24, 20, 16, 12, 8, 4, 0, 0},
+    {28, 24, 20, 16, 12, 8, 4, 0},
+};
+static const u16 kMsacIdx[8] = {0, 1, 2, 3, 4, 5, 6, 7};
+#endif
 
 struct Msac {
   const u8* data;
@@ -68,9 +96,20 @@ struct Msac {
     allow_update = update;
   }
 
-  // amortized whole-byte refill (zeros past end of buffer)
+  // amortized whole-byte refill (zeros past end of buffer); fast path
+  // tops up from one 64-bit load instead of a byte loop
   void refill() {
     i64 b = bitpos >> 3;
+    if (b + 8 <= size) {
+      int nbytes = (56 - ncache) >> 3;
+      uint64_t chunk;
+      memcpy(&chunk, data + b, 8);
+      chunk = __builtin_bswap64(chunk) >> (64 - 8 * nbytes);
+      cache = (cache << (8 * nbytes)) | chunk;
+      ncache += 8 * nbytes;
+      bitpos = (b + nbytes) << 3;
+      return;
+    }
     while (ncache <= 48) {
       uint32_t byte = (b < size) ? data[b] : 0;
       cache = (cache << 8) | byte;
@@ -100,7 +139,64 @@ struct Msac {
 
   // decode against an icdf row of n symbols; row[n] is the adaptation
   // counter.  adapt=false for ephemeral rows (split bool).
+#if defined(__SSE2__)
+  // vector path for n <= 8 (dav1d's msac_decode_symbol_adapt design):
+  // all thresholds at once via mulhi ((rng8 * (f>>6)) >> 1 ==
+  // mulhi_epu16(range & 0xFF00, (f & ~63) << 1)), symbol from the
+  // prefix popcount, branchless CDF adaptation. Bit-exact vs the
+  // scalar loop (validated against libaom conformance).
+  int read_symbol_simd(u16* icdf, int n, bool adapt) {
+    __m128i cdf = _mm_loadu_si128((const __m128i*)icdf);
+    __m128i rngs = _mm_set1_epi16((short)(range & 0xFF00u));
+    __m128i fmasked = _mm_slli_epi16(_mm_srli_epi16(cdf, 6), 7);
+    __m128i cur = _mm_add_epi16(
+        _mm_mulhi_epu16(rngs, fmasked),
+        _mm_loadu_si128((const __m128i*)kMsacBias[n]));
+    // unsigned cur > val  (bias both by 0x8000 for signed cmp)
+    __m128i bias = _mm_set1_epi16((short)0x8000);
+    __m128i valv = _mm_set1_epi16((short)(value & 0xFFFFu));
+    __m128i gt = _mm_cmpgt_epi16(_mm_xor_si128(cur, bias),
+                                 _mm_xor_si128(valv, bias));
+    unsigned mask = (unsigned)_mm_movemask_epi8(gt) &
+                    ((1u << (2 * n)) - 1);
+    int symbol = __builtin_popcount(mask) >> 1;
+    u16 curs[8];
+    _mm_storeu_si128((__m128i*)curs, cur);
+    uint32_t prev = symbol == 0 ? range : curs[symbol - 1];
+    uint32_t c = curs[symbol];
+    range = prev - c;
+    value -= c;
+    renorm();
+    if (allow_update && adapt) {
+      int count = icdf[n];
+      int rate = 3 + (count > 15) + (count > 31) +
+                 std::min(floor_log2(n), 2);
+      // lanes i < symbol: v += (32768 - v) >> rate; i in
+      // [symbol, n-1): v -= v >> rate; lanes >= n-1 unchanged
+      __m128i idx = _mm_loadu_si128((const __m128i*)kMsacIdx);
+      __m128i symv = _mm_set1_epi16((short)symbol);
+      __m128i m_pref = _mm_cmplt_epi16(idx, symv);
+      __m128i m_act = _mm_cmplt_epi16(idx, _mm_set1_epi16((short)(n - 1)));
+      __m128i up = _mm_srli_epi16(
+          _mm_sub_epi16(_mm_set1_epi16((short)0x8000), cdf), rate);
+      __m128i dn = _mm_srli_epi16(cdf, rate);
+      __m128i delta = _mm_or_si128(_mm_and_si128(m_pref, up),
+                                   _mm_andnot_si128(m_pref,
+                                       _mm_sub_epi16(_mm_setzero_si128(),
+                                                     dn)));
+      __m128i upd = _mm_add_epi16(cdf, _mm_and_si128(m_act, delta));
+      _mm_storeu_si128((__m128i*)icdf, upd);
+      icdf[n] = (u16)(count + (count < 32));
+    }
+    return symbol;
+  }
+#endif
+
   int read_symbol_n(u16* icdf, int n, bool adapt = true) {
+    if (g_prof_fine) g_n_sym++;
+#if defined(__SSE2__)
+    if (n <= 8) return read_symbol_simd(icdf, n, adapt);
+#endif
     uint32_t rng8 = range >> 8;
     uint32_t val = value;
     uint32_t cur = range;
@@ -134,6 +230,7 @@ struct Msac {
   }
 
   int read_bit() {
+    if (g_prof_fine) g_n_bit++;
     uint32_t rng8 = range >> 8;
     uint32_t cur = (rng8 << 7) + EC_MIN_PROB;
     int bit;
@@ -227,6 +324,10 @@ struct Tables {
   int tx_size_sqr_up[N_TXS];
   // scans: per (tx, class) flat indices; class 0='2d',1='h',2='v'
   std::vector<i32> scans[N_TXS][3];
+  // prefix bounding box: scan_maxr[t][cls][c] = 1 + max row among the
+  // first c+1 scan entries (same for cols) — bounds the region a
+  // parse with eob = c+1 can touch, so per-TXB clears scale with eob
+  std::vector<u8> scan_maxr[N_TXS][3], scan_maxc[N_TXS][3];
 
   int bs_index(int w, int h) const {
     for (int i = 0; i < N_BSIZES; i++)
@@ -322,6 +423,21 @@ struct Tables {
         for (int r = 0; r < h; r++)
           for (int c = 0; c < w; c++) s.push_back(r * w + c);
       }
+      for (int cls = 0; cls < 3; cls++) {
+        const std::vector<i32>& s = scans[t][cls];
+        std::vector<u8>& mr = scan_maxr[t][cls];
+        std::vector<u8>& mc = scan_maxc[t][cls];
+        mr.resize(s.size());
+        mc.resize(s.size());
+        int rmax = 0, cmax = 0;
+        for (size_t i = 0; i < s.size(); i++) {
+          int r = s[i] / w, c = s[i] % w;
+          rmax = std::max(rmax, r + 1);
+          cmax = std::max(cmax, c + 1);
+          mr[i] = (u8)rmax;
+          mc[i] = (u8)cmax;
+        }
+      }
     }
   }
 };
@@ -402,6 +518,7 @@ struct CdfSet {
   u16 restore_switchable[4];
   u16 restore_wiener[3];
   u16 restore_sgrproj[3];
+  u16 simd_pad[8];   // lets 8-lane SSE loads at any row stay in-bounds
 };
 
 // table sizes in int32 units, in flattening order
@@ -2582,8 +2699,28 @@ struct FrameCtx {
 
     int lstride = tw + 4;
     u8 levels[36 * 36];
-    memset(levels, 0, (size_t)(th + 4) * lstride);
-    memset(coeffs, 0, sizeof(i32) * th * tw);
+    // clear only the scan prefix's bounding box (+ctx read margin of 4
+    // rows/cols for levels); parses with small eob skip ~90% of the
+    // full-block memset traffic
+    int bb_r = g_tables.scan_maxr[tx][tcls][eob - 1];
+    int bb_c = g_tables.scan_maxc[tx][tcls][eob - 1];
+    if (p.coded_lossless) { bb_r = th; bb_c = tw; }  // iwht4 reads all 16
+    {
+      int lr = std::min(bb_r + 4, th + 4);
+      int lc = std::min(bb_c + 4, tw + 4);
+      if (lc >= tw) {
+        memset(levels, 0, (size_t)lr * lstride);
+      } else {
+        for (int rr2 = 0; rr2 < lr; rr2++)
+          memset(levels + (i64)rr2 * lstride, 0, lc);
+      }
+      if (bb_c >= tw) {
+        memset(coeffs, 0, sizeof(i32) * (size_t)bb_r * tw);
+      } else {
+        for (int rr2 = 0; rr2 < bb_r; rr2++)
+          memset(coeffs + (i64)rr2 * tw, 0, sizeof(i32) * bb_c);
+      }
+    }
 
     for (int c = eob - 1; c >= 0; c--) {
       int pos = scan[c];
@@ -2766,14 +2903,19 @@ struct FrameCtx {
     int blk_h = std::max(h_b >> sy, 4);
     i32 coeffs[32 * 32];
     int eob = 0, cul = 0, dcsign = 0, tx_type = cur_tx_type;
-    if (!skip)
+    if (!skip) {
+      if (g_prof_fine) g_n_txb++;
+      long long pt0 = g_prof_fine ? prof_now() : 0;
       eob = read_coeffs(plane, px, py, tx, mode, blk_w, blk_h,
                         coeffs, &cul, &dcsign, &tx_type);
+      if (g_prof_fine) g_prof_coeffs += prof_now() - pt0;
+    }
 
     int hh = std::min(th, ph - py);
     int ww = std::min(tw, pw - px);
 
     // ---- eager reconstruction (tile.py _run_job) ----
+    long long pp0 = g_prof_fine ? prof_now() : 0;
     i64 pred[64 * 64];
     if (use_pal) {
       for (int i = 0; i < th; i++)
@@ -2846,9 +2988,12 @@ struct FrameCtx {
       }
     }
 
+    if (g_prof_fine) g_prof_pred += prof_now() - pp0;
     if (eob > 0) {
+      long long pi0 = g_prof_fine ? prof_now() : 0;
       i32 res[64 * 64];
       inv_transform(plane, tx, coeffs, cur_qindex, tx_type, res);
+      if (g_prof_fine) g_prof_itx += prof_now() - pi0;
       i64 maxv = (1 << bd) - 1;
       for (int i = 0; i < hh; i++)
         for (int j = 0; j < ww; j++)
@@ -3767,6 +3912,9 @@ extern "C" int tpuheif_av1_decode_frame(
   Params p;
   params_from_buf(&p, params_buf);
   bool prof = getenv("TPUHEIF_AV1_PROF") != nullptr;
+  g_prof_fine = prof && getenv("TPUHEIF_AV1_PROF")[0] == '2';
+  g_prof_coeffs = 0; g_prof_pred = 0; g_prof_itx = 0;
+  g_n_sym = 0; g_n_bit = 0; g_n_txb = 0;
   auto nowus = []() {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -3871,10 +4019,17 @@ extern "C" int tpuheif_av1_decode_frame(
     apply_lr(*ctx, cdef_src, &pre_snap);
   }
 
-  if (prof)
+  if (prof) {
     fprintf(stderr, "[av1prof] tiles=%.0fus deblock=%.0fus cdef=%.0fus"
             " lr=%.0fus\n",
             t_tiles - t0, t_dbk - t_tiles, t_cdef - t_dbk, nowus() - t_cdef);
+    if (g_prof_fine)
+      fprintf(stderr, "[av1prof2] coeffs=%.0fus pred=%.0fus itx=%.0fus"
+              " syms=%lld bits=%lld txbs=%lld\n",
+              g_prof_coeffs.load() / 1e3, g_prof_pred.load() / 1e3,
+              g_prof_itx.load() / 1e3, g_n_sym.load(), g_n_bit.load(),
+              g_n_txb.load());
+  }
   // narrow the full padded planes to u8 (8-bit-only engine)
   {
     unsigned char* outs[3] = {y_out, u_out, v_out};

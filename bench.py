@@ -108,7 +108,8 @@ def _extras(budget_s: float = 240.0) -> dict:
         os.path.dirname(os.path.abspath(__file__)), "tools"))
     import benchmark_all as B
     for step in (B.bench_heic_decode, B.bench_avif_decode,
-                 B.bench_heic_encode_rd):
+                 B.bench_heic_encode_rd, B.bench_avc_decode,
+                 B.bench_j2k_htj2k):
         if left() < 60:
             break
         try:

@@ -394,6 +394,36 @@ def bench_j2k_htj2k(results, mp_side=512):
                                                 3)
 
 
+def bench_avc_decode(results, side=768):
+    """AVC native-engine intra decode throughput (the openh264 plugin
+    boundary, plugins/decoder_openh264.cc): our own encoder emits the
+    stream, the native C engine decodes it."""
+    from libheif_tpu.codecs.avc.encoder import encode_frame
+    from libheif_tpu.codecs.avc.decoder import decode_annexb
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (side // 16, side // 16)).astype(np.float64)
+    y = np.clip(np.kron(base, np.ones((16, 16)))
+                + rng.integers(-12, 13, (side, side)), 0, 255
+                ).astype(np.uint8)
+    u = np.clip(128 + rng.integers(-30, 31, (side // 2, side // 2)), 0,
+                255).astype(np.uint8)
+    v = np.clip(128 + rng.integers(-30, 31, (side // 2, side // 2)), 0,
+                255).astype(np.uint8)
+    sps, pps, sl, recon = encode_frame(y, u, v, qp=30, tx8=True,
+                                       deblock=False)
+    sc = b"\x00\x00\x00\x01"
+    stream = sc + sps + sc + pps + sc + sl
+    mp = side * side / 1e6
+    decode_annexb(stream)    # warm
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out = decode_annexb(stream)
+        best = min(best, time.perf_counter() - t0)
+    assert np.array_equal(out["Y"], recon[0][:side, :side].astype(np.uint8))
+    results["avc_decode_native_mps"] = round(mp / best, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -410,6 +440,7 @@ def main():
     bench_avif_decode(results)
     bench_heic_encode_rd(results)
     bench_j2k_htj2k(results)
+    bench_avc_decode(results)
     if not args.skip_device:
         bench_grid_device(results, n_tiles=args.tiles,
                           mesh_devices=args.mesh)

@@ -931,6 +931,114 @@ class SliceEncoder(SliceDecoder):
             e.encode_bypass(1 if level < 0 else 0)
 
 
+
+
+# --------------------------------------------------------------------------
+# native (C) fast path — byte-identical to SliceEncoder
+# --------------------------------------------------------------------------
+
+_TX8_POLICY_ID = {"never": 0, "always": 1, "alternate": 2, "auto": 3}
+
+
+def _native_enc_enabled() -> bool:
+    import os
+    if os.environ.get("TPUHEIF_AVC_ENC_NATIVE", "1") == "0":
+        return False
+    from .native_decode import native_enabled
+    return native_enabled()
+
+
+class _NativeSliceEncoder:
+    """Drives native/src/avc_native.cc tpuheif_avc_encode_slice — the
+    byte-exact C port of SliceEncoder (same mode decisions, same bins,
+    same reconstruction).  Exposes encode_slice(hdr) + .planes with the
+    SliceEncoder interface that write_idr_slice/encode_frame use."""
+
+    def __init__(self, sps: SPS, pps: PPS, src, qp: int,
+                 tx8_policy: str = "auto"):
+        self.sps = sps
+        self.pps = pps
+        self.mb_w = sps.pic_width_in_mbs
+        self.mb_h = sps.pic_height_in_map_units
+        self.mono = len(src) == 1
+        self.base_qp = qp
+        self.tx8_policy = tx8_policy
+        self.src = [np.ascontiguousarray(pl.astype(np.uint8))
+                    for pl in src]
+        n_mb = self.mb_w * self.mb_h
+        self.mb_state = np.zeros(n_mb * 8, np.int32)
+        self.mb_qp = np.zeros(n_mb, np.int32)
+        self.i4_modes = np.zeros((self.mb_h * 4) * (self.mb_w * 4),
+                                 np.int32)
+        self.cbf_luma = np.zeros((self.mb_h * 4) * (self.mb_w * 4),
+                                 np.uint8)
+        self.cbf_luma_dc = np.zeros(n_mb, np.uint8)
+        self.cbf_cdc = np.zeros(2 * n_mb, np.uint8)
+        self.cbf_cac = np.zeros(2 * (self.mb_h * 2) * (self.mb_w * 2),
+                                np.uint8)
+        self.ry = np.zeros((self.mb_h * 16, self.mb_w * 16), np.uint16)
+        if self.mono:
+            self.rcb = np.zeros(1, np.uint16)
+            self.rcr = np.zeros(1, np.uint16)
+        else:
+            self.rcb = np.zeros((self.mb_h * 8, self.mb_w * 8),
+                                np.uint16)
+            self.rcr = np.zeros((self.mb_h * 8, self.mb_w * 8),
+                                np.uint16)
+        self.planes = None
+
+    def encode_slice(self, hdr: SliceHeader) -> bytes:
+        import ctypes
+        from . import native_decode as ND
+        from .native_decode import (_get_lib, _i32, _pi32, _pu8, _pu16,
+                                    _Tables)
+        lib = _get_lib()
+        fn = lib.tpuheif_avc_encode_slice
+        fn.restype = ctypes.c_int64
+        if ND._tables is None:
+            ND._tables = _Tables()
+        tb = ND._tables
+        if not hasattr(tb, "mf4"):
+            tb.mf4 = _i32(MF4)
+            tb.mf8 = _i32(MF8)
+        ps, vm = T.init_cabac_states(hdr.qp)
+        p_state = np.asarray(ps, np.uint8)
+        val_mps = np.asarray(vm, np.uint8)
+        params = np.array([self.mb_w, self.mb_h, int(self.mono), hdr.qp,
+                           hdr.first_mb,
+                           int(self.pps.transform_8x8_mode),
+                           _TX8_POLICY_ID.get(self.tx8_policy, 3),
+                           self.pps.chroma_qp_offset(0),
+                           self.pps.chroma_qp_offset(1)], np.int64)
+        cap = self.mb_w * 16 * self.mb_h * 16 * 3 + 65536
+        out = np.empty(cap, np.uint8)
+        err = ctypes.create_string_buffer(256)
+        mono_src = self.src[0][:1, :1] if self.mono else None
+        u = self.src[1] if not self.mono else mono_src
+        v = self.src[2] if not self.mono else mono_src
+        n = fn(_pu8(self.src[0]), _pu8(u), _pu8(v),
+               params.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+               _pu8(p_state), _pu8(val_mps), _pi32(tb.sig8),
+               _pi32(tb.last8), _pi32(tb.zz4), _pi32(tb.zz8),
+               _pi32(tb.ls4), _pi32(tb.ls8), _pi32(tb.mf4),
+               _pi32(tb.mf8), _pi32(tb.chroma_qp),
+               _pi32(self.mb_state), _pi32(self.mb_qp),
+               _pi32(self.i4_modes), _pu8(self.cbf_luma),
+               _pu8(self.cbf_luma_dc), _pu8(self.cbf_cdc),
+               _pu8(self.cbf_cac), _pu16(self.ry), _pu16(self.rcb),
+               _pu16(self.rcr), _pu8(out), ctypes.c_int64(cap), err,
+               ctypes.c_int64(256))
+        if n < 0:
+            raise HeifError.invalid_input(
+                msg="AVC native encode: " +
+                err.value.decode("ascii", "replace"))
+        self.planes = [self.ry.astype(np.int32)]
+        if not self.mono:
+            self.planes += [self.rcb.astype(np.int32),
+                            self.rcr.astype(np.int32)]
+        return bytes(out[:n].tobytes())
+
+
 # --------------------------------------------------------------------------
 # parameter-set / slice-header writers
 # --------------------------------------------------------------------------
@@ -1089,8 +1197,11 @@ def encode_frame(y: np.ndarray, u: Optional[np.ndarray],
     from .headers import parse_sps, parse_pps
     sps = parse_sps(sps_nal)
     pps = parse_pps(pps_nal, {0: sps})
-    enc = SliceEncoder(sps, pps, src, qp,
-                       tx8_policy=tx8_policy if tx8 else "never")
+    pol = tx8_policy if tx8 else "never"
+    if _native_enc_enabled():
+        enc = _NativeSliceEncoder(sps, pps, src, qp, tx8_policy=pol)
+    else:
+        enc = SliceEncoder(sps, pps, src, qp, tx8_policy=pol)
     slice_nal = write_idr_slice(enc, qp, deblock=deblock)
     return sps_nal, pps_nal, slice_nal, enc.planes
 

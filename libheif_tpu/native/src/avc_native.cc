@@ -1810,3 +1810,1108 @@ void tpuheif_avc_deblock(
 }
 
 }  // extern "C"
+
+// ======================================================================
+// AVC intra encoder (codecs/avc/encoder.py SliceEncoder) — byte-exact
+// native port: same mode decisions, same bin stream, same recon.
+// ======================================================================
+
+namespace avcn {
+
+// M-coder encoder (encoder.py AvcCabacEncoder; spec 9.3.4)
+struct CabacEnc {
+  u8* out;
+  i64 cap, nbytes;
+  int acc, nbits;
+  u8* p_state;
+  u8* val_mps;
+  int low, range, bits_outstanding;
+  bool first_bit;
+  int overflow;
+
+  void init(u8* buf, i64 capacity, u8* ps, u8* vm) {
+    out = buf;
+    cap = capacity;
+    nbytes = 0;
+    acc = 0;
+    nbits = 0;
+    p_state = ps;
+    val_mps = vm;
+    low = 0;
+    range = 510;
+    bits_outstanding = 0;
+    first_bit = true;
+    overflow = 0;
+  }
+  inline void put_raw(int b) {
+    acc = (acc << 1) | b;
+    if (++nbits == 8) {
+      if (nbytes < cap) out[nbytes] = (u8)acc;
+      else overflow = 1;
+      nbytes++;
+      acc = 0;
+      nbits = 0;
+    }
+  }
+  inline void put_bit(int b) {
+    if (first_bit) first_bit = false;
+    else put_raw(b);
+    while (bits_outstanding > 0) {
+      put_raw(1 - b);
+      bits_outstanding--;
+    }
+  }
+  inline void renorm() {
+    while (range < 256) {
+      if (low < 256) {
+        put_bit(0);
+      } else if (low >= 512) {
+        put_bit(1);
+        low -= 512;
+      } else {
+        bits_outstanding++;
+        low -= 256;
+      }
+      low <<= 1;
+      range <<= 1;
+    }
+  }
+  inline void encode_bin(int ctx, int binval) {
+    int ps = p_state[ctx];
+    int lps = kRangeTabLPS[ps][(range >> 6) & 3];
+    range -= lps;
+    if (binval != val_mps[ctx]) {
+      low += range;
+      range = lps;
+      if (ps == 0) val_mps[ctx] = (u8)(1 - val_mps[ctx]);
+      p_state[ctx] = kTransIdxLPS[ps];
+    } else {
+      p_state[ctx] = kTransIdxMPS[ps];
+    }
+    renorm();
+  }
+  inline void encode_bypass(int binval) {
+    low <<= 1;
+    if (binval) low += range;
+    if (low >= 1024) {
+      put_bit(1);
+      low -= 1024;
+    } else if (low < 512) {
+      put_bit(0);
+    } else {
+      bits_outstanding++;
+      low -= 512;
+    }
+  }
+  inline void encode_bypass_bits(int value, int n) {
+    for (int i = n - 1; i >= 0; i--) encode_bypass((value >> i) & 1);
+  }
+  inline void encode_terminate(int binval) {
+    range -= 2;
+    if (binval) low += range;
+    else renorm();
+  }
+  void encode_eg_bypass(int k, int value) {
+    int leading = 0;
+    while (value >= ((1 << leading) << k)) {
+      value -= (1 << leading) << k;
+      leading++;
+    }
+    for (int i = 0; i < leading; i++) encode_bypass(1);
+    encode_bypass(0);
+    if (leading + k) encode_bypass_bits(value, leading + k);
+  }
+  void flush() {
+    range = 2;
+    renorm();
+    put_bit((low >> 9) & 1);
+    put_raw((low >> 8) & 1);
+    put_raw(1);   // rbsp_stop_one_bit
+  }
+  i64 finish() {
+    if (nbits) {
+      if (nbytes < cap) out[nbytes] = (u8)(acc << (8 - nbits));
+      else overflow = 1;
+      nbytes++;
+      acc = 0;
+      nbits = 0;
+    }
+    return nbytes;
+  }
+};
+
+// forward transforms (encoder.py ftrans4/fhadamard4/ftrans8)
+
+static void ftrans4_rowpass(const i64* d, i64* o) {
+  for (int r = 0; r < 4; r++) {
+    i64 s03 = d[r * 4 + 0] + d[r * 4 + 3];
+    i64 s12 = d[r * 4 + 1] + d[r * 4 + 2];
+    i64 d03 = d[r * 4 + 0] - d[r * 4 + 3];
+    i64 d12 = d[r * 4 + 1] - d[r * 4 + 2];
+    o[r * 4 + 0] = s03 + s12;
+    o[r * 4 + 1] = 2 * d03 + d12;
+    o[r * 4 + 2] = s03 - s12;
+    o[r * 4 + 3] = d03 - 2 * d12;
+  }
+}
+
+static void enc_ftrans4(const i64* b, i64* out) {
+  i64 f[16], ft[16], g[16];
+  ftrans4_rowpass(b, f);
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) ft[i * 4 + j] = f[j * 4 + i];
+  ftrans4_rowpass(ft, g);
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) out[i * 4 + j] = g[j * 4 + i];
+}
+
+static void fhad4_rowpass(const i64* d, i64* o) {
+  for (int r = 0; r < 4; r++) {
+    i64 s03 = d[r * 4 + 0] + d[r * 4 + 3];
+    i64 s12 = d[r * 4 + 1] + d[r * 4 + 2];
+    i64 d03 = d[r * 4 + 0] - d[r * 4 + 3];
+    i64 d12 = d[r * 4 + 1] - d[r * 4 + 2];
+    o[r * 4 + 0] = s03 + s12;
+    o[r * 4 + 1] = d03 + d12;
+    o[r * 4 + 2] = s03 - s12;
+    o[r * 4 + 3] = d03 - d12;
+  }
+}
+
+static void enc_fhadamard4(const i64* b, i64* out) {
+  i64 f[16], ft[16], g[16];
+  fhad4_rowpass(b, f);
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) ft[i * 4 + j] = f[j * 4 + i];
+  fhad4_rowpass(ft, g);
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) out[i * 4 + j] = g[j * 4 + i] >> 1;
+}
+
+static void ftrans8_1d(const i64* s, i64* o) {
+  i64 a0 = s[0], a1 = s[1], a2 = s[2], a3 = s[3], a4 = s[4], a5 = s[5],
+      a6 = s[6], a7 = s[7];
+  i64 s07 = a0 + a7, s16 = a1 + a6, s25 = a2 + a5, s34 = a3 + a4;
+  i64 b0 = s07 + s34, b1 = s16 + s25, b2 = s07 - s34, b3 = s16 - s25;
+  i64 d07 = a0 - a7, d16 = a1 - a6, d25 = a2 - a5, d34 = a3 - a4;
+  i64 b4 = d16 + d25 + (d07 + (d07 >> 1));
+  i64 b5 = d07 - d34 - (d25 + (d25 >> 1));
+  i64 b6 = d07 + d34 - (d16 + (d16 >> 1));
+  i64 b7 = d16 - d25 + (d34 + (d34 >> 1));
+  o[0] = b0 + b1;
+  o[1] = b4 + (b7 >> 2);
+  o[2] = b2 + (b3 >> 1);
+  o[3] = b5 + (b6 >> 2);
+  o[4] = b0 - b1;
+  o[5] = b6 - (b5 >> 2);
+  o[6] = (b2 >> 1) - b3;
+  o[7] = (b4 >> 2) - b7;
+}
+
+static void enc_ftrans8(const i64* b, i64* out) {
+  i64 f[64], ft[64], g[64];
+  for (int r = 0; r < 8; r++) ftrans8_1d(b + r * 8, f + r * 8);
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) ft[i * 8 + j] = f[j * 8 + i];
+  for (int r = 0; r < 8; r++) ftrans8_1d(ft + r * 8, g + r * 8);
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) out[i * 8 + j] = g[j * 8 + i];
+}
+
+// quantization (encoder.py quant4/quant8/quant_dc4/quant_dc2); mf
+// tables passed from Python (MF4 6x16, MF8 6x64 flattened)
+static inline i32 q_one(i64 c, i64 mf, i64 f, int qbits) {
+  i64 lvl = ((c < 0 ? -c : c) * mf + f) >> qbits;
+  return (i32)(c < 0 ? -lvl : lvl);
+}
+
+}  // namespace avcn
+
+namespace avcn {
+
+struct ChPlane {
+  i32 pred[64];
+  i32 dc[4];
+  i32 ac[4][15];
+  int q;
+};
+
+struct Enc {
+  Slice& s;
+  CabacEnc& e;
+  const u8* src[3];
+  int tx8_policy;          // 0 never, 1 always, 2 alternate, 3 auto
+  const i32* mf4;          // 6*16
+  const i32* mf8;          // 6*64
+
+  // ---------------------------------------------------------- quant
+  void quant4_blk(const i64* c, int qp, i32* out) {
+    int qbits = 15 + qp / 6;
+    i64 f = ((i64)1 << qbits) / 3;
+    const i32* mf = mf4 + (qp % 6) * 16;
+    for (int i = 0; i < 16; i++) out[i] = q_one(c[i], mf[i], f, qbits);
+  }
+  void quant8_blk(const i64* c, int qp, i32* out) {
+    int qbits = 16 + qp / 6;
+    i64 f = ((i64)1 << qbits) / 3;
+    const i32* mf = mf8 + (qp % 6) * 64;
+    for (int i = 0; i < 64; i++) out[i] = q_one(c[i], mf[i], f, qbits);
+  }
+  void quant_dc4_blk(const i64* c, int qp, i32* out) {
+    int qbits = 15 + qp / 6;
+    i64 f = ((i64)1 << qbits) / 3;
+    i64 mf = mf4[(qp % 6) * 16];
+    for (int i = 0; i < 16; i++)
+      out[i] = q_one(c[i], mf, 2 * f, qbits + 1);
+  }
+  void quant_dc2_blk(const i64* c, int qp, i32* out) {
+    int qbits = 15 + qp / 6;
+    i64 f = ((i64)1 << qbits) / 3;
+    i64 mf = mf4[(qp % 6) * 16];
+    for (int i = 0; i < 4; i++)
+      out[i] = q_one(c[i], mf, 2 * f, qbits + 1);
+  }
+
+  // ------------------------------------------------------- emitters
+
+  void emit_chroma_mode(int mode) {
+    e.encode_bin(CTX_CHROMA_PRED + s.chroma_mode_inc(),
+                 mode == 0 ? 0 : 1);
+    if (mode > 0) {
+      e.encode_bin(CTX_CHROMA_PRED + 3, mode == 1 ? 0 : 1);
+      if (mode > 1) e.encode_bin(CTX_CHROMA_PRED + 3, mode - 2);
+    }
+  }
+
+  void emit_qp_delta(int delta) {
+    int inc = s.prev_qp_delta != 0 ? 1 : 0;
+    int val = delta > 0 ? 2 * delta - 1 : -2 * delta;
+    if (val == 0) {
+      e.encode_bin(CTX_MB_QP_DELTA + inc, 0);
+    } else {
+      e.encode_bin(CTX_MB_QP_DELTA + inc, 1);
+      if (val == 1) {
+        e.encode_bin(CTX_MB_QP_DELTA + 2, 0);
+      } else {
+        e.encode_bin(CTX_MB_QP_DELTA + 2, 1);
+        for (int i = 0; i < val - 2; i++)
+          e.encode_bin(CTX_MB_QP_DELTA + 3, 1);
+        e.encode_bin(CTX_MB_QP_DELTA + 3, 0);
+      }
+    }
+    s.prev_qp_delta = delta;
+    s.qp = (s.qp + delta + 52) % 52;
+    s.mb_qp[s.mby * s.mb_w + s.mbx] = s.qp;
+  }
+
+  // encoder.py _emit_residual: scan holds levels, >=1 nonzero
+  void emit_residual(int cat, const i32* scan, int max_coeff) {
+    int sig_base, last_base, abs_base;
+    if (cat == CAT_LUMA_8X8) {
+      sig_base = CTX_SIG_8X8;
+      last_base = CTX_LAST_8X8;
+      abs_base = CTX_ABS_8X8;
+    } else {
+      sig_base = CTX_SIG + SIG_CAT_OFF[cat];
+      last_base = CTX_LAST + SIG_CAT_OFF[cat];
+      abs_base = CTX_ABS + ABS_CAT_OFF[cat];
+    }
+    int sig[64], n_sig = 0;
+    for (int i = 0; i < max_coeff; i++)
+      if (scan[i]) sig[n_sig++] = i;
+    int last_pos = sig[n_sig - 1];
+    int stop = last_pos + 1 < max_coeff - 1 ? last_pos + 1 : max_coeff - 1;
+    for (int i = 0; i < stop; i++) {
+      int s_inc, l_inc;
+      if (cat == CAT_LUMA_8X8) {
+        s_inc = s.sig8[i];
+        l_inc = s.last8[i];
+      } else if (cat == CAT_CHROMA_DC) {
+        s_inc = i < 2 ? i : 2;
+        l_inc = s_inc;
+      } else {
+        s_inc = i;
+        l_inc = i;
+      }
+      if (scan[i]) {
+        e.encode_bin(sig_base + s_inc, 1);
+        e.encode_bin(last_base + l_inc, i == last_pos ? 1 : 0);
+      } else {
+        e.encode_bin(sig_base + s_inc, 0);
+      }
+    }
+    int n_eq1 = 0, n_gt1 = 0;
+    for (int k = n_sig - 1; k >= 0; k--) {
+      int level = scan[sig[k]];
+      int mag = level < 0 ? -level : level;
+      int inc0 = n_gt1 != 0 ? 0 : (1 + n_eq1 < 4 ? 1 + n_eq1 : 4);
+      if (mag == 1) {
+        e.encode_bin(abs_base + inc0, 0);
+        n_eq1++;
+      } else {
+        e.encode_bin(abs_base + inc0, 1);
+        int cap = 4 - (cat == CAT_CHROMA_DC ? 1 : 0);
+        int inc = 5 + (n_gt1 < cap ? n_gt1 : cap);
+        int v = mag - 1;
+        if (v < 14) {
+          for (int i = 0; i < v - 1; i++)
+            e.encode_bin(abs_base + inc, 1);
+          e.encode_bin(abs_base + inc, 0);
+        } else {
+          for (int i = 0; i < 13; i++) e.encode_bin(abs_base + inc, 1);
+          e.encode_eg_bypass(0, v - 14);
+        }
+        n_gt1++;
+      }
+      e.encode_bypass(level < 0 ? 1 : 0);
+    }
+  }
+
+  // ------------------------------------------------ chroma decision
+
+  void chroma_border_enc(int pl, int x0, int y0, i32* top, i32* left,
+                         int* tl, bool* ht, bool* hl, bool* htl) {
+    const u16* C = s.planes[pl];
+    int cw = s.mb_w * 8;
+    *ht = y0 > 0 && s.mb_nb_decoded(0, -1);
+    *hl = x0 > 0 && s.mb_nb_decoded(-1, 0);
+    *htl = x0 > 0 && y0 > 0 && s.mb_nb_decoded(-1, -1);
+    if (*ht)
+      for (int i = 0; i < 8; i++) top[i] = C[(i64)(y0 - 1) * cw + x0 + i];
+    if (*hl)
+      for (int i = 0; i < 8; i++) left[i] = C[(i64)(y0 + i) * cw + x0 - 1];
+    *tl = *htl ? C[(i64)(y0 - 1) * cw + x0 - 1] : 0;
+  }
+
+  // encoder.py _chroma_levels; returns cbp (0/1/2) and mode
+  int chroma_levels(ChPlane ch[2], int* mode_out) {
+    int mbx = s.mbx, mby = s.mby;
+    int x0 = mbx * 8, y0 = mby * 8;
+    int cw = s.mb_w * 8;
+    i32 topb[2][8], leftb[2][8];
+    int tlb[2];
+    bool htb[2], hlb[2], htlb[2];
+    for (int pl = 1; pl <= 2; pl++)
+      chroma_border_enc(pl, x0, y0, topb[pl - 1], leftb[pl - 1],
+                        &tlb[pl - 1], &htb[pl - 1], &hlb[pl - 1],
+                        &htlb[pl - 1]);
+    // candidates in encoder.py order: DC, HOR?, VERT?, PLANE?
+    int cands[4], n_cands = 0;
+    cands[n_cands++] = 0;
+    if (hlb[0]) cands[n_cands++] = C_HOR;
+    if (htb[0]) cands[n_cands++] = C_VERT;
+    if (htb[0] && hlb[0] && htlb[0]) cands[n_cands++] = 3;
+    i64 srcs[2][64];
+    for (int pl = 1; pl <= 2; pl++)
+      for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++)
+          srcs[pl - 1][i * 8 + j] =
+              src[pl][(i64)(y0 + i) * cw + x0 + j];
+    int best_m = 0;
+    i64 best_sse = -1;
+    for (int c = 0; c < n_cands; c++) {
+      int m = cands[c];
+      i64 sse = 0;
+      for (int pl = 1; pl <= 2; pl++) {
+        i32 p[64];
+        pred_chroma8(m, htb[pl - 1] ? topb[pl - 1] : nullptr,
+                     hlb[pl - 1] ? leftb[pl - 1] : nullptr, tlb[pl - 1],
+                     htb[pl - 1], hlb[pl - 1], htlb[pl - 1], p);
+        for (int i = 0; i < 64; i++) {
+          i64 d = srcs[pl - 1][i] - p[i];
+          sse += d * d;
+        }
+      }
+      if (best_sse < 0 || sse < best_sse) {
+        best_m = m;
+        best_sse = sse;
+      }
+    }
+    *mode_out = best_m;
+    int qp_y = s.qp;
+    bool any_dc = false, any_ac = false;
+    for (int pl = 1; pl <= 2; pl++) {
+      ChPlane& cp = ch[pl - 1];
+      int q = s.cqp(qp_y, pl - 1);
+      cp.q = q;
+      pred_chroma8(best_m, htb[pl - 1] ? topb[pl - 1] : nullptr,
+                   hlb[pl - 1] ? leftb[pl - 1] : nullptr, tlb[pl - 1],
+                   htb[pl - 1], hlb[pl - 1], htlb[pl - 1], cp.pred);
+      i64 dcs[4];
+      for (int k = 0; k < 4; k++) {
+        int bx = k & 1, by = k >> 1;
+        i64 resid[16];
+        for (int i = 0; i < 4; i++)
+          for (int j = 0; j < 4; j++)
+            resid[i * 4 + j] =
+                srcs[pl - 1][(by * 4 + i) * 8 + bx * 4 + j] -
+                cp.pred[(by * 4 + i) * 8 + bx * 4 + j];
+        i64 coef[16];
+        enc_ftrans4(resid, coef);
+        dcs[k] = coef[0];
+        i32 qv[16];
+        quant4_blk(coef, q, qv);
+        qv[0] = 0;
+        for (int i = 0; i < 15; i++) cp.ac[k][i] = qv[s.zz4[1 + i]];
+        for (int i = 0; i < 15; i++)
+          if (cp.ac[k][i]) any_ac = true;
+      }
+      // 2x2 forward hadamard on (raster) DCs
+      i64 fdc[4] = {dcs[0] + dcs[1] + dcs[2] + dcs[3],
+                    dcs[0] - dcs[1] + dcs[2] - dcs[3],
+                    dcs[0] + dcs[1] - dcs[2] - dcs[3],
+                    dcs[0] - dcs[1] - dcs[2] + dcs[3]};
+      quant_dc2_blk(fdc, q, cp.dc);
+      for (int i = 0; i < 4; i++)
+        if (cp.dc[i]) any_dc = true;
+    }
+    int cbp = any_ac ? 2 : (any_dc ? 1 : 0);
+    if (cbp < 2)
+      for (int pl = 0; pl < 2; pl++)
+        memset(ch[pl].ac, 0, sizeof(ch[pl].ac));
+    if (cbp == 0)
+      for (int pl = 0; pl < 2; pl++)
+        memset(ch[pl].dc, 0, sizeof(ch[pl].dc));
+    return cbp;
+  }
+
+  // encoder.py _emit_and_recon_chroma
+  void emit_and_recon_chroma(int cbp, ChPlane ch[2]) {
+    int mbx = s.mbx, mby = s.mby;
+    int x0 = mbx * 8, y0 = mby * 8;
+    int cw = s.mb_w * 8;
+    i64 dcs_pl[2][4];
+    for (int pl = 1; pl <= 2; pl++) {
+      ChPlane& cp = ch[pl - 1];
+      int dc_nz = 0;
+      for (int i = 0; i < 4; i++)
+        if (cp.dc[i]) dc_nz = 1;
+      if (cbp) {
+        int inc = s.cbf_inc(CAT_CHROMA_DC, 0, 0, pl);
+        e.encode_bin(CTX_CBF + 4 * CAT_CHROMA_DC + inc, dc_nz);
+        s.cbf_cdc[(i64)(pl - 1) * s.mb_w * s.mb_h + mby * s.mb_w + mbx] =
+            (u8)dc_nz;
+        if (dc_nz) emit_residual(CAT_CHROMA_DC, cp.dc, 4);
+      } else {
+        s.cbf_cdc[(i64)(pl - 1) * s.mb_w * s.mb_h + mby * s.mb_w + mbx] =
+            0;
+      }
+      i64 c0 = cp.dc[0], c1 = cp.dc[1], c2 = cp.dc[2], c3 = cp.dc[3];
+      i64 f[4] = {c0 + c1 + c2 + c3, c0 - c1 + c2 - c3,
+                  c0 + c1 - c2 - c3, c0 - c1 - c2 + c3};
+      i64 scale = s.ls4[(cp.q % 6) * 16];
+      for (int i = 0; i < 4; i++)
+        dcs_pl[pl - 1][i] = ((f[i] * scale) << (cp.q / 6)) >> 5;
+    }
+    for (int pl = 1; pl <= 2; pl++) {
+      ChPlane& cp = ch[pl - 1];
+      u16* C = s.planes[pl];
+      for (int k = 0; k < 4; k++) {
+        int bx = k & 1, by = k >> 1;
+        int nz = 0;
+        if (cbp == 2) {
+          for (int i = 0; i < 15; i++)
+            if (cp.ac[k][i]) nz = 1;
+          int inc = s.cbf_inc(CAT_CHROMA_AC, bx, by, pl);
+          e.encode_bin(CTX_CBF + 4 * CAT_CHROMA_AC + inc, nz);
+          s.cbf_cac[(i64)(pl - 1) * (s.mb_w * 2) * (s.mb_h * 2) +
+                    (i64)(mby * 2 + by) * (s.mb_w * 2) + mbx * 2 + bx] =
+              (u8)nz;
+          if (nz) emit_residual(CAT_CHROMA_AC, cp.ac[k], 15);
+        } else {
+          s.cbf_cac[(i64)(pl - 1) * (s.mb_w * 2) * (s.mb_h * 2) +
+                    (i64)(mby * 2 + by) * (s.mb_w * 2) + mbx * 2 + bx] =
+              0;
+        }
+        i32 blk[16], d4[16], r4[16];
+        memset(blk, 0, sizeof(blk));
+        if (nz)
+          for (int i = 0; i < 15; i++) blk[s.zz4[1 + i]] = cp.ac[k][i];
+        s.dequant4(blk, cp.q, d4);
+        d4[0] = (i32)dcs_pl[pl - 1][by * 2 + bx];
+        itrans4(d4, r4);
+        for (int i = 0; i < 4; i++)
+          for (int j = 0; j < 4; j++)
+            C[(i64)(y0 + by * 4 + i) * cw + x0 + bx * 4 + j] =
+                (u16)clip3i(0, 255,
+                            cp.pred[(by * 4 + i) * 8 + bx * 4 + j] +
+                                r4[i * 4 + j]);
+      }
+    }
+  }
+};
+
+}  // namespace avcn
+
+namespace avcn {
+
+struct EncOps {
+  Enc& E;
+  Slice& s;
+  CabacEnc& e;
+  EncOps(Enc& enc) : E(enc), s(enc.s), e(enc.e) {}
+
+  // --------------------------------------------------------- I16 MB
+
+  void encode_i16_mb(int mode) {
+    i32* cur = s.cur;
+    int mbx = s.mbx, mby = s.mby;
+    int x0 = mbx * 16, y0 = mby * 16;
+    int fw = s.mb_w * 16;
+    int qp = s.qp;
+    i64 srcb[256];
+    for (int i = 0; i < 16; i++)
+      for (int j = 0; j < 16; j++)
+        srcb[i * 16 + j] = E.src[0][(i64)(y0 + i) * fw + x0 + j];
+    s.blk = 0;
+    Border b;
+    s.luma_border(x0, y0, 16, &b);
+    i32 p[256];
+    pred_16x16(mode, b.have_top ? b.top : nullptr,
+               b.have_left ? b.left : nullptr, b.tl, b.have_top,
+               b.have_left, b.have_tl, p);
+    // forward transform all 16 4x4 blocks; collect DCs (raster 4x4)
+    i64 dcr[16];
+    i32 acq[16][16];        // [blk raster by*4+bx][raster coeffs]
+    int any_ac = 0;
+    for (int by = 0; by < 4; by++)
+      for (int bx = 0; bx < 4; bx++) {
+        i64 resid[16], coef[16];
+        for (int i = 0; i < 4; i++)
+          for (int j = 0; j < 4; j++)
+            resid[i * 4 + j] = srcb[(by * 4 + i) * 16 + bx * 4 + j] -
+                               p[(by * 4 + i) * 16 + bx * 4 + j];
+        enc_ftrans4(resid, coef);
+        dcr[by * 4 + bx] = coef[0];
+        E.quant4_blk(coef, qp, acq[by * 4 + bx]);
+        acq[by * 4 + bx][0] = 0;
+        for (int i = 1; i < 16; i++)
+          if (acq[by * 4 + bx][i]) any_ac = 1;
+      }
+    i64 fh[16];
+    enc_fhadamard4(dcr, fh);
+    i32 dcq[16];
+    E.quant_dc4_blk(fh, qp, dcq);
+
+    int cbp_luma = any_ac ? 15 : 0;
+    cur[MS_I16] = 1;
+    cur[MS_CBPL] = cbp_luma;
+
+    ChPlane ch[2];
+    int cmode = 0, cbp_chroma = 0;
+    if (!s.mono) cbp_chroma = E.chroma_levels(ch, &cmode);
+    cur[MS_CBPC] = cbp_chroma;
+    cur[MS_CMODE] = cmode;
+
+    // mb_type bins
+    e.encode_bin(CTX_MB_TYPE_I + s.mb_type_inc(), 1);
+    e.encode_terminate(0);
+    e.encode_bin(CTX_MB_TYPE_I + 3, cbp_luma ? 1 : 0);
+    if (cbp_chroma == 0) {
+      e.encode_bin(CTX_MB_TYPE_I + 4, 0);
+    } else {
+      e.encode_bin(CTX_MB_TYPE_I + 4, 1);
+      e.encode_bin(CTX_MB_TYPE_I + 5, cbp_chroma - 1);
+    }
+    e.encode_bin(CTX_MB_TYPE_I + 6, mode >> 1);
+    e.encode_bin(CTX_MB_TYPE_I + 7, mode & 1);
+
+    if (!s.mono) E.emit_chroma_mode(cmode);
+    E.emit_qp_delta(0);
+
+    // luma DC
+    i32 dc_scan[16];
+    for (int i = 0; i < 16; i++) dc_scan[i] = dcq[s.zz4[i]];
+    int dc_sig = 0;
+    for (int i = 0; i < 16; i++)
+      if (dc_scan[i]) dc_sig = 1;
+    int inc = s.cbf_inc(CAT_LUMA_DC, 0, 0, 0);
+    e.encode_bin(CTX_CBF + 4 * CAT_LUMA_DC + inc, dc_sig);
+    s.cbf_luma_dc[mby * s.mb_w + mbx] = (u8)dc_sig;
+    if (dc_sig) E.emit_residual(CAT_LUMA_DC, dc_scan, 16);
+
+    // recon DC exactly as the decoder
+    i32 dcd[16];
+    memset(dcd, 0, sizeof(dcd));
+    for (int i = 0; i < 16; i++) dcd[s.zz4[i]] = dc_scan[i];
+    i32 f[16];
+    ihadamard4(dcd, f);
+    i32 dcs[16];
+    i32 ls00 = s.ls4[(qp % 6) * 16];
+    if (qp >= 36) {
+      int sh = qp / 6 - 6;
+      for (int i = 0; i < 16; i++) dcs[i] = (f[i] * ls00) << sh;
+    } else {
+      int sh = 6 - qp / 6;
+      int add = 1 << (5 - qp / 6);
+      for (int i = 0; i < 16; i++) dcs[i] = (f[i] * ls00 + add) >> sh;
+    }
+
+    u16* Y = s.planes[0];
+    for (int k = 0; k < 16; k++) {
+      int bx = BLK4_X[k], by = BLK4_Y[k];
+      i32 ac_scan[15];
+      const i32* q = acq[by * 4 + bx];
+      for (int i = 0; i < 15; i++) ac_scan[i] = q[s.zz4[1 + i]];
+      int nz = 0;
+      if (cbp_luma) {
+        for (int i = 0; i < 15; i++)
+          if (ac_scan[i]) nz = 1;
+        int inc2 = s.cbf_inc(CAT_LUMA_AC, bx, by, 0);
+        e.encode_bin(CTX_CBF + 4 * CAT_LUMA_AC + inc2, nz);
+        s.cbf_luma[(i64)(mby * 4 + by) * (s.mb_w * 4) + mbx * 4 + bx] =
+            (u8)nz;
+        if (nz) E.emit_residual(CAT_LUMA_AC, ac_scan, 15);
+      } else {
+        s.cbf_luma[(i64)(mby * 4 + by) * (s.mb_w * 4) + mbx * 4 + bx] = 0;
+      }
+      i32 blk[16], d4[16], r4[16];
+      memset(blk, 0, sizeof(blk));
+      if (nz)
+        for (int i = 0; i < 15; i++) blk[s.zz4[1 + i]] = ac_scan[i];
+      s.dequant4(blk, qp, d4);
+      d4[0] = dcs[by * 4 + bx];
+      itrans4(d4, r4);
+      for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+          Y[(i64)(y0 + by * 4 + i) * fw + x0 + bx * 4 + j] =
+              (u16)clip3i(0, 255,
+                          p[(by * 4 + i) * 16 + bx * 4 + j] +
+                              r4[i * 4 + j]);
+    }
+    if (!s.mono) E.emit_and_recon_chroma(cur[MS_CBPC], ch);
+    s.mb_qp[mby * s.mb_w + mbx] = s.qp;
+  }
+
+  // --------------------------------------------------------- NxN MB
+
+  bool choose_tx8() {
+    if (!s.transform_8x8_mode) return false;
+    if (E.tx8_policy == 0) return false;
+    if (E.tx8_policy == 1) return true;
+    if (E.tx8_policy == 2) return (s.mbx + s.mby) % 2 == 0;
+    // auto: smooth MBs -> 8x8 (mean abs gradient, double like numpy)
+    int x0 = s.mbx * 16, y0 = s.mby * 16;
+    int fw = s.mb_w * 16;
+    i64 sx = 0, sy = 0;
+    for (int i = 0; i < 16; i++)
+      for (int j = 0; j < 15; j++) {
+        i64 d = (i64)E.src[0][(i64)(y0 + i) * fw + x0 + j + 1] -
+                E.src[0][(i64)(y0 + i) * fw + x0 + j];
+        sx += d < 0 ? -d : d;
+      }
+    for (int i = 0; i < 15; i++)
+      for (int j = 0; j < 16; j++) {
+        i64 d = (i64)E.src[0][(i64)(y0 + i + 1) * fw + x0 + j] -
+                E.src[0][(i64)(y0 + i) * fw + x0 + j];
+        sy += d < 0 ? -d : d;
+      }
+    return (sx / 240.0 + sy / 240.0) < 12.0;
+  }
+
+  void encode_nxn_mb() {
+    i32* cur = s.cur;
+    int mbx = s.mbx, mby = s.mby;
+    cur[MS_NXN] = 1;
+    cur[MS_TX8] = choose_tx8() ? 1 : 0;
+
+    e.encode_bin(CTX_MB_TYPE_I + s.mb_type_inc(), 0);
+    if (s.transform_8x8_mode)
+      e.encode_bin(CTX_TRANSFORM_8X8 + s.tx8_inc(), cur[MS_TX8]);
+
+    int n_blocks = cur[MS_TX8] ? 4 : 16;
+    int modes[16];
+    i32 coeffs_scan[16][64];
+    int scan_any[16];
+    int qp = s.qp;
+    u16* Y = s.planes[0];
+    int fw = s.mb_w * 16;
+
+    for (int k = 0; k < n_blocks; k++) {
+      int bx, by, bw;
+      if (cur[MS_TX8]) {
+        bx = (k & 1) * 2;
+        by = (k >> 1) * 2;
+        bw = 8;
+      } else {
+        bx = BLK4_X[k];
+        by = BLK4_Y[k];
+        bw = 4;
+      }
+      s.blk = BLK4_IDX[by][bx];
+      int x0 = mbx * 16 + bx * 4, y0 = mby * 16 + by * 4;
+      int gx = mbx * 4 + bx, gy = mby * 4 + by;
+      Border b;
+      s.luma_border(x0, y0, bw, &b);
+      i64 sblk[64];
+      for (int i = 0; i < bw; i++)
+        for (int j = 0; j < bw; j++)
+          sblk[i * bw + j] = E.src[0][(i64)(y0 + i) * fw + x0 + j];
+      // candidate modes (encoder.py _modes_for order)
+      int cand[9], n_cand = 0;
+      cand[n_cand++] = I4_DC;
+      if (b.have_top) {
+        cand[n_cand++] = 0;   // VERT
+        cand[n_cand++] = 3;   // DDL
+        cand[n_cand++] = 7;   // VL
+      }
+      if (b.have_left) {
+        cand[n_cand++] = 1;   // HOR
+        cand[n_cand++] = 8;   // HU
+      }
+      if (b.have_top && b.have_left && b.have_tl) {
+        cand[n_cand++] = 4;   // DDR
+        cand[n_cand++] = 5;   // VR
+        cand[n_cand++] = 6;   // HD
+      }
+      int pred_mode = s.predict_i4_mode(gx, gy);
+      int best_m = -1;
+      i64 best_cost = -1;
+      i32 best_p[64];
+      for (int c = 0; c < n_cand; c++) {
+        int m = cand[c];
+        i32 p[64];
+        if (cur[MS_TX8]) pred_8x8(m, b, p);
+        else pred_4x4(m, b, p);
+        i64 cost = m == pred_mode ? 0 : 256;
+        for (int i = 0; i < bw * bw; i++) {
+          i64 d = sblk[i] - p[i];
+          cost += d * d;
+        }
+        if (best_cost < 0 || cost < best_cost) {
+          best_m = m;
+          best_cost = cost;
+          memcpy(best_p, p, sizeof(i32) * bw * bw);
+        }
+      }
+      modes[k] = best_m;
+      if (cur[MS_TX8]) {
+        for (int i = 0; i < 2; i++)
+          for (int j = 0; j < 2; j++)
+            s.i4_modes[(i64)(gy + i) * (s.mb_w * 4) + gx + j] = best_m;
+      } else {
+        s.i4_modes[(i64)gy * (s.mb_w * 4) + gx] = best_m;
+      }
+
+      i64 resid[64];
+      for (int i = 0; i < bw * bw; i++) resid[i] = sblk[i] - best_p[i];
+      scan_any[k] = 0;
+      i32 rec[64];
+      memset(rec, 0, sizeof(rec));
+      if (cur[MS_TX8]) {
+        i64 coef[64];
+        enc_ftrans8(resid, coef);
+        i32 q[64];
+        E.quant8_blk(coef, qp, q);
+        for (int i = 0; i < 64; i++) {
+          coeffs_scan[k][i] = q[s.zz8[i]];
+          if (q[i]) scan_any[k] = 1;
+        }
+        if (scan_any[k]) {
+          i32 dq[64];
+          s.dequant8(q, qp, dq);
+          itrans8(dq, rec);
+        }
+      } else {
+        i64 coef[16];
+        enc_ftrans4(resid, coef);
+        i32 q[16];
+        E.quant4_blk(coef, qp, q);
+        for (int i = 0; i < 16; i++) {
+          coeffs_scan[k][i] = q[s.zz4[i]];
+          if (q[i]) scan_any[k] = 1;
+        }
+        if (scan_any[k]) {
+          i32 dq[16];
+          s.dequant4(q, qp, dq);
+          itrans4(dq, rec);
+        }
+      }
+      for (int i = 0; i < bw; i++)
+        for (int j = 0; j < bw; j++)
+          Y[(i64)(y0 + i) * fw + x0 + j] =
+              (u16)clip3i(0, 255, (i32)(best_p[i * bw + j]) +
+                                      rec[i * bw + j]);
+    }
+
+    // cbp luma + cbf bookkeeping
+    int cbp = 0;
+    for (int k = 0; k < n_blocks; k++) {
+      if (cur[MS_TX8]) {
+        if (scan_any[k]) cbp |= 1 << k;
+      } else if (scan_any[k]) {
+        int bx = BLK4_X[k], by = BLK4_Y[k];
+        cbp |= 1 << ((by / 2) * 2 + (bx / 2));
+      }
+    }
+    cur[MS_CBPL] = cbp;
+    for (int k = 0; k < n_blocks; k++) {
+      int nz = scan_any[k];
+      if (cur[MS_TX8]) {
+        int bx = (k & 1) * 2, by = (k >> 1) * 2;
+        for (int i = 0; i < 2; i++)
+          for (int j = 0; j < 2; j++)
+            s.cbf_luma[(i64)(mby * 4 + by + i) * (s.mb_w * 4) + mbx * 4 +
+                       bx + j] = (u8)nz;
+      } else {
+        int bx = BLK4_X[k], by = BLK4_Y[k];
+        s.cbf_luma[(i64)(mby * 4 + by) * (s.mb_w * 4) + mbx * 4 + bx] =
+            (u8)nz;
+      }
+    }
+
+    ChPlane ch[2];
+    int cmode = 0, cbp_chroma = 0;
+    if (!s.mono) cbp_chroma = E.chroma_levels(ch, &cmode);
+    cur[MS_CBPC] = cbp_chroma;
+    cur[MS_CMODE] = cmode;
+
+    // intra pred mode bins
+    for (int k = 0; k < n_blocks; k++) {
+      int bx, by;
+      if (cur[MS_TX8]) {
+        bx = (k & 1) * 2;
+        by = (k >> 1) * 2;
+      } else {
+        bx = BLK4_X[k];
+        by = BLK4_Y[k];
+      }
+      int gx = mbx * 4 + bx, gy = mby * 4 + by;
+      int pred = s.predict_i4_mode(gx, gy);
+      int m = modes[k];
+      if (m == pred) {
+        e.encode_bin(CTX_PREV_I4X4, 1);
+      } else {
+        e.encode_bin(CTX_PREV_I4X4, 0);
+        int rem = m < pred ? m : m - 1;
+        e.encode_bin(CTX_REM_I4X4, rem & 1);
+        e.encode_bin(CTX_REM_I4X4, (rem >> 1) & 1);
+        e.encode_bin(CTX_REM_I4X4, (rem >> 2) & 1);
+      }
+    }
+
+    if (!s.mono) E.emit_chroma_mode(cmode);
+    int emitted = 0;
+    for (int bit = 0; bit < 4; bit++) {
+      int v = (cbp >> bit) & 1;
+      e.encode_bin(CTX_CBP_LUMA + s.cbp_luma_inc(emitted, bit), v);
+      emitted |= v << bit;
+    }
+    if (!s.mono) {
+      e.encode_bin(CTX_CBP_CHROMA + s.cbp_chroma_inc(0),
+                   cbp_chroma ? 1 : 0);
+      if (cbp_chroma)
+        e.encode_bin(CTX_CBP_CHROMA + 4 + s.cbp_chroma_inc(1),
+                     cbp_chroma - 1);
+    }
+    if (cbp || cbp_chroma) {
+      E.emit_qp_delta(0);
+    } else {
+      s.prev_qp_delta = 0;
+      s.mb_qp[mby * s.mb_w + mbx] = s.qp;
+    }
+    s.mb_qp[mby * s.mb_w + mbx] = s.qp;
+
+    // luma residuals
+    for (int k = 0; k < n_blocks; k++) {
+      if (cur[MS_TX8]) {
+        if ((cbp >> k) & 1)
+          E.emit_residual(CAT_LUMA_8X8, coeffs_scan[k], 64);
+      } else {
+        int bx = BLK4_X[k], by = BLK4_Y[k];
+        int blk8 = (by / 2) * 2 + (bx / 2);
+        if ((cbp >> blk8) & 1) {
+          int nz = scan_any[k];
+          int inc = s.cbf_inc(CAT_LUMA_4X4, bx, by, 0);
+          e.encode_bin(CTX_CBF + 4 * CAT_LUMA_4X4 + inc, nz);
+          if (nz) E.emit_residual(CAT_LUMA_4X4, coeffs_scan[k], 16);
+        }
+      }
+    }
+    if (!s.mono) E.emit_and_recon_chroma(cbp_chroma, ch);
+  }
+
+  // ------------------------------------------------- MB mode select
+
+  void encode_mb() {
+    int mbx = s.mbx, mby = s.mby;
+    int x0 = mbx * 16, y0 = mby * 16;
+    int fw = s.mb_w * 16;
+    // I16 candidate: best mode by pred SSE (encoder.py _encode_mb)
+    s.blk = 0;
+    Border b;
+    s.luma_border(x0, y0, 16, &b);
+    i64 srcb[256];
+    for (int i = 0; i < 16; i++)
+      for (int j = 0; j < 16; j++)
+        srcb[i * 16 + j] = E.src[0][(i64)(y0 + i) * fw + x0 + j];
+    int cands[4], n_cands = 0;
+    cands[n_cands++] = I16_DC;
+    if (b.have_top) cands[n_cands++] = I16_VERT;
+    if (b.have_left) cands[n_cands++] = I16_HOR;
+    if (b.have_top && b.have_left && b.have_tl) cands[n_cands++] = 3;
+    int best16 = -1;
+    i64 sse16 = -1;
+    for (int c = 0; c < n_cands; c++) {
+      i32 p[256];
+      pred_16x16(cands[c], b.have_top ? b.top : nullptr,
+                 b.have_left ? b.left : nullptr, b.tl, b.have_top,
+                 b.have_left, b.have_tl, p);
+      i64 sse = 0;
+      for (int i = 0; i < 256; i++) {
+        i64 d = srcb[i] - p[i];
+        sse += d * d;
+      }
+      if (sse16 < 0 || sse < sse16) {
+        best16 = cands[c];
+        sse16 = sse;
+      }
+    }
+    // NxN estimate: per-4x4 best of DC/VERT/HOR on source neighbors
+    i64 sse4 = 0;
+    for (int k = 0; k < 16; k++) {
+      int bx = BLK4_X[k], by = BLK4_Y[k];
+      int bxp = x0 + bx * 4, byp = y0 + by * 4;
+      s.blk = k;
+      bool ht = byp > 0 && s.sample_decoded(bxp, byp - 1);
+      bool hl = bxp > 0 && s.sample_decoded(bxp - 1, byp);
+      i64 t[4], l[4];
+      if (ht)
+        for (int j = 0; j < 4; j++)
+          t[j] = E.src[0][(i64)(byp - 1) * fw + bxp + j];
+      if (hl)
+        for (int i = 0; i < 4; i++)
+          l[i] = E.src[0][(i64)(byp + i) * fw + bxp - 1];
+      i64 sb[16];
+      for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+          sb[i * 4 + j] = E.src[0][(i64)(byp + i) * fw + bxp + j];
+      i64 best = -1;
+      for (int mi = 0; mi < 3; mi++) {
+        // order: DC, VERT, HOR (encoder.py loop over (DC,VERT,HOR))
+        int m = mi == 0 ? I4_DC : (mi == 1 ? 0 : 1);
+        if (m == 0 && !ht) continue;
+        if (m == 1 && !hl) continue;
+        i64 sse = 0;
+        if (m == I4_DC) {
+          i64 v;
+          if (ht && hl) {
+            i64 sum = 0;
+            for (int j = 0; j < 4; j++) sum += t[j] + l[j];
+            v = (sum + 4) >> 3;
+          } else if (ht) {
+            i64 sum = t[0] + t[1] + t[2] + t[3];
+            v = (sum + 2) >> 2;
+          } else if (hl) {
+            i64 sum = l[0] + l[1] + l[2] + l[3];
+            v = (sum + 2) >> 2;
+          } else {
+            v = 128;
+          }
+          for (int i = 0; i < 16; i++) {
+            i64 d = sb[i] - v;
+            sse += d * d;
+          }
+        } else if (m == 0) {   // VERT
+          for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+              i64 d = sb[i * 4 + j] - t[j];
+              sse += d * d;
+            }
+        } else {               // HOR
+          for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+              i64 d = sb[i * 4 + j] - l[i];
+              sse += d * d;
+            }
+        }
+        if (best < 0 || sse < best) best = sse;
+      }
+      sse4 += best;
+    }
+    bool use_i16 = sse16 >= 0 && sse16 <= sse4 + 2048;
+    if (use_i16) encode_i16_mb(best16);
+    else encode_nxn_mb();
+  }
+
+  i64 run() {
+    i64 n = (i64)s.mb_w * s.mb_h;
+    s.prev_qp_delta = 0;
+    for (i64 addr = s.first_mb; addr < n; addr++) {
+      s.mbx = (int)(addr % s.mb_w);
+      s.mby = (int)(addr / s.mb_w);
+      s.cur = s.mb_state + addr * MS_N;
+      memset(s.cur, 0, sizeof(i32) * MS_N);
+      s.cur[MS_DECODED] = 1;
+      encode_mb();
+      e.encode_terminate(addr == n - 1 ? 1 : 0);
+    }
+    e.flush();
+    return e.finish();
+  }
+};
+
+}  // namespace avcn
+
+extern "C" {
+
+// encode one I slice (codecs/avc/encoder.py SliceEncoder.encode_slice)
+// params: [mb_w, mb_h, mono, slice_qp, first_mb, transform_8x8_mode,
+//          tx8_policy(0 never/1 always/2 alternate/3 auto),
+//          cb_qp_off, cr_qp_off]
+// Returns slice-data byte count (written to out), -1 on error.
+int64_t tpuheif_avc_encode_slice(
+    const uint8_t* src_y, const uint8_t* src_u, const uint8_t* src_v,
+    const int64_t* params, uint8_t* p_state, uint8_t* val_mps,
+    const int32_t* sig8, const int32_t* last8, const int32_t* zz4,
+    const int32_t* zz8, const int32_t* ls4, const int32_t* ls8,
+    const int32_t* mf4, const int32_t* mf8,
+    const int32_t* chroma_qp_tab, int32_t* mb_state, int32_t* mb_qp,
+    int32_t* i4_modes, uint8_t* cbf_luma, uint8_t* cbf_luma_dc,
+    uint8_t* cbf_cdc, uint8_t* cbf_cac, uint16_t* recon_y,
+    uint16_t* recon_cb, uint16_t* recon_cr, uint8_t* out,
+    int64_t out_cap, char* err, int64_t errlen) {
+  using namespace avcn;
+  blk_init();
+  Slice s;
+  memset(&s, 0, sizeof(s));
+  s.mb_w = (int)params[0];
+  s.mb_h = (int)params[1];
+  s.mono = (int)params[2];
+  s.qp = (int)params[3];
+  s.first_mb = (int)params[4];
+  s.transform_8x8_mode = (int)params[5];
+  s.cb_qp_off = (int)params[7];
+  s.cr_qp_off = (int)params[8];
+  s.sig8 = sig8;
+  s.last8 = last8;
+  s.zz4 = zz4;
+  s.zz8 = zz8;
+  s.ls4 = ls4;
+  s.ls8 = ls8;
+  s.chroma_qp_tab = chroma_qp_tab;
+  s.mb_state = mb_state;
+  s.mb_qp = mb_qp;
+  s.i4_modes = i4_modes;
+  s.cbf_luma = cbf_luma;
+  s.cbf_luma_dc = cbf_luma_dc;
+  s.cbf_cdc = cbf_cdc;
+  s.cbf_cac = cbf_cac;
+  s.planes[0] = recon_y;
+  s.planes[1] = recon_cb;
+  s.planes[2] = recon_cr;
+  s.err = err;
+  s.errlen = (int)errlen;
+  CabacEnc e;
+  e.init(out, out_cap, p_state, val_mps);
+  Enc enc{s, e, {src_y, src_u, src_v}, (int)params[6], mf4, mf8};
+  EncOps ops(enc);
+  i64 nbytes = ops.run();
+  if (e.overflow) {
+    snprintf(err, errlen, "output buffer too small");
+    return -1;
+  }
+  return nbytes;
+}
+
+}  // extern "C"

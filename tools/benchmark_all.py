@@ -409,11 +409,14 @@ def bench_avc_decode(results, side=768):
                 255).astype(np.uint8)
     v = np.clip(128 + rng.integers(-30, 31, (side // 2, side // 2)), 0,
                 255).astype(np.uint8)
+    t0 = time.perf_counter()
     sps, pps, sl, recon = encode_frame(y, u, v, qp=30, tx8=True,
                                        deblock=False)
+    enc_s = time.perf_counter() - t0
     sc = b"\x00\x00\x00\x01"
     stream = sc + sps + sc + pps + sc + sl
     mp = side * side / 1e6
+    results["avc_encode_native_mps"] = round(mp / enc_s, 2)
     decode_annexb(stream)    # warm
     best = float("inf")
     for _ in range(4):

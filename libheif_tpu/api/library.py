@@ -54,33 +54,116 @@ def heif_deinit() -> None:
     _init_count = max(0, _init_count - 1)
 
 
-# ---- plugin discovery (maps dlopen-plugin API onto the registry) ----
+# ---- plugin discovery (ref: init.cc heif_load_plugin / dlopen; here a
+# plugin is a Python module exposing register() that calls
+# register_decoder/register_encoder — the same contract the built-in
+# codec modules use) ----
 
-def heif_load_plugin(path: str):
-    """Dynamic codec plugins do not exist in the TPU build (cores are
-    compiled in); returns a handle-like descriptor for API parity."""
-    raise NotImplementedError(
-        "dynamic plugins are not used; codec cores are built in")
+class PluginHandle:
+    """Opaque handle for a loaded plugin (ref: heif_plugin opaque)."""
+
+    __slots__ = ("path", "module", "decoders", "encoders")
+
+    def __init__(self, path, module, decoders, encoders):
+        self.path = path
+        self.module = module
+        self.decoders = decoders
+        self.encoders = encoders
+
+    def __repr__(self):
+        return (f"<heif plugin {self.path}: "
+                f"{len(self.decoders)} decoders, "
+                f"{len(self.encoders)} encoders>")
 
 
-def heif_load_plugins(directory: str) -> List[object]:
-    return []
+def heif_load_plugin(path: str) -> PluginHandle:
+    """Load one plugin module from `path` and run its register()
+    (ref: heif_library.h heif_load_plugin; init.cc dlopen path).
+    Raises HeifError on a missing file or a module without register."""
+    import importlib.util
+    import os
+    import uuid
+    from ..core.error import HeifError, SubError
+    if not os.path.isfile(path):
+        raise HeifError.invalid_input(msg=f"plugin not found: {path}")
+    name = "libheif_tpu_plugin_" + uuid.uuid4().hex
+    spec = importlib.util.spec_from_file_location(name, path)
+    if spec is None or spec.loader is None:
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    f"not a loadable module: {path}")
+    mod = importlib.util.module_from_spec(spec)
+    before_d, before_e = registry.snapshot()
+    try:
+        spec.loader.exec_module(mod)
+        if hasattr(mod, "register"):
+            mod.register()
+        elif not hasattr(mod, "register_decoder") and \
+                not hasattr(mod, "register_encoder"):
+            raise HeifError.unsupported(
+                SubError.Unsupported_codec,
+                f"plugin has no register(): {path}")
+    except HeifError:
+        raise
+    except Exception as exc:   # noqa: BLE001 — map to the API error
+        raise HeifError.unsupported(
+            SubError.Unsupported_codec,
+            f"plugin failed to load: {path}: {exc}") from exc
+    after_d, after_e = registry.snapshot()
+    return PluginHandle(path, mod,
+                        [d for d in after_d if d not in before_d],
+                        [e for e in after_e if e not in before_e])
+
+
+def heif_load_plugins(directory: str) -> List[PluginHandle]:
+    """Load every *.py plugin in `directory`; skips files that fail
+    (matching the reference's best-effort directory scan)."""
+    import os
+    out: List[PluginHandle] = []
+    if not os.path.isdir(directory):
+        return out
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        try:
+            out.append(heif_load_plugin(os.path.join(directory, fname)))
+        except Exception:   # noqa: BLE001 — best-effort scan
+            continue
+    return out
 
 
 def heif_unload_plugin(handle) -> None:
-    pass
+    """Unregister everything the plugin registered."""
+    if not isinstance(handle, PluginHandle):
+        return
+    for d in handle.decoders:
+        registry.unregister_decoder(d)
+    for e in handle.encoders:
+        registry.unregister_encoder(e)
+    handle.decoders = []
+    handle.encoders = []
 
 
 def heif_get_plugin_directories() -> List[str]:
-    return []
+    """Directories scanned for plugins (ref: init.cc
+    get_plugin_directories; env LIBHEIF_TPU_PLUGIN_PATH, colon-sep)."""
+    import os
+    env = os.environ.get("LIBHEIF_TPU_PLUGIN_PATH", "")
+    return [p for p in env.split(":") if p]
 
 
 def heif_free_plugin_directories(dirs) -> None:
-    pass
+    pass   # no C allocation to free; kept for call parity
 
 
 def heif_get_plugin_paths() -> List[str]:
-    return []
+    """Lists the plugin files the configured directories contain."""
+    import os
+    out: List[str] = []
+    for d in heif_get_plugin_directories():
+        if os.path.isdir(d):
+            out += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.endswith(".py") and not f.startswith("_")]
+    return out
 
 
 # ---- codec availability (ref: heif_decoding.h/heif_encoding.h have_*)

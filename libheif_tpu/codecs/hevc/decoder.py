@@ -65,6 +65,9 @@ def _substreams(nal: bytes, rbsp: bytes, data_offset_bits: int,
     acc = raw_data_start
     for off in entry_offsets:
         acc += off
+        if acc > n:   # corrupt/truncated: offsets past the payload
+            raise HeifError.invalid_input(
+                msg="WPP entry point offset beyond slice data")
         bounds_raw.append(acc)
     bounds_raw.append(n)
     subs = []

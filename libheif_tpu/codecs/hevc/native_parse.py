@@ -9,6 +9,7 @@ difftests the two bin-for-bin over the encoder's feature matrix.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -121,7 +122,31 @@ def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    rc = lib.tpuheif_hevc_parse_slice(
+    # WPP wavefront-parallel entropy decode: rows interleave across
+    # worker threads with the spec's 2-column lag (native entry falls
+    # back to serial unless pps WPP is on, entry points cover every CTB
+    # row, and cu_qp_delta is off).  On a 2-core host the parse/recon
+    # pipeline is the better schedule, so this only engages with >= 3
+    # cores unless TPUHEIF_HEVC_WPP_THREADS forces it.
+    n_workers = 1
+    env = os.environ.get("TPUHEIF_HEVC_WPP_THREADS")
+    if env is not None:
+        n_workers = max(1, int(env))
+    else:
+        cores = os.cpu_count() or 1
+        if cores >= 3 and pps.entropy_coding_sync_enabled:
+            n_workers = min(cores - 1, sps.pic_height_in_ctbs)
+
+    if n_workers > 1 and pps.entropy_coding_sync_enabled and \
+            not pps.cu_qp_delta_enabled and \
+            len(substreams) >= sps.pic_height_in_ctbs:
+        entry = lib.tpuheif_hevc_parse_slice_wpp
+        extra = (ctypes.c_int32(n_workers),)
+    else:
+        entry = lib.tpuheif_hevc_parse_slice
+        extra = ()
+
+    rc = entry(
         ptr(rbsp_arr, ctypes.c_uint8), ctypes.c_int64(len(rbsp)),
         ptr(_params_array(sps, pps, sh), ctypes.c_int32),
         ptr(fam, ctypes.c_int32),
@@ -144,7 +169,8 @@ def _parse_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
         ptr(counts, ctypes.c_int64),
         err, ctypes.c_int32(len(err)),
         ptr(progress[0], ctypes.c_int64) if progress else None,
-        ptr(progress[1], ctypes.c_int64) if progress else None)
+        ptr(progress[1], ctypes.c_int64) if progress else None,
+        *extra)
 
     if rc == 2:
         raise HeifError.unsupported(SubError.Unsupported_codec,

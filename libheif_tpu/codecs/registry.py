@@ -97,3 +97,23 @@ def list_decoders() -> List[Tuple[str, str]]:
 
 def list_encoders() -> List[Tuple[str, str]]:
     return [(e.format, e.id) for lst in _encoders.values() for e in lst]
+
+
+def unregister_decoder(dec: Decoder) -> None:
+    """Remove a previously registered decoder (plugin unload path)."""
+    lst = _decoders.get(dec.format, [])
+    if dec in lst:
+        lst.remove(dec)
+
+
+def unregister_encoder(enc: Encoder) -> None:
+    lst = _encoders.get(enc.format, [])
+    if enc in lst:
+        lst.remove(enc)
+
+
+def snapshot() -> Tuple[List[Decoder], List[Encoder]]:
+    """Flat snapshot of all registered codecs, used by the plugin
+    loader to diff what a plugin registered."""
+    return ([d for lst in _decoders.values() for d in lst],
+            [e for lst in _encoders.values() for e in lst])

@@ -23,6 +23,8 @@
 #include <sys/syscall.h>
 #include <unistd.h>
 #include <vector>
+#include <atomic>
+#include <thread>
 
 // bin-level trace for difftesting against the Python engine
 // (enable with TPUHEIF_TRACE=1; lines go to stderr)
@@ -314,6 +316,43 @@ struct Cabac {
     return (int)value;
   }
 };
+// cross-row wavefront synchronization for WPP-parallel entropy decode
+// (spec 6.3.2 / libde265 thread-task analogue): worker parsing CTB
+// (r, c) waits until row r-1 completed column min(c+2, n_cols) — that
+// covers the above/above-right neighbor context AND the post-CTB-1
+// CABAC context snapshot each row inherits (spec 9.3.1).
+struct WppSync {
+  std::vector<uint32_t> col_done;                 // per row, futex words
+  std::vector<std::vector<uint8_t>> snap_p, snap_m;  // per-row ctx
+  std::atomic<int> stop_flag{0};
+
+  void init(int n_rows) {
+    col_done.assign(n_rows, 0);
+    snap_p.resize(n_rows);
+    snap_m.resize(n_rows);
+  }
+  void set_col(int row, int c) {
+    __atomic_store_n(&col_done[row], (uint32_t)c, __ATOMIC_RELEASE);
+    syscall(SYS_futex, &col_done[row], FUTEX_WAKE, INT_MAX, nullptr,
+            nullptr, 0);
+  }
+  bool wait_col(int row, uint32_t need) {
+    for (;;) {
+      uint32_t v = __atomic_load_n(&col_done[row], __ATOMIC_ACQUIRE);
+      if (v >= need) return true;
+      if (stop_flag.load(std::memory_order_relaxed)) return false;
+      struct timespec ts {0, 2000000};   // bounded so aborts are seen
+      syscall(SYS_futex, &col_done[row], FUTEX_WAIT, v, &ts, nullptr, 0);
+    }
+  }
+  void stop() {
+    stop_flag.store(1);
+    for (size_t r = 0; r < col_done.size(); r++)
+      syscall(SYS_futex, &col_done[r], FUTEX_WAKE, INT_MAX, nullptr,
+              nullptr, 0);
+  }
+};
+
 struct Parser {
   // config
   int32_t P[N_PARAMS];
@@ -335,6 +374,10 @@ struct Parser {
   int64_t tu_cap;
   int32_t* coeff_buf;
   int64_t coeff_cap;
+  // appended-range limits; equal to the caps in serial mode, a
+  // worker-private segment end under WPP-parallel parse
+  int64_t tu_limit = -1;
+  int64_t coeff_limit = -1;
   int16_t* sao_buf;           // 20 int16 per CTB
   int64_t n_tus = 0;
   int64_t n_coeff = 0;
@@ -395,7 +438,7 @@ struct Parser {
 
   void emit_tu(int x, int y, int log2, int c_idx, int pred_mode,
                int transform_skip, int32_t* coeffs /* size*size or null */) {
-    if (n_tus >= tu_cap) {
+    if (n_tus >= tu_limit) {
       fail(1, "TU buffer overflow");
       return;
     }
@@ -414,7 +457,7 @@ struct Parser {
       assign_tu_qp(n_tus, P[P_SH_QP]);
     if (coeffs) {
       int64_t n = (int64_t)1 << (2 * log2);
-      if (n_coeff + n > coeff_cap) {
+      if (n_coeff + n > coeff_limit) {
         fail(1, "coeff buffer overflow");
         return;
       }
@@ -423,6 +466,95 @@ struct Parser {
       n_coeff += n;
     }
     n_tus++;
+  }
+
+  // WPP-parallel worker configuration (run_wpp_worker)
+  WppSync* wpp = nullptr;
+  int wpp_first_row = 0, wpp_row_stride = 1;
+  int64_t* wpp_row_tu_start = nullptr;   // per-row [start, end) spans
+  int64_t* wpp_row_tu_end = nullptr;
+
+
+  // one WPP wavefront worker: parses rows wpp_first_row, +stride, ...
+  // Bit-exact with run(): same per-row CABAC inheritance (post-CTB-1
+  // snapshot of the row above), same qp-chain reset, same terminate
+  // handling; cross-row neighbor state is ordered by WppSync.
+  int run_wpp_worker() {
+    log2_min_qg = P[P_LOG2_CTB] - P[P_DIFF_CU_QP_DELTA_DEPTH];
+    qp_prev = P[P_SH_QP];
+    qg_pred = P[P_SH_QP];
+    for (int k = 0; k < 3; k++) {
+      scans4[k] = make_scan(k, 4);
+      for (int l = 0; l < 4; l++) sb_scans[k][l] = make_scan(k, 1 << l);
+    }
+    int ctb = 1 << P[P_LOG2_CTB];
+    int n_cols = P[P_N_CTB_COLS];
+    int n_rows = P[P_N_CTB_ROWS];
+    dec.data = rbsp;
+    for (int row = wpp_first_row; row < n_rows; row += wpp_row_stride) {
+      if (row >= n_sub) {
+        fail(1, "missing WPP entry point");
+        break;
+      }
+      if (row == 0) {
+        p_state.assign(init_p_state, init_p_state + n_ctx);
+        val_mps.assign(init_val_mps, init_val_mps + n_ctx);
+      } else {
+        // ctx inheritance needs row-1 past CTB 1 (spec 9.3.1); with a
+        // single column there is no saved snapshot — fresh init
+        uint32_t need = n_cols > 1 ? 2u : 1u;
+        if (!wpp->wait_col(row - 1, need)) {
+          fail(1, "WPP worker aborted");
+          break;
+        }
+        if (n_cols > 1) {
+          p_state = wpp->snap_p[row - 1];
+          val_mps = wpp->snap_m[row - 1];
+        } else {
+          p_state.assign(init_p_state, init_p_state + n_ctx);
+          val_mps.assign(init_val_mps, init_val_mps + n_ctx);
+        }
+        pending_qp_reset = true;
+      }
+      dec.pos = substreams[2 * row] * 8;
+      dec.end = substreams[2 * row + 1];
+      dec.p_state = p_state.data();
+      dec.val_mps = val_mps.data();
+      if (!dec.init()) {
+        fail(1, "CABAC init offset invalid");
+        break;
+      }
+      wpp_row_tu_start[row] = n_tus;
+      for (int col = 0; col < n_cols; col++) {
+        if (row > 0) {
+          uint32_t need = (uint32_t)(col + 2 < n_cols ? col + 2 : n_cols);
+          if (!wpp->wait_col(row - 1, need)) {
+            fail(1, "WPP worker aborted");
+            break;
+          }
+        }
+        int x0 = col * ctb, y0 = row * ctb;
+        if (P[P_SAO_ENABLED] && (P[P_SH_SAO_LUMA] || P[P_SH_SAO_CHROMA]))
+          parse_sao(col, row);
+        coding_quadtree(x0, y0, P[P_LOG2_CTB], 0);
+        if (err.code) break;
+        if (col == 1 && n_cols > 1) {
+          wpp->snap_p[row] = p_state;
+          wpp->snap_m[row] = val_mps;
+        }
+        int end = dec.decode_terminate();
+        bool is_last = (row == n_rows - 1 && col == n_cols - 1);
+        if (end && !is_last) {
+          fail(1, "premature end_of_slice");
+          break;
+        }
+        wpp->set_col(row, col + 1);
+      }
+      wpp_row_tu_end[row] = n_tus;
+      if (err.code) break;
+    }
+    if (err.code) wpp->stop();
+    return err.code;
   }
 
   // pipeline progress: when set, the cumulative TU count is published
@@ -446,7 +578,7 @@ struct Parser {
   // n_coeff (skips the scratch copy)
   void emit_tu_inplace(int x, int y, int log2, int c_idx, int pred_mode,
                        int transform_skip, int64_t n_vals) {
-    if (n_tus >= tu_cap) {
+    if (n_tus >= tu_limit) {
       fail(1, "TU buffer overflow");
       return;
     }
@@ -967,7 +1099,7 @@ struct Parser {
     // decode directly into the shared coefficient stream (no scratch
     // copy); emit_tu_inplace records the offset afterwards
     int64_t n_coeff_vals = (int64_t)size * size;
-    if (n_coeff + n_coeff_vals > coeff_cap) {
+    if (n_coeff + n_coeff_vals > coeff_limit) {
       fail(1, "coeff buffer overflow");
       return;
     }
@@ -1247,6 +1379,8 @@ int tpuheif_hevc_parse_slice(
   ps.tu_cap = tu_cap;
   ps.coeff_buf = coeff_buf;
   ps.coeff_cap = coeff_cap;
+  ps.tu_limit = tu_cap;
+  ps.coeff_limit = coeff_cap;
   ps.sao_buf = sao_buf;
 
   ps.row_counts = row_tu_counts;
@@ -1269,6 +1403,133 @@ int tpuheif_hevc_parse_slice(
     snprintf(err_msg, err_cap, "%s", ps.err.msg);
   }
   return rc ? ps.err.code : 0;
+}
+
+// WPP wavefront-parallel variant of tpuheif_hevc_parse_slice: rows
+// interleave across n_workers threads with the spec's 2-CTB-column
+// wavefront lag (SURVEY §7(a); libde265's WPP thread tasks are the
+// reference behavior).  Requirements enforced by the Python driver:
+// pps WPP on, one entry point per CTB row, cu_qp_delta disabled.
+// TU records are re-ordered to raster-row order after the join, so
+// the output is byte-identical to the serial parse (except qg_serial,
+// which is worker-local; nothing downstream consumes it).
+int tpuheif_hevc_parse_slice_wpp(
+    const uint8_t* rbsp, int64_t rbsp_len, const int32_t* params,
+    const int32_t* family_offsets, const uint8_t* init_p_state,
+    const uint8_t* init_val_mps, int32_t n_ctx, const int64_t* substreams,
+    int32_t n_sub, uint8_t* intra_mode_y, uint8_t* intra_mode_c,
+    uint8_t* ct_depth, uint8_t* cu_log2_map, uint8_t* tu_log2_map,
+    int16_t* qp_y, uint8_t* tqb_map, uint8_t* nonzero_y, uint8_t* avail,
+    int32_t w4, int32_t h4, int32_t* tu_meta, int64_t tu_cap,
+    int32_t* coeff_buf, int64_t coeff_cap, int16_t* sao_buf,
+    int64_t* out_counts, char* err_msg, int32_t err_cap,
+    int64_t* row_tu_counts, int64_t* rows_done, int32_t n_workers) {
+  int n_rows = params[P_N_CTB_ROWS];
+  if (n_workers < 2 || n_rows < 2 || !params[P_WPP] ||
+      params[P_CU_QP_DELTA_ENABLED] || n_sub < n_rows) {
+    // fall back to the serial engine
+    return tpuheif_hevc_parse_slice(
+        rbsp, rbsp_len, params, family_offsets, init_p_state,
+        init_val_mps, n_ctx, substreams, n_sub, intra_mode_y,
+        intra_mode_c, ct_depth, cu_log2_map, tu_log2_map, qp_y, tqb_map,
+        nonzero_y, avail, w4, h4, tu_meta, tu_cap, coeff_buf, coeff_cap,
+        sao_buf, out_counts, err_msg, err_cap, row_tu_counts, rows_done);
+  }
+  if (n_workers > n_rows) n_workers = n_rows;
+
+  WppSync sync;
+  sync.init(n_rows);
+  std::vector<int64_t> row_start(n_rows, 0), row_end(n_rows, 0);
+  std::vector<Parser*> workers(n_workers);
+  for (int w = 0; w < n_workers; w++) {
+    Parser* ps = new Parser();
+    memcpy(ps->P, params, sizeof(ps->P));
+    ps->fam = family_offsets;
+    ps->init_p_state = init_p_state;
+    ps->init_val_mps = init_val_mps;
+    ps->n_ctx = n_ctx;
+    ps->rbsp = rbsp;
+    ps->rbsp_len = rbsp_len;
+    ps->substreams = substreams;
+    ps->n_sub = n_sub;
+    ps->intra_mode_y = intra_mode_y;
+    ps->intra_mode_c = intra_mode_c;
+    ps->ct_depth = ct_depth;
+    ps->cu_log2_map = cu_log2_map;
+    ps->tu_log2_map = tu_log2_map;
+    ps->qp_y = qp_y;
+    ps->tqb_map = tqb_map;
+    ps->nonzero_y = nonzero_y;
+    ps->avail = avail;
+    ps->w4 = w4;
+    ps->h4 = h4;
+    ps->tu_meta = tu_meta;
+    ps->tu_cap = tu_cap;
+    ps->coeff_buf = coeff_buf;
+    ps->coeff_cap = coeff_cap;
+    ps->sao_buf = sao_buf;
+    // worker-private buffer segments (TU meta + coefficients)
+    ps->n_tus = w * (tu_cap / n_workers);
+    ps->tu_limit = (w + 1) * (tu_cap / n_workers);
+    ps->n_coeff = w * (coeff_cap / n_workers);
+    ps->coeff_limit = (w + 1) * (coeff_cap / n_workers);
+    ps->wpp = &sync;
+    ps->wpp_first_row = w;
+    ps->wpp_row_stride = n_workers;
+    ps->wpp_row_tu_start = row_start.data();
+    ps->wpp_row_tu_end = row_end.data();
+    workers[w] = ps;
+  }
+  std::vector<std::thread> threads;
+  for (int w = 1; w < n_workers; w++)
+    threads.emplace_back([ps = workers[w]]() { ps->run_wpp_worker(); });
+  workers[0]->run_wpp_worker();
+  for (auto& t : threads) t.join();
+
+  int rc = 0;
+  for (int w = 0; w < n_workers; w++) {
+    if (workers[w]->err.code && !rc) {
+      rc = workers[w]->err.code;
+      if (err_msg && err_cap > 0)
+        snprintf(err_msg, err_cap, "%s", workers[w]->err.msg);
+    }
+  }
+
+  int64_t total_tus = 0;
+  if (!rc) {
+    // re-order TU records into raster-row order (coefficient offsets
+    // in m[9] are absolute, so only the 10-int32 meta rows move)
+    for (int r = 0; r < n_rows; r++) total_tus += row_end[r] - row_start[r];
+    std::vector<int32_t> merged((size_t)total_tus * 10);
+    int64_t at = 0;
+    for (int r = 0; r < n_rows; r++) {
+      int64_t cnt = row_end[r] - row_start[r];
+      memcpy(merged.data() + at * 10, tu_meta + row_start[r] * 10,
+             (size_t)cnt * 10 * sizeof(int32_t));
+      at += cnt;
+      if (row_tu_counts) row_tu_counts[r] = at;
+    }
+    memcpy(tu_meta, merged.data(), merged.size() * sizeof(int32_t));
+    if (!params[P_CU_QP_DELTA_ENABLED]) {
+      for (int64_t i = 0; i < (int64_t)w4 * h4; i++)
+        qp_y[i] = (int16_t)params[P_SH_QP];
+    }
+  }
+  if (row_tu_counts) {
+    if (rc)
+      for (int r = 0; r < n_rows; r++) row_tu_counts[r] = 0;
+    __atomic_store_n(rows_done, (int64_t)n_rows, __ATOMIC_RELEASE);
+    syscall(SYS_futex, (uint32_t*)rows_done, FUTEX_WAKE, INT_MAX,
+            nullptr, nullptr, 0);
+  }
+  // n_coeff spans are per-worker segments; report the high-water mark
+  int64_t max_coeff = 0;
+  for (int w = 0; w < n_workers; w++)
+    if (workers[w]->n_coeff > max_coeff) max_coeff = workers[w]->n_coeff;
+  out_counts[0] = total_tus;
+  out_counts[1] = max_coeff;
+  for (int w = 0; w < n_workers; w++) delete workers[w];
+  return rc;
 }
 
 }  // extern "C"

@@ -22,9 +22,10 @@ import numpy as np
 
 
 def _adjust_level(base: int, delta_enabled: bool, intra_delta: int) -> int:
-    """aom av1_get_filter_level for INTRA_FRAME references."""
-    if base == 0:
-        return 0
+    """aom av1_loop_filter_frame_init intra level: NO base==0 early-out
+    — a zero base level with ref_deltas[INTRA_FRAME]=1 still yields
+    level 1, so that direction filters weakly (caught by the odd-dims
+    cpu0 oracle difftest: lf=[0,14] streams filter vertical edges)."""
     if not delta_enabled:
         return base
     scale = 1 << (base >> 5)
@@ -197,9 +198,23 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
     lvls = [_adjust_level(v, delta_en, intra_delta)
             for v in fh.loop_filter_levels]
 
+    raw = fh.loop_filter_levels
+    if raw[0] == 0 and raw[1] == 0:
+        return      # aom av1_loop_filter_frame: luma both-zero → no
+                    # filtering at all (chroma included)
     for plane in range(min(3, len(planes))):   # monochrome: Y only
+        if plane > 0 and raw[plane + 1] == 0:
+            continue       # chroma plane gated on its RAW level
         buf = planes[plane]
         ph, pw = buf.shape          # padded mi area, like aom
+        # plane-scaled visible frame dims: spec §7.14.2 skips an edge
+        # when x >= FrameWidth or y >= FrameHeight (plane coords), so
+        # mi rows/cols fully inside the alignment padding stay
+        # unfiltered (CDEF later reads the unfiltered padding there)
+        ssx = 1 if pw < planes[0].shape[1] else 0
+        ssy = 1 if ph < planes[0].shape[0] else 0
+        fw_p = (frame_w + ssx) >> ssx
+        fh_p = (frame_h + ssy) >> ssy
         max_len = 14 if plane == 0 else 6
         for direction in (0, 1):        # 0: vertical edges, 1: horizontal
             lvl = lvls[direction] if plane == 0 else lvls[plane + 1]
@@ -211,12 +226,14 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
             gh, gw = edge.shape
             if direction == 0:
                 work = buf
+                edge_lim, row_lim = fw_p, fh_p
             else:
                 work = buf.T
                 edge = edge.T
                 tdim = tdim.T
                 pw, ph = ph, pw
                 gh, gw = gw, gh
+                edge_lim, row_lim = fh_p, fw_p
             # Columns are filtered strictly left-to-right (a wide edge
             # reads pixels a previous column's filter wrote, like aom's
             # in-place pass).  WITHIN a column every 4-row segment is
@@ -225,10 +242,11 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
             n_gy = (ph + 3) // 4
             for gx in range(1, min((pw + 3) // 4, edge.shape[1])):
                 x = gx * 4
-                if x >= pw:
-                    break
+                if x >= edge_lim:       # spec: skip edges at/beyond the
+                    break               # visible frame boundary
                 col = edge[:min(gh, n_gy), gx]
                 gys = np.nonzero(col)[0]
+                gys = gys[gys * 4 < row_lim]    # padding-only segments
                 if len(gys) == 0:
                     continue
                 cur = tdim[gys, gx].astype(np.int64)

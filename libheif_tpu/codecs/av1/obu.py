@@ -560,7 +560,11 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
                 fh.lr_unit_shift = r.f(1)
                 if fh.lr_unit_shift:
                     fh.lr_unit_shift += r.f(1)
-            if seq.subsampling_x and seq.subsampling_y:
+            # spec 5.9.20: the uv shift bit is present only when a
+            # CHROMA plane uses restoration (usesChromaLr) — reading it
+            # for luma-only LR shifted the whole header by one bit
+            uses_chroma_lr = any(k != 0 for k in kinds[1:])
+            if seq.subsampling_x and seq.subsampling_y and uses_chroma_lr:
                 fh.lr_uv_shift = r.f(1)
         # luma unit size: 256 >> (2 - shift)  (spec 5.9.20,
         # RESTORATION_TILESIZE_MAX = 256); chroma >> lr_uv_shift

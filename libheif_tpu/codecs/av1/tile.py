@@ -878,13 +878,20 @@ class TileDecoder:
                                     bsize)
 
     def _uv_tx_size(self, bsize: int) -> int:
+        """aom av1_get_max_uv_txsize: the largest rect tx of the chroma
+        plane block, then av1_get_adjusted_tx_size (only 64-px dims
+        clamp — 4:1 shapes like TX_4X16 are kept; a 2:1 aspect clamp
+        here desynced every 1:4-shaped chroma block, caught by the
+        8x32 filter-intra oracle difftest)."""
         w, h = T.BLOCK_SIZES[bsize]
         cw, ch = max(w >> self.ssx, 4), max(h >> self.ssy, 4)
-        cw, ch = min(cw, 32), min(ch, 32)
-        while cw > 2 * ch:
-            cw //= 2
-        while ch > 2 * cw:
-            ch //= 2
+        cw, ch = min(cw, 64), min(ch, 64)
+        if cw == 64:
+            cw = 32
+            ch = min(ch, 32)
+        elif ch == 64:
+            ch = 32
+            cw = min(cw, 32)
         return T.TX_SIZES.index((cw, ch))
 
     # ------------------------------------------------------- transform blk

@@ -2265,11 +2265,14 @@ struct FrameCtx {
   }
 
   int uv_tx_size_of(int bsize) {
+    // aom av1_get_max_uv_txsize: largest rect tx of the chroma plane
+    // block + av1_get_adjusted_tx_size (only 64-px dims clamp; 4:1
+    // shapes like TX_4X16 are legal and kept — tile.py _uv_tx_size)
     int w = BW[bsize], h = BH[bsize];
     int cw = std::max(w >> p.ssx, 4), ch = std::max(h >> p.ssy, 4);
-    cw = std::min(cw, 32); ch = std::min(ch, 32);
-    while (cw > 2 * ch) cw /= 2;
-    while (ch > 2 * cw) ch /= 2;
+    cw = std::min(cw, 64); ch = std::min(ch, 64);
+    if (cw == 64) { cw = 32; ch = std::min(ch, 32); }
+    else if (ch == 64) { ch = 32; cw = std::min(cw, 32); }
     return g_tables.tx_index(cw, ch);
   }
 
@@ -3035,7 +3038,9 @@ namespace av1n {
 // ======================================================================
 
 static int adjust_lf_level(int base, bool delta_enabled, int intra_delta) {
-  if (base == 0) return 0;
+  // aom av1_loop_filter_frame_init intra level: NO base==0 early-out —
+  // zero base + ref_deltas[INTRA_FRAME]=1 still filters at level 1
+  // (deblock.py _adjust_level)
   if (!delta_enabled) return base;
   int scale = 1 << (base >> 5);
   return (int)clampi(base + intra_delta * scale, 0, 63);
@@ -3159,13 +3164,26 @@ static void apply_deblock(FrameCtx& ctx) {
   int lvls[4];
   for (int i = 0; i < 4; i++)
     lvls[i] = adjust_lf_level(p.lf_levels[i], delta_en, intra_delta);
+  // aom av1_loop_filter_frame plane gates on the RAW levels: luma
+  // both-zero → nothing filters at all; each chroma plane gated on
+  // its own raw level (deblock.py apply_deblock)
+  if (p.lf_levels[0] == 0 && p.lf_levels[1] == 0) return;
 
   // planes never interact during deblock: run Y on one thread, U+V on
   // the other (vertical pass then horizontal within each plane keeps
   // the spec's in-plane ordering)
   auto run_plane = [&](int plane) {
+    if (plane > 0 && p.lf_levels[plane + 1] == 0) return;
     PlaneView& buf = ctx.planes[plane];
     int max_len = plane == 0 ? 14 : 6;
+    // plane-scaled visible frame dims: spec 7.14.2 skips an edge when
+    // x >= FrameWidth or y >= FrameHeight (plane coords), so edges in
+    // the 8px alignment padding stay unfiltered (CDEF reads the raw
+    // recon padding there, like aom)
+    int ssx = plane > 0 ? ctx.p.ssx : 0;
+    int ssy = plane > 0 ? ctx.p.ssy : 0;
+    int fw_p = (ctx.p.frame_w + ssx) >> ssx;
+    int fh_p = (ctx.p.frame_h + ssy) >> ssy;
     for (int direction = 0; direction < 2; direction++) {
       int lvl = plane == 0 ? lvls[direction] : lvls[plane + 1];
       if (lvl == 0) continue;
@@ -3182,11 +3200,14 @@ static void apply_deblock(FrameCtx& ctx) {
       int ph = direction == 0 ? buf.h : buf.w;
       int egx = direction == 0 ? gw : gh;  // transposed edge dims
       int egy = direction == 0 ? gh : gw;
+      int edge_lim = direction == 0 ? fw_p : fh_p;
+      int row_lim = direction == 0 ? fh_p : fw_p;
       int n_gy = (ph + 3) / 4;
       for (int gx = 1; gx < std::min((pw + 3) / 4, egx); gx++) {
         int x = gx * 4;
-        if (x >= pw) break;
+        if (x >= edge_lim) break;
         for (int gy = 0; gy < std::min(egy, n_gy); gy++) {
+          if (gy * 4 >= row_lim) break;  // padding-only segment
           u8 e = direction == 0 ? edge[(i64)gy * gw + gx]
                                 : edge[(i64)gx * gw + gy];
           if (!e) continue;

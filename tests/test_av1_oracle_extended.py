@@ -85,16 +85,49 @@ def test_oracle_extended(name, opts, size, kind):
     _exact(base, size, kind)
 
 
-@pytest.mark.xfail(strict=False, reason="open conformance gap: streams "
-                   "combining filter-intra with 1:4 partitions (16x4/4x16 "
-                   "blocks) still desync vs libaom; see ROADMAP")
-def test_oracle_1to4_filter_intra_open():
+def test_oracle_1to4_filter_intra():
+    """Fixed round 4: filter_intra_use default CDFs for the extended
+    rectangular sizes (4X16/16X4/8X32/32X8, BLOCK_SIZES_ALL 16-19) were
+    misplaced at indices 11-14, desyncing every 1:4-partition
+    filter-intra stream."""
     _exact({"cpu-used": "3", "_min_q": "45", "_max_q": "45"}, (64, 44),
            "noise")
 
 
-@pytest.mark.xfail(strict=False, reason="open conformance gap: rare 1-px "
-                   "residuals on some photo streams at odd dims")
-def test_oracle_odd_dims_photo_open():
+def test_oracle_1to4_filter_intra_minimal():
+    """16x32 VERT_4 minimal repro of the filter_intra_use CDF layout."""
+    _exact({"cpu-used": "3", "_min_q": "45", "_max_q": "45",
+            "min-partition-size": "4", "enable-filter-intra": "1"},
+           (16, 32), "noise", seed=1)
+
+
+def test_oracle_odd_dims_photo():
+    """Fixed round 4: spec 7.14.2 skips deblock edges at/beyond the
+    visible frame boundary, so the 8px alignment padding stays
+    unfiltered and CDEF taps read raw recon padding there."""
     _exact({"cpu-used": "3", "_min_q": "30", "_max_q": "30"}, (108, 76),
            "photo")
+
+
+def test_oracle_uv_tx_1to4_shape():
+    """Fixed round 4: chroma max tx is max_txsize_rect of the chroma
+    plane block (4:1 shapes like TX_4X16 kept); a 2:1 aspect clamp
+    desynced every 1:4-shaped chroma block (8x32 luma at 420)."""
+    _exact({"cpu-used": "3", "_min_q": "45", "_max_q": "45"}, (88, 137),
+           "noise", seed=33)
+
+
+def test_oracle_luma_only_lr_uv_shift():
+    """Fixed round 4: lr_uv_shift is only coded when a CHROMA plane
+    uses restoration (spec 5.9.20 usesChromaLr)."""
+    _exact({"cpu-used": "0", "_min_q": "30", "_max_q": "30",
+            "min-partition-size": "4"}, (119, 38), "noise", seed=92)
+
+
+def test_oracle_zero_base_lf_level_intra_delta():
+    """Fixed round 4: aom's loop-filter init applies
+    ref_deltas[INTRA_FRAME] with NO base==0 early-out, so lf=[0,14]
+    streams still filter vertical edges at level 1."""
+    _exact({"cpu-used": "0", "_min_q": "30", "_max_q": "30",
+            "min-partition-size": "4", "enable-filter-intra": "1"},
+           (81, 71), "photo", seed=57)

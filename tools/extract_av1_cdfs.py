@@ -150,11 +150,17 @@ LITERAL = {
     # filter-intra + CfL tables (recovered literally from the rodata
     # default-cdf blob at 48400/48224/48688; alignment pads prevent
     # plain array reads)
+    # layout note: BLOCK_SIZES_ALL order puts the extended rectangular
+    # sizes 4X16/16X4/8X32/32X8 at indices 16-19 — the four trained
+    # values go THERE (filter-intra is allowed for them), while the
+    # >32px square/wide sizes at 10-15 keep the flat 16384 default.
+    # Misplacing them at 11-14 desynced every 1:4-partition
+    # filter-intra stream (caught by the 4x16 oracle difftest).
     "filter_intra_use": np.array(
         [[v, 0, 0] for v in
          [28147, 26025, 26875, 24902, 20217, 23374, 20360, 18467,
-          20012, 10425, 16384, 19998, 22400, 12539, 14667] +
-         [16384] * 7], np.uint16),
+          20012, 10425] + [16384] * 6 +
+         [19998, 22400, 12539, 14667] + [16384] * 2], np.uint16),
     "cfl_sign": np.array(
         [25008, 18945, 16960, 15127, 13612, 12102, 5877, 0, 0],
         np.uint16),

@@ -3169,11 +3169,10 @@ static void apply_deblock(FrameCtx& ctx) {
   // its own raw level (deblock.py apply_deblock)
   if (p.lf_levels[0] == 0 && p.lf_levels[1] == 0) return;
 
-  // planes never interact during deblock: run Y on one thread, U+V on
-  // the other (vertical pass then horizontal within each plane keeps
-  // the spec's in-plane ordering)
-  auto run_plane = [&](int plane) {
-    if (plane > 0 && p.lf_levels[plane + 1] == 0) return;
+  // one (plane, direction) pass over worker widx's share of the
+  // disjoint 4-row segments; directions are barriered by the caller
+  // (the horizontal pass reads the vertical pass's output)
+  auto run_dir = [&](int plane, int direction, int widx, int wcnt) {
     PlaneView& buf = ctx.planes[plane];
     int max_len = plane == 0 ? 14 : 6;
     // plane-scaled visible frame dims: spec 7.14.2 skips an edge when
@@ -3184,9 +3183,9 @@ static void apply_deblock(FrameCtx& ctx) {
     int ssy = plane > 0 ? ctx.p.ssy : 0;
     int fw_p = (ctx.p.frame_w + ssx) >> ssx;
     int fh_p = (ctx.p.frame_h + ssy) >> ssy;
-    for (int direction = 0; direction < 2; direction++) {
+    {
       int lvl = plane == 0 ? lvls[direction] : lvls[plane + 1];
-      if (lvl == 0) continue;
+      if (lvl == 0) return;
       int blimit, limit, thresh;
       lf_thresholds(lvl, sharp, &blimit, &limit, &thresh);
       const u8* edge = direction == 0 ? ctx.edge_vert[plane].data()
@@ -3203,11 +3202,19 @@ static void apply_deblock(FrameCtx& ctx) {
       int edge_lim = direction == 0 ? fw_p : fh_p;
       int row_lim = direction == 0 ? fh_p : fw_p;
       int n_gy = (ph + 3) / 4;
-      for (int gx = 1; gx < std::min((pw + 3) / 4, egx); gx++) {
-        int x = gx * 4;
-        if (x >= edge_lim) break;
-        for (int gy = 0; gy < std::min(egy, n_gy); gy++) {
-          if (gy * 4 >= row_lim) break;  // padding-only segment
+      // gy-outer/gx-inner: edges within one 4-row segment must run
+      // left-to-right (wide filters read previous columns' output) but
+      // segments in different rows are disjoint — split gy over workers
+      // in contiguous halves (interleaved stripes false-share cache
+      // lines at every segment boundary)
+      int gy_end = std::min(std::min(egy, n_gy), (row_lim + 3) / 4);
+      int gy_lo = (int)((i64)gy_end * widx / wcnt);
+      int gy_hi = (int)((i64)gy_end * (widx + 1) / wcnt);
+      int gx_end = std::min((pw + 3) / 4, egx);
+      for (int gy = gy_lo; gy < gy_hi; gy++) {
+        for (int gx = 1; gx < gx_end; gx++) {
+          int x = gx * 4;
+          if (x >= edge_lim) break;
           u8 e = direction == 0 ? edge[(i64)gy * gw + gx]
                                 : edge[(i64)gx * gw + gy];
           if (!e) continue;
@@ -3250,13 +3257,38 @@ static void apply_deblock(FrameCtx& ctx) {
     }
   };
   int npl = std::min(3, ctx.num_planes);
-  if (npl > 1 && std::thread::hardware_concurrency() >= 2 &&
-      !getenv("TPUHEIF_AV1_NO_THREADS")) {
-    std::thread th([&]() { run_plane(0); });
-    for (int plane = 1; plane < npl; plane++) run_plane(plane);
+  bool threaded = std::thread::hardware_concurrency() >= 2 &&
+                  !getenv("TPUHEIF_AV1_NO_THREADS");
+  // stage list: (plane, direction) in spec order; ONE helper thread for
+  // the whole filter, spin barriers between stages (pass 1 reads pass
+  // 0's output; planes are independent but kept in order for clarity)
+  struct Stage { int plane, dir; };
+  Stage stages[6];
+  int n_stages = 0;
+  for (int plane = 0; plane < npl; plane++) {
+    if (plane > 0 && p.lf_levels[plane + 1] == 0) continue;
+    for (int direction = 0; direction < 2; direction++)
+      stages[n_stages++] = {plane, direction};
+  }
+  if (threaded) {
+    std::atomic<int> done0{-1}, done1{-1};
+    std::thread th([&]() {
+      for (int s = 0; s < n_stages; s++) {
+        while (done0.load(std::memory_order_acquire) < s - 1) {}
+        run_dir(stages[s].plane, stages[s].dir, 1, 2);
+        done1.store(s, std::memory_order_release);
+      }
+    });
+    for (int s = 0; s < n_stages; s++) {
+      run_dir(stages[s].plane, stages[s].dir, 0, 2);
+      done0.store(s, std::memory_order_release);
+      while (done1.load(std::memory_order_acquire) < s &&
+             s + 1 < n_stages) {}
+    }
     th.join();
   } else {
-    for (int plane = 0; plane < npl; plane++) run_plane(plane);
+    for (int s = 0; s < n_stages; s++)
+      run_dir(stages[s].plane, stages[s].dir, 0, 1);
   }
 }
 
@@ -3369,6 +3401,55 @@ static void cdef_filter_block(u16* dst, int dstride, const u16* pad,
         }
       }
   }
+#if defined(__SSE2__)
+  // 8-lane i16 path (8-bit content: samples <= 255, taps <= 4,
+  // thresholds <= 19, so every intermediate fits i16; VERY_LARGE
+  // padding lanes are excluded from min/max by masking and contribute
+  // 0 to the sum because threshold - (a >> damp) goes negative).
+  // Bit-exact vs the scalar loop below; w==4 rows store 4 lanes.
+  if (w == 8 || w == 4) {
+    const __m128i vl = _mm_set1_epi16((short)CDEF_VERY_LARGE);
+    const __m128i i16min = _mm_set1_epi16((short)0x8000);
+    const __m128i i16max = _mm_set1_epi16(0x7fff);
+    for (int dy = 0; dy < h; dy++) {
+      const u16* row = pad + (i64)(y0 + dy + 2) * pstride + x0 + 2;
+      __m128i x = _mm_loadu_si128((const __m128i*)row);
+      __m128i s = _mm_setzero_si128();
+      __m128i mn = x, mx = x;
+      for (int t = 0; t < n_taps; t++) {
+        __m128i pv = _mm_loadu_si128((const __m128i*)(row + t_off[t]));
+        __m128i diff = _mm_sub_epi16(pv, x);
+        __m128i sgn = _mm_srai_epi16(diff, 15);
+        __m128i a = _mm_sub_epi16(_mm_xor_si128(diff, sgn), sgn);
+        __m128i cl = _mm_subs_epu16(_mm_set1_epi16((short)t_thr[t]),
+                                    _mm_sra_epi16(a,
+                                        _mm_cvtsi32_si128(t_damp[t])));
+        __m128i v = _mm_min_epi16(a, cl);
+        v = _mm_sub_epi16(_mm_xor_si128(v, sgn), sgn);
+        s = _mm_add_epi16(s, _mm_mullo_epi16(
+                                 _mm_set1_epi16((short)t_tap[t]), v));
+        __m128i inval = _mm_cmpeq_epi16(pv, vl);
+        mx = _mm_max_epi16(mx, _mm_or_si128(
+                                   _mm_andnot_si128(inval, pv),
+                                   _mm_and_si128(inval, i16min)));
+        mn = _mm_min_epi16(mn, _mm_or_si128(
+                                   _mm_andnot_si128(inval, pv),
+                                   _mm_and_si128(inval, i16max)));
+      }
+      __m128i neg = _mm_srli_epi16(s, 15);     // 1 where s < 0
+      __m128i adj = _mm_sub_epi16(_mm_add_epi16(s,
+                                      _mm_set1_epi16(8)), neg);
+      __m128i out = _mm_add_epi16(x, _mm_srai_epi16(adj, 4));
+      out = _mm_max_epi16(mn, _mm_min_epi16(mx, out));
+      u16* drow = dst + (i64)(y0 + dy) * dstride + x0;
+      if (w == 8)
+        _mm_storeu_si128((__m128i*)drow, out);
+      else
+        _mm_storel_epi64((__m128i*)drow, out);
+    }
+    return;
+  }
+#endif
   i32 xr[8], sr[8], mnr[8], mxr[8];
   for (int dy = 0; dy < h; dy++) {
     const u16* row = pad + (i64)(y0 + dy + 2) * pstride + x0 + 2;
@@ -3422,7 +3503,9 @@ static void build_pad_snapshot(FrameCtx& ctx, PadSnap* out) {
     out->vw[pl] = pw; out->vh[pl] = ph;
     int fw = ctx.planes[pl].w, fh = ctx.planes[pl].h;
     out->stride[pl] = fw + 4;
-    out->buf[pl].assign((i64)(fh + 4) * (fw + 4), CDEF_VERY_LARGE);
+    // +8 u16 slack: the SSE2 cdef kernel's unaligned 8-lane loads may
+    // read past the last row's end (extra lanes are discarded)
+    out->buf[pl].assign((i64)(fh + 4) * (fw + 4) + 8, CDEF_VERY_LARGE);
     const u16* src = ctx.planes[pl].data;
     for (int y = 0; y < ph; y++) {
       u16* dr = out->buf[pl].data() + (i64)(y + 2) * out->stride[pl] + 2;
@@ -3542,7 +3625,7 @@ static const int SGR_PARAMS_T[16][4] = {
 // _gather_piece): margin 3
 static void lr_gather(const u16* cdef_p, const u16* deblk_p, int stride,
                       int x0, int x1, int y0, int h, int ss_start,
-                      int ss_end, int plane_w, int plane_h, i64* out,
+                      int ss_end, int plane_w, int plane_h, i32* out,
                       int ow) {
   int w = x1 - x0;
   int margin = 3;
@@ -3562,18 +3645,21 @@ static void lr_gather(const u16* cdef_p, const u16* deblk_p, int stride,
     }
     for (int j = 0; j < w + 2 * margin; j++) {
       int x = (int)clampi(x0 - margin + j, 0, plane_w - 1);
-      out[(i64)i * ow + j] = row[x];
+      out[(i64)i * ow + j] = (i32)row[x];
     }
   }
 }
 
-static void wiener_filter(const i64* pad, int ow, int w, int h,
+static void wiener_filter(const i32* pad, int ow, int w, int h,
                           const i32* vcoeff, const i32* hcoeff, int bd,
                           u16* out, int ostride) {
-  i64 hf[7], vf[7];
+  // i32 throughout for 8-bit content (|tap| <= 128, samples <= 2^16:
+  // horizontal sums <= ~229k, vertical <= ~59M) so AVX2 autovectorizes
+  // both passes
+  i32 hf[7], vf[7];
   {
-    i64 w0 = hcoeff[0], w1 = hcoeff[1], w2 = hcoeff[2];
-    i64 w3 = 128 - 2 * (w0 + w1 + w2);
+    i32 w0 = hcoeff[0], w1 = hcoeff[1], w2 = hcoeff[2];
+    i32 w3 = 128 - 2 * (w0 + w1 + w2);
     hf[0] = w0; hf[1] = w1; hf[2] = w2; hf[3] = w3;
     hf[4] = w2; hf[5] = w1; hf[6] = w0;
     w0 = vcoeff[0]; w1 = vcoeff[1]; w2 = vcoeff[2];
@@ -3583,25 +3669,31 @@ static void wiener_filter(const i64* pad, int ow, int w, int h,
   }
   int inter_round0 = bd == 8 ? 3 : 5;
   int inter_round1 = 11;
-  i64 offset = (i64)1 << (bd + 7 - inter_round0 - 1);
-  i64 limit = ((i64)1 << (bd + 1 + 7 - inter_round0)) - 1;
+  i32 offset = 1 << (bd + 7 - inter_round0 - 1);
+  i32 limit = (1 << (bd + 1 + 7 - inter_round0)) - 1;
 
-  std::vector<i64> inter((i64)(h + 6) * w);
-  for (int i = 0; i < h + 6; i++)
+  std::vector<i32> inter((i64)(h + 6) * w);
+  for (int i = 0; i < h + 6; i++) {
+    const i32* prow = pad + (i64)i * ow;
+    i32* irow = inter.data() + (i64)i * w;
     for (int j = 0; j < w; j++) {
-      i64 s = 0;
-      for (int t = 0; t < 7; t++) s += hf[t] * pad[(i64)i * ow + t + j];
+      i32 s = 0;
+      for (int t = 0; t < 7; t++) s += hf[t] * prow[t + j];
       s = (s + (1 << (inter_round0 - 1))) >> inter_round0;
-      inter[(i64)i * w + j] = clampi(s, -offset, limit - offset);
+      irow[j] = std::max(-offset, std::min(limit - offset, s));
     }
-  i64 maxv = (1 << bd) - 1;
-  for (int i = 0; i < h; i++)
+  }
+  i32 maxv = (1 << bd) - 1;
+  for (int i = 0; i < h; i++) {
+    u16* orow = out + (i64)i * ostride;
+    const i32* ir = inter.data() + (i64)i * w;
     for (int j = 0; j < w; j++) {
-      i64 s = 0;
-      for (int t = 0; t < 7; t++) s += vf[t] * inter[(i64)(t + i) * w + j];
+      i32 s = 0;
+      for (int t = 0; t < 7; t++) s += vf[t] * ir[(i64)t * w + j];
       s = (s + (1 << (inter_round1 - 1))) >> inter_round1;
-      out[(i64)i * ostride + j] = (u16)clampi(s, 0, maxv);
+      orow[j] = (u16)std::max(0, std::min(maxv, s));
     }
+  }
 }
 
 // a2 = ((z<<8) + z/2) / (z+1) for z in [0,254]; z=0 -> 1 (lr.py)
@@ -3622,7 +3714,7 @@ static const int SGRPROJ_MTABLE_BITS = 20;
 static const int SGRPROJ_RECIP_BITS = 12;
 
 // one box-filter pass (lr.py _box_filter); flt (h, w)
-static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
+static void box_filter(const i32* pad, int ow, int w, int h, int sgr_set,
                        int pass_idx, int bd, i64* flt) {
   sgr_a2_init();
   int r = SGR_PARAMS_T[sgr_set][pass_idx * 2];
@@ -3633,17 +3725,22 @@ static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
   i64 one_over_n = (((i64)1 << SGRPROJ_RECIP_BITS) + (n >> 1)) / n;
 
   // A/B grids for i in -1..h, j in -1..w  (grid index [i+1][j+1]);
-  // window sums via integral images over the padded piece
+  // window sums via integral images over the padded piece.  8-bit
+  // content: every quantity fits i32 (integral of squares over a
+  // 70x70 piece <= 70*70*65025 ~ 318M; b2 <= 740M) except pv*s_val,
+  // widened to i64 for the z computation only — the narrow types let
+  // AVX2 autovectorize these loops (measured on the LR-heavy
+  // example.avif bench).
   int gh = h + 2, gw = w + 2;
-  std::vector<i64> A((i64)gh * gw), B((i64)gh * gw);
+  std::vector<i32> A((i64)gh * gw), B((i64)gh * gw);
   int shift = 2 * (bd - 8);
   int ph6 = h + 6, pw6 = w + 6;
-  std::vector<i64> csq((i64)(ph6 + 1) * (pw6 + 1), 0),
+  std::vector<i32> csq((i64)(ph6 + 1) * (pw6 + 1), 0),
       cs((i64)(ph6 + 1) * (pw6 + 1), 0);
   for (int y = 0; y < ph6; y++) {
-    i64 row_sq = 0, row_s = 0;
+    i32 row_sq = 0, row_s = 0;
     for (int x = 0; x < pw6; x++) {
-      i64 v = pad[(i64)y * ow + x];
+      i32 v = (i32)pad[(i64)y * ow + x];
       row_sq += v * v;
       row_s += v;
       csq[(i64)(y + 1) * (pw6 + 1) + x + 1] =
@@ -3653,29 +3750,33 @@ static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
     }
   }
   int wn = 2 * r + 1;
-  for (int gi = 0; gi < gh; gi++)
+  int pw1 = pw6 + 1;
+  for (int gi = 0; gi < gh; gi++) {
+    int y0w = gi - 1 + 3 - r;     // window top-left in padded coords
+    const i32* sq_t = csq.data() + (i64)y0w * pw1;
+    const i32* sq_b = csq.data() + (i64)(y0w + wn) * pw1;
+    const i32* s_t = cs.data() + (i64)y0w * pw1;
+    const i32* s_b = cs.data() + (i64)(y0w + wn) * pw1;
+    i32* Arow = A.data() + (i64)gi * gw;
+    i32* Brow = B.data() + (i64)gi * gw;
+    int x0w0 = -1 + 3 - r;
     for (int gj = 0; gj < gw; gj++) {
-      int y0w = gi - 1 + 3 - r;   // window top-left in padded coords
-      int x0w = gj - 1 + 3 - r;
-      i64 a_sum = csq[(i64)(y0w + wn) * (pw6 + 1) + x0w + wn] -
-                  csq[(i64)y0w * (pw6 + 1) + x0w + wn] -
-                  csq[(i64)(y0w + wn) * (pw6 + 1) + x0w] +
-                  csq[(i64)y0w * (pw6 + 1) + x0w];
-      i64 b_sum = cs[(i64)(y0w + wn) * (pw6 + 1) + x0w + wn] -
-                  cs[(i64)y0w * (pw6 + 1) + x0w + wn] -
-                  cs[(i64)(y0w + wn) * (pw6 + 1) + x0w] +
-                  cs[(i64)y0w * (pw6 + 1) + x0w];
-      i64 a_r = shift ? round2(a_sum, shift) : a_sum;
-      i64 d_r = bd > 8 ? round2(b_sum, bd - 8) : b_sum;
-      i64 pv = std::max<i64>(0, a_r * n - d_r * d_r);
-      i64 z = (pv * s_val + ((i64)1 << (SGRPROJ_MTABLE_BITS - 1))) >>
+      int x0w = x0w0 + gj;
+      i32 a_sum = sq_b[x0w + wn] - sq_t[x0w + wn] - sq_b[x0w] + sq_t[x0w];
+      i32 b_sum = s_b[x0w + wn] - s_t[x0w + wn] - s_b[x0w] + s_t[x0w];
+      i32 a_r = shift ? (i32)round2(a_sum, shift) : a_sum;
+      i32 d_r = bd > 8 ? (i32)round2(b_sum, bd - 8) : b_sum;
+      i32 pv = std::max(0, a_r * (i32)n - d_r * d_r);
+      i64 z = ((i64)pv * s_val + ((i64)1 << (SGRPROJ_MTABLE_BITS - 1))) >>
               SGRPROJ_MTABLE_BITS;
-      i64 a2 = z >= 255 ? 256 : g_sgr_a2[z];
-      i64 b2 = ((((i64)1 << SGRPROJ_SGR_BITS) - a2) * b_sum * one_over_n +
-                ((i64)1 << (SGRPROJ_RECIP_BITS - 1))) >> SGRPROJ_RECIP_BITS;
-      A[(i64)gi * gw + gj] = a2;
-      B[(i64)gi * gw + gj] = b2;
+      i32 a2 = z >= 255 ? 256 : (i32)g_sgr_a2[z];
+      i32 b2 = (i32)((((1 << SGRPROJ_SGR_BITS) - a2) * b_sum *
+                      (i32)one_over_n +
+                      (1 << (SGRPROJ_RECIP_BITS - 1))) >> SGRPROJ_RECIP_BITS);
+      Arow[gj] = a2;
+      Brow[gj] = b2;
     }
+  }
 
   for (int i = 0; i < h; i++) {
     int gi = i + 1;
@@ -3723,7 +3824,7 @@ static void box_filter(const i64* pad, int ow, int w, int h, int sgr_set,
   }
 }
 
-static void sgrproj_filter(const i64* pad, int ow, int w, int h,
+static void sgrproj_filter(const i32* pad, int ow, int w, int h,
                            int sgr_set, const i32* xqd, int bd, u16* out,
                            int ostride) {
   int r0 = SGR_PARAMS_T[sgr_set][0];
@@ -3811,7 +3912,7 @@ static void apply_lr(FrameCtx& ctx, const PadSnap* cdef_snap,
           int ss_end = ss_start + stripe_size - 1;
           int h = std::min(uy1 - 1, ss_end) - y + 1;
           int ow = w + 6;
-          std::vector<i64> pad((i64)(h + 6) * ow);
+          std::vector<i32> pad((i64)(h + 6) * ow);
           lr_gather(cdef_p, deblk_p, pad_stride, ux0, ux1, y, h, ss_start,
                     ss_end, plane_w, plane_h, pad.data(), ow);
           u16* outp = ctx.planes[plane].data + (i64)y * stride + ux0;

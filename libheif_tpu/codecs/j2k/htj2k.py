@@ -38,6 +38,41 @@ from .ht_tables import (ENC_TBL_INIT, ENC_TBL_NONINIT, MEL_E, VLC_TBL_INIT,
                         VLC_TBL_NONINIT)
 
 
+# ------------------------------------------------------- native engine
+
+_native = None
+
+
+def _ht_native_lib():
+    """Native HT block coder (native/src/ht_j2k.cc); this module's
+    Python paths stay the conformance anchors it is difftested
+    against.  Returns None when disabled/unavailable."""
+    global _native
+    if _native is not None:
+        return _native or None
+    import os
+    if os.environ.get("TPUHEIF_J2K_NATIVE", "1") == "0":
+        _native = False
+        return None
+    from ... import native
+    import ctypes
+    lib = native.get_lib()
+    if lib is None:
+        _native = False
+        return None
+    for fn in ("tpuheif_ht_decode_cleanup", "tpuheif_ht_encode_cleanup",
+               "tpuheif_ht_encode_refinement",
+               "tpuheif_ht_decode_refinement"):
+        getattr(lib, fn).restype = ctypes.c_int
+    tbl_i = np.asarray(VLC_TBL_INIT, np.uint16)
+    tbl_n = np.asarray(VLC_TBL_NONINIT, np.uint16)
+    lib.tpuheif_ht_set_tables(
+        tbl_i.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        tbl_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    _native = lib
+    return lib
+
+
 # --------------------------------------------------------------- streams
 
 class MagSgnWriter:
@@ -389,6 +424,24 @@ def encode_cleanup(coef: np.ndarray) -> Tuple[bytes, int]:
     sig = coef != 0
     if not sig.any():
         raise HeifError.encoding_error(msg="HT cleanup on all-zero block")
+    lib = _ht_native_lib()
+    if lib is not None and w <= 4096 and h <= 4096:
+        import ctypes
+        c32 = np.ascontiguousarray(coef, np.int32)
+        cap = 16 * w * h + 4096
+        buf = np.empty(cap, np.uint8)
+        out_len = ctypes.c_int64(0)
+        b_out = ctypes.c_int32(0)
+        rc = lib.tpuheif_ht_encode_cleanup(
+            c32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(w), ctypes.c_int32(h),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(cap), ctypes.byref(out_len),
+            ctypes.byref(b_out))
+        if rc == 0:
+            return bytes(buf[:out_len.value].tobytes()), int(b_out.value)
+        if rc == 2:
+            raise HeifError.encoding_error(msg="HT cleanup Scup overflow")
     mu = np.abs(coef)
     v = np.where(sig, 2 * (mu - 1) + (coef < 0), 0)
     B = _bitlen(int(mu.max()))
@@ -527,6 +580,20 @@ def decode_cleanup(seg: bytes, w: int, h: int, B: int) -> np.ndarray:
     scup = (seg[lcup - 1] << 4) | (seg[lcup - 2] & 0xF)
     if scup < 2 or scup > min(lcup, 4079):
         raise HeifError.invalid_input(msg="invalid HT Scup")
+    lib = _ht_native_lib()
+    if lib is not None and w <= 4096 and h <= 4096:
+        import ctypes
+        buf = np.frombuffer(bytes(seg), np.uint8)
+        out = np.empty((h, w), np.int32)
+        rc = lib.tpuheif_ht_decode_cleanup(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(lcup), ctypes.c_int32(w), ctypes.c_int32(h),
+            ctypes.c_int32(B),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc == 0:
+            return out
+        if rc == 2:
+            raise HeifError.invalid_input(msg="invalid HT cleanup segment")
     mel = MELDecoder(seg[lcup - scup:lcup])
     vlc = VLCReader(seg, lcup, scup)
     ms = MagSgnReader(seg[:lcup - scup])
@@ -764,6 +831,22 @@ def encode_refinement(coef: np.ndarray, high: np.ndarray) -> bytes:
     coef = np.asarray(coef, np.int64)
     high = np.asarray(high, np.int64)
     h, w = coef.shape
+    lib = _ht_native_lib()
+    if lib is not None and w <= 4096 and h <= 4096:
+        import ctypes
+        c32 = np.ascontiguousarray(coef, np.int32)
+        h32 = np.ascontiguousarray(high, np.int32)
+        cap = 4 * w * h + 4096
+        buf = np.empty(cap, np.uint8)
+        out_len = ctypes.c_int64(0)
+        rc = lib.tpuheif_ht_encode_refinement(
+            c32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            h32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(w), ctypes.c_int32(h),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(cap), ctypes.byref(out_len))
+        if rc == 0:
+            return bytes(buf[:out_len.value].tobytes())
     sig0 = high != 0                       # significant after cleanup
     low = (np.abs(coef) & 1).astype(np.int64)
 
@@ -813,6 +896,22 @@ def decode_refinement(seg: bytes, high: np.ndarray, w: int,
     """Decode a SigProp + MagRef refinement segment against the
     cleanup-decoded halves `high`; returns full-precision int32."""
     high = np.asarray(high, np.int64)
+    lib = _ht_native_lib()
+    if lib is not None and w <= 4096 and h <= 4096:
+        import ctypes
+        h32 = np.ascontiguousarray(high, np.int32)
+        buf = np.frombuffer(bytes(seg), np.uint8) if seg \
+            else np.zeros(1, np.uint8)
+        out = np.empty((h, w), np.int32)
+        rc = lib.tpuheif_ht_decode_refinement(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(seg)),
+            h32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(w), ctypes.c_int32(h),
+            ctypes.c_int32(1 if magref else 0),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc == 0:
+            return out
     sig0 = high != 0
     sp = SigPropReader(seg)
     out = 2 * np.abs(high)

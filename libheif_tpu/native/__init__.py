@@ -22,7 +22,7 @@ _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 _SOURCES = ["jpeg_scan.cc", "hevc_parse.cc", "hevc_recon.cc",
             "hevc_plan.cc", "hevc_enc.cc", "av1_native.cc",
-            "j2k_t1.cc", "avc_native.cc"]
+            "j2k_t1.cc", "avc_native.cc", "ht_j2k.cc"]
 _LIB_NAME = "libtpuheif_native.so"
 
 _lock = threading.Lock()

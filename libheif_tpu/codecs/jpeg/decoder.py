@@ -237,15 +237,19 @@ class JpegParser:
             comps.append((comp, tdta >> 4, tdta & 15))
         # Ss/Se/Ah/Al ignored for sequential
 
-        # locate end of entropy data: next marker that is not RSTn/stuffing
+        # locate end of entropy data: next marker that is not
+        # RSTn/stuffing — vectorized over the 0xFF positions (a
+        # byte-wise Python walk here dominated whole-image decode)
         data = self.data
-        end = pos
         n = len(data)
-        while end < n - 1:
-            if data[end] == 0xFF and data[end + 1] != 0x00 and \
-                    not (0xD0 <= data[end + 1] <= 0xD7):
+        arr = np.frombuffer(data, np.uint8)
+        ffs = np.nonzero(arr[pos:n - 1] == 0xFF)[0]
+        end = n - 1 if n > pos else pos
+        for off in ffs:
+            nxt = arr[pos + off + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                end = pos + int(off)
                 break
-            end += 1
         entropy = data[pos:end]
 
         # allocate coefficient arrays
@@ -485,10 +489,30 @@ def _recon_program(bh: int, bw: int, backend: str):
 def reconstruct_component(comp: JpegComponent, quant: np.ndarray):
     """coeffs (N,64 zigzag) → (blocks_h*8, blocks_w*8) uint8 plane.
 
-    One COMPILED jnp program: dequant + de-zigzag + batched islow IDCT
-    + tile reassembly (all blocks of the component at once)."""
+    Native C++ path (dequant + de-zigzag + islow IDCT + reassembly in
+    native/src/jpeg_scan.cc, bit-compatible with jpeg_idct_islow);
+    falls back to the compiled jnp program (the difftest anchor and
+    the batched-device path)."""
     import os
-    backend = os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "cpu")
+    backend = os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "native")
+    if backend == "native":
+        from ... import native
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+            bh, bw = comp.blocks_h, comp.blocks_w
+            co = np.ascontiguousarray(comp.coeffs, np.int16)
+            q = np.ascontiguousarray(quant, np.int32)
+            out = np.empty((bh * 8, bw * 8), np.uint8)
+            lib.tpuheif_jpeg_recon.restype = ctypes.c_int
+            lib.tpuheif_jpeg_recon(
+                co.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.c_int(bh), ctypes.c_int(bw),
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(bw * 8))
+            return out
+        backend = "cpu"
     try:
         fn = _recon_program(comp.blocks_h, comp.blocks_w, backend)
     except RuntimeError:
@@ -509,12 +533,22 @@ def decode_jpeg(data: bytes) -> PixelImage:
                                           f"missing quant table {c.tq}")
 
     h_max, v_max = frame.h_max, frame.v_max
-    planes = []
-    for c in frame.components:
+
+    def _recon(c):
         p = reconstruct_component(c, frame.quant[c.tq])
         cw = -(-frame.width * c.h // h_max)
         ch = -(-frame.height * c.v // v_max)
-        planes.append(p[:ch, :cw])
+        return p[:ch, :cw]
+
+    if ncomp > 1:
+        # the native recon releases the GIL: run components in parallel
+        # (the reference's plugin relies on libjpeg-internal threading
+        # the same way, heif_decoding num_codec_threads)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(ncomp, 3)) as ex:
+            planes = list(ex.map(_recon, frame.components))
+    else:
+        planes = [_recon(frame.components[0])]
 
     if ncomp == 1:
         img = PixelImage(frame.width, frame.height, Colorspace.Monochrome,

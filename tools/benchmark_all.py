@@ -394,6 +394,44 @@ def bench_j2k_htj2k(results, mp_side=512):
                                                 3)
 
 
+def bench_jpeg_decode(results, side=1024):
+    """JPEG baseline decode throughput of the native scan+IDCT engine
+    (the libjpeg plugin boundary, plugins/decoder_libjpeg.cc) with a
+    same-run libjpeg(-turbo via PIL) oracle column.  Ours stops at
+    YCbCr planes (the reference plugin's raw-output boundary); PIL's
+    number includes its own upsample/interleave."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    import io
+    from libheif_tpu.codecs.jpeg.decoder import decode_jpeg
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (side // 8, side // 8, 3)).astype(
+        np.float64)
+    img = np.clip(np.kron(base, np.ones((8, 8, 1)))
+                  + rng.integers(-10, 11, (side, side, 3)),
+                  0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85)
+    data = buf.getvalue()
+    mp = side * side / 1e6
+    decode_jpeg(data)
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        decode_jpeg(data)
+        best = min(best, time.perf_counter() - t0)
+    results["jpeg_decode_native_mps"] = round(mp / best, 1)
+    b = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        im = Image.open(io.BytesIO(data))
+        im.load()
+        b = min(b, time.perf_counter() - t0)
+    results["jpeg_decode_libjpeg_mps"] = round(mp / b, 1)
+
+
 def bench_avc_decode(results, side=768):
     """AVC native-engine intra decode throughput (the openh264 plugin
     boundary, plugins/decoder_openh264.cc): our own encoder emits the
@@ -443,6 +481,7 @@ def main():
     bench_avif_decode(results)
     bench_heic_encode_rd(results)
     bench_j2k_htj2k(results)
+    bench_jpeg_decode(results)
     bench_avc_decode(results)
     if not args.skip_device:
         bench_grid_device(results, n_tiles=args.tiles,

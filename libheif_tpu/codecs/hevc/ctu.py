@@ -63,6 +63,29 @@ class SaoParam:
     eo_class: List[int] = field(default_factory=lambda: [0, 0])  # luma, chroma
 
 
+@dataclass
+class PU:
+    """One inter prediction unit (list 0 only — P slices)."""
+    x: int
+    y: int
+    w: int
+    h: int
+    mv: Tuple[int, int]      # quarter-pel (mvx, mvy)
+    ref_idx: int
+
+
+@dataclass
+class CURec:
+    """Per-CU record in parse (z) order, for reconstruction."""
+    x: int
+    y: int
+    log2: int
+    inter: bool
+    pus: List[PU] = field(default_factory=list)
+    tu_start: int = 0
+    tu_end: int = 0
+
+
 class SliceSyntax:
     """Parsed output for one picture."""
 
@@ -86,19 +109,37 @@ class SliceSyntax:
         self.sao: Dict[Tuple[int, int], SaoParam] = {}
         self.qg_deltas: List[int] = []                   # per QG serial
         self.qg_blocks: List[List[Tuple[int, int]]] = []  # 4x4 blocks per QG
+        # inter state (P slices): per-4x4 motion maps + CU records
+        self.pred_inter = np.zeros((h4, w4), np.uint8)   # 1 = inter
+        self.skip_map = np.zeros((h4, w4), np.uint8)     # cu_skip per 4x4
+        self.mv_l0 = np.zeros((h4, w4, 2), np.int32)     # quarter-pel
+        self.ref_l0 = np.full((h4, w4), -1, np.int16)    # -1 intra/unset
+        self.pu_vedge = np.zeros((h4, w4), np.uint8)     # PU left edges
+        self.pu_hedge = np.zeros((h4, w4), np.uint8)     # PU top edges
+        self.cus: List[CURec] = []
+        self.ref_pocs_l0: List[int] = []                 # filled by decoder
 
 
 class SliceParser:
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader,
-                 rbsp: bytes, substreams: List[Tuple[int, int]]):
-        """substreams: [(byte_start, byte_end)] per WPP row (or one)."""
+                 rbsp: bytes, substreams: List[Tuple[int, int]],
+                 ref_pocs_l0: Optional[List[int]] = None,
+                 cur_poc: int = 0):
+        """substreams: [(byte_start, byte_end)] per WPP row (or one).
+        ref_pocs_l0: POC of each list-0 reference (P slices; used for
+        AMVP motion vector scaling)."""
         self.sps = sps
         self.pps = pps
         self.sh = sh
         self.rbsp = rbsp
         self.substreams = substreams
         self.out = SliceSyntax(sps, pps, sh)
-        self.ctx = ContextModels(0, sh.qp)  # I-slice initType 0
+        self.out.ref_pocs_l0 = list(ref_pocs_l0 or [])
+        self.cur_poc = cur_poc
+        # initType (spec 9.3.2.2): I=0; P: 2 if cabac_init_flag else 1
+        self.init_type = 0 if sh.slice_type == 2 else \
+            (2 if sh.cabac_init_flag else 1)
+        self.ctx = ContextModels(self.init_type, sh.qp)
         self.dec: Optional[CabacDecoder] = None
         # QP bookkeeping
         self.qp_prev = sh.qp
@@ -149,7 +190,7 @@ class SliceParser:
                 else:
                     # above-right CTB unavailable: fresh context init
                     # (spec 9.3.1)
-                    self.ctx = ContextModels(0, self.sh.qp)
+                    self.ctx = ContextModels(self.init_type, self.sh.qp)
                 self.dec = CabacDecoder(
                     self.rbsp, self.substreams[sub_idx][0] * 8,
                     self.substreams[sub_idx][1], self.ctx)
@@ -316,7 +357,24 @@ class SliceParser:
             self.cur_tqb = bool(d.decode_bin(
                 self.ctx.idx("cu_transquant_bypass_flag")))
 
-        # I-slice: pred mode always intra; part_mode only at min CB size
+        if self.sh.slice_type != 2:          # P slice: skip / pred mode
+            ctx_inc = 0
+            if self._available(x0 - 1, y0) and \
+                    self.out.skip_map[by0, (x0 - 1) >> 2]:
+                ctx_inc += 1
+            if self._available(x0, y0 - 1) and \
+                    self.out.skip_map[(y0 - 1) >> 2, bx0]:
+                ctx_inc += 1
+            skip = d.decode_bin(self.ctx.idx("cu_skip_flag", ctx_inc))
+            if skip:
+                self._coding_unit_skip(x0, y0, log2, depth)
+                return
+            pred_intra = bool(d.decode_bin(self.ctx.idx("pred_mode_flag")))
+            if not pred_intra:
+                self._coding_unit_inter(x0, y0, log2, depth)
+                return
+
+        # intra CU: part_mode only at min CB size
         part_nxn = False
         if log2 == sps.log2_min_cb_size:
             part_nxn = not d.decode_bin(self.ctx.idx("part_mode"))
@@ -382,7 +440,11 @@ class SliceParser:
         self._cu_x0, self._cu_y0, self._cu_log2 = x0, y0, log2
         self._max_trafo_depth = max_depth
         cu_tu_start = len(self.out.tus)
+        self._cu_inter = False
         self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+        self.out.cus.append(CURec(x=x0, y=y0, log2=log2, inter=False,
+                                  tu_start=cu_tu_start,
+                                  tu_end=len(self.out.tus)))
 
         if self.pps.cu_qp_delta_enabled:
             # per-CU QpY (spec 8.6.1): the CU takes qPY_PRED plus the
@@ -397,6 +459,338 @@ class SliceParser:
 
         # availability after full CU decode
         self.out.avail[by0:by0 + nb, bx0:bx0 + nb] = 1
+
+    # ------------------------------------------------------------- inter
+
+    def _cu_common_maps(self, x0, y0, log2, depth, skip):
+        nb = (1 << log2) >> 2
+        bx0, by0 = x0 >> 2, y0 >> 2
+        self.out.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = depth
+        self.out.cu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
+        self.out.tqb_map[by0:by0 + nb, bx0:bx0 + nb] = int(self.cur_tqb)
+        self.out.skip_map[by0:by0 + nb, bx0:bx0 + nb] = int(skip)
+        if self.pps.cu_qp_delta_enabled:
+            qp_cu = (self.qg_pred + self.cu_qp_delta + 52) % 52
+            self.out.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp_cu
+            self.qp_prev = qp_cu
+            return qp_cu
+        return None
+
+    def _set_pu(self, pu: PU) -> None:
+        """Write one PU's motion into the 4x4 maps + mark decoded."""
+        bx, by = pu.x >> 2, pu.y >> 2
+        nw, nh = max(pu.w >> 2, 1), max(pu.h >> 2, 1)
+        o = self.out
+        o.pred_inter[by:by + nh, bx:bx + nw] = 1
+        o.mv_l0[by:by + nh, bx:bx + nw, 0] = pu.mv[0]
+        o.mv_l0[by:by + nh, bx:bx + nw, 1] = pu.mv[1]
+        o.ref_l0[by:by + nh, bx:bx + nw] = pu.ref_idx
+        o.avail[by:by + nh, bx:bx + nw] = 1
+        o.pu_vedge[by:by + nh, bx] = 1      # PU boundaries are deblock
+        o.pu_hedge[by, bx:bx + nw] = 1      # edges (spec 8.7.2.2/2.3)
+
+    def _neigh_motion(self, x: int, y: int):
+        """(mv, ref_idx) of the 4x4 block covering sample (x, y), or
+        None when unavailable / intra-coded."""
+        if not self._available(x, y):
+            return None
+        bx, by = x >> 2, y >> 2
+        if not self.out.pred_inter[by, bx]:
+            return None
+        return ((int(self.out.mv_l0[by, bx, 0]),
+                 int(self.out.mv_l0[by, bx, 1])),
+                int(self.out.ref_l0[by, bx]))
+
+    def _merge_candidates(self, xp, yp, w, h, part_mode, part_idx,
+                          cu_x, cu_y, cu_size):
+        """Spatial + zero merge candidates (spec 8.5.3.2.3; no TMVP —
+        sps.temporal_mvp is rejected at the header)."""
+        plevel = self.pps.log2_parallel_merge_level
+
+        def same_region(xn, yn):
+            return (xn >> plevel) == (xp >> plevel) and \
+                   (yn >> plevel) == (yp >> plevel)
+
+        def get(xn, yn):
+            if plevel > 2 and same_region(xn, yn):
+                return None
+            return self._neigh_motion(xn, yn)
+
+        # A1 unavailable for the 2nd PU of vertical splits; B1 for the
+        # 2nd PU of horizontal splits (spec 8.5.3.2.3)
+        a1 = get(xp - 1, yp + h - 1) \
+            if not (part_idx == 1 and part_mode in (2, 6, 7)) else None
+        b1 = get(xp + w - 1, yp - 1) \
+            if not (part_idx == 1 and part_mode in (1, 4, 5)) else None
+        b0 = get(xp + w, yp - 1)
+        a0 = get(xp - 1, yp + h)
+        cands = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and b1 != a1:
+            cands.append(b1)
+        if b0 is not None and b0 != b1:
+            cands.append(b0)
+        if a0 is not None and a0 != a1:
+            cands.append(a0)
+        if len(cands) < 4:
+            b2 = get(xp - 1, yp - 1)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        # zero candidates
+        num_ref = max(1, self.sh.num_ref_idx_l0)
+        zero_i = 0
+        while len(cands) < self.sh.max_num_merge_cand:
+            ref = zero_i if zero_i < num_ref else 0
+            cands.append(((0, 0), ref))
+            zero_i += 1
+        return cands
+
+    @staticmethod
+    def _div_trunc(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def _scale_mv(self, mv, ref_poc_n, ref_poc_t):
+        """Spatial MVP scaling (spec 8.5.3.2.8 distScaleFactor)."""
+        td = max(-128, min(127, self.cur_poc - ref_poc_n))
+        tb = max(-128, min(127, self.cur_poc - ref_poc_t))
+        if td == tb or td == 0:
+            return mv
+        tx = self._div_trunc(16384 + (abs(td) >> 1), td)
+        dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+        out = []
+        for c in mv:
+            v = dsf * c
+            s = -1 if v < 0 else 1
+            out.append(max(-32768, min(32767, s * ((abs(v) + 127) >> 8))))
+        return (out[0], out[1])
+
+    def _amvp(self, xp, yp, w, h, ref_idx):
+        """Spatial AMVP candidate list (spec 8.5.3.2.6/2.7)."""
+        pocs = self.out.ref_pocs_l0
+        tpoc = pocs[ref_idx] if ref_idx < len(pocs) else 0
+
+        def poc_of(cand):
+            return pocs[cand[1]] if cand[1] < len(pocs) else 0
+
+        a0 = self._neigh_motion(xp - 1, yp + h)
+        a1 = self._neigh_motion(xp - 1, yp + h - 1)
+        is_scaled = a0 is not None or a1 is not None
+        mv_a = None
+        for n in (a0, a1):
+            if n is not None and poc_of(n) == tpoc:
+                mv_a = n[0]
+                break
+        if mv_a is None:
+            for n in (a0, a1):
+                if n is not None:
+                    mv_a = self._scale_mv(n[0], poc_of(n), tpoc)
+                    break
+        b0 = self._neigh_motion(xp + w, yp - 1)
+        b1 = self._neigh_motion(xp + w - 1, yp - 1)
+        b2 = self._neigh_motion(xp - 1, yp - 1)
+        mv_b = None
+        for n in (b0, b1, b2):
+            if n is not None and poc_of(n) == tpoc:
+                mv_b = n[0]
+                break
+        if not is_scaled:
+            # no left neighbors: B fills the A slot, then B re-derives
+            # with scaling allowed (spec 8.5.3.2.7 step 7)
+            mv_a = mv_b
+            mv_b = None
+            for n in (b0, b1, b2):
+                if n is not None:
+                    mv_b = self._scale_mv(n[0], poc_of(n), tpoc)
+                    break
+        lst = []
+        if mv_a is not None:
+            lst.append(mv_a)
+        if mv_b is not None and mv_b != mv_a:
+            lst.append(mv_b)
+        while len(lst) < 2:
+            lst.append((0, 0))
+        return lst
+
+    def _parse_merge_idx(self) -> int:
+        d = self.dec
+        maxm = self.sh.max_num_merge_cand
+        idx = 0
+        if maxm > 1 and d.decode_bin(self.ctx.idx("merge_idx")):
+            idx = 1
+            while idx < maxm - 1 and d.decode_bypass():
+                idx += 1
+        return idx
+
+    def _parse_ref_idx(self) -> int:
+        d = self.dec
+        num_ref = self.sh.num_ref_idx_l0
+        v = 0
+        while v < num_ref - 1:
+            if v == 0:
+                b = d.decode_bin(self.ctx.idx("ref_idx", 0))
+            elif v == 1:
+                b = d.decode_bin(self.ctx.idx("ref_idx", 1))
+            else:
+                b = d.decode_bypass()
+            if not b:
+                break
+            v += 1
+        return v
+
+    def _parse_mvd(self):
+        d = self.dec
+        g0x = d.decode_bin(self.ctx.idx("abs_mvd_greater0_flag"))
+        g0y = d.decode_bin(self.ctx.idx("abs_mvd_greater0_flag"))
+        g1x = d.decode_bin(self.ctx.idx("abs_mvd_greater1_flag")) \
+            if g0x else 0
+        g1y = d.decode_bin(self.ctx.idx("abs_mvd_greater1_flag")) \
+            if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            v = 0
+            if g0:
+                v = 1
+                if g1:
+                    v = 2 + d.decode_eg_bypass(1)
+                if d.decode_bypass():
+                    v = -v
+            out.append(v)
+        return out[0], out[1]
+
+    def _prediction_unit(self, xp, yp, w, h, part_mode, part_idx,
+                         cu_x, cu_y, cu_size, merge_all=False):
+        """Parse one PU; returns (PU, merge_flag)."""
+        d = self.dec
+        merge = True if merge_all else \
+            bool(d.decode_bin(self.ctx.idx("merge_flag")))
+        if merge:
+            idx = self._parse_merge_idx()
+            cands = self._merge_candidates(xp, yp, w, h, part_mode,
+                                           part_idx, cu_x, cu_y, cu_size)
+            mv, ref = cands[idx]
+        else:
+            # P slice: inter_pred_idc not coded (PRED_L0)
+            ref = self._parse_ref_idx()
+            mvd = self._parse_mvd()
+            mvp_flag = d.decode_bin(self.ctx.idx("mvp_flag"))
+            mvp = self._amvp(xp, yp, w, h, ref)[mvp_flag]
+            mv = (((mvp[0] + mvd[0] + 0x8000) & 0xFFFF) - 0x8000,
+                  ((mvp[1] + mvd[1] + 0x8000) & 0xFFFF) - 0x8000)
+        pu = PU(x=xp, y=yp, w=w, h=h, mv=mv, ref_idx=ref)
+        self._set_pu(pu)
+        return pu, merge
+
+    def _coding_unit_skip(self, x0, y0, log2, depth) -> None:
+        size = 1 << log2
+        self._cu_common_maps(x0, y0, log2, depth, skip=True)
+        pu, _ = self._prediction_unit(x0, y0, size, size, 0, 0,
+                                      x0, y0, size, merge_all=True)
+        self.out.cus.append(CURec(x=x0, y=y0, log2=log2, inter=True,
+                                  pus=[pu], tu_start=len(self.out.tus),
+                                  tu_end=len(self.out.tus)))
+
+    def _parse_part_mode_inter(self, log2: int) -> int:
+        """part_mode for inter CUs (spec 9.3.3.7 binarization).
+        Returns 0 2Nx2N, 1 2NxN, 2 Nx2N, 3 NxN, 4 2NxnU, 5 2NxnD,
+        6 nLx2N, 7 nRx2N."""
+        d, sps = self.dec, self.sps
+        if d.decode_bin(self.ctx.idx("part_mode", 0)):
+            return 0                        # 2Nx2N
+        at_min = log2 == sps.log2_min_cb_size
+        b1 = d.decode_bin(self.ctx.idx("part_mode", 1))
+        if at_min:
+            if log2 == 3:
+                return 1 if b1 else 2       # 2NxN / Nx2N (no NxN at 8x8)
+            if b1:
+                return 1                    # 2NxN
+            if d.decode_bin(self.ctx.idx("part_mode", 2)):
+                return 2                    # Nx2N
+            return 3                        # NxN
+        if not sps.amp_enabled:
+            return 1 if b1 else 2
+        b2 = d.decode_bin(self.ctx.idx("part_mode", 3))
+        if b1:
+            if b2:
+                return 1                    # 2NxN
+            return 4 if not d.decode_bypass() else 5   # 2NxnU / 2NxnD
+        if b2:
+            return 2                        # Nx2N
+        return 6 if not d.decode_bypass() else 7       # nLx2N / nRx2N
+
+    @staticmethod
+    def _pu_geometry(part_mode, x0, y0, size):
+        """PU rectangles for an inter part mode."""
+        s, q = size, size >> 2
+        h2, w2 = size >> 1, size >> 1
+        if part_mode == 0:
+            return [(x0, y0, s, s)]
+        if part_mode == 1:
+            return [(x0, y0, s, h2), (x0, y0 + h2, s, h2)]
+        if part_mode == 2:
+            return [(x0, y0, w2, s), (x0 + w2, y0, w2, s)]
+        if part_mode == 3:
+            return [(x0, y0, w2, h2), (x0 + w2, y0, w2, h2),
+                    (x0, y0 + h2, w2, h2), (x0 + w2, y0 + h2, w2, h2)]
+        if part_mode == 4:       # 2NxnU
+            return [(x0, y0, s, q), (x0, y0 + q, s, s - q)]
+        if part_mode == 5:       # 2NxnD
+            return [(x0, y0, s, s - q), (x0, y0 + s - q, s, q)]
+        if part_mode == 6:       # nLx2N
+            return [(x0, y0, q, s), (x0 + q, y0, s - q, s)]
+        return [(x0, y0, s - q, s), (x0 + s - q, y0, q, s)]  # nRx2N
+
+    def _coding_unit_inter(self, x0, y0, log2, depth) -> None:
+        sps, d = self.sps, self.dec
+        size = 1 << log2
+        # part_mode is always coded for inter CUs (spec 7.3.8.5)
+        part_mode = self._parse_part_mode_inter(log2)
+        self._cu_common_maps(x0, y0, log2, depth, skip=False)
+
+        pus = []
+        merge_flags = []
+        geoms = self._pu_geometry(part_mode, x0, y0, size)
+        for pi, (px, py, pw, ph) in enumerate(geoms):
+            pu, mf = self._prediction_unit(px, py, pw, ph, part_mode, pi,
+                                           x0, y0, size)
+            pus.append(pu)
+            merge_flags.append(mf)
+
+        # rqt_root_cbf (spec 7.3.8.5): skipped for 2Nx2N merge
+        root_cbf = True
+        if not (part_mode == 0 and merge_flags[0]):
+            root_cbf = bool(d.decode_bin(self.ctx.idx("rqt_root_cbf")))
+
+        cu_tu_start = len(self.out.tus)
+        if root_cbf:
+            self._cu_luma_modes = [INTRA_DC]
+            self._cu_chroma_mode = INTRA_DC
+            self._cu_part_nxn = False
+            self._cu_x0, self._cu_y0, self._cu_log2 = x0, y0, log2
+            self._cu_inter = True
+            self._cu_inter_split = (
+                sps.max_transform_hierarchy_depth_inter == 0 and
+                part_mode != 0)
+            self._max_trafo_depth = sps.max_transform_hierarchy_depth_inter
+            self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+            self._cu_inter = False
+            self._cu_inter_split = False
+
+        if self.pps.cu_qp_delta_enabled:
+            qp_cu = (self.qg_pred + self.cu_qp_delta + 52) % 52
+            nb = size >> 2
+            self.out.qp_y[y0 >> 2:(y0 >> 2) + nb,
+                          x0 >> 2:(x0 >> 2) + nb] = qp_cu
+            for tu in self.out.tus[cu_tu_start:]:
+                self._assign_tu_qp(tu, qp_cu)
+            self.qp_prev = qp_cu
+
+        self.out.cus.append(CURec(x=x0, y=y0, log2=log2, inter=True,
+                                  pus=pus, tu_start=cu_tu_start,
+                                  tu_end=len(self.out.tus)))
+        nb = size >> 2
+        self.out.avail[y0 >> 2:(y0 >> 2) + nb, x0 >> 2:(x0 >> 2) + nb] = 1
 
     def _derive_intra_mode(self, px: int, py: int, prev_flag: int,
                            value: int) -> int:
@@ -441,15 +835,22 @@ class SliceParser:
 
     # -------------------------------------------------------- transform tree
 
+    # inter-CU state defaults (set by _coding_unit_inter around the
+    # transform tree; I slices never touch them)
+    _cu_inter = False
+    _cu_inter_split = False
+
     def _transform_tree(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
                         parent_cbf_cb, parent_cbf_cr) -> None:
         sps, pps, d = self.sps, self.pps, self.dec
-        intra_split = self._cu_part_nxn
+        intra_split = self._cu_part_nxn and not self._cu_inter
 
         if log2 > sps.log2_max_tb_size:
             split = 1
         elif intra_split and depth == 0:
             split = 1
+        elif self._cu_inter and self._cu_inter_split and depth == 0:
+            split = 1       # interSplitFlag (spec 7.4.9.8)
         elif log2 == sps.log2_min_tb_size or depth >= self._max_trafo_depth:
             split = 0
         else:
@@ -480,9 +881,13 @@ class SliceParser:
                                  depth + 1, 3, cbf_cb, cbf_cr)
             return
 
-        # leaf: cbf_luma (intra: always coded)
-        cbf_luma = bool(d.decode_bin(
-            self.ctx.idx("cbf_luma", 1 if depth == 0 else 0)))
+        # leaf: cbf_luma (inferred 1 for an inter CU's unsplit root with
+        # no chroma cbf — spec 7.3.8.8)
+        if self._cu_inter and depth == 0 and not cbf_cb and not cbf_cr:
+            cbf_luma = True
+        else:
+            cbf_luma = bool(d.decode_bin(
+                self.ctx.idx("cbf_luma", 1 if depth == 0 else 0)))
 
         nb = max(1, (1 << log2) >> 2)
         self.out.tu_log2[y0 >> 2:(y0 >> 2) + nb,
@@ -493,6 +898,11 @@ class SliceParser:
 
         self._transform_unit(x0, y0, x_base, y_base, log2, depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
+
+        if self._cu_inter:
+            # inter: prediction runs at the PU level; only coded
+            # residual TUs matter
+            return
 
         # prediction-only blocks (no residual) still need recon entries,
         # in decode order (intra prediction runs per TB, spec §8.4.4.1)
@@ -748,7 +1158,8 @@ class SliceParser:
                     neg = bool(signs.get(n, 0))
                 coeffs[yc, xc] = -level if neg else level
 
-        tu = TU(x=x0, y=y0, log2=log2, c_idx=c_idx, pred_mode=pred_mode,
+        tu = TU(x=x0, y=y0, log2=log2, c_idx=c_idx,
+                pred_mode=-1 if self._cu_inter else pred_mode,
                 qg_serial=self.qg_serial, transform_skip=transform_skip,
                 tqb=self.cur_tqb, coeffs=coeffs)
         self.out.tus.append(tu)

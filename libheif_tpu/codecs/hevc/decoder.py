@@ -15,6 +15,7 @@ from ...boxes.codec_cfg import remove_emulation_prevention
 from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
 from ..registry import Decoder, register_decoder
 from . import headers as H
+from .headers import nal_type
 from .native_parse import parse_slice
 from .recon import IntraReconstructor
 from .filters import Deblocker, apply_sao
@@ -155,6 +156,113 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
     Deblocker(syntax, (y, cb, cr)).run()
     y, cb, cr = apply_sao(syntax, (y, cb, cr))
     return y, cb, cr
+
+
+class SequenceDecoder:
+    """Stateful HEVC sequence decoder (I + P slices): POC derivation
+    (spec 8.3.1), DPB of reconstructed pictures, reference list
+    construction from the short-term RPS (spec 8.3.2/8.3.4).
+
+    Replaces the reference's push/flush/pull plugin boundary for video
+    tracks (reference: libheif/codecs/decoder.h:132-149,
+    sequences/track_visual.cc:175)."""
+
+    def __init__(self, sps: H.SPS, pps: H.PPS):
+        self.sps = sps
+        self.pps = pps
+        self.dpb = {}               # poc -> (y, cb, cr) int32 planes
+        self.prev_poc = 0
+
+    def _poc(self, sh: H.SliceHeader, nal_t: int) -> int:
+        if nal_t in (19, 20):       # IDR
+            return 0
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        prev_lsb = self.prev_poc & (max_lsb - 1)
+        prev_msb = self.prev_poc - prev_lsb
+        lsb = sh.poc_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        return msb + lsb
+
+    @staticmethod
+    def _rps_pocs(rps, poc):
+        """(st_curr_before, st_curr_after) absolute POCs."""
+        before, after = [], []
+        acc = 0
+        for d, used in zip(rps.delta_poc_s0, rps.used_s0):
+            acc -= d
+            if used:
+                before.append(poc + acc)
+        acc = 0
+        for d, used in zip(rps.delta_poc_s1, rps.used_s1):
+            acc += d
+            if used:
+                after.append(poc + acc)
+        return before, after
+
+    def decode_nal(self, nal: bytes):
+        """Decode one slice NAL; returns (poc, (y, cb, cr))."""
+        from .ctu import SliceParser
+        t = nal_type(nal)
+        sh = H.parse_slice_header(nal, self.sps, {self.pps.pps_id: self.pps})
+        poc = self._poc(sh, t)
+        if t in (19, 20):           # IDR: fresh DPB
+            self.dpb.clear()
+
+        ref_pocs = []
+        refs = []
+        if sh.slice_type != 2:
+            if sh.rps is None:
+                raise HeifError.invalid_input(
+                    msg="P slice without a reference picture set")
+            before, after = self._rps_pocs(sh.rps, poc)
+            init_list = before + after
+            if not init_list:
+                raise HeifError.invalid_input(
+                    msg="P slice with an empty reference list")
+            n = sh.num_ref_idx_l0
+            if sh.rplm_l0 is not None:
+                ref_pocs = [init_list[i] for i in sh.rplm_l0]
+            else:
+                ref_pocs = [init_list[i % len(init_list)] for i in range(n)]
+            for p in ref_pocs:
+                if p not in self.dpb:
+                    raise HeifError.invalid_input(
+                        msg=f"reference picture POC {p} not in DPB")
+                refs.append(self.dpb[p])
+
+        rbsp = remove_emulation_prevention(nal[2:])
+        subs = _substreams(nal, rbsp, sh.data_offset_bits,
+                           sh.entry_point_offsets)
+        if sh.slice_type == 2 and not self.dpb:
+            # pure intra picture: the fast native engine is usable
+            planes = None
+            from .native_parse import decode_picture_native
+            planes = decode_picture_native(self.sps, self.pps, sh, rbsp,
+                                           subs)
+            if planes is not None:
+                y, cb, cr = (np.asarray(p, np.int32) for p in planes)
+                self._store(poc, (y, cb, cr))
+                return poc, (y, cb, cr)
+        syntax = SliceParser(self.sps, self.pps, sh, rbsp, subs,
+                             ref_pocs_l0=ref_pocs, cur_poc=poc).parse()
+        recon = IntraReconstructor(syntax, refs=refs)
+        y, cb, cr = recon.run()
+        Deblocker(syntax, (y, cb, cr)).run()
+        y, cb, cr = apply_sao(syntax, (y, cb, cr))
+        self._store(poc, (y, cb, cr))
+        return poc, (y, cb, cr)
+
+    def _store(self, poc, planes):
+        self.dpb[poc] = planes
+        self.prev_poc = poc
+        # bounded DPB: keep the 8 most recent pictures by POC
+        while len(self.dpb) > 8:
+            del self.dpb[min(self.dpb)]
 
 
 def extract_stream(config_box, data: bytes):

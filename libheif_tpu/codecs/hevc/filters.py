@@ -38,7 +38,7 @@ class Deblocker:
         self.tc_off = syn.sh.tc_offset_div2 * 2
 
     def _is_block_edge(self, x: int, y: int, vertical: bool) -> bool:
-        """TU or CU boundary at sample (x, y) (8-grid aligned)."""
+        """TU, CU or PU boundary at sample (x, y) (8-grid aligned)."""
         syn = self.syn
         bx, by = x >> 2, y >> 2
         tu_l2 = int(syn.tu_log2[by, bx])
@@ -46,8 +46,44 @@ class Deblocker:
         if tu_l2 == 0:
             tu_l2 = cu_l2 if cu_l2 else 3
         pos = x if vertical else y
-        return (pos % (1 << tu_l2) == 0) or \
-               (cu_l2 and pos % (1 << cu_l2) == 0)
+        if (pos % (1 << tu_l2) == 0) or \
+                (cu_l2 and pos % (1 << cu_l2) == 0):
+            return True
+        pu_edge = syn.pu_vedge if vertical else syn.pu_hedge
+        return bool(pu_edge[by, bx])
+
+    def _is_tu_edge(self, x: int, y: int, vertical: bool) -> bool:
+        syn = self.syn
+        bx, by = x >> 2, y >> 2
+        tu_l2 = int(syn.tu_log2[by, bx])
+        cu_l2 = int(syn.cu_log2[by, bx])
+        if tu_l2 == 0:
+            tu_l2 = cu_l2 if cu_l2 else 3
+        pos = x if vertical else y
+        return pos % (1 << tu_l2) == 0 or \
+            (cu_l2 and pos % (1 << cu_l2) == 0)
+
+    def _bs(self, x: int, y: int, vertical: bool) -> int:
+        """Boundary strength (spec 8.7.2.4); intra pictures: 2."""
+        syn = self.syn
+        bq = ((y >> 2), (x >> 2))
+        bp = ((y >> 2), ((x - 1) >> 2)) if vertical else \
+            (((y - 1) >> 2), (x >> 2))
+        if not syn.pred_inter[bp] or not syn.pred_inter[bq]:
+            return 2
+        if self._is_tu_edge(x, y, vertical) and \
+                (syn.nonzero_y[bp] or syn.nonzero_y[bq]):
+            return 1
+        pocs = syn.ref_pocs_l0
+        rp, rq = int(syn.ref_l0[bp]), int(syn.ref_l0[bq])
+        poc_p = pocs[rp] if 0 <= rp < len(pocs) else -1
+        poc_q = pocs[rq] if 0 <= rq < len(pocs) else -1
+        if poc_p != poc_q:
+            return 1
+        if abs(int(syn.mv_l0[bp][0]) - int(syn.mv_l0[bq][0])) >= 4 or \
+                abs(int(syn.mv_l0[bp][1]) - int(syn.mv_l0[bq][1])) >= 4:
+            return 1
+        return 0
 
     def _avg_qp(self, x: int, y: int, vertical: bool) -> int:
         syn = self.syn
@@ -101,11 +137,14 @@ class Deblocker:
         if (vertical and (x < 4 or x > self.w - 4)) or \
                 (not vertical and (y < 4 or y > self.h - 4)):
             return
+        bs = self._bs(x, y, vertical)
+        if bs == 0:
+            return
         lines = self._get_lines(x, y, vertical, n_lines)
         qp = self._avg_qp(x, y, vertical)
         b_idx = int(_clip3(0, 51, qp + self.beta_off))
         beta = int(BETA_TABLE[b_idx])
-        tc_idx = int(_clip3(0, 53, qp + 2 * (2 - 1) + self.tc_off))
+        tc_idx = int(_clip3(0, 53, qp + 2 * (bs - 1) + self.tc_off))
         tc = int(TC_TABLE[tc_idx])
         if beta == 0 and tc == 0:
             return
@@ -188,6 +227,8 @@ class Deblocker:
                     lx, ly = x << 1, y << 1
                     if not self._is_block_edge(lx, ly, vertical):
                         continue
+                    if self._bs(lx, ly, vertical) != 2:
+                        continue   # chroma filters only intra (bs 2)
                     n = min(4, (ch - y) if vertical else (cw - x))
                     if n <= 0:
                         continue

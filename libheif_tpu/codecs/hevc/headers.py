@@ -158,6 +158,14 @@ class SliceHeader:
     pic_output_flag: bool = True
     sao_luma: bool = False
     sao_chroma: bool = False
+    # inter (P) fields
+    poc_lsb: int = 0
+    rps: Optional["ShortTermRPS"] = None
+    temporal_mvp: bool = False
+    num_ref_idx_l0: int = 1
+    rplm_l0: Optional[List[int]] = None   # explicit list-0 reordering
+    cabac_init_flag: bool = False
+    max_num_merge_cand: int = 5
     qp: int = 26
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
@@ -210,21 +218,74 @@ def _scaling_list_data(br: BitReader) -> None:
                     br.read_se()
 
 
-def _short_term_rps(br: BitReader, idx: int, rps_list: List[ShortTermRPS]
-                    ) -> ShortTermRPS:
+def _short_term_rps(br: BitReader, idx: int, rps_list: List[ShortTermRPS],
+                    num_rps: int = -1) -> ShortTermRPS:
+    """Parse one short_term_ref_pic_set (spec 7.3.7/7.4.8), including
+    full reconstruction of delta-coded sets (needed for P reference
+    list building).  `num_rps` is sps.num_short_term_rps when parsing
+    the slice-level set (idx == num_rps allows delta_idx_minus1)."""
     rps = ShortTermRPS()
     inter_pred = br.read_flag() if idx != 0 else False
     if inter_pred:
-        # delta from previous RPS
-        br.read_flag()  # delta_rps_sign
-        br.read_ue()    # abs_delta_rps_minus1
-        ref = rps_list[idx - 1]
+        delta_idx = 1
+        if num_rps >= 0 and idx == num_rps:
+            delta_idx = br.read_ue() + 1
+        sign = br.read_flag()
+        abs_delta = br.read_ue() + 1
+        delta_rps = -abs_delta if sign else abs_delta
+        ref = rps_list[idx - delta_idx]
         n = ref.num_negative + ref.num_positive
+        used = []
+        use_delta = []
         for _ in range(n + 1):
-            used = br.read_flag()
-            if not used:
-                br.read_flag()  # use_delta
-        # full reconstruction unnecessary for intra still decode
+            u = br.read_flag()
+            used.append(u)
+            use_delta.append(br.read_flag() if not u else True)
+        # spec 7.4.8: derive the new set in cumulative POC-delta space
+        ds0 = []
+        acc = 0
+        for d in ref.delta_poc_s0:
+            acc -= d
+            ds0.append(acc)
+        ds1 = []
+        acc = 0
+        for d in ref.delta_poc_s1:
+            acc += d
+            ds1.append(acc)
+        new_s0 = []
+        for j in range(ref.num_positive - 1, -1, -1):
+            d_poc = ds1[j] + delta_rps
+            if d_poc < 0 and use_delta[ref.num_negative + j]:
+                new_s0.append((d_poc, used[ref.num_negative + j]))
+        if delta_rps < 0 and use_delta[n]:
+            new_s0.append((delta_rps, used[n]))
+        for j in range(ref.num_negative):
+            d_poc = ds0[j] + delta_rps
+            if d_poc < 0 and use_delta[j]:
+                new_s0.append((d_poc, used[j]))
+        new_s1 = []
+        for j in range(ref.num_negative - 1, -1, -1):
+            d_poc = ds0[j] + delta_rps
+            if d_poc > 0 and use_delta[j]:
+                new_s1.append((d_poc, used[j]))
+        if delta_rps > 0 and use_delta[n]:
+            new_s1.append((delta_rps, used[n]))
+        for j in range(ref.num_positive):
+            d_poc = ds1[j] + delta_rps
+            if d_poc > 0 and use_delta[ref.num_negative + j]:
+                new_s1.append((d_poc, used[ref.num_negative + j]))
+        rps.num_negative = len(new_s0)
+        rps.num_positive = len(new_s1)
+        prev = 0
+        for d_poc, u in new_s0:
+            rps.delta_poc_s0.append(prev - d_poc)
+            rps.used_s0.append(u)
+            prev = d_poc
+        prev = 0
+        for d_poc, u in new_s1:
+            rps.delta_poc_s1.append(d_poc - prev)
+            rps.used_s1.append(u)
+            prev = d_poc
     else:
         rps.num_negative = br.read_ue()
         rps.num_positive = br.read_ue()
@@ -378,32 +439,62 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
     if not h.dependent_slice:
         br.skip_bits(pps.num_extra_slice_header_bits)
         h.slice_type = br.read_ue()
-        if h.slice_type != 2:
+        if h.slice_type == 0:
             raise HeifError.unsupported(
                 SubError.Unsupported_codec,
-                f"only I-slices supported in still decode "
-                f"(got slice_type {h.slice_type})")
+                "B-slices are not supported yet (P/I only)")
         if pps.output_flag_present:
             h.pic_output_flag = br.read_flag()
         if sps.separate_colour_plane:
             br.read_bits(2)
         if not (t in (19, 20)):  # not IDR: poc etc.
-            br.read_bits(sps.log2_max_pic_order_cnt_lsb)
-            # short_term_ref_pic_set etc. — only hit for non-IRAP intra
+            h.poc_lsb = br.read_bits(sps.log2_max_pic_order_cnt_lsb)
             if not br.read_flag():  # short_term_ref_pic_set_sps_flag
-                _short_term_rps(br, sps.num_short_term_rps,
-                                sps.short_term_rps)
-            elif sps.num_short_term_rps > 1:
-                import math
-                br.read_bits(math.ceil(math.log2(sps.num_short_term_rps)))
+                h.rps = _short_term_rps(br, sps.num_short_term_rps,
+                                        sps.short_term_rps,
+                                        sps.num_short_term_rps)
+            else:
+                ridx = 0
+                if sps.num_short_term_rps > 1:
+                    import math
+                    ridx = br.read_bits(
+                        math.ceil(math.log2(sps.num_short_term_rps)))
+                if ridx < len(sps.short_term_rps):
+                    h.rps = sps.short_term_rps[ridx]
             if sps.long_term_ref_pics_present:
                 raise HeifError.unsupported(
-                    SubError.Unsupported_codec, "long-term refs in intra")
+                    SubError.Unsupported_codec, "long-term reference pics")
             if sps.temporal_mvp_enabled:
-                br.read_flag()
+                h.temporal_mvp = br.read_flag()
         if sps.sample_adaptive_offset_enabled:
             h.sao_luma = br.read_flag()
             h.sao_chroma = br.read_flag()
+        if h.slice_type != 2:          # P slice inter fields (spec 7.3.6.1)
+            if br.read_flag():         # num_ref_idx_active_override
+                h.num_ref_idx_l0 = br.read_ue() + 1
+            else:
+                h.num_ref_idx_l0 = pps.num_ref_idx_l0_default
+            n_total_curr = 0
+            if h.rps is not None:
+                n_total_curr = sum(bool(u) for u in h.rps.used_s0) + \
+                    sum(bool(u) for u in h.rps.used_s1)
+            if pps.lists_modification_present and n_total_curr > 1:
+                if br.read_flag():     # ref_pic_list_modification_flag_l0
+                    import math
+                    bits = math.ceil(math.log2(n_total_curr))
+                    h.rplm_l0 = [br.read_bits(bits)
+                                 for _ in range(h.num_ref_idx_l0)]
+            if pps.cabac_init_present:
+                h.cabac_init_flag = br.read_flag()
+            if h.temporal_mvp:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec,
+                    "temporal MV prediction (slice_temporal_mvp) is not "
+                    "supported yet")
+            if pps.weighted_pred:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec, "weighted prediction")
+            h.max_num_merge_cand = 5 - br.read_ue()
         h.qp = pps.init_qp + br.read_se()
         if pps.slice_chroma_qp_offsets_present:
             h.cb_qp_offset = br.read_se()

@@ -1,0 +1,423 @@
+"""HEVC P-frame encoder: IPPP sequences with skip / merge / MC +
+residual coding, closed-loop with the package's own decoder.
+
+Replaces the reference's x265 plugin boundary for video tracks
+(reference: libheif/plugins/encoder_x265.cc sequence path,
+sequences/track_visual.cc:478 encode).  Like the intra encoder it
+doubles as the differential-test oracle driver: its streams decode in
+libde265 and in this package's SequenceDecoder, and the two are
+compared bit-for-bit (tests/test_hevc_inter.py).
+
+Scope: P slices, 2Nx2N inter CUs only (skip / merge / AMVP with
+quarter-pel motion), single reference (the previous picture),
+list-0 only, no weighted prediction, no TMVP.  Intra CUs inside P
+slices are legal for the decoder but not emitted here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...core.bitstream import BitWriter
+from ...image.pixel_image import PixelImage, Channel
+from .cabac import ContextModels
+from .cabac_enc import CabacEncoder
+from .ctu import SliceParser, SliceSyntax, TU, PU, CURec
+from .encoder import (EncParams, IntraEncoder, write_sps, write_pps,
+                      add_emulation_prevention, forward_transform,
+                      quantize, _ue, _se)
+from .headers import SliceHeader
+from .recon import (dequant, inverse_transform, mc_luma, mc_chroma,
+                    IntraReconstructor)
+from .filters import Deblocker
+from .tables import chroma_qp
+
+
+def write_p_slice_header(p: EncParams, sps, poc: int,
+                         ref_delta: int) -> BitWriter:
+    """P slice segment header (TRAIL_R): explicit one-negative-pic RPS,
+    PPS-default single reference, MaxNumMergeCand = 5."""
+    w = BitWriter()
+    w.write_bits(1, 1)          # first_slice_in_pic
+    _ue(w, 0)                   # pps id
+    _ue(w, 1)                   # slice_type P
+    lsb_bits = sps.log2_max_pic_order_cnt_lsb
+    w.write_bits(poc & ((1 << lsb_bits) - 1), lsb_bits)
+    w.write_bits(0, 1)          # short_term_ref_pic_set_sps_flag → explicit
+    # short_term_ref_pic_set (idx 0 of 0 in SPS → no inter_rps flag)
+    _ue(w, 1)                   # num_negative_pics
+    _ue(w, 0)                   # num_positive_pics
+    _ue(w, ref_delta - 1)       # delta_poc_s0_minus1
+    w.write_bits(1, 1)          # used_by_curr_pic
+    # sps.temporal_mvp == 0 → nothing; sao off
+    w.write_bits(0, 1)          # num_ref_idx_active_override (pps: 1 ref)
+    # lists_modification_present == 0, cabac_init_present == 0
+    _ue(w, 0)                   # five_minus_max_num_merge_cand → 5
+    _se(w, 0)                   # slice_qp_delta
+    # deblocking handled via the PPS (same as the intra writer)
+    w.write_bits(1, 1)          # alignment
+    w.byte_align()
+    return w
+
+
+class SequenceEncoder(IntraEncoder):
+    """IPPP HEVC encoder: frame 0 IDR via IntraEncoder, then P frames
+    with 16x16 inter CUs (skip / merge / AMVP + residual).  Subclasses
+    IntraEncoder for the shared residual_coding emitter and context
+    helpers; a separate IntraEncoder instance encodes frame 0."""
+
+    def __init__(self, width: int, height: int, params: EncParams,
+                 search: int = 4, frac: bool = True):
+        super().__init__(width, height, params)
+        self.search = search
+        self.frac = frac
+        self.intra = IntraEncoder(width, height, params)
+        self.sps = self.intra.sps
+        self.pps = self.intra.pps
+        self.width, self.height = self.intra.width, self.intra.height
+        self.src_w, self.src_h = width, height
+        self.poc = 0
+        self.dpb: List[Tuple[int, list]] = []    # [(poc, planes)]
+
+    # ------------------------------------------------------------ frames
+
+    def encode_frame(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
+        """Encode the next frame; returns (slice NAL, cfg NALs for the
+        first frame else [])."""
+        if self.poc == 0:
+            nal, cfg = self.intra.encode(img)
+            from .decoder import decode_intra_picture
+            planes = decode_intra_picture(self.sps, self.pps, [nal])
+            self.dpb = [(0, [np.asarray(pl, np.int32) for pl in planes])]
+            self.poc = 1
+            return nal, cfg
+        nal = self._encode_p(img)
+        self.poc += 1
+        return nal, []
+
+    # ---------------------------------------------------------- P frame
+
+    def _pad_src(self, img: PixelImage):
+        y = np.asarray(img.plane(Channel.Y)).astype(np.int32)
+        cb = np.asarray(img.plane(Channel.Cb)).astype(np.int32)
+        cr = np.asarray(img.plane(Channel.Cr)).astype(np.int32)
+        y = np.pad(y, ((0, self.height - y.shape[0]),
+                       (0, self.width - y.shape[1])), mode="edge")
+        cb = np.pad(cb, ((0, self.height // 2 - cb.shape[0]),
+                         (0, self.width // 2 - cb.shape[1])), mode="edge")
+        cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
+                         (0, self.width // 2 - cr.shape[1])), mode="edge")
+        return [y, cb, cr]
+
+    def _encode_p(self, img: PixelImage) -> bytes:
+        p = self.p
+        src = self._pad_src(img)
+        ref_poc, ref = self.dpb[-1]
+        poc = self.poc
+
+        sh = SliceHeader(slice_type=1, qp=p.qp, poc_lsb=poc,
+                         num_ref_idx_l0=1, max_num_merge_cand=5)
+        sh.deblocking_filter_disabled = not p.deblock
+        syn = SliceSyntax(self.sps, self.pps, sh)
+        syn.ref_pocs_l0 = [ref_poc]
+        # derivation host: the DECODER's own merge/AMVP methods over the
+        # shared syntax maps (single source of truth for candidate
+        # construction)
+        host = SliceParser(self.sps, self.pps, sh, b"", [(0, 0)],
+                           ref_pocs_l0=[ref_poc], cur_poc=poc)
+        host.out = syn
+
+        self.ctx = ContextModels(1, p.qp)     # P initType 1
+        self.enc = CabacEncoder(self.ctx)
+        recon = [np.zeros_like(s) for s in src]
+        self.syn = syn
+        self._host = host
+        self._src = src
+        self._ref = ref
+        self._recon = recon
+
+        ctb = 1 << p.ctb_log2
+        n_cols = self.width // ctb
+        n_rows = self.height // ctb
+        cu = 1 << p.cu_log2
+        for row in range(n_rows):
+            for col in range(n_cols):
+                x0, y0 = col * ctb, row * ctb
+                # fixed split down to cu_log2 (split_cu_flag bins)
+                self._quadtree(x0, y0, p.ctb_log2)
+                last = (row == n_rows - 1 and col == n_cols - 1)
+                self.enc.encode_terminate(1 if last else 0)
+        self.enc.flush()
+        payload = self.enc.data()
+
+        if p.deblock:
+            Deblocker(syn, tuple(recon)).run()
+        self.dpb.append((poc, recon))
+        if len(self.dpb) > 4:
+            self.dpb.pop(0)
+
+        shw = write_p_slice_header(p, self.sps, poc, poc - ref_poc)
+        # NAL: TRAIL_R (1), layer 0, tid 1
+        return bytes([1 << 1, 1]) + add_emulation_prevention(
+            shw.data() + payload)
+
+    def _quadtree(self, x0: int, y0: int, log2: int) -> None:
+        p, enc, ctx, syn = self.p, self.enc, self.ctx, self.syn
+        if log2 > p.cu_log2:
+            # split_cu_flag = 1 (ctx from neighbor depths)
+            depth = self.sps.log2_ctb_size - log2
+            ctx_inc = 0
+            if self._avail(x0 - 1, y0) and \
+                    syn.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                ctx_inc += 1
+            if self._avail(x0, y0 - 1) and \
+                    syn.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                ctx_inc += 1
+            enc.encode_bin(ctx.idx("split_cu_flag", ctx_inc), 1)
+            half = 1 << (log2 - 1)
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                self._quadtree(x0 + dx * half, y0 + dy * half, log2 - 1)
+            return
+        if log2 > self.sps.log2_min_cb_size:
+            depth = self.sps.log2_ctb_size - log2
+            ctx_inc = 0
+            if self._avail(x0 - 1, y0) and \
+                    syn.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                ctx_inc += 1
+            if self._avail(x0, y0 - 1) and \
+                    syn.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                ctx_inc += 1
+            enc.encode_bin(ctx.idx("split_cu_flag", ctx_inc), 0)
+        self._inter_cu(x0, y0, log2)
+
+    def _avail(self, x: int, y: int) -> bool:
+        if x < 0 or y < 0 or x >= self.width or y >= self.height:
+            return False
+        return bool(self.syn.avail[y >> 2, x >> 2])
+
+    # ------------------------------------------------------------- MC/ME
+
+    def _pred_for_mv(self, x0, y0, size, mv):
+        y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+        return y
+
+    def _sad(self, x0, y0, size, mv) -> int:
+        pred = self._pred_for_mv(x0, y0, size, mv)
+        s = self._src[0][y0:y0 + size, x0:x0 + size]
+        return int(np.abs(pred - s).sum())
+
+    def _motion_search(self, x0, y0, size, cands):
+        """Best (mv, sad): merge candidate MVs + integer window around
+        the best predictor + optional quarter-pel refinement."""
+        tried = {}
+
+        def ev(mv):
+            if mv not in tried:
+                tried[mv] = self._sad(x0, y0, size, mv)
+            return tried[mv]
+
+        best_mv, best = (0, 0), ev((0, 0))
+        for mv, _ref in cands:
+            s = ev(mv)
+            if s < best:
+                best_mv, best = mv, s
+        cx, cy = best_mv[0] >> 2 << 2, best_mv[1] >> 2 << 2
+        r = self.search
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                mv = (cx + 4 * dx, cy + 4 * dy)
+                s = ev(mv)
+                if s < best:
+                    best_mv, best = mv, s
+        if self.frac:
+            bx, by = best_mv
+            for dy in (-2, -1, 0, 1, 2):
+                for dx in (-2, -1, 0, 1, 2):
+                    mv = (bx + dx, by + dy)
+                    s = ev(mv)
+                    if s < best:
+                        best_mv, best = mv, s
+        return best_mv, best
+
+    # ------------------------------------------------------------ inter CU
+
+    def _inter_cu(self, x0: int, y0: int, log2: int) -> None:
+        p, enc, ctx, syn = self.p, self.enc, self.ctx, self.syn
+        size = 1 << log2
+        nb = size >> 2
+        bx0, by0 = x0 >> 2, y0 >> 2
+        host = self._host
+
+        cands = host._merge_candidates(x0, y0, size, size, 0, 0,
+                                       x0, y0, size)
+        mv, sad = self._motion_search(x0, y0, size, cands)
+
+        # residual decision at the chosen MV
+        pred_y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        pred_cb = mc_chroma(self._ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
+        pred_cr = mc_chroma(self._ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
+        res_y = self._src[0][y0:y0 + size, x0:x0 + size] - pred_y
+        res_cb = self._src[1][cy:cy + cs, cx:cx + cs] - pred_cb
+        res_cr = self._src[2][cy:cy + cs, cx:cx + cs] - pred_cr
+
+        qp = p.qp
+        cqp = chroma_qp(min(max(qp, 0), 57))
+        lv_y = quantize(forward_transform(res_y, log2, 0), qp, log2)
+        lv_cb = quantize(forward_transform(res_cb, log2 - 1, 1), cqp,
+                         log2 - 1)
+        lv_cr = quantize(forward_transform(res_cr, log2 - 1, 2), cqp,
+                         log2 - 1)
+        cbf_y = bool(lv_y.any())
+        cbf_cb = bool(lv_cb.any())
+        cbf_cr = bool(lv_cr.any())
+        any_res = cbf_y or cbf_cb or cbf_cr
+
+        merge_idx = next((i for i, (cmv, cref) in enumerate(cands)
+                          if cmv == mv and cref == 0), None)
+
+        # ---- emission ----
+        if merge_idx is not None and not any_res:
+            # skip CU
+            skip_ctx = 0
+            if self._avail(x0 - 1, y0) and syn.skip_map[by0, (x0 - 1) >> 2]:
+                skip_ctx += 1
+            if self._avail(x0, y0 - 1) and syn.skip_map[(y0 - 1) >> 2, bx0]:
+                skip_ctx += 1
+            enc.encode_bin(ctx.idx("cu_skip_flag", skip_ctx), 1)
+            self._emit_merge_idx(merge_idx)
+            self._finish_cu(x0, y0, log2, mv, skip=True,
+                            levels=(None, None, None))
+            return
+
+        skip_ctx = 0
+        if self._avail(x0 - 1, y0) and syn.skip_map[by0, (x0 - 1) >> 2]:
+            skip_ctx += 1
+        if self._avail(x0, y0 - 1) and syn.skip_map[(y0 - 1) >> 2, bx0]:
+            skip_ctx += 1
+        enc.encode_bin(ctx.idx("cu_skip_flag", skip_ctx), 0)
+        enc.encode_bin(ctx.idx("pred_mode_flag"), 0)      # inter
+        # part_mode 2Nx2N (log2 > min: single bin 1; at min: bin 1)
+        enc.encode_bin(ctx.idx("part_mode", 0), 1)
+
+        if merge_idx is not None:
+            enc.encode_bin(ctx.idx("merge_flag"), 1)
+            self._emit_merge_idx(merge_idx)
+        else:
+            enc.encode_bin(ctx.idx("merge_flag"), 0)
+            # P: no inter_pred_idc; single ref → no ref_idx bins
+            mvps = host._amvp(x0, y0, size, size, 0)
+            d0 = abs(mv[0] - mvps[0][0]) + abs(mv[1] - mvps[0][1])
+            d1 = abs(mv[0] - mvps[1][0]) + abs(mv[1] - mvps[1][1])
+            mvp_flag = 1 if d1 < d0 else 0
+            mvp = mvps[mvp_flag]
+            mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+            self._emit_mvd(mvd)
+            enc.encode_bin(ctx.idx("mvp_flag"), mvp_flag)
+
+        # rqt_root_cbf coded unless this is a 2Nx2N merge CU (a merge
+        # CU without residual was emitted as skip above)
+        if merge_idx is None:
+            enc.encode_bin(ctx.idx("rqt_root_cbf"), 1 if any_res else 0)
+
+        levels = (lv_y if cbf_y else None,
+                  lv_cb if cbf_cb else None,
+                  lv_cr if cbf_cr else None)
+        if any_res:
+            self._emit_tu(x0, y0, log2, levels, cbf_y, cbf_cb, cbf_cr, qp,
+                          cqp)
+        self._finish_cu(x0, y0, log2, mv, skip=False,
+                        levels=levels if any_res else (None, None, None))
+
+    def _emit_merge_idx(self, idx: int) -> None:
+        enc, ctx = self.enc, self.ctx
+        maxm = 5
+        enc.encode_bin(ctx.idx("merge_idx"), 1 if idx > 0 else 0)
+        if idx > 0:
+            for _ in range(idx - 1):
+                enc.encode_bypass(1)
+            if idx < maxm - 1:
+                enc.encode_bypass(0)
+
+    def _emit_mvd(self, mvd) -> None:
+        enc, ctx = self.enc, self.ctx
+        ax, ay = abs(mvd[0]), abs(mvd[1])
+        enc.encode_bin(ctx.idx("abs_mvd_greater0_flag"), 1 if ax else 0)
+        enc.encode_bin(ctx.idx("abs_mvd_greater0_flag"), 1 if ay else 0)
+        if ax:
+            enc.encode_bin(ctx.idx("abs_mvd_greater1_flag"),
+                           1 if ax > 1 else 0)
+        if ay:
+            enc.encode_bin(ctx.idx("abs_mvd_greater1_flag"),
+                           1 if ay > 1 else 0)
+        for a, v in ((ax, mvd[0]), (ay, mvd[1])):
+            if a:
+                if a > 1:
+                    enc.encode_eg_bypass(1, a - 2)
+                enc.encode_bypass(1 if v < 0 else 0)
+
+    def _emit_tu(self, x0, y0, log2, levels, cbf_y, cbf_cb, cbf_cr, qp,
+                 cqp) -> None:
+        """Single-TU transform tree at CU size (inter, 2Nx2N, depth 0)."""
+        enc, ctx = self.enc, self.ctx
+        # no split_transform_flag: log2 == max TB or depth == max → leaf
+        # (cu_log2 <= log2_max_tb_size and rqt_depth 0 by construction)
+        enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cb else 0)
+        enc.encode_bin(ctx.idx("cbf_chroma", 0), 1 if cbf_cr else 0)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(ctx.idx("cbf_luma", 1), 1 if cbf_y else 0)
+        # else: cbf_luma inferred 1 (any_res implies cbf_y here)
+        lv_y, lv_cb, lv_cr = levels
+        if cbf_y:
+            tu = TU(x=x0, y=y0, log2=log2, c_idx=0, pred_mode=1, qp=qp,
+                    coeffs=lv_y)
+            self._write_residual(tu)
+        if cbf_cb:
+            tu = TU(x=x0, y=y0, log2=log2 - 1, c_idx=1, pred_mode=1,
+                    qp=cqp, coeffs=lv_cb)
+            self._write_residual(tu)
+        if cbf_cr:
+            tu = TU(x=x0, y=y0, log2=log2 - 1, c_idx=2, pred_mode=1,
+                    qp=cqp, coeffs=lv_cr)
+            self._write_residual(tu)
+
+    def _finish_cu(self, x0, y0, log2, mv, skip, levels) -> None:
+        """Closed-loop recon + map updates (mirrors the decoder)."""
+        syn = self.syn
+        size = 1 << log2
+        nb = size >> 2
+        bx0, by0 = x0 >> 2, y0 >> 2
+        qp = self.p.qp
+        cqp = chroma_qp(min(max(qp, 0), 57))
+
+        pred_y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        pred_cb = mc_chroma(self._ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
+        pred_cr = mc_chroma(self._ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
+        outs = [pred_y, pred_cb, pred_cr]
+        for ci, lv in enumerate(levels):
+            if lv is None:
+                continue
+            l2 = log2 if ci == 0 else log2 - 1
+            tu = TU(x=x0, y=y0, log2=l2, c_idx=ci, pred_mode=-1,
+                    qp=qp if ci == 0 else cqp, coeffs=lv)
+            d = dequant(tu, 8)
+            res = inverse_transform(tu, d, 8)
+            outs[ci] = np.clip(outs[ci] + res, 0, 255)
+            if ci == 0:
+                syn.nonzero_y[by0:by0 + nb, bx0:bx0 + nb] = 1
+        self._recon[0][y0:y0 + size, x0:x0 + size] = outs[0]
+        self._recon[1][cy:cy + cs, cx:cx + cs] = outs[1]
+        self._recon[2][cy:cy + cs, cx:cx + cs] = outs[2]
+        # maps
+        syn.ct_depth[by0:by0 + nb, bx0:bx0 + nb] = \
+            self.sps.log2_ctb_size - log2
+        syn.cu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
+        syn.tu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
+        syn.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp
+        syn.skip_map[by0:by0 + nb, bx0:bx0 + nb] = int(skip)
+        pu = PU(x=x0, y=y0, w=size, h=size, mv=mv, ref_idx=0)
+        self._host._set_pu(pu)
+

@@ -248,12 +248,17 @@ def parse_picture_raw(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
 
 
 def parse_slice(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
-                substreams: List[Tuple[int, int]]) -> SliceSyntax:
-    """Native when available, else the pure-Python reference parser."""
-    syn = parse_slice_native(sps, pps, sh, rbsp, substreams)
-    if syn is not None:
-        return syn
-    return SliceParser(sps, pps, sh, rbsp, substreams).parse()
+                substreams: List[Tuple[int, int]],
+                ref_pocs_l0=None, cur_poc: int = 0) -> SliceSyntax:
+    """Native when available, else the pure-Python reference parser.
+    P slices always use the Python parser (the native engine is
+    intra-only so far)."""
+    if sh.slice_type == 2:
+        syn = parse_slice_native(sps, pps, sh, rbsp, substreams)
+        if syn is not None:
+            return syn
+    return SliceParser(sps, pps, sh, rbsp, substreams,
+                       ref_pocs_l0=ref_pocs_l0, cur_poc=cur_poc).parse()
 
 
 # ---------------------------------------------------------------- recon

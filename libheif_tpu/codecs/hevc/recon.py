@@ -55,10 +55,92 @@ def inverse_transform(tu: TU, d: np.ndarray, bit_depth: int) -> np.ndarray:
     return np.clip(r, -32768, 32767).astype(np.int32)
 
 
+# HEVC inter interpolation filters (spec 8.5.4.2.2.1/2.2.2)
+_QFILT = {
+    1: (-1, 4, -10, 58, 17, -5, 1, 0),
+    2: (-1, 4, -11, 40, 40, -11, 4, -1),
+    3: (0, 1, -5, 17, 58, -10, 4, -1),
+}
+_CFILT = {
+    1: (-2, 58, 10, -2), 2: (-4, 54, 16, -2), 3: (-6, 46, 28, -4),
+    4: (-4, 36, 36, -4), 5: (-4, 28, 46, -6), 6: (-2, 16, 54, -4),
+    7: (-2, 10, 58, -2),
+}
+
+
+def _gather(ref: np.ndarray, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+    """Edge-replicated block fetch (HEVC conceptual infinite padding)."""
+    rh, rw = ref.shape
+    ys = np.clip(np.arange(y0, y0 + h), 0, rh - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, rw - 1)
+    return ref[np.ix_(ys, xs)].astype(np.int64)
+
+
+def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+            mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Uni-directional luma MC (spec 8.5.4.2.2.1 + default weighted
+    sample prediction 8.5.4.3.2); returns clipped (h, w) int32."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    shift1 = bd - 8
+    shift3 = 14 - bd
+    if fx == 0 and fy == 0:
+        val = _gather(ref, yi, xi, h, w) << shift3
+    elif fy == 0:
+        b = _gather(ref, yi, xi - 3, h, w + 7)
+        t = _QFILT[fx]
+        val = sum(t[i] * b[:, i:i + w] for i in range(8)) >> shift1
+    elif fx == 0:
+        b = _gather(ref, yi - 3, xi, h + 7, w)
+        t = _QFILT[fy]
+        val = sum(t[i] * b[i:i + h, :] for i in range(8)) >> shift1
+    else:
+        b = _gather(ref, yi - 3, xi - 3, h + 7, w + 7)
+        t = _QFILT[fx]
+        tmp = sum(t[i] * b[:, i:i + w] for i in range(8)) >> shift1
+        t = _QFILT[fy]
+        val = sum(t[i] * tmp[i:i + h, :] for i in range(8)) >> 6
+    sh = 14 - bd
+    return np.clip((val + (1 << (sh - 1))) >> sh, 0,
+                   (1 << bd) - 1).astype(np.int32)
+
+
+def mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
+              mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Chroma MC at eighth-pel (spec 8.5.4.2.2.2); coords/dims in
+    chroma samples."""
+    xi, yi = xc + (mvx >> 3), yc + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    shift1 = bd - 8
+    shift3 = 14 - bd
+    if fx == 0 and fy == 0:
+        val = _gather(ref, yi, xi, h, w) << shift3
+    elif fy == 0:
+        b = _gather(ref, yi, xi - 1, h, w + 3)
+        t = _CFILT[fx]
+        val = sum(t[i] * b[:, i:i + w] for i in range(4)) >> shift1
+    elif fx == 0:
+        b = _gather(ref, yi - 1, xi, h + 3, w)
+        t = _CFILT[fy]
+        val = sum(t[i] * b[i:i + h, :] for i in range(4)) >> shift1
+    else:
+        b = _gather(ref, yi - 1, xi - 1, h + 3, w + 3)
+        t = _CFILT[fx]
+        tmp = sum(t[i] * b[:, i:i + w] for i in range(4)) >> shift1
+        t = _CFILT[fy]
+        val = sum(t[i] * tmp[i:i + h, :] for i in range(4)) >> 6
+    sh = 14 - bd
+    return np.clip((val + (1 << (sh - 1))) >> sh, 0,
+                   (1 << bd) - 1).astype(np.int32)
+
+
 class IntraReconstructor:
     """Sequential TU-order reconstruction of one picture."""
 
-    def __init__(self, syntax: SliceSyntax):
+    def __init__(self, syntax: SliceSyntax, refs=None):
+        """refs: list-0 reference pictures [(y, cb, cr) int32 planes]
+        for P slices."""
+        self.refs = refs or []
         self.syn = syntax
         sps = syntax.sps
         self.bd = sps.bit_depth_luma
@@ -242,28 +324,79 @@ class IntraReconstructor:
 
     # ------------------------------------------------------------- recon
 
+    def _recon_tu(self, tu: TU, maxv: int) -> None:
+        """One TU: predict (intra) or read the MC prediction already in
+        the plane (inter, pred_mode == -1), add residual, clip."""
+        n = 1 << tu.log2
+        c = tu.c_idx
+        shift = 1 if c else 0
+        px, py = (tu.x >> shift, tu.y >> shift) if c else (tu.x, tu.y)
+        plane = self.planes[c]
+        ph, pw = plane.shape
+        h = min(n, ph - py)
+        w = min(n, pw - px)
+        if tu.pred_mode < 0:
+            if tu.coeffs is None:
+                return
+            if tu.tqb:
+                res = tu.coeffs.astype(np.int32)
+            else:
+                d = dequant(tu, self.bd)
+                res = inverse_transform(tu, d, self.bd)
+            region = plane[py:py + h, px:px + w]
+            plane[py:py + h, px:px + w] = np.clip(
+                region + res[:h, :w], 0, maxv)
+            return
+        pred = self._predict(tu)
+        if tu.coeffs is not None:
+            if tu.tqb:
+                res = tu.coeffs.astype(np.int32)
+            else:
+                d = dequant(tu, self.bd)
+                res = inverse_transform(tu, d, self.bd)
+            pred = pred + res
+        plane[py:py + h, px:px + w] = np.clip(pred[:h, :w], 0, maxv)
+        if c == 0:
+            # luma TU marks z-order availability
+            self.avail[tu.y >> 2:(tu.y + n) >> 2,
+                       tu.x >> 2:(tu.x + n) >> 2] = True
+
+    def _mc_pu(self, pu) -> None:
+        ref = self.refs[pu.ref_idx]
+        bd = self.bd
+        y = mc_luma(ref[0], pu.x, pu.y, pu.w, pu.h, pu.mv[0], pu.mv[1], bd)
+        ph, pw = self.planes[0].shape
+        h = min(pu.h, ph - pu.y)
+        w = min(pu.w, pw - pu.x)
+        self.planes[0][pu.y:pu.y + h, pu.x:pu.x + w] = y[:h, :w]
+        cx, cy = pu.x >> 1, pu.y >> 1
+        cw, chh = max(pu.w >> 1, 1), max(pu.h >> 1, 1)
+        for ci in (1, 2):
+            blk = mc_chroma(ref[ci], cx, cy, cw, chh, pu.mv[0], pu.mv[1],
+                            bd)
+            ph2, pw2 = self.planes[ci].shape
+            h2 = min(chh, ph2 - cy)
+            w2 = min(cw, pw2 - cx)
+            self.planes[ci][cy:cy + h2, cx:cx + w2] = blk[:h2, :w2]
+
     def run(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         maxv = (1 << self.bd) - 1
-        for tu in self.syn.tus:
-            n = 1 << tu.log2
-            c = tu.c_idx
-            shift = 1 if c else 0
-            px, py = (tu.x >> shift, tu.y >> shift) if c else (tu.x, tu.y)
-            pred = self._predict(tu)
-            if tu.coeffs is not None:
-                if tu.tqb:
-                    res = tu.coeffs.astype(np.int32)
+        if self.syn.cus:
+            # CU-order walk: inter CUs MC-predict their PUs first, then
+            # add residual TUs; intra CUs run per-TU as before
+            for cu in self.syn.cus:
+                if cu.inter:
+                    for pu in cu.pus:
+                        self._mc_pu(pu)
+                    for tu in self.syn.tus[cu.tu_start:cu.tu_end]:
+                        self._recon_tu(tu, maxv)
+                    n = 1 << cu.log2
+                    self.avail[cu.y >> 2:(cu.y + n) >> 2,
+                               cu.x >> 2:(cu.x + n) >> 2] = True
                 else:
-                    d = dequant(tu, self.bd)
-                    res = inverse_transform(tu, d, self.bd)
-                pred = pred + res
-            plane = self.planes[c]
-            ph, pw = plane.shape
-            h = min(n, ph - py)
-            w = min(n, pw - px)
-            plane[py:py + h, px:px + w] = np.clip(pred[:h, :w], 0, maxv)
-            if c == 0:
-                # luma TU marks z-order availability
-                self.avail[tu.y >> 2:(tu.y + n) >> 2,
-                           tu.x >> 2:(tu.x + n) >> 2] = True
+                    for tu in self.syn.tus[cu.tu_start:cu.tu_end]:
+                        self._recon_tu(tu, maxv)
+            return tuple(self.planes)
+        for tu in self.syn.tus:
+            self._recon_tu(tu, maxv)
         return tuple(self.planes)

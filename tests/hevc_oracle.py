@@ -70,3 +70,45 @@ def decode_nals(nals: List[bytes]) -> Optional[Dict[str, np.ndarray]]:
         return out
     finally:
         lib.de265_free_decoder(dec)
+
+
+def decode_nals_seq(nals: List[bytes]) -> Optional[List[Dict[str,
+                                                              np.ndarray]]]:
+    """Decode annex-B wrapped NALs with libde265 → list of plane dicts,
+    one per output picture in output order (for sequence difftests)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dec = ctypes.c_void_p(lib.de265_new_decoder())
+    frames = []
+    try:
+        for nal in nals:
+            buf = b"\x00\x00\x01" + nal
+            lib.de265_push_data(dec, buf, len(buf), 0, None)
+        lib.de265_flush_data(dec)
+        for _ in range(1000):
+            more = ctypes.c_int(0)
+            err = lib.de265_decode(dec, ctypes.byref(more))
+            while True:
+                pic = ctypes.c_void_p(lib.de265_get_next_picture(dec))
+                if not pic.value:
+                    break
+                out = {}
+                for name, chn in (("Y", 0), ("Cb", 1), ("Cr", 2)):
+                    w = lib.de265_get_image_width(pic, chn)
+                    h = lib.de265_get_image_height(pic, chn)
+                    stride = ctypes.c_int()
+                    ptr = lib.de265_get_image_plane(pic, chn,
+                                                    ctypes.byref(stride))
+                    if not ptr:
+                        continue
+                    arr = np.ctypeslib.as_array(ptr,
+                                                shape=(stride.value * h,))
+                    out[name] = arr.copy().reshape(
+                        h, stride.value)[:, :w]
+                frames.append(out)
+            if not more.value:
+                break
+        return frames
+    finally:
+        lib.de265_free_decoder(dec)

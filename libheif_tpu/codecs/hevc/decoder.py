@@ -304,10 +304,76 @@ def crop_to_conformance(sps: H.SPS, y, cb, cr):
     return y, cb, cr
 
 
+class HevcSequenceSession:
+    """One video-track decode session: stateful I/P decoding over the
+    sample stream (the reference's per-chunk Decoder with the plugin's
+    internal DPB, decoder.h:132-149)."""
+
+    def __init__(self, config_box, limits=None):
+        nals = config_box.get_header_nals()
+        sps = pps = None
+        for nal in nals:
+            t = nal_type(nal)
+            if t == 33:
+                sps = H.parse_sps(nal)
+            elif t == 34:
+                pps = H.parse_pps(nal)
+        if sps is None or pps is None:
+            raise HeifError.invalid_input(msg="hvcC without SPS/PPS")
+        self.sps, self.pps = sps, pps
+        self.limits = limits
+        if limits is not None:
+            limits.check_image_size(sps.pic_width, sps.pic_height)
+        self.seq = SequenceDecoder(sps, pps)
+        self.length_size = getattr(config_box, "length_size", 4)
+        self.pending: List[PixelImage] = []
+
+    def push_sample(self, data: bytes) -> None:
+        for nal in split_length_prefixed(data, self.length_size):
+            t = nal_type(nal)
+            if t >= 32:             # parameter sets / SEI
+                continue
+            _poc, planes = self.seq.decode_nal(nal)
+            self.pending.append(self._to_image(planes))
+
+    def pull(self) -> Optional[PixelImage]:
+        return self.pending.pop(0) if self.pending else None
+
+    def _to_image(self, planes) -> PixelImage:
+        sps = self.sps
+        y, cb, cr = crop_to_conformance(sps, *planes)
+        w, h = sps.cropped_size
+        img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, self.limits)
+        img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth_luma)
+        img.set_plane(Channel.Cb, cb.astype(np.uint8),
+                      sps.bit_depth_chroma)
+        img.set_plane(Channel.Cr, cr.astype(np.uint8),
+                      sps.bit_depth_chroma)
+        return img
+
+
 class HevcDecoder(Decoder):
     id = "tpu-hevc"
     format = "hevc"
     priority = 100
+
+    # --- sequence push/flush/pull API (ref: decoder.h:132-149) ---
+
+    def start_sequence(self, config_box, limits=None):
+        """Returns a stateful HevcSequenceSession for a video track
+        (also kept as the default session for push/pull)."""
+        self._session = HevcSequenceSession(config_box, limits=limits)
+        return self._session
+
+    def push_sequence_data(self, data: bytes) -> None:
+        if getattr(self, "_session", None) is None:
+            raise HeifError.usage(msg="push before start_sequence")
+        self._session.push_sample(data)
+
+    def pull_next_frame(self):
+        if getattr(self, "_session", None) is None:
+            return None
+        return self._session.pull()
 
     def decode_single_image(self, config_box, data: bytes,
                             declared_size=None, limits=None) -> PixelImage:

@@ -1136,10 +1136,53 @@ class IntraEncoder:
 # registry encoder
 # --------------------------------------------------------------------------
 
+class HevcSequenceEncodeSession:
+    """Stateful IPPP track encoding (ref: encoder.h:76-89 sequence
+    hooks feeding x265's GOP): frame 0 is an IDR sync sample, later
+    frames are P slices referencing the previous picture."""
+
+    def __init__(self, width: int, height: int, qp: int,
+                 gop: int = 32):
+        from .inter_enc import SequenceEncoder
+        self.params = EncParams(qp=qp, deblock=True)
+        self.enc = SequenceEncoder(width, height, self.params)
+        self.width, self.height = width, height
+        self.gop = gop
+        self.count = 0
+
+    def encode_frame(self, img: PixelImage):
+        """Returns (length-prefixed sample data, hvcC-or-None, is_sync)."""
+        from ...color import convert_image
+        from ...boxes.codec_cfg import hvcC_from_sps, parse_hevc_sps
+        if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        if self.count and self.count % self.gop == 0:
+            # periodic IDR refresh: reset the closed-loop encoder
+            from .inter_enc import SequenceEncoder
+            self.enc = SequenceEncoder(self.width, self.height,
+                                       self.params)
+        nal, cfg_nals = self.enc.encode_frame(img)
+        self.count += 1
+        is_sync = bool(cfg_nals)
+        cfg = None
+        if cfg_nals:
+            cfg = hvcC_from_sps(parse_hevc_sps(cfg_nals[0]))
+            for n in cfg_nals:
+                cfg.add_nal(n)
+        data = len(nal).to_bytes(4, "big") + nal
+        return data, cfg, is_sync
+
+
 class HevcEncoder(RegistryEncoder):
     id = "tpu-hevc"
     format = "hevc"
     lossy_supported = True
+
+    def start_sequence_encode(self, width: int, height: int,
+                              options=None):
+        quality = getattr(options, "quality", 50) if options else 50
+        qp = max(1, min(51, 51 - quality * 50 // 100))
+        return HevcSequenceEncodeSession(width, height, qp)
 
     def encode_single_image(self, img: PixelImage, options=None):
         from ...color import convert_image

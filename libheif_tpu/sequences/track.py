@@ -472,10 +472,17 @@ class TrackVisual(Track):
         else:
             from ..codecs import registry
             dec = registry.get_decoder(self._codec_format())
-            img = dec.decode_single_image(self._config_box(), data,
-                                          declared_size=(self.width,
-                                                         self.height),
-                                          limits=limits)
+            if hasattr(dec, "start_sequence") and \
+                    any(not s.is_sync for s in self.samples):
+                # inter-coded track: stateful sequential decode with
+                # sync-sample restarts (ref: track_visual.cc:175 +
+                # the plugin's internal DPB)
+                img = self._decode_sample_sequential(dec, idx, limits)
+            else:
+                img = dec.decode_single_image(self._config_box(), data,
+                                              declared_size=(self.width,
+                                                             self.height),
+                                              limits=limits)
         img.duration = self.samples[idx].duration
         ts = self.sample_tai_timestamp(idx)
         if ts is not None:
@@ -483,6 +490,33 @@ class TrackVisual(Track):
         cid = self.sample_gimi_content_id(idx)
         if cid is not None:
             img.gimi_sample_content_id = cid
+        return img
+
+    def _decode_sample_sequential(self, dec, idx: int, limits=None):
+        """Decode sample idx through a persistent sequence session,
+        restarting from the nearest preceding sync sample on random
+        access (absent stss ⇒ every sample is sync)."""
+        session = getattr(self, "_seq_session", None)
+        next_idx = getattr(self, "_seq_next", 0)
+        if session is None or idx < next_idx or \
+                (idx > next_idx and
+                 any(self.samples[k].is_sync
+                     for k in range(next_idx + 1, idx + 1))):
+            # (re)start from the last sync sample at or before idx
+            start = idx
+            while start > 0 and not self.samples[start].is_sync:
+                start -= 1
+            session = dec.start_sequence(self._config_box(), limits=limits)
+            self._seq_session = session
+            next_idx = start
+        img = None
+        for k in range(next_idx, idx + 1):
+            session.push_sample(self.sample_data(k))
+            img = session.pull()
+        self._seq_next = idx + 1
+        if img is None:
+            raise HeifError.invalid_input(
+                msg=f"sequence decode produced no frame for sample {idx}")
         return img
 
     def decode_next_image(self, limits=None):
@@ -568,6 +602,9 @@ class TrackOptions:
     tai_clock_info: Optional[TaiClockInfo] = None
     with_gimi_content_ids: int = 0
     gimi_track_content_id: str = ""
+    # IPPP coding: P frames referencing the previous picture (sync
+    # samples only at IDR refreshes); False keeps all-intra tracks
+    inter_frames: bool = False
 
 
 class VisualTrackWriter:
@@ -634,6 +671,25 @@ class VisualTrackWriter:
                 self.config_box = [cmpd, uncC]
         else:
             enc = registry.get_encoder(self.fmt)
+            inter = getattr(self.options, "inter_frames", False)
+            if inter and hasattr(enc, "start_sequence_encode"):
+                # IPPP track: stateful sequence encode session
+                # (ref: track_visual.cc:478 feeding the plugin's GOP)
+                if getattr(self, "_enc_session", None) is None:
+                    self._enc_session = enc.start_sequence_encode(
+                        img.width, img.height, options)
+                data, cfg, is_sync = self._enc_session.encode_frame(img)
+                if self.config_box is None and cfg is not None:
+                    self.config_box = cfg
+                if tai is None:
+                    tai = getattr(img, "tai_timestamp", None)
+                if gimi_content_id is None:
+                    gimi_content_id = getattr(img,
+                                              "gimi_sample_content_id",
+                                              None)
+                self._append_sample(data, duration, tai, gimi_content_id,
+                                    is_sync=is_sync)
+                return
             data, cfg, _props = enc.encode_single_image(img, options)
             if self.config_box is None:
                 self.config_box = cfg
@@ -653,12 +709,14 @@ class VisualTrackWriter:
 
     def _append_sample(self, data: bytes, duration: int,
                        tai: Optional[TaiTimestampPacket],
-                       gimi_content_id: Optional[str]) -> None:
+                       gimi_content_id: Optional[str],
+                       is_sync: bool = True) -> None:
         off = self.file.append_sample_data(data)
         self.sample_offsets.append(off)
         self.sample_sizes.append(len(data))
         self.sample_durations.append(duration)
-        self.sync_samples.append(len(self.sample_sizes))  # all intra
+        if is_sync:
+            self.sync_samples.append(len(self.sample_sizes))
         if self.tai_writer is not None:
             if tai is not None:
                 self.tai_writer.add_sample_info(tai.to_bytes())

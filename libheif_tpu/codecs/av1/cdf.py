@@ -133,3 +133,17 @@ class CdfContext:
         self.restore_switchable = [32768 - 9413, 32768 - 22581, 0, 0]
         self.restore_wiener = [32768 - 11570, 0, 0]
         self.restore_sgrproj = [32768 - 16855, 0, 0]
+        # --- intrabc / inter-tx tables (see extract_av1_cdfs LITERAL
+        # provenance notes).  default_intrabc_cdf could not be located
+        # in rodata; its value was pinned empirically against libaom
+        # intrabc streams (tests/test_av1_intrabc.py).
+        self.intrabc = [32768 - 30531, 0, 0]
+        self.txfm_partition = _to_lists(d["txfm_partition"]) \
+            if "txfm_partition" in d else None
+        self.dv_joints = list(d["dv_joints"]) if "dv_joints" in d else None
+        self.dv_classes = [list(d["dv_classes"]), list(d["dv_classes"])]
+        self.dv_class0 = [list(d["dv_class0"]), list(d["dv_class0"])]
+        self.dv_bits = [_to_lists(d["dv_bits"]), _to_lists(d["dv_bits"])]
+        self.dv_sign = [list(d["dv_sign"]), list(d["dv_sign"])]
+        self.inter_ext_tx = _to_lists(d["inter_ext_tx"]) \
+            if "inter_ext_tx" in d else None

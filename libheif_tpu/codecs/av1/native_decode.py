@@ -132,6 +132,10 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
         return None
     if seq.bit_depth != 8 or fh.delta_q_present:
         return None
+    if fh.allow_intrabc:
+        # intra block copy is implemented in the Python engine only so
+        # far; decline so the caller falls back
+        return None
 
     mi_cols = (fh.frame_width + 7) // 8 * 2
     mi_rows = (fh.frame_height + 7) // 8 * 2

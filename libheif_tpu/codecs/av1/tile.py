@@ -90,6 +90,10 @@ class TxbJob:
     qindex: int
     hh: int
     ww: int
+    # intrabc: block-copy prediction (ibc_mv set, eob 0) or add-only
+    # residual on top of an earlier copy job (ibc_add)
+    ibc_mv: Optional[Tuple[int, int]] = None
+    ibc_add: bool = False
 
 
 def _tx_class(tx_type: int) -> str:
@@ -105,6 +109,19 @@ _EXT_TX_SET_INTRA_1 = [T.IDTX, T.DCT_DCT, T.V_DCT, T.H_DCT,
                        T.ADST_ADST, T.ADST_DCT, T.DCT_ADST]
 _EXT_TX_SET_INTRA_2 = [T.IDTX, T.DCT_DCT, T.ADST_ADST,
                        T.ADST_DCT, T.DCT_ADST]
+# inter tx-type sets (spec Tx type lists, symbol order; used by the
+# intrabc path — dav1d tables.c dav1d_tx_types_per_set lineage)
+_EXT_TX_SET_INTER_1 = [T.IDTX, T.V_DCT, T.H_DCT, T.V_ADST, T.H_ADST,
+                       T.V_FLIPADST, T.H_FLIPADST, T.DCT_DCT,
+                       T.ADST_DCT, T.DCT_ADST, T.FLIPADST_DCT,
+                       T.DCT_FLIPADST, T.ADST_ADST,
+                       T.FLIPADST_FLIPADST, T.ADST_FLIPADST,
+                       T.FLIPADST_ADST]
+_EXT_TX_SET_INTER_2 = [T.IDTX, T.V_DCT, T.H_DCT, T.DCT_DCT, T.ADST_DCT,
+                       T.DCT_ADST, T.FLIPADST_DCT, T.DCT_FLIPADST,
+                       T.ADST_ADST, T.FLIPADST_FLIPADST,
+                       T.ADST_FLIPADST, T.FLIPADST_ADST]
+_EXT_TX_SET_INTER_3 = [T.IDTX, T.DCT_DCT]
 
 
 def base_eob_ctx(c, n_coeffs) -> int:
@@ -223,6 +240,13 @@ class TileDecoder:
                              for _ in range(self.mi_rows)]
         self.tx_wide = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.tx_high = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        # intrabc state: per-4x4 DV map (row, col in 1/8 pel) + luma tx
+        # type map (inter chroma derives its type from colocated luma)
+        self.ibc_on = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.bsize_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.ibc_mv = np.zeros((self.mi_rows, self.mi_cols, 2), np.int32)
+        self.txtype_map = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self._use_intrabc = False
         self.block_decoded = [
             np.zeros((self.mi_rows + 2, self.mi_cols + 2), np.uint8)
             for _ in range(3)]
@@ -470,6 +494,7 @@ class TileDecoder:
         half_w, half_h = mi_w // 2, mi_h // 2
         quarter_w, quarter_h = mi_w // 4, mi_h // 4
 
+        self._cur_partition = part
         if part == T.PARTITION_NONE:
             self._decode_block(mr, mc, bsize)
         elif part == T.PARTITION_HORZ:
@@ -618,6 +643,11 @@ class TileDecoder:
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         "delta_q in tiles")
 
+        # ---- intra block copy (spec 5.11.17 intra_frame_mode_info) ----
+        if fh.allow_intrabc and r.read_symbol_n(self.cdf.intrabc, 2):
+            self._block_intrabc(mr, mc, bsize, skip)
+            return
+
         # ---- y mode (kf contexts from above/left modes) ----
         above_mode = int(self.y_modes[mr - 1, mc]) if have_above \
             else T.DC_PRED
@@ -715,11 +745,25 @@ class TileDecoder:
                     vis_h, vis_w, h, w)
                 self._pal["y_org"] = (mc * 4, mr * 4)
             if self._pal["u"] is not None:
-                cbw = max(w, 8 if self.ssx else 4) >> self.ssx
-                cbh = max(h, 8 if self.ssy else 4) >> self.ssy
+                # spec 5.11.50 palette_tokens: sub-8 chroma dims (<4
+                # after subsampling) are extended by +2 columns/rows —
+                # the ONSCREEN dims too, so those extra indices are
+                # parsed, not replicated (a 16x4 block at an odd mi row
+                # covers the snapped 8x4 chroma pair; parsing only 2
+                # rows desynced the coder on screen-content streams)
+                cbw = w >> self.ssx
+                cbh = h >> self.ssy
+                ovw = vis_w >> self.ssx
+                ovh = vis_h >> self.ssy
+                if cbw < 4:
+                    cbw += 2
+                    ovw += 2
+                if cbh < 4:
+                    cbh += 2
+                    ovh += 2
                 self._pal["uv_map"] = P.read_color_map(
                     r, self.cdf.palette_uv_color, len(self._pal["u"]),
-                    vis_h >> self.ssy, vis_w >> self.ssx, cbh, cbw)
+                    ovh, ovw, cbh, cbw)
 
         # ---- tx size ----
         if fh.coded_lossless:
@@ -730,6 +774,7 @@ class TileDecoder:
             tx = self._read_tx_size(mr, mc, bsize, have_above, have_left)
 
         # record maps
+        self.bsize_map[mr:mr + mi_h, mc:mc + mi_w] = bsize
         self.y_modes[mr:mr + mi_h, mc:mc + mi_w] = y_mode
         self.uv_modes[mr:mr + mi_h, mc:mc + mi_w] = uv_mode
         self.skip_map[mr:mr + mi_h, mc:mc + mi_w] = skip
@@ -768,6 +813,507 @@ class TileDecoder:
         # ---- residual + recon ----
         self._residual(mr, mc, bsize, y_mode, uv_mode, angle_y, angle_uv,
                        tx, skip, has_chroma)
+
+    # ------------------------------------------------------------ intrabc
+
+    _IBC_DELAY_PX = 256          # INTRABC_DELAY_PIXELS
+
+    def _ref_dv(self, mr: int, mc: int, bsize: int):
+        """DV predictor: faithful port of aom setup_ref_mv_list for
+        the intrabc case (mvref_common.c; spatial scans only, weights
+        with REF_CAT_LEVEL boost, stable weight sort), then
+        av1_find_best_ref_mvs (integer precision, clamp) and the
+        av1_find_ref_dv fallback."""
+        w, h = T.BLOCK_SIZES[bsize]
+        bw4, bh4 = max(w // 4, 1), max(h // 4, 1)
+        stack = []                    # [mv]
+        weight = []
+        state = {"row_match": 0, "col_match": 0, "processed_rows": 0,
+                 "processed_cols": 0}
+
+        def cand_at(rr, cc):
+            """(mv, cand_w4, cand_h4) or None; only intrabc blocks
+            carry motion in intra frames."""
+            if rr < self.mr0 or cc < self.mc0 or rr >= self.mr1 or \
+                    cc >= self.mc1:
+                return None
+            if not self.ibc_on[rr, cc]:
+                bs = int(self.bsize_map[rr, cc])
+                cw, chh = T.BLOCK_SIZES[bs]
+                return (None, max(cw // 4, 1), max(chh // 4, 1))
+            bs = int(self.bsize_map[rr, cc])
+            cw, chh = T.BLOCK_SIZES[bs]
+            return ((int(self.ibc_mv[rr, cc, 0]),
+                     int(self.ibc_mv[rr, cc, 1])),
+                    max(cw // 4, 1), max(chh // 4, 1))
+
+        def add(mv, wt, match_key=None):
+            for i, m in enumerate(stack):
+                if m == mv:
+                    weight[i] += wt
+                    return
+            if len(stack) < 8:
+                stack.append(mv)
+                weight.append(wt)
+
+        def scan_row(row_offset, max_row_offset):
+            end_mi = min(bw4, self.mi_cols - mc, 16)
+            col_off = 0
+            if abs(row_offset) > 1:
+                col_off = 1
+                if (mc & 1) and bw4 < 2:
+                    col_off -= 1
+            use_step_16 = bw4 >= 16
+            i = 0
+            while i < end_mi:
+                c = cand_at(mr + row_offset, mc + col_off + i)
+                if c is None:
+                    break
+                mv, cw4, ch4 = c
+                ln = min(bw4, cw4)
+                if use_step_16:
+                    ln = max(4, ln)
+                elif abs(row_offset) > 1:
+                    ln = max(ln, 2)
+                wt = 2
+                if bw4 >= 2 and bw4 <= cw4:
+                    inc = min(-max_row_offset + row_offset + 1, ch4)
+                    wt = max(wt, inc)
+                    state["processed_rows"] = inc - row_offset - 1
+                if mv is not None:
+                    add(mv, ln * wt)
+                    state["row_match"] = 1
+                i += ln
+
+        def scan_col(col_offset, max_col_offset):
+            end_mi = min(bh4, self.mi_rows - mr, 16)
+            row_off = 0
+            if abs(col_offset) > 1:
+                row_off = 1
+                if (mr & 1) and bh4 < 2:
+                    row_off -= 1
+            use_step_16 = bh4 >= 16
+            i = 0
+            while i < end_mi:
+                c = cand_at(mr + row_off + i, mc + col_offset)
+                if c is None:
+                    break
+                mv, cw4, ch4 = c
+                ln = min(bh4, ch4)
+                if use_step_16:
+                    ln = max(4, ln)
+                elif abs(col_offset) > 1:
+                    ln = max(ln, 2)
+                wt = 2
+                if bh4 >= 2 and bh4 <= ch4:
+                    inc = min(-max_col_offset + col_offset + 1, cw4)
+                    wt = max(wt, inc)
+                    state["processed_cols"] = inc - col_offset - 1
+                if mv is not None:
+                    add(mv, ln * wt)
+                    state["col_match"] = 1
+                i += ln
+
+        def scan_point(row_offset, col_offset):
+            c = cand_at(mr + row_offset, mc + col_offset)
+            if c is not None and c[0] is not None:
+                add(c[0], 4)
+                if row_offset == -1 and col_offset == bw4:
+                    state["row_match"] = 1
+
+        up_avail = mr > self.mr0
+        left_avail = mc > self.mc0
+        row_adj = 1 if (bh4 < 2 and (mr & 1)) else 0
+        col_adj = 1 if (bw4 < 2 and (mc & 1)) else 0
+        max_row_offset = 0
+        if up_avail:
+            max_row_offset = -(3 << 1) + row_adj
+            if bh4 < 2:
+                max_row_offset = -(2 << 1) + row_adj
+            max_row_offset = max(max_row_offset, self.mr0 - mr)
+        max_col_offset = 0
+        if left_avail:
+            max_col_offset = -(3 << 1) + col_adj
+            if bw4 < 2:
+                max_col_offset = -(2 << 1) + col_adj
+            max_col_offset = max(max_col_offset, self.mc0 - mc)
+
+        if up_avail:
+            scan_row(-1, max_row_offset)
+        if left_avail:
+            scan_col(-1, max_col_offset)
+        if up_avail and self._has_top_right(mr, mc, bw4, bh4):
+            scan_point(-1, bw4)
+
+        nearest_count = len(stack)
+        for i in range(nearest_count):
+            weight[i] += 640                    # REF_CAT_LEVEL
+        if up_avail and left_avail:
+            scan_point(-1, -1)
+        for idx in range(2, 4):                 # MVREF_ROW_COLS = 3
+            row_offset = -(idx << 1) + 1 + row_adj
+            col_offset = -(idx << 1) + 1 + col_adj
+            if up_avail and abs(row_offset) <= abs(max_row_offset) and \
+                    abs(row_offset) > state["processed_rows"]:
+                scan_row(row_offset, max_row_offset)
+            if left_avail and abs(col_offset) <= abs(max_col_offset) and \
+                    abs(col_offset) > state["processed_cols"]:
+                scan_col(col_offset, max_col_offset)
+
+        # stable weight sort: nearest group, then the rest (aom bubble)
+        def bubble(lo, hi):
+            ln = hi
+            while ln > lo:
+                nr = lo
+                for i in range(lo + 1, ln):
+                    if weight[i - 1] < weight[i]:
+                        stack[i - 1], stack[i] = stack[i], stack[i - 1]
+                        weight[i - 1], weight[i] = weight[i], weight[i - 1]
+                        nr = i
+                ln = nr
+        bubble(0, nearest_count)
+        bubble(nearest_count, len(stack))
+
+        # mv_ref_list: clamp + integer precision (find_best_ref_mvs)
+        def clamp_ref(mv):
+            # aom clamp_mv_ref: bounds are the block edges widened by
+            # the block dims and MV_BORDER = (16 << 3) = 128 eighth-pel
+            # (16 full pels — NOT 128 pels; the wider bound almost
+            # never binds and let far-out-of-range candidates through,
+            # desyncing the lossless intrabc sweep)
+            bw_px, bh_px = bw4 * 4, bh4 * 4
+            lo_c = -(mc * 4) * 8 - bw_px * 8 - 128
+            hi_c = (self.mi_cols * 4 - mc * 4 - bw_px) * 8 + bw_px * 8 \
+                + 128
+            lo_r = -(mr * 4) * 8 - bh_px * 8 - 128
+            hi_r = (self.mi_rows * 4 - mr * 4 - bh_px) * 8 + bh_px * 8 \
+                + 128
+            return (min(max(mv[0], lo_r), hi_r),
+                    min(max(mv[1], lo_c), hi_c))
+
+        def to_integer(v):
+            m = v % 8 if v >= 0 else -((-v) % 8)
+            v -= m
+            if abs(m) > 4:
+                v += 8 if m > 0 else -8
+            return v
+
+        lst = []
+        for i in range(min(2, len(stack))):
+            mv = clamp_ref(stack[i])
+            lst.append((to_integer(mv[0]), to_integer(mv[1])))
+        while len(lst) < 2:
+            lst.append((0, 0))
+        dv = lst[0] if lst[0] != (0, 0) else lst[1]
+        if dv == (0, 0):
+            sb_mi = self.sb_mi
+            if mr - sb_mi < self.mr0:       # first superblock row
+                dv = (0, -(4 * sb_mi + self._IBC_DELAY_PX) * 8)
+            else:
+                dv = (-4 * sb_mi * 8, 0)
+        # ref DV is full-pel by construction here
+        return ((dv[0] >> 3) * 8, (dv[1] >> 3) * 8)
+
+    def _has_top_right(self, mr, mc, bw4, bh4) -> bool:
+        """(aom has_top_right), without the PARTITION_VERT_A special
+        case refinement beyond the stored partition."""
+        sb_mi = self.sb_mi
+        bs = max(bw4, bh4)
+        if bs > 16:
+            return False
+        mask_row = mr & (sb_mi - 1)
+        mask_col = mc & (sb_mi - 1)
+        has_tr = not ((mask_row & bs) and (mask_col & bs))
+        b = bs
+        while b < sb_mi:
+            if mask_col & b:
+                if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                    has_tr = False
+                    break
+            else:
+                break
+            b <<= 1
+        # rectangular refinements (aom is_sec_rect)
+        if bw4 < bh4:
+            is_sec_rect = ((mc + bw4) & (bh4 - 1)) == 0
+            if not is_sec_rect:
+                has_tr = True
+        if bw4 > bh4:
+            is_sec_rect = (mr & (bw4 - 1)) != 0
+            if is_sec_rect:
+                has_tr = False
+        if getattr(self, "_cur_partition", 0) == T.PARTITION_VERT_A:
+            if bw4 == bh4 and (mask_row & bs):
+                has_tr = False
+        return has_tr
+
+    def _read_dv_component(self, comp: int) -> int:
+        r = self.r
+        sign = r.read_symbol_n(self.cdf.dv_sign[comp], 2)
+        cls = r.read_symbol(self.cdf.dv_classes[comp])
+        if cls == 0:
+            d = r.read_symbol_n(self.cdf.dv_class0[comp], 2)
+            mag0 = 0
+        else:
+            d = 0
+            for i in range(cls):
+                d |= r.read_symbol_n(self.cdf.dv_bits[comp][i], 2) << i
+            mag0 = 2 << (cls + 2)
+        # integer precision: fr = 3, hp = 1 implied (MV_SUBPEL_NONE)
+        mag = mag0 + ((d << 3) | (3 << 1) | 1) + 1
+        return -mag if sign else mag
+
+    def _read_dv(self, ref):
+        r = self.r
+        j = r.read_symbol_n(self.cdf.dv_joints, 4)
+        drow = self._read_dv_component(0) if j in (2, 3) else 0
+        dcol = self._read_dv_component(1) if j in (1, 3) else 0
+        return (ref[0] + drow, ref[1] + dcol)
+
+    def _txfm_partition_ctx(self, px: int, py: int, bsize: int,
+                            tx: int) -> int:
+        """(aom txfm_partition_context); the tx_wide/tx_high maps stand
+        in for the running above/left TXFM context arrays (leaves write
+        their dims as they are read, tile edges read 64)."""
+        txw, txh = T.tx_w(tx), T.tx_h(tx)
+        bx, by = px >> 2, py >> 2
+        above_v = 64
+        if by - 1 >= self.mr0:
+            v = int(self.tx_wide[by - 1, bx])
+            above_v = v if v else 64
+        left_v = 64
+        if bx - 1 >= self.mc0:
+            v = int(self.tx_high[by, bx - 1])
+            left_v = v if v else 64
+        above = 1 if above_v < txw else 0
+        left = 1 if left_v < txh else 0
+        w, h = T.BLOCK_SIZES[bsize]
+        max_dim = max(w, h)
+        sizes = [4, 8, 16, 32, 64]
+        max_tx_sq = sizes.index(min(max_dim, 64))     # square tx index
+        category = (1 if (T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0] !=
+                          min(max_dim, 64) and max_tx_sq > 1) else 0) + \
+            (len(sizes) - 1 - max_tx_sq) * 2
+        return category * 3 + above + left
+
+    def _vartx_node(self, bsize, tx, depth, px, py, tus) -> None:
+        r = self.r
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        if depth == 2 or tx == T.TX_4X4:
+            split = 0
+        else:
+            ctx = self._txfm_partition_ctx(px, py, bsize, tx)
+            split = r.read_symbol_n(self.cdf.txfm_partition[ctx], 2)
+        if split:
+            sub = T.SPLIT_TX_SIZE[tx]
+            if sub == T.TX_4X4:
+                # whole node becomes 4x4 leaves, no further symbols
+                for yy in range(py, py + th, 4):
+                    for xx in range(px, px + tw, 4):
+                        tus.append((xx, yy, T.TX_4X4))
+                self._mark_tx_dims(px, py, tw, th, 4, 4)
+                return
+            sw, sh = T.tx_w(sub), T.tx_h(sub)
+            for yy in range(py, py + th, sh):
+                for xx in range(px, px + tw, sw):
+                    self._vartx_node(bsize, sub, depth + 1, xx, yy, tus)
+        else:
+            tus.append((px, py, tx))
+            self._mark_tx_dims(px, py, tw, th, tw, th)
+
+    def _mark_tx_dims(self, px, py, tw, th, vw, vh) -> None:
+        bx, by = px >> 2, py >> 2
+        nw, nh = max(tw // 4, 1), max(th // 4, 1)
+        self.tx_wide[by:by + nh, bx:bx + nw] = vw
+        self.tx_high[by:by + nh, bx:bx + nw] = vh
+
+    def _block_intrabc(self, mr: int, mc: int, bsize: int,
+                       skip: int) -> None:
+        seq, fh, r = self.seq, self.fh, self.r
+        w, h = T.BLOCK_SIZES[bsize]
+        mi_w, mi_h = max(w // 4, 1), max(h // 4, 1)
+
+        dv_ref = self._ref_dv(mr, mc, bsize)
+        mv = self._read_dv(dv_ref)
+
+        self._use_intrabc = True
+        self._fi_mode = None
+        self._pal = {"y": None, "u": None, "v": None,
+                     "y_map": None, "uv_map": None}
+        has_chroma = self._has_chroma(mr, mc, bsize)
+
+        # maps: modes stay DC (neighbor mode contexts see DC), record DV
+        self.bsize_map[mr:mr + mi_h, mc:mc + mi_w] = bsize
+        self.skip_map[mr:mr + mi_h, mc:mc + mi_w] = skip
+        self.above_skip[mc:mc + mi_w] = skip
+        self.left_skip[mr - self.sb_mi_row:
+                       mr - self.sb_mi_row + mi_h] = skip
+        self.pal_y[mr:mr + mi_h, mc:mc + mi_w] = 0
+        self.ibc_on[mr:mr + mi_h, mc:mc + mi_w] = 1
+        self.ibc_mv[mr:mr + mi_h, mc:mc + mi_w, 0] = mv[0]
+        self.ibc_mv[mr:mr + mi_h, mc:mc + mi_w, 1] = mv[1]
+
+        # ---- tx sizes ----
+        luma_tus = []
+        x0, y0 = mc * 4, mr * 4
+        if fh.coded_lossless:
+            tx = T.TX_4X4
+            for yy in range(y0, y0 + h, 4):
+                for xx in range(x0, x0 + w, 4):
+                    luma_tus.append((xx, yy, tx))
+            self._mark_tx_dims(x0, y0, w, h, 4, 4)
+        elif skip or not fh.tx_mode_select:
+            tx = T.MAX_TX_SIZE_RECT[bsize]
+            tw, th = T.tx_w(tx), T.tx_h(tx)
+            for yy in range(y0, y0 + h, th):
+                for xx in range(x0, x0 + w, tw):
+                    luma_tus.append((xx, yy, tx))
+            if skip:
+                # aom set_txfm_ctxs: skipped inter blocks record BLOCK
+                # dims in the txfm context
+                self._mark_tx_dims(x0, y0, w, h, w, h)
+            else:
+                self._mark_tx_dims(x0, y0, w, h, tw, th)
+        else:
+            max_tx = T.MAX_TX_SIZE_RECT[bsize]
+            tw, th = T.tx_w(max_tx), T.tx_h(max_tx)
+            for yy in range(y0, y0 + h, th):
+                for xx in range(x0, x0 + w, tw):
+                    self._vartx_node(bsize, max_tx, 0, xx, yy, luma_tus)
+
+        # ---- prediction jobs: block copy per plane (before residual
+        # TUs so the deferred replay applies copy then adds) ----
+        self.jobs.append(TxbJob(
+            plane=0, px=x0, py=y0, tw=w, th=h, tx=0, mode=0, angle=0,
+            have_above=False, have_left=False, n_tr=0, n_bl=0,
+            filt_type=0, fi_mode=None, pal_pred=None, cfl_alpha=0,
+            is_cfl=False, eob=0, coeffs=None, tx_type=T.DCT_DCT,
+            qindex=self._cur_qindex,
+            hh=min(h, self.mi_rows * 4 - y0),
+            ww=min(w, self.mi_cols * 4 - x0), ibc_mv=mv))
+        if has_chroma and self.num_planes > 1:
+            cw = max(w >> self.ssx, 4)
+            chh = max(h >> self.ssy, 4)
+            cx = (x0 >> self.ssx) & ~(0 if not self.ssx else 0)
+            # chroma origin snaps to the chroma-pair origin
+            cr_ = mr & ~1 if mi_h == 1 and self.ssy else mr
+            cc_ = mc & ~1 if mi_w == 1 and self.ssx else mc
+            cx = (cc_ * 4) >> self.ssx
+            cy = (cr_ * 4) >> self.ssy
+            for plane in (1, 2):
+                pw = (self.mi_cols * 4) >> self.ssx
+                ph = (self.mi_rows * 4) >> self.ssy
+                self.jobs.append(TxbJob(
+                    plane=plane, px=cx, py=cy, tw=cw, th=chh, tx=0,
+                    mode=0, angle=0, have_above=False, have_left=False,
+                    n_tr=0, n_bl=0, filt_type=0, fi_mode=None,
+                    pal_pred=None, cfl_alpha=0, is_cfl=False, eob=0,
+                    coeffs=None, tx_type=T.DCT_DCT,
+                    qindex=self._cur_qindex,
+                    hh=min(chh, ph - cy), ww=min(cw, pw - cx),
+                    ibc_mv=mv))
+
+        # ---- residual ----
+        if not skip:
+            self._residual_intrabc(mr, mc, bsize, luma_tus, has_chroma)
+        else:
+            # aom av1_reset_entropy_context: a skipped block zeroes the
+            # above/left level + dc-sign context buffers over its
+            # extent (the intra path does this through its cul=0 TU
+            # writes; without it the next residual block reads stale
+            # dc-sign / txb-skip contexts and desyncs)
+            u_c = x0 // 4
+            lrow = (mr - self.sb_mi_row)
+            self.above_lvl[0][u_c:u_c + mi_w] = 0
+            self.left_lvl[0][lrow:lrow + mi_h] = 0
+            self.above_sign[0][u_c:u_c + mi_w] = 0
+            self.left_sign[0][lrow:lrow + mi_h] = 0
+            if has_chroma and self.num_planes > 1:
+                cr_ = mr & ~1 if mi_h == 1 and self.ssy else mr
+                cc_ = mc & ~1 if mi_w == 1 and self.ssx else mc
+                cu_c = ((cc_ * 4) >> self.ssx) // 4
+                clrow = (((cr_ - self.sb_mi_row) * 4) >> self.ssy) // 4
+                cw_c = max((max(w, 8 if self.ssx else 4) >> self.ssx)
+                           // 4, 1)
+                ch_c = max((max(h, 8 if self.ssy else 4) >> self.ssy)
+                           // 4, 1)
+                for plane in (1, 2):
+                    self.above_lvl[plane][cu_c:cu_c + cw_c] = 0
+                    self.left_lvl[plane][clrow:clrow + ch_c] = 0
+                    self.above_sign[plane][cu_c:cu_c + cw_c] = 0
+                    self.left_sign[plane][clrow:clrow + ch_c] = 0
+
+        self._use_intrabc = False
+        self.block_decoded[0][mr + 1:mr + 1 + mi_h,
+                              mc + 1:mc + 1 + mi_w] = 1
+        if has_chroma and self.num_planes > 1:
+            cr_ = mr & ~1 if mi_h == 1 and self.ssy else mr
+            cc_ = mc & ~1 if mi_w == 1 and self.ssx else mc
+            ch4 = max(mi_h >> self.ssy, 1)
+            cw4 = max(mi_w >> self.ssx, 1)
+            for plane in (1, 2):
+                self.block_decoded[plane][
+                    (cr_ >> self.ssy) + 1:(cr_ >> self.ssy) + 1 + ch4,
+                    (cc_ >> self.ssx) + 1:(cc_ >> self.ssx) + 1 + cw4] = 1
+
+    def _residual_intrabc(self, mr, mc, bsize, luma_tus,
+                          has_chroma) -> None:
+        """Residual for an intrabc block: luma at the var-tx leaves,
+        chroma at the plane max tx (spec residual())."""
+        fh = self.fh
+        w, h = T.BLOCK_SIZES[bsize]
+        for (px, py, tx) in luma_tus:
+            self._ibc_txb(0, px, py, tx, w, h)
+        if has_chroma and self.num_planes > 1:
+            cr_ = mr & ~1 if (h // 4) == 1 and self.ssy else mr
+            cc_ = mc & ~1 if (w // 4) == 1 and self.ssx else mc
+            cw = max(w, 8 if self.ssx else 4) >> self.ssx
+            ch_ = max(h, 8 if self.ssy else 4) >> self.ssy
+            uv_tx = T.TX_4X4 if fh.coded_lossless \
+                else self._uv_tx_size(bsize)
+            utw, uth = T.tx_w(uv_tx), T.tx_h(uv_tx)
+            cx0, cy0 = (cc_ * 4) >> self.ssx, (cr_ * 4) >> self.ssy
+            for plane in range(1, self.num_planes):
+                for ty in range(0, ch_, uth):
+                    for tx_x in range(0, cw, utw):
+                        self._ibc_txb(plane, cx0 + tx_x, cy0 + ty, uv_tx,
+                                      cw, ch_)
+
+    def _ibc_txb(self, plane, px, py, tx, blk_w, blk_h) -> None:
+        """One intrabc residual tx block: coefficients + an add-only
+        job (prediction was written by the block-copy job)."""
+        sx = self.ssx if plane else 0
+        sy = self.ssy if plane else 0
+        pw = (self.mi_cols * 4) >> sx
+        ph = (self.mi_rows * 4) >> sy
+        if px >= pw or py >= ph:
+            return
+        tw, th = T.tx_w(tx), T.tx_h(tx)
+        self.edges.mark(plane, px, py, tw, th)
+        eob, coeffs, cul, dcsign = self._read_coeffs(
+            plane, px, py, tx, T.DC_PRED, blk_w, blk_h)
+        job = TxbJob(
+            plane=plane, px=px, py=py, tw=tw, th=th, tx=tx,
+            mode=T.DC_PRED, angle=0, have_above=False, have_left=False,
+            n_tr=0, n_bl=0, filt_type=0, fi_mode=None, pal_pred=None,
+            cfl_alpha=0, is_cfl=False, eob=eob, coeffs=coeffs,
+            tx_type=self._cur_tx_type, qindex=self._cur_qindex,
+            hh=min(th, ph - py), ww=min(tw, pw - px), ibc_add=True)
+        if self.eager_recon:
+            self._run_job(job)
+        else:
+            self.jobs.append(job)
+        # context updates (same cells as _transform_block)
+        u_c = px // 4
+        sb_py = (self.sb_mi_row * 4) >> sy
+        lrow = (py - sb_py) // 4
+        n_w, n_h = max(tw // 4, 1), max(th // 4, 1)
+        w_cells = min(n_w, max((pw - px) // 4, 0))
+        h_cells = min(n_h, max((ph - py) // 4, 0))
+        self.above_lvl[plane][u_c:u_c + w_cells] = min(int(cul), 63)
+        self.left_lvl[plane][lrow:lrow + h_cells] = min(int(cul), 63)
+        self.above_sign[plane][u_c:u_c + w_cells] = dcsign
+        self.left_sign[plane][lrow:lrow + h_cells] = dcsign
 
     @staticmethod
     def _use_angle_delta(bsize: int) -> bool:
@@ -808,14 +1354,29 @@ class TileDecoder:
         cat = [0, 0, 1, 2, 3][
             [4, 8, 16, 32, 64].index(T.tx_w(sqr_up))]
         # context: neighbors having tx at least as large
-        # aom get_tx_size_context: sum only over available neighbors
+        # aom get_tx_size_context: sum only over available neighbors;
+        # an inter (intrabc) neighbor contributes its BLOCK dims, not
+        # its per-leaf tx dims (the var-tx leaves it wrote to the txfm
+        # context maps would under-report; caught by the screen-content
+        # intrabc oracle sweep)
+        def above_ge():
+            if self.ibc_on[mr - 1, mc]:
+                return int(T.BLOCK_SIZES[int(self.bsize_map[mr - 1, mc])
+                                         ][0] >= T.tx_w(max_tx))
+            return int(int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx))
+
+        def left_ge():
+            if self.ibc_on[mr, mc - 1]:
+                return int(T.BLOCK_SIZES[int(self.bsize_map[mr, mc - 1])
+                                         ][1] >= T.tx_h(max_tx))
+            return int(int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx))
+
         if have_above and have_left:
-            ctx = int(int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx)) + \
-                int(int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx))
+            ctx = above_ge() + left_ge()
         elif have_above:
-            ctx = int(int(self.tx_wide[mr - 1, mc]) >= T.tx_w(max_tx))
+            ctx = above_ge()
         elif have_left:
-            ctx = int(int(self.tx_high[mr, mc - 1]) >= T.tx_h(max_tx))
+            ctx = left_ge()
         else:
             ctx = 0
         max_depth = self._max_tx_depth(bsize)
@@ -1147,10 +1708,58 @@ class TileDecoder:
     _FIMODE_TO_INTRADIR = (T.DC_PRED, T.V_PRED, T.H_PRED, T.D157_PRED,
                            T.DC_PRED)
 
+    _EXT_TX_SET_INTER_1 = _EXT_TX_SET_INTER_1
+    _EXT_TX_SET_INTER_2 = _EXT_TX_SET_INTER_2
+    _EXT_TX_SET_INTER_3 = _EXT_TX_SET_INTER_3
+
+    def _read_tx_type_inter(self, plane, px, py, tx) -> int:
+        """Tx type for intrabc (inter) blocks: luma coded from the
+        inter sets, chroma copies the colocated luma type gated by its
+        own set (aom av1_get_tx_type)."""
+        fh = self.fh
+        sup = T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]
+        sq = T.TX_SIZES[T.TX_SIZE_SQR[tx]][0]
+        if plane != 0:
+            ly = (py << self.ssy) >> 2
+            lx = (px << self.ssx) >> 2
+            tt = int(self.txtype_map[min(ly, self.mi_rows - 1),
+                                     min(lx, self.mi_cols - 1)])
+            if sup >= 64:
+                return T.DCT_DCT
+            if sup == 32:
+                allowed = self._EXT_TX_SET_INTER_3
+            elif fh.reduced_tx_set:
+                allowed = self._EXT_TX_SET_INTER_3
+            elif sq == 16:
+                allowed = self._EXT_TX_SET_INTER_2
+            else:
+                allowed = self._EXT_TX_SET_INTER_1
+            return tt if tt in allowed else T.DCT_DCT
+        if sup >= 64:
+            tt = T.DCT_DCT
+        else:
+            if sup == 32 or fh.reduced_tx_set:
+                tx_set, set_idx = self._EXT_TX_SET_INTER_3, 3
+            elif sq == 16:
+                tx_set, set_idx = self._EXT_TX_SET_INTER_2, 2
+            else:
+                tx_set, set_idx = self._EXT_TX_SET_INTER_1, 1
+            sq_idx = [4, 8, 16, 32].index(min(sq, 32))
+            sym = self.r.read_symbol_n(
+                self.cdf.inter_ext_tx[set_idx - 1][sq_idx], len(tx_set))
+            tt = tx_set[sym]
+        nw = max(T.tx_w(tx) // 4, 1)
+        nh = max(T.tx_h(tx) // 4, 1)
+        self.txtype_map[py >> 2:(py >> 2) + nh,
+                        px >> 2:(px >> 2) + nw] = tt
+        return tt
+
     def _read_tx_type(self, plane, px, py, tx, mode) -> int:
         fh, seq = self.fh, self.seq
         if fh.coded_lossless:
             return T.WHT_WHT
+        if self._use_intrabc:
+            return self._read_tx_type_inter(plane, px, py, tx)
         if plane == 0 and self._fi_mode is not None:
             mode = self._FIMODE_TO_INTRADIR[self._fi_mode]
         sup = T.TX_SIZES[T.TX_SIZE_SQR_UP[tx]][0]
@@ -1213,6 +1822,43 @@ class TileDecoder:
 
     # ------------------------------------------------------ job executor
 
+    def _ibc_copy(self, job: "TxbJob") -> None:
+        plane = job.plane
+        frame = self.planes[plane]
+        sx = self.ssx if plane else 0
+        sy = self.ssy if plane else 0
+        mvr, mvc = job.ibc_mv
+        # full-pel luma offsets; chroma gets the same DV at its scale
+        offy, offx = mvr >> 3, mvc >> 3
+        py, px = job.py, job.px
+        hh, ww = job.hh, job.ww
+        if plane == 0:
+            frame[py:py + hh, px:px + ww] = \
+                frame[py + offy:py + offy + hh, px + offx:px + offx + ww]
+            return
+        cy_off, cx_off = offy >> sy, offx >> sx
+        fy, fx = (offy & sy), (offx & sx)      # half-sample flags
+        src_y, src_x = py + cy_off, px + cx_off
+        if not fy and not fx:
+            frame[py:py + hh, px:px + ww] = \
+                frame[src_y:src_y + hh, src_x:src_x + ww]
+            return
+        # BILINEAR convolve (spec 7.11.3.4, InterRound0=3, Round1=11):
+        # taps 128 (full) / 64,64 (half) on the 8-bit source
+        a = frame[src_y:src_y + hh + fy, src_x:src_x + ww + fx
+                  ].astype(np.int64)
+        if fx:
+            hrow = (64 * a[:, :ww] + 64 * a[:, 1:ww + 1]) >> 3
+        else:
+            hrow = (128 * a[:, :ww]) >> 3
+        if fy:
+            v = 64 * hrow[:hh, :] + 64 * hrow[1:hh + 1, :]
+        else:
+            v = 128 * hrow[:hh, :]
+        out = (v + (1 << 10)) >> 11
+        frame[py:py + hh, px:px + ww] = np.clip(out, 0,
+                                                (1 << self.bd) - 1)
+
     def run_jobs(self) -> None:
         """Sequential host replay of the deferred pixel work — the
         correctness anchor the batched device executor is validated
@@ -1225,6 +1871,23 @@ class TileDecoder:
         seq = self.seq
         frame = self.planes[job.plane]
         px, py, tw, th = job.px, job.py, job.tw, job.th
+
+        if job.ibc_mv is not None:
+            # intrabc block copy from the current recon (spec 7.11.4
+            # via the BILINEAR inter filter; luma DVs are full-pel,
+            # chroma may land on half-sample positions)
+            self._ibc_copy(job)
+            return
+        if job.ibc_add:
+            hh, ww = job.hh, job.ww
+            if job.eob > 0:
+                res = self._inv_transform(job.plane, job.tx, job.coeffs,
+                                          job.eob, job.qindex,
+                                          job.tx_type)
+                region = frame[py:py + hh, px:px + ww]
+                frame[py:py + hh, px:px + ww] = np.clip(
+                    region + res[:hh, :ww], 0, (1 << self.bd) - 1)
+            return
 
         if job.pal_pred is not None:
             pred = job.pal_pred

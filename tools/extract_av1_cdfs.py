@@ -92,6 +92,13 @@ TABLES = {
     "skip":           (3, 3),
     "delta_q":        (5,),
     "intrabc":        (3,),
+    "txfm_partition": (21, 3),
+    "dv_joints":      (5,),
+    "dv_classes":     (12,),
+    "dv_class0":      (3,),
+    "dv_bits":        (10, 3),
+    "dv_sign":        (3,),
+    "inter_ext_tx":   (3, 4, 17),
     "palette_y_size": (7, 8),
     "palette_uv_size": (7, 8),
     "palette_y_mode": (7, 3, 3),
@@ -147,6 +154,52 @@ _PAL_Y_MODE = [
 ]
 
 LITERAL = {
+    # --- intrabc / inter-tx tables (read directly out of the rodata
+    # default-cdf blob: txfm_partition at u16 offset 47944 (21 CDF2
+    # rows), the DV nmv context at 48800 (joints/classes/class0/bits/
+    # sign; fp/hp unused at MV_SUBPEL_NONE), inter_ext_tx at 43616
+    # ([4 sets][4 sqr-sizes][17]); unused set/size slots hold uniform
+    # rows in libaom and are kept verbatim) ---
+    "txfm_partition": np.array(
+        [[v, 0, 0] for v in
+         [4187, 8922, 11921, 8453, 14572, 20635, 13977, 21881, 21763,
+          5589, 12764, 21487, 6219, 13460, 18544, 4753, 11222, 18368,
+          4603, 10367, 16680]], np.uint16),
+    "dv_joints": np.array([28672, 21504, 13440, 0, 0], np.uint16),
+    "dv_classes": np.array(
+        [4096, 1792, 910, 448, 217, 112, 28, 11, 6, 1, 0, 0],
+        np.uint16),
+    "dv_class0": np.array([5120, 0, 0], np.uint16),
+    "dv_bits": np.array(
+        [[v, 0, 0] for v in
+         [15360, 14848, 13824, 12288, 10240, 8192, 4096, 2816, 2816,
+          2048]], np.uint16),
+    "dv_sign": np.array([16384, 0, 0], np.uint16),
+    "inter_ext_tx": np.array([
+        # set 1 (ALL16), sqr 4 / 8 trained, 16/32 uniform
+        [[28310, 27208, 25073, 23059, 19438, 17979, 15231, 12502,
+          11264, 9920, 8834, 7294, 5041, 3853, 2137, 0, 0],
+         [31123, 30195, 27990, 27057, 24961, 24146, 22246, 17411,
+          15094, 12360, 10251, 7758, 5652, 3912, 2019, 0, 0],
+         [30720, 28672, 26624, 24576, 22528, 20480, 18432, 16384,
+          14336, 12288, 10240, 8192, 6144, 4096, 2048, 0, 0],
+         [30720, 28672, 26624, 24576, 22528, 20480, 18432, 16384,
+          14336, 12288, 10240, 8192, 6144, 4096, 2048, 0, 0]],
+        # set 2 (DTT9_IDTX_1DDCT, 12 syms), only sqr 16 trained
+        [[30037, 27307, 24576, 21845, 19115, 16384, 13653, 10923,
+          8192, 5461, 2731, 0, 0, 0, 0, 0, 0],
+         [30037, 27307, 24576, 21845, 19115, 16384, 13653, 10923,
+          8192, 5461, 2731, 0, 0, 0, 0, 0, 0],
+         [31998, 30347, 27543, 19861, 16949, 13841, 11207, 8679,
+          6173, 4242, 2239, 0, 0, 0, 0, 0, 0],
+         [30037, 27307, 24576, 21845, 19115, 16384, 13653, 10923,
+          8192, 5461, 2731, 0, 0, 0, 0, 0, 0]],
+        # set 3 (DCT + IDTX, 2 syms)
+        [[16384] + [0] * 16,
+         [28601] + [0] * 16,
+         [30770] + [0] * 16,
+         [32020] + [0] * 16],
+    ], np.uint16),
     # filter-intra + CfL tables (recovered literally from the rodata
     # default-cdf blob at 48400/48224/48688; alignment pads prevent
     # plain array reads)

@@ -17,6 +17,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #include "heif_shim.h"
 
@@ -571,3 +572,5 @@ heif_error heif_context_encode_image2(heif_context* c,
   if (out_handle) return heif_context_get_image_handle(c, id, out_handle);
   return e;
 }
+
+#include "heif_shim_api.inc"

@@ -54,14 +54,14 @@ def heif_image_handle_get_height(handle: heif_image_handle) -> int:
 
 def heif_image_handle_get_ispe_width(handle: heif_image_handle) -> int:
     """Pre-transform coded size (ref: heif_image_handle.h ispe API)."""
-    sz = handle.item.ispe_size()
+    sz = handle.item.ispe_size
     if sz is None:
         raise HeifError.invalid_input(msg="item has no ispe property")
     return sz[0]
 
 
 def heif_image_handle_get_ispe_height(handle: heif_image_handle) -> int:
-    sz = handle.item.ispe_size()
+    sz = handle.item.ispe_size
     if sz is None:
         raise HeifError.invalid_input(msg="item has no ispe property")
     return sz[1]

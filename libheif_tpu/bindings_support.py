@@ -265,7 +265,76 @@ def _shim_adapters() -> dict:
         rec(v)
         return out
 
+    def ctx_set_primary_id(ctx, item_id):
+        ctx.set_primary_item(int(item_id))
+
+    def ctx_set_major_brand(ctx, brand):
+        # recorded for write(); _finalize_brands consults it
+        ctx.forced_major_brand = str(brand)
+
+    def ctx_get_max_threads(ctx):
+        return int(getattr(ctx, "max_decoding_threads", 0) or 0)
+
+    def ctx_debug_dump(ctx):
+        return ctx.debug_dump_boxes()
+
+    def img_extend_zero(img, w, h):
+        from .api.image import heif_image_extend_padding_to_size
+        heif_image_extend_padding_to_size(img, int(w), int(h))
+
+    def img_extract_area(img, x0, y0, w, h):
+        return img.crop(int(x0), int(y0), int(w), int(h))
+
+    def img_remove_color_profile(img):
+        img.color_profile_icc = None
+        img.color_profile_nclx = None
+
+    def img_set_nclx_values(img, cp, tc, mc, fr):
+        from .api.color import (heif_nclx_color_profile_alloc)
+        p = heif_nclx_color_profile_alloc()
+        p.color_primaries = int(cp)
+        p.transfer_characteristics = int(tc)
+        p.matrix_coefficients = int(mc)
+        p.full_range_flag = bool(fr)
+        img.color_profile_nclx = p
+
+    def img_set_clli_values(img, max_cll, max_pall):
+        from .boxes.meta import Box_clli
+        b = Box_clli()
+        b.max_content_light_level = int(max_cll)
+        b.max_pic_average_light_level = int(max_pall)
+        from .api.image import heif_image_set_content_light_level
+        heif_image_set_content_light_level(img, b)
+
+    def ctx_add_image_tile_id(ctx, tili_id, tx, ty, img, codec):
+        ctx.add_image_tile_to_tiled(int(tili_id), int(tx), int(ty), img)
+
+    def ctx_assign_thumbnail_ids(ctx, master_id, thumb_id):
+        from .api.encoding import heif_context_assign_thumbnail
+        from .api.image_handle import heif_image_handle
+        heif_context_assign_thumbnail(
+            ctx, heif_image_handle(ctx, int(master_id)),
+            heif_image_handle(ctx, int(thumb_id)))
+
+    def add_grid_image(ctx, w, h, cols, rows, tile_ids):
+        gid = ctx.add_grid_image([int(t) for t in tile_ids], int(w),
+                                 int(h), rows=int(rows),
+                                 columns=int(cols))
+        return int(gid)
+
     return {
+        "heif_context_set_primary_image_id": ctx_set_primary_id,
+        "heif_context_set_major_brand": ctx_set_major_brand,
+        "heif_context_get_max_decoding_threads": ctx_get_max_threads,
+        "heif_context_debug_dump_boxes": ctx_debug_dump,
+        "heif_image_extend_to_size_fill_with_zero": img_extend_zero,
+        "heif_image_extract_area": img_extract_area,
+        "heif_image_remove_color_profile": img_remove_color_profile,
+        "heif_image_set_nclx_color_profile_values": img_set_nclx_values,
+        "heif_image_set_content_light_level_values": img_set_clli_values,
+        "heif_context_add_image_tile_id": ctx_add_image_tile_id,
+        "heif_context_assign_thumbnail_ids": ctx_assign_thumbnail_ids,
+        "shim_add_grid_image": add_grid_image,
         "shim_handle_new": handle_new,
         "shim_compression_name": compression_name,
         "shim_compression_code": compression_code,

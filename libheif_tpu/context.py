@@ -746,10 +746,14 @@ class HeifContext:
                        if hasattr(tw, "sample_entry_type")]
         major, compat = compute_brands(item_types, primary_type,
                                        track_types)
-        # user-requested extras (heif_context_add_compatible_brand)
+        # user-requested extras (heif_context_add_compatible_brand /
+        # heif_context_set_major_brand)
         for b in getattr(self, "extra_compatible_brands", []):
             if b not in compat:
                 compat.append(b)
+        forced = getattr(self, "forced_major_brand", None)
+        if forced:
+            major = forced
         f.ftyp.major_brand = major
         f.ftyp.compatible_brands = compat
 

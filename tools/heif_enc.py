@@ -112,6 +112,17 @@ def build_parser():
     ap.add_argument("--repetitions", default=None,
                     help="number or 'infinite'")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--vmt-metadata", default=None, metavar="FILE",
+                    help="encode metadata track from a WebVMT file "
+                         "(ref: heif_enc.cc --vmt-metadata)")
+    ap.add_argument("--vmt-uri", default="vmt:metadata",
+                    help="uri for the VMT metadata track")
+    ap.add_argument("--vmt-binary", action="store_true",
+                    help="VMT cue bodies are hex binary data")
+    ap.add_argument("--sai-data-file", default=None, metavar="FILE",
+                    help="per-frame SAI data (gimi ids / TAI "
+                         "timestamps; ref: heif_enc.cc "
+                         "--sai-data-file)")
     # misc
     ap.add_argument("--mini", action="store_true",
                     help="write compact 'mini' format when possible")
@@ -408,13 +419,26 @@ def main(argv=None):
             else:
                 fps_n, fps_d = int(args.fps), 1
         timescale = args.timebase or fps_n
+        sai = None
+        track_opts = None
+        if args.sai_data_file:
+            from sai_datafile import SAIDatafile
+            sai = SAIDatafile().load(args.sai_data_file)
+            from libheif_tpu.sequences.track import TrackOptions
+            track_opts = TrackOptions(timescale=timescale)
+            if sai.tai_clock_info is not None:
+                track_opts.with_tai_timestamps = 2
+                track_opts.tai_clock_info = sai.tai_clock_info
+            if any(g is not None for g in sai.gimi_content_ids):
+                track_opts.with_gimi_content_ids = 2
         tw = ctx.add_visual_track(r["width"], r["height"], fmt=codec,
-                                  timescale=timescale)
+                                  timescale=timescale,
+                                  options=track_opts)
         frames = r["frames"]
         if args.max_frames:
             frames = frames[:args.max_frames]
         dur = args.duration or fps_d
-        for y, u, v in frames:
+        for fidx, (y, u, v) in enumerate(frames):
             h, w = y.shape
             chroma = Chroma.C420 if u.shape[0] < h else \
                 (Chroma.C422 if u.shape[1] < w else Chroma.C444)
@@ -422,7 +446,14 @@ def main(argv=None):
             fr.set_plane(Channel.Y, y, 8)
             fr.set_plane(Channel.Cb, u, 8)
             fr.set_plane(Channel.Cr, v, 8)
+            if sai is not None:
+                sai.apply_to_image(fr, fidx)
             tw.add_frame(fr, duration=dur)
+        if args.vmt_metadata:
+            from vmt import encode_vmt_metadata_track
+            encode_vmt_metadata_track(ctx, tw, args.vmt_metadata,
+                                      args.vmt_uri,
+                                      binary=args.vmt_binary)
         if args.repetitions:
             n = 0xFFFFFFFF if args.repetitions == "infinite" \
                 else int(args.repetitions)

@@ -108,6 +108,13 @@ class CuData:
     coeffs_y: Optional[np.ndarray] = None
     coeffs_cb: Optional[np.ndarray] = None
     coeffs_cr: Optional[np.ndarray] = None
+    # optional intra tools
+    mip_flag: int = 0
+    mip_transposed: int = 0
+    mip_mode: int = 0
+    isp_split: int = 0                   # 0 none, 1 horizontal, 2 vertical
+    isp_coeffs: Optional[List[Optional[np.ndarray]]] = None
+    lfnst_idx: int = 0
 
 
 # split kinds recorded in an EncodePlan
@@ -219,8 +226,10 @@ class SliceCoder:
         h4 = (self.h + 3) // 4
         self.depth_map = np.zeros((h4, w4), np.int8)
         self.mode_map = np.full((h4, w4), INTRA_PLANAR, np.int16)
+        self.mip_map = np.zeros((h4, w4), bool)
         self.coded_map = np.zeros((h4, w4), bool)
         self.cus: List[CuData] = []
+        self._luma_last: List[Tuple[int, int]] = []
         self.max_cus = None               # optional security cap
 
     # ------------------------------------------------------------- run
@@ -396,41 +405,85 @@ class SliceCoder:
                 raise HeifError.usage(msg=f"encode plan missing CU "
                                       f"({x0},{y0})")
 
-        # ---- luma intra mode
-        cand_l = self._neighbor_mode(x0 - 1, y0 + h - 1, False, y0)
-        cand_a = self._neighbor_mode(x0 + w - 1, y0 - 1, True, y0)
-        mpm = build_mpm_list(cand_l, cand_a)
+        # ---- MIP (H.266 7.3.11.5 intra_mip_flag first)
+        sps = self.sps
+        mip_flag = mip_transposed = mip_mode = 0
+        isp_split = 0
+        if getattr(sps, "mip_enabled", False):
+            if abs(log2w - log2h) > 1:
+                inc = 3
+            else:
+                inc = 0
+                if x0 > 0 and self.mip_map[y0 >> 2, (x0 - 1) >> 2]:
+                    inc += 1
+                if y0 > 0 and self.mip_map[(y0 - 1) >> 2, x0 >> 2]:
+                    inc += 1
+            mip_flag = io.bin("intra_mip_flag", inc,
+                              None if src is None else src.mip_flag)
+        if mip_flag:
+            from .tables import mip_size_id, MIP_NUM_MODES
+            mip_transposed = io.bypass(
+                None if src is None else src.mip_transposed)
+            n_modes = MIP_NUM_MODES[mip_size_id(log2w, log2h)]
+            mip_mode = io.tb(n_modes - 1,
+                             None if src is None else src.mip_mode)
+            luma_mode = INTRA_PLANAR     # neighbor/DM view of a MIP CU
+        else:
+            # ---- ISP (subpartitions bounded at >= 4 samples: 4-way
+            # splits of the 16..32 dimension only — see tables.py)
+            isp_on = getattr(sps, "isp_enabled", False)
+            isp_ok_h = isp_on and h >= 16 and w <= 32 and h <= 32
+            isp_ok_v = isp_on and w >= 16 and w <= 32 and h <= 32
+            if isp_ok_h or isp_ok_v:
+                want = None if src is None else (1 if src.isp_split
+                                                 else 0)
+                if io.bin("intra_subpartitions_mode_flag", 0, want):
+                    if isp_ok_h and isp_ok_v:
+                        want_s = None if src is None else                             (1 if src.isp_split == 2 else 0)
+                        split_v = io.bin(
+                            "intra_subpartitions_split_flag", 0, want_s)
+                    else:
+                        split_v = 1 if isp_ok_v else 0
+                    isp_split = 2 if split_v else 1
 
-        if src is not None:
-            luma_mode = src.luma_mode
-            in_mpm = luma_mode in mpm
-            mpm_flag = io.bin("intra_luma_mpm_flag", 0, 1 if in_mpm else 0)
-        else:
-            mpm_flag = io.bin("intra_luma_mpm_flag", 0)
-        if mpm_flag:
+            # ---- luma intra mode
+            cand_l = self._neighbor_mode(x0 - 1, y0 + h - 1, False, y0)
+            cand_a = self._neighbor_mode(x0 + w - 1, y0 - 1, True, y0)
+            mpm = build_mpm_list(cand_l, cand_a)
+
             if src is not None:
-                not_planar = 0 if src.luma_mode == INTRA_PLANAR else 1
-                not_planar = io.bin("intra_luma_not_planar_flag", 0,
-                                    not_planar)
+                luma_mode = src.luma_mode
+                in_mpm = luma_mode in mpm
+                mpm_flag = io.bin("intra_luma_mpm_flag", 0,
+                                  1 if in_mpm else 0)
             else:
-                not_planar = io.bin("intra_luma_not_planar_flag", 0)
-            if not_planar:
+                mpm_flag = io.bin("intra_luma_mpm_flag", 0)
+            np_inc = 0 if isp_split else 1
+            if mpm_flag:
                 if src is not None:
-                    idx = mpm.index(src.luma_mode) - 1
-                    io.tu_bypass(4, idx)
+                    not_planar = 0 if src.luma_mode == INTRA_PLANAR else 1
+                    not_planar = io.bin("intra_luma_not_planar_flag",
+                                        np_inc, not_planar)
                 else:
-                    idx = io.tu_bypass(4)
-                luma_mode = mpm[1 + idx]
+                    not_planar = io.bin("intra_luma_not_planar_flag",
+                                        np_inc)
+                if not_planar:
+                    if src is not None:
+                        idx = mpm.index(src.luma_mode) - 1
+                        io.tu_bypass(4, idx)
+                    else:
+                        idx = io.tu_bypass(4)
+                    luma_mode = mpm[1 + idx]
+                else:
+                    luma_mode = INTRA_PLANAR
             else:
-                luma_mode = INTRA_PLANAR
-        else:
-            non_mpm = sorted(m for m in range(67) if m not in mpm)
-            if src is not None:
-                rem = non_mpm.index(src.luma_mode)
-                io.tb(60, rem)
-            else:
-                rem = io.tb(60)
-            luma_mode = non_mpm[rem]
+                non_mpm = sorted(m for m in range(67) if m not in mpm)
+                if src is not None:
+                    rem = non_mpm.index(src.luma_mode)
+                    io.tb(60, rem)
+                else:
+                    rem = io.tb(60)
+                luma_mode = non_mpm[rem]
 
         # ---- chroma intra mode
         clist = chroma_mode_list(luma_mode)
@@ -446,26 +499,60 @@ class SliceCoder:
                 cm = io.bypass_bits(2)
         chroma_mode = luma_mode if cm == 4 else clist[cm]
 
-        # ---- transform unit (TU == CU)
+        # ---- transform unit(s)
+        cu = CuData(x=x0, y=y0, log2w=log2w, log2h=log2h,
+                    luma_mode=luma_mode,
+                    chroma_coded=cm, chroma_mode=chroma_mode,
+                    mip_flag=mip_flag, mip_transposed=mip_transposed,
+                    mip_mode=mip_mode, isp_split=isp_split)
+        self._luma_last = []
         if src is not None:
             cbf_cb = 0 if src.coeffs_cb is None else 1
             cbf_cr = 0 if src.coeffs_cr is None else 1
-            cbf_y = 0 if src.coeffs_y is None else 1
             io.bin("tu_cbf_cb", 0, cbf_cb)
             io.bin("tu_cbf_cr", cbf_cb, cbf_cr)
-            io.bin("tu_cbf_luma", 0, cbf_y)
         else:
             cbf_cb = io.bin("tu_cbf_cb", 0)
             cbf_cr = io.bin("tu_cbf_cr", cbf_cb)
-            cbf_y = io.bin("tu_cbf_luma", 0)
 
-        cu = CuData(x=x0, y=y0, log2w=log2w, log2h=log2h,
-                    luma_mode=luma_mode,
-                    chroma_coded=cm, chroma_mode=chroma_mode)
-        if cbf_y:
-            cu.coeffs_y = self._residual(log2w, log2h, 0,
-                                         None if src is None
-                                         else src.coeffs_y)
+        if isp_split:
+            # 4 subpartitions; per-part cbf with the ISP contexts
+            # (inc 2 + prev), last part inferred coded when all
+            # previous were zero (H.266 tu_cbf_luma semantics)
+            sl2w = log2w if isp_split == 1 else log2w - 2
+            sl2h = log2h - 2 if isp_split == 1 else log2h
+            cu.isp_coeffs = []
+            prev_cbf = 0
+            any_cbf = 0
+            for pi in range(4):
+                enc_part = None
+                if src is not None:
+                    enc_part = src.isp_coeffs[pi]
+                if pi == 3 and not any_cbf:
+                    cbf = 1
+                else:
+                    if src is not None:
+                        cbf = io.bin("tu_cbf_luma", 2 + prev_cbf,
+                                     0 if enc_part is None else 1)
+                    else:
+                        cbf = io.bin("tu_cbf_luma", 2 + prev_cbf)
+                if cbf:
+                    cu.isp_coeffs.append(
+                        self._residual(sl2w, sl2h, 0, enc_part))
+                else:
+                    cu.isp_coeffs.append(None)
+                prev_cbf = cbf
+                any_cbf |= cbf
+        else:
+            if src is not None:
+                cbf_y = 0 if src.coeffs_y is None else 1
+                io.bin("tu_cbf_luma", 0, cbf_y)
+            else:
+                cbf_y = io.bin("tu_cbf_luma", 0)
+            if cbf_y:
+                cu.coeffs_y = self._residual(log2w, log2h, 0,
+                                             None if src is None
+                                             else src.coeffs_y)
         if cbf_cb:
             cu.coeffs_cb = self._residual(log2w - 1, log2h - 1, 1,
                                           None if src is None
@@ -474,6 +561,13 @@ class SliceCoder:
             cu.coeffs_cr = self._residual(log2w - 1, log2h - 1, 2,
                                           None if src is None
                                           else src.coeffs_cr)
+
+        # ---- lfnst_idx (end of coding_unit; luma-only, single tree)
+        if self._lfnst_allowed(cu, log2w, log2h):
+            want0 = None if src is None else (1 if src.lfnst_idx else 0)
+            if io.bin("lfnst_idx", 0, want0):
+                want1 = None if src is None else                     (1 if src.lfnst_idx == 2 else 0)
+                cu.lfnst_idx = 2 if io.bin("lfnst_idx", 2, want1) else 1
         self.cus.append(cu)
 
         # update neighbor maps
@@ -481,8 +575,43 @@ class SliceCoder:
                        x0 >> 2:(x0 + w) >> 2] = depth
         self.mode_map[y0 >> 2:(y0 + h) >> 2,
                       x0 >> 2:(x0 + w) >> 2] = luma_mode
+        self.mip_map[y0 >> 2:(y0 + h) >> 2,
+                     x0 >> 2:(x0 + w) >> 2] = bool(mip_flag)
         self.coded_map[y0 >> 2:(y0 + h) >> 2,
                        x0 >> 2:(x0 + w) >> 2] = True
+
+    def _lfnst_allowed(self, cu: CuData, log2w: int, log2h: int) -> bool:
+        """lfnst_idx presence conditions (H.266 7.3.11.5): sps flag,
+        4..32 dims, non-MIP (the min-16 MIP case is not emitted),
+        coded luma coefficients confined to the low-frequency region
+        and not DC-only."""
+        if not getattr(self.sps, "lfnst_enabled", False):
+            return False
+        if cu.mip_flag:
+            return False
+        w, h = 1 << log2w, 1 << log2h
+        if min(w, h) < 4 or max(w, h) > 32:
+            return False
+        if cu.isp_split:
+            sl2w = log2w if cu.isp_split == 1 else log2w - 2
+            sl2h = log2h - 2 if cu.isp_split == 1 else log2h
+        else:
+            sl2w, sl2h = log2w, log2h
+        if min(sl2w, sl2h) < 2:
+            return False
+        # region bound by TB shape (spec: 8 coeffs for 4x4/8x8)
+        small = (sl2w == 2 and sl2h == 2) or (sl2w == 3 and sl2h == 3)
+        max_pos = 7 if small else 15
+        infos = self._luma_last
+        if not infos:
+            return False            # no coded luma TB
+        dc_only = True
+        for (last, last_sb) in infos:
+            if last_sb > 0 or last > max_pos:
+                return False        # energy outside the LFNST region
+            if last > 0:
+                dc_only = False
+        return not dc_only
 
     # -------------------------------------------------------- residual
 
@@ -567,6 +696,10 @@ class SliceCoder:
             last = pos_of[(lx, ly)]
 
         last_sb = last >> 4
+        if c_idx == 0:
+            # geometry for the CU-level lfnst_idx gating
+            self._luma_last.append((last & 15 if last_sb == 0 else 15,
+                                    last_sb))
         coeffs = np.zeros((h, w), np.int32)
         abs1 = np.zeros((h, w), np.int32)      # AbsLevelPass1
         absf = np.zeros((h, w), np.int32)      # final AbsLevel

@@ -44,8 +44,7 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nal: bytes
     recon = PictureRecon(sps.pic_width, sps.pic_height, sps.bit_depth)
     cqp = chroma_qp_from_luma(sh.qp)
     for cu in cus:
-        recon.reconstruct_tb(cu.x, cu.y, cu.log2w, cu.log2h, 0,
-                             cu.luma_mode, cu.coeffs_y, sh.qp)
+        recon.reconstruct_cu_luma(cu, sh.qp)
         recon.reconstruct_tb(cu.x, cu.y, cu.log2w - 1, cu.log2h - 1, 1,
                              cu.chroma_mode, cu.coeffs_cb, cqp)
         recon.reconstruct_tb(cu.x, cu.y, cu.log2w - 1, cu.log2h - 1, 2,

@@ -41,6 +41,11 @@ class EncParams:
     angular_step: int = 4           # first-stage angular sweep stride
     mtt_depth: int = 1              # MTT hierarchy depth (0 = QT only)
     bit_depth: int = 8
+    # optional intra tools: "off" | "auto" | "force" (force = use
+    # whenever signalable — the round-trip tests' lever)
+    mip: str = "auto"
+    isp: str = "off"
+    lfnst: str = "auto"
 
 
 def quantize(coeffs: np.ndarray, qp: int, log2w: int, log2h: int,
@@ -71,7 +76,11 @@ class VvcIntraEncoder:
                                          log2_diff_max_bt_min_qt=2 if mtt
                                          else 0,
                                          log2_diff_max_tt_min_qt=2 if mtt
-                                         else 0))
+                                         else 0,
+                                         mip_enabled=params.mip != "off",
+                                         isp_enabled=params.isp != "off",
+                                         lfnst_enabled=params.lfnst
+                                         != "off"))
         # re-parse our own writers so encoder and decoder agree
         self.sps = H.parse_sps(self.sps_nal)
         self.pps_nal = H.write_pps(H.PPS(pic_width=self.width,
@@ -82,6 +91,8 @@ class VvcIntraEncoder:
         self.cqp = chroma_qp_from_luma(self.qp)
         self.bd = params.bit_depth
         self._mode_plan = {}
+        self._mip_plan = {}
+        self.tool_counts = {"mip": 0, "isp": 0, "lfnst": 0}
 
     # ------------------------------------------------------------- plan
 
@@ -248,6 +259,69 @@ class VvcIntraEncoder:
             return INTRA_PLANAR
         return self._mode_plan.get((x >> 2, y >> 2), INTRA_PLANAR)
 
+    # ------------------------------------------------ luma tool search
+
+    def _quant_luma(self, dct: np.ndarray, log2w: int,
+                    log2h: int) -> Optional[np.ndarray]:
+        q = quantize(dct, self.qp, log2w, log2h, self.bd)
+        return q if np.any(q) else None
+
+    def _lfnst_signalable(self, q: Optional[np.ndarray], log2w: int,
+                          log2h: int) -> bool:
+        """Coefficient-geometry conditions matching
+        SliceCoder._lfnst_allowed for one TB."""
+        from .ctu import SliceCoder  # noqa: F401  (doc pointer)
+        from .tables import DIAG_4x4, SB_SCANS
+        if q is None:
+            return False
+        w, h = 1 << log2w, 1 << log2h
+        small = (log2w == 2 and log2h == 2) or             (log2w == 3 and log2h == 3)
+        max_pos = 7 if small else 15
+        sb_scan = SB_SCANS[(w >> 2, h >> 2)]
+        last = -1
+        for sb_i, (sbx, sby) in enumerate(sb_scan):
+            for k, (dx, dy) in enumerate(DIAG_4x4):
+                if q[sby * 4 + dy, sbx * 4 + dx]:
+                    if sb_i > 0:
+                        return False
+                    last = k
+        return 0 < last <= max_pos
+
+    def _pick_luma_tb(self, src: np.ndarray, pred: np.ndarray,
+                      mode: int, log2w: int, log2h: int,
+                      allow_lfnst: bool):
+        """(coeffs, lfnst_idx, recon_sse): quantize the residual with
+        and without LFNST, pick by reconstruction SSE."""
+        from .recon import (dequant, inverse_transform, inverse_lfnst,
+                            forward_lfnst)
+        bd = self.bd
+        res = src - pred
+        dct = forward_transform(res, log2w, log2h, bd)
+        cands = [(0, self._quant_luma(dct, log2w, log2h))]
+        if allow_lfnst and min(log2w, log2h) >= 2 and                 max(log2w, log2h) <= 5:
+            for idx in (1, 2):
+                c2 = forward_lfnst(dct, idx, mode, log2w, log2h)
+                q2 = self._quant_luma(c2, log2w, log2h)
+                if self._lfnst_signalable(q2, log2w, log2h):
+                    cands.append((idx, q2))
+        best = None
+        force = self.p.lfnst == "force"
+        for idx, q in cands:
+            if q is None:
+                rec = pred
+            else:
+                d = dequant(q, log2w, log2h, self.qp, bd)
+                if idx:
+                    d = inverse_lfnst(d, idx, mode, log2w, log2h)
+                rec = pred + inverse_transform(d, log2w, log2h, bd)
+            sse = float(((src - np.clip(rec, 0, (1 << bd) - 1))
+                         .astype(np.int64) ** 2).sum())
+            pref = (idx == 0 and force and len(cands) > 1)
+            key = (1 if pref else 0, sse)
+            if best is None or key < best[0]:
+                best = (key, idx, q, sse)
+        return best[2], best[1], best[3]
+
     def _encode_cu(self, x0: int, y0: int, log2w: int, log2h: int) -> None:
         w, h = 1 << log2w, 1 << log2h
         bd = self.bd
@@ -256,17 +330,142 @@ class VvcIntraEncoder:
                     luma_mode=luma_mode,
                     chroma_coded=4, chroma_mode=luma_mode)
 
-        # luma residual
         src = self.src[0][y0:y0 + h, x0:x0 + w]
         ref = self.recon.gather_refs(x0, y0, log2w, log2h, 0)
         pred = predict_intra(ref, luma_mode, log2w, log2h, 0, bd)
-        res = src - pred
-        coeffs = quantize(forward_transform(res, log2w, log2h, bd),
-                          self.qp, log2w, log2h, bd)
-        if np.any(coeffs):
-            cu.coeffs_y = coeffs
-        self.recon.reconstruct_tb(x0, y0, log2w, log2h, 0, luma_mode,
-                                  cu.coeffs_y, self.qp)
+
+        # ---- MIP candidate
+        if self.p.mip != "off":
+            from .recon import predict_mip
+            from .tables import mip_size_id, MIP_NUM_MODES
+            sse_ang = float(((src - pred).astype(np.int64) ** 2).sum())
+            best = None
+            for mm in range(MIP_NUM_MODES[mip_size_id(log2w, log2h)]):
+                for tr in (0, 1):
+                    pm = predict_mip(ref, mm, bool(tr), log2w, log2h,
+                                     bd)
+                    s2 = float(((src - pm).astype(np.int64) ** 2).sum())
+                    if best is None or s2 < best[0]:
+                        best = (s2, mm, tr, pm)
+            use_mip = best is not None and (
+                self.p.mip == "force" or best[0] < sse_ang * 0.98)
+            if use_mip:
+                cu.mip_flag = 1
+                cu.mip_mode = best[1]
+                cu.mip_transposed = best[2]
+                cu.luma_mode = INTRA_PLANAR
+                cu.chroma_mode = INTRA_PLANAR
+                luma_mode = INTRA_PLANAR
+                pred = best[3]
+                self.tool_counts["mip"] += 1
+
+        # ---- ISP candidate (4-way split of a 16/32 dimension)
+        isp_try = []
+        if self.p.isp != "off" and not cu.mip_flag:
+            if 16 <= h <= 32 and w <= 32:
+                isp_try.append(1)
+            if 16 <= w <= 32 and h <= 32:
+                isp_try.append(2)
+        if isp_try:
+            done = self._try_isp(cu, src, x0, y0, log2w, log2h,
+                                 isp_try, pred)
+            if done:
+                self.tool_counts["isp"] += 1
+                self._finish_cu_chroma(cu, x0, y0, log2w, log2h)
+                return
+
+        # ---- plain TB (with optional LFNST)
+        allow_lfnst = self.p.lfnst != "off" and not cu.mip_flag
+        coeffs, lfnst_idx, _ = self._pick_luma_tb(
+            src, pred, luma_mode, log2w, log2h, allow_lfnst)
+        cu.coeffs_y = coeffs
+        cu.lfnst_idx = lfnst_idx
+        if lfnst_idx:
+            self.tool_counts["lfnst"] += 1
+        self.recon.reconstruct_tb(
+            x0, y0, log2w, log2h, 0, luma_mode, cu.coeffs_y, self.qp,
+            mip=((cu.mip_mode, cu.mip_transposed) if cu.mip_flag
+                 else None),
+            lfnst_idx=lfnst_idx)
+        self._finish_cu_chroma(cu, x0, y0, log2w, log2h)
+
+    def _try_isp(self, cu: CuData, src: np.ndarray, x0: int, y0: int,
+                 log2w: int, log2h: int, directions,
+                 full_pred: np.ndarray) -> bool:
+        """Evaluate ISP against the plain path by reconstruction SSE;
+        on win, apply it to the recon and fill cu. Returns True when
+        ISP was chosen."""
+        from .recon import dequant, inverse_transform
+        bd = self.bd
+        w, h = 1 << log2w, 1 << log2h
+        qp = self.qp
+
+        # plain-path SSE (no LFNST here: comparison baseline only)
+        res = src - full_pred
+        q = self._quant_luma(forward_transform(res, log2w, log2h, bd),
+                             log2w, log2h)
+        if q is None:
+            rec = full_pred
+        else:
+            d = dequant(q, log2w, log2h, qp, bd)
+            rec = full_pred + inverse_transform(d, log2w, log2h, bd)
+        sse_plain = float(((src - np.clip(rec, 0, (1 << bd) - 1))
+                           .astype(np.int64) ** 2).sum())
+
+        snap_plane = self.recon.planes[0][y0:y0 + h, x0:x0 + w].copy()
+        snap_avail = self.recon.avail[y0 >> 2:(y0 + h) >> 2,
+                                      x0 >> 2:(x0 + w) >> 2].copy()
+
+        best = None
+        for direction in directions:
+            sl2w = log2w if direction == 1 else log2w - 2
+            sl2h = log2h - 2 if direction == 1 else log2h
+            parts = []
+            sse = 0.0
+            for pi in range(4):
+                px = x0 + (0 if direction == 1 else pi << sl2w)
+                py = y0 + ((pi << sl2h) if direction == 1 else 0)
+                pw, phh = 1 << sl2w, 1 << sl2h
+                psrc = self.src[0][py:py + phh, px:px + pw]
+                pref = self.recon.gather_refs(px, py, sl2w, sl2h, 0)
+                ppred = predict_intra(pref, cu.luma_mode, sl2w, sl2h,
+                                      0, bd)
+                pq = self._quant_luma(
+                    forward_transform(psrc - ppred, sl2w, sl2h, bd),
+                    sl2w, sl2h)
+                parts.append(pq)
+                self.recon.reconstruct_tb(px, py, sl2w, sl2h, 0,
+                                          cu.luma_mode, pq, qp)
+                prec = self.recon.planes[0][py:py + phh, px:px + pw]
+                sse += float(((psrc - prec).astype(np.int64) ** 2)
+                             .sum())
+            if best is None or sse < best[0]:
+                best = (sse, direction, parts,
+                        self.recon.planes[0][y0:y0 + h,
+                                             x0:x0 + w].copy())
+            # restore for the next candidate
+            self.recon.planes[0][y0:y0 + h, x0:x0 + w] = snap_plane
+            self.recon.avail[y0 >> 2:(y0 + h) >> 2,
+                             x0 >> 2:(x0 + w) >> 2] = snap_avail
+
+        force = self.p.isp == "force"
+        if best is None or (not force and best[0] >= sse_plain):
+            return False
+        # all-zero parts cannot be signaled (last part cbf inferred 1)
+        if all(p is None for p in best[2]):
+            return False
+        cu.isp_split = best[1]
+        cu.isp_coeffs = best[2]
+        self.recon.planes[0][y0:y0 + h, x0:x0 + w] = best[3]
+        self.recon.avail[y0 >> 2:(y0 + h) >> 2,
+                         x0 >> 2:(x0 + w) >> 2] = True
+        return True
+
+    def _finish_cu_chroma(self, cu: CuData, x0: int, y0: int,
+                          log2w: int, log2h: int) -> None:
+        w, h = 1 << log2w, 1 << log2h
+        bd = self.bd
+        luma_mode = cu.luma_mode
 
         # chroma residuals (TB = half size, DM mode)
         clw, clh = log2w - 1, log2h - 1

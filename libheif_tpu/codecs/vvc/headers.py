@@ -111,6 +111,9 @@ class SPS:
     log2_diff_max_bt_min_qt: int = 0
     log2_diff_max_tt_min_qt: int = 0
     dual_tree_intra: bool = False
+    mip_enabled: bool = False
+    isp_enabled: bool = False
+    lfnst_enabled: bool = False
     # chroma QP table signalling (identity):
     qp_table_start_minus26: int = 0
     qp_table_points: Tuple[Tuple[int, int], ...] = ((0, 0),)
@@ -244,7 +247,7 @@ def write_sps(sps: SPS) -> bytes:
         w.write_bits(0, 1)                  # sps_max_luma_transform_size_64
     w.write_bits(0, 1)                      # sps_transform_skip_enabled_flag
     w.write_bits(0, 1)                      # sps_mts_enabled_flag
-    w.write_bits(0, 1)                      # sps_lfnst_enabled_flag
+    w.write_bits(1 if sps.lfnst_enabled else 0, 1)  # sps_lfnst_enabled_flag
     if sps.chroma_format_idc:
         w.write_bits(0, 1)                  # sps_joint_cbcr_enabled_flag
         w.write_bits(1, 1)                  # sps_same_qp_table_for_chroma
@@ -275,9 +278,9 @@ def write_sps(sps: SPS) -> bytes:
     w.write_bits(0, 1)                      # sps_bcw_enabled_flag
     w.write_bits(0, 1)                      # sps_ciip_enabled_flag
     write_ue(w, 0)                          # log2_parallel_merge_level_minus2
-    w.write_bits(0, 1)                      # sps_isp_enabled_flag
+    w.write_bits(1 if sps.isp_enabled else 0, 1)    # sps_isp_enabled_flag
     w.write_bits(0, 1)                      # sps_mrl_enabled_flag
-    w.write_bits(0, 1)                      # sps_mip_enabled_flag
+    w.write_bits(1 if sps.mip_enabled else 0, 1)    # sps_mip_enabled_flag
     if sps.chroma_format_idc:
         w.write_bits(0, 1)                  # sps_cclm_enabled_flag
     if sps.chroma_format_idc == 1:
@@ -363,10 +366,11 @@ def parse_sps(nal: bytes) -> SPS:
         if br.read_bits(1):
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         "64-point transforms")
-    for name in ("transform_skip", "mts", "lfnst"):
+    for name in ("transform_skip", "mts"):
         if br.read_bits(1):
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         f"VVC {name}")
+    sps.lfnst_enabled = bool(br.read_bits(1))
     if sps.chroma_format_idc:
         if br.read_bits(1):
             raise HeifError.unsupported(SubError.Unsupported_codec,
@@ -402,10 +406,11 @@ def parse_sps(nal: bytes) -> SPS:
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         f"VVC {name}")
     br.read_ue()                            # parallel merge level
-    for name in ("isp", "mrl", "mip"):
-        if br.read_bits(1):
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        f"VVC {name}")
+    sps.isp_enabled = bool(br.read_bits(1))
+    if br.read_bits(1):
+        raise HeifError.unsupported(SubError.Unsupported_codec,
+                                    "VVC mrl")
+    sps.mip_enabled = bool(br.read_bits(1))
     if sps.chroma_format_idc:
         if br.read_bits(1):
             raise HeifError.unsupported(SubError.Unsupported_codec,

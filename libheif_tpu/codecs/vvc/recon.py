@@ -299,14 +299,25 @@ class PictureRecon:
 
     def reconstruct_tb(self, x: int, y: int, log2w: int, log2h: int,
                        c_idx: int, mode: int,
-                       coeffs: Optional[np.ndarray], qp: int) -> None:
-        """Predict + add residual + store; marks luma availability."""
+                       coeffs: Optional[np.ndarray], qp: int,
+                       mip=None, lfnst_idx: int = 0) -> None:
+        """Predict + add residual + store; marks luma availability.
+        mip: (mip_mode, transposed) for matrix intra prediction;
+        lfnst_idx: inverse secondary transform applied before the
+        inverse DCT."""
         w = 1 << log2w
         h = 1 << log2h
         ref = self.gather_refs(x, y, log2w, log2h, c_idx)
-        pred = predict_intra(ref, mode, log2w, log2h, c_idx, self.bd)
+        if mip is not None:
+            pred = predict_mip(ref, mip[0], bool(mip[1]), log2w, log2h,
+                               self.bd)
+        else:
+            pred = predict_intra(ref, mode, log2w, log2h, c_idx,
+                                 self.bd)
         if coeffs is not None:
             d = dequant(coeffs, log2w, log2h, qp, self.bd)
+            if lfnst_idx:
+                d = inverse_lfnst(d, lfnst_idx, mode, log2w, log2h)
             res = inverse_transform(d, log2w, log2h, self.bd)
             pred = pred + res
         shift = 1 if c_idx else 0
@@ -319,3 +330,179 @@ class PictureRecon:
         plane[py:py + hh, px:px + ww] = np.clip(pred[:hh, :ww], 0, maxv)
         if c_idx == 0:
             self.avail[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = True
+
+
+# --------------------------------------------------------------------------
+# MIP prediction (H.266 §8.4.5.2.2 structure; tables.py provenance)
+# --------------------------------------------------------------------------
+
+def predict_mip(ref: np.ndarray, mip_mode: int, transposed: bool,
+                log2w: int, log2h: int, bit_depth: int) -> np.ndarray:
+    """Matrix-based intra prediction: boundary downsample, reduced
+    matrix multiply, linear upsample."""
+    from .tables import (mip_size_id, MIP_BOUNDARY, MIP_PRED,
+                         MIP_WEIGHTS)
+    w = 1 << log2w
+    h = 1 << log2h
+    corner = w + h
+    maxv = (1 << bit_depth) - 1
+    left = ref[corner - 1::-1].astype(np.int64)[:h]
+    top = ref[corner + 1:].astype(np.int64)[:w]
+
+    sid = mip_size_id(log2w, log2h)
+    bdry = MIP_BOUNDARY[sid]
+    pred = MIP_PRED[sid]
+
+    def downsample(edge: np.ndarray, n: int) -> np.ndarray:
+        f = len(edge) // n
+        if f <= 1:
+            return edge[:n].copy()
+        e = edge[:n * f].reshape(n, f)
+        return (e.sum(axis=1) + (f >> 1)) >> int(np.log2(f))
+
+    red_t = downsample(top, bdry)
+    red_l = downsample(left, bdry)
+    b = np.concatenate([red_t, red_l])
+    if transposed:
+        b = np.concatenate([red_l, red_t])
+    # input preparation: offsets against the first reduced sample
+    p = b - b[0]
+    W = MIP_WEIGHTS[(sid, mip_mode)]
+    out = ((W @ p) + 32) >> 6
+    out = np.clip(out + b[0], 0, maxv).reshape(pred, pred)
+    if transposed:
+        out = out.T
+
+    # linear upsample to (h, w) using the original boundary as the
+    # -1 row/column (spec upsampling order: horizontal then vertical)
+    if pred != w or pred != h:
+        up = out.astype(np.int64)
+        if w != pred:
+            f = w // pred
+            cols = np.zeros((pred, w), np.int64)
+            lcol = downsample(left, pred).astype(np.int64)
+            prev = lcol[:, None]
+            for i in range(pred):
+                nxt = up[:, i:i + 1]
+                for k in range(f):
+                    wgt = k + 1
+                    cols[:, i * f + k:i * f + k + 1] = \
+                        ((f - wgt) * prev + wgt * nxt + (f >> 1)) // f
+                prev = nxt
+            up = cols
+        if h != pred:
+            f = h // pred
+            rows = np.zeros((h, w), np.int64)
+            prev = top[None, :w].astype(np.int64)
+            for i in range(pred):
+                nxt = up[i:i + 1, :]
+                for k in range(f):
+                    wgt = k + 1
+                    rows[i * f + k:i * f + k + 1, :] = \
+                        ((f - wgt) * prev + wgt * nxt + (f >> 1)) // f
+                prev = nxt
+            up = rows
+        out = up
+    return np.clip(out, 0, maxv).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# LFNST (H.266 §8.7.4.2 structure; tables.py provenance)
+# --------------------------------------------------------------------------
+
+def _lfnst_geometry(log2w: int, log2h: int):
+    """(region scan, kernel table key size) for a TB."""
+    from .tables import DIAG_4x4, LFNST_48_SCAN
+    small = (log2w == 2 or log2h == 2)
+    if small:
+        return [(x, y) for (x, y) in DIAG_4x4], 16
+    return list(LFNST_48_SCAN), 48
+
+
+def _lfnst_nonzero_in(log2w: int, log2h: int) -> int:
+    """Number of coded input coefficients (spec nonZeroSize)."""
+    if (log2w == 2 and log2h == 2) or (log2w == 3 and log2h == 3):
+        return 8
+    return 16
+
+
+def inverse_lfnst(d: np.ndarray, lfnst_idx: int, mode: int,
+                  log2w: int, log2h: int) -> np.ndarray:
+    """Replace the low-frequency region of the dequantized TB with the
+    inverse secondary transform of its first coefficients."""
+    from .tables import LFNST_16, LFNST_48, lfnst_set_of_mode
+    s, transpose = lfnst_set_of_mode(mode)
+    scan, region = _lfnst_geometry(log2w, log2h)
+    nz = _lfnst_nonzero_in(log2w, log2h)
+    kern = (LFNST_16 if region == 16 else LFNST_48)[(s, lfnst_idx)]
+    u = np.zeros(16, np.int64)
+    # input: first nz coefficients along the 4x4 diagonal scan
+    from .tables import DIAG_4x4
+    for i in range(nz):
+        x, y = DIAG_4x4[i]
+        u[i] = d[y, x]
+    v = (kern.T @ u + 64) >> 7          # region coefficients
+    v = np.clip(v, -32768, 32767)
+    out = d.astype(np.int64).copy()
+    # clear the input positions then write the region
+    for i in range(nz):
+        x, y = DIAG_4x4[i]
+        out[y, x] = 0
+    if transpose:
+        for i, (x, y) in enumerate(scan):
+            out[x, y] = v[i] if (x < out.shape[0] and
+                                 y < out.shape[1]) else 0
+    else:
+        for i, (x, y) in enumerate(scan):
+            out[y, x] = v[i]
+    return np.clip(out, -32768, 32767)
+
+
+def forward_lfnst(c: np.ndarray, lfnst_idx: int, mode: int,
+                  log2w: int, log2h: int) -> np.ndarray:
+    """Encoder side: project the low-frequency region onto the kernel,
+    zeroing everything outside the coded input positions."""
+    from .tables import LFNST_16, LFNST_48, lfnst_set_of_mode, DIAG_4x4
+    s, transpose = lfnst_set_of_mode(mode)
+    scan, region = _lfnst_geometry(log2w, log2h)
+    nz = _lfnst_nonzero_in(log2w, log2h)
+    kern = (LFNST_16 if region == 16 else LFNST_48)[(s, lfnst_idx)]
+    v = np.zeros(region, np.int64)
+    if transpose:
+        for i, (x, y) in enumerate(scan):
+            v[i] = c[x, y] if (x < c.shape[0] and y < c.shape[1]) else 0
+    else:
+        for i, (x, y) in enumerate(scan):
+            v[i] = c[y, x]
+    u = (kern @ v + 64) >> 7
+    out = np.zeros_like(c)
+    for i in range(nz):
+        x, y = DIAG_4x4[i]
+        out[y, x] = np.clip(u[i], -32768, 32767)
+    return out
+
+
+def _reconstruct_cu_luma(self, cu, qp: int) -> None:
+    """Luma reconstruction of one CU with its tools (MIP, ISP
+    subpartition sequencing, LFNST)."""
+    lg2w, lg2h = cu.log2w, cu.log2h
+    if cu.isp_split:
+        sl2w = lg2w if cu.isp_split == 1 else lg2w - 2
+        sl2h = lg2h - 2 if cu.isp_split == 1 else lg2h
+        for pi in range(4):
+            px = cu.x + (0 if cu.isp_split == 1 else pi << sl2w)
+            py = cu.y + ((pi << sl2h) if cu.isp_split == 1 else 0)
+            self.reconstruct_tb(px, py, sl2w, sl2h, 0, cu.luma_mode,
+                                cu.isp_coeffs[pi], qp,
+                                lfnst_idx=cu.lfnst_idx)
+        return
+    if cu.mip_flag:
+        self.reconstruct_tb(cu.x, cu.y, lg2w, lg2h, 0, cu.luma_mode,
+                            cu.coeffs_y, qp,
+                            mip=(cu.mip_mode, cu.mip_transposed))
+        return
+    self.reconstruct_tb(cu.x, cu.y, lg2w, lg2h, 0, cu.luma_mode,
+                        cu.coeffs_y, qp, lfnst_idx=cu.lfnst_idx)
+
+
+PictureRecon.reconstruct_cu_luma = _reconstruct_cu_luma

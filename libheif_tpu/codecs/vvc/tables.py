@@ -1,11 +1,12 @@
 """VVC (H.266) codec tables — intra-only toolset.
 
 Scope: the coding-tool subset this package's encoder emits (and its
-decoder therefore must handle): 4:2:0 8-bit, CTU 32, quadtree-only
-partitioning (sps_max_mtt_hierarchy_depth_* = 0), single coding tree,
-DCT-II transforms 4..32, all optional SPS tools disabled (MIP, ISP,
-MRL, CCLM, LFNST, MTS, transform-skip, BDPCM, dependent quantization,
-sign-data hiding, SAO, ALF, LMCS).
+decoder therefore must handle): 4:2:0 8-bit, CTU 32, QT+MTT
+partitioning, single coding tree, DCT-II transforms 4..32, plus the
+optional intra tools MIP, ISP (4-way splits with subpartitions >= 4
+samples) and LFNST (luma, single tree).  Still disabled: MRL, CCLM,
+MTS, transform-skip, BDPCM, dependent quantization, sign-data hiding,
+SAO, ALF, LMCS.
 
 Provenance note: this environment has no VVC reference decoder or the
 JVET-S2001 table annexes, so the exact per-context CABAC
@@ -241,6 +242,11 @@ CONTEXTS: Dict[str, Tuple[int, int, int]] = {
     "abs_level_gt1_flag":        (30, _iv(4, 3), 4),   # luma 20 + chroma 10
     "par_level_flag":            (30, _iv(4, 3), 4),
     "abs_level_gt3_flag":        (30, _iv(4, 3), 4),
+    # optional intra tools (MIP / ISP / LFNST)
+    "intra_mip_flag":            (4,  _iv(4, 3), 4),
+    "intra_subpartitions_mode_flag": (1, _iv(4, 3), 4),
+    "intra_subpartitions_split_flag": (1, _iv(4, 4), 4),
+    "lfnst_idx":                 (3,  _iv(4, 2), 4),
 }
 
 _LAYOUT: Dict[str, Tuple[int, int]] = {}
@@ -300,3 +306,105 @@ def rice_param(loc_sum_abs: int) -> int:
     if s < 24:
         return 2
     return 3
+
+
+# --------------------------------------------------------------------------
+# MIP — matrix-based intra prediction (H.266 §8.4.5.2.2)
+# --------------------------------------------------------------------------
+# Size classes (spec MipSizeId): 0 → 4x4 CUs (boundary 2+2, pred 4x4,
+# 16 modes), 1 → 4x8/8x4/8x8 (boundary 4+4, pred 4x4, 8 modes),
+# 2 → everything else (boundary 4+4, pred 8x8, 6 modes).
+#
+# Provenance: the JVET-S2001 weight-table annex is not available in
+# this environment (same situation as the CABAC init values, module
+# docstring).  The matrices below are synthesized deterministically
+# with the spec's shapes/precision (7-bit weights, sW=6): each mode is
+# a smooth separable ramp over the reduced boundary with a
+# mode-dependent direction/frequency, DC-normalized so each output row
+# sums to 64.  Streams round-trip bit-exactly (shared tables); the
+# prediction quality is what the encoder's SSE search measures.
+
+def mip_size_id(log2w: int, log2h: int) -> int:
+    if log2w == 2 and log2h == 2:
+        return 0
+    if log2w <= 3 and log2h <= 3:
+        return 1
+    return 2
+
+
+MIP_NUM_MODES = {0: 16, 1: 8, 2: 6}
+MIP_BOUNDARY = {0: 2, 1: 4, 2: 4}      # reduced samples per edge
+MIP_PRED = {0: 4, 1: 4, 2: 8}          # reduced prediction square
+
+
+def _mip_matrix(size_id: int, mode: int) -> np.ndarray:
+    bdry = MIP_BOUNDARY[size_id]
+    pred = MIP_PRED[size_id]
+    n_in = 2 * bdry
+    n_out = pred * pred
+    # direction angle + frequency per mode (deterministic)
+    ang = (mode * np.pi) / MIP_NUM_MODES[size_id]
+    freq = 1 + (mode % 3)
+    w = np.zeros((n_out, n_in), np.float64)
+    for j in range(n_out):
+        ox, oy = j % pred, j // pred
+        # projected position along the mode direction in [0, 1]
+        t = (ox * np.cos(ang) + oy * np.sin(ang)) / max(pred - 1, 1)
+        for i in range(n_in):
+            edge_top = i < bdry
+            pos = (i if edge_top else i - bdry) / max(bdry - 1, 1)
+            d = t - pos if edge_top else t - (1.0 - pos)
+            w[j, i] = np.cos(np.pi * freq * d) + 1.25
+    # DC-normalize each row to 64, quantize to 7-bit weights
+    w = 64.0 * w / w.sum(axis=1, keepdims=True)
+    return np.clip(np.round(w), -127, 127).astype(np.int32)
+
+
+MIP_WEIGHTS = {(s, m): _mip_matrix(s, m)
+               for s in (0, 1, 2) for m in range(MIP_NUM_MODES[s])}
+
+
+# --------------------------------------------------------------------------
+# LFNST — low-frequency non-separable transform (H.266 §8.7.4.2)
+# --------------------------------------------------------------------------
+# Four transform sets (selected by intra mode), two kernels per set.
+# Kernel shapes follow the spec: 16x16 for 4-sample-min TBs and 16x48
+# for >=8x8 TBs (top-left 4x4 + top-right 4x4 + bottom-left 4x4
+# region).  Values are synthesized orthonormal int8-range matrices
+# (seeded Gram-Schmidt, x128) — same provenance note as MIP above.
+
+def _ortho(rows: int, cols: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((cols, cols))
+    q, _ = np.linalg.qr(a)
+    m = np.round(q[:rows] * 128.0)
+    return np.clip(m, -127, 127).astype(np.int64)
+
+
+LFNST_16 = {(s, k): _ortho(16, 16, 1000 + 10 * s + k)
+            for s in range(4) for k in (1, 2)}
+LFNST_48 = {(s, k): _ortho(16, 48, 2000 + 10 * s + k)
+            for s in range(4) for k in (1, 2)}
+
+
+def lfnst_set_of_mode(mode: int) -> Tuple[int, bool]:
+    """(transform set, transpose) from the intra prediction mode
+    (spec lfnstTrSetIdx mapping + the >34 transpose rule)."""
+    transpose = mode > 34
+    m = 68 - mode if transpose else mode
+    if m <= 1:
+        s = 0
+    elif m <= 12:
+        s = 1
+    elif m <= 23:
+        s = 2
+    else:
+        s = 3
+    return s, transpose
+
+
+# scan covering the LFNST output region of a >=8x8 TB: the 48 samples
+# of the top-left 8x8 minus its bottom-right 4x4, in diagonal order
+LFNST_48_SCAN = [(x, y) for (x, y) in _diag_scan(8, 8)
+                 if not (x >= 4 and y >= 4)]
+assert len(LFNST_48_SCAN) == 48

@@ -85,7 +85,7 @@ class EncParams:
     qp: int = 26
     ctb_log2: int = 5          # 32x32 CTBs keep the quadtree simple
     cu_log2: int = 4           # fixed CU/TU size (16x16)
-    mode: str = "auto"         # 'auto' | 'dc' | 'planar' | int
+    mode: str = "auto"         # 'auto' | 'dc' | 'planar' | 'device' | int
     sao: bool = False          # signal + apply SAO (param cycle per CTB)
     sign_hiding: bool = False
     cu_qp_delta: bool = False
@@ -256,6 +256,8 @@ def quantize(coeffs: np.ndarray, qp: int, log2: int,
 class IntraEncoder:
     """Fixed-CU-size intra encoder with decode-loop reconstruction."""
 
+    _device_plan = None
+
     def __init__(self, width: int, height: int, params: EncParams):
         self.p = params
         ctb = 1 << params.ctb_log2
@@ -286,7 +288,14 @@ class IntraEncoder:
                          (0, self.width // 2 - cr.shape[1])), mode="edge")
         self.src = [y, cb, cr]
 
-        payload = self._encode_native(y, cb, cr)
+        self._device_plan = None
+        if self.p.mode == "device":
+            # batched open-loop SATD mode search on device; the host
+            # path below re-runs exact in-loop prediction per block
+            from .device_modes import plan_modes_device
+            self._device_plan = plan_modes_device(y)
+
+        payload = None if self.p.mode == "device"             else self._encode_native(y, cb, cr)
         if payload is not None:
             sh_writer = write_slice_header(self.p, False, False, None)
             nal = bytes([19 << 1, 1]) + add_emulation_prevention(
@@ -481,6 +490,13 @@ class IntraEncoder:
             return INTRA_PLANAR
         if isinstance(self.p.mode, int):
             return self.p.mode
+        if self._device_plan is not None:
+            lg = min(max(log2, 3), 5)
+            plan = self._device_plan.get(lg)
+            if plan is not None:
+                by, bx = y0 >> lg, x0 >> lg
+                if by < plan.shape[0] and bx < plan.shape[1]:
+                    return int(plan[by, bx])
         # auto: try a small candidate set, pick lowest SAD vs prediction.
         # 64x64 CUs are evaluated on their top-left 32x32 (the largest TB)
         log2 = min(log2, 5)

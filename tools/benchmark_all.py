@@ -573,6 +573,42 @@ def bench_thread_parity(results):
                                     "HT decoder")
 
 
+def bench_device_mode_search(results, side=2048):
+    """Device-assisted encoder experiment (VERDICT r4 item 5): batched
+    open-loop SATD intra mode search (35 modes x 8/16/32 blocks) as
+    three matmuls on device vs the same search on host."""
+    import numpy as np
+    from libheif_tpu.codecs.hevc.device_modes import (
+        _jitted_search, extract_blocks, plan_modes_host)
+    import jax
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:side, 0:side]
+    y = (120 + 70 * np.sin(xx / 11.0) + 50 * np.cos((xx + 2 * yy)
+         / 17.0) + rng.integers(-10, 10, (side, side))) \
+        .clip(0, 255).astype(np.uint8)
+    mp = side * side / 1e6
+    total = 0.0
+    for lg in (3, 4, 5):
+        blocks, refs, _ = extract_blocks(y, lg)
+        f = _jitted_search(lg)
+        db, dr = jax.device_put(blocks), jax.device_put(refs)
+        f(db, dr).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f(db, dr).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        total += best
+    results["hevc_device_mode_search_mps"] = round(mp / total, 1)
+    # host baseline on a quarter-size frame (it is slow), scaled
+    q = side // 4
+    t0 = time.perf_counter()
+    plan_modes_host(y[:q, :q])
+    t_host = time.perf_counter() - t0
+    results["hevc_host_mode_search_mps"] = round(
+        (q * q / 1e6) / t_host, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -592,6 +628,8 @@ def main():
     bench_jpeg_decode(results)
     bench_avc_decode(results)
     bench_thread_parity(results)
+    if not args.skip_device:
+        bench_device_mode_search(results)
     if not args.skip_device:
         bench_grid_device(results, n_tiles=args.tiles,
                           mesh_devices=args.mesh)

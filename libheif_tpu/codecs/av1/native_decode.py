@@ -82,6 +82,10 @@ def _flatten_cdf_buf(base_q_idx: int) -> np.ndarray:
         arr(c.palette_y_color), arr(c.palette_uv_color),
         arr(c.restore_switchable), arr(c.restore_wiener),
         arr(c.restore_sgrproj),
+        # intrabc / inter-tx tables (av1_native.cc CDF_SIZES tail)
+        arr(c.intrabc), arr(c.txfm_partition), arr(c.dv_joints),
+        arr(c.dv_sign), arr(c.dv_classes), arr(c.dv_class0),
+        arr(c.dv_bits), arr(c.inter_ext_tx),
         # pred tables (extras)
         arr(d["sm_weights"]), arr(d["dr_intra_derivative"]),
         arr(d["filter_intra_taps"]),
@@ -132,11 +136,6 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
         return None
     if seq.bit_depth != 8 or fh.delta_q_present:
         return None
-    if fh.allow_intrabc:
-        # intra block copy is implemented in the Python engine only so
-        # far; decline so the caller falls back
-        return None
-
     mi_cols = (fh.frame_width + 7) // 8 * 2
     mi_rows = (fh.frame_height + 7) // 8 * 2
     sb_mi = 32 if seq.use_128x128_superblock else 16

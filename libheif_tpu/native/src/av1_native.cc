@@ -22,6 +22,7 @@
 #include <cmath>
 #include <ctime>
 #include <vector>
+#include <array>
 #include <algorithm>
 #include <thread>
 #include <atomic>
@@ -518,6 +519,15 @@ struct CdfSet {
   u16 restore_switchable[4];
   u16 restore_wiener[3];
   u16 restore_sgrproj[3];
+  // intrabc / inter-tx tables (cdf.py intrabc block)
+  u16 intrabc[3];
+  u16 txfm_partition[21][3];
+  u16 dv_joints[5];
+  u16 dv_sign[2][3];
+  u16 dv_classes[2][12];
+  u16 dv_class0[2][3];
+  u16 dv_bits[2][10][3];
+  u16 inter_ext_tx[3][4][17];
   u16 simd_pad[8];   // lets 8-lane SSE loads at any row stay in-bounds
 };
 
@@ -527,6 +537,7 @@ static const i64 CDF_SIZES[] = {
   2*2*12, 5*2*4*4, 5*2*42*5, 5*2*21*5, 5*5*14, 2*13*15, 20*11,
   3*4*13*17, 9, 6*17, 22*3, 6, 4*3*4, 8*8, 3*3, 7*3*3, 2*3, 7*8, 7*8,
   7*5*9, 7*5*9, 4, 3, 3,
+  3, 21*3, 5, 2*3, 2*12, 2*3, 2*10*3, 3*4*17,
 };
 static const int N_CDF_TABLES = (int)(sizeof(CDF_SIZES) / sizeof(i64));
 // extras appended after CDFs: sm_weights[124], dr_intra_derivative[90],
@@ -556,6 +567,9 @@ static void cdf_init_from_buf(CdfSet* c, const i32* buf) {
     &c->palette_y_color[0][0][0], &c->palette_uv_color[0][0][0],
     &c->restore_switchable[0], &c->restore_wiener[0],
     &c->restore_sgrproj[0],
+    &c->intrabc[0], &c->txfm_partition[0][0], &c->dv_joints[0],
+    &c->dv_sign[0][0], &c->dv_classes[0][0], &c->dv_class0[0][0],
+    &c->dv_bits[0][0][0], &c->inter_ext_tx[0][0][0],
   };
   i64 off = 0;
   for (int t = 0; t < N_CDF_TABLES; t++) {
@@ -1770,6 +1784,14 @@ static int tx_class_of(int tx_type) {
 
 static const int EXT_TX_SET_INTRA_1[7] = {IDTX, DCT_DCT, V_DCT, H_DCT,
                                           ADST_ADST, ADST_DCT, DCT_ADST};
+static const int EXT_TX_SET_INTER_1[16] = {IDTX, V_DCT, H_DCT, V_ADST,
+    H_ADST, V_FLIPADST, H_FLIPADST, DCT_DCT, ADST_DCT, DCT_ADST,
+    FLIPADST_DCT, DCT_FLIPADST, ADST_ADST, FLIPADST_FLIPADST,
+    ADST_FLIPADST, FLIPADST_ADST};
+static const int EXT_TX_SET_INTER_2[12] = {IDTX, V_DCT, H_DCT, DCT_DCT,
+    ADST_DCT, DCT_ADST, FLIPADST_DCT, DCT_FLIPADST, ADST_ADST,
+    FLIPADST_FLIPADST, ADST_FLIPADST, FLIPADST_ADST};
+static const int EXT_TX_SET_INTER_3[2] = {IDTX, DCT_DCT};
 static const int EXT_TX_SET_INTRA_2[5] = {IDTX, DCT_DCT, ADST_ADST,
                                           ADST_DCT, DCT_ADST};
 
@@ -1785,6 +1807,13 @@ struct FrameCtx {
   // frame-lifetime maps (mi granularity)
   std::vector<i32> y_modes, uv_modes, skip_map, pal_y_flag, tx_wide, tx_high;
   std::vector<i32> cdef_idx;
+  // intrabc state (tile.py ibc_on / ibc_mv / bsize_map / txtype_map)
+  std::vector<u8> ibc_on;
+  std::vector<i32> ibc_mv;            // [mi][2] (row, col) 1/8 pel
+  std::vector<i32> bsize_map;
+  std::vector<i32> txtype_map;
+  bool use_intrabc_cur = false;
+  int cur_partition = 0;
   std::vector<u8> pal_y_n, pal_u_n;
   std::vector<i32> pal_y_c, pal_u_c;
   std::vector<u8> block_decoded[3];   // (mi_rows+2) x (mi_cols+2)
@@ -1868,6 +1897,10 @@ struct FrameCtx {
     tx_wide.assign(mi_total, 0);
     tx_high.assign(mi_total, 0);
     cdef_idx.assign(mi_total, -1);
+    ibc_on.assign(mi_total, 0);
+    ibc_mv.assign(mi_total * 2, 0);
+    bsize_map.assign(mi_total, 0);
+    txtype_map.assign(mi_total, 0);
     pal_y_n.assign(mi_total, 0);
     pal_u_n.assign(mi_total, 0);
     pal_y_c.assign(mi_total * PALETTE_MAX_SIZE, 0);
@@ -2132,6 +2165,7 @@ struct FrameCtx {
     }
 
     int sub = g_tables.partition_subsize[part][bsize];
+    cur_partition = part;
     int half_w = mi_w / 2, half_h = mi_h / 2;
     int quarter_w = mi_w / 4, quarter_h = mi_h / 4;
     int bsize2 = g_tables.partition_subsize[PARTITION_SPLIT][bsize];
@@ -2247,14 +2281,25 @@ struct FrameCtx {
     int sqr_up = g_tables.tx_size_sqr_up[max_tx];
     int sqw = TXW[sqr_up];
     int cat = sqw == 4 || sqw == 8 ? 0 : (sqw == 16 ? 1 : (sqw == 32 ? 2 : 3));
+    // aom get_tx_size_context: inter (intrabc) neighbors contribute
+    // their BLOCK dims, not their var-tx leaf dims (tile.py fix)
+    auto above_ge = [&]() {
+      i64 mi = (i64)(mr - 1) * mi_cols + mc;
+      if (ibc_on[mi]) return BW[bsize_map[mi]] >= TXW[max_tx] ? 1 : 0;
+      return tx_wide[mi] >= TXW[max_tx] ? 1 : 0;
+    };
+    auto left_ge = [&]() {
+      i64 mi = (i64)mr * mi_cols + mc - 1;
+      if (ibc_on[mi]) return BH[bsize_map[mi]] >= TXH[max_tx] ? 1 : 0;
+      return tx_high[mi] >= TXH[max_tx] ? 1 : 0;
+    };
     int ctx;
     if (have_above && have_left)
-      ctx = (tx_wide[(i64)(mr - 1) * mi_cols + mc] >= TXW[max_tx]) +
-            (tx_high[(i64)mr * mi_cols + mc - 1] >= TXH[max_tx]);
+      ctx = above_ge() + left_ge();
     else if (have_above)
-      ctx = tx_wide[(i64)(mr - 1) * mi_cols + mc] >= TXW[max_tx];
+      ctx = above_ge();
     else if (have_left)
-      ctx = tx_high[(i64)mr * mi_cols + mc - 1] >= TXH[max_tx];
+      ctx = left_ge();
     else
       ctx = 0;
     int n = std::min(max_tx_depth(bsize) + 1, 3);
@@ -2274,6 +2319,642 @@ struct FrameCtx {
     if (cw == 64) { cw = 32; ch = std::min(ch, 32); }
     else if (ch == 64) { ch = 32; cw = std::min(cw, 32); }
     return g_tables.tx_index(cw, ch);
+  }
+
+  // ------------------------------------------------------- intrabc
+
+  static constexpr int IBC_DELAY_PX = 256;       // INTRABC_DELAY_PIXELS
+  static constexpr int REF_CAT_LEVEL = 640;
+
+  bool has_top_right_of(int mr, int mc, int bw4, int bh4) {
+    // tile.py _has_top_right (aom has_top_right)
+    int bs = std::max(bw4, bh4);
+    if (bs > 16) return false;
+    int mask_row = mr & (sb_mi - 1);
+    int mask_col = mc & (sb_mi - 1);
+    bool has_tr = !((mask_row & bs) && (mask_col & bs));
+    int b = bs;
+    while (b < sb_mi) {
+      if (mask_col & b) {
+        if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+          has_tr = false;
+          break;
+        }
+      } else {
+        break;
+      }
+      b <<= 1;
+    }
+    if (bw4 < bh4) {
+      bool is_sec_rect = ((mc + bw4) & (bh4 - 1)) == 0;
+      if (!is_sec_rect) has_tr = true;
+    }
+    if (bw4 > bh4) {
+      bool is_sec_rect = (mr & (bw4 - 1)) != 0;
+      if (is_sec_rect) has_tr = false;
+    }
+    if (cur_partition == PARTITION_VERT_A) {
+      if (bw4 == bh4 && (mask_row & bs)) has_tr = false;
+    }
+    return has_tr;
+  }
+
+  struct DvState {
+    i32 stack[8][2];
+    i32 weight[8];
+    int n = 0;
+    int row_match = 0, col_match = 0;
+    int processed_rows = 0, processed_cols = 0;
+  };
+
+  void dv_add(DvState& st, i32 mvr, i32 mvc, i32 wt) {
+    for (int i = 0; i < st.n; i++)
+      if (st.stack[i][0] == mvr && st.stack[i][1] == mvc) {
+        st.weight[i] += wt;
+        return;
+      }
+    if (st.n < 8) {
+      st.stack[st.n][0] = mvr;
+      st.stack[st.n][1] = mvc;
+      st.weight[st.n] = wt;
+      st.n++;
+    }
+  }
+
+  // candidate at mi (rr, cc): fills (mv?, cand_w4, cand_h4); returns
+  // false out-of-tile
+  bool dv_cand(int rr, int cc, bool* has_mv, i32* mv, int* cw4,
+               int* ch4) {
+    if (rr < mr0 || cc < mc0 || rr >= mr1 || cc >= mc1) return false;
+    int bs = bsize_map[(i64)rr * mi_cols + cc];
+    *cw4 = std::max(BW[bs] / 4, 1);
+    *ch4 = std::max(BH[bs] / 4, 1);
+    if (ibc_on[(i64)rr * mi_cols + cc]) {
+      *has_mv = true;
+      mv[0] = ibc_mv[((i64)rr * mi_cols + cc) * 2];
+      mv[1] = ibc_mv[((i64)rr * mi_cols + cc) * 2 + 1];
+    } else {
+      *has_mv = false;
+    }
+    return true;
+  }
+
+  void dv_scan_row(DvState& st, int mr, int mc, int bw4,
+                   int row_offset, int max_row_offset) {
+    int end_mi = std::min(std::min(bw4, mi_cols - mc), 16);
+    int col_off = 0;
+    if (std::abs(row_offset) > 1) {
+      col_off = 1;
+      if ((mc & 1) && bw4 < 2) col_off -= 1;
+    }
+    bool use_step_16 = bw4 >= 16;
+    int i = 0;
+    while (i < end_mi) {
+      bool has_mv;
+      i32 mv[2];
+      int cw4, ch4;
+      if (!dv_cand(mr + row_offset, mc + col_off + i, &has_mv, mv, &cw4,
+                   &ch4))
+        break;
+      int ln = std::min(bw4, cw4);
+      if (use_step_16) ln = std::max(4, ln);
+      else if (std::abs(row_offset) > 1) ln = std::max(ln, 2);
+      int wt = 2;
+      if (bw4 >= 2 && bw4 <= cw4) {
+        int inc = std::min(-max_row_offset + row_offset + 1, ch4);
+        wt = std::max(wt, inc);
+        st.processed_rows = inc - row_offset - 1;
+      }
+      if (has_mv) {
+        dv_add(st, mv[0], mv[1], ln * wt);
+        st.row_match = 1;
+      }
+      i += ln;
+    }
+  }
+
+  void dv_scan_col(DvState& st, int mr, int mc, int bh4,
+                   int col_offset, int max_col_offset) {
+    int end_mi = std::min(std::min(bh4, mi_rows - mr), 16);
+    int row_off = 0;
+    if (std::abs(col_offset) > 1) {
+      row_off = 1;
+      if ((mr & 1) && bh4 < 2) row_off -= 1;
+    }
+    bool use_step_16 = bh4 >= 16;
+    int i = 0;
+    while (i < end_mi) {
+      bool has_mv;
+      i32 mv[2];
+      int cw4, ch4;
+      if (!dv_cand(mr + row_off + i, mc + col_offset, &has_mv, mv, &cw4,
+                   &ch4))
+        break;
+      int ln = std::min(bh4, ch4);
+      if (use_step_16) ln = std::max(4, ln);
+      else if (std::abs(col_offset) > 1) ln = std::max(ln, 2);
+      int wt = 2;
+      if (bh4 >= 2 && bh4 <= ch4) {
+        int inc = std::min(-max_col_offset + col_offset + 1, cw4);
+        wt = std::max(wt, inc);
+        st.processed_cols = inc - col_offset - 1;
+      }
+      if (has_mv) {
+        dv_add(st, mv[0], mv[1], ln * wt);
+        st.col_match = 1;
+      }
+      i += ln;
+    }
+  }
+
+  void dv_scan_point(DvState& st, int mr, int mc, int bw4,
+                     int row_offset, int col_offset) {
+    bool has_mv;
+    i32 mv[2];
+    int cw4, ch4;
+    if (dv_cand(mr + row_offset, mc + col_offset, &has_mv, mv, &cw4,
+                &ch4) && has_mv) {
+      dv_add(st, mv[0], mv[1], 4);
+      if (row_offset == -1 && col_offset == bw4) st.row_match = 1;
+    }
+  }
+
+  void ref_dv_of(int mr, int mc, int bsize, i32* out) {
+    // tile.py _ref_dv: setup_ref_mv_list port for the intrabc case
+    int w = BW[bsize], h = BH[bsize];
+    int bw4 = std::max(w / 4, 1), bh4 = std::max(h / 4, 1);
+    DvState st;
+    bool up_avail = mr > mr0;
+    bool left_avail = mc > mc0;
+    int row_adj = (bh4 < 2 && (mr & 1)) ? 1 : 0;
+    int col_adj = (bw4 < 2 && (mc & 1)) ? 1 : 0;
+    int max_row_offset = 0;
+    if (up_avail) {
+      max_row_offset = -(3 << 1) + row_adj;
+      if (bh4 < 2) max_row_offset = -(2 << 1) + row_adj;
+      max_row_offset = std::max(max_row_offset, mr0 - mr);
+    }
+    int max_col_offset = 0;
+    if (left_avail) {
+      max_col_offset = -(3 << 1) + col_adj;
+      if (bw4 < 2) max_col_offset = -(2 << 1) + col_adj;
+      max_col_offset = std::max(max_col_offset, mc0 - mc);
+    }
+    if (up_avail) dv_scan_row(st, mr, mc, bw4, -1, max_row_offset);
+    if (left_avail) dv_scan_col(st, mr, mc, bh4, -1, max_col_offset);
+    if (up_avail && has_top_right_of(mr, mc, bw4, bh4))
+      dv_scan_point(st, mr, mc, bw4, -1, bw4);
+
+    int nearest = st.n;
+    for (int i = 0; i < nearest; i++) st.weight[i] += REF_CAT_LEVEL;
+    if (up_avail && left_avail) dv_scan_point(st, mr, mc, bw4, -1, -1);
+    for (int idx = 2; idx <= 3; idx++) {
+      int row_offset = -(idx << 1) + 1 + row_adj;
+      int col_offset = -(idx << 1) + 1 + col_adj;
+      if (up_avail && std::abs(row_offset) <= std::abs(max_row_offset) &&
+          std::abs(row_offset) > st.processed_rows)
+        dv_scan_row(st, mr, mc, bw4, row_offset, max_row_offset);
+      if (left_avail &&
+          std::abs(col_offset) <= std::abs(max_col_offset) &&
+          std::abs(col_offset) > st.processed_cols)
+        dv_scan_col(st, mr, mc, bh4, col_offset, max_col_offset);
+    }
+
+    auto bubble = [&](int lo, int hi) {
+      int ln = hi;
+      while (ln > lo) {
+        int nr = lo;
+        for (int i = lo + 1; i < ln; i++)
+          if (st.weight[i - 1] < st.weight[i]) {
+            std::swap(st.stack[i - 1][0], st.stack[i][0]);
+            std::swap(st.stack[i - 1][1], st.stack[i][1]);
+            std::swap(st.weight[i - 1], st.weight[i]);
+            nr = i;
+          }
+        ln = nr;
+      }
+    };
+    bubble(0, nearest);
+    bubble(nearest, st.n);
+
+    // clamp (aom clamp_mv_ref, MV_BORDER = 128 eighth-pel) + integer
+    int bw_px = bw4 * 4, bh_px = bh4 * 4;
+    i64 lo_c = -(i64)(mc * 4) * 8 - bw_px * 8 - 128;
+    i64 hi_c = ((i64)mi_cols * 4 - mc * 4 - bw_px) * 8 + bw_px * 8 + 128;
+    i64 lo_r = -(i64)(mr * 4) * 8 - bh_px * 8 - 128;
+    i64 hi_r = ((i64)mi_rows * 4 - mr * 4 - bh_px) * 8 + bh_px * 8 + 128;
+    auto to_int = [](i64 v) {
+      i64 m = v >= 0 ? v % 8 : -((-v) % 8);
+      v -= m;
+      if (m > 4) v += 8;
+      else if (m < -4) v -= 8;
+      return v;
+    };
+    i64 lst[2][2] = {{0, 0}, {0, 0}};
+    int nl = std::min(2, st.n);
+    for (int i = 0; i < nl; i++) {
+      lst[i][0] = to_int(clampi(st.stack[i][0], lo_r, hi_r));
+      lst[i][1] = to_int(clampi(st.stack[i][1], lo_c, hi_c));
+    }
+    i64 dvr = lst[0][0], dvc = lst[0][1];
+    if (dvr == 0 && dvc == 0) { dvr = lst[1][0]; dvc = lst[1][1]; }
+    if (dvr == 0 && dvc == 0) {
+      if (mr - sb_mi < mr0) {
+        dvr = 0;
+        dvc = -(i64)(4 * sb_mi + IBC_DELAY_PX) * 8;
+      } else {
+        dvr = -(i64)(4 * sb_mi) * 8;
+        dvc = 0;
+      }
+    }
+    out[0] = (i32)((dvr >> 3) * 8);
+    out[1] = (i32)((dvc >> 3) * 8);
+  }
+
+  int read_dv_component(int comp) {
+    int sign = r.read_symbol_n(cdf.dv_sign[comp], 2);
+    int cls = r.read_symbol_n(cdf.dv_classes[comp], 11);
+    int d, mag0;
+    if (cls == 0) {
+      d = r.read_symbol_n(cdf.dv_class0[comp], 2);
+      mag0 = 0;
+    } else {
+      d = 0;
+      for (int i = 0; i < cls; i++)
+        d |= r.read_symbol_n(cdf.dv_bits[comp][i], 2) << i;
+      mag0 = 2 << (cls + 2);
+    }
+    int mag = mag0 + ((d << 3) | (3 << 1) | 1) + 1;
+    return sign ? -mag : mag;
+  }
+
+  void read_dv(const i32* ref, i32* out) {
+    int j = r.read_symbol_n(cdf.dv_joints, 4);
+    int drow = (j == 2 || j == 3) ? read_dv_component(0) : 0;
+    int dcol = (j == 1 || j == 3) ? read_dv_component(1) : 0;
+    out[0] = ref[0] + drow;
+    out[1] = ref[1] + dcol;
+  }
+
+  int txfm_partition_ctx_of(int px, int py, int bsize, int tx) {
+    int txw = TXW[tx], txh = TXH[tx];
+    int bx = px >> 2, by = py >> 2;
+    int above_v = 64, left_v = 64;
+    if (by - 1 >= mr0) {
+      int v = tx_wide[(i64)(by - 1) * mi_cols + bx];
+      above_v = v ? v : 64;
+    }
+    if (bx - 1 >= mc0) {
+      int v = tx_high[(i64)by * mi_cols + bx - 1];
+      left_v = v ? v : 64;
+    }
+    int above = above_v < txw ? 1 : 0;
+    int left = left_v < txh ? 1 : 0;
+    int max_dim = std::max(BW[bsize], BH[bsize]);
+    int md = std::min(max_dim, 64);
+    int max_tx_sq = md == 4 ? 0 : (md == 8 ? 1 : (md == 16 ? 2
+                    : (md == 32 ? 3 : 4)));
+    int sq_up_dim = TXW[g_tables.tx_size_sqr_up[tx]];
+    int category = ((sq_up_dim != md && max_tx_sq > 1) ? 1 : 0) +
+                   (4 - max_tx_sq) * 2;
+    return category * 3 + above + left;
+  }
+
+  void mark_tx_dims(int px, int py, int tw, int th, int vw, int vh) {
+    int bx = px >> 2, by = py >> 2;
+    int nw = std::max(tw / 4, 1), nh = std::max(th / 4, 1);
+    for (int i = 0; i < nh && by + i < mi_rows; i++)
+      for (int j = 0; j < nw && bx + j < mi_cols; j++) {
+        tx_wide[(i64)(by + i) * mi_cols + bx + j] = vw;
+        tx_high[(i64)(by + i) * mi_cols + bx + j] = vh;
+      }
+  }
+
+  void vartx_node(int bsize, int tx, int depth, int px, int py,
+                  std::vector<std::array<int, 3>>& tus) {
+    int tw = TXW[tx], th = TXH[tx];
+    int split = 0;
+    if (depth != 2 && tx != TX_4X4) {
+      int ctx = txfm_partition_ctx_of(px, py, bsize, tx);
+      split = r.read_symbol_n(cdf.txfm_partition[ctx], 2);
+    }
+    if (split) {
+      int sub = g_tables.split_tx_size[tx];
+      if (sub == TX_4X4) {
+        for (int yy = py; yy < py + th; yy += 4)
+          for (int xx = px; xx < px + tw; xx += 4)
+            tus.push_back({xx, yy, TX_4X4});
+        mark_tx_dims(px, py, tw, th, 4, 4);
+        return;
+      }
+      int sw = TXW[sub], sh = TXH[sub];
+      for (int yy = py; yy < py + th; yy += sh)
+        for (int xx = px; xx < px + tw; xx += sw)
+          vartx_node(bsize, sub, depth + 1, xx, yy, tus);
+    } else {
+      tus.push_back({px, py, tx});
+      mark_tx_dims(px, py, tw, th, tw, th);
+    }
+  }
+
+  int read_tx_type_inter(int plane, int tx, int px, int py) {
+    // tile.py _read_tx_type_inter
+    int sup = TXW[g_tables.tx_size_sqr_up[tx]];
+    int sq = TXW[g_tables.tx_size_sqr[tx]];
+    if (plane != 0) {
+      int ly = (py << p.ssy) >> 2;
+      int lx = (px << p.ssx) >> 2;
+      ly = std::min(ly, mi_rows - 1);
+      lx = std::min(lx, mi_cols - 1);
+      int tt = txtype_map[(i64)ly * mi_cols + lx];
+      if (sup >= 64) return DCT_DCT;
+      const int* allowed;
+      int an;
+      if (sup == 32 || p.reduced_tx_set) {
+        allowed = EXT_TX_SET_INTER_3; an = 2;
+      } else if (sq == 16) {
+        allowed = EXT_TX_SET_INTER_2; an = 12;
+      } else {
+        allowed = EXT_TX_SET_INTER_1; an = 16;
+      }
+      for (int i = 0; i < an; i++)
+        if (allowed[i] == tt) return tt;
+      return DCT_DCT;
+    }
+    int tt;
+    if (sup >= 64) {
+      tt = DCT_DCT;
+    } else {
+      const int* tx_set;
+      int set_idx, set_n;
+      if (sup == 32 || p.reduced_tx_set) {
+        tx_set = EXT_TX_SET_INTER_3; set_idx = 3; set_n = 2;
+      } else if (sq == 16) {
+        tx_set = EXT_TX_SET_INTER_2; set_idx = 2; set_n = 12;
+      } else {
+        tx_set = EXT_TX_SET_INTER_1; set_idx = 1; set_n = 16;
+      }
+      int sq_idx = std::min(sq, 32) == 4 ? 0
+                   : (sq == 8 ? 1 : (sq == 16 ? 2 : 3));
+      int sym = r.read_symbol_n(cdf.inter_ext_tx[set_idx - 1][sq_idx],
+                                set_n);
+      tt = tx_set[sym];
+    }
+    int nw = std::max(TXW[tx] / 4, 1), nh = std::max(TXH[tx] / 4, 1);
+    int by = py >> 2, bx = px >> 2;
+    for (int i = 0; i < nh && by + i < mi_rows; i++)
+      for (int j = 0; j < nw && bx + j < mi_cols; j++)
+        txtype_map[(i64)(by + i) * mi_cols + bx + j] = tt;
+    return tt;
+  }
+
+  void ibc_copy(int plane, int px, int py, int tw, int th,
+                const i32* mv) {
+    int sx = plane ? p.ssx : 0;
+    int sy = plane ? p.ssy : 0;
+    PlaneView& frame = planes[plane];
+    int pw = frame.w, ph = frame.h;
+    int hh = std::min(th, ph - py);
+    int ww = std::min(tw, pw - px);
+    int offy = mv[0] >> 3, offx = mv[1] >> 3;
+    if (plane == 0) {
+      int sy0 = py + offy, sx0 = px + offx;
+      if (sy0 < 0 || sx0 < 0 || sy0 + hh > ph || sx0 + ww > pw) {
+        fail(1, "intrabc source out of frame");
+        return;
+      }
+      for (int i = 0; i < hh; i++)
+        for (int j = 0; j < ww; j++)
+          frame.set(py + i, px + j, frame.at(sy0 + i, sx0 + j));
+      return;
+    }
+    int cy_off = offy >> sy, cx_off = offx >> sx;
+    int fy = offy & sy, fx = offx & sx;
+    int sy0 = py + cy_off, sx0 = px + cx_off;
+    if (sy0 < 0 || sx0 < 0 || sy0 + hh + fy > ph || sx0 + ww + fx > pw) {
+      fail(1, "intrabc chroma source out of frame");
+      return;
+    }
+    if (!fy && !fx) {
+      for (int i = 0; i < hh; i++)
+        for (int j = 0; j < ww; j++)
+          frame.set(py + i, px + j, frame.at(sy0 + i, sx0 + j));
+      return;
+    }
+    // BILINEAR convolve (tile.py _ibc_copy; InterRound0=3, Round1=11)
+    i64 maxv = (1 << bd) - 1;
+    std::vector<i64> hrow((i64)(hh + fy) * ww);
+    for (int i = 0; i < hh + fy; i++)
+      for (int j = 0; j < ww; j++) {
+        i64 a0 = frame.at(sy0 + i, sx0 + j);
+        i64 a1 = fx ? frame.at(sy0 + i, sx0 + j + 1) : a0;
+        hrow[(i64)i * ww + j] = fx ? ((64 * a0 + 64 * a1) >> 3)
+                                   : ((128 * a0) >> 3);
+      }
+    for (int i = 0; i < hh; i++)
+      for (int j = 0; j < ww; j++) {
+        i64 v = fy ? (64 * hrow[(i64)i * ww + j] +
+                      64 * hrow[(i64)(i + 1) * ww + j])
+                   : (128 * hrow[(i64)i * ww + j]);
+        frame.set(py + i, px + j,
+                  clampi((v + (1 << 10)) >> 11, 0, maxv));
+      }
+  }
+
+  void ibc_txb(int plane, int px, int py, int tx, int blk_w, int blk_h) {
+    // tile.py _ibc_txb: coefficients + residual add onto the copy
+    int sx = plane ? p.ssx : 0;
+    int sy = plane ? p.ssy : 0;
+    int pw = (mi_cols * 4) >> sx;
+    int ph = (mi_rows * 4) >> sy;
+    if (px >= pw || py >= ph) return;
+    int tw = TXW[tx], th = TXH[tx];
+    PlaneView& frame = planes[plane];
+    // deblock edge maps (transform_block's marker)
+    {
+      int gy = py / 4, gx = px / 4;
+      int nh2 = std::max(th / 4, 1), nw2 = std::max(tw / 4, 1);
+      int gw = egw[plane];
+      for (int i = 0; i < nh2 && gy + i < egh[plane]; i++)
+        edge_vert[plane][(i64)(gy + i) * gw + gx] = 1;
+      for (int j = 0; j < nw2 && gx + j < gw; j++)
+        edge_horz[plane][(i64)gy * gw + gx + j] = 1;
+      for (int i = 0; i < nh2 && gy + i < egh[plane]; i++)
+        for (int j = 0; j < nw2 && gx + j < gw; j++) {
+          edge_tw[plane][(i64)(gy + i) * gw + gx + j] = tw;
+          edge_th[plane][(i64)(gy + i) * gw + gx + j] = th;
+        }
+    }
+    i32 coeffs[32 * 32];
+    int eob = 0, cul = 0, dcsign = 0, tx_type = DCT_DCT;
+    eob = read_coeffs(plane, px, py, tx, DC_PRED, blk_w, blk_h, coeffs,
+                      &cul, &dcsign, &tx_type);
+    int hh = std::min(th, ph - py);
+    int ww = std::min(tw, pw - px);
+    if (eob > 0) {
+      i32 res[64 * 64];
+      inv_transform(plane, tx, coeffs, cur_qindex, tx_type, res);
+      i64 maxv = (1 << bd) - 1;
+      for (int i = 0; i < hh; i++)
+        for (int j = 0; j < ww; j++)
+          frame.set(py + i, px + j,
+                    clampi(frame.at(py + i, px + j) + res[i * tw + j],
+                           0, maxv));
+    }
+    // context updates (transform_block's cells)
+    int u_c = px / 4;
+    int sb_py = (sb_mi_row * 4) >> sy;
+    int lrow = (py - sb_py) / 4;
+    int n_w = std::max(tw / 4, 1), n_h = std::max(th / 4, 1);
+    int w_cells = std::min(n_w, std::max((pw - px) / 4, 0));
+    int h_cells = std::min(n_h, std::max((ph - py) / 4, 0));
+    for (int i = 0;
+         i < w_cells && u_c + i < (int)above_lvl[plane].size(); i++) {
+      above_lvl[plane][u_c + i] = std::min(cul, 63);
+      above_sign[plane][u_c + i] = dcsign;
+    }
+    for (int i = 0;
+         i < h_cells && lrow + i < (int)left_lvl[plane].size(); i++) {
+      left_lvl[plane][lrow + i] = std::min(cul, 63);
+      left_sign[plane][lrow + i] = dcsign;
+    }
+  }
+
+  void block_intrabc(int mr, int mc, int bsize, int skip) {
+    int w = BW[bsize], h = BH[bsize];
+    int mi_w = std::max(w / 4, 1), mi_h = std::max(h / 4, 1);
+    i32 dv_ref[2], mv[2];
+    ref_dv_of(mr, mc, bsize, dv_ref);
+    read_dv(dv_ref, mv);
+
+    use_intrabc_cur = true;
+    fi_mode = -1;
+    pal_n[0] = pal_n[1] = pal_n[2] = 0;
+    bool has_chroma = has_chroma_of(mr, mc, bsize);
+
+    for (int i = 0; i < mi_h && mr + i < mi_rows; i++)
+      for (int j = 0; j < mi_w && mc + j < mi_cols; j++) {
+        i64 mi = (i64)(mr + i) * mi_cols + mc + j;
+        skip_map[mi] = skip;
+        pal_y_flag[mi] = 0;
+        ibc_on[mi] = 1;
+        ibc_mv[mi * 2] = mv[0];
+        ibc_mv[mi * 2 + 1] = mv[1];
+        bsize_map[mi] = bsize;
+        txtype_map[mi] = DCT_DCT;
+      }
+    for (int i = 0; i < mi_w && mc + i < (int)above_skip.size(); i++)
+      above_skip[mc + i] = skip;
+    for (int i = 0; i < mi_h && mr - sb_mi_row + i < (int)left_skip.size();
+         i++)
+      left_skip[mr - sb_mi_row + i] = skip;
+
+    // tx sizes + luma TU list
+    std::vector<std::array<int, 3>> luma_tus;
+    int x0 = mc * 4, y0 = mr * 4;
+    if (p.coded_lossless) {
+      for (int yy = y0; yy < y0 + h; yy += 4)
+        for (int xx = x0; xx < x0 + w; xx += 4)
+          luma_tus.push_back({xx, yy, TX_4X4});
+      mark_tx_dims(x0, y0, w, h, 4, 4);
+    } else if (skip || !p.tx_mode_select) {
+      int tx = g_tables.max_tx_size_rect[bsize];
+      int tw = TXW[tx], th = TXH[tx];
+      for (int yy = y0; yy < y0 + h; yy += th)
+        for (int xx = x0; xx < x0 + w; xx += tw)
+          luma_tus.push_back({xx, yy, tx});
+      if (skip) mark_tx_dims(x0, y0, w, h, w, h);
+      else mark_tx_dims(x0, y0, w, h, tw, th);
+    } else {
+      int max_tx = g_tables.max_tx_size_rect[bsize];
+      int tw = TXW[max_tx], th = TXH[max_tx];
+      for (int yy = y0; yy < y0 + h; yy += th)
+        for (int xx = x0; xx < x0 + w; xx += tw)
+          vartx_node(bsize, max_tx, 0, xx, yy, luma_tus);
+    }
+
+    // ---- eager copy, then residual adds (deferred-job order) ----
+    int pw = mi_cols * 4, ph = mi_rows * 4;
+    ibc_copy(0, x0, y0, std::min(w, pw - x0), std::min(h, ph - y0), mv);
+    int cr_ = mr, cc_ = mc, cw = 0, ch_ = 0, cx0 = 0, cy0 = 0;
+    if (has_chroma && num_planes > 1) {
+      cr_ = (mi_h == 1 && p.ssy) ? (mr & ~1) : mr;
+      cc_ = (mi_w == 1 && p.ssx) ? (mc & ~1) : mc;
+      cw = std::max(w, p.ssx ? 8 : 4) >> p.ssx;
+      ch_ = std::max(h, p.ssy ? 8 : 4) >> p.ssy;
+      cx0 = (cc_ * 4) >> p.ssx;
+      cy0 = (cr_ * 4) >> p.ssy;
+      for (int pl = 1; pl < num_planes; pl++)
+        ibc_copy(pl, cx0, cy0, cw, ch_, mv);
+    }
+    if (rc) return;
+
+    if (!skip) {
+      for (auto& tu : luma_tus)
+        ibc_txb(0, tu[0], tu[1], tu[2], w, h);
+      if (has_chroma && num_planes > 1) {
+        int uv_tx = p.coded_lossless ? TX_4X4 : uv_tx_size_of(bsize);
+        int utw = TXW[uv_tx], uth = TXH[uv_tx];
+        for (int pl = 1; pl < num_planes; pl++)
+          for (int ty = 0; ty < ch_; ty += uth)
+            for (int tx_x = 0; tx_x < cw; tx_x += utw)
+              ibc_txb(pl, cx0 + tx_x, cy0 + ty, uv_tx, cw, ch_);
+      }
+    } else {
+      // aom av1_reset_entropy_context (tile.py skip branch)
+      int u_c = x0 / 4;
+      int lrow = mr - sb_mi_row;
+      for (int i = 0; i < mi_w && u_c + i < (int)above_lvl[0].size();
+           i++) {
+        above_lvl[0][u_c + i] = 0;
+        above_sign[0][u_c + i] = 0;
+      }
+      for (int i = 0; i < mi_h && lrow + i < (int)left_lvl[0].size();
+           i++) {
+        left_lvl[0][lrow + i] = 0;
+        left_sign[0][lrow + i] = 0;
+      }
+      if (has_chroma && num_planes > 1) {
+        int cu_c = ((cc_ * 4) >> p.ssx) / 4;
+        int clrow = (((cr_ - sb_mi_row) * 4) >> p.ssy) / 4;
+        int cw_c = std::max((std::max(w, p.ssx ? 8 : 4) >> p.ssx) / 4, 1);
+        int ch_c = std::max((std::max(h, p.ssy ? 8 : 4) >> p.ssy) / 4, 1);
+        for (int pl = 1; pl < 3; pl++) {
+          for (int i = 0;
+               i < cw_c && cu_c + i < (int)above_lvl[pl].size(); i++) {
+            above_lvl[pl][cu_c + i] = 0;
+            above_sign[pl][cu_c + i] = 0;
+          }
+          for (int i = 0;
+               i < ch_c && clrow + i < (int)left_lvl[pl].size(); i++) {
+            left_lvl[pl][clrow + i] = 0;
+            left_sign[pl][clrow + i] = 0;
+          }
+        }
+      }
+    }
+
+    use_intrabc_cur = false;
+    // block_decoded marks (tile.py _block_intrabc tail)
+    u8* dec0 = block_decoded[0].data();
+    int dstride = mi_cols + 2;
+    for (int i = 0; i < mi_h && mr + 1 + i < mi_rows + 2; i++)
+      for (int j = 0; j < mi_w && mc + 1 + j < dstride; j++)
+        dec0[(i64)(mr + 1 + i) * dstride + mc + 1 + j] = 1;
+    if (has_chroma && num_planes > 1) {
+      int ch4 = std::max(mi_h >> p.ssy, 1);
+      int cw4 = std::max(mi_w >> p.ssx, 1);
+      for (int pl = 1; pl < 3; pl++) {
+        u8* dec = block_decoded[pl].data();
+        for (int i = 0; i < ch4; i++)
+          for (int j = 0; j < cw4; j++) {
+            int rr = (cr_ >> p.ssy) + 1 + i;
+            int cc2 = (cc_ >> p.ssx) + 1 + j;
+            if (rr < mi_rows + 2 && cc2 < dstride)
+              dec[(i64)rr * dstride + cc2] = 1;
+          }
+      }
+    }
   }
 
   void decode_block(int mr, int mc, int bsize) {
@@ -2298,6 +2979,12 @@ struct FrameCtx {
             if (i < mi_rows && j < mi_cols)
               cdef_idx[(i64)i * mi_cols + j] = idx;
       }
+    }
+
+    // intra block copy (spec 5.11.17 intra_frame_mode_info)
+    if (p.allow_intrabc && r.read_symbol_n(cdf.intrabc, 2)) {
+      block_intrabc(mr, mc, bsize, skip);
+      return;
     }
 
     // y mode
@@ -2399,11 +3086,19 @@ struct FrameCtx {
         pal_y_org_y = mr * 4;
       }
       if (pal_n[1] > 0) {
-        int cbw = std::max(w, p.ssx ? 8 : 4) >> p.ssx;
-        int cbh = std::max(h, p.ssy ? 8 : 4) >> p.ssy;
+        // spec 5.11.50 palette_tokens: sub-8 chroma dims (<4 after
+        // subsampling) extend by +2 rows/cols — onscreen dims too, so
+        // the extra indices are parsed, not replicated (mirrors the
+        // Python engine fix caught by the intrabc oracle sweep)
+        int cbw = w >> p.ssx;
+        int cbh = h >> p.ssy;
+        int ovw = vis_w >> p.ssx;
+        int ovh = vis_h >> p.ssy;
+        if (cbw < 4) { cbw += 2; ovw += 2; }
+        if (cbh < 4) { cbh += 2; ovh += 2; }
         pal_map_w[1] = cbw;
-        read_color_map(r, cdf.palette_uv_color, pal_n[1], vis_h >> p.ssy,
-                       vis_w >> p.ssx, cbh, cbw, pal_uv_map.data());
+        read_color_map(r, cdf.palette_uv_color, pal_n[1], ovh,
+                       ovw, cbh, cbw, pal_uv_map.data());
       }
     }
 
@@ -2422,6 +3117,7 @@ struct FrameCtx {
         y_modes[idx] = y_mode;
         uv_modes[idx] = uv_mode;
         skip_map[idx] = skip;
+        bsize_map[idx] = bsize;
         pal_y_flag[idx] = pal_n[0] > 0 ? 1 : 0;
         tx_wide[idx] = TXW[tx];
         tx_high[idx] = TXH[tx];
@@ -2670,7 +3366,9 @@ struct FrameCtx {
       return 0;
     }
 
-    int tx_type = read_tx_type(plane, tx, mode);
+    int tx_type = (use_intrabc_cur && !p.coded_lossless)
+                      ? read_tx_type_inter(plane, tx, px, py)
+                      : read_tx_type(plane, tx, mode);
     cur_tx_type = tx_type;
     *tx_type_out = tx_type;
     int tcls = tx_class_of(tx_type);

@@ -58,10 +58,12 @@ def _exact(w, h, ts, seed, q, cpu, gray):
     assert obus is not None, "oracle encode failed"
     ref = av1_oracle.decode(obus)
     assert ref is not None
-    mine = decode_intra_frame(obus)       # default dispatch: native
-    for k in ref:                         # declines intrabc -> host
-        assert np.array_equal(mine[k], ref[k]), (
-            f"plane {k}: {int((mine[k] != ref[k]).sum())} px differ")
+    for engine in ("host", "native"):
+        mine = decode_intra_frame(obus, engine=engine)
+        for k in ref:
+            assert np.array_equal(mine[k], ref[k]), (
+                f"{engine} plane {k}: "
+                f"{int((mine[k] != ref[k]).sum())} px differ")
 
 
 CASES = [

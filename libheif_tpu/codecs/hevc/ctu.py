@@ -65,13 +65,17 @@ class SaoParam:
 
 @dataclass
 class PU:
-    """One inter prediction unit (list 0 only — P slices)."""
+    """One inter prediction unit.  List 0 in (mv, ref_idx); list 1 in
+    (mv1, ref_idx1).  ref_idx == -1 means the list is unused (B slices
+    can be uni-L0, uni-L1 or bi-predicted, spec 7.4.9.5)."""
     x: int
     y: int
     w: int
     h: int
-    mv: Tuple[int, int]      # quarter-pel (mvx, mvy)
+    mv: Tuple[int, int]      # quarter-pel (mvx, mvy), list 0
     ref_idx: int
+    mv1: Tuple[int, int] = (0, 0)   # list 1
+    ref_idx1: int = -1
 
 
 @dataclass
@@ -109,25 +113,29 @@ class SliceSyntax:
         self.sao: Dict[Tuple[int, int], SaoParam] = {}
         self.qg_deltas: List[int] = []                   # per QG serial
         self.qg_blocks: List[List[Tuple[int, int]]] = []  # 4x4 blocks per QG
-        # inter state (P slices): per-4x4 motion maps + CU records
+        # inter state (P/B slices): per-4x4 motion maps + CU records
         self.pred_inter = np.zeros((h4, w4), np.uint8)   # 1 = inter
         self.skip_map = np.zeros((h4, w4), np.uint8)     # cu_skip per 4x4
         self.mv_l0 = np.zeros((h4, w4, 2), np.int32)     # quarter-pel
-        self.ref_l0 = np.full((h4, w4), -1, np.int16)    # -1 intra/unset
+        self.ref_l0 = np.full((h4, w4), -1, np.int16)    # -1 unused list
+        self.mv_l1 = np.zeros((h4, w4, 2), np.int32)     # list 1 (B)
+        self.ref_l1 = np.full((h4, w4), -1, np.int16)
         self.pu_vedge = np.zeros((h4, w4), np.uint8)     # PU left edges
         self.pu_hedge = np.zeros((h4, w4), np.uint8)     # PU top edges
         self.cus: List[CURec] = []
         self.ref_pocs_l0: List[int] = []                 # filled by decoder
+        self.ref_pocs_l1: List[int] = []
 
 
 class SliceParser:
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader,
                  rbsp: bytes, substreams: List[Tuple[int, int]],
                  ref_pocs_l0: Optional[List[int]] = None,
-                 cur_poc: int = 0):
+                 cur_poc: int = 0,
+                 ref_pocs_l1: Optional[List[int]] = None):
         """substreams: [(byte_start, byte_end)] per WPP row (or one).
-        ref_pocs_l0: POC of each list-0 reference (P slices; used for
-        AMVP motion vector scaling)."""
+        ref_pocs_l0/l1: POC of each reference per list (P/B slices;
+        used for AMVP motion vector scaling)."""
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -135,10 +143,16 @@ class SliceParser:
         self.substreams = substreams
         self.out = SliceSyntax(sps, pps, sh)
         self.out.ref_pocs_l0 = list(ref_pocs_l0 or [])
+        self.out.ref_pocs_l1 = list(ref_pocs_l1 or [])
         self.cur_poc = cur_poc
-        # initType (spec 9.3.2.2): I=0; P: 2 if cabac_init_flag else 1
-        self.init_type = 0 if sh.slice_type == 2 else \
-            (2 if sh.cabac_init_flag else 1)
+        # initType (spec 9.3.2.2): I=0; P: 2 if cabac_init_flag else 1;
+        # B: 1 if cabac_init_flag else 2
+        if sh.slice_type == 2:
+            self.init_type = 0
+        elif sh.slice_type == 1:
+            self.init_type = 2 if sh.cabac_init_flag else 1
+        else:
+            self.init_type = 1 if sh.cabac_init_flag else 2
         self.ctx = ContextModels(self.init_type, sh.qp)
         self.dec: Optional[CabacDecoder] = None
         # QP bookkeeping
@@ -485,27 +499,39 @@ class SliceParser:
         o.mv_l0[by:by + nh, bx:bx + nw, 0] = pu.mv[0]
         o.mv_l0[by:by + nh, bx:bx + nw, 1] = pu.mv[1]
         o.ref_l0[by:by + nh, bx:bx + nw] = pu.ref_idx
+        o.mv_l1[by:by + nh, bx:bx + nw, 0] = pu.mv1[0]
+        o.mv_l1[by:by + nh, bx:bx + nw, 1] = pu.mv1[1]
+        o.ref_l1[by:by + nh, bx:bx + nw] = pu.ref_idx1
         o.avail[by:by + nh, bx:bx + nw] = 1
         o.pu_vedge[by:by + nh, bx] = 1      # PU boundaries are deblock
         o.pu_hedge[by, bx:bx + nw] = 1      # edges (spec 8.7.2.2/2.3)
 
     def _neigh_motion(self, x: int, y: int):
-        """(mv, ref_idx) of the 4x4 block covering sample (x, y), or
-        None when unavailable / intra-coded."""
+        """Full motion (mv0, ref0, mv1, ref1) of the 4x4 block covering
+        sample (x, y), or None when unavailable / intra-coded.  Unused
+        lists carry ref -1 and mv (0, 0)."""
         if not self._available(x, y):
             return None
         bx, by = x >> 2, y >> 2
-        if not self.out.pred_inter[by, bx]:
+        o = self.out
+        if not o.pred_inter[by, bx]:
             return None
-        return ((int(self.out.mv_l0[by, bx, 0]),
-                 int(self.out.mv_l0[by, bx, 1])),
-                int(self.out.ref_l0[by, bx]))
+        return ((int(o.mv_l0[by, bx, 0]), int(o.mv_l0[by, bx, 1])),
+                int(o.ref_l0[by, bx]),
+                (int(o.mv_l1[by, bx, 0]), int(o.mv_l1[by, bx, 1])),
+                int(o.ref_l1[by, bx]))
+
+    # combined bi-predictive candidate index pairs (spec table 8-10)
+    _COMB_L0 = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+    _COMB_L1 = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
 
     def _merge_candidates(self, xp, yp, w, h, part_mode, part_idx,
                           cu_x, cu_y, cu_size):
-        """Spatial + zero merge candidates (spec 8.5.3.2.3; no TMVP —
-        sps.temporal_mvp is rejected at the header)."""
+        """Spatial + combined-bi + zero merge candidates
+        (spec 8.5.3.2.3; no TMVP — sps.temporal_mvp is rejected at the
+        header).  Each candidate is (mv0, ref0, mv1, ref1)."""
         plevel = self.pps.log2_parallel_merge_level
+        is_b = self.sh.slice_type == 0
 
         def same_region(xn, yn):
             return (xn >> plevel) == (xp >> plevel) and \
@@ -537,12 +563,37 @@ class SliceParser:
             b2 = get(xp - 1, yp - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
+
+        maxm = self.sh.max_num_merge_cand
+        if is_b and len(cands) > 1:
+            # combined bi-predictive candidates (spec 8.5.3.2.4)
+            n_orig = len(cands)
+            pocs0, pocs1 = self.out.ref_pocs_l0, self.out.ref_pocs_l1
+            for ci in range(n_orig * (n_orig - 1)):
+                if len(cands) >= maxm or ci >= len(self._COMB_L0):
+                    break
+                c0 = cands[self._COMB_L0[ci]]
+                c1 = cands[self._COMB_L1[ci]]
+                if c0[1] < 0 or c1[3] < 0:
+                    continue
+                poc0 = pocs0[c0[1]] if c0[1] < len(pocs0) else -1
+                poc1 = pocs1[c1[3]] if c1[3] < len(pocs1) else -1
+                if poc0 != poc1 or c0[0] != c1[2]:
+                    cands.append((c0[0], c0[1], c1[2], c1[3]))
+
         # zero candidates
-        num_ref = max(1, self.sh.num_ref_idx_l0)
+        if is_b:
+            num_ref = max(1, min(self.sh.num_ref_idx_l0,
+                                 self.sh.num_ref_idx_l1))
+        else:
+            num_ref = max(1, self.sh.num_ref_idx_l0)
         zero_i = 0
-        while len(cands) < self.sh.max_num_merge_cand:
+        while len(cands) < maxm:
             ref = zero_i if zero_i < num_ref else 0
-            cands.append(((0, 0), ref))
+            if is_b:
+                cands.append(((0, 0), ref, (0, 0), ref))
+            else:
+                cands.append(((0, 0), ref, (0, 0), -1))
             zero_i += 1
         return cands
 
@@ -566,35 +617,73 @@ class SliceParser:
             out.append(max(-32768, min(32767, s * ((abs(v) + 127) >> 8))))
         return (out[0], out[1])
 
-    def _amvp(self, xp, yp, w, h, ref_idx):
-        """Spatial AMVP candidate list (spec 8.5.3.2.6/2.7)."""
-        pocs = self.out.ref_pocs_l0
-        tpoc = pocs[ref_idx] if ref_idx < len(pocs) else 0
+    def _amvp(self, xp, yp, w, h, ref_idx, list_x: int = 0):
+        """Spatial AMVP candidate list for one reference list
+        (spec 8.5.3.2.6/2.7).  A neighbor contributes from the target
+        list LX first, then from the other list LY when that reference
+        is the same picture; the scaled fallback follows the same
+        LX-then-LY order."""
+        pocs_x = self.out.ref_pocs_l1 if list_x else self.out.ref_pocs_l0
+        pocs_y = self.out.ref_pocs_l0 if list_x else self.out.ref_pocs_l1
+        tpoc = pocs_x[ref_idx] if ref_idx < len(pocs_x) else 0
 
-        def poc_of(cand):
-            return pocs[cand[1]] if cand[1] < len(pocs) else 0
+        def parts(n):
+            """((mvLX, pocLX or None), (mvLY, pocLY or None))."""
+            mv0, r0, mv1, r1 = n
+            lx = ((mv1, pocs_x[r1] if 0 <= r1 < len(pocs_x) else None)
+                  if list_x else
+                  (mv0, pocs_x[r0] if 0 <= r0 < len(pocs_x) else None))
+            ly = ((mv0, pocs_y[r0] if 0 <= r0 < len(pocs_y) else None)
+                  if list_x else
+                  (mv1, pocs_y[r1] if 0 <= r1 < len(pocs_y) else None))
+            if (r1 if list_x else r0) < 0:
+                lx = (lx[0], None)
+            if (r0 if list_x else r1) < 0:
+                ly = (ly[0], None)
+            return lx, ly
+
+        def match(n):
+            """Same-picture candidate without scaling, or None."""
+            lx, ly = parts(n)
+            if lx[1] is not None and lx[1] == tpoc:
+                return lx[0]
+            if ly[1] is not None and ly[1] == tpoc:
+                return ly[0]
+            return None
+
+        def scaled(n):
+            """First used list, scaled to the target reference."""
+            lx, ly = parts(n)
+            if lx[1] is not None:
+                return self._scale_mv(lx[0], lx[1], tpoc)
+            if ly[1] is not None:
+                return self._scale_mv(ly[0], ly[1], tpoc)
+            return None
 
         a0 = self._neigh_motion(xp - 1, yp + h)
         a1 = self._neigh_motion(xp - 1, yp + h - 1)
         is_scaled = a0 is not None or a1 is not None
         mv_a = None
         for n in (a0, a1):
-            if n is not None and poc_of(n) == tpoc:
-                mv_a = n[0]
-                break
+            if n is not None:
+                mv_a = match(n)
+                if mv_a is not None:
+                    break
         if mv_a is None:
             for n in (a0, a1):
                 if n is not None:
-                    mv_a = self._scale_mv(n[0], poc_of(n), tpoc)
-                    break
+                    mv_a = scaled(n)
+                    if mv_a is not None:
+                        break
         b0 = self._neigh_motion(xp + w, yp - 1)
         b1 = self._neigh_motion(xp + w - 1, yp - 1)
         b2 = self._neigh_motion(xp - 1, yp - 1)
         mv_b = None
         for n in (b0, b1, b2):
-            if n is not None and poc_of(n) == tpoc:
-                mv_b = n[0]
-                break
+            if n is not None:
+                mv_b = match(n)
+                if mv_b is not None:
+                    break
         if not is_scaled:
             # no left neighbors: B fills the A slot, then B re-derives
             # with scaling allowed (spec 8.5.3.2.7 step 7)
@@ -602,8 +691,9 @@ class SliceParser:
             mv_b = None
             for n in (b0, b1, b2):
                 if n is not None:
-                    mv_b = self._scale_mv(n[0], poc_of(n), tpoc)
-                    break
+                    mv_b = scaled(n)
+                    if mv_b is not None:
+                        break
         lst = []
         if mv_a is not None:
             lst.append(mv_a)
@@ -623,9 +713,10 @@ class SliceParser:
                 idx += 1
         return idx
 
-    def _parse_ref_idx(self) -> int:
+    def _parse_ref_idx(self, num_ref: Optional[int] = None) -> int:
         d = self.dec
-        num_ref = self.sh.num_ref_idx_l0
+        if num_ref is None:
+            num_ref = self.sh.num_ref_idx_l0
         v = 0
         while v < num_ref - 1:
             if v == 0:
@@ -659,26 +750,66 @@ class SliceParser:
             out.append(v)
         return out[0], out[1]
 
+    @staticmethod
+    def _wrap_mv(mvp, mvd):
+        return (((mvp[0] + mvd[0] + 0x8000) & 0xFFFF) - 0x8000,
+                ((mvp[1] + mvd[1] + 0x8000) & 0xFFFF) - 0x8000)
+
     def _prediction_unit(self, xp, yp, w, h, part_mode, part_idx,
-                         cu_x, cu_y, cu_size, merge_all=False):
+                         cu_x, cu_y, cu_size, merge_all=False,
+                         cu_depth=0):
         """Parse one PU; returns (PU, merge_flag)."""
         d = self.dec
+        sh = self.sh
         merge = True if merge_all else \
             bool(d.decode_bin(self.ctx.idx("merge_flag")))
         if merge:
             idx = self._parse_merge_idx()
             cands = self._merge_candidates(xp, yp, w, h, part_mode,
                                            part_idx, cu_x, cu_y, cu_size)
-            mv, ref = cands[idx]
+            mv0, ref0, mv1, ref1 = cands[idx]
+            # 8x4/4x8 PUs may not be bi-predicted: a bi merge candidate
+            # degrades to uni-L0 (spec 8.5.3.2.3)
+            if w + h == 12 and ref0 >= 0 and ref1 >= 0:
+                mv1, ref1 = (0, 0), -1
+        elif sh.slice_type == 0:
+            # B slice: inter_pred_idc (spec 9.3.3.8: first bin ctx =
+            # CtDepth, second bin ctx 4; 8x4/4x8 PUs never code BI)
+            if w + h != 12:
+                if d.decode_bin(self.ctx.idx("inter_pred_idc", cu_depth)):
+                    idc = 2                       # PRED_BI
+                else:
+                    idc = 1 if d.decode_bin(
+                        self.ctx.idx("inter_pred_idc", 4)) else 0
+            else:
+                idc = 1 if d.decode_bin(
+                    self.ctx.idx("inter_pred_idc", 4)) else 0
+            mv0, ref0, mv1, ref1 = (0, 0), -1, (0, 0), -1
+            if idc != 1:                          # uses list 0
+                ref0 = self._parse_ref_idx(sh.num_ref_idx_l0)
+                mvd0 = self._parse_mvd()
+                mvp_flag = d.decode_bin(self.ctx.idx("mvp_flag"))
+                mvp = self._amvp(xp, yp, w, h, ref0, 0)[mvp_flag]
+                mv0 = self._wrap_mv(mvp, mvd0)
+            if idc != 0:                          # uses list 1
+                ref1 = self._parse_ref_idx(sh.num_ref_idx_l1)
+                if sh.mvd_l1_zero and idc == 2:
+                    mvd1 = (0, 0)
+                else:
+                    mvd1 = self._parse_mvd()
+                mvp_flag = d.decode_bin(self.ctx.idx("mvp_flag"))
+                mvp = self._amvp(xp, yp, w, h, ref1, 1)[mvp_flag]
+                mv1 = self._wrap_mv(mvp, mvd1)
         else:
             # P slice: inter_pred_idc not coded (PRED_L0)
-            ref = self._parse_ref_idx()
+            ref0 = self._parse_ref_idx()
             mvd = self._parse_mvd()
             mvp_flag = d.decode_bin(self.ctx.idx("mvp_flag"))
-            mvp = self._amvp(xp, yp, w, h, ref)[mvp_flag]
-            mv = (((mvp[0] + mvd[0] + 0x8000) & 0xFFFF) - 0x8000,
-                  ((mvp[1] + mvd[1] + 0x8000) & 0xFFFF) - 0x8000)
-        pu = PU(x=xp, y=yp, w=w, h=h, mv=mv, ref_idx=ref)
+            mvp = self._amvp(xp, yp, w, h, ref0, 0)[mvp_flag]
+            mv0 = self._wrap_mv(mvp, mvd)
+            mv1, ref1 = (0, 0), -1
+        pu = PU(x=xp, y=yp, w=w, h=h, mv=mv0, ref_idx=ref0,
+                mv1=mv1, ref_idx1=ref1)
         self._set_pu(pu)
         return pu, merge
 
@@ -686,7 +817,8 @@ class SliceParser:
         size = 1 << log2
         self._cu_common_maps(x0, y0, log2, depth, skip=True)
         pu, _ = self._prediction_unit(x0, y0, size, size, 0, 0,
-                                      x0, y0, size, merge_all=True)
+                                      x0, y0, size, merge_all=True,
+                                      cu_depth=depth)
         self.out.cus.append(CURec(x=x0, y=y0, log2=log2, inter=True,
                                   pus=[pu], tu_start=len(self.out.tus),
                                   tu_end=len(self.out.tus)))
@@ -753,7 +885,7 @@ class SliceParser:
         geoms = self._pu_geometry(part_mode, x0, y0, size)
         for pi, (px, py, pw, ph) in enumerate(geoms):
             pu, mf = self._prediction_unit(px, py, pw, ph, part_mode, pi,
-                                           x0, y0, size)
+                                           x0, y0, size, cu_depth=depth)
             pus.append(pu)
             merge_flags.append(mf)
 

@@ -215,25 +215,38 @@ class SequenceDecoder:
 
         ref_pocs = []
         refs = []
+        ref_pocs_l1 = []
+        refs_l1 = []
         if sh.slice_type != 2:
             if sh.rps is None:
                 raise HeifError.invalid_input(
-                    msg="P slice without a reference picture set")
+                    msg="inter slice without a reference picture set")
             before, after = self._rps_pocs(sh.rps, poc)
-            init_list = before + after
-            if not init_list:
-                raise HeifError.invalid_input(
-                    msg="P slice with an empty reference list")
-            n = sh.num_ref_idx_l0
-            if sh.rplm_l0 is not None:
-                ref_pocs = [init_list[i] for i in sh.rplm_l0]
-            else:
-                ref_pocs = [init_list[i % len(init_list)] for i in range(n)]
-            for p in ref_pocs:
-                if p not in self.dpb:
+
+            def build(init_list, n, rplm):
+                if not init_list:
                     raise HeifError.invalid_input(
-                        msg=f"reference picture POC {p} not in DPB")
-                refs.append(self.dpb[p])
+                        msg="inter slice with an empty reference list")
+                if rplm is not None:
+                    pocs = [init_list[i] for i in rplm]
+                else:
+                    pocs = [init_list[i % len(init_list)]
+                            for i in range(n)]
+                planes = []
+                for p in pocs:
+                    if p not in self.dpb:
+                        raise HeifError.invalid_input(
+                            msg=f"reference picture POC {p} not in DPB")
+                    planes.append(self.dpb[p])
+                return pocs, planes
+
+            # RefPicListTemp0 = StCurrBefore + StCurrAfter (spec 8.3.4)
+            ref_pocs, refs = build(before + after, sh.num_ref_idx_l0,
+                                   sh.rplm_l0)
+            if sh.slice_type == 0:   # B: RefPicListTemp1 = After + Before
+                ref_pocs_l1, refs_l1 = build(after + before,
+                                             sh.num_ref_idx_l1,
+                                             sh.rplm_l1)
 
         rbsp = remove_emulation_prevention(nal[2:])
         subs = _substreams(nal, rbsp, sh.data_offset_bits,
@@ -249,17 +262,22 @@ class SequenceDecoder:
                 self._store(poc, (y, cb, cr))
                 return poc, (y, cb, cr)
         syntax = SliceParser(self.sps, self.pps, sh, rbsp, subs,
-                             ref_pocs_l0=ref_pocs, cur_poc=poc).parse()
-        recon = IntraReconstructor(syntax, refs=refs)
+                             ref_pocs_l0=ref_pocs, cur_poc=poc,
+                             ref_pocs_l1=ref_pocs_l1).parse()
+        recon = IntraReconstructor(syntax, refs=refs, refs_l1=refs_l1)
         y, cb, cr = recon.run()
         Deblocker(syntax, (y, cb, cr)).run()
         y, cb, cr = apply_sao(syntax, (y, cb, cr))
-        self._store(poc, (y, cb, cr))
+        self._store(poc, (y, cb, cr), nal_t=t)
         return poc, (y, cb, cr)
 
-    def _store(self, poc, planes):
+    def _store(self, poc, planes, nal_t: int = 1):
         self.dpb[poc] = planes
-        self.prev_poc = poc
+        # prevTid0Pic (spec 8.3.1): sub-layer non-reference pictures
+        # (even NAL types <= 14: TRAIL_N, TSA_N, …) do not anchor the
+        # POC MSB derivation
+        if not (nal_t <= 14 and nal_t % 2 == 0):
+            self.prev_poc = poc
         # bounded DPB: keep the 8 most recent pictures by POC
         while len(self.dpb) > 8:
             del self.dpb[min(self.dpb)]
@@ -327,14 +345,35 @@ class HevcSequenceSession:
         self.seq = SequenceDecoder(sps, pps)
         self.length_size = getattr(config_box, "length_size", 4)
         self.pending: List[PixelImage] = []
+        # output reorder (B frames): bounded by the SPS bumping limit
+        # (the reference's plugin reorders inside libde265/dav1d;
+        # ref: track_visual.cc:175 pulls frames in output order)
+        self.max_reorder = sps.max_num_reorder_pics
+        self.reorder: List[tuple] = []     # [(poc, planes)]
 
     def push_sample(self, data: bytes) -> None:
         for nal in split_length_prefixed(data, self.length_size):
             t = nal_type(nal)
             if t >= 32:             # parameter sets / SEI
                 continue
+            if t in (19, 20) and self.reorder:
+                # new IDR resets POC: drain the previous GOP first
+                self.flush()
             _poc, planes = self.seq.decode_nal(nal)
-            self.pending.append(self._to_image(planes))
+            self.reorder.append((_poc, planes))
+            while len(self.reorder) > self.max_reorder:
+                self._bump()
+
+    def _bump(self) -> None:
+        i = min(range(len(self.reorder)),
+                key=lambda k: self.reorder[k][0])
+        _poc, planes = self.reorder.pop(i)
+        self.pending.append(self._to_image(planes))
+
+    def flush(self) -> None:
+        """Drain the reorder buffer (end of stream / before an IDR)."""
+        while self.reorder:
+            self._bump()
 
     def pull(self) -> Optional[PixelImage]:
         return self.pending.pop(0) if self.pending else None

@@ -98,6 +98,7 @@ class EncParams:
     diff_qg_depth: Optional[int] = None  # diff_cu_qp_delta_depth override
     var_cu: bool = False       # position-hashed CU depths below cu_log2
     chroma_modes: bool = False  # cycle explicit intra_chroma_pred_mode
+    num_reorder: int = 0       # sps_max_num_reorder_pics (B pyramids)
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -115,8 +116,8 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     _ue(w, 0)               # bit_depth_chroma - 8
     _ue(w, 4)               # log2_max_poc_lsb - 4
     w.write_bits(1, 1)      # sub_layer_ordering_info_present
-    _ue(w, 1)               # max_dec_pic_buffering_minus1
-    _ue(w, 0)               # num_reorder
+    _ue(w, 1 + p.num_reorder)  # max_dec_pic_buffering_minus1
+    _ue(w, p.num_reorder)   # num_reorder
     _ue(w, 0)               # max_latency
     _ue(w, 0)               # log2_min_cb_size - 3  → 8
     _ue(w, p.ctb_log2 - 3)  # log2_diff_max_min
@@ -1153,40 +1154,84 @@ class IntraEncoder:
 # --------------------------------------------------------------------------
 
 class HevcSequenceEncodeSession:
-    """Stateful IPPP track encoding (ref: encoder.h:76-89 sequence
+    """Stateful inter track encoding (ref: encoder.h:76-89 sequence
     hooks feeding x265's GOP): frame 0 is an IDR sync sample, later
-    frames are P slices referencing the previous picture."""
+    frames are P slices ("ipp"), low-delay B slices ("ldb"), or
+    reordered B frames between I/P anchors ("ibp", needs ctts)."""
 
     def __init__(self, width: int, height: int, qp: int,
-                 gop: int = 32):
+                 gop: int = 32, gop_struct: str = "ipp"):
         from .inter_enc import SequenceEncoder
         self.params = EncParams(qp=qp, deblock=True)
-        self.enc = SequenceEncoder(width, height, self.params)
+        self.gop_struct = gop_struct
+        self.enc = SequenceEncoder(width, height, self.params,
+                                   gop_struct=gop_struct)
         self.width, self.height = width, height
         self.gop = gop
         self.count = 0
+        self.config = None
 
-    def encode_frame(self, img: PixelImage):
-        """Returns (length-prefixed sample data, hvcC-or-None, is_sync)."""
-        from ...color import convert_image
+    def _cfg_box(self, cfg_nals):
         from ...boxes.codec_cfg import hvcC_from_sps, parse_hevc_sps
+        cfg = hvcC_from_sps(parse_hevc_sps(cfg_nals[0]))
+        for n in cfg_nals:
+            cfg.add_nal(n)
+        return cfg
+
+    def _prep(self, img: PixelImage) -> PixelImage:
+        from ...color import convert_image
         if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
             img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
-        if self.count and self.count % self.gop == 0:
+        return img
+
+    def encode_frame(self, img: PixelImage):
+        """IPPP/low-delay path (no reordering): returns
+        (length-prefixed sample data, hvcC-or-None, is_sync)."""
+        img = self._prep(img)
+        if self.count and self.count % self.gop == 0 and \
+                self.gop_struct != "ibp":
             # periodic IDR refresh: reset the closed-loop encoder
             from .inter_enc import SequenceEncoder
             self.enc = SequenceEncoder(self.width, self.height,
-                                       self.params)
+                                       self.params,
+                                       gop_struct=self.gop_struct)
         nal, cfg_nals = self.enc.encode_frame(img)
         self.count += 1
         is_sync = bool(cfg_nals)
         cfg = None
         if cfg_nals:
-            cfg = hvcC_from_sps(parse_hevc_sps(cfg_nals[0]))
-            for n in cfg_nals:
-                cfg.add_nal(n)
+            cfg = self._cfg_box(cfg_nals)
+            self.config = cfg
         data = len(nal).to_bytes(4, "big") + nal
         return data, cfg, is_sync
+
+    def push_frames(self, img: PixelImage):
+        """Reorder-aware path: returns a list of
+        (sample data, hvcC-or-None, is_sync, cts_frame_offset) in
+        decode order (possibly empty while the lookahead holds)."""
+        img = self._prep(img)
+        if self.count and self.count % self.gop == 0 and \
+                self.gop_struct != "ibp":
+            from .inter_enc import SequenceEncoder
+            self.enc = SequenceEncoder(self.width, self.height,
+                                       self.params,
+                                       gop_struct=self.gop_struct)
+        samples = self.enc.push_frame(img)
+        self.count += 1
+        out = []
+        for s in samples:
+            cfg = None
+            if self.config is None and self.enc.config_nals:
+                cfg = self._cfg_box(self.enc.config_nals)
+                self.config = cfg
+            out.append((len(s.data).to_bytes(4, "big") + s.data, cfg,
+                        s.is_sync, s.cts_offset))
+        return out
+
+    def flush_frames(self):
+        """Drain the lookahead at end of track."""
+        return [(len(s.data).to_bytes(4, "big") + s.data, None,
+                 s.is_sync, s.cts_offset) for s in self.enc.flush()]
 
 
 class HevcEncoder(RegistryEncoder):
@@ -1195,10 +1240,11 @@ class HevcEncoder(RegistryEncoder):
     lossy_supported = True
 
     def start_sequence_encode(self, width: int, height: int,
-                              options=None):
+                              options=None, gop_struct: str = "ipp"):
         quality = getattr(options, "quality", 50) if options else 50
         qp = max(1, min(51, 51 - quality * 50 // 100))
-        return HevcSequenceEncodeSession(width, height, qp)
+        return HevcSequenceEncodeSession(width, height, qp,
+                                         gop_struct=gop_struct)
 
     def encode_single_image(self, img: PixelImage, options=None):
         from ...color import convert_image

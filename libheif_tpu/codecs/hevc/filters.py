@@ -63,6 +63,22 @@ class Deblocker:
         return pos % (1 << tu_l2) == 0 or \
             (cu_l2 and pos % (1 << cu_l2) == 0)
 
+    def _block_motion(self, b):
+        """[(ref POC, (mvx, mvy))] for the used lists of 4x4 block b."""
+        syn = self.syn
+        out = []
+        for refs, pocs, mvs in ((syn.ref_l0, syn.ref_pocs_l0, syn.mv_l0),
+                                (syn.ref_l1, syn.ref_pocs_l1, syn.mv_l1)):
+            r = int(refs[b])
+            if r >= 0:
+                poc = pocs[r] if r < len(pocs) else -1
+                out.append((poc, (int(mvs[b][0]), int(mvs[b][1]))))
+        return out
+
+    @staticmethod
+    def _mv_far(a, b) -> bool:
+        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+
     def _bs(self, x: int, y: int, vertical: bool) -> int:
         """Boundary strength (spec 8.7.2.4); intra pictures: 2."""
         syn = self.syn
@@ -74,16 +90,29 @@ class Deblocker:
         if self._is_tu_edge(x, y, vertical) and \
                 (syn.nonzero_y[bp] or syn.nonzero_y[bq]):
             return 1
-        pocs = syn.ref_pocs_l0
-        rp, rq = int(syn.ref_l0[bp]), int(syn.ref_l0[bq])
-        poc_p = pocs[rp] if 0 <= rp < len(pocs) else -1
-        poc_q = pocs[rq] if 0 <= rq < len(pocs) else -1
-        if poc_p != poc_q:
+        mp = self._block_motion(bp)
+        mq = self._block_motion(bq)
+        if len(mp) != len(mq):        # different number of motion vectors
             return 1
-        if abs(int(syn.mv_l0[bp][0]) - int(syn.mv_l0[bq][0])) >= 4 or \
-                abs(int(syn.mv_l0[bp][1]) - int(syn.mv_l0[bq][1])) >= 4:
-            return 1
-        return 0
+        if sorted(p for p, _ in mp) != sorted(p for p, _ in mq):
+            return 1                  # different reference pictures
+        if len(mp) == 1:
+            return 1 if self._mv_far(mp[0][1], mq[0][1]) else 0
+        # two MVs each over the same two reference pictures
+        (pocP0, mvP0), (pocP1, mvP1) = mp
+        (pocQ0, mvQ0), (pocQ1, mvQ1) = mq
+        if pocP0 != pocP1:
+            # distinct pictures: pair the MVs by reference picture
+            if pocQ0 == pocP0:
+                far = self._mv_far(mvP0, mvQ0) or self._mv_far(mvP1, mvQ1)
+            else:
+                far = self._mv_far(mvP0, mvQ1) or self._mv_far(mvP1, mvQ0)
+            return 1 if far else 0
+        # both MVs point into the same picture: either pairing may be
+        # close (spec 8.7.2.4 note)
+        straight = not (self._mv_far(mvP0, mvQ0) or self._mv_far(mvP1, mvQ1))
+        crossed = not (self._mv_far(mvP0, mvQ1) or self._mv_far(mvP1, mvQ0))
+        return 0 if (straight or crossed) else 1
 
     def _avg_qp(self, x: int, y: int, vertical: bool) -> int:
         syn = self.syn

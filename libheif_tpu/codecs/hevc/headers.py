@@ -62,6 +62,7 @@ class SPS:
     bit_depth_luma: int = 8
     bit_depth_chroma: int = 8
     log2_max_pic_order_cnt_lsb: int = 8
+    max_num_reorder_pics: int = 0      # highest sub-layer value (§7.4.3.2.1)
     # coding structure
     log2_min_cb_size: int = 3          # log2_min_luma_coding_block_size
     log2_ctb_size: int = 6
@@ -158,12 +159,15 @@ class SliceHeader:
     pic_output_flag: bool = True
     sao_luma: bool = False
     sao_chroma: bool = False
-    # inter (P) fields
+    # inter (P/B) fields
     poc_lsb: int = 0
     rps: Optional["ShortTermRPS"] = None
     temporal_mvp: bool = False
     num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
     rplm_l0: Optional[List[int]] = None   # explicit list-0 reordering
+    rplm_l1: Optional[List[int]] = None   # explicit list-1 reordering (B)
+    mvd_l1_zero: bool = False             # B: list-1 MVDs inferred zero
     cabac_init_flag: bool = False
     max_num_merge_cand: int = 5
     qp: int = 26
@@ -318,14 +322,11 @@ def parse_sps(nal: bytes) -> SPS:
     s.bit_depth_chroma = br.read_ue() + 8
     s.log2_max_pic_order_cnt_lsb = br.read_ue() + 4
     sub_layer_ordering = br.read_flag()
-    for _ in range(0 if not sub_layer_ordering else s.max_sub_layers):
+    n_ord = s.max_sub_layers if sub_layer_ordering else 1
+    for _ in range(n_ord):
         br.read_ue()  # max_dec_pic_buffering
-        br.read_ue()  # num_reorder_pics
+        s.max_num_reorder_pics = br.read_ue()  # num_reorder_pics
         br.read_ue()  # max_latency_increase
-    if not sub_layer_ordering:
-        br.read_ue()
-        br.read_ue()
-        br.read_ue()
     s.log2_min_cb_size = br.read_ue() + 3
     s.log2_ctb_size = s.log2_min_cb_size + br.read_ue()
     s.log2_min_tb_size = br.read_ue() + 2
@@ -439,10 +440,6 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
     if not h.dependent_slice:
         br.skip_bits(pps.num_extra_slice_header_bits)
         h.slice_type = br.read_ue()
-        if h.slice_type == 0:
-            raise HeifError.unsupported(
-                SubError.Unsupported_codec,
-                "B-slices are not supported yet (P/I only)")
         if pps.output_flag_present:
             h.pic_output_flag = br.read_flag()
         if sps.separate_colour_plane:
@@ -469,21 +466,30 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
         if sps.sample_adaptive_offset_enabled:
             h.sao_luma = br.read_flag()
             h.sao_chroma = br.read_flag()
-        if h.slice_type != 2:          # P slice inter fields (spec 7.3.6.1)
+        if h.slice_type != 2:          # P/B slice inter fields (spec 7.3.6.1)
+            is_b = h.slice_type == 0
             if br.read_flag():         # num_ref_idx_active_override
                 h.num_ref_idx_l0 = br.read_ue() + 1
+                if is_b:
+                    h.num_ref_idx_l1 = br.read_ue() + 1
             else:
                 h.num_ref_idx_l0 = pps.num_ref_idx_l0_default
+                h.num_ref_idx_l1 = pps.num_ref_idx_l1_default
             n_total_curr = 0
             if h.rps is not None:
                 n_total_curr = sum(bool(u) for u in h.rps.used_s0) + \
                     sum(bool(u) for u in h.rps.used_s1)
             if pps.lists_modification_present and n_total_curr > 1:
+                import math
+                bits = math.ceil(math.log2(n_total_curr))
                 if br.read_flag():     # ref_pic_list_modification_flag_l0
-                    import math
-                    bits = math.ceil(math.log2(n_total_curr))
                     h.rplm_l0 = [br.read_bits(bits)
                                  for _ in range(h.num_ref_idx_l0)]
+                if is_b and br.read_flag():  # ..._flag_l1
+                    h.rplm_l1 = [br.read_bits(bits)
+                                 for _ in range(h.num_ref_idx_l1)]
+            if is_b:
+                h.mvd_l1_zero = br.read_flag()
             if pps.cabac_init_present:
                 h.cabac_init_flag = br.read_flag()
             if h.temporal_mvp:
@@ -491,9 +497,12 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
                     SubError.Unsupported_codec,
                     "temporal MV prediction (slice_temporal_mvp) is not "
                     "supported yet")
-            if pps.weighted_pred:
+            if pps.weighted_pred and not is_b:
                 raise HeifError.unsupported(
                     SubError.Unsupported_codec, "weighted prediction")
+            if pps.weighted_bipred and is_b:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec, "weighted bi-prediction")
             h.max_num_merge_cand = 5 - br.read_ue()
         h.qp = pps.init_qp + br.read_se()
         if pps.slice_chroma_qp_offsets_present:

@@ -1,21 +1,33 @@
-"""HEVC P-frame encoder: IPPP sequences with skip / merge / MC +
-residual coding, closed-loop with the package's own decoder.
+"""HEVC inter encoder: IPPP / low-delay-B / reordered IBP sequences
+with skip / merge / MC + residual coding, closed-loop with the
+package's own decoder.
 
 Replaces the reference's x265 plugin boundary for video tracks
 (reference: libheif/plugins/encoder_x265.cc sequence path,
 sequences/track_visual.cc:478 encode).  Like the intra encoder it
 doubles as the differential-test oracle driver: its streams decode in
 libde265 and in this package's SequenceDecoder, and the two are
-compared bit-for-bit (tests/test_hevc_inter.py).
+compared bit-for-bit (tests/test_hevc_inter.py, test_hevc_bframes.py).
 
-Scope: P slices, 2Nx2N inter CUs only (skip / merge / AMVP with
-quarter-pel motion), single reference (the previous picture),
-list-0 only, no weighted prediction, no TMVP.  Intra CUs inside P
-slices are legal for the decoder but not emitted here.
+GOP structures:
+  "ipp" — IDR + P frames referencing the previous picture (round-3
+          behavior; decode order == display order).
+  "ldb" — low-delay B: IDR + B slices whose L0 and L1 both hold the
+          previous picture (generalized P/B); exercises
+          inter_pred_idc / bi-prediction without reordering.
+  "ibp" — reordered IBP: display I0 B1 P2 B3 P4…, encode order
+          I0 P2 B1 P4 B3…; B frames are TRAIL_N non-reference
+          pictures predicting from the surrounding I/P pair, so
+          samples need ctts composition offsets (spec 8.3.1 POC
+          bumping on the decode side).
+
+Scope: 2Nx2N inter CUs (skip / merge / AMVP with quarter-pel motion),
+single reference per list, no weighted prediction, no TMVP.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -30,29 +42,45 @@ from .encoder import (EncParams, IntraEncoder, write_sps, write_pps,
                       quantize, _ue, _se)
 from .headers import SliceHeader
 from .recon import (dequant, inverse_transform, mc_luma, mc_chroma,
+                    mc_luma_14, mc_chroma_14, weight_bi,
                     IntraReconstructor)
 from .filters import Deblocker
 from .tables import chroma_qp
 
 
-def write_p_slice_header(p: EncParams, sps, poc: int,
-                         ref_delta: int) -> BitWriter:
-    """P slice segment header (TRAIL_R): explicit one-negative-pic RPS,
-    PPS-default single reference, MaxNumMergeCand = 5."""
+@dataclass
+class SeqSample:
+    """One encoded track sample in decode order."""
+    data: bytes              # slice NAL (un-prefixed)
+    is_sync: bool
+    cts_offset: int = 0      # composition offset in frame units
+
+
+def write_inter_slice_header(p: EncParams, sps, poc: int,
+                             slice_type: int, d_before: int,
+                             d_after: int = 0) -> BitWriter:
+    """P/B slice segment header: explicit RPS with one negative pic
+    (and one positive pic for reordered B), PPS-default single
+    reference per list, MaxNumMergeCand = 5."""
     w = BitWriter()
     w.write_bits(1, 1)          # first_slice_in_pic
     _ue(w, 0)                   # pps id
-    _ue(w, 1)                   # slice_type P
+    _ue(w, slice_type)          # 0=B 1=P
     lsb_bits = sps.log2_max_pic_order_cnt_lsb
     w.write_bits(poc & ((1 << lsb_bits) - 1), lsb_bits)
     w.write_bits(0, 1)          # short_term_ref_pic_set_sps_flag → explicit
     # short_term_ref_pic_set (idx 0 of 0 in SPS → no inter_rps flag)
     _ue(w, 1)                   # num_negative_pics
-    _ue(w, 0)                   # num_positive_pics
-    _ue(w, ref_delta - 1)       # delta_poc_s0_minus1
-    w.write_bits(1, 1)          # used_by_curr_pic
+    _ue(w, 1 if d_after else 0)  # num_positive_pics
+    _ue(w, d_before - 1)        # delta_poc_s0_minus1
+    w.write_bits(1, 1)          # used_by_curr_pic_s0
+    if d_after:
+        _ue(w, d_after - 1)     # delta_poc_s1_minus1
+        w.write_bits(1, 1)      # used_by_curr_pic_s1
     # sps.temporal_mvp == 0 → nothing; sao off
-    w.write_bits(0, 1)          # num_ref_idx_active_override (pps: 1 ref)
+    w.write_bits(0, 1)          # num_ref_idx_active_override (pps: 1/1)
+    if slice_type == 0:
+        w.write_bits(0, 1)      # mvd_l1_zero_flag
     # lists_modification_present == 0, cabac_init_present == 0
     _ue(w, 0)                   # five_minus_max_num_merge_cand → 5
     _se(w, 0)                   # slice_qp_delta
@@ -62,42 +90,105 @@ def write_p_slice_header(p: EncParams, sps, poc: int,
     return w
 
 
+def write_p_slice_header(p: EncParams, sps, poc: int,
+                         ref_delta: int) -> BitWriter:
+    """Kept for the round-3 IPPP call sites."""
+    return write_inter_slice_header(p, sps, poc, 1, ref_delta)
+
+
 class SequenceEncoder(IntraEncoder):
-    """IPPP HEVC encoder: frame 0 IDR via IntraEncoder, then P frames
-    with 16x16 inter CUs (skip / merge / AMVP + residual).  Subclasses
-    IntraEncoder for the shared residual_coding emitter and context
-    helpers; a separate IntraEncoder instance encodes frame 0."""
+    """HEVC inter encoder: frame 0 IDR via IntraEncoder, then P or B
+    frames with 16x16 inter CUs (skip / merge / AMVP + residual).
+    Subclasses IntraEncoder for the shared residual_coding emitter and
+    context helpers; a separate IntraEncoder instance encodes frame 0."""
 
     def __init__(self, width: int, height: int, params: EncParams,
-                 search: int = 4, frac: bool = True):
+                 search: int = 4, frac: bool = True,
+                 gop_struct: str = "ipp"):
+        if gop_struct == "ibp":
+            params.num_reorder = max(getattr(params, "num_reorder", 0), 1)
         super().__init__(width, height, params)
         self.search = search
         self.frac = frac
+        self.gop_struct = gop_struct
         self.intra = IntraEncoder(width, height, params)
         self.sps = self.intra.sps
         self.pps = self.intra.pps
         self.width, self.height = self.intra.width, self.intra.height
         self.src_w, self.src_h = width, height
         self.poc = 0
-        self.dpb: List[Tuple[int, list]] = []    # [(poc, planes)]
+        self.dpb: List[Tuple[int, list]] = []    # [(poc, planes)] refs
+        self.config_nals: List[bytes] = []
+        self._held: Optional[PixelImage] = None  # ibp 1-frame lookahead
+        self._display = 0
 
     # ------------------------------------------------------------ frames
 
     def encode_frame(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
-        """Encode the next frame; returns (slice NAL, cfg NALs for the
-        first frame else [])."""
+        """IPPP/low-delay path: encode the next frame in display order;
+        returns (slice NAL, cfg NALs for the first frame else [])."""
         if self.poc == 0:
-            nal, cfg = self.intra.encode(img)
-            from .decoder import decode_intra_picture
-            planes = decode_intra_picture(self.sps, self.pps, [nal])
-            self.dpb = [(0, [np.asarray(pl, np.int32) for pl in planes])]
-            self.poc = 1
+            nal, cfg = self._encode_idr(img)
             return nal, cfg
-        nal = self._encode_p(img)
+        t = 0 if self.gop_struct == "ldb" else 1
+        nal = self._encode_inter(img, self.poc, t,
+                                 self.poc - self.dpb[-1][0])
         self.poc += 1
         return nal, []
 
-    # ---------------------------------------------------------- P frame
+    def push_frame(self, img: PixelImage) -> List[SeqSample]:
+        """Reorder-aware entry: feed display-order frames, receive
+        decode-order samples (possibly none / several).  Use flush()
+        after the last frame."""
+        if self.gop_struct != "ibp":
+            nal, _cfg = self.encode_frame(img)
+            self._display += 1
+            return [SeqSample(nal, is_sync=(nal[0] >> 1) >= 16)]
+        # IBP with one-frame lookahead
+        if self._display == 0:
+            nal, _cfg = self._encode_idr(img)
+            self._display = 1
+            return [SeqSample(nal, is_sync=True, cts_offset=0)]
+        if self._held is None:
+            self._held = img
+            self._display += 1
+            return []
+        b_img, p_img = self._held, img
+        self._held = None
+        p_poc = self.poc + 1           # display index of p_img
+        b_poc = self.poc               # display index of b_img
+        # encode P first (references the previous stored picture)
+        ref_poc = self.dpb[-1][0]
+        p_nal = self._encode_inter(p_img, p_poc, 1, p_poc - ref_poc)
+        # then the non-reference B between them
+        b_nal = self._encode_inter(b_img, b_poc, 0, b_poc - ref_poc,
+                                   d_after=p_poc - b_poc,
+                                   non_ref=True)
+        self.poc = p_poc + 1
+        self._display += 1
+        return [SeqSample(p_nal, is_sync=False, cts_offset=1),
+                SeqSample(b_nal, is_sync=False, cts_offset=-1)]
+
+    def flush(self) -> List[SeqSample]:
+        """Emit any held lookahead frame (trailing P)."""
+        if self._held is None:
+            return []
+        img, self._held = self._held, None
+        ref_poc = self.dpb[-1][0]
+        nal = self._encode_inter(img, self.poc, 1, self.poc - ref_poc)
+        self.poc += 1
+        return [SeqSample(nal, is_sync=False, cts_offset=0)]
+
+    def _encode_idr(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
+        nal, cfg = self.intra.encode(img)
+        from .decoder import decode_intra_picture
+        planes = decode_intra_picture(self.sps, self.pps, [nal])
+        self.dpb = [(0, [np.asarray(pl, np.int32) for pl in planes])]
+        self.poc = 1
+        self.config_nals = cfg
+        return nal, cfg
+
+    # ---------------------------------------------------------- inter frame
 
     def _pad_src(self, img: PixelImage):
         y = np.asarray(img.plane(Channel.Y)).astype(np.int32)
@@ -111,37 +202,58 @@ class SequenceEncoder(IntraEncoder):
                          (0, self.width // 2 - cr.shape[1])), mode="edge")
         return [y, cb, cr]
 
-    def _encode_p(self, img: PixelImage) -> bytes:
+    def _ref_planes(self, poc: int) -> list:
+        for p, planes in self.dpb:
+            if p == poc:
+                return planes
+        raise KeyError(f"encoder DPB missing POC {poc}")
+
+    def _encode_inter(self, img: PixelImage, poc: int, slice_type: int,
+                      d_before: int, d_after: int = 0,
+                      non_ref: bool = False) -> bytes:
         p = self.p
         src = self._pad_src(img)
-        ref_poc, ref = self.dpb[-1]
-        poc = self.poc
+        ref0_poc = poc - d_before
+        ref0 = self._ref_planes(ref0_poc)
+        if slice_type == 0:
+            # B: L0 = [before(+after)], L1 = [after(+before)] (spec 8.3.4)
+            ref1_poc = poc + d_after if d_after else ref0_poc
+            ref1 = self._ref_planes(ref1_poc)
+            l0_pocs, l1_pocs = [ref0_poc], [ref1_poc]
+        else:
+            ref1_poc, ref1 = None, None
+            l0_pocs, l1_pocs = [ref0_poc], []
 
-        sh = SliceHeader(slice_type=1, qp=p.qp, poc_lsb=poc,
-                         num_ref_idx_l0=1, max_num_merge_cand=5)
+        sh = SliceHeader(slice_type=slice_type, qp=p.qp, poc_lsb=poc,
+                         num_ref_idx_l0=1, num_ref_idx_l1=1,
+                         max_num_merge_cand=5)
         sh.deblocking_filter_disabled = not p.deblock
         syn = SliceSyntax(self.sps, self.pps, sh)
-        syn.ref_pocs_l0 = [ref_poc]
+        syn.ref_pocs_l0 = l0_pocs
+        syn.ref_pocs_l1 = l1_pocs
         # derivation host: the DECODER's own merge/AMVP methods over the
         # shared syntax maps (single source of truth for candidate
         # construction)
         host = SliceParser(self.sps, self.pps, sh, b"", [(0, 0)],
-                           ref_pocs_l0=[ref_poc], cur_poc=poc)
+                           ref_pocs_l0=l0_pocs, cur_poc=poc,
+                           ref_pocs_l1=l1_pocs)
         host.out = syn
 
-        self.ctx = ContextModels(1, p.qp)     # P initType 1
+        # initType (spec 9.3.2.2): P → 1, B → 2 (cabac_init_flag off)
+        self.ctx = ContextModels(1 if slice_type == 1 else 2, p.qp)
         self.enc = CabacEncoder(self.ctx)
         recon = [np.zeros_like(s) for s in src]
         self.syn = syn
         self._host = host
         self._src = src
-        self._ref = ref
+        self._ref = ref0
+        self._ref1 = ref1
         self._recon = recon
+        self._is_b = slice_type == 0
 
         ctb = 1 << p.ctb_log2
         n_cols = self.width // ctb
         n_rows = self.height // ctb
-        cu = 1 << p.cu_log2
         for row in range(n_rows):
             for col in range(n_cols):
                 x0, y0 = col * ctb, row * ctb
@@ -154,14 +266,22 @@ class SequenceEncoder(IntraEncoder):
 
         if p.deblock:
             Deblocker(syn, tuple(recon)).run()
-        self.dpb.append((poc, recon))
-        if len(self.dpb) > 4:
-            self.dpb.pop(0)
+        if not non_ref:
+            self.dpb.append((poc, recon))
+            if len(self.dpb) > 4:
+                self.dpb.pop(0)
 
-        shw = write_p_slice_header(p, self.sps, poc, poc - ref_poc)
-        # NAL: TRAIL_R (1), layer 0, tid 1
-        return bytes([1 << 1, 1]) + add_emulation_prevention(
+        shw = write_inter_slice_header(p, self.sps, poc, slice_type,
+                                       d_before, d_after)
+        # NAL: TRAIL_R (1) for reference pictures, TRAIL_N (0) for
+        # droppable B frames; layer 0, tid 1
+        nal_t = 0 if non_ref else 1
+        return bytes([nal_t << 1, 1]) + add_emulation_prevention(
             shw.data() + payload)
+
+    def _encode_p(self, img: PixelImage) -> bytes:
+        """Round-3 entry point (kept for direct callers)."""
+        return self._encode_inter(img, self.poc, 1, 1)
 
     def _quadtree(self, x0: int, y0: int, log2: int) -> None:
         p, enc, ctx, syn = self.p, self.enc, self.ctx, self.syn
@@ -199,27 +319,27 @@ class SequenceEncoder(IntraEncoder):
 
     # ------------------------------------------------------------- MC/ME
 
-    def _pred_for_mv(self, x0, y0, size, mv):
-        y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
-        return y
+    def _pred_for_mv(self, x0, y0, size, mv, which=0):
+        ref = self._ref1 if which else self._ref
+        return mc_luma(ref[0], x0, y0, size, size, mv[0], mv[1], 8)
 
-    def _sad(self, x0, y0, size, mv) -> int:
-        pred = self._pred_for_mv(x0, y0, size, mv)
+    def _sad(self, x0, y0, size, mv, which=0) -> int:
+        pred = self._pred_for_mv(x0, y0, size, mv, which)
         s = self._src[0][y0:y0 + size, x0:x0 + size]
         return int(np.abs(pred - s).sum())
 
-    def _motion_search(self, x0, y0, size, cands):
-        """Best (mv, sad): merge candidate MVs + integer window around
-        the best predictor + optional quarter-pel refinement."""
+    def _motion_search(self, x0, y0, size, seeds, which=0):
+        """Best (mv, sad): seed MVs + integer window around the best
+        predictor + optional quarter-pel refinement."""
         tried = {}
 
         def ev(mv):
             if mv not in tried:
-                tried[mv] = self._sad(x0, y0, size, mv)
+                tried[mv] = self._sad(x0, y0, size, mv, which)
             return tried[mv]
 
         best_mv, best = (0, 0), ev((0, 0))
-        for mv, _ref in cands:
+        for mv in seeds:
             s = ev(mv)
             if s < best:
                 best_mv, best = mv, s
@@ -241,7 +361,57 @@ class SequenceEncoder(IntraEncoder):
                         best_mv, best = mv, s
         return best_mv, best
 
+    def _bi_pred_y(self, x0, y0, size, mv0, mv1):
+        return weight_bi(
+            mc_luma_14(self._ref[0], x0, y0, size, size, mv0[0], mv0[1], 8),
+            mc_luma_14(self._ref1[0], x0, y0, size, size,
+                       mv1[0], mv1[1], 8), 8)
+
     # ------------------------------------------------------------ inter CU
+
+    def _choose_motion(self, x0, y0, size, cands):
+        """Pick (mv0, ref0, mv1, ref1) for this CU.  P slices: uni-L0.
+        B slices: best of uni-L0 / uni-L1 / bi by luma SAD."""
+        seeds0 = [c[0] for c in cands if c[1] >= 0]
+        mv0, sad0 = self._motion_search(x0, y0, size, seeds0, 0)
+        if not self._is_b:
+            return (mv0, 0, (0, 0), -1), sad0
+        seeds1 = [c[2] for c in cands if c[3] >= 0] + [mv0]
+        mv1, sad1 = self._motion_search(x0, y0, size, seeds1, 1)
+        src = self._src[0][y0:y0 + size, x0:x0 + size]
+        bi = self._bi_pred_y(x0, y0, size, mv0, mv1)
+        sad_bi = int(np.abs(bi - src).sum())
+        best = min(sad0, sad1, sad_bi)
+        if best == sad_bi and size >= 8:
+            return (mv0, 0, mv1, 0), sad_bi
+        if best == sad1:
+            return ((0, 0), -1, mv1, 0), sad1
+        return (mv0, 0, (0, 0), -1), sad0
+
+    def _cu_pred(self, x0, y0, log2, motion):
+        """Full-CU prediction planes for the chosen motion."""
+        size = 1 << log2
+        mv0, ref0, mv1, ref1 = motion
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        if ref0 >= 0 and ref1 >= 0:
+            pred_y = self._bi_pred_y(x0, y0, size, mv0, mv1)
+            pred_cb = weight_bi(
+                mc_chroma_14(self._ref[1], cx, cy, cs, cs,
+                             mv0[0], mv0[1], 8),
+                mc_chroma_14(self._ref1[1], cx, cy, cs, cs,
+                             mv1[0], mv1[1], 8), 8)
+            pred_cr = weight_bi(
+                mc_chroma_14(self._ref[2], cx, cy, cs, cs,
+                             mv0[0], mv0[1], 8),
+                mc_chroma_14(self._ref1[2], cx, cy, cs, cs,
+                             mv1[0], mv1[1], 8), 8)
+        else:
+            ref = self._ref if ref0 >= 0 else self._ref1
+            mv = mv0 if ref0 >= 0 else mv1
+            pred_y = mc_luma(ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+            pred_cb = mc_chroma(ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
+            pred_cr = mc_chroma(ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
+        return pred_y, pred_cb, pred_cr
 
     def _inter_cu(self, x0: int, y0: int, log2: int) -> None:
         p, enc, ctx, syn = self.p, self.enc, self.ctx, self.syn
@@ -249,16 +419,16 @@ class SequenceEncoder(IntraEncoder):
         nb = size >> 2
         bx0, by0 = x0 >> 2, y0 >> 2
         host = self._host
+        depth = self.sps.log2_ctb_size - log2
 
         cands = host._merge_candidates(x0, y0, size, size, 0, 0,
                                        x0, y0, size)
-        mv, sad = self._motion_search(x0, y0, size, cands)
+        motion, _sad = self._choose_motion(x0, y0, size, cands)
+        mv0, ref0, mv1, ref1 = motion
 
-        # residual decision at the chosen MV
-        pred_y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+        # residual decision at the chosen motion
+        pred_y, pred_cb, pred_cr = self._cu_pred(x0, y0, log2, motion)
         cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
-        pred_cb = mc_chroma(self._ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
-        pred_cr = mc_chroma(self._ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
         res_y = self._src[0][y0:y0 + size, x0:x0 + size] - pred_y
         res_cb = self._src[1][cy:cy + cs, cx:cx + cs] - pred_cb
         res_cr = self._src[2][cy:cy + cs, cx:cx + cs] - pred_cr
@@ -275,8 +445,8 @@ class SequenceEncoder(IntraEncoder):
         cbf_cr = bool(lv_cr.any())
         any_res = cbf_y or cbf_cb or cbf_cr
 
-        merge_idx = next((i for i, (cmv, cref) in enumerate(cands)
-                          if cmv == mv and cref == 0), None)
+        merge_idx = next((i for i, c in enumerate(cands)
+                          if c == motion), None)
 
         # ---- emission ----
         if merge_idx is not None and not any_res:
@@ -288,7 +458,7 @@ class SequenceEncoder(IntraEncoder):
                 skip_ctx += 1
             enc.encode_bin(ctx.idx("cu_skip_flag", skip_ctx), 1)
             self._emit_merge_idx(merge_idx)
-            self._finish_cu(x0, y0, log2, mv, skip=True,
+            self._finish_cu(x0, y0, log2, motion, skip=True,
                             levels=(None, None, None))
             return
 
@@ -307,15 +477,31 @@ class SequenceEncoder(IntraEncoder):
             self._emit_merge_idx(merge_idx)
         else:
             enc.encode_bin(ctx.idx("merge_flag"), 0)
-            # P: no inter_pred_idc; single ref → no ref_idx bins
-            mvps = host._amvp(x0, y0, size, size, 0)
-            d0 = abs(mv[0] - mvps[0][0]) + abs(mv[1] - mvps[0][1])
-            d1 = abs(mv[0] - mvps[1][0]) + abs(mv[1] - mvps[1][1])
-            mvp_flag = 1 if d1 < d0 else 0
-            mvp = mvps[mvp_flag]
-            mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
-            self._emit_mvd(mvd)
-            enc.encode_bin(ctx.idx("mvp_flag"), mvp_flag)
+            if self._is_b:
+                # inter_pred_idc (spec 9.3.3.8)
+                if ref0 >= 0 and ref1 >= 0:
+                    enc.encode_bin(ctx.idx("inter_pred_idc", depth), 1)
+                else:
+                    enc.encode_bin(ctx.idx("inter_pred_idc", depth), 0)
+                    enc.encode_bin(ctx.idx("inter_pred_idc", 4),
+                                   1 if ref1 >= 0 else 0)
+            if ref0 >= 0:
+                # single ref → no ref_idx bins
+                mvps = host._amvp(x0, y0, size, size, 0, 0)
+                d0 = abs(mv0[0] - mvps[0][0]) + abs(mv0[1] - mvps[0][1])
+                d1 = abs(mv0[0] - mvps[1][0]) + abs(mv0[1] - mvps[1][1])
+                mvp_flag = 1 if d1 < d0 else 0
+                mvp = mvps[mvp_flag]
+                self._emit_mvd((mv0[0] - mvp[0], mv0[1] - mvp[1]))
+                enc.encode_bin(ctx.idx("mvp_flag"), mvp_flag)
+            if ref1 >= 0:
+                mvps = host._amvp(x0, y0, size, size, 0, 1)
+                d0 = abs(mv1[0] - mvps[0][0]) + abs(mv1[1] - mvps[0][1])
+                d1 = abs(mv1[0] - mvps[1][0]) + abs(mv1[1] - mvps[1][1])
+                mvp_flag = 1 if d1 < d0 else 0
+                mvp = mvps[mvp_flag]
+                self._emit_mvd((mv1[0] - mvp[0], mv1[1] - mvp[1]))
+                enc.encode_bin(ctx.idx("mvp_flag"), mvp_flag)
 
         # rqt_root_cbf coded unless this is a 2Nx2N merge CU (a merge
         # CU without residual was emitted as skip above)
@@ -328,7 +514,7 @@ class SequenceEncoder(IntraEncoder):
         if any_res:
             self._emit_tu(x0, y0, log2, levels, cbf_y, cbf_cb, cbf_cr, qp,
                           cqp)
-        self._finish_cu(x0, y0, log2, mv, skip=False,
+        self._finish_cu(x0, y0, log2, motion, skip=False,
                         levels=levels if any_res else (None, None, None))
 
     def _emit_merge_idx(self, idx: int) -> None:
@@ -383,7 +569,7 @@ class SequenceEncoder(IntraEncoder):
                     qp=cqp, coeffs=lv_cr)
             self._write_residual(tu)
 
-    def _finish_cu(self, x0, y0, log2, mv, skip, levels) -> None:
+    def _finish_cu(self, x0, y0, log2, motion, skip, levels) -> None:
         """Closed-loop recon + map updates (mirrors the decoder)."""
         syn = self.syn
         size = 1 << log2
@@ -391,11 +577,10 @@ class SequenceEncoder(IntraEncoder):
         bx0, by0 = x0 >> 2, y0 >> 2
         qp = self.p.qp
         cqp = chroma_qp(min(max(qp, 0), 57))
+        mv0, ref0, mv1, ref1 = motion
 
-        pred_y = mc_luma(self._ref[0], x0, y0, size, size, mv[0], mv[1], 8)
+        pred_y, pred_cb, pred_cr = self._cu_pred(x0, y0, log2, motion)
         cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
-        pred_cb = mc_chroma(self._ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
-        pred_cr = mc_chroma(self._ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
         outs = [pred_y, pred_cb, pred_cr]
         for ci, lv in enumerate(levels):
             if lv is None:
@@ -418,6 +603,6 @@ class SequenceEncoder(IntraEncoder):
         syn.tu_log2[by0:by0 + nb, bx0:bx0 + nb] = log2
         syn.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp
         syn.skip_map[by0:by0 + nb, bx0:bx0 + nb] = int(skip)
-        pu = PU(x=x0, y=y0, w=size, h=size, mv=mv, ref_idx=0)
+        pu = PU(x=x0, y=y0, w=size, h=size, mv=mv0, ref_idx=ref0,
+                mv1=mv1, ref_idx1=ref1)
         self._host._set_pu(pu)
-

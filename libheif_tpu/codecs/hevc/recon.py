@@ -76,10 +76,10 @@ def _gather(ref: np.ndarray, y0: int, x0: int, h: int, w: int) -> np.ndarray:
     return ref[np.ix_(ys, xs)].astype(np.int64)
 
 
-def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
-            mvx: int, mvy: int, bd: int) -> np.ndarray:
-    """Uni-directional luma MC (spec 8.5.4.2.2.1 + default weighted
-    sample prediction 8.5.4.3.2); returns clipped (h, w) int32."""
+def mc_luma_14(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+               mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Luma fractional-sample interpolation (spec 8.5.4.2.2.1) at the
+    14-bit intermediate precision, before weighted sample prediction."""
     xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
     fx, fy = mvx & 3, mvy & 3
     shift1 = bd - 8
@@ -100,15 +100,13 @@ def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
         tmp = sum(t[i] * b[:, i:i + w] for i in range(8)) >> shift1
         t = _QFILT[fy]
         val = sum(t[i] * tmp[i:i + h, :] for i in range(8)) >> 6
-    sh = 14 - bd
-    return np.clip((val + (1 << (sh - 1))) >> sh, 0,
-                   (1 << bd) - 1).astype(np.int32)
+    return val
 
 
-def mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
-              mvx: int, mvy: int, bd: int) -> np.ndarray:
-    """Chroma MC at eighth-pel (spec 8.5.4.2.2.2); coords/dims in
-    chroma samples."""
+def mc_chroma_14(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
+                 mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Chroma eighth-pel interpolation (spec 8.5.4.2.2.2) at the 14-bit
+    intermediate precision; coords/dims in chroma samples."""
     xi, yi = xc + (mvx >> 3), yc + (mvy >> 3)
     fx, fy = mvx & 7, mvy & 7
     shift1 = bd - 8
@@ -129,18 +127,45 @@ def mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
         tmp = sum(t[i] * b[:, i:i + w] for i in range(4)) >> shift1
         t = _CFILT[fy]
         val = sum(t[i] * tmp[i:i + h, :] for i in range(4)) >> 6
+    return val
+
+
+def weight_uni(val: np.ndarray, bd: int) -> np.ndarray:
+    """Default uni-directional weighted sample prediction
+    (spec 8.5.4.3.2, predFlag one list)."""
     sh = 14 - bd
     return np.clip((val + (1 << (sh - 1))) >> sh, 0,
                    (1 << bd) - 1).astype(np.int32)
 
 
+def weight_bi(a: np.ndarray, b: np.ndarray, bd: int) -> np.ndarray:
+    """Default bi-directional weighted sample prediction
+    (spec 8.5.4.3.2: (predL0 + predL1 + offset2) >> shift2)."""
+    sh = 15 - bd
+    return np.clip((a + b + (1 << (sh - 1))) >> sh, 0,
+                   (1 << bd) - 1).astype(np.int32)
+
+
+def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+            mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Uni-directional luma MC incl. default weighting; clipped int32."""
+    return weight_uni(mc_luma_14(ref, x0, y0, w, h, mvx, mvy, bd), bd)
+
+
+def mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
+              mvx: int, mvy: int, bd: int) -> np.ndarray:
+    """Uni-directional chroma MC incl. default weighting."""
+    return weight_uni(mc_chroma_14(ref, xc, yc, w, h, mvx, mvy, bd), bd)
+
+
 class IntraReconstructor:
     """Sequential TU-order reconstruction of one picture."""
 
-    def __init__(self, syntax: SliceSyntax, refs=None):
-        """refs: list-0 reference pictures [(y, cb, cr) int32 planes]
-        for P slices."""
+    def __init__(self, syntax: SliceSyntax, refs=None, refs_l1=None):
+        """refs / refs_l1: reference pictures [(y, cb, cr) int32
+        planes] per list for P/B slices."""
         self.refs = refs or []
+        self.refs_l1 = refs_l1 or []
         self.syn = syntax
         sps = syntax.sps
         self.bd = sps.bit_depth_luma
@@ -362,18 +387,33 @@ class IntraReconstructor:
                        tu.x >> 2:(tu.x + n) >> 2] = True
 
     def _mc_pu(self, pu) -> None:
-        ref = self.refs[pu.ref_idx]
         bd = self.bd
-        y = mc_luma(ref[0], pu.x, pu.y, pu.w, pu.h, pu.mv[0], pu.mv[1], bd)
+        ref0 = self.refs[pu.ref_idx] if pu.ref_idx >= 0 else None
+        ref1 = self.refs_l1[pu.ref_idx1] if pu.ref_idx1 >= 0 else None
+        cx, cy = pu.x >> 1, pu.y >> 1
+        cw, chh = max(pu.w >> 1, 1), max(pu.h >> 1, 1)
+        if ref0 is not None and ref1 is not None:       # bi-predicted
+            y = weight_bi(
+                mc_luma_14(ref0[0], pu.x, pu.y, pu.w, pu.h,
+                           pu.mv[0], pu.mv[1], bd),
+                mc_luma_14(ref1[0], pu.x, pu.y, pu.w, pu.h,
+                           pu.mv1[0], pu.mv1[1], bd), bd)
+            chroma = [weight_bi(
+                mc_chroma_14(ref0[ci], cx, cy, cw, chh,
+                             pu.mv[0], pu.mv[1], bd),
+                mc_chroma_14(ref1[ci], cx, cy, cw, chh,
+                             pu.mv1[0], pu.mv1[1], bd), bd)
+                for ci in (1, 2)]
+        else:
+            ref, mv = (ref0, pu.mv) if ref0 is not None else (ref1, pu.mv1)
+            y = mc_luma(ref[0], pu.x, pu.y, pu.w, pu.h, mv[0], mv[1], bd)
+            chroma = [mc_chroma(ref[ci], cx, cy, cw, chh, mv[0], mv[1], bd)
+                      for ci in (1, 2)]
         ph, pw = self.planes[0].shape
         h = min(pu.h, ph - pu.y)
         w = min(pu.w, pw - pu.x)
         self.planes[0][pu.y:pu.y + h, pu.x:pu.x + w] = y[:h, :w]
-        cx, cy = pu.x >> 1, pu.y >> 1
-        cw, chh = max(pu.w >> 1, 1), max(pu.h >> 1, 1)
-        for ci in (1, 2):
-            blk = mc_chroma(ref[ci], cx, cy, cw, chh, pu.mv[0], pu.mv[1],
-                            bd)
+        for ci, blk in zip((1, 2), chroma):
             ph2, pw2 = self.planes[ci].shape
             h2 = min(chh, ph2 - cy)
             w2 = min(cw, pw2 - cx)

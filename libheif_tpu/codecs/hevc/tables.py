@@ -68,7 +68,9 @@ INIT_VALUES = {
     "part_mode": [[184], [154, 139, 154, 154], [154, 139, 154, 154]],
     "prev_intra_luma_pred_flag": [[184], [154], [183]],
     "intra_chroma_pred_mode": [[63], [152], [152]],
-    "rqt_root_cbf": [None, [79], [108]],
+    # initValue 79 for BOTH initTypes 1 and 2 (H.265 Table 9-19;
+    # validated bit-exact vs libde265 on B-slice AMVP streams)
+    "rqt_root_cbf": [None, [79], [79]],
     "merge_flag": [None, [110], [154]],
     "merge_idx": [None, [122], [137]],
     "inter_pred_idc": [None, [95, 79, 63, 31, 31], [95, 79, 63, 31, 31]],

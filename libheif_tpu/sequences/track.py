@@ -493,30 +493,54 @@ class TrackVisual(Track):
         return img
 
     def _decode_sample_sequential(self, dec, idx: int, limits=None):
-        """Decode sample idx through a persistent sequence session,
-        restarting from the nearest preceding sync sample on random
-        access (absent stss ⇒ every sample is sync)."""
+        """Decode output frame idx through a persistent sequence
+        session, restarting from the nearest preceding sync sample on
+        random access (absent stss ⇒ every sample is sync).
+
+        Samples are pushed in decode order; frames are pulled in
+        output order, which differs for B-frame tracks (the session
+        reorders by POC, ref: track_visual.cc:175 + the plugin DPB).
+        One pushed sample may yield zero frames (reorder latency), so
+        pushing and pulling are decoupled and the session is flushed
+        when the sample list is exhausted."""
         session = getattr(self, "_seq_session", None)
-        next_idx = getattr(self, "_seq_next", 0)
-        if session is None or idx < next_idx or \
-                (idx > next_idx and
+        next_out = getattr(self, "_seq_out", 0)
+        push_idx = getattr(self, "_seq_push", 0)
+        if session is None or idx < next_out or \
+                (idx > next_out and
                  any(self.samples[k].is_sync
-                     for k in range(next_idx + 1, idx + 1))):
+                     for k in range(push_idx + 1,
+                                    min(idx + 1, len(self.samples))))):
             # (re)start from the last sync sample at or before idx
-            start = idx
+            # (at sync points decode order == output order, so the
+            # sample index is also the output index)
+            start = min(idx, len(self.samples) - 1)
             while start > 0 and not self.samples[start].is_sync:
                 start -= 1
             session = dec.start_sequence(self._config_box(), limits=limits)
             self._seq_session = session
-            next_idx = start
+            next_out = start
+            push_idx = start
         img = None
-        for k in range(next_idx, idx + 1):
-            session.push_sample(self.sample_data(k))
-            img = session.pull()
-        self._seq_next = idx + 1
-        if img is None:
-            raise HeifError.invalid_input(
-                msg=f"sequence decode produced no frame for sample {idx}")
+        flushed = False
+        while next_out <= idx:
+            f = session.pull()
+            if f is None:
+                if push_idx < len(self.samples):
+                    session.push_sample(self.sample_data(push_idx))
+                    push_idx += 1
+                    continue
+                if not flushed and hasattr(session, "flush"):
+                    session.flush()
+                    flushed = True
+                    continue
+                raise HeifError.invalid_input(
+                    msg=f"sequence decode produced no frame for "
+                        f"sample {idx}")
+            img = f
+            next_out += 1
+        self._seq_out = next_out
+        self._seq_push = push_idx
         return img
 
     def decode_next_image(self, limits=None):
@@ -636,6 +660,7 @@ class VisualTrackWriter:
         self.sample_sizes: List[int] = []
         self.sample_offsets: List[int] = []
         self.sample_durations: List[int] = []
+        self.cts_offsets: List[int] = []     # signed, ctts v1 (B frames)
         self.sync_samples: List[int] = []
         self.config_box = None
         self.track_references: List[Tuple[str, List[int]]] = []
@@ -673,20 +698,43 @@ class VisualTrackWriter:
             enc = registry.get_encoder(self.fmt)
             inter = getattr(self.options, "inter_frames", False)
             if inter and hasattr(enc, "start_sequence_encode"):
-                # IPPP track: stateful sequence encode session
-                # (ref: track_visual.cc:478 feeding the plugin's GOP)
+                # inter track: stateful sequence encode session
+                # (ref: track_visual.cc:478 feeding the plugin's GOP).
+                # inter_frames may name the GOP structure ("ipp" IPPP,
+                # "ldb" low-delay B, "ibp" reordered B with ctts);
+                # True means "ipp".
+                gop_struct = inter if isinstance(inter, str) else "ipp"
                 if getattr(self, "_enc_session", None) is None:
-                    self._enc_session = enc.start_sequence_encode(
-                        img.width, img.height, options)
-                data, cfg, is_sync = self._enc_session.encode_frame(img)
-                if self.config_box is None and cfg is not None:
-                    self.config_box = cfg
+                    try:
+                        self._enc_session = enc.start_sequence_encode(
+                            img.width, img.height, options,
+                            gop_struct=gop_struct)
+                    except TypeError:
+                        self._enc_session = enc.start_sequence_encode(
+                            img.width, img.height, options)
+                session = self._enc_session
                 if tai is None:
                     tai = getattr(img, "tai_timestamp", None)
                 if gimi_content_id is None:
                     gimi_content_id = getattr(img,
                                               "gimi_sample_content_id",
                                               None)
+                self._last_duration = duration
+                if hasattr(session, "push_frames"):
+                    for data, cfg, is_sync, cts in session.push_frames(img):
+                        if self.config_box is None and cfg is not None:
+                            self.config_box = cfg
+                        self._append_sample(data, duration, tai,
+                                            gimi_content_id,
+                                            is_sync=is_sync,
+                                            cts_offset=cts * duration)
+                    if self.config_box is None and \
+                            getattr(session, "config", None) is not None:
+                        self.config_box = session.config
+                    return
+                data, cfg, is_sync = session.encode_frame(img)
+                if self.config_box is None and cfg is not None:
+                    self.config_box = cfg
                 self._append_sample(data, duration, tai, gimi_content_id,
                                     is_sync=is_sync)
                 return
@@ -710,11 +758,13 @@ class VisualTrackWriter:
     def _append_sample(self, data: bytes, duration: int,
                        tai: Optional[TaiTimestampPacket],
                        gimi_content_id: Optional[str],
-                       is_sync: bool = True) -> None:
+                       is_sync: bool = True,
+                       cts_offset: int = 0) -> None:
         off = self.file.append_sample_data(data)
         self.sample_offsets.append(off)
         self.sample_sizes.append(len(data))
         self.sample_durations.append(duration)
+        self.cts_offsets.append(cts_offset)
         if is_sync:
             self.sync_samples.append(len(self.sample_sizes))
         if self.tai_writer is not None:
@@ -763,6 +813,18 @@ class VisualTrackWriter:
         meta.children.extend([hdlr, pitm, iinf, iloc, idat])
         return meta
 
+    def flush_encoder(self) -> None:
+        """Drain a reorder-aware encode session's lookahead (trailing
+        P of an IBP GOP) into the sample table."""
+        session = getattr(self, "_enc_session", None)
+        if session is None or not hasattr(session, "flush_frames"):
+            return
+        duration = getattr(self, "_last_duration", 1)
+        for data, _cfg, is_sync, cts in session.flush_frames():
+            self._append_sample(data, duration, None, None,
+                                is_sync=is_sync,
+                                cts_offset=cts * duration)
+
     def finalize(self) -> Box:
         """Build the trak box tree."""
         from ..boxes.seq import (Box_trak, Box_mdia, Box_minf, Box_stbl,
@@ -770,6 +832,7 @@ class VisualTrackWriter:
                                  Box_stsd, Box_stts, Box_stsc, Box_stsz,
                                  Box_stco, Box_stss, Box_ccst,
                                  VisualSampleEntry)
+        self.flush_encoder()
         trak = Box_trak()
         tkhd = Box_tkhd()
         tkhd.track_id = self.track_id
@@ -821,7 +884,20 @@ class VisualTrackWriter:
         stco.offsets = list(self.sample_offsets)
         stss = Box_stss()
         stss.samples = list(self.sync_samples)
-        for b in (stsd, stts, stsc, stsz, stco, stss):
+        boxes = [stsd, stts]
+        if any(self.cts_offsets):
+            # composition offsets for reordered (B-frame) tracks;
+            # version 1 carries signed offsets (ISO 14496-12 §8.6.1.3)
+            ctts = Box_ctts()
+            ctts.version = 1
+            for o in self.cts_offsets:
+                if ctts.entries and ctts.entries[-1][1] == o:
+                    ctts.entries[-1] = (ctts.entries[-1][0] + 1, o)
+                else:
+                    ctts.entries.append((1, o))
+            boxes.append(ctts)
+        boxes += [stsc, stsz, stco, stss]
+        for b in boxes:
             stbl.children.append(b)
         for writer in (self.tai_writer, self.gimi_writer):
             if writer is not None and writer.saiz.sample_sizes:

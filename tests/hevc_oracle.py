@@ -75,20 +75,41 @@ def decode_nals(nals: List[bytes]) -> Optional[Dict[str, np.ndarray]]:
 def decode_nals_seq(nals: List[bytes]) -> Optional[List[Dict[str,
                                                               np.ndarray]]]:
     """Decode annex-B wrapped NALs with libde265 → list of plane dicts,
-    one per output picture in output order (for sequence difftests)."""
+    one per picture in DECODE order (the order slices appear in the
+    stream).  Each slice NAL is pushed with its decode index as PTS and
+    the output pictures are sorted back by that PTS, so the result is
+    independent of libde265's output/bumping behavior (needed for
+    B-frame streams, where output order != decode order)."""
     lib = _load()
     if lib is None:
         return None
+    lib.de265_get_image_PTS.restype = ctypes.c_int64
     dec = ctypes.c_void_p(lib.de265_new_decoder())
     frames = []
     try:
+        slice_idx = 0
         for nal in nals:
             buf = b"\x00\x00\x01" + nal
-            lib.de265_push_data(dec, buf, len(buf), 0, None)
-        lib.de265_flush_data(dec)
+            t = (nal[0] >> 1) & 0x3F
+            pts = slice_idx
+            if t <= 31:
+                slice_idx += 1
+            lib.de265_push_data(dec, buf, len(buf), pts, None)
+        # do NOT flush before decoding: flagging EOS up front makes
+        # libde265 output eagerly in decode order, defeating the POC
+        # reorder of B-frame streams; flush once the decoder stalls
+        WAITING = 13                # DE265_ERROR_WAITING_FOR_INPUT_DATA
+        flushed = False
         for _ in range(1000):
             more = ctypes.c_int(0)
             err = lib.de265_decode(dec, ctypes.byref(more))
+            if err == WAITING or not more.value:
+                if not flushed:
+                    lib.de265_flush_data(dec)
+                    flushed = True
+                    more.value = 1
+                else:
+                    more.value = 0
             while True:
                 pic = ctypes.c_void_p(lib.de265_get_next_picture(dec))
                 if not pic.value:
@@ -106,9 +127,10 @@ def decode_nals_seq(nals: List[bytes]) -> Optional[List[Dict[str,
                                                 shape=(stride.value * h,))
                     out[name] = arr.copy().reshape(
                         h, stride.value)[:, :w]
-                frames.append(out)
+                frames.append((int(lib.de265_get_image_PTS(pic)), out))
             if not more.value:
                 break
-        return frames
+        frames.sort(key=lambda kv: kv[0])
+        return [f for _, f in frames]
     finally:
         lib.de265_free_decoder(dec)

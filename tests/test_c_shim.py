@@ -118,6 +118,52 @@ def test_shim_symbol_count(api_surface_binary):
     assert len(syms) >= 250, f"only {len(syms)} exported heif_* symbols"
 
 
+@pytest.fixture(scope="module")
+def cxx_binary(tmp_path_factory):
+    """Build the heif:: C++ RAII wrapper consumer with g++
+    (the analog of the reference's heif_cxx.h + tests/cxx_wrapper.cc)."""
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ compiler")
+    tmp = tmp_path_factory.mktemp("cxxwrap")
+    inc, libdir, pylib = _python_config()
+    so = tmp / "libheif_shim.so"
+    subprocess.run(
+        ["gcc", "-shared", "-fPIC", os.path.join(CDIR, "heif_shim.c"),
+         f"-I{inc}", f"-L{libdir}", f"-l{pylib}", "-o", str(so)],
+        check=True, capture_output=True)
+    exe = tmp / "example_cxx"
+    subprocess.run(
+        ["g++", "-std=c++14", "-Wall", "-Werror",
+         os.path.join(CDIR, "example_cxx.cpp"), f"-I{CDIR}",
+         str(so), f"-L{libdir}", f"-l{pylib}",
+         f"-Wl,-rpath,{libdir}", f"-Wl,-rpath,{tmp}", "-o", str(exe)],
+        check=True, capture_output=True)
+    return str(exe)
+
+
+def test_cxx_wrapper_decode(cxx_binary):
+    """heif::Context / ImageHandle / Image decode flow."""
+    out = _run(cxx_binary, "/root/reference/examples/example.heic", REPO)
+    assert "primary 1280x854" in out
+    assert "expected error: code 1" in out
+    assert "cxx done" in out
+
+
+def test_cxx_wrapper_encode_roundtrip(cxx_binary, tmp_path):
+    """heif::Encoder + encode_image + metadata + write + reload."""
+    out_file = str(tmp_path / "cxx_out.heic")
+    out = _run(cxx_binary, "/root/reference/examples/example.heic",
+               REPO, out_file)
+    assert "hevc encoders:" in out
+    assert f"wrote {out_file}" in out
+    assert "reloaded 1280x854 exif blocks 1" in out
+    assert "cxx done" in out
+    from libheif_tpu.context import HeifContext
+    ctx = HeifContext.read_from_file(out_file)
+    img = ctx.decode_image(ctx.primary_item_id)
+    assert (img.width, img.height) == (1280, 854)
+
+
 def test_missing_file_maps_error(shim_binary):
     r = subprocess.run([shim_binary, "/does/not/exist.heic", REPO],
                        capture_output=True, text=True, timeout=600)

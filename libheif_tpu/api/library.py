@@ -77,15 +77,25 @@ class PluginHandle:
 
 
 def heif_load_plugin(path: str) -> PluginHandle:
-    """Load one plugin module from `path` and run its register()
-    (ref: heif_library.h heif_load_plugin; init.cc dlopen path).
-    Raises HeifError on a missing file or a module without register."""
+    """Load one plugin from `path` (ref: heif_library.h
+    heif_load_plugin; init.cc:349 dlopen path).
+
+    Shared objects (.so/.dylib/.dll) are dlopened and their
+    heif_tpu_get_decoder_plugin()/heif_tpu_get_encoder_plugin()
+    function tables registered (bindings/c/heif_tpu_plugin.h — the
+    native plugin ABI); .py files are imported and their register()
+    run.  Raises HeifError on a missing file, a module without
+    register(), or a shared object without plugin tables."""
     import importlib.util
     import os
     import uuid
     from ..core.error import HeifError, SubError
     if not os.path.isfile(path):
         raise HeifError.invalid_input(msg=f"plugin not found: {path}")
+    from .native_plugin import is_native_plugin_path, load_native_plugin
+    if is_native_plugin_path(path):
+        lib, decoders, encoders = load_native_plugin(path)
+        return PluginHandle(path, lib, decoders, encoders)
     name = "libheif_tpu_plugin_" + uuid.uuid4().hex
     spec = importlib.util.spec_from_file_location(name, path)
     if spec is None or spec.loader is None:
@@ -114,15 +124,22 @@ def heif_load_plugin(path: str) -> PluginHandle:
                         [e for e in after_e if e not in before_e])
 
 
+def _is_plugin_file(fname: str) -> bool:
+    if fname.startswith("_"):
+        return False
+    return fname.endswith((".py", ".so", ".dylib", ".dll"))
+
+
 def heif_load_plugins(directory: str) -> List[PluginHandle]:
-    """Load every *.py plugin in `directory`; skips files that fail
-    (matching the reference's best-effort directory scan)."""
+    """Load every plugin (*.py module or *.so native) in `directory`;
+    skips files that fail (matching the reference's best-effort
+    directory scan, plugins_unix.cc)."""
     import os
     out: List[PluginHandle] = []
     if not os.path.isdir(directory):
         return out
     for fname in sorted(os.listdir(directory)):
-        if not fname.endswith(".py") or fname.startswith("_"):
+        if not _is_plugin_file(fname):
             continue
         try:
             out.append(heif_load_plugin(os.path.join(directory, fname)))
@@ -162,7 +179,7 @@ def heif_get_plugin_paths() -> List[str]:
     for d in heif_get_plugin_directories():
         if os.path.isdir(d):
             out += [os.path.join(d, f) for f in sorted(os.listdir(d))
-                    if f.endswith(".py") and not f.startswith("_")]
+                    if _is_plugin_file(f)]
     return out
 
 

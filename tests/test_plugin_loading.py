@@ -74,6 +74,123 @@ def test_plugin_directories_env(tmp_path, monkeypatch):
     assert paths == [str(tmp_path / "toy_plugin.py")]
 
 
+# ---------------------------------------------------------------- native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CDIR = os.path.join(REPO, "bindings", "c")
+
+
+@pytest.fixture(scope="module")
+def native_plugin_so(tmp_path_factory):
+    """Compile the sample C plugin (bindings/c/example_plugin.c) into a
+    loadable shared object — the dlopen half of the plugin system
+    (ref: init.cc:349, plugins_unix.cc)."""
+    import shutil
+    import subprocess
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    tmp = tmp_path_factory.mktemp("nativeplug")
+    so = tmp / "grayraw_plugin.so"
+    subprocess.run(
+        ["gcc", "-shared", "-fPIC", "-Wall", "-Werror",
+         os.path.join(CDIR, "example_plugin.c"), f"-I{CDIR}",
+         "-o", str(so)],
+        check=True, capture_output=True)
+    return str(so)
+
+
+def test_native_plugin_roundtrip(native_plugin_so):
+    """dlopen a compiled .so plugin, run its encoder + decoder through
+    the registry, and unload it."""
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    assert not registry.have_decoder("grayraw")
+    handle = L.heif_load_plugin(native_plugin_so)
+    try:
+        assert len(handle.decoders) == 1 and len(handle.encoders) == 1
+        assert registry.have_decoder("grayraw")
+        assert registry.have_encoder("grayraw")
+        assert ("grayraw", "c-grayraw") in registry.list_decoders()
+
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 256, (13, 29), np.uint8)
+        img = PixelImage(29, 13, Colorspace.Monochrome,
+                         Chroma.Monochrome)
+        img.set_plane(Channel.Y, src, 8)
+
+        enc = registry.get_encoder("grayraw")
+        data, _cfg, _props = enc.encode_single_image(img)
+        assert data[:8] == (29).to_bytes(4, "big") + \
+            (13).to_bytes(4, "big")
+
+        dec = registry.get_decoder("grayraw")
+        out = dec.decode_single_image(None, data)
+        assert np.array_equal(np.asarray(out.plane(Channel.Y)), src)
+
+        # decoder error propagation: truncated payload → HeifError
+        with pytest.raises(HeifError):
+            dec.decode_single_image(None, data[:10])
+    finally:
+        L.heif_unload_plugin(handle)
+    assert not registry.have_decoder("grayraw")
+    assert not registry.have_encoder("grayraw")
+
+
+def test_native_plugin_security_limits(native_plugin_so):
+    """Native-decoded dimensions still pass through security limits."""
+    from libheif_tpu.core.limits import SecurityLimits
+    handle = L.heif_load_plugin(native_plugin_so)
+    try:
+        dec = registry.get_decoder("grayraw")
+        payload = (200).to_bytes(4, "big") + (200).to_bytes(4, "big") + \
+            bytes(200 * 200)
+        lim = SecurityLimits(max_image_size_pixels=100)
+        with pytest.raises(HeifError):
+            dec.decode_single_image(None, payload, limits=lim)
+    finally:
+        L.heif_unload_plugin(handle)
+
+
+def test_native_plugin_error_paths(tmp_path):
+    """Non-plugin shared objects and missing files map to HeifError."""
+    import shutil
+    import subprocess
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    # a real .so with no plugin tables
+    src = tmp_path / "empty.c"
+    src.write_text("int not_a_plugin(void) { return 1; }\n")
+    so = tmp_path / "empty.so"
+    subprocess.run(["gcc", "-shared", "-fPIC", str(src), "-o", str(so)],
+                   check=True, capture_output=True)
+    with pytest.raises(HeifError):
+        L.heif_load_plugin(str(so))
+    # garbage bytes
+    bad = tmp_path / "garbage.so"
+    bad.write_bytes(b"\x7fELFnot really")
+    with pytest.raises(HeifError):
+        L.heif_load_plugin(str(bad))
+
+
+def test_mixed_directory_scan(native_plugin_so, tmp_path, monkeypatch):
+    """heif_load_plugins picks up both .py modules and .so natives."""
+    import shutil
+    (tmp_path / "toy_plugin.py").write_text(PLUGIN_SRC)
+    shutil.copy(native_plugin_so, tmp_path / "grayraw_plugin.so")
+    handles = L.heif_load_plugins(str(tmp_path))
+    try:
+        assert len(handles) == 2
+        assert registry.have_decoder("toyfmt")
+        assert registry.have_decoder("grayraw")
+    finally:
+        for h in handles:
+            L.heif_unload_plugin(h)
+    assert not registry.have_decoder("toyfmt")
+    assert not registry.have_decoder("grayraw")
+    monkeypatch.setenv("LIBHEIF_TPU_PLUGIN_PATH", str(tmp_path))
+    assert str(tmp_path / "grayraw_plugin.so") in L.heif_get_plugin_paths()
+
+
 def test_plugin_decoder_overrides_builtin(tmp_path):
     """A higher-priority plugin decoder takes over a real format and
     actually serves context decodes; unloading restores the builtin."""

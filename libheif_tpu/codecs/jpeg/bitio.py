@@ -45,14 +45,32 @@ class HuffTable:
         for (ln, c), v in zip(self.codes, self.values):
             self.enc[v] = (ln, c)
 
-        # 16-bit lookahead decode table
-        self.lut_sym = np.zeros(1 << 16, dtype=np.int16)
-        self.lut_len = np.zeros(1 << 16, dtype=np.int8)
+        # 16-bit lookahead decode table, built lazily: the native scan
+        # engine builds its own 9-bit LUT, so the Python fallback alone
+        # pays this cost
+        self._lut_sym = None
+        self._lut_len = None
+
+    def _build_lut(self):
+        self._lut_sym = np.zeros(1 << 16, dtype=np.int16)
+        self._lut_len = np.zeros(1 << 16, dtype=np.int8)
         for (ln, c), v in zip(self.codes, self.values):
             shift = 16 - ln
             base = c << shift
-            self.lut_sym[base:base + (1 << shift)] = v
-            self.lut_len[base:base + (1 << shift)] = ln
+            self._lut_sym[base:base + (1 << shift)] = v
+            self._lut_len[base:base + (1 << shift)] = ln
+
+    @property
+    def lut_sym(self):
+        if self._lut_sym is None:
+            self._build_lut()
+        return self._lut_sym
+
+    @property
+    def lut_len(self):
+        if self._lut_len is None:
+            self._build_lut()
+        return self._lut_len
 
 
 def unstuff(segment: bytes) -> np.ndarray:

@@ -355,7 +355,7 @@ class JpegParser:
             ptrs[i] = comp.coeffs.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int16))
         exhausted = ctypes.c_int(0)
-        rc = lib.tpuheif_jpeg_decode_scan(
+        base_args = (
             entropy, ctypes.c_size_t(len(entropy)), n,
             arr_i([c.h for c, _, _ in comps]),
             arr_i([c.v for c, _, _ in comps]),
@@ -366,6 +366,35 @@ class JpegParser:
             ptrs, dc_bits, dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals,
             int(interleaved), mcus_w, total_mcus,
             frame.restart_interval, ctypes.byref(exhausted))
+
+        # pipelined scan+recon (one pass over the image: the consumer
+        # thread runs IDCT bands while the Huffman chain advances) when
+        # this single scan covers the whole frame
+        recon = None
+        if len(comps) == len(frame.components) and \
+                all(c.tq in frame.quant for c, _, _ in comps) and \
+                hasattr(lib, "tpuheif_jpeg_decode_scan_recon"):
+            outs = []
+            quants = []
+            out_ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+            q_ptrs = (ctypes.POINTER(ctypes.c_int32) * n)()
+            strides = (ctypes.c_int64 * n)()
+            for i, (comp, _, _) in enumerate(comps):
+                out = np.empty((comp.blocks_h * 8, comp.blocks_w * 8),
+                               np.uint8)
+                q = np.ascontiguousarray(frame.quant[comp.tq], np.int32)
+                outs.append(out)
+                quants.append(q)
+                out_ptrs[i] = out.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8))
+                q_ptrs[i] = q.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32))
+                strides[i] = comp.blocks_w * 8
+            rc = lib.tpuheif_jpeg_decode_scan_recon(
+                *base_args, q_ptrs, out_ptrs, strides)
+            recon = outs
+        else:
+            rc = lib.tpuheif_jpeg_decode_scan(*base_args)
         if rc == -1:
             raise HeifError.invalid_input(SubError.Invalid_parameter_value,
                                           "invalid huffman code")
@@ -380,6 +409,8 @@ class JpegParser:
         if exhausted.value:
             frame.warnings.append(
                 "premature end of entropy-coded data")
+        if recon is not None:
+            frame.recon_planes = recon
         return True
 
     @staticmethod
@@ -520,6 +551,63 @@ def reconstruct_component(comp: JpegComponent, quant: np.ndarray):
     return np.asarray(fn(comp.coeffs, np.asarray(quant)))
 
 
+_RECON_POOL = None
+
+
+def _recon_pool():
+    global _RECON_POOL
+    if _RECON_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _RECON_POOL = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="jpeg-recon")
+    return _RECON_POOL
+
+
+def _recon_native_striped(frame):
+    """Stripe-parallel native recon of all components through one flat
+    task pool (the C recon releases the GIL; luma is split into block-
+    row stripes so the wall time is not luma-bound).  Returns planes or
+    None when the native engine is unavailable."""
+    from ... import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    lib.tpuheif_jpeg_recon.restype = ctypes.c_int
+    tasks = []
+    outs = []
+    for c in frame.components:
+        bh, bw = c.blocks_h, c.blocks_w
+        co = np.ascontiguousarray(c.coeffs, np.int16)
+        q = np.ascontiguousarray(frame.quant[c.tq], np.int32)
+        out = np.empty((bh * 8, bw * 8), np.uint8)
+        outs.append(out)
+        n_stripes = max(1, min(4, bh // 8))
+        bounds = [bh * i // n_stripes for i in range(n_stripes + 1)]
+        for s in range(n_stripes):
+            b0, b1 = bounds[s], bounds[s + 1]
+            if b0 == b1:
+                continue
+
+            def run(co=co, q=q, out=out, b0=b0, b1=b1, bw=bw):
+                lib.tpuheif_jpeg_recon(
+                    co[b0 * bw:b1 * bw].ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int16)),
+                    ctypes.c_int(b1 - b0), ctypes.c_int(bw),
+                    q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    out[b0 * 8:].ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.c_int64(bw * 8))
+            tasks.append(run)
+    if len(tasks) > 1:
+        pool = _recon_pool()
+        list(pool.map(lambda f: f(), tasks))
+    else:
+        for t in tasks:
+            t()
+    return outs
+
+
 def decode_jpeg(data: bytes) -> PixelImage:
     """Decode a complete JFIF/raw JPEG stream to a PixelImage."""
     frame = JpegParser(data).parse()
@@ -534,21 +622,32 @@ def decode_jpeg(data: bytes) -> PixelImage:
 
     h_max, v_max = frame.h_max, frame.v_max
 
-    def _recon(c):
-        p = reconstruct_component(c, frame.quant[c.tq])
+    def _crop(c, p):
         cw = -(-frame.width * c.h // h_max)
         ch = -(-frame.height * c.v // v_max)
         return p[:ch, :cw]
 
-    if ncomp > 1:
-        # the native recon releases the GIL: run components in parallel
-        # (the reference's plugin relies on libjpeg-internal threading
-        # the same way, heif_decoding num_codec_threads)
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(ncomp, 3)) as ex:
-            planes = list(ex.map(_recon, frame.components))
-    else:
-        planes = [_recon(frame.components[0])]
+    import os
+    planes = None
+    if os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "native") == "native":
+        full = getattr(frame, "recon_planes", None)
+        if full is None:
+            full = _recon_native_striped(frame)
+        if full is not None:
+            planes = [_crop(c, p)
+                      for c, p in zip(frame.components, full)]
+
+    if planes is None:
+        def _recon(c):
+            return _crop(c, reconstruct_component(c, frame.quant[c.tq]))
+
+        if ncomp > 1:
+            # the jnp recon also benefits from per-component threads
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(ncomp, 3)) as ex:
+                planes = list(ex.map(_recon, frame.components))
+        else:
+            planes = [_recon(frame.components[0])]
 
     if ncomp == 1:
         img = PixelImage(frame.width, frame.height, Colorspace.Monochrome,

@@ -10,8 +10,10 @@
 //
 // C ABI only; driven from Python via ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -57,6 +59,7 @@ struct HuffLut {
 
   // decode one symbol; returns -1 on invalid code
   inline int decode(BitReader& br);
+  inline int decode_nofill(BitReader& br);
 };
 
 struct BitReader {
@@ -102,9 +105,25 @@ struct BitReader {
   inline void prefill() {
     if (nbits < 32 && pos + 8 <= size) fill(32);
   }
+  // bulk refill with the tail bound already established by the caller
+  inline void refill_unchecked() {
+    uint64_t chunk;
+    std::memcpy(&chunk, data + pos, 8);
+    chunk = __builtin_bswap64(chunk);
+    int take = (56 - nbits) >> 3;
+    acc = (acc << (8 * take)) | (chunk >> (64 - 8 * take));
+    nbits += 8 * take;
+    pos += take;
+  }
   int read_bits(int n) {
     if (n == 0) return 0;
     fill(n);
+    int v = static_cast<int>((acc >> (nbits - n)) & ((1u << n) - 1));
+    nbits -= n;
+    return v;
+  }
+  inline int read_bits_nofill(int n) {
+    if (n == 0) return 0;
     int v = static_cast<int>((acc >> (nbits - n)) & ((1u << n) - 1));
     nbits -= n;
     return v;
@@ -131,10 +150,144 @@ inline int HuffLut::decode(BitReader& br) {
   return -1;
 }
 
+// symbol decode with the accumulator known to hold >= 16 bits
+inline int HuffLut::decode_nofill(BitReader& br) {
+  int look = static_cast<int>((br.acc >> (br.nbits - 16)) & 0xFFFF);
+  uint16_t e = fast[look >> 7];
+  if (e) {
+    br.nbits -= e & 0xF;
+    return e >> 4;
+  }
+  for (int l = 10; l <= 16; ++l) {
+    int code = look >> (16 - l);
+    if (maxcode[l] >= 0 && code <= maxcode[l]) {
+      br.nbits -= l;
+      return huffval[valoff[l] + code];
+    }
+  }
+  return -1;
+}
+
 inline int extend(int v, int size) {
   if (size == 0) return 0;
   if (v < (1 << (size - 1))) return v - (1 << size) + 1;
   return v;
+}
+
+// Decode one 8x8 block with branchless per-coefficient refills over a
+// top-aligned 64-bit bit buffer; the caller guarantees >= 264 readable
+// bytes (a block consumes at most 64 coefficient pairs x 32 bits, and
+// each refill advances pos by at most 7).  Returns 0 ok, <0 error.
+inline int decode_block_fast(BitReader& br, HuffLut& dt, HuffLut& at,
+                             int16_t* block, int* pred) {
+  // convert to the top-aligned representation
+  uint64_t buf = br.nbits ? (br.acc << (64 - br.nbits)) : 0;
+  int cnt = br.nbits;
+  size_t pos = br.pos;
+  const uint8_t* data = br.data;
+  int err = 0;
+
+#define TPUJ_REFILL()                                        \
+  do {                                                       \
+    uint64_t chunk_;                                         \
+    std::memcpy(&chunk_, data + pos, 8);                     \
+    buf |= __builtin_bswap64(chunk_) >> cnt;                 \
+    pos += (63 - cnt) >> 3;                                  \
+    cnt |= 56;                                               \
+  } while (0)
+
+#define TPUJ_SYM(lut, out_sym)                               \
+  do {                                                       \
+    uint16_t e_ = (lut).fast[buf >> 55];                     \
+    if (e_) {                                                \
+      int l_ = e_ & 0xF;                                     \
+      buf <<= l_;                                            \
+      cnt -= l_;                                             \
+      (out_sym) = e_ >> 4;                                   \
+    } else {                                                 \
+      int look_ = static_cast<int>(buf >> 48);               \
+      (out_sym) = -1;                                        \
+      for (int l_ = 10; l_ <= 16; ++l_) {                    \
+        int code_ = look_ >> (16 - l_);                      \
+        if ((lut).maxcode[l_] >= 0 &&                        \
+            code_ <= (lut).maxcode[l_]) {                    \
+          buf <<= l_;                                        \
+          cnt -= l_;                                         \
+          (out_sym) = (lut).huffval[(lut).valoff[l_] + code_]; \
+          break;                                             \
+        }                                                    \
+      }                                                      \
+    }                                                        \
+  } while (0)
+
+  TPUJ_REFILL();
+  int s;
+  TPUJ_SYM(dt, s);
+  if (s < 0) { err = -1; goto done; }
+  if (s) {
+    int v = static_cast<int>(buf >> (64 - s));
+    buf <<= s;
+    cnt -= s;
+    *pred += extend(v, s);
+  }
+  block[0] = static_cast<int16_t>(*pred);
+  {
+    int k = 1;
+    while (k < 64) {
+      TPUJ_REFILL();
+      int rs;
+      TPUJ_SYM(at, rs);
+      if (rs < 0) { err = -1; goto done; }
+      int r = rs >> 4;
+      s = rs & 15;
+      if (s == 0) {
+        if (r == 15) { k += 16; continue; }
+        break;  // EOB
+      }
+      k += r;
+      if (k > 63) { err = -2; goto done; }
+      int v = static_cast<int>(buf >> (64 - s));
+      buf <<= s;
+      cnt -= s;
+      block[k] = static_cast<int16_t>(extend(v, s));
+      ++k;
+    }
+  }
+done:
+#undef TPUJ_REFILL
+#undef TPUJ_SYM
+  // convert back to the bottom-aligned reader state
+  br.acc = cnt ? (buf >> (64 - cnt)) : 0;
+  br.nbits = cnt;
+  br.pos = pos;
+  return err;
+}
+
+// Tail-safe variant (zero-padded reads past the end).
+inline int decode_block_safe(BitReader& br, HuffLut& dt, HuffLut& at,
+                             int16_t* block, int* pred) {
+  br.prefill();
+  int s = dt.decode(br);
+  if (s < 0) return -1;
+  *pred += s ? extend(br.read_bits(s), s) : 0;
+  block[0] = static_cast<int16_t>(*pred);
+  int k = 1;
+  while (k < 64) {
+    br.prefill();
+    int rs = at.decode(br);
+    if (rs < 0) return -1;
+    int r = rs >> 4;
+    s = rs & 15;
+    if (s == 0) {
+      if (r == 15) { k += 16; continue; }
+      return 0;
+    }
+    k += r;
+    if (k > 63) return -2;
+    block[k] = static_cast<int16_t>(extend(br.read_bits(s), s));
+    ++k;
+  }
+  return 0;
 }
 
 struct Comp {
@@ -156,7 +309,7 @@ extern "C" {
 // Returns 0 on success, negative error codes otherwise.
 // *exhausted_out is set when the scan zero-padded past the end
 // (truncated stream — caller surfaces a decode warning).
-int tpuheif_jpeg_decode_scan(
+static int tpuheif_jpeg_decode_scan_impl(
     const uint8_t* entropy, size_t entropy_len,
     int ncomp,
     const int* comp_h, const int* comp_v,
@@ -167,7 +320,7 @@ int tpuheif_jpeg_decode_scan(
     const int* dc_nvals,
     const uint8_t* ac_bits, const uint8_t* ac_vals, const int* ac_nvals,
     int interleaved, int mcus_w, int total_mcus, int restart_interval,
-    int* exhausted_out) {
+    int* exhausted_out, std::atomic<int>* mcu_rows_done) {
   HuffLut dc_lut[4], ac_lut[4];
   for (int i = 0; i < 4; ++i) {
     if (dc_nvals[i] > 0) dc_lut[i].build(dc_bits + 16 * i, dc_vals + 256 * i,
@@ -210,21 +363,36 @@ int tpuheif_jpeg_decode_scan(
   int preds[16];
 
   for (auto& seg : segs) {
-    // unstuff FF00 -> FF
+    // unstuff FF00 -> FF: memchr-run copies (0xFF bytes are ~1/256 of
+    // the stream, so this is bulk memcpy instead of a per-byte loop)
     clean.clear();
     clean.reserve(seg.second - seg.first);
-    for (size_t i = seg.first; i < seg.second; ++i) {
-      uint8_t b = entropy[i];
-      clean.push_back(b);
-      if (b == 0xFF && i + 1 < seg.second && entropy[i + 1] == 0x00) ++i;
+    {
+      const uint8_t* p = entropy + seg.first;
+      const uint8_t* end = entropy + seg.second;
+      while (p < end) {
+        const uint8_t* ff = static_cast<const uint8_t*>(
+            std::memchr(p, 0xFF, static_cast<size_t>(end - p)));
+        if (ff == nullptr) {
+          clean.insert(clean.end(), p, end);
+          break;
+        }
+        clean.insert(clean.end(), p, ff + 1);   // include the 0xFF
+        p = ff + 1;
+        if (p < end && *p == 0x00) ++p;         // drop the stuffing byte
+      }
     }
     BitReader br{clean.data(), clean.size()};
     for (int i = 0; i < ncomp; ++i) preds[i] = 0;
 
     int seg_end = mcu + ri;
     if (seg_end > total_mcus) seg_end = total_mcus;
+    int my = mcus_w ? mcu / mcus_w : 0;
+    int mx = mcus_w ? mcu % mcus_w : 0;
     for (; mcu < seg_end; ++mcu) {
       int ncblocks = interleaved ? ncomp : 1;
+      // a whole block's worst case fits in 264 bytes: refills inside
+      // decode_block_fast then need no bound checks
       for (int ci = 0; ci < ncblocks; ++ci) {
         Comp& c = comps[ci];
         HuffLut& dt = dc_lut[c.dc_tbl];
@@ -235,38 +403,26 @@ int tpuheif_jpeg_decode_scan(
           for (int bx = 0; bx < nbx; ++bx) {
             int idx;
             if (interleaved) {
-              int my = mcu / mcus_w, mx = mcu % mcus_w;
               idx = (my * c.v + by) * c.blocks_w + (mx * c.h + bx);
             } else {
               idx = mcu;
             }
             int16_t* block = c.coeffs + static_cast<size_t>(idx) * 64;
-            // DC
-            br.prefill();
-            int s = dt.decode(br);
-            if (s < 0) return -1;
-            int diff = s ? extend(br.read_bits(s), s) : 0;
-            preds[ci] += diff;
-            block[0] = static_cast<int16_t>(preds[ci]);
-            // AC
-            int k = 1;
-            while (k < 64) {
-              br.prefill();
-              int rs = at.decode(br);
-              if (rs < 0) return -1;
-              int r = rs >> 4;
-              s = rs & 15;
-              if (s == 0) {
-                if (r == 15) { k += 16; continue; }
-                break;  // EOB
-              }
-              k += r;
-              if (k > 63) return -2;
-              block[k] = static_cast<int16_t>(extend(br.read_bits(s), s));
-              ++k;
+            int rc;
+            if (br.pos + 264 <= br.size) {
+              rc = decode_block_fast(br, dt, at, block, &preds[ci]);
+            } else {
+              rc = decode_block_safe(br, dt, at, block, &preds[ci]);
             }
+            if (rc < 0) return rc;
           }
         }
+      }
+      if (++mx == mcus_w) {
+        mx = 0;
+        ++my;
+        if (mcu_rows_done)
+          mcu_rows_done->store(my, std::memory_order_release);
       }
     }
     if (br.exhausted) exhausted = true;
@@ -274,6 +430,24 @@ int tpuheif_jpeg_decode_scan(
   }
   *exhausted_out = exhausted ? 1 : 0;
   return mcu < total_mcus ? -4 : 0;
+}
+
+int tpuheif_jpeg_decode_scan(
+    const uint8_t* entropy, size_t entropy_len,
+    int ncomp,
+    const int* comp_h, const int* comp_v,
+    const int* comp_blocks_w, const int* comp_blocks_h,
+    const int* comp_dc_tbl, const int* comp_ac_tbl,
+    int16_t** comp_coeffs,
+    const uint8_t* dc_bits, const uint8_t* dc_vals, const int* dc_nvals,
+    const uint8_t* ac_bits, const uint8_t* ac_vals, const int* ac_nvals,
+    int interleaved, int mcus_w, int total_mcus, int restart_interval,
+    int* exhausted_out) {
+  return tpuheif_jpeg_decode_scan_impl(
+      entropy, entropy_len, ncomp, comp_h, comp_v, comp_blocks_w,
+      comp_blocks_h, comp_dc_tbl, comp_ac_tbl, comp_coeffs, dc_bits,
+      dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals, interleaved, mcus_w,
+      total_mcus, restart_interval, exhausted_out, nullptr);
 }
 
 // ---------------------------------------------------------------------
@@ -301,6 +475,84 @@ const int kConstBits = 13, kPass1Bits = 2;
 
 inline int32_t descale(int32_t x, int n) {
   return (x + (1 << (n - 1))) >> n;
+}
+
+// ---- 8-lane vectorized islow (GCC vector extensions; elementwise
+// identical integer arithmetic, so bit-compatible with the scalar
+// path and with libjpeg's jpeg_idct_islow) ----
+
+typedef int32_t v8si __attribute__((vector_size(32)));
+
+inline v8si descale_v(v8si x, int n) {
+  return (x + (1 << (n - 1))) >> n;
+}
+
+inline void idct_1d_v(v8si c0, v8si c1, v8si c2, v8si c3, v8si c4,
+                      v8si c5, v8si c6, v8si c7, int bits, v8si* o) {
+  v8si z1 = (c2 + c6) * kF0_541196100;
+  v8si tmp2 = z1 - c6 * kF1_847759065;
+  v8si tmp3 = z1 + c2 * kF0_765366865;
+  v8si tmp0 = (c0 + c4) << kConstBits;
+  v8si tmp1 = (c0 - c4) << kConstBits;
+  v8si tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  v8si tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+  v8si t0 = c7, t1 = c5, t2 = c3, t3 = c1;
+  z1 = t0 + t3;
+  v8si z2 = t1 + t2, z3 = t0 + t2, z4 = t1 + t3;
+  v8si z5 = (z3 + z4) * kF1_175875602;
+  t0 *= kF0_298631336;
+  t1 *= kF2_053119869;
+  t2 *= kF3_072711026;
+  t3 *= kF1_501321110;
+  z1 *= -kF0_899976223;
+  z2 *= -kF2_562915447;
+  z3 = z3 * -kF1_961570560 + z5;
+  z4 = z4 * -kF0_390180644 + z5;
+  t0 += z1 + z3;
+  t1 += z2 + z4;
+  t2 += z2 + z3;
+  t3 += z1 + z4;
+  o[0] = descale_v(tmp10 + t3, bits);
+  o[1] = descale_v(tmp11 + t2, bits);
+  o[2] = descale_v(tmp12 + t1, bits);
+  o[3] = descale_v(tmp13 + t0, bits);
+  o[4] = descale_v(tmp13 - t0, bits);
+  o[5] = descale_v(tmp12 - t1, bits);
+  o[6] = descale_v(tmp11 - t2, bits);
+  o[7] = descale_v(tmp10 - t3, bits);
+}
+
+inline void transpose8(v8si m[8]) {
+  const v8si lo32 = {0, 8, 1, 9, 4, 12, 5, 13};
+  const v8si hi32 = {2, 10, 3, 11, 6, 14, 7, 15};
+  v8si t0 = __builtin_shuffle(m[0], m[1], lo32);
+  v8si t1 = __builtin_shuffle(m[2], m[3], lo32);
+  v8si t2 = __builtin_shuffle(m[4], m[5], lo32);
+  v8si t3 = __builtin_shuffle(m[6], m[7], lo32);
+  v8si t4 = __builtin_shuffle(m[0], m[1], hi32);
+  v8si t5 = __builtin_shuffle(m[2], m[3], hi32);
+  v8si t6 = __builtin_shuffle(m[4], m[5], hi32);
+  v8si t7 = __builtin_shuffle(m[6], m[7], hi32);
+  const v8si lo64 = {0, 1, 8, 9, 4, 5, 12, 13};
+  const v8si hi64 = {2, 3, 10, 11, 6, 7, 14, 15};
+  v8si u0 = __builtin_shuffle(t0, t1, lo64);
+  v8si u1 = __builtin_shuffle(t2, t3, lo64);
+  v8si u2 = __builtin_shuffle(t0, t1, hi64);
+  v8si u3 = __builtin_shuffle(t2, t3, hi64);
+  v8si u4 = __builtin_shuffle(t4, t5, lo64);
+  v8si u5 = __builtin_shuffle(t6, t7, lo64);
+  v8si u6 = __builtin_shuffle(t4, t5, hi64);
+  v8si u7 = __builtin_shuffle(t6, t7, hi64);
+  const v8si lo128 = {0, 1, 2, 3, 8, 9, 10, 11};
+  const v8si hi128 = {4, 5, 6, 7, 12, 13, 14, 15};
+  m[0] = __builtin_shuffle(u0, u1, lo128);
+  m[4] = __builtin_shuffle(u0, u1, hi128);
+  m[1] = __builtin_shuffle(u2, u3, lo128);
+  m[5] = __builtin_shuffle(u2, u3, hi128);
+  m[2] = __builtin_shuffle(u4, u5, lo128);
+  m[6] = __builtin_shuffle(u4, u5, hi128);
+  m[3] = __builtin_shuffle(u6, u7, lo128);
+  m[7] = __builtin_shuffle(u6, u7, hi128);
 }
 
 inline void idct_1d(int32_t c0, int32_t c1, int32_t c2, int32_t c3,
@@ -344,44 +596,123 @@ inline void idct_1d(int32_t c0, int32_t c1, int32_t c2, int32_t c3,
 // coeffs: (bh*bw, 64) int16 in zigzag order; quant: 64 int32 in
 // NATURAL order (indexed quant[zigzag[i]] like the Python path);
 // out: (bh*8) x (bw*8) uint8 plane with row stride `stride`.
+static void recon_rows(const int16_t* coeffs, int by0, int by1, int bw,
+                       const int32_t* quant, uint8_t* out,
+                       int64_t stride);
+
 int tpuheif_jpeg_recon(const int16_t* coeffs, int bh, int bw,
                        const int32_t* quant, uint8_t* out,
                        int64_t stride) {
-  int32_t dq[64], ws[64], col[8], row[8];
-  for (int by = 0; by < bh; ++by) {
-    for (int bx = 0; bx < bw; ++bx) {
-      const int16_t* c = coeffs + (static_cast<int64_t>(by) * bw + bx) * 64;
-      for (int i = 0; i < 64; ++i)
-        dq[kZigzag[i]] = static_cast<int32_t>(c[i]) * quant[kZigzag[i]];
-      // pass 1: columns (zero-AC shortcut matches the full butterfly
-      // exactly: (dc<<13 + 1<<10) >> 11 == dc << 2)
-      for (int x = 0; x < 8; ++x) {
-        if ((dq[8 + x] | dq[16 + x] | dq[24 + x] | dq[32 + x] |
-             dq[40 + x] | dq[48 + x] | dq[56 + x]) == 0) {
-          int32_t v = dq[x] << kPass1Bits;
-          for (int y = 0; y < 8; ++y) ws[y * 8 + x] = v;
+  recon_rows(coeffs, 0, bh, bw, quant, out, stride);
+  return 0;
+}
+
+// Decode scan + reconstruct in one pipelined call: a consumer thread
+// runs the vectorized recon over MCU-row bands as the (serial)
+// entropy producer completes them, so IDCT/assembly time hides under
+// the Huffman chain (the overlap libjpeg gets from its suspending
+// row-wise API; reference boundary plugins/decoder_libjpeg.cc:506).
+// comp_quant: per-component natural-order 64-entry tables;
+// comp_out/comp_stride: destination planes (bw*8 x bh*8).
+int tpuheif_jpeg_decode_scan_recon(
+    const uint8_t* entropy, size_t entropy_len,
+    int ncomp,
+    const int* comp_h, const int* comp_v,
+    const int* comp_blocks_w, const int* comp_blocks_h,
+    const int* comp_dc_tbl, const int* comp_ac_tbl,
+    int16_t** comp_coeffs,
+    const uint8_t* dc_bits, const uint8_t* dc_vals, const int* dc_nvals,
+    const uint8_t* ac_bits, const uint8_t* ac_vals, const int* ac_nvals,
+    int interleaved, int mcus_w, int total_mcus, int restart_interval,
+    int* exhausted_out,
+    const int32_t** comp_quant, uint8_t** comp_out,
+    const int64_t* comp_stride) {
+  std::atomic<int> rows_done{0};
+  std::atomic<bool> finished{false};
+  int mcu_rows = 0;
+  if (mcus_w > 0) mcu_rows = total_mcus / mcus_w;
+
+  std::thread consumer([&]() {
+    int done = 0;
+    while (true) {
+      int avail = rows_done.load(std::memory_order_acquire);
+      if (avail <= done) {
+        if (finished.load(std::memory_order_acquire)) {
+          avail = rows_done.load(std::memory_order_acquire);
+          if (avail <= done) break;
+        } else {
+          std::this_thread::yield();
           continue;
         }
-        idct_1d(dq[x], dq[8 + x], dq[16 + x], dq[24 + x], dq[32 + x],
-                dq[40 + x], dq[48 + x], dq[56 + x],
-                kConstBits - kPass1Bits, col);
-        for (int y = 0; y < 8; ++y) ws[y * 8 + x] = col[y];
       }
-      // pass 2: rows
+      for (int ci = 0; ci < ncomp; ++ci) {
+        int v = interleaved ? comp_v[ci] : 1;
+        int by0 = done * v;
+        int by1 = avail * v;
+        if (by1 > comp_blocks_h[ci]) by1 = comp_blocks_h[ci];
+        if (by0 >= by1) continue;
+        recon_rows(comp_coeffs[ci], by0, by1, comp_blocks_w[ci],
+                   comp_quant[ci], comp_out[ci], comp_stride[ci]);
+      }
+      done = avail;
+    }
+  });
+
+  int rc = tpuheif_jpeg_decode_scan_impl(
+      entropy, entropy_len, ncomp, comp_h, comp_v, comp_blocks_w,
+      comp_blocks_h, comp_dc_tbl, comp_ac_tbl, comp_coeffs, dc_bits,
+      dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals, interleaved, mcus_w,
+      total_mcus, restart_interval, exhausted_out, &rows_done);
+  if (rc == 0) rows_done.store(mcu_rows, std::memory_order_release);
+  finished.store(true, std::memory_order_release);
+  consumer.join();
+  return rc;
+}
+
+static void recon_rows(const int16_t* coeffs, int by0, int by1, int bw,
+                       const int32_t* quant, uint8_t* out,
+                       int64_t stride) {
+  int32_t dq[64];
+  v8si r[8], o[8];
+  for (int by = by0; by < by1; ++by) {
+    for (int bx = 0; bx < bw; ++bx) {
+      const int16_t* c = coeffs + (static_cast<int64_t>(by) * bw + bx) * 64;
       uint8_t* dst = out + (static_cast<int64_t>(by) * 8) * stride + bx * 8;
+      for (int i = 0; i < 64; ++i)
+        dq[kZigzag[i]] = static_cast<int32_t>(c[i]) * quant[kZigzag[i]];
+      std::memcpy(r, dq, sizeof(dq));
+      // whole-block DC-only shortcut: both passes of the butterfly on a
+      // pure-DC block reduce exactly to (dc + 4) >> 3
+      v8si acc_or = r[1] | r[2] | r[3] | r[4] | r[5] | r[6] | r[7];
+      int64_t any = dq[1] | dq[2] | dq[3] | dq[4] | dq[5] | dq[6] | dq[7];
+      for (int i = 0; i < 8; ++i) any |= acc_or[i];
+      if (any == 0) {
+        int32_t v = (dq[0] + 4) >> 3;
+        int32_t px = v + 128;
+        uint8_t b = static_cast<uint8_t>(px < 0 ? 0
+                                         : (px > 255 ? 255 : px));
+        for (int y = 0; y < 8; ++y)
+          std::memset(dst + static_cast<int64_t>(y) * stride, b, 8);
+        continue;
+      }
+      // pass 1 (columns): SIMD across the 8 columns, no transpose
+      idct_1d_v(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7],
+                kConstBits - kPass1Bits, o);
+      // pass 2 (rows): transpose so rows become lanes
+      transpose8(o);
+      idct_1d_v(o[0], o[1], o[2], o[3], o[4], o[5], o[6], o[7],
+                kConstBits + kPass1Bits + 3, r);
+      transpose8(r);
       for (int y = 0; y < 8; ++y) {
-        idct_1d(ws[y * 8], ws[y * 8 + 1], ws[y * 8 + 2], ws[y * 8 + 3],
-                ws[y * 8 + 4], ws[y * 8 + 5], ws[y * 8 + 6], ws[y * 8 + 7],
-                kConstBits + kPass1Bits + 3, row);
+        v8si row = r[y] + 128;
         uint8_t* d = dst + static_cast<int64_t>(y) * stride;
         for (int x = 0; x < 8; ++x) {
-          int32_t v = row[x] + 128;
+          int32_t v = row[x];
           d[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
         }
       }
     }
   }
-  return 0;
 }
 
 }  // extern "C"

@@ -146,16 +146,39 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
     dc_c = HuffTable(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
     ac_c = HuffTable(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
 
+    from ... import native
+    nlib = native.get_lib()
+    import os
+    if os.environ.get("LIBHEIF_TPU_JPEG_BACKEND", "native") != "native":
+        nlib = None
+
     plans: List[_CompPlan] = []
     for i, (ch, (sh, sv)) in enumerate(zip(channels, sampling)):
         plane = np.asarray(img.plane(ch))
         bw = mcus_w * sh
         bh = mcus_h * sv
         plane = _pad_to(plane, bh * 8, bw * 8)
-        blocks = _blocks_of(plane.astype(np.int32) - 128)
         quant = luma_q if i == 0 else chroma_q
-        zz = np.asarray(_fdct_quant_program(blocks.shape[0])(
-            blocks, np.asarray(quant)))
+        if nlib is not None:
+            # native FDCT+quant (bit-identical to the jnp anchor)
+            import ctypes
+            src = np.ascontiguousarray(plane, np.uint8)
+            q = np.ascontiguousarray(quant, np.int32)
+            zz = np.empty((bh * bw, 64), np.int16)
+            nlib.tpuheif_jpeg_fdct_quant.restype = ctypes.c_int
+            rc = nlib.tpuheif_jpeg_fdct_quant(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int(bh), ctypes.c_int(bw),
+                ctypes.c_int64(bw * 8),
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            if rc != 0:
+                raise HeifError.invalid_input(
+                    msg="JPEG fdct/quant failed")
+        else:
+            blocks = _blocks_of(plane.astype(np.int32) - 128)
+            zz = np.asarray(_fdct_quant_program(blocks.shape[0])(
+                blocks, np.asarray(quant)))
         plans.append(_CompPlan(
             comp_id=i + 1, h=sh, v=sv, tq=0 if i == 0 else 1,
             dc_table=dc_l if i == 0 else dc_c,
@@ -194,9 +217,65 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
         out += bytes([p.comp_id, (td << 4) | td])
     out += bytes([0, 63, 0])
 
-    out += _entropy_encode(plans, mcus_w, mcus_h)
+    entropy = None
+    if nlib is not None:
+        entropy = _entropy_encode_native(nlib, plans, mcus_w, mcus_h)
+    if entropy is None:
+        entropy = _entropy_encode(plans, mcus_w, mcus_h)
+    out += entropy
     out += b"\xFF\xD9"                                   # EOI
     return bytes(out)
+
+
+def _entropy_encode_native(nlib, plans: List[_CompPlan], mcus_w: int,
+                           mcus_h: int):
+    """Huffman scan emission through the C engine (byte-identical to
+    _entropy_encode); returns None to fall back."""
+    import ctypes
+    n = len(plans)
+    arr_i = lambda vals: (ctypes.c_int * n)(*vals)  # noqa: E731
+    dc_bits = (ctypes.c_uint8 * 64)()
+    dc_vals = (ctypes.c_uint8 * 1024)()
+    dc_nvals = (ctypes.c_int * 4)()
+    ac_bits = (ctypes.c_uint8 * 64)()
+    ac_vals = (ctypes.c_uint8 * 1024)()
+    ac_nvals = (ctypes.c_int * 4)()
+    table_ids = []
+    for i, p in enumerate(plans):
+        tid = 0 if i == 0 else 1
+        table_ids.append(tid)
+        for t, bits_a, vals_a, nv_a in ((p.dc_table, dc_bits, dc_vals,
+                                         dc_nvals),
+                                        (p.ac_table, ac_bits, ac_vals,
+                                         ac_nvals)):
+            for k in range(16):
+                bits_a[tid * 16 + k] = t.bits[k + 1]
+            for k, v in enumerate(t.values[:256]):
+                vals_a[tid * 256 + k] = v
+            nv_a[tid] = len(t.values)
+    ptrs = (ctypes.POINTER(ctypes.c_int16) * n)()
+    total_blocks = 0
+    keep = []
+    for i, p in enumerate(plans):
+        co = np.ascontiguousarray(p.blocks, np.int16)
+        keep.append(co)
+        ptrs[i] = co.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        total_blocks += p.blocks_w * p.blocks_h
+    cap = total_blocks * 130 + 4096   # worst case ~2 bytes/coefficient
+    out = np.empty(cap, np.uint8)
+    nlib.tpuheif_jpeg_encode_scan.restype = ctypes.c_int64
+    rc = nlib.tpuheif_jpeg_encode_scan(
+        n, arr_i([p.h for p in plans]), arr_i([p.v for p in plans]),
+        arr_i([p.blocks_w for p in plans]),
+        arr_i([p.blocks_h for p in plans]),
+        arr_i(table_ids), arr_i(table_ids), ptrs,
+        dc_bits, dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals,
+        int(len(plans) > 1), mcus_w, mcus_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap))
+    if rc < 0:
+        return None
+    return bytes(out[:rc])
 
 
 def _entropy_encode(plans: List[_CompPlan], mcus_w: int,

@@ -669,6 +669,291 @@ int tpuheif_jpeg_decode_scan_recon(
   return rc;
 }
 
+// ---------------------------------------------------------------------
+// Forward path: FDCT + quantize + zigzag and the Huffman scan emitter —
+// the native counterparts of codecs/jpeg/encoder.py (_fdct_quant_program
+// + _entropy_encode), bit-identical to jfdctint.c islow and the
+// Annex-F sequential entropy coder so the Python anchor difftests hold.
+
+namespace {
+
+// one forward islow pass over 8 lanes (jfdctint.c body, elementwise)
+inline void fdct_pass_v(v8si* v, bool first) {
+  v8si tmp0 = v[0] + v[7], tmp7 = v[0] - v[7];
+  v8si tmp1 = v[1] + v[6], tmp6 = v[1] - v[6];
+  v8si tmp2 = v[2] + v[5], tmp5 = v[2] - v[5];
+  v8si tmp3 = v[3] + v[4], tmp4 = v[3] - v[4];
+  v8si tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  v8si tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+  if (first) {
+    v[0] = (tmp10 + tmp11) << kPass1Bits;
+    v[4] = (tmp10 - tmp11) << kPass1Bits;
+  } else {
+    v[0] = descale_v(tmp10 + tmp11, kPass1Bits);
+    v[4] = descale_v(tmp10 - tmp11, kPass1Bits);
+  }
+  v8si z1 = (tmp12 + tmp13) * kF0_541196100;
+  int sh = first ? (kConstBits - kPass1Bits) : (kConstBits + kPass1Bits);
+  v[2] = descale_v(z1 + tmp13 * kF0_765366865, sh);
+  v[6] = descale_v(z1 - tmp12 * kF1_847759065, sh);
+  z1 = tmp4 + tmp7;
+  v8si z2 = tmp5 + tmp6, z3 = tmp4 + tmp6, z4 = tmp5 + tmp7;
+  v8si z5 = (z3 + z4) * kF1_175875602;
+  tmp4 *= kF0_298631336;
+  tmp5 *= kF2_053119869;
+  tmp6 *= kF3_072711026;
+  tmp7 *= kF1_501321110;
+  z1 *= -kF0_899976223;
+  z2 *= -kF2_562915447;
+  z3 = z3 * -kF1_961570560 + z5;
+  z4 = z4 * -kF0_390180644 + z5;
+  v[7] = descale_v(tmp4 + z1 + z3, sh);
+  v[5] = descale_v(tmp5 + z2 + z4, sh);
+  v[3] = descale_v(tmp6 + z2 + z3, sh);
+  v[1] = descale_v(tmp7 + z1 + z4, sh);
+}
+
+}  // namespace
+
+// plane: uint8 samples with row stride; out_zz: (bh*bw, 64) int16
+// quantized coefficients in zigzag order; quant: 64 NATURAL-order
+// values.  Division is exact via 2^40 reciprocals ((d-1)*|c|max < 2^40).
+int tpuheif_jpeg_fdct_quant(const uint8_t* plane, int bh, int bw,
+                            int64_t stride, const int32_t* quant,
+                            int16_t* out_zz) {
+  typedef int64_t v4di __attribute__((vector_size(32)));
+  typedef int32_t v4si __attribute__((vector_size(16)));
+  typedef uint8_t v8qi __attribute__((vector_size(8)));
+
+  v4di recip_lo[8], recip_hi[8];
+  v8si qhalf_v[8];
+  for (int i = 0; i < 64; ++i) {
+    uint64_t d = static_cast<uint64_t>(quant[i]) * 8;
+    if (d == 0) return -1;
+    uint64_t rec = ((static_cast<uint64_t>(1) << 40) + d - 1) / d;
+    if (i % 8 < 4)
+      recip_lo[i / 8][i % 8] = static_cast<int64_t>(rec);
+    else
+      recip_hi[i / 8][i % 8 - 4] = static_cast<int64_t>(rec);
+    qhalf_v[i / 8][i % 8] = static_cast<int32_t>(d >> 1);
+  }
+  v8si r[8];
+  int16_t qnat[64];
+  for (int by = 0; by < bh; ++by) {
+    for (int bx = 0; bx < bw; ++bx) {
+      const uint8_t* src = plane + static_cast<int64_t>(by) * 8 * stride +
+                           bx * 8;
+      for (int y = 0; y < 8; ++y) {
+        v8qi bytes;
+        std::memcpy(&bytes, src + static_cast<int64_t>(y) * stride, 8);
+        r[y] = __builtin_convertvector(bytes, v8si) - 128;
+      }
+      // pass 1 along x (lanes = y): transpose in, transform, back
+      transpose8(r);
+      fdct_pass_v(r, true);
+      transpose8(r);
+      // pass 2 along y (lanes = x)
+      fdct_pass_v(r, false);
+      // quantize in natural order (vector abs + 64-bit reciprocal mul)
+      for (int y = 0; y < 8; ++y) {
+        v8si v = r[y];
+        v8si neg = v < 0;
+        v8si mag = ((v ^ neg) - neg) + qhalf_v[y];
+        v4si mlo = {mag[0], mag[1], mag[2], mag[3]};
+        v4si mhi = {mag[4], mag[5], mag[6], mag[7]};
+        v4di qlo = (__builtin_convertvector(mlo, v4di) *
+                    recip_lo[y]) >> 40;
+        v4di qhi = (__builtin_convertvector(mhi, v4di) *
+                    recip_hi[y]) >> 40;
+        v8si q = {static_cast<int32_t>(qlo[0]),
+                  static_cast<int32_t>(qlo[1]),
+                  static_cast<int32_t>(qlo[2]),
+                  static_cast<int32_t>(qlo[3]),
+                  static_cast<int32_t>(qhi[0]),
+                  static_cast<int32_t>(qhi[1]),
+                  static_cast<int32_t>(qhi[2]),
+                  static_cast<int32_t>(qhi[3])};
+        q = (q ^ neg) - neg;          // restore sign
+        for (int x = 0; x < 8; ++x)
+          qnat[y * 8 + x] = static_cast<int16_t>(q[x]);
+      }
+      int16_t* dst = out_zz + (static_cast<size_t>(by) * bw + bx) * 64;
+      for (int i = 0; i < 64; ++i) dst[i] = qnat[kZigzag[i]];
+    }
+  }
+  return 0;
+}
+
+namespace {
+
+struct EncTable {
+  uint32_t code[256];
+  uint8_t len[256];
+
+  void build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+    std::memset(len, 0, sizeof(len));
+    int codev = 0, k = 0;
+    for (int ln = 1; ln <= 16; ++ln) {
+      for (int i = 0; i < bits[ln - 1] && k < nvals; ++i, ++k) {
+        code[vals[k]] = codev;
+        len[vals[k]] = static_cast<uint8_t>(ln);
+        ++codev;
+      }
+      codev <<= 1;
+    }
+  }
+};
+
+struct StuffWriter {
+  uint8_t* out;
+  size_t cap;
+  size_t n = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  inline void flush32() {
+    uint32_t b4 = static_cast<uint32_t>(acc >> (nbits - 32));
+    nbits -= 32;
+    if (n + 8 > cap) { overflow = true; return; }
+    // any 0xFF byte? (haszero(b4 ^ ~0) SWAR)
+    uint32_t inv = b4 ^ 0xFFFFFFFFu;
+    if (((inv - 0x01010101u) & ~inv & 0x80808080u) == 0) {
+      out[n] = static_cast<uint8_t>(b4 >> 24);
+      out[n + 1] = static_cast<uint8_t>(b4 >> 16);
+      out[n + 2] = static_cast<uint8_t>(b4 >> 8);
+      out[n + 3] = static_cast<uint8_t>(b4);
+      n += 4;
+      return;
+    }
+    for (int i = 3; i >= 0; --i) {
+      uint8_t b = static_cast<uint8_t>(b4 >> (8 * i));
+      out[n++] = b;
+      if (b == 0xFF) out[n++] = 0x00;
+    }
+  }
+
+  // len <= 31; bits must already be masked to len
+  inline void put(uint32_t bits, int len) {
+    if (overflow) return;
+    acc = (acc << len) | bits;
+    nbits += len;
+    if (nbits >= 32) flush32();
+  }
+  inline void pad() {
+    while (nbits >= 8) {
+      if (overflow) return;
+      uint8_t b = static_cast<uint8_t>(acc >> (nbits - 8));
+      nbits -= 8;
+      if (n + 2 > cap) { overflow = true; return; }
+      out[n++] = b;
+      if (b == 0xFF) out[n++] = 0x00;
+    }
+    if (nbits) {
+      uint32_t fill = (1u << (8 - nbits)) - 1;
+      acc = (acc << (8 - nbits)) | fill;
+      nbits = 8;
+      uint8_t b = static_cast<uint8_t>(acc);
+      nbits = 0;
+      if (n + 2 > cap) { overflow = true; return; }
+      out[n++] = b;
+      if (b == 0xFF) out[n++] = 0x00;
+    }
+  }
+};
+
+inline int bitsize(int v) {
+  unsigned a = v < 0 ? -v : v;
+  return a ? 32 - __builtin_clz(a) : 0;
+}
+
+}  // namespace
+
+// Emit one interleaved (or single-component) sequential scan.
+// coeffs: per-component (N,64) zigzag-quantized int16.
+// dc/ac tables: 16 bit-counts + values per slot id in comp_dc/ac_tbl.
+// Returns the entropy byte count written to `out` (with FF stuffing),
+// or -1 if out_cap was too small.
+int64_t tpuheif_jpeg_encode_scan(
+    int ncomp, const int* comp_h, const int* comp_v,
+    const int* comp_blocks_w, const int* comp_blocks_h,
+    const int* comp_dc_tbl, const int* comp_ac_tbl,
+    const int16_t** comp_coeffs,
+    const uint8_t* dc_bits, const uint8_t* dc_vals, const int* dc_nvals,
+    const uint8_t* ac_bits, const uint8_t* ac_vals, const int* ac_nvals,
+    int interleaved, int mcus_w, int mcus_h,
+    uint8_t* out, int64_t out_cap) {
+  EncTable dc_t[4], ac_t[4];
+  for (int i = 0; i < 4; ++i) {
+    if (dc_nvals[i] > 0)
+      dc_t[i].build(dc_bits + 16 * i, dc_vals + 256 * i, dc_nvals[i]);
+    if (ac_nvals[i] > 0)
+      ac_t[i].build(ac_bits + 16 * i, ac_vals + 256 * i, ac_nvals[i]);
+  }
+  StuffWriter w{out, static_cast<size_t>(out_cap)};
+  int preds[16] = {0};
+
+  auto encode_block = [&](int ci, const int16_t* blk) {
+    EncTable& dt = dc_t[comp_dc_tbl[ci]];
+    EncTable& at = ac_t[comp_ac_tbl[ci]];
+    int dc = blk[0];
+    int diff = dc - preds[ci];
+    preds[ci] = dc;
+    int s = bitsize(diff);
+    // fused (code, value) emission: one put per coefficient
+    uint32_t vb = s ? ((static_cast<uint32_t>(
+                           diff < 0 ? diff + (1 << s) - 1 : diff)) &
+                       ((1u << s) - 1))
+                    : 0;
+    w.put((dt.code[s] << s) | vb, dt.len[s] + s);
+    int last = 0;
+    for (int k = 63; k >= 1; --k) {
+      if (blk[k]) { last = k; break; }
+    }
+    int run = 0;
+    for (int k = 1; k <= last; ++k) {
+      int v = blk[k];
+      if (v == 0) { ++run; continue; }
+      while (run > 15) {
+        w.put(at.code[0xF0], at.len[0xF0]);
+        run -= 16;
+      }
+      s = bitsize(v);
+      int rs = (run << 4) | s;
+      vb = (static_cast<uint32_t>(v < 0 ? v + (1 << s) - 1 : v)) &
+           ((1u << s) - 1);
+      w.put((at.code[rs] << s) | vb, at.len[rs] + s);
+      run = 0;
+    }
+    if (last < 63) w.put(at.code[0x00], at.len[0x00]);
+  };
+
+  if (!interleaved) {
+    int nb = comp_blocks_w[0] * comp_blocks_h[0];
+    for (int i = 0; i < nb; ++i)
+      encode_block(0, comp_coeffs[0] + static_cast<size_t>(i) * 64);
+  } else {
+    for (int my = 0; my < mcus_h; ++my) {
+      for (int mx = 0; mx < mcus_w; ++mx) {
+        for (int ci = 0; ci < ncomp; ++ci) {
+          for (int by = 0; by < comp_v[ci]; ++by) {
+            for (int bx = 0; bx < comp_h[ci]; ++bx) {
+              int idx = (my * comp_v[ci] + by) * comp_blocks_w[ci] +
+                        (mx * comp_h[ci] + bx);
+              encode_block(ci, comp_coeffs[ci] +
+                                   static_cast<size_t>(idx) * 64);
+            }
+          }
+        }
+        if (w.overflow) return -1;
+      }
+    }
+  }
+  w.pad();
+  if (w.overflow) return -1;
+  return static_cast<int64_t>(w.n);
+}
+
 static void recon_rows(const int16_t* coeffs, int by0, int by1, int bw,
                        const int32_t* quant, uint8_t* out,
                        int64_t stride) {

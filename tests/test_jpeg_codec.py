@@ -153,3 +153,33 @@ def test_jpeg_item_in_heif_container_roundtrip(tmp_path):
                     for c in (Channel.R, Channel.G, Channel.B)], axis=-1)
     assert dec.shape == arr.shape
     assert _psnr(dec, arr) > 25
+
+
+def test_native_encode_byte_identical_to_anchor(monkeypatch):
+    """The C FDCT/quant + Huffman emitter must produce byte-identical
+    streams to the jnp/Python anchor path (the same engine-vs-anchor
+    discipline as the HEVC/AVC native encoders)."""
+    from libheif_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(11)
+    for w, h, chroma in ((96, 64, Chroma.C420), (80, 48, Chroma.C444),
+                         (41, 35, Chroma.C420)):
+        img = PixelImage(w, h, Colorspace.YCbCr, chroma)
+        img.set_plane(Channel.Y,
+                      rng.integers(0, 256, (h, w), np.uint8), 8)
+        cw = w if chroma == Chroma.C444 else (w + 1) // 2
+        ch = h if chroma == Chroma.C444 else (h + 1) // 2
+        img.set_plane(Channel.Cb,
+                      rng.integers(0, 256, (ch, cw), np.uint8), 8)
+        img.set_plane(Channel.Cr,
+                      rng.integers(0, 256, (ch, cw), np.uint8), 8)
+        monkeypatch.setenv("LIBHEIF_TPU_JPEG_BACKEND", "native")
+        nat = encode_jpeg(img, quality=80)
+        monkeypatch.setenv("LIBHEIF_TPU_JPEG_BACKEND", "cpu")
+        ref = encode_jpeg(img, quality=80)
+        assert nat == ref
+        # and PIL decodes the stream
+        dec = Image.open(io.BytesIO(nat))
+        dec.load()
+        assert dec.size == (w, h)

@@ -457,6 +457,32 @@ def bench_jpeg_decode(results, side=1024):
         b = min(b, time.perf_counter() - t0)
     results["jpeg_decode_libjpeg_mps"] = round(mp / b, 1)
 
+    # encode: native FDCT+quant + C Huffman emitter vs PIL same-run
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.codecs.jpeg.encoder import encode_jpeg
+    pil = Image.fromarray(img).convert("YCbCr")
+    a = np.asarray(pil)
+    pimg = PixelImage(side, side, Colorspace.YCbCr, Chroma.C420)
+    pimg.set_plane(Channel.Y, a[:, :, 0].copy(), 8)
+    pimg.set_plane(Channel.Cb, a[::2, ::2, 1].copy(), 8)
+    pimg.set_plane(Channel.Cr, a[::2, ::2, 2].copy(), 8)
+    encode_jpeg(pimg, quality=85)
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        encode_jpeg(pimg, quality=85)
+        best = min(best, time.perf_counter() - t0)
+    results["jpeg_encode_native_mps"] = round(mp / best, 1)
+    src = Image.fromarray(img)
+    b = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        buf2 = io.BytesIO()
+        src.save(buf2, "JPEG", quality=85)
+        b = min(b, time.perf_counter() - t0)
+    results["jpeg_encode_libjpeg_mps"] = round(mp / b, 1)
+
 
 def bench_avc_decode(results, side=768):
     """AVC native-engine intra decode throughput (the openh264 plugin

@@ -30,11 +30,13 @@ class AvcCabacDecoder:
     __slots__ = ("data", "pos", "end", "range", "offset",
                  "p_state", "val_mps")
 
-    def __init__(self, data: bytes, start_byte: int, qp: int):
+    def __init__(self, data: bytes, start_byte: int, qp: int,
+                 is_p: bool = False, cabac_init_idc: int = 0):
         self.data = data
         self.pos = start_byte * 8
         self.end = len(data)
-        self.p_state, self.val_mps = init_cabac_states(qp)
+        self.p_state, self.val_mps = init_cabac_states(qp, is_p,
+                                                       cabac_init_idc)
         self.range = 510
         self.offset = 0
         for _ in range(9):

@@ -340,10 +340,14 @@ def parse_pps(nal: bytes, sps_map: Dict[int, SPS]) -> PPS:
 @dataclass
 class SliceHeader:
     first_mb: int = 0
-    slice_type: int = 2     # 2/7 = I
+    slice_type: int = 2     # %5: 0 = P, 2 = I
     pps_id: int = 0
     frame_num: int = 0
     idr_pic_id: int = 0
+    poc_lsb: int = 0
+    num_ref_idx_l0: int = 1
+    ref_idx_reorder: Optional[List[tuple]] = None  # (mod_op, value)
+    nal_ref_idc: int = 1
     qp: int = 26
     disable_deblocking_filter_idc: int = 0
     slice_alpha_c0_offset: int = 0
@@ -351,21 +355,26 @@ class SliceHeader:
     cabac_init_idc: int = 0
     header_bits: int = 0    # position after the header, in bits
 
+    @property
+    def is_p(self) -> bool:
+        return self.slice_type % 5 == 0
+
 
 def parse_slice_header(nal: bytes, sps_map: Dict[int, SPS],
                        pps_map: Dict[int, PPS]):
-    """Parse an I-slice header (spec 7.3.3). Returns (hdr, sps, pps,
+    """Parse an I/P slice header (spec 7.3.3). Returns (hdr, sps, pps,
     rbsp bytes)."""
     nt = nal_type(nal)
     rbsp = unescape_rbsp(nal[1:])
     br = BitReader(rbsp)
     h = SliceHeader()
+    h.nal_ref_idc = (nal[0] >> 5) & 3
     h.first_mb = br.read_ue()
     h.slice_type = br.read_ue()
-    if h.slice_type % 5 != 2:
+    if h.slice_type % 5 not in (0, 2):
         raise HeifError.unsupported(
             SubError.Unsupported_codec,
-            f"only I slices supported (got slice_type {h.slice_type})")
+            f"only I/P slices supported (got slice_type {h.slice_type})")
     h.pps_id = br.read_ue()
     pps = pps_map.get(h.pps_id)
     if pps is None:
@@ -383,23 +392,41 @@ def parse_slice_header(nal: bytes, sps_map: Dict[int, SPS],
     if nt == NAL_SLICE_IDR:
         h.idr_pic_id = br.read_ue()
     if sps.pic_order_cnt_type == 0:
-        br.read_bits(sps.log2_max_poc_lsb)
+        h.poc_lsb = br.read_bits(sps.log2_max_poc_lsb)
         if pps.bottom_field_pic_order:
             br.read_se()
     elif sps.pic_order_cnt_type == 1:
         pass  # delta_pic_order_cnt not present without the flag parse
     if pps.redundant_pic_cnt_present:
         br.read_ue()
-    # I slice: no ref pic list mods / pred weights
+    if h.is_p:
+        if br.read_flag():  # num_ref_idx_active_override
+            h.num_ref_idx_l0 = br.read_ue() + 1
+        else:
+            h.num_ref_idx_l0 = pps.num_ref_idx_l0
+        # ref_pic_list_modification (spec 7.3.3.1)
+        if br.read_flag():
+            mods = []
+            while True:
+                op = br.read_ue()
+                if op == 3:
+                    break
+                mods.append((op, br.read_ue()))
+            h.ref_idx_reorder = mods
+        if pps.weighted_pred:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "weighted prediction (AVC)")
     if nt == NAL_SLICE_IDR:
         br.read_flag()  # no_output_of_prior_pics
         br.read_flag()  # long_term_reference
-    else:
+    elif h.nal_ref_idc != 0:
         if br.read_flag():  # adaptive_ref_pic_marking
             raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "adaptive ref marking in I slice")
-    if pps.entropy_coding_mode:
-        h.cabac_init_idc = 0  # not present for I slices
+                                        "adaptive ref pic marking")
+    if pps.entropy_coding_mode and h.is_p:
+        h.cabac_init_idc = br.read_ue()
+        if h.cabac_init_idc > 2:
+            raise HeifError.invalid_input(msg="cabac_init_idc > 2")
     h.qp = pps.pic_init_qp + br.read_se()
     if pps.deblocking_filter_control_present:
         h.disable_deblocking_filter_idc = br.read_ue()

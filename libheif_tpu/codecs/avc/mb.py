@@ -513,7 +513,7 @@ def pred_chroma(mode: int, top: Optional[np.ndarray],
 class MBInfo:
     __slots__ = ("mb_type", "is_i16", "is_pcm", "is_nxn", "tx8",
                  "cbp_luma", "cbp_chroma", "chroma_mode", "qp",
-                 "qp_delta", "i16_mode")
+                 "qp_delta", "i16_mode", "is_inter", "skipped")
 
     def __init__(self):
         self.mb_type = -1
@@ -527,17 +527,102 @@ class MBInfo:
         self.qp = 26
         self.qp_delta = 0
         self.i16_mode = 0
+        self.is_inter = False
+        self.skipped = False
+
+
+# ------------------------------------------------------------ inter MC
+
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> np.ndarray:
+    """Quarter-pel luma MC (spec 8.4.2.2.1): 6-tap half-pel + averaged
+    quarter positions, edge-clamped reference."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    rh, rw = ref.shape
+    # padded gather: rows yi-2 .. yi+h+2, cols xi-2 .. xi+w+2
+    ys = np.clip(np.arange(yi - 2, yi + h + 3), 0, rh - 1)
+    xs = np.clip(np.arange(xi - 2, xi + w + 3), 0, rw - 1)
+    g = ref[np.ix_(ys, xs)].astype(np.int64)   # (h+5, w+5)
+
+    def tap6(a, axis):
+        if axis == 1:
+            return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3] +
+                    20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+        return (a[0:-5] - 5 * a[1:-4] + 20 * a[2:-3] +
+                20 * a[3:-2] - 5 * a[4:-1] + a[5:])
+
+    G = g[2:2 + h + 1, 2:2 + w + 1]            # (h+1, w+1) integer grid
+    if fx == 0 and fy == 0:
+        return G[:h, :w]
+    b1 = tap6(g, 1)                            # (h+5, w)  b at cols
+    h1 = tap6(g, 0)                            # (h, w+5)
+    b = np.clip((b1[2:2 + h + 1, :] + 16) >> 5, 0, 255)   # (h+1, w)
+    hh = np.clip((h1[:, 2:2 + w + 1] + 16) >> 5, 0, 255)  # (h, w+1)
+    if fy == 0:                                # a, b, c row
+        if fx == 1:
+            return (G[:h, :w] + b[:h, :w] + 1) >> 1
+        if fx == 2:
+            return b[:h, :w]
+        return (b[:h, :w] + G[:h, 1:w + 1] + 1) >> 1
+    if fx == 0:                                # d, h, n column
+        if fy == 1:
+            return (G[:h, :w] + hh[:h, :w] + 1) >> 1
+        if fy == 2:
+            return hh[:h, :w]
+        return (hh[:h, :w] + G[1:h + 1, :w] + 1) >> 1
+    # j from the un-normalized horizontal intermediates
+    j1 = tap6(b1, 0)                           # (h, w)
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+    if fx == 2 and fy == 2:
+        return j
+    if fy == 1:
+        if fx == 1:                            # e = (b + h)/2
+            return (b[:h, :w] + hh[:h, :w] + 1) >> 1
+        if fx == 2:                            # f = (b + j)/2
+            return (b[:h, :w] + j + 1) >> 1
+        return (b[:h, :w] + hh[:h, 1:w + 1] + 1) >> 1   # g
+    if fy == 2:
+        if fx == 1:                            # i = (h + j)/2
+            return (hh[:h, :w] + j + 1) >> 1
+        return (j + hh[:h, 1:w + 1] + 1) >> 1           # k
+    # fy == 3
+    if fx == 1:                                # p = (h + s)/2
+        return (hh[:h, :w] + b[1:h + 1, :w] + 1) >> 1
+    if fx == 2:                                # q = (j + s)/2
+        return (j + b[1:h + 1, :w] + 1) >> 1
+    return (hh[:h, 1:w + 1] + b[1:h + 1, :w] + 1) >> 1  # r
+
+
+def _mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
+               mvx: int, mvy: int) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (spec 8.4.2.2.2); coords in
+    chroma samples, mv in quarter-luma (= eighth-chroma) units."""
+    xi, yi = xc + (mvx >> 3), yc + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    rh, rw = ref.shape
+    ys = np.clip(np.arange(yi, yi + h + 1), 0, rh - 1)
+    xs = np.clip(np.arange(xi, xi + w + 1), 0, rw - 1)
+    g = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = g[:h, :w]
+    b = g[:h, 1:w + 1]
+    c = g[1:h + 1, :w]
+    d = g[1:h + 1, 1:w + 1]
+    return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b +
+            (8 - xf) * yf * c + xf * yf * d + 32) >> 6
 
 
 class SliceDecoder:
-    """Decodes one I slice into the shared frame planes."""
+    """Decodes one I or P slice into the shared frame planes."""
 
-    def __init__(self, sps: SPS, pps: PPS, planes: List[np.ndarray]):
+    def __init__(self, sps: SPS, pps: PPS, planes: List[np.ndarray],
+                 ref_planes: Optional[List[List[np.ndarray]]] = None):
         self.sps = sps
         self.pps = pps
         self.mb_w = sps.pic_width_in_mbs
         self.mb_h = sps.pic_height_in_map_units
         self.planes = planes       # [Y (16-aligned), U, V] int32
+        self.ref_planes = ref_planes or []   # list-0 refs [[Y, U, V]]
         self.mono = sps.chroma_format_idc == 0
         n = self.mb_w * self.mb_h
         self.mb: List[Optional[MBInfo]] = [None] * n
@@ -551,6 +636,10 @@ class SliceDecoder:
         self.cbf_chroma_dc = np.zeros((2, self.mb_h, self.mb_w), np.int8)
         self.cbf_chroma = np.zeros((2, self.mb_h * 2, self.mb_w * 2),
                                    np.int8)
+        # per-4x4 motion state (P slices): mv quarter-pel, ref -1=intra
+        self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        self.ref = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int16)
+        self.mvd = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
         self.first_mb = 0
 
     # ----------------------------------------------------------- helpers
@@ -567,8 +656,13 @@ class SliceDecoder:
 
     def decode_slice(self, hdr: SliceHeader, rbsp: bytes) -> None:
         self.first_mb = hdr.first_mb
+        is_p = hdr.is_p
+        if is_p and not self.ref_planes:
+            raise HeifError.invalid_input(
+                msg="P slice without reference pictures")
         start_byte = (hdr.header_bits + 7) // 8  # cabac_alignment_one_bit
-        d = AvcCabacDecoder(rbsp, start_byte, hdr.qp)
+        d = AvcCabacDecoder(rbsp, start_byte, hdr.qp, is_p=is_p,
+                            cabac_init_idc=hdr.cabac_init_idc)
         self.d = d
         self.qp = hdr.qp
         self.prev_qp_delta = 0
@@ -579,11 +673,255 @@ class SliceDecoder:
             self.mby = addr // self.mb_w
             self.cur = MBInfo()
             self.mb[addr] = self.cur
-            self._decode_mb()
+            if is_p:
+                self._decode_mb_p()
+            else:
+                self._decode_mb()
             addr += 1
             if d.decode_terminate():
                 break
         self.last_hdr = hdr
+
+    # ------------------------------------------------------ P slice mbs
+
+    def _mb_skip_inc(self) -> int:
+        """ctxIdxInc for mb_skip_flag (spec 9.3.3.1.1.1)."""
+        a = self.mb_at(self.mbx - 1, self.mby)
+        b = self.mb_at(self.mbx, self.mby - 1)
+        return (1 if (a is not None and not a.skipped) else 0) + \
+               (1 if (b is not None and not b.skipped) else 0)
+
+    def _decode_mb_p(self) -> None:
+        d = self.d
+        cur = self.cur
+        if d.decode_bin(T.CTX_MB_SKIP_P + self._mb_skip_inc()):
+            # P_Skip
+            cur.is_inter = True
+            cur.skipped = True
+            cur.qp = self.qp
+            self.prev_qp_delta = 0
+            mv = self._pskip_mv()
+            self._recon_inter(mv, (0, 0, 0))
+            self._set_motion(mv, mvd=(0, 0))
+            return
+        # mb_type, P prefix (spec 9.3.2.5 Table 9-37 + ffmpeg ctx model)
+        if d.decode_bin(T.CTX_MB_TYPE_P):
+            # intra suffix, ctx base 17 (bins: 0 I_NxN, terminate PCM,
+            # +1 luma cbp, +2 chroma both bins, +3 both mode bins)
+            base = T.CTX_MB_TYPE_P + 3
+            if d.decode_bin(base) == 0:
+                cur.mb_type = I_NXN
+                cur.is_nxn = True
+                self._decode_i_nxn()
+            elif d.decode_terminate():
+                cur.mb_type = I_PCM
+                cur.is_pcm = True
+                self._decode_pcm()
+            else:
+                luma_flag = d.decode_bin(base + 1)
+                chroma = 0
+                if d.decode_bin(base + 2):
+                    chroma = 1 + d.decode_bin(base + 2)
+                mode = 2 * d.decode_bin(base + 3)
+                mode += d.decode_bin(base + 3)
+                cur.mb_type = 1 + mode + 4 * chroma + 12 * luma_flag
+                cur.is_i16 = True
+                cur.i16_mode = mode
+                cur.cbp_luma = 15 if luma_flag else 0
+                cur.cbp_chroma = chroma
+                self._decode_i16()
+            return
+        b1 = d.decode_bin(T.CTX_MB_TYPE_P + 1)
+        b2 = d.decode_bin(T.CTX_MB_TYPE_P + (3 if b1 else 2))
+        # bins (Table 9-37): 000 P_L0_16x16, 011 16x8, 010 8x16, 001 P_8x8
+        if b1 == 0 and b2 == 0:
+            ptype = 0           # P_L0_16x16
+        elif b1 == 0:
+            ptype = 3           # P_8x8
+        elif b2:
+            ptype = 1           # P_L0_L0_16x8
+        else:
+            ptype = 2           # P_L0_L0_8x16
+        if ptype != 0:
+            raise HeifError.unsupported(
+                SubError.Unsupported_codec,
+                f"P partition type {ptype} (only 16x16 supported)")
+        cur.is_inter = True
+        cur.mb_type = -2
+        # ref_idx_l0 (single active reference → not coded, refIdx 0)
+        num_ref = getattr(self, "num_ref_idx_l0", 1)
+        ref_idx = 0
+        if num_ref > 1:
+            ref_idx = self._decode_ref_idx()
+        if ref_idx >= len(self.ref_planes):
+            raise HeifError.invalid_input(msg="ref_idx out of range")
+        mvd = (self._decode_mvd(0), self._decode_mvd(1))
+        mvp = self._mvp_16x16(ref_idx)
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        self._decode_inter_residual(mv, ref_idx)
+        self._set_motion(mv, mvd=mvd, ref_idx=ref_idx)
+
+    def _decode_ref_idx(self) -> int:
+        d = self.d
+        gx, gy = self.mbx * 4, self.mby * 4
+
+        def gt0(x, y):
+            if x < 0 or y < 0:
+                return 0
+            nb = self.mb_at(x // 4, y // 4)
+            if nb is None or not nb.is_inter:
+                return 0
+            return 1 if self.ref[y, x] > 0 else 0
+        inc = gt0(gx - 1, gy) + 2 * gt0(gx, gy - 1)
+        v = 0
+        if d.decode_bin(T.CTX_REF_IDX + inc):
+            v = 1
+            while d.decode_bin(T.CTX_REF_IDX +
+                               (4 if v == 1 else 5)):
+                v += 1
+                if v > 31:
+                    raise HeifError.invalid_input(msg="ref_idx runaway")
+        return v
+
+    def _decode_mvd(self, comp: int) -> int:
+        """mvd_l0 component (spec 9.3.3.1.1.7 ctx + UEG3 binarization)."""
+        d = self.d
+        base = T.CTX_MVD_X if comp == 0 else T.CTX_MVD_Y
+        gx, gy = self.mbx * 4, self.mby * 4
+
+        def amvd(x, y):
+            if x < 0 or y < 0 or x >= self.mb_w * 4 or y >= self.mb_h * 4:
+                return 0
+            nb = self.mb_at(x // 4, y // 4)
+            if nb is None or not nb.is_inter:
+                return 0
+            return abs(int(self.mvd[y, x, comp]))
+        s = amvd(gx - 1, gy) + amvd(gx, gy - 1)
+        inc = 0 if s < 3 else (1 if s <= 32 else 2)
+        if d.decode_bin(base + inc) == 0:
+            return 0
+        # TU prefix up to 9 with ctx incs 3,4,5,6,6,...
+        v = 1
+        while v < 9 and d.decode_bin(base + min(v + 2, 6)):
+            v += 1
+        if v == 9:
+            v += d.decode_eg_bypass(3)
+        return -v if d.decode_bypass() else v
+
+    # ---------------------------------------------- motion prediction
+
+    def _mv_neighbor(self, gx: int, gy: int):
+        """(mb_available, ref, mv) of the 4x4 block at (gx, gy)."""
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
+            return False, -1, (0, 0)
+        nb = self.mb_at(gx // 4, gy // 4)
+        if nb is None:
+            return False, -1, (0, 0)
+        if not nb.is_inter:
+            return True, -1, (0, 0)      # intra: available, ref -1, mv 0
+        return True, int(self.ref[gy, gx]), \
+            (int(self.mv[gy, gx, 0]), int(self.mv[gy, gx, 1]))
+
+    def _mvp_16x16(self, ref_idx: int):
+        """Median MV predictor for a 16x16 partition (spec 8.4.1.3)."""
+        gx, gy = self.mbx * 4, self.mby * 4
+        avail_a, ref_a, mv_a = self._mv_neighbor(gx - 1, gy)
+        avail_b, ref_b, mv_b = self._mv_neighbor(gx, gy - 1)
+        avail_c, ref_c, mv_c = self._mv_neighbor(gx + 4, gy - 1)
+        if not avail_c:
+            avail_c, ref_c, mv_c = self._mv_neighbor(gx - 1, gy - 1)
+        if not (avail_b or avail_c) and avail_a:
+            return mv_a
+        matches = [mv for avail, ref, mv in
+                   ((avail_a, ref_a, mv_a), (avail_b, ref_b, mv_b),
+                    (avail_c, ref_c, mv_c)) if ref == ref_idx]
+        if len(matches) == 1:
+            return matches[0]
+        xs = sorted((mv_a[0], mv_b[0], mv_c[0]))
+        ys = sorted((mv_a[1], mv_b[1], mv_c[1]))
+        return xs[1], ys[1]
+
+    def _pskip_mv(self):
+        """P_Skip motion (spec 8.4.1.1)."""
+        gx, gy = self.mbx * 4, self.mby * 4
+        avail_a, ref_a, mv_a = self._mv_neighbor(gx - 1, gy)
+        avail_b, ref_b, mv_b = self._mv_neighbor(gx, gy - 1)
+        if not avail_a or not avail_b or \
+                (ref_a == 0 and mv_a == (0, 0)) or \
+                (ref_b == 0 and mv_b == (0, 0)):
+            return (0, 0)
+        return self._mvp_16x16(0)
+
+    def _set_motion(self, mv, mvd=(0, 0), ref_idx: int = 0) -> None:
+        gx, gy = self.mbx * 4, self.mby * 4
+        self.mv[gy:gy + 4, gx:gx + 4] = mv
+        self.ref[gy:gy + 4, gx:gx + 4] = ref_idx
+        self.mvd[gy:gy + 4, gx:gx + 4] = mvd
+
+    # ------------------------------------------------- inter residual
+
+    def _recon_inter(self, mv, levels_none, ref_idx: int = 0) -> None:
+        """MC-only reconstruction (P_Skip)."""
+        pred_y, pred_cb, pred_cr = self._inter_pred(mv, ref_idx)
+        x0, y0 = self.mbx * 16, self.mby * 16
+        self.planes[0][y0:y0 + 16, x0:x0 + 16] = pred_y
+        if not self.mono:
+            self.planes[1][y0 // 2:y0 // 2 + 8,
+                           x0 // 2:x0 // 2 + 8] = pred_cb
+            self.planes[2][y0 // 2:y0 // 2 + 8,
+                           x0 // 2:x0 // 2 + 8] = pred_cr
+
+    def _inter_pred(self, mv, ref_idx: int = 0):
+        ref = self.ref_planes[ref_idx]
+        x0, y0 = self.mbx * 16, self.mby * 16
+        pred_y = _mc_luma(ref[0], x0, y0, 16, 16, mv[0], mv[1])
+        if self.mono:
+            return pred_y, None, None
+        pred_cb = _mc_chroma(ref[1], x0 // 2, y0 // 2, 8, 8, mv[0], mv[1])
+        pred_cr = _mc_chroma(ref[2], x0 // 2, y0 // 2, 8, 8, mv[0], mv[1])
+        return pred_y, pred_cb, pred_cr
+
+    def _decode_inter_residual(self, mv, ref_idx: int) -> None:
+        """CBP + transform residual over the MC prediction."""
+        d = self.d
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        cur.cbp_luma, cur.cbp_chroma = self._decode_cbp()
+        if self.pps.transform_8x8_mode and cur.cbp_luma:
+            cur.tx8 = bool(d.decode_bin(T.CTX_TRANSFORM_8X8 +
+                                        self._tx8_inc()))
+            if cur.tx8:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec,
+                    "8x8 transform in inter MBs")
+        if cur.cbp_luma or cur.cbp_chroma:
+            self._decode_qp_delta()
+        else:
+            cur.qp = self.qp
+            self.prev_qp_delta = 0
+        qp = cur.qp
+        pred_y, pred_cb, pred_cr = self._inter_pred(mv, ref_idx)
+        Y = self.planes[0]
+        x0, y0 = mbx * 16, mby * 16
+        for k in range(16):
+            bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+            blk8 = (by // 2) * 2 + (bx // 2)
+            nz = 0
+            res = 0
+            if (cur.cbp_luma >> blk8) & 1:
+                if self._cbf(T.CAT_LUMA_4X4, bx, by, 0):
+                    coeffs = self._residual_block(T.CAT_LUMA_4X4, 16)
+                    blk = np.zeros(16, np.int32)
+                    blk[T.ZIGZAG_4X4] = coeffs
+                    res = itrans4(dequant4(blk.reshape(4, 4), qp))
+                    nz = 1
+            self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
+            px, py = x0 + bx * 4, y0 + by * 4
+            Y[py:py + 4, px:px + 4] = np.clip(
+                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res,
+                0, 255)
+        if not self.mono:
+            self._recon_chroma(inter_pred=(pred_cb, pred_cr))
 
     # ------------------------------------------------------- mb syntax
 
@@ -827,15 +1165,19 @@ class SliceDecoder:
     # ----------------------------------------------------- residual read
 
     def _cbf_inc(self, cat: int, blk_x: int, blk_y: int, plane: int) -> int:
-        """ctxIdxInc for coded_block_flag (spec 9.3.3.1.1.9)."""
+        """ctxIdxInc for coded_block_flag (spec 9.3.3.1.1.9).
+
+        condTermFlag for an unavailable neighbor is 0 when the CURRENT
+        macroblock is inter-coded and 1 when it is intra-coded."""
         mbx, mby = self.mbx, self.mby
+        un = 0 if self.cur.is_inter else 1
         if cat == T.CAT_LUMA_DC:
             a = self.mb_at(mbx - 1, mby)
             b = self.mb_at(mbx, mby - 1)
 
             def dc_cond(nb, x, y):
                 if nb is None:
-                    return 1
+                    return un
                 if nb.is_pcm:
                     return 1
                 if not nb.is_i16:
@@ -848,10 +1190,10 @@ class SliceDecoder:
             def l_cond(x, y):
                 if x < 0 or y < 0 or x >= self.mb_w * 4 or \
                         y >= self.mb_h * 4:
-                    return 1
+                    return un
                 nb = self.mb_at(x // 4, y // 4)
                 if nb is None:
-                    return 1
+                    return un
                 if nb.is_pcm:
                     return 1
                 return int(self.cbf_luma[y, x])
@@ -862,7 +1204,7 @@ class SliceDecoder:
 
             def cdc_cond(nb, x, y):
                 if nb is None:
-                    return 1
+                    return un
                 if nb.is_pcm:
                     return 1
                 return int(self.cbf_chroma_dc[plane - 1, y, x])
@@ -873,10 +1215,10 @@ class SliceDecoder:
             def ca_cond(x, y):
                 if x < 0 or y < 0 or x >= self.mb_w * 2 or \
                         y >= self.mb_h * 2:
-                    return 1
+                    return un
                 nb = self.mb_at(x // 2, y // 2)
                 if nb is None:
-                    return 1
+                    return un
                 if nb.is_pcm:
                     return 1
                 return int(self.cbf_chroma[plane - 1, y, x])
@@ -1117,9 +1459,11 @@ class SliceDecoder:
         idx = mby * self.mb_w + mbx
         return self.first_mb <= idx < self.mby * self.mb_w + self.mbx
 
-    def _recon_chroma(self) -> None:
+    def _recon_chroma(self, inter_pred=None) -> None:
         """Chroma residual + recon. Bitstream order (spec 7.3.5.3):
-        ChromaDC for Cb then Cr, then ChromaAC Cb blocks, then Cr."""
+        ChromaDC for Cb then Cr, then ChromaAC Cb blocks, then Cr.
+        inter_pred: (pred_cb, pred_cr) MC planes for inter MBs (skips
+        the intra chroma prediction)."""
         cur = self.cur
         mbx, mby = self.mbx, self.mby
         qp_y = cur.qp
@@ -1148,15 +1492,18 @@ class SliceDecoder:
             q = qpc[pl - 1]
             dcs = dcs_per_plane[pl - 1]
             x0, y0 = mbx * 8, mby * 8
-            top, left, tl = self._chroma_border(pl, x0, y0)
-            # chroma: HOR needs left, VERT top, PLANE all (DC degrades)
-            if (cur.chroma_mode == T.C_HOR and left is None) or \
-                    (cur.chroma_mode == T.C_VERT and top is None) or \
-                    (cur.chroma_mode == T.C_PLANE and
-                     (top is None or left is None or tl is None)):
-                raise HeifError.invalid_input(
-                    msg="intra mode requires unavailable neighbor samples")
-            p = pred_chroma(cur.chroma_mode, top, left, tl)
+            if inter_pred is not None:
+                p = inter_pred[pl - 1]
+            else:
+                top, left, tl = self._chroma_border(pl, x0, y0)
+                # chroma: HOR needs left, VERT top, PLANE all
+                if (cur.chroma_mode == T.C_HOR and left is None) or \
+                        (cur.chroma_mode == T.C_VERT and top is None) or \
+                        (cur.chroma_mode == T.C_PLANE and
+                         (top is None or left is None or tl is None)):
+                    raise HeifError.invalid_input(
+                        msg="intra mode requires unavailable neighbors")
+                p = pred_chroma(cur.chroma_mode, top, left, tl)
             res = np.zeros((8, 8), np.int64)
             for k in range(4):
                 bx, by = k & 1, k >> 1

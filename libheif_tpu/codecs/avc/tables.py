@@ -18,6 +18,8 @@ import numpy as np
 _NPZ = np.load(os.path.join(os.path.dirname(__file__), "avc_tables.npz"))
 
 CABAC_INIT_I = _NPZ["cabac_init_i"].astype(np.int32)      # (1024, 2) m,n
+# three cabac_init_idc P/B tables (Tables 9-13..9-33 right columns)
+CABAC_INIT_PB = _NPZ["cabac_init_pb"].astype(np.int32)    # (3, 1024, 2)
 DEBLOCK_ALPHA = _NPZ["deblock_alpha"]                     # (52,)
 DEBLOCK_BETA = _NPZ["deblock_beta"]                       # (52,)
 DEBLOCK_TC0 = _NPZ["deblock_tc0"]                         # (52, 3)
@@ -96,6 +98,13 @@ CHROMA_QP = np.concatenate([
 
 # ctxIdxOffset per syntax element (Table 9-34, frame-coded I slices)
 CTX_MB_TYPE_I = 3              # 3..10
+# P-slice elements (Table 9-34)
+CTX_MB_SKIP_P = 11             # 11..13
+CTX_MB_TYPE_P = 14             # prefix 14..16(+17); intra suffix 17..20
+CTX_SUB_MB_TYPE_P = 21         # 21..23
+CTX_MVD_X = 40                 # 40..46
+CTX_MVD_Y = 47                 # 47..53
+CTX_REF_IDX = 54               # 54..59
 CTX_MB_QP_DELTA = 60           # 60..63
 CTX_CHROMA_PRED = 64           # 64..67
 CTX_PREV_I4X4 = 68
@@ -139,11 +148,15 @@ for _k in range(16):
     BLK4_IDX[BLK4_Y[_k], BLK4_X[_k]] = _k
 
 
-def init_cabac_states(qp: int) -> tuple:
-    """Initialize all 1024 context states for an I slice (spec 9.3.1.1):
-    preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, qp)) >> 4) + n)."""
-    m = CABAC_INIT_I[:, 0].astype(np.int64)
-    n = CABAC_INIT_I[:, 1].astype(np.int64)
+def init_cabac_states(qp: int, is_p: bool = False,
+                      cabac_init_idc: int = 0) -> tuple:
+    """Initialize all 1024 context states (spec 9.3.1.1):
+    preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, qp)) >> 4) + n).
+    I slices use Table 9-12's column; P slices one of the three
+    cabac_init_idc variants."""
+    tab = CABAC_INIT_PB[cabac_init_idc] if is_p else CABAC_INIT_I
+    m = tab[:, 0].astype(np.int64)
+    n = tab[:, 1].astype(np.int64)
     pre = np.clip(((m * int(np.clip(qp, 0, 51))) >> 4) + n, 1, 126)
     mps = (pre > 63).astype(np.int32)
     state = np.where(pre > 63, pre - 64, 63 - pre).astype(np.int32)

@@ -54,11 +54,14 @@ class Sample:
 
 @dataclass
 class RawSequenceSample:
-    """heif_raw_sequence_sample equivalent (ref: heif_sequences.h)."""
+    """heif_raw_sequence_sample equivalent (ref: heif_sequences.h).
+    is_sync marks random-access samples when muxing pre-encoded
+    inter streams (IDR vs P frames)."""
     data: bytes = b""
     duration: int = 0
     timestamp: Optional[TaiTimestampPacket] = None
     gimi_sample_content_id: Optional[str] = None
+    is_sync: bool = True
 
 
 class SampleAuxInfoReader:
@@ -753,7 +756,8 @@ class VisualTrackWriter:
             raise HeifError.usage(msg="Sample duration may not be 0")
         self._append_sample(sample.data, sample.duration,
                             sample.timestamp,
-                            sample.gimi_sample_content_id)
+                            sample.gimi_sample_content_id,
+                            is_sync=sample.is_sync)
 
     def _append_sample(self, data: bytes, duration: int,
                        tai: Optional[TaiTimestampPacket],

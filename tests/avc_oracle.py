@@ -86,6 +86,59 @@ def decode(stream: bytes) -> Optional[Dict[str, np.ndarray]]:
     return {"Y": y, "U": u, "V": v}
 
 
+def encode_seq(frames, qp: int = 26, gop: int = 250,
+               extra_params: str = "") -> Optional[bytes]:
+    """Encode [(y, u, v), ...] as an IPPP annex-B stream via x264."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "avc_encode_seq"):
+        return None
+    lib.avc_encode_seq.restype = ctypes.c_int
+    h, w = frames[0][0].shape
+    parts = []
+    for (y, u, v) in frames:
+        parts += [y.ravel(), u.ravel(), v.ravel()]
+    yuv = np.concatenate(parts).astype(np.uint8)
+    src = yuv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    cap = 64 * 1024 * 1024
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.avc_encode_seq(src, len(frames), w, h, qp, gop,
+                           extra_params.encode(), out, cap)
+    if n <= 0:
+        return None
+    return bytes(bytearray(out[:n]))
+
+
+def decode_seq(stream: bytes):
+    """Decode every frame of an annex-B stream → list of plane dicts."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "avc_decode_seq"):
+        return None
+    lib.avc_decode_seq.restype = ctypes.c_int
+    cap = 256 * 1024 * 1024
+    out = (ctypes.c_uint8 * cap)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nf = ctypes.c_int()
+    n = lib.avc_decode_seq(stream, len(stream), out, cap,
+                           ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(nf))
+    if n <= 0:
+        return None
+    buf = np.ctypeslib.as_array(out, (n,)).copy()
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    fsz = W * H + 2 * cw * ch
+    frames = []
+    for f in range(nf.value):
+        b = buf[f * fsz:(f + 1) * fsz]
+        frames.append({"Y": b[:W * H].reshape(H, W),
+                       "U": b[W * H:W * H + cw * ch].reshape(ch, cw),
+                       "V": b[W * H + cw * ch:].reshape(ch, cw)})
+    return frames
+
+
 def encode(y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int = 26,
            cabac: bool = False, tx8: bool = False,
            extra_params: str = "") -> Optional[bytes]:

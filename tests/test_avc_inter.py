@@ -1,0 +1,153 @@
+"""AVC inter (P-slice) decode conformance + avc1 video-track muxing.
+
+The decoder handles the constrained P toolset (P_Skip, P_L0_16x16,
+multi-ref, intra MBs in P frames, inter deblocking) and must reproduce
+libavcodec's decode of real x264 IPPP streams bit-exactly — the
+reference gets this from its openh264 plugin for any avc1 track
+(reference: libheif/plugins/decoder_openh264.cc,
+sequences/track_visual.cc:175)."""
+
+import numpy as np
+import pytest
+
+import avc_oracle
+from libheif_tpu.codecs.avc import headers as H
+from libheif_tpu.codecs.avc.decoder import AvcSequenceDecoder
+from libheif_tpu.core.error import HeifError
+
+pytestmark = pytest.mark.skipif(not avc_oracle.available(),
+                                reason="libavcodec oracle not available")
+
+BASE = "partitions=i4x4:me=dia:subme=1:trellis=0"
+
+
+def _frames(seed, W, Hh, N, noise=6):
+    rng = np.random.default_rng(seed)
+    base = np.kron(rng.integers(0, 256, ((Hh + 48) // 8 + 1,
+                                         (W + 48) // 8 + 1)),
+                   np.ones((8, 8))).astype(np.int32)
+    out = []
+    for i in range(N):
+        y = np.clip(base[3 * i:3 * i + Hh, 2 * i:2 * i + W] +
+                    rng.integers(-noise, noise + 1, (Hh, W)),
+                    0, 255).astype(np.uint8)
+        u = np.clip(base[i:i + (Hh + 1) // 2, i:i + (W + 1) // 2] // 2 +
+                    60, 0, 255).astype(np.uint8)
+        v = np.clip(255 - base[i:i + (Hh + 1) // 2,
+                               i:i + (W + 1) // 2] // 2,
+                    0, 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def _assert_stream_bitexact(stream):
+    ref = avc_oracle.decode_seq(stream)
+    assert ref is not None and len(ref) > 1
+    ours = AvcSequenceDecoder().decode_stream(H.split_annexb(stream))
+    assert len(ours) == len(ref)
+    for k, (o, r) in enumerate(zip(ours, ref)):
+        for pl in ("Y", "U", "V"):
+            assert np.array_equal(o[pl], r[pl]), f"frame {k} plane {pl}"
+
+
+@pytest.mark.parametrize("name,dims,n,qp,gop,extra", [
+    ("nodeblock", (96, 64), 4, 28, 250, BASE + ":no-deblock=1"),
+    ("deblock", (96, 64), 4, 28, 250, BASE),
+    ("subme5", (96, 64), 5, 26, 250,
+     "partitions=i4x4:me=hex:subme=5:trellis=0"),
+    ("qp40", (96, 64), 4, 40, 250, BASE),
+    ("gop2-idr-refresh", (96, 64), 6, 28, 2, BASE),
+    ("cropped-dims", (100, 52), 4, 24, 250, BASE),
+    ("two-refs", (96, 64), 5, 28, 250, BASE + ":ref=2"),
+])
+def test_x264_ippp_bitexact(name, dims, n, qp, gop, extra):
+    """x264-generated IPPP streams decode bit-exactly vs libavcodec."""
+    W, Hh = dims
+    frames = _frames(hash(name) % 1000, W, Hh, n)
+    stream = avc_oracle.encode_seq(frames, qp=qp, gop=gop,
+                                   extra_params=extra)
+    assert stream is not None
+    _assert_stream_bitexact(stream)
+
+
+def test_randomized_p_sweep():
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        qp = int(rng.integers(18, 42))
+        noise = int(rng.integers(2, 10))
+        frames = _frames(500 + trial, 80, 48, 4, noise=noise)
+        stream = avc_oracle.encode_seq(frames, qp=qp, extra_params=BASE)
+        assert stream is not None
+        _assert_stream_bitexact(stream)
+
+
+def test_unsupported_partitions_raise():
+    """Sub-16x16 P partitions are rejected with a clean error (scope
+    boundary, documented)."""
+    frames = _frames(7, 96, 64, 4, noise=20)
+    stream = avc_oracle.encode_seq(
+        frames, qp=20, extra_params="partitions=p8x8:me=hex:subme=5")
+    assert stream is not None
+    try:
+        ours = AvcSequenceDecoder().decode_stream(H.split_annexb(stream))
+    except HeifError:
+        return  # expected when a sub-partition actually occurs
+    # x264 may still have chosen only 16x16: then we must match
+    _assert_stream_bitexact(stream)
+
+
+def test_avc1_track_mux_roundtrip(tmp_path):
+    """Mux a real x264 IPPP stream into an avc1 track via the raw
+    sample API, reload, and decode every frame bit-exactly vs the
+    oracle's decode of the same stream (the reference decodes such
+    tracks through its plugin; heif_track_add_raw_sequence_sample)."""
+    from libheif_tpu.context import HeifContext
+    from libheif_tpu.sequences.track import RawSequenceSample
+    from libheif_tpu.boxes.codec_cfg import Box_avcC
+    from libheif_tpu.image.pixel_image import Channel
+
+    W, Hh, N = 96, 64, 5
+    frames = _frames(11, W, Hh, N)
+    stream = avc_oracle.encode_seq(frames, qp=26, extra_params=BASE)
+    assert stream is not None
+    ref = avc_oracle.decode_seq(stream)
+    assert ref is not None and len(ref) == N
+
+    nals = H.split_annexb(stream)
+    cfg = Box_avcC()
+    samples = []
+    for nal in nals:
+        t = H.nal_type(nal)
+        if t == H.NAL_SPS:
+            cfg.sps_list.append(nal)
+            sps = H.parse_sps(nal)
+            cfg.avc_profile = sps.profile_idc
+            cfg.avc_level = sps.level_idc
+        elif t == H.NAL_PPS:
+            cfg.pps_list.append(nal)
+        elif t in (H.NAL_SLICE_IDR, H.NAL_SLICE_NON_IDR):
+            data = len(nal).to_bytes(4, "big") + nal
+            samples.append(RawSequenceSample(
+                data=data, duration=1,
+                is_sync=(t == H.NAL_SLICE_IDR)))
+
+    ctx = HeifContext()
+    tw = ctx.add_visual_track(W, Hh, fmt="avc", timescale=30)
+    tw.config_box = cfg
+    for s in samples:
+        tw.add_raw_sample(s)
+    data = ctx.write()
+
+    ctx2 = HeifContext.read_from_bytes(data)
+    t = ctx2.tracks[0]
+    assert len(t.samples) == N
+    assert [s.is_sync for s in t.samples] == [True] + [False] * (N - 1)
+    for i in range(N):
+        img = t.decode_sample(i)
+        assert np.array_equal(np.asarray(img.plane(Channel.Y)),
+                              ref[i]["Y"]), f"frame {i}"
+        assert np.array_equal(np.asarray(img.plane(Channel.Cb)),
+                              ref[i]["U"])
+    # random access back to an earlier frame (restart from the IDR)
+    img2 = t.decode_sample(2)
+    assert np.array_equal(np.asarray(img2.plane(Channel.Y)), ref[2]["Y"])

@@ -53,6 +53,27 @@ def extract_cabac_init_i(data: bytes) -> np.ndarray:
     return cands[0].copy()
 
 
+def extract_cabac_init_pb(data: bytes) -> np.ndarray:
+    # The three cabac_init_idc P/B tables (Tables 9-13..9-33 right
+    # columns) share the same 11-context mb_type prefix as the I table
+    # but have NONZERO inits for the P/B-only contexts 11..23 / 40..53.
+    prefix_vals = [20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
+                   -28, 127, -23, 104, -6, 53, -1, 54, 7, 51]
+    pat = bytes(v & 0xFF for v in prefix_vals)
+    cands = []
+    for i in find_all(data, pat):
+        t = np.frombuffer(data[i:i + 2048], np.int8).reshape(1024, 2)
+        if (t[11:24] != 0).any() and (t[40:54] != 0).any():
+            cands.append((i, t))
+    if len(cands) != 3:
+        raise RuntimeError(
+            f"cabac_context_init_PB: {len(cands)} candidates")
+    # ffmpeg stores them in cabac_init_idc order 0, 1, 2 (adjacent
+    # 2048-byte blocks); keep file order
+    cands.sort(key=lambda kv: kv[0])
+    return np.stack([t.copy() for _, t in cands])
+
+
 def extract_deblock_tables(data: bytes):
     # Table 8-16 alpha(indexA) for indexA 16..51 (0 below 16)
     alpha_tail = [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25,
@@ -123,13 +144,16 @@ def extract_last8x8(data: bytes) -> np.ndarray:
 def main():
     data = open(LIB, "rb").read()
     init_i = extract_cabac_init_i(data)
+    init_pb = extract_cabac_init_pb(data)
     alpha, beta, tc0 = extract_deblock_tables(data)
     sig8x8 = extract_sig8x8(data)
     last8x8 = extract_last8x8(data)
-    np.savez(OUT, cabac_init_i=init_i, deblock_alpha=alpha,
+    np.savez(OUT, cabac_init_i=init_i, cabac_init_pb=init_pb,
+             deblock_alpha=alpha,
              deblock_beta=beta, deblock_tc0=tc0,
              sig_ctx_8x8=sig8x8, last_ctx_8x8=last8x8)
-    print(f"saved {OUT}: init_I {init_i.shape}, alpha/beta/tc0, sig/last 8x8 ok")
+    print(f"saved {OUT}: init_I {init_i.shape}, init_PB {init_pb.shape}, "
+          f"alpha/beta/tc0, sig/last 8x8 ok")
 
 
 if __name__ == "__main__":

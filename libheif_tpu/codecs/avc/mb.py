@@ -640,6 +640,8 @@ class SliceDecoder:
         self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
         self.ref = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int16)
         self.mvd = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        # sub-MB decode progress (C-neighbor availability, spec 6.4.11)
+        self.blk_done = np.ones((self.mb_h * 4, self.mb_w * 4), np.int8)
         self.first_mb = 0
 
     # ----------------------------------------------------------- helpers
@@ -742,37 +744,115 @@ class SliceDecoder:
             ptype = 1           # P_L0_L0_16x8
         else:
             ptype = 2           # P_L0_L0_8x16
-        if ptype != 0:
-            raise HeifError.unsupported(
-                SubError.Unsupported_codec,
-                f"P partition type {ptype} (only 16x16 supported)")
         cur.is_inter = True
-        cur.mb_type = -2
-        # ref_idx_l0 (single active reference → not coded, refIdx 0)
+        cur.mb_type = -2 - ptype
         num_ref = getattr(self, "num_ref_idx_l0", 1)
-        ref_idx = 0
-        if num_ref > 1:
-            ref_idx = self._decode_ref_idx()
-        if ref_idx >= len(self.ref_planes):
-            raise HeifError.invalid_input(msg="ref_idx out of range")
-        mvd = (self._decode_mvd(0), self._decode_mvd(1))
-        mvp = self._mvp_16x16(ref_idx)
-        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        self._decode_inter_residual(mv, ref_idx)
-        self._set_motion(mv, mvd=mvd, ref_idx=ref_idx)
+        gx0, gy0 = self.mbx * 4, self.mby * 4
+        # mark current MB's blocks undecoded for C-neighbor availability
+        self.blk_done[gy0:gy0 + 4, gx0:gx0 + 4] = 0
 
-    def _decode_ref_idx(self) -> int:
+        # ---- partition geometry ----
+        if ptype == 0:
+            ref_parts = [(0, 0, 16, 16)]
+            mv_parts = [[(0, 0, 16, 16)]]
+        elif ptype == 1:
+            ref_parts = [(0, 0, 16, 8), (0, 8, 16, 8)]
+            mv_parts = [[p] for p in ref_parts]
+        elif ptype == 2:
+            ref_parts = [(0, 0, 8, 16), (8, 0, 8, 16)]
+            mv_parts = [[p] for p in ref_parts]
+        else:
+            # P_8x8: sub_mb_type per 8x8 (Table 9-38: '1' 8x8,
+            # '00' 8x4, '011' 4x8, '010' 4x4; ctx 21/22/23)
+            ref_parts = [(0, 0, 8, 8), (8, 0, 8, 8),
+                         (0, 8, 8, 8), (8, 8, 8, 8)]
+            mv_parts = []
+            sub8x8_only = True
+            for (sx, sy, _, _) in ref_parts:
+                if d.decode_bin(T.CTX_SUB_MB_TYPE_P):
+                    subs = [(sx, sy, 8, 8)]
+                elif d.decode_bin(T.CTX_SUB_MB_TYPE_P + 1) == 0:
+                    subs = [(sx, sy, 8, 4), (sx, sy + 4, 8, 4)]
+                elif d.decode_bin(T.CTX_SUB_MB_TYPE_P + 2):
+                    subs = [(sx, sy, 4, 8), (sx + 4, sy, 4, 8)]
+                else:
+                    subs = [(sx, sy, 4, 4), (sx + 4, sy, 4, 4),
+                            (sx, sy + 4, 4, 4), (sx + 4, sy + 4, 4, 4)]
+                if subs[0][2:] != (8, 8):
+                    sub8x8_only = False
+                mv_parts.append(subs)
+
+        # ---- ref_idx per ref partition, then mvd per mv partition ----
+        refs = []
+        for (px, py, pw, ph) in ref_parts:
+            r = 0
+            if num_ref > 1:
+                r = self._decode_ref_idx(gx0 + px // 4, gy0 + py // 4)
+            if r >= len(self.ref_planes):
+                raise HeifError.invalid_input(msg="ref_idx out of range")
+            refs.append(r)
+            # refs are ctx for later ref_idx bins within the MB
+            self.ref[gy0 + py // 4:gy0 + (py + ph) // 4,
+                     gx0 + px // 4:gx0 + (px + pw) // 4] = r
+        mvds = []
+        for subs in mv_parts:
+            row = []
+            for (px, py, pw, ph) in subs:
+                bx, by = gx0 + px // 4, gy0 + py // 4
+                mvd = (self._decode_mvd(0, bx, by),
+                       self._decode_mvd(1, bx, by))
+                self.mvd[by:by + max(ph // 4, 1),
+                         bx:bx + max(pw // 4, 1)] = mvd
+                row.append(mvd)
+            mvds.append(row)
+
+        # ---- derive MVs + MC, partition by partition (8.4.1.3) ----
+        pred_y = np.zeros((16, 16), np.int64)
+        pred_cb = pred_cr = None
+        if not self.mono:
+            pred_cb = np.zeros((8, 8), np.int64)
+            pred_cr = np.zeros((8, 8), np.int64)
+        ref = None
+        for pi, subs in enumerate(mv_parts):
+            r = refs[pi]
+            ref = self.ref_planes[r]
+            for si, (px, py, pw, ph) in enumerate(subs):
+                mvd = mvds[pi][si]
+                mvp = self._mvp(px, py, pw, ph, r, ptype)
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                bx, by = gx0 + px // 4, gy0 + py // 4
+                nw, nh = max(pw // 4, 1), max(ph // 4, 1)
+                self.mv[by:by + nh, bx:bx + nw] = mv
+                self.ref[by:by + nh, bx:bx + nw] = r
+                self.blk_done[by:by + nh, bx:bx + nw] = 1
+                x0, y0 = self.mbx * 16 + px, self.mby * 16 + py
+                pred_y[py:py + ph, px:px + pw] = _mc_luma(
+                    ref[0], x0, y0, pw, ph, mv[0], mv[1])
+                if not self.mono:
+                    cw, chh = pw // 2, ph // 2
+                    cx, cy = px // 2, py // 2
+                    pred_cb[cy:cy + chh, cx:cx + cw] = _mc_chroma(
+                        ref[1], x0 // 2, y0 // 2, cw, chh, mv[0], mv[1])
+                    pred_cr[cy:cy + chh, cx:cx + cw] = _mc_chroma(
+                        ref[2], x0 // 2, y0 // 2, cw, chh, mv[0], mv[1])
+        tx8_allowed = ptype != 3 or sub8x8_only
+        self._decode_inter_residual_pred(pred_y, pred_cb, pred_cr,
+                                         tx8_allowed)
+        self.blk_done[gy0:gy0 + 4, gx0:gx0 + 4] = 1
+
+    def _decode_ref_idx(self, bx: int, by: int) -> int:
         d = self.d
-        gx, gy = self.mbx * 4, self.mby * 4
 
         def gt0(x, y):
             if x < 0 or y < 0:
                 return 0
             nb = self.mb_at(x // 4, y // 4)
-            if nb is None or not nb.is_inter:
+            if nb is None or (nb is not self.cur and not nb.is_inter):
+                return 0
+            if nb is self.cur and not self.blk_done[y, x]:
                 return 0
             return 1 if self.ref[y, x] > 0 else 0
-        inc = gt0(gx - 1, gy) + 2 * gt0(gx, gy - 1)
+        inc = gt0(bx - 1, by) + 2 * gt0(bx, by - 1)
         v = 0
         if d.decode_bin(T.CTX_REF_IDX + inc):
             v = 1
@@ -783,20 +863,20 @@ class SliceDecoder:
                     raise HeifError.invalid_input(msg="ref_idx runaway")
         return v
 
-    def _decode_mvd(self, comp: int) -> int:
-        """mvd_l0 component (spec 9.3.3.1.1.7 ctx + UEG3 binarization)."""
+    def _decode_mvd(self, comp: int, bx: int, by: int) -> int:
+        """mvd_l0 component (spec 9.3.3.1.1.7 ctx + UEG3 binarization);
+        (bx, by) is the partition's top-left in 4x4 units."""
         d = self.d
         base = T.CTX_MVD_X if comp == 0 else T.CTX_MVD_Y
-        gx, gy = self.mbx * 4, self.mby * 4
 
         def amvd(x, y):
             if x < 0 or y < 0 or x >= self.mb_w * 4 or y >= self.mb_h * 4:
                 return 0
             nb = self.mb_at(x // 4, y // 4)
-            if nb is None or not nb.is_inter:
+            if nb is None or (nb is not self.cur and not nb.is_inter):
                 return 0
             return abs(int(self.mvd[y, x, comp]))
-        s = amvd(gx - 1, gy) + amvd(gx, gy - 1)
+        s = amvd(bx - 1, by) + amvd(bx, by - 1)
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
         if d.decode_bin(base + inc) == 0:
             return 0
@@ -811,34 +891,50 @@ class SliceDecoder:
     # ---------------------------------------------- motion prediction
 
     def _mv_neighbor(self, gx: int, gy: int):
-        """(mb_available, ref, mv) of the 4x4 block at (gx, gy)."""
+        """(available, ref, mv) of the 4x4 block at (gx, gy); blocks of
+        the current MB count only once their partition is decoded."""
         if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
             return False, -1, (0, 0)
         nb = self.mb_at(gx // 4, gy // 4)
         if nb is None:
             return False, -1, (0, 0)
-        if not nb.is_inter:
+        if nb is self.cur:
+            if not self.blk_done[gy, gx]:
+                return False, -1, (0, 0)
+        elif not nb.is_inter:
             return True, -1, (0, 0)      # intra: available, ref -1, mv 0
         return True, int(self.ref[gy, gx]), \
             (int(self.mv[gy, gx, 0]), int(self.mv[gy, gx, 1]))
 
-    def _mvp_16x16(self, ref_idx: int):
-        """Median MV predictor for a 16x16 partition (spec 8.4.1.3)."""
-        gx, gy = self.mbx * 4, self.mby * 4
-        avail_a, ref_a, mv_a = self._mv_neighbor(gx - 1, gy)
-        avail_b, ref_b, mv_b = self._mv_neighbor(gx, gy - 1)
-        avail_c, ref_c, mv_c = self._mv_neighbor(gx + 4, gy - 1)
-        if not avail_c:
-            avail_c, ref_c, mv_c = self._mv_neighbor(gx - 1, gy - 1)
-        if not (avail_b or avail_c) and avail_a:
-            return mv_a
-        matches = [mv for avail, ref, mv in
-                   ((avail_a, ref_a, mv_a), (avail_b, ref_b, mv_b),
-                    (avail_c, ref_c, mv_c)) if ref == ref_idx]
+    def _mvp(self, px: int, py: int, pw: int, ph: int, ref_idx: int,
+             ptype: int):
+        """MV predictor for one partition (spec 8.4.1.3): median of
+        A/B/C with the directional 16x8 / 8x16 shortcuts and the
+        above-left substitution for C."""
+        gx = self.mbx * 4 + px // 4
+        gy = self.mby * 4 + py // 4
+        a = self._mv_neighbor(gx - 1, gy)
+        b = self._mv_neighbor(gx, gy - 1)
+        c = self._mv_neighbor(gx + pw // 4, gy - 1)
+        if not c[0]:
+            c = self._mv_neighbor(gx - 1, gy - 1)
+        if ptype == 1:                    # 16x8 rows
+            if py == 0 and b[0] and b[1] == ref_idx:
+                return b[2]
+            if py == 8 and a[0] and a[1] == ref_idx:
+                return a[2]
+        elif ptype == 2:                  # 8x16 columns
+            if px == 0 and a[0] and a[1] == ref_idx:
+                return a[2]
+            if px == 8 and c[0] and c[1] == ref_idx:
+                return c[2]
+        if not (b[0] or c[0]) and a[0]:
+            return a[2]
+        matches = [mv for avail, ref, mv in (a, b, c) if ref == ref_idx]
         if len(matches) == 1:
             return matches[0]
-        xs = sorted((mv_a[0], mv_b[0], mv_c[0]))
-        ys = sorted((mv_a[1], mv_b[1], mv_c[1]))
+        xs = sorted((a[2][0], b[2][0], c[2][0]))
+        ys = sorted((a[2][1], b[2][1], c[2][1]))
         return xs[1], ys[1]
 
     def _pskip_mv(self):
@@ -850,7 +946,7 @@ class SliceDecoder:
                 (ref_a == 0 and mv_a == (0, 0)) or \
                 (ref_b == 0 and mv_b == (0, 0)):
             return (0, 0)
-        return self._mvp_16x16(0)
+        return self._mvp(0, 0, 16, 16, 0, 0)
 
     def _set_motion(self, mv, mvd=(0, 0), ref_idx: int = 0) -> None:
         gx, gy = self.mbx * 4, self.mby * 4
@@ -882,44 +978,64 @@ class SliceDecoder:
         return pred_y, pred_cb, pred_cr
 
     def _decode_inter_residual(self, mv, ref_idx: int) -> None:
-        """CBP + transform residual over the MC prediction."""
+        """CBP + transform residual over a whole-MB MC prediction."""
+        pred_y, pred_cb, pred_cr = self._inter_pred(mv, ref_idx)
+        self._decode_inter_residual_pred(pred_y, pred_cb, pred_cr, True)
+
+    def _decode_inter_residual_pred(self, pred_y, pred_cb, pred_cr,
+                                    tx8_allowed: bool) -> None:
+        """CBP + transform residual over the assembled MC prediction
+        (spec 7.3.5: cbp, transform_size_8x8_flag, qp_delta, residual)."""
         d = self.d
         cur = self.cur
         mbx, mby = self.mbx, self.mby
         cur.cbp_luma, cur.cbp_chroma = self._decode_cbp()
-        if self.pps.transform_8x8_mode and cur.cbp_luma:
+        if self.pps.transform_8x8_mode and cur.cbp_luma and tx8_allowed:
             cur.tx8 = bool(d.decode_bin(T.CTX_TRANSFORM_8X8 +
                                         self._tx8_inc()))
-            if cur.tx8:
-                raise HeifError.unsupported(
-                    SubError.Unsupported_codec,
-                    "8x8 transform in inter MBs")
         if cur.cbp_luma or cur.cbp_chroma:
             self._decode_qp_delta()
         else:
             cur.qp = self.qp
             self.prev_qp_delta = 0
         qp = cur.qp
-        pred_y, pred_cb, pred_cr = self._inter_pred(mv, ref_idx)
         Y = self.planes[0]
         x0, y0 = mbx * 16, mby * 16
-        for k in range(16):
-            bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
-            blk8 = (by // 2) * 2 + (bx // 2)
-            nz = 0
-            res = 0
-            if (cur.cbp_luma >> blk8) & 1:
-                if self._cbf(T.CAT_LUMA_4X4, bx, by, 0):
-                    coeffs = self._residual_block(T.CAT_LUMA_4X4, 16)
-                    blk = np.zeros(16, np.int32)
-                    blk[T.ZIGZAG_4X4] = coeffs
-                    res = itrans4(dequant4(blk.reshape(4, 4), qp))
-                    nz = 1
-            self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
-            px, py = x0 + bx * 4, y0 + by * 4
-            Y[py:py + 4, px:px + 4] = np.clip(
-                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res,
-                0, 255)
+        if cur.tx8:
+            for k in range(4):
+                bx, by = (k & 1) * 2, (k >> 1) * 2
+                nz = 0
+                res = 0
+                if (cur.cbp_luma >> k) & 1:
+                    coeffs = self._residual_block(T.CAT_LUMA_8X8, 64)
+                    blk = np.zeros(64, np.int32)
+                    blk[T.ZIGZAG_8X8] = coeffs
+                    res = itrans8(dequant8(blk.reshape(8, 8), qp))
+                    nz = 1 if coeffs.any() else 0
+                self.cbf_luma[mby * 4 + by:mby * 4 + by + 2,
+                              mbx * 4 + bx:mbx * 4 + bx + 2] = nz
+                px, py = x0 + bx * 4, y0 + by * 4
+                Y[py:py + 8, px:px + 8] = np.clip(
+                    pred_y[by * 4:by * 4 + 8, bx * 4:bx * 4 + 8] + res,
+                    0, 255)
+        else:
+            for k in range(16):
+                bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+                blk8 = (by // 2) * 2 + (bx // 2)
+                nz = 0
+                res = 0
+                if (cur.cbp_luma >> blk8) & 1:
+                    if self._cbf(T.CAT_LUMA_4X4, bx, by, 0):
+                        coeffs = self._residual_block(T.CAT_LUMA_4X4, 16)
+                        blk = np.zeros(16, np.int32)
+                        blk[T.ZIGZAG_4X4] = coeffs
+                        res = itrans4(dequant4(blk.reshape(4, 4), qp))
+                        nz = 1
+                self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
+                px, py = x0 + bx * 4, y0 + by * 4
+                Y[py:py + 4, px:px + 4] = np.clip(
+                    pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res,
+                    0, 255)
         if not self.mono:
             self._recon_chroma(inter_pred=(pred_cb, pred_cr))
 

@@ -59,6 +59,15 @@ def _assert_stream_bitexact(stream):
     ("gop2-idr-refresh", (96, 64), 6, 28, 2, BASE),
     ("cropped-dims", (100, 52), 4, 24, 250, BASE),
     ("two-refs", (96, 64), 5, 28, 250, BASE + ":ref=2"),
+    ("p8x8-subparts", (96, 64), 5, 26, 250,
+     "partitions=p8x8,i4x4:me=hex:subme=5:trellis=0"),
+    ("p4x4-subparts", (96, 64), 5, 26, 250,
+     "partitions=p8x8,p4x4,i4x4:me=hex:subme=6:trellis=0"),
+    ("all-parts-umh", (96, 64), 6, 24, 250,
+     "partitions=all:me=umh:subme=7:trellis=0"),
+    ("x264-defaults", (112, 80), 6, 26, 250, ""),
+    ("inter-tx8", (96, 64), 5, 26, 250,
+     "partitions=p8x8,i4x4:8x8dct=1:me=hex:subme=5"),
 ])
 def test_x264_ippp_bitexact(name, dims, n, qp, gop, extra):
     """x264-generated IPPP streams decode bit-exactly vs libavcodec."""
@@ -81,19 +90,20 @@ def test_randomized_p_sweep():
         _assert_stream_bitexact(stream)
 
 
-def test_unsupported_partitions_raise():
-    """Sub-16x16 P partitions are rejected with a clean error (scope
+def test_weighted_pred_rejected():
+    """Weighted prediction is rejected with a clean error (scope
     boundary, documented)."""
     frames = _frames(7, 96, 64, 4, noise=20)
+    # fading content forces x264's weightp to engage
+    fading = [(np.clip(y.astype(int) - 30 * i, 0, 255).astype(np.uint8),
+               u, v) for i, (y, u, v) in enumerate(frames)]
     stream = avc_oracle.encode_seq(
-        frames, qp=20, extra_params="partitions=p8x8:me=hex:subme=5")
+        fading, qp=20, extra_params="weightp=2:partitions=i4x4:subme=5")
     assert stream is not None
     try:
-        ours = AvcSequenceDecoder().decode_stream(H.split_annexb(stream))
+        _assert_stream_bitexact(stream)
     except HeifError:
-        return  # expected when a sub-partition actually occurs
-    # x264 may still have chosen only 16x16: then we must match
-    _assert_stream_bitexact(stream)
+        pass  # expected when weighted tables actually appear
 
 
 def test_avc1_track_mux_roundtrip(tmp_path):

@@ -41,8 +41,10 @@ _MPS = TRANS_IDX_MPS.tolist()
 class AvcCabacEncoder:
     """Binary arithmetic encoder, contexts addressed by absolute ctxIdx."""
 
-    def __init__(self, qp: int):
-        self.p_state, self.val_mps = init_cabac_states(qp)
+    def __init__(self, qp: int, is_p: bool = False,
+                 cabac_init_idc: int = 0):
+        self.p_state, self.val_mps = init_cabac_states(qp, is_p,
+                                                       cabac_init_idc)
         self.low = 0
         self.range = 510
         self.bits_outstanding = 0
@@ -1072,7 +1074,7 @@ def add_emulation_prevention(rbsp: bytes) -> bytes:
 
 
 def write_sps(mb_w: int, mb_h: int, width: int, height: int,
-              mono: bool = False) -> bytes:
+              mono: bool = False, num_ref_frames: int = 0) -> bytes:
     """High-profile SPS (spec 7.3.2.1.1). Returns the full NAL."""
     w = BitWriter()
     w.write_bits(100, 8)        # profile_idc: High
@@ -1086,7 +1088,7 @@ def write_sps(mb_w: int, mb_h: int, width: int, height: int,
     w.write_bit(0)              # seq_scaling_matrix_present
     _ue(w, 0)                   # log2_max_frame_num_minus4
     _ue(w, 2)                   # pic_order_cnt_type = 2
-    _ue(w, 0)                   # max_num_ref_frames
+    _ue(w, num_ref_frames)      # max_num_ref_frames
     w.write_bit(0)              # gaps_in_frame_num_allowed
     _ue(w, mb_w - 1)
     _ue(w, mb_h - 1)
@@ -1222,7 +1224,416 @@ from ..registry import Encoder as RegistryEncoder, register_encoder
 from ...image.pixel_image import PixelImage, Channel, Colorspace, Chroma
 
 
+class PSliceEncoder(SliceEncoder):
+    """P slice encoder (IPPP): P_Skip / P_L0_16x16 with integer +
+    quarter-pel ME against the previous reconstructed picture; mirrors
+    the decoder's parse exactly (mb_skip, mb_type prefix, UEG3 mvd,
+    cbp, inter residual, inter chroma)."""
+
+    def __init__(self, sps: SPS, pps: PPS, src: List[np.ndarray],
+                 qp: int, ref_planes: List[List[np.ndarray]],
+                 search: int = 8):
+        super().__init__(sps, pps, src, qp, tx8_policy="never")
+        self.ref_planes = ref_planes
+        self.num_ref_idx_l0 = 1
+        self.search = search
+
+    def encode_slice(self, hdr: SliceHeader) -> bytes:
+        self.first_mb = hdr.first_mb
+        e = AvcCabacEncoder(hdr.qp, is_p=True,
+                            cabac_init_idc=hdr.cabac_init_idc)
+        self.e = e
+        self.qp = hdr.qp
+        self.prev_qp_delta = 0
+        n = self.mb_w * self.mb_h
+        for addr in range(hdr.first_mb, n):
+            self.mbx = addr % self.mb_w
+            self.mby = addr // self.mb_w
+            self.cur = MBInfo()
+            self.mb[addr] = self.cur
+            self._encode_mb_p()
+            e.encode_terminate(1 if addr == n - 1 else 0)
+        e.flush()
+        return e.data()
+
+    # ------------------------------------------------------------- ME
+
+    def _sad(self, x0, y0, mv) -> int:
+        from .mb import _mc_luma
+        pred = _mc_luma(self.ref_planes[0][0], x0, y0, 16, 16,
+                        mv[0], mv[1])
+        s = self.src[0][y0:y0 + 16, x0:x0 + 16]
+        return int(np.abs(pred - s).sum())
+
+    def _motion_search(self, x0, y0, seeds):
+        tried = {}
+
+        def ev(mv):
+            if mv not in tried:
+                tried[mv] = self._sad(x0, y0, mv)
+            return tried[mv]
+
+        best_mv, best = (0, 0), ev((0, 0))
+        for mv in seeds:
+            s = ev(mv)
+            if s < best:
+                best_mv, best = mv, s
+        cx, cy = (best_mv[0] >> 2) << 2, (best_mv[1] >> 2) << 2
+        r = self.search
+        step = max(1, r // 4)
+        for dy in range(-r, r + 1, step):
+            for dx in range(-r, r + 1, step):
+                s = ev((cx + 4 * dx, cy + 4 * dy))
+                if s < best:
+                    best_mv, best = (cx + 4 * dx, cy + 4 * dy), s
+        bx, by = best_mv
+        for dy in (-2, -1, 0, 1, 2):
+            for dx in (-2, -1, 0, 1, 2):
+                s = ev((bx + dx, by + dy))
+                if s < best:
+                    best_mv, best = (bx + dx, by + dy), s
+        return best_mv
+
+    # ------------------------------------------------------------ MB
+
+    def _encode_mb_p(self) -> None:
+        from .mb import _mc_luma, _mc_chroma
+        e = self.e
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        x0, y0 = mbx * 16, mby * 16
+        gx0, gy0 = mbx * 4, mby * 4
+
+        skip_mv = self._pskip_mv()
+        mvp = self._mvp(0, 0, 16, 16, 0, 0)
+        mv = self._motion_search(x0, y0, [skip_mv, mvp])
+
+        ref = self.ref_planes[0]
+        pred_y = _mc_luma(ref[0], x0, y0, 16, 16, mv[0], mv[1])
+        pred_cb = _mc_chroma(ref[1], x0 // 2, y0 // 2, 8, 8, mv[0], mv[1])
+        pred_cr = _mc_chroma(ref[2], x0 // 2, y0 // 2, 8, 8, mv[0], mv[1])
+
+        qp = self.qp
+        resid = self.src[0][y0:y0 + 16, x0:x0 + 16].astype(np.int64) - \
+            pred_y
+        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        levels = quant4(ftrans4(blocks), qp)            # (4,4,4,4)
+        cbp_luma = 0
+        for k8 in range(4):
+            b8 = levels[(k8 >> 1) * 2:(k8 >> 1) * 2 + 2,
+                        (k8 & 1) * 2:(k8 & 1) * 2 + 2]
+            if b8.any():
+                cbp_luma |= 1 << k8
+        ch = self._chroma_levels_from_pred((pred_cb, pred_cr))
+        cbp_chroma = ch[0]
+
+        skip_inc = self._mb_skip_inc()
+        if mv == skip_mv and cbp_luma == 0 and cbp_chroma == 0:
+            # P_Skip
+            e.encode_bin(T.CTX_MB_SKIP_P + skip_inc, 1)
+            cur.is_inter = True
+            cur.skipped = True
+            cur.qp = self.qp
+            self.prev_qp_delta = 0
+            self._recon_inter_mb(pred_y, pred_cb, pred_cr, None, ch)
+            self.mv[gy0:gy0 + 4, gx0:gx0 + 4] = mv
+            self.ref[gy0:gy0 + 4, gx0:gx0 + 4] = 0
+            self.mvd[gy0:gy0 + 4, gx0:gx0 + 4] = 0
+            return
+
+        e.encode_bin(T.CTX_MB_SKIP_P + skip_inc, 0)
+        cur.is_inter = True
+        cur.mb_type = -2
+        # mb_type P_L0_16x16: prefix bins 0,0,0
+        e.encode_bin(T.CTX_MB_TYPE_P, 0)
+        e.encode_bin(T.CTX_MB_TYPE_P + 1, 0)
+        e.encode_bin(T.CTX_MB_TYPE_P + 2, 0)
+        mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+        self._emit_mvd(0, mvd[0], gx0, gy0)
+        self.mvd[gy0:gy0 + 4, gx0:gx0 + 4, 0] = mvd[0]
+        self._emit_mvd(1, mvd[1], gx0, gy0)
+        self.mvd[gy0:gy0 + 4, gx0:gx0 + 4, 1] = mvd[1]
+        self.mv[gy0:gy0 + 4, gx0:gx0 + 4] = mv
+        self.ref[gy0:gy0 + 4, gx0:gx0 + 4] = 0
+
+        cur.cbp_luma = cbp_luma
+        cur.cbp_chroma = cbp_chroma
+        self._emit_cbp(cbp_luma, cbp_chroma)
+        if cbp_luma or cbp_chroma:
+            self._emit_qp_delta(0)
+        else:
+            cur.qp = self.qp
+            self.prev_qp_delta = 0
+        cur.qp = self.qp
+        self._recon_inter_mb(pred_y, pred_cb, pred_cr,
+                             levels if cbp_luma else None, ch)
+
+    def _emit_mvd(self, comp: int, v: int, bx: int, by: int) -> None:
+        """UEG3 mvd emission (mirror of the decoder's _decode_mvd)."""
+        e = self.e
+        base = T.CTX_MVD_X if comp == 0 else T.CTX_MVD_Y
+
+        def amvd(x, y):
+            if x < 0 or y < 0 or x >= self.mb_w * 4 or y >= self.mb_h * 4:
+                return 0
+            nb = self.mb_at(x // 4, y // 4)
+            if nb is None or (nb is not self.cur and not nb.is_inter):
+                return 0
+            return abs(int(self.mvd[y, x, comp]))
+        s = amvd(bx - 1, by) + amvd(bx, by - 1)
+        inc = 0 if s < 3 else (1 if s <= 32 else 2)
+        a = abs(v)
+        if a == 0:
+            e.encode_bin(base + inc, 0)
+            return
+        e.encode_bin(base + inc, 1)
+        prefix = min(a, 9)
+        for k in range(1, prefix):
+            e.encode_bin(base + min(k + 2, 6), 1)
+        if prefix < 9:
+            e.encode_bin(base + min(prefix + 2, 6), 0)
+        else:
+            e.encode_eg_bypass(3, a - 9)
+        e.encode_bypass(1 if v < 0 else 0)
+
+    def _emit_cbp(self, cbp_luma: int, cbp_chroma: int) -> None:
+        e = self.e
+        cbp = 0
+        for bit in range(4):
+            b = (cbp_luma >> bit) & 1
+            e.encode_bin(T.CTX_CBP_LUMA + self._cbp_luma_inc(cbp, bit), b)
+            cbp |= b << bit
+        if not self.mono:
+            b0 = 1 if cbp_chroma else 0
+            e.encode_bin(T.CTX_CBP_CHROMA + self._cbp_chroma_inc(0), b0)
+            if b0:
+                e.encode_bin(T.CTX_CBP_CHROMA + 4 + self._cbp_chroma_inc(1),
+                             1 if cbp_chroma == 2 else 0)
+
+    def _chroma_levels_from_pred(self, preds):
+        """Inter variant of _chroma_levels: quantize the MC residual."""
+        mbx, mby = self.mbx, self.mby
+        x0, y0 = mbx * 8, mby * 8
+        qp_y = self.qp
+        per_plane = []
+        any_dc = any_ac = False
+        for pl in (1, 2):
+            off = self.pps.chroma_qp_offset(pl - 1)
+            q = int(T.CHROMA_QP[clip3(0, 51, qp_y + off)])
+            p = preds[pl - 1]
+            resid = self.src[pl][y0:y0 + 8, x0:x0 + 8].astype(np.int64) - p
+            blocks = resid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+            coef = ftrans4(blocks)
+            dc = coef[:, :, 0, 0]
+            fdc = np.array([[dc[0, 0] + dc[0, 1] + dc[1, 0] + dc[1, 1],
+                             dc[0, 0] - dc[0, 1] + dc[1, 0] - dc[1, 1]],
+                            [dc[0, 0] + dc[0, 1] - dc[1, 0] - dc[1, 1],
+                             dc[0, 0] - dc[0, 1] - dc[1, 0] + dc[1, 1]]],
+                           np.int64)
+            dcq = quant_dc2(fdc, q)
+            acq = quant4(coef, q)
+            acq[:, :, 0, 0] = 0
+            dc_scan = np.array([dcq[0, 0], dcq[0, 1], dcq[1, 0],
+                                dcq[1, 1]], np.int32)
+            ac_scans = [acq[k >> 1, k & 1].reshape(16)[T.ZIGZAG_4X4][1:]
+                        for k in range(4)]
+            if dc_scan.any():
+                any_dc = True
+            if any(s.any() for s in ac_scans):
+                any_ac = True
+            per_plane.append((p, dc_scan, ac_scans, q))
+        cbp = 2 if any_ac else (1 if any_dc else 0)
+        if cbp < 2:
+            per_plane = [(p, dc, [np.zeros(15, np.int32)] * 4, q)
+                         for (p, dc, _, q) in per_plane]
+        if cbp == 0:
+            per_plane = [(p, np.zeros(4, np.int32), ac, q)
+                         for (p, _, ac, q) in per_plane]
+        return cbp, 0, per_plane
+
+    def _recon_inter_mb(self, pred_y, pred_cb, pred_cr, levels,
+                        ch) -> None:
+        """Emit luma residual (if coded) + chroma, closed-loop recon."""
+        e = self.e
+        cur = self.cur
+        mbx, mby = self.mbx, self.mby
+        x0, y0 = mbx * 16, mby * 16
+        qp = cur.qp
+        Y = self.planes[0]
+        if cur.skipped:
+            Y[y0:y0 + 16, x0:x0 + 16] = pred_y
+            self.planes[1][y0 // 2:y0 // 2 + 8,
+                           x0 // 2:x0 // 2 + 8] = pred_cb
+            self.planes[2][y0 // 2:y0 // 2 + 8,
+                           x0 // 2:x0 // 2 + 8] = pred_cr
+            self.cbf_luma[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+            self.cbf_luma_dc[mby, mbx] = 0
+            self.cbf_chroma_dc[:, mby, mbx] = 0
+            self.cbf_chroma[:, mby * 2:mby * 2 + 2,
+                            mbx * 2:mbx * 2 + 2] = 0
+            return
+        for k in range(16):
+            bx, by = int(T.BLK4_X[k]), int(T.BLK4_Y[k])
+            blk8 = (by // 2) * 2 + (bx // 2)
+            nz = 0
+            res = 0
+            if levels is not None and (cur.cbp_luma >> blk8) & 1:
+                scan = levels[by, bx].reshape(16)[T.ZIGZAG_4X4]
+                nz = 1 if scan.any() else 0
+                inc = self._cbf_inc(T.CAT_LUMA_4X4, bx, by, 0)
+                e.encode_bin(T.CTX_CBF + 4 * T.CAT_LUMA_4X4 + inc, nz)
+                self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
+                if nz:
+                    self._emit_residual(T.CAT_LUMA_4X4, scan)
+                    blk = np.zeros(16, np.int32)
+                    blk[T.ZIGZAG_4X4] = scan
+                    from .mb import itrans4 as it4, dequant4 as dq4
+                    res = it4(dq4(blk.reshape(4, 4), qp))
+            else:
+                self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = 0
+            px, py = x0 + bx * 4, y0 + by * 4
+            Y[py:py + 4, px:px + 4] = np.clip(
+                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res,
+                0, 255)
+        self._emit_and_recon_chroma(ch)
+
+
+def write_p_slice(enc: PSliceEncoder, qp: int, frame_num: int,
+                  deblock: bool = True) -> bytes:
+    """P slice header (spec 7.3.3) + CABAC slice data → full NAL
+    (TRAIL, nal_ref_idc 2)."""
+    w = BitWriter()
+    _ue(w, 0)                   # first_mb_in_slice
+    _ue(w, 5)                   # slice_type = P (all slices)
+    _ue(w, 0)                   # pps id
+    w.write_bits(frame_num & 15, 4)  # frame_num
+    # poc type 2 → no poc fields
+    w.write_bit(0)              # num_ref_idx_active_override
+    w.write_bit(0)              # ref_pic_list_modification_flag_l0
+    w.write_bit(0)              # adaptive_ref_pic_marking_mode_flag
+    _ue(w, 0)                   # cabac_init_idc
+    _se(w, 0)                   # slice_qp_delta
+    if deblock:
+        _ue(w, 0)
+        _se(w, 0)
+        _se(w, 0)
+    else:
+        _ue(w, 1)
+    w.byte_align(pad_bit=1)
+    hdr = SliceHeader()
+    hdr.first_mb = 0
+    hdr.qp = qp
+    hdr.slice_type = 5
+    hdr.cabac_init_idc = 0
+    data = enc.encode_slice(hdr)
+    rbsp = w.data() + data
+    return b"\x41" + add_emulation_prevention(rbsp)  # nal_ref_idc=2, type 1
+
+
+class AvcSequenceEncodeSession:
+    """IPPP avc1 track encoding (ref: encoder.h:76-89 sequence hooks):
+    frame 0 is an IDR sync sample, later frames P slices referencing
+    the previous reconstruction."""
+
+    def __init__(self, width: int, height: int, qp: int, gop: int = 32):
+        self.width, self.height = width, height
+        self.qp = qp
+        self.gop = gop
+        self.count = 0
+        self.sps = None
+        self.pps = None
+        self.sps_nal = None
+        self.pps_nal = None
+        self.ref = None           # previous recon planes (uncropped)
+        self.frame_num = 0
+
+    def encode_frame(self, img: PixelImage):
+        """Returns (length-prefixed sample, avcC-or-None, is_sync)."""
+        from ...color import convert_image
+        from ...boxes.codec_cfg import Box_avcC
+        if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
+            img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
+        y = np.asarray(img.plane(Channel.Y))
+        u = np.asarray(img.plane(Channel.Cb))
+        v = np.asarray(img.plane(Channel.Cr))
+        is_idr = self.count % self.gop == 0
+        if is_idr:
+            h, w = y.shape
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+
+            def pad0(pl, tw, th):
+                ph, pw = pl.shape
+                out = np.empty((th, tw), np.int32)
+                out[:ph, :pw] = pl
+                out[:ph, pw:] = pl[:, pw - 1:pw]
+                out[ph:, :] = out[ph - 1:ph, :]
+                return out
+            src = [pad0(y.astype(np.int32), mbw * 16, mbh * 16),
+                   pad0(u.astype(np.int32), mbw * 8, mbh * 8),
+                   pad0(v.astype(np.int32), mbw * 8, mbh * 8)]
+            sps_nal = write_sps(mbw, mbh, w, h, num_ref_frames=1)
+            pps_nal = write_pps(False, self.qp)
+            from .headers import parse_sps, parse_pps
+            self.sps = parse_sps(sps_nal)
+            self.pps = parse_pps(pps_nal, {0: self.sps})
+            self.sps_nal, self.pps_nal = sps_nal, pps_nal
+            enc = SliceEncoder(self.sps, self.pps, src, self.qp,
+                               tx8_policy="never")
+            slice_nal = write_idr_slice(enc, self.qp)
+            # the reference for the next P is the DEBLOCKED recon,
+            # exactly what the decoder holds
+            from .deblock import deblock_frame
+            enc.last_hdr = SliceHeader()
+            deblock_frame(enc)
+            self.ref = [np.asarray(p, np.int32) for p in enc.planes]
+            self.frame_num = 1
+            cfg = None
+            if self.count == 0:
+                cfg = Box_avcC()
+                cfg.avc_profile = sps_nal[1]
+                cfg.profile_compatibility = sps_nal[2]
+                cfg.avc_level = sps_nal[3]
+                cfg.sps_list = [sps_nal]
+                cfg.pps_list = [pps_nal]
+            self.count += 1
+            data = len(slice_nal).to_bytes(4, "big") + slice_nal
+            return data, cfg, True
+        # P frame
+        mbw = self.sps.pic_width_in_mbs
+        mbh = self.sps.pic_height_in_map_units
+
+        def pad(pl, tw, th):
+            ph, pw = pl.shape
+            out = np.empty((th, tw), np.int32)
+            out[:ph, :pw] = pl
+            out[:ph, pw:] = pl[:, pw - 1:pw]
+            out[ph:, :] = out[ph - 1:ph, :]
+            return out
+        src = [pad(y.astype(np.int32), mbw * 16, mbh * 16),
+               pad(u.astype(np.int32), mbw * 8, mbh * 8),
+               pad(v.astype(np.int32), mbw * 8, mbh * 8)]
+        enc = PSliceEncoder(self.sps, self.pps, src, self.qp,
+                            ref_planes=[self.ref])
+        nal = write_p_slice(enc, self.qp, self.frame_num)
+        # closed loop: deblock the recon exactly as the decoder will
+        from .deblock import deblock_frame
+        enc.last_hdr = SliceHeader()
+        deblock_frame(enc)
+        self.ref = [np.asarray(p, np.int32) for p in enc.planes]
+        self.frame_num = (self.frame_num + 1) & 15
+        self.count += 1
+        data = len(nal).to_bytes(4, "big") + nal
+        return data, None, False
+
+
 class AvcEncoder(RegistryEncoder):
+
+    def start_sequence_encode(self, width: int, height: int,
+                              options=None, gop_struct: str = "ipp"):
+        quality = getattr(options, "quality", 50) if options else 50
+        qp = max(1, min(51, 51 - quality * 50 // 100))
+        return AvcSequenceEncodeSession(width, height, qp)
+
     id = "tpu-avc"
     format = "avc"
     lossy_supported = True

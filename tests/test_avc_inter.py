@@ -161,3 +161,93 @@ def test_avc1_track_mux_roundtrip(tmp_path):
     # random access back to an earlier frame (restart from the IDR)
     img2 = t.decode_sample(2)
     assert np.array_equal(np.asarray(img2.plane(Channel.Y)), ref[2]["Y"])
+
+
+def test_own_ippp_encoder_three_way():
+    """Our AVC IPPP encoder: streams decode bit-identically in
+    libavcodec AND our own sequence decoder (the same three-way
+    discipline as the HEVC inter encoder)."""
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.codecs.avc.encoder import AvcSequenceEncodeSession
+
+    rng = np.random.default_rng(4)
+    W, Hh, N = 96, 64, 4
+    base = np.kron(rng.integers(0, 256, ((Hh + 32) // 8, (W + 32) // 8)),
+                   np.ones((8, 8))).astype(np.int32)
+
+    def frame(i):
+        img = PixelImage(W, Hh, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, np.clip(
+            base[2 * i:2 * i + Hh, 3 * i:3 * i + W] +
+            rng.integers(-4, 5, (Hh, W)), 0, 255).astype(np.uint8), 8)
+        img.set_plane(Channel.Cb, np.clip(
+            base[i:i + Hh // 2, i:i + W // 2] // 2 + 60,
+            0, 255).astype(np.uint8), 8)
+        img.set_plane(Channel.Cr,
+                      np.full((Hh // 2, W // 2), 130, np.uint8), 8)
+        return img
+
+    frames = [frame(i) for i in range(N)]
+    sess = AvcSequenceEncodeSession(W, Hh, qp=28)
+    nals = []
+    syncs = []
+    for f in frames:
+        data, _cfg, is_sync = sess.encode_frame(f)
+        nals.append(data[4:])
+        syncs.append(is_sync)
+    assert syncs == [True] + [False] * (N - 1)
+    annexb = b"".join(b"\x00\x00\x01" + n
+                      for n in [sess.sps_nal, sess.pps_nal] + nals)
+    ref = avc_oracle.decode_seq(annexb)
+    assert ref is not None and len(ref) == N
+    ours = AvcSequenceDecoder().decode_stream(
+        [sess.sps_nal, sess.pps_nal] + nals)
+    for k in range(N):
+        for pl in ("Y", "U", "V"):
+            assert np.array_equal(ours[k][pl], ref[k][pl]), (k, pl)
+    # quality/compression sanity: P frames code the panning delta
+    from libheif_tpu.image.pixel_image import Channel as Ch
+    err = np.mean(np.abs(ours[2]["Y"].astype(int) -
+                         np.asarray(frames[2].plane(Ch.Y)).astype(int)))
+    assert err < 6
+
+
+def test_avc_inter_track_roundtrip():
+    """fmt='avc' track with inter_frames: IPPP samples through the
+    container, decoded back in display order."""
+    from libheif_tpu.context import HeifContext
+    from libheif_tpu.sequences.track import TrackOptions
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+
+    rng = np.random.default_rng(8)
+    W = Hh = 64
+    base = np.kron(rng.integers(0, 256, (12, 12)),
+                   np.ones((8, 8))).astype(np.int32)
+
+    def frame(i):
+        img = PixelImage(W, Hh, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, np.clip(
+            base[i:i + Hh, 2 * i:2 * i + W], 0, 255).astype(np.uint8), 8)
+        img.set_plane(Channel.Cb,
+                      np.full((32, 32), 100 + 8 * i, np.uint8), 8)
+        img.set_plane(Channel.Cr, np.full((32, 32), 140, np.uint8), 8)
+        return img
+
+    frames = [frame(i) for i in range(4)]
+    ctx = HeifContext()
+    tw = ctx.add_visual_track(W, Hh, fmt="avc",
+                              options=TrackOptions(timescale=30,
+                                                   inter_frames=True))
+    for f in frames:
+        tw.add_frame(f, duration=1)
+    ctx2 = HeifContext.read_from_bytes(ctx.write())
+    t = ctx2.tracks[0]
+    assert [s.is_sync for s in t.samples] == [True, False, False, False]
+    for i in range(4):
+        img = t.decode_sample(i)
+        err = np.mean(np.abs(
+            np.asarray(img.plane(Channel.Y)).astype(int) -
+            np.asarray(frames[i].plane(Channel.Y)).astype(int)))
+        assert err < 6, (i, err)

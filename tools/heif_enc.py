@@ -112,6 +112,11 @@ def build_parser():
     ap.add_argument("--repetitions", default=None,
                     help="number or 'infinite'")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--gop", default=None,
+                    choices=["intra", "ipp", "ldb", "ibp"],
+                    help="sequence GOP structure: all-intra (default), "
+                         "IPPP, low-delay B, or reordered IBP with ctts "
+                         "(hevc; avc supports ipp)")
     ap.add_argument("--vmt-metadata", default=None, metavar="FILE",
                     help="encode metadata track from a WebVMT file "
                          "(ref: heif_enc.cc --vmt-metadata)")
@@ -421,11 +426,16 @@ def main(argv=None):
         timescale = args.timebase or fps_n
         sai = None
         track_opts = None
+        if args.gop and args.gop != "intra":
+            from libheif_tpu.sequences.track import TrackOptions
+            track_opts = TrackOptions(timescale=timescale,
+                                      inter_frames=args.gop)
         if args.sai_data_file:
             from sai_datafile import SAIDatafile
             sai = SAIDatafile().load(args.sai_data_file)
             from libheif_tpu.sequences.track import TrackOptions
-            track_opts = TrackOptions(timescale=timescale)
+            if track_opts is None:
+                track_opts = TrackOptions(timescale=timescale)
             if sai.tai_clock_info is not None:
                 track_opts.with_tai_timestamps = 2
                 track_opts.tai_clock_info = sai.tai_clock_info

@@ -41,17 +41,30 @@ def heif_get_version_number_maintenance() -> int:
     return (LIBHEIF_NUMERIC_VERSION >> 8) & 0xFF
 
 
+_autoloaded_plugins: List["PluginHandle"] = []
+
+
 def heif_init(params: Optional[dict] = None) -> None:
-    """(ref: heif_library.h heif_init; init.cc:108). Ref-counted no-op:
-    codec registration happens at package import."""
+    """(ref: heif_library.h heif_init; init.cc:108). Ref-counted;
+    the first init scans the configured plugin directories
+    (LIBHEIF_TPU_PLUGIN_PATH) and loads every plugin found, matching
+    the reference's default directory autoload (init.cc:349)."""
     global _init_count
     _init_count += 1
+    if _init_count == 1:
+        for d in heif_get_plugin_directories():
+            _autoloaded_plugins.extend(heif_load_plugins(d))
 
 
 def heif_deinit() -> None:
-    """(ref: init.cc:148)."""
+    """(ref: init.cc:148): the last deinit unloads the plugins the
+    first heif_init auto-loaded."""
     global _init_count
     _init_count = max(0, _init_count - 1)
+    if _init_count == 0 and _autoloaded_plugins:
+        for h in _autoloaded_plugins:
+            heif_unload_plugin(h)
+        _autoloaded_plugins.clear()
 
 
 # ---- plugin discovery (ref: init.cc heif_load_plugin / dlopen; here a

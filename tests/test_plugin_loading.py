@@ -228,3 +228,21 @@ def test_plugin_decoder_overrides_builtin(tmp_path):
         L.heif_unload_plugin(handle)
     d = registry.get_decoder("jpeg")
     assert d is not None and d.id != "flat-jpeg-plugin"
+
+
+def test_heif_init_autoloads_plugin_directories(tmp_path, monkeypatch):
+    """heif_init scans LIBHEIF_TPU_PLUGIN_PATH and loads plugins; the
+    matching heif_deinit unloads them (ref: init.cc:108,349)."""
+    (tmp_path / "toy_plugin.py").write_text(PLUGIN_SRC)
+    monkeypatch.setenv("LIBHEIF_TPU_PLUGIN_PATH", str(tmp_path))
+    assert not registry.have_decoder("toyfmt")
+    L.heif_init()
+    try:
+        assert registry.have_decoder("toyfmt")
+        # nested init/deinit keeps them loaded
+        L.heif_init()
+        L.heif_deinit()
+        assert registry.have_decoder("toyfmt")
+    finally:
+        L.heif_deinit()
+    assert not registry.have_decoder("toyfmt")

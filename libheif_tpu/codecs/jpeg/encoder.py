@@ -153,6 +153,7 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
         nlib = None
 
     plans: List[_CompPlan] = []
+    fdct_tasks = []
     for i, (ch, (sh, sv)) in enumerate(zip(channels, sampling)):
         plane = np.asarray(img.plane(ch))
         bw = mcus_w * sh
@@ -160,21 +161,33 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
         plane = _pad_to(plane, bh * 8, bw * 8)
         quant = luma_q if i == 0 else chroma_q
         if nlib is not None:
-            # native FDCT+quant (bit-identical to the jnp anchor)
+            # native FDCT+quant (bit-identical to the jnp anchor),
+            # striped across the shared pool (the C call drops the GIL)
             import ctypes
             src = np.ascontiguousarray(plane, np.uint8)
             q = np.ascontiguousarray(quant, np.int32)
             zz = np.empty((bh * bw, 64), np.int16)
             nlib.tpuheif_jpeg_fdct_quant.restype = ctypes.c_int
-            rc = nlib.tpuheif_jpeg_fdct_quant(
-                src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.c_int(bh), ctypes.c_int(bw),
-                ctypes.c_int64(bw * 8),
-                q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
-            if rc != 0:
-                raise HeifError.invalid_input(
-                    msg="JPEG fdct/quant failed")
+            n_stripes = max(1, min(4, bh // 8))
+            bounds = [bh * k // n_stripes for k in range(n_stripes + 1)]
+            for s in range(n_stripes):
+                b0, b1 = bounds[s], bounds[s + 1]
+                if b0 == b1:
+                    continue
+
+                def run(src=src, q=q, zz=zz, b0=b0, b1=b1, bw=bw):
+                    rc = nlib.tpuheif_jpeg_fdct_quant(
+                        src[b0 * 8:].ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_uint8)),
+                        ctypes.c_int(b1 - b0), ctypes.c_int(bw),
+                        ctypes.c_int64(bw * 8),
+                        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        zz[b0 * bw:].ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int16)))
+                    if rc != 0:
+                        raise HeifError.invalid_input(
+                            msg="JPEG fdct/quant failed")
+                fdct_tasks.append(run)
         else:
             blocks = _blocks_of(plane.astype(np.int32) - 128)
             zz = np.asarray(_fdct_quant_program(blocks.shape[0])(
@@ -184,6 +197,13 @@ def encode_jpeg(img: PixelImage, quality: int = 75) -> bytes:
             dc_table=dc_l if i == 0 else dc_c,
             ac_table=ac_l if i == 0 else ac_c,
             blocks=zz, blocks_w=bw, blocks_h=bh))
+    if fdct_tasks:
+        if len(fdct_tasks) > 1:
+            from .decoder import _recon_pool
+            list(_recon_pool().map(lambda f: f(), fdct_tasks))
+        else:
+            for t in fdct_tasks:
+                t()
 
     out = bytearray()
     out += b"\xFF\xD8"                                   # SOI

@@ -1189,7 +1189,7 @@ class HevcSequenceEncodeSession:
         (length-prefixed sample data, hvcC-or-None, is_sync)."""
         img = self._prep(img)
         if self.count and self.count % self.gop == 0 and \
-                self.gop_struct != "ibp":
+                self.gop_struct not in ("ibp", "bpyr"):
             # periodic IDR refresh: reset the closed-loop encoder
             from .inter_enc import SequenceEncoder
             self.enc = SequenceEncoder(self.width, self.height,
@@ -1211,7 +1211,7 @@ class HevcSequenceEncodeSession:
         decode order (possibly empty while the lookahead holds)."""
         img = self._prep(img)
         if self.count and self.count % self.gop == 0 and \
-                self.gop_struct != "ibp":
+                self.gop_struct not in ("ibp", "bpyr"):
             from .inter_enc import SequenceEncoder
             self.enc = SequenceEncoder(self.width, self.height,
                                        self.params,

@@ -58,10 +58,17 @@ class SeqSample:
 
 def write_inter_slice_header(p: EncParams, sps, poc: int,
                              slice_type: int, d_before: int,
-                             d_after: int = 0) -> BitWriter:
-    """P/B slice segment header: explicit RPS with one negative pic
-    (and one positive pic for reordered B), PPS-default single
-    reference per list, MaxNumMergeCand = 5."""
+                             d_after: int = 0,
+                             rps_neg=None, rps_pos=None) -> BitWriter:
+    """P/B slice segment header with an explicit RPS.  By default one
+    negative pic (and one positive pic for reordered B); hierarchical
+    GOPs pass rps_neg/rps_pos as [(delta, used), ...] to also RETAIN
+    pictures the current slice does not reference (used=0), since the
+    RPS defines DPB retention (spec 8.3.2)."""
+    if rps_neg is None:
+        rps_neg = [(d_before, 1)]
+    if rps_pos is None:
+        rps_pos = [(d_after, 1)] if d_after else []
     w = BitWriter()
     w.write_bits(1, 1)          # first_slice_in_pic
     _ue(w, 0)                   # pps id
@@ -70,13 +77,18 @@ def write_inter_slice_header(p: EncParams, sps, poc: int,
     w.write_bits(poc & ((1 << lsb_bits) - 1), lsb_bits)
     w.write_bits(0, 1)          # short_term_ref_pic_set_sps_flag → explicit
     # short_term_ref_pic_set (idx 0 of 0 in SPS → no inter_rps flag)
-    _ue(w, 1)                   # num_negative_pics
-    _ue(w, 1 if d_after else 0)  # num_positive_pics
-    _ue(w, d_before - 1)        # delta_poc_s0_minus1
-    w.write_bits(1, 1)          # used_by_curr_pic_s0
-    if d_after:
-        _ue(w, d_after - 1)     # delta_poc_s1_minus1
-        w.write_bits(1, 1)      # used_by_curr_pic_s1
+    _ue(w, len(rps_neg))        # num_negative_pics
+    _ue(w, len(rps_pos))        # num_positive_pics
+    prev = 0
+    for delta, used in rps_neg:
+        _ue(w, delta - prev - 1)   # delta_poc_s0_minus1 (differential)
+        w.write_bits(1 if used else 0, 1)
+        prev = delta
+    prev = 0
+    for delta, used in rps_pos:
+        _ue(w, delta - prev - 1)   # delta_poc_s1_minus1
+        w.write_bits(1 if used else 0, 1)
+        prev = delta
     # sps.temporal_mvp == 0 → nothing; sao off
     w.write_bits(0, 1)          # num_ref_idx_active_override (pps: 1/1)
     if slice_type == 0:
@@ -107,6 +119,8 @@ class SequenceEncoder(IntraEncoder):
                  gop_struct: str = "ipp"):
         if gop_struct == "ibp":
             params.num_reorder = max(getattr(params, "num_reorder", 0), 1)
+        elif gop_struct == "bpyr":
+            params.num_reorder = max(getattr(params, "num_reorder", 0), 2)
         super().__init__(width, height, params)
         self.search = search
         self.frac = frac
@@ -140,6 +154,8 @@ class SequenceEncoder(IntraEncoder):
         """Reorder-aware entry: feed display-order frames, receive
         decode-order samples (possibly none / several).  Use flush()
         after the last frame."""
+        if self.gop_struct == "bpyr":
+            return self._push_bpyr(img)
         if self.gop_struct != "ibp":
             nal, _cfg = self.encode_frame(img)
             self._display += 1
@@ -169,15 +185,62 @@ class SequenceEncoder(IntraEncoder):
         return [SeqSample(p_nal, is_sync=False, cts_offset=1),
                 SeqSample(b_nal, is_sync=False, cts_offset=-1)]
 
-    def flush(self) -> List[SeqSample]:
-        """Emit any held lookahead frame (trailing P)."""
-        if self._held is None:
+    def _push_bpyr(self, img: PixelImage) -> List[SeqSample]:
+        """Hierarchical B pyramid (2 reorder levels), GOP of 4:
+        display a a+1 a+2 a+3 a+4 → decode I/P(a) P(a+4) B(a+2, kept
+        as reference) B(a+1) B(a+3); the mid-B is a TRAIL_R reference
+        for the outer Bs (the reference decodes such pyramids through
+        its plugins; heif_enc.cc GOP options)."""
+        if self._display == 0:
+            nal, _cfg = self._encode_idr(img)
+            self._display = 1
+            self._held_list = []
+            self._anchor_poc = 0
+            return [SeqSample(nal, is_sync=True, cts_offset=0)]
+        held = getattr(self, "_held_list", [])
+        held.append(img)
+        self._held_list = held
+        self._display += 1
+        if len(held) < 4:
             return []
-        img, self._held = self._held, None
-        ref_poc = self.dpb[-1][0]
-        nal = self._encode_inter(img, self.poc, 1, self.poc - ref_poc)
-        self.poc += 1
-        return [SeqSample(nal, is_sync=False, cts_offset=0)]
+        a = self._anchor_poc           # anchor POC (latest I/P)
+        img1, img2, img3, img4 = held
+        self._held_list = []
+        p_nal = self._encode_inter(img4, a + 4, 1, 4)
+        b2_nal = self._encode_inter(img2, a + 2, 0, 2, d_after=2)
+        # outer Bs are droppable; their RPS must still RETAIN the
+        # pictures later frames reference (used=0 entries)
+        b1_nal = self._encode_inter(
+            img1, a + 1, 0, 1, non_ref=True,
+            rps_neg=[(1, 1)], rps_pos=[(1, 1), (3, 0)])
+        b3_nal = self._encode_inter(
+            img3, a + 3, 0, 1, non_ref=True,
+            rps_neg=[(1, 1), (3, 0)], rps_pos=[(1, 1)])
+        self.poc = a + 5
+        self._anchor_poc = a + 4
+        return [SeqSample(p_nal, is_sync=False, cts_offset=3),
+                SeqSample(b2_nal, is_sync=False, cts_offset=0),
+                SeqSample(b1_nal, is_sync=False, cts_offset=-2),
+                SeqSample(b3_nal, is_sync=False, cts_offset=-1)]
+
+    def flush(self) -> List[SeqSample]:
+        """Emit held lookahead frames (trailing P chain)."""
+        out: List[SeqSample] = []
+        for img in getattr(self, "_held_list", None) or []:
+            ref_poc = self.dpb[-1][0]
+            nal = self._encode_inter(img, self.poc, 1,
+                                     self.poc - ref_poc)
+            self.poc += 1
+            out.append(SeqSample(nal, is_sync=False, cts_offset=0))
+        self._held_list = []
+        if self._held is not None:
+            img, self._held = self._held, None
+            ref_poc = self.dpb[-1][0]
+            nal = self._encode_inter(img, self.poc, 1,
+                                     self.poc - ref_poc)
+            self.poc += 1
+            out.append(SeqSample(nal, is_sync=False, cts_offset=0))
+        return out
 
     def _encode_idr(self, img: PixelImage) -> Tuple[bytes, List[bytes]]:
         nal, cfg = self.intra.encode(img)
@@ -210,9 +273,15 @@ class SequenceEncoder(IntraEncoder):
 
     def _encode_inter(self, img: PixelImage, poc: int, slice_type: int,
                       d_before: int, d_after: int = 0,
-                      non_ref: bool = False) -> bytes:
+                      non_ref: bool = False,
+                      rps_neg=None, rps_pos=None) -> bytes:
         p = self.p
         src = self._pad_src(img)
+        if rps_neg is not None:
+            d_before = next(d for d, u in rps_neg if u)
+        if rps_pos is not None:
+            used_pos = [d for d, u in rps_pos if u]
+            d_after = used_pos[0] if used_pos else 0
         ref0_poc = poc - d_before
         ref0 = self._ref_planes(ref0_poc)
         if slice_type == 0:
@@ -272,7 +341,8 @@ class SequenceEncoder(IntraEncoder):
                 self.dpb.pop(0)
 
         shw = write_inter_slice_header(p, self.sps, poc, slice_type,
-                                       d_before, d_after)
+                                       d_before, d_after,
+                                       rps_neg=rps_neg, rps_pos=rps_pos)
         # NAL: TRAIL_R (1) for reference pictures, TRAIL_N (0) for
         # droppable B frames; layer 0, tid 1
         nal_t = 0 if non_ref else 1

@@ -219,3 +219,41 @@ def test_randomized_bframe_sweep():
         frames = _frames(100 + trial, 64, 64, 4 + trial % 2, noise=noise)
         enc, samples = _encode(frames, gop, qp=qp)
         _assert_bitexact(enc, samples)
+
+
+def test_bpyr_hierarchical_bitexact():
+    """Hierarchical B pyramid (GOP 4, reorder depth 2): the mid-B is a
+    TRAIL_R reference for the outer droppable Bs, RPS entries retain
+    unreferenced-but-needed pictures (used=0), and both full GOPs plus
+    the trailing flush decode bit-exactly vs libde265."""
+    frames = _frames(19, 96, 64, 9, noise=5)
+    enc, samples = _encode(frames, "bpyr")
+    assert len(samples) == 9
+    assert [s.cts_offset for s in samples] == \
+        [0, 3, 0, -2, -1, 3, 0, -2, -1]
+    ours = _decode_ours(enc, samples)
+    assert [poc for poc, _ in ours] == [0, 4, 2, 1, 3, 8, 6, 5, 7]
+    _assert_bitexact(enc, samples)
+
+
+def test_bpyr_track_roundtrip():
+    """bpyr track: deeper ctts offsets, display-order decode."""
+    from libheif_tpu.sequences.track import TrackOptions
+
+    W = Hh = 64
+    frames = _frames(41, W, Hh, 6, noise=3)
+    ctx = HeifContext()
+    tw = ctx.add_visual_track(W, Hh, fmt="hevc",
+                              options=TrackOptions(timescale=30,
+                                                   inter_frames="bpyr"))
+    for f in frames:
+        tw.add_frame(f, duration=1)
+    ctx2 = HeifContext.read_from_bytes(ctx.write())
+    t = ctx2.tracks[0]
+    assert len(t.samples) == 6
+    pts = [s.pts for s in t.samples]
+    assert sorted(pts) == list(range(6))
+    for i in range(6):
+        img = t.decode_sample(i)
+        assert _psnr(img.plane(Channel.Y),
+                     frames[i].plane(Channel.Y)) > 31, f"frame {i}"

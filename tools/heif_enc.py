@@ -113,9 +113,10 @@ def build_parser():
                     help="number or 'infinite'")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--gop", default=None,
-                    choices=["intra", "ipp", "ldb", "ibp"],
+                    choices=["intra", "ipp", "ldb", "ibp", "bpyr"],
                     help="sequence GOP structure: all-intra (default), "
-                         "IPPP, low-delay B, or reordered IBP with ctts "
+                         "IPPP, low-delay B, reordered IBP, or hierarchical "
+                         "B pyramid with ctts "
                          "(hevc; avc supports ipp)")
     ap.add_argument("--vmt-metadata", default=None, metavar="FILE",
                     help="encode metadata track from a WebVMT file "

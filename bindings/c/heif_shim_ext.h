@@ -756,6 +756,10 @@ void heif_track_options_enable_sample_gimi_content_ids(
     heif_track_options*, int flag);
 void heif_track_options_set_gimi_track_id(heif_track_options*,
                                           const char* content_id);
+/* extension: inter coding structure for visual tracks
+ * ("intra" | "ipp" | "ldb" | "ibp" | "bpyr") */
+heif_error heif_track_options_set_gop_structure(heif_track_options*,
+                                                const char* gop);
 
 heif_sequence_encoding_options* heif_sequence_encoding_options_alloc(void);
 heif_sequence_encoding_options* heif_sequence_encoding_options_copy(

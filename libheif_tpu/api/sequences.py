@@ -229,6 +229,20 @@ def heif_track_options_set_interleaved_sample_aux_infos(
     options.interleaved_sample_aux_infos = interleaved
 
 
+def heif_track_options_set_gop_structure(options, gop: str) -> None:
+    """Inter coding structure for visual tracks: "intra" (default),
+    "ipp" (IPPP), "ldb" (low-delay B), "ibp" (reordered), "bpyr"
+    (hierarchical B pyramid).  Extension over the reference API, which
+    delegates GOP choice to the codec plugin."""
+    if gop in ("", "intra", None):
+        options.inter_frames = False
+    elif gop in ("ipp", "ldb", "ibp", "bpyr"):
+        options.inter_frames = gop
+    else:
+        from ..core.error import HeifError
+        raise HeifError.usage(msg=f"unknown GOP structure '{gop}'")
+
+
 def heif_track_options_enable_sample_tai_timestamps(
         options, clock_info, presence: int) -> None:
     options.with_tai_timestamps = presence

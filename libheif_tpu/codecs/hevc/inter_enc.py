@@ -59,7 +59,8 @@ class SeqSample:
 def write_inter_slice_header(p: EncParams, sps, poc: int,
                              slice_type: int, d_before: int,
                              d_after: int = 0,
-                             rps_neg=None, rps_pos=None) -> BitWriter:
+                             rps_neg=None, rps_pos=None,
+                             num_ref_l0: int = 1) -> BitWriter:
     """P/B slice segment header with an explicit RPS.  By default one
     negative pic (and one positive pic for reordered B); hierarchical
     GOPs pass rps_neg/rps_pos as [(delta, used), ...] to also RETAIN
@@ -90,7 +91,13 @@ def write_inter_slice_header(p: EncParams, sps, poc: int,
         w.write_bits(1 if used else 0, 1)
         prev = delta
     # sps.temporal_mvp == 0 → nothing; sao off
-    w.write_bits(0, 1)          # num_ref_idx_active_override (pps: 1/1)
+    if num_ref_l0 > 1:
+        w.write_bits(1, 1)      # num_ref_idx_active_override
+        _ue(w, num_ref_l0 - 1)  # num_ref_idx_l0_active_minus1
+        if slice_type == 0:
+            _ue(w, 0)           # num_ref_idx_l1_active_minus1
+    else:
+        w.write_bits(0, 1)      # num_ref_idx_active_override (pps: 1/1)
     if slice_type == 0:
         w.write_bits(0, 1)      # mvd_l1_zero_flag
     # lists_modification_present == 0, cabac_init_present == 0
@@ -116,7 +123,7 @@ class SequenceEncoder(IntraEncoder):
 
     def __init__(self, width: int, height: int, params: EncParams,
                  search: int = 4, frac: bool = True,
-                 gop_struct: str = "ipp"):
+                 gop_struct: str = "ipp", n_refs: int = 1):
         if gop_struct == "ibp":
             params.num_reorder = max(getattr(params, "num_reorder", 0), 1)
         elif gop_struct == "bpyr":
@@ -125,6 +132,7 @@ class SequenceEncoder(IntraEncoder):
         self.search = search
         self.frac = frac
         self.gop_struct = gop_struct
+        self.n_refs = max(1, n_refs)
         self.intra = IntraEncoder(width, height, params)
         self.sps = self.intra.sps
         self.pps = self.intra.pps
@@ -145,8 +153,14 @@ class SequenceEncoder(IntraEncoder):
             nal, cfg = self._encode_idr(img)
             return nal, cfg
         t = 0 if self.gop_struct == "ldb" else 1
+        rps_neg = None
+        if t == 1 and self.n_refs > 1 and len(self.dpb) >= 2:
+            # multi-reference P: the last n_refs pictures, nearest first
+            rps_neg = [(self.poc - p, 1)
+                       for p, _ in reversed(self.dpb[-self.n_refs:])]
         nal = self._encode_inter(img, self.poc, t,
-                                 self.poc - self.dpb[-1][0])
+                                 self.poc - self.dpb[-1][0],
+                                 rps_neg=rps_neg)
         self.poc += 1
         return nal, []
 
@@ -291,10 +305,17 @@ class SequenceEncoder(IntraEncoder):
             l0_pocs, l1_pocs = [ref0_poc], [ref1_poc]
         else:
             ref1_poc, ref1 = None, None
-            l0_pocs, l1_pocs = [ref0_poc], []
+            # P with multiple negative used pics: L0 in before order
+            # (spec 8.3.4 RefPicListTemp0 = StCurrBefore)
+            if rps_neg is not None:
+                l0_pocs = [poc - d for d, u in rps_neg if u]
+            else:
+                l0_pocs = [ref0_poc]
+            l1_pocs = []
+        self._l0_refs = [self._ref_planes(pp) for pp in l0_pocs]
 
         sh = SliceHeader(slice_type=slice_type, qp=p.qp, poc_lsb=poc,
-                         num_ref_idx_l0=1, num_ref_idx_l1=1,
+                         num_ref_idx_l0=len(l0_pocs), num_ref_idx_l1=1,
                          max_num_merge_cand=5)
         sh.deblocking_filter_disabled = not p.deblock
         syn = SliceSyntax(self.sps, self.pps, sh)
@@ -342,7 +363,8 @@ class SequenceEncoder(IntraEncoder):
 
         shw = write_inter_slice_header(p, self.sps, poc, slice_type,
                                        d_before, d_after,
-                                       rps_neg=rps_neg, rps_pos=rps_pos)
+                                       rps_neg=rps_neg, rps_pos=rps_pos,
+                                       num_ref_l0=len(l0_pocs))
         # NAL: TRAIL_R (1) for reference pictures, TRAIL_N (0) for
         # droppable B frames; layer 0, tid 1
         nal_t = 0 if non_ref else 1
@@ -389,8 +411,15 @@ class SequenceEncoder(IntraEncoder):
 
     # ------------------------------------------------------------- MC/ME
 
+    def _ref_by(self, which):
+        if which == 1:
+            return self._ref1
+        if isinstance(which, tuple):          # ('l0', i): L0 multi-ref
+            return self._l0_refs[which[1]]
+        return self._ref
+
     def _pred_for_mv(self, x0, y0, size, mv, which=0):
-        ref = self._ref1 if which else self._ref
+        ref = self._ref_by(which)
         return mc_luma(ref[0], x0, y0, size, size, mv[0], mv[1], 8)
 
     def _sad(self, x0, y0, size, mv, which=0) -> int:
@@ -445,7 +474,14 @@ class SequenceEncoder(IntraEncoder):
         seeds0 = [c[0] for c in cands if c[1] >= 0]
         mv0, sad0 = self._motion_search(x0, y0, size, seeds0, 0)
         if not self._is_b:
-            return (mv0, 0, (0, 0), -1), sad0
+            best = (mv0, 0, (0, 0), -1), sad0
+            for ri in range(1, len(self._l0_refs)):
+                mvr, sadr = self._motion_search(x0, y0, size, seeds0,
+                                                ('l0', ri))
+                # small bias toward ref 0 (fewer ref_idx bins)
+                if sadr + 16 < best[1]:
+                    best = (mvr, ri, (0, 0), -1), sadr
+            return best
         seeds1 = [c[2] for c in cands if c[3] >= 0] + [mv0]
         mv1, sad1 = self._motion_search(x0, y0, size, seeds1, 1)
         src = self._src[0][y0:y0 + size, x0:x0 + size]
@@ -476,8 +512,12 @@ class SequenceEncoder(IntraEncoder):
                 mc_chroma_14(self._ref1[2], cx, cy, cs, cs,
                              mv1[0], mv1[1], 8), 8)
         else:
-            ref = self._ref if ref0 >= 0 else self._ref1
-            mv = mv0 if ref0 >= 0 else mv1
+            if ref0 >= 0:
+                ref = self._l0_refs[ref0] if ref0 < len(
+                    getattr(self, '_l0_refs', [])) else self._ref
+                mv = mv0
+            else:
+                ref, mv = self._ref1, mv1
             pred_y = mc_luma(ref[0], x0, y0, size, size, mv[0], mv[1], 8)
             pred_cb = mc_chroma(ref[1], cx, cy, cs, cs, mv[0], mv[1], 8)
             pred_cr = mc_chroma(ref[2], cx, cy, cs, cs, mv[0], mv[1], 8)
@@ -556,8 +596,23 @@ class SequenceEncoder(IntraEncoder):
                     enc.encode_bin(ctx.idx("inter_pred_idc", 4),
                                    1 if ref1 >= 0 else 0)
             if ref0 >= 0:
-                # single ref → no ref_idx bins
-                mvps = host._amvp(x0, y0, size, size, 0, 0)
+                num_ref = len(getattr(self, '_l0_refs', [0])) or 1
+                if not self._is_b and num_ref > 1:
+                    # ref_idx_l0, truncated unary (mirror of
+                    # SliceParser._parse_ref_idx)
+                    v = 0
+                    while v < num_ref - 1:
+                        bit = 1 if v < ref0 else 0
+                        if v == 0:
+                            enc.encode_bin(ctx.idx("ref_idx", 0), bit)
+                        elif v == 1:
+                            enc.encode_bin(ctx.idx("ref_idx", 1), bit)
+                        else:
+                            enc.encode_bypass(bit)
+                        if not bit:
+                            break
+                        v += 1
+                mvps = host._amvp(x0, y0, size, size, ref0, 0)
                 d0 = abs(mv0[0] - mvps[0][0]) + abs(mv0[1] - mvps[0][1])
                 d1 = abs(mv0[0] - mvps[1][0]) + abs(mv0[1] - mvps[1][1])
                 mvp_flag = 1 if d1 < d0 else 0

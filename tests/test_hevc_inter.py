@@ -125,3 +125,60 @@ def test_inter_seed_sweep():
         _run_case(W=64, H=64, qp=int(rng.integers(24, 40)), deblock=True,
                   moves=moves, noise=int(rng.integers(0, 6)), seed=seed,
                   kind="noise" if seed % 2 else "photo")
+
+
+def test_multi_reference_p_bitexact():
+    """2-reference P frames: RPS with two negative pics, num_ref_idx
+    override, ref_idx_l0 truncated-unary coding and per-ref AMVP POC
+    scaling — bit-exact vs libde265.  Alternating content makes the
+    encoder genuinely pick ref 1 for most CUs."""
+    import numpy as np
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.codecs.hevc.encoder import EncParams
+    from libheif_tpu.codecs.hevc.inter_enc import SequenceEncoder
+    from libheif_tpu.codecs.hevc.decoder import SequenceDecoder
+    from libheif_tpu.codecs.hevc import headers as H
+    import hevc_oracle
+    import pytest
+    if not hevc_oracle.available():
+        pytest.skip("libde265 not available")
+
+    rng = np.random.default_rng(77)
+    W, Hh, N = 96, 64, 6
+    base = rng.integers(0, 256, (Hh + 48, W + 48), np.int32)
+
+    def frame(i):
+        img = PixelImage(W, Hh, Colorspace.YCbCr, Chroma.C420)
+        shift = (i % 2) * 8 + i
+        img.set_plane(Channel.Y, np.clip(
+            base[shift:shift + Hh, shift:shift + W] +
+            rng.integers(-4, 5, (Hh, W)), 0, 255).astype(np.uint8), 8)
+        img.set_plane(Channel.Cb, np.clip(
+            base[i:i + Hh // 2, i:i + W // 2] // 2 + 50,
+            0, 255).astype(np.uint8), 8)
+        img.set_plane(Channel.Cr,
+                      np.full((Hh // 2, W // 2), 135, np.uint8), 8)
+        return img
+
+    enc = SequenceEncoder(W, Hh, EncParams(qp=30, deblock=True),
+                          gop_struct="ipp", n_refs=2)
+    samples = []
+    for i in range(N):
+        samples += enc.push_frame(frame(i))
+    nals = list(enc.config_nals) + [s.data for s in samples]
+    ref = hevc_oracle.decode_nals_seq(nals)
+    assert ref is not None and len(ref) == N
+    sps = pps = None
+    for nal in enc.config_nals:
+        t = H.nal_type(nal)
+        if t == 33:
+            sps = H.parse_sps(nal)
+        elif t == 34:
+            pps = H.parse_pps(nal)
+    dec = SequenceDecoder(sps, pps)
+    for k, s in enumerate(samples):
+        _poc, planes = dec.decode_nal(s.data)
+        for name, pl in zip(("Y", "Cb", "Cr"), planes):
+            assert np.array_equal(pl.astype(np.uint8), ref[k][name]), \
+                (k, name)

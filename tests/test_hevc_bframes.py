@@ -212,11 +212,12 @@ def test_randomized_bframe_sweep():
     if not hevc_oracle.available():
         pytest.skip("libde265 not available")
     rng = np.random.default_rng(77)
-    for trial in range(4):
-        gop = ("ldb", "ibp")[trial % 2]
+    for trial in range(6):
+        gop = ("ldb", "ibp", "bpyr")[trial % 3]
         qp = int(rng.integers(20, 40))
         noise = int(rng.integers(0, 9))
-        frames = _frames(100 + trial, 64, 64, 4 + trial % 2, noise=noise)
+        n = 4 + trial % 3 + (3 if gop == "bpyr" else 0)
+        frames = _frames(100 + trial, 64, 64, n, noise=noise)
         enc, samples = _encode(frames, gop, qp=qp)
         _assert_bitexact(enc, samples)
 

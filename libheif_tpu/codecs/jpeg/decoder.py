@@ -73,6 +73,9 @@ def _u16(data: bytes, pos: int) -> int:
     return (data[pos] << 8) | data[pos + 1]
 
 
+_DHT_CACHE = {}
+
+
 class JpegParser:
     """Marker-level parse + per-scan entropy decode driver."""
 
@@ -209,14 +212,21 @@ class JpegParser:
         while pos + 17 <= len(body):
             tc = body[pos] >> 4
             th = body[pos] & 15
-            bits = list(body[pos + 1:pos + 17])
-            nvals = sum(bits)
+            bits_b = body[pos + 1:pos + 17]
+            nvals = sum(bits_b)
             pos += 17
             if pos + nvals > len(body):
                 raise HeifError.eof("short DHT")
-            vals = list(body[pos:pos + nvals])
+            vals_b = body[pos:pos + nvals]
             pos += nvals
-            table = HuffTable(bits, vals)
+            # tables repeat across images (Annex K defaults are near
+            # universal): cache construction by content
+            key = (bits_b, vals_b)
+            table = _DHT_CACHE.get(key)
+            if table is None:
+                table = HuffTable(list(bits_b), list(vals_b))
+                if len(_DHT_CACHE) < 64:
+                    _DHT_CACHE[key] = table
             (huff_ac if tc else huff_dc)[th] = table
 
     # --------------------------------------------------------------- scan

@@ -635,6 +635,71 @@ def bench_device_mode_search(results, side=2048):
         (q * q / 1e6) / t_host, 3)
 
 
+def bench_hevc_seq_decode(results, side=256, n=6):
+    """Inter (IPPP) sequence decode throughput of the Python reference
+    engine vs same-run libde265 (the inter path is conformance-first;
+    the native engines cover intra — README positioning)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "..", "tests"))
+    try:
+        import hevc_oracle
+    except ImportError:
+        return
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    from libheif_tpu.codecs.hevc.encoder import EncParams
+    from libheif_tpu.codecs.hevc.inter_enc import SequenceEncoder
+    from libheif_tpu.codecs.hevc.decoder import SequenceDecoder
+    from libheif_tpu.codecs.hevc import headers as HH
+
+    rng = np.random.default_rng(3)
+    base = np.kron(rng.integers(0, 256, (side // 8 + 8, side // 8 + 8)),
+                   np.ones((8, 8))).astype(np.int32)
+
+    def frame(i):
+        img = PixelImage(side, side, Colorspace.YCbCr, Chroma.C420)
+        img.set_plane(Channel.Y, np.clip(
+            base[i:i + side, 2 * i:2 * i + side] +
+            rng.integers(-4, 5, (side, side)), 0, 255).astype(np.uint8),
+            8)
+        img.set_plane(Channel.Cb,
+                      np.full((side // 2, side // 2), 110, np.uint8), 8)
+        img.set_plane(Channel.Cr,
+                      np.full((side // 2, side // 2), 140, np.uint8), 8)
+        return img
+
+    enc = SequenceEncoder(side, side, EncParams(qp=30, deblock=True))
+    samples = []
+    for i in range(n):
+        samples += enc.push_frame(frame(i))
+    mp = side * side * n / 1e6
+    sps = pps = None
+    for nal in enc.config_nals:
+        t = HH.nal_type(nal)
+        if t == 33:
+            sps = HH.parse_sps(nal)
+        elif t == 34:
+            pps = HH.parse_pps(nal)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dec = SequenceDecoder(sps, pps)
+        for s in samples:
+            dec.decode_nal(s.data)
+        best = min(best, time.perf_counter() - t0)
+    results["hevc_seq_ippp_decode_mps"] = round(mp / best, 3)
+    if hevc_oracle.available():
+        nals = list(enc.config_nals) + [s.data for s in samples]
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hevc_oracle.decode_nals_seq(nals)
+            b = min(b, time.perf_counter() - t0)
+        results["hevc_seq_ippp_libde265_mps"] = round(mp / b, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -652,6 +717,7 @@ def main():
     bench_heic_encode_rd(results)
     bench_j2k_htj2k(results)
     bench_jpeg_decode(results)
+    bench_hevc_seq_decode(results)
     bench_avc_decode(results)
     bench_thread_parity(results)
     if not args.skip_device:

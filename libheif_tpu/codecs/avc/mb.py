@@ -849,8 +849,8 @@ class SliceDecoder:
             nb = self.mb_at(x // 4, y // 4)
             if nb is None or (nb is not self.cur and not nb.is_inter):
                 return 0
-            if nb is self.cur and not self.blk_done[y, x]:
-                return 0
+            # current-MB partitions preceding in parse order have their
+            # ref written already (unparsed blocks hold -1 → 0)
             return 1 if self.ref[y, x] > 0 else 0
         inc = gt0(bx - 1, by) + 2 * gt0(bx, by - 1)
         v = 0

@@ -80,12 +80,23 @@ def test_x264_ippp_bitexact(name, dims, n, qp, gop, extra):
 
 
 def test_randomized_p_sweep():
+    """Randomized tool/qp/partition/ref sweep (the config that exposed
+    the sub-partition ref_idx context bug is class-covered here)."""
     rng = np.random.default_rng(42)
-    for trial in range(3):
+    part_sets = ["partitions=i4x4", "partitions=p8x8,i4x4",
+                 "partitions=all", ""]
+    for trial in range(6):
         qp = int(rng.integers(18, 42))
-        noise = int(rng.integers(2, 10))
+        noise = int(rng.integers(2, 12))
+        parts = part_sets[trial % len(part_sets)]
+        refs = f"ref={1 + trial % 3}"
+        tx8 = f"8x8dct={trial % 2}"
+        extra = ":".join(x for x in
+                         [parts, "me=dia:subme=2", refs, tx8,
+                          "trellis=0"] if x)
         frames = _frames(500 + trial, 80, 48, 4, noise=noise)
-        stream = avc_oracle.encode_seq(frames, qp=qp, extra_params=BASE)
+        stream = avc_oracle.encode_seq(frames, qp=qp,
+                                       extra_params=extra)
         assert stream is not None
         _assert_stream_bitexact(stream)
 

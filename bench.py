@@ -95,7 +95,7 @@ def measure(k: int = K, repeats: int = REPEATS) -> float:
     return (W * H * k / 1e6) / best  # MP/s
 
 
-def _extras(budget_s: float = 240.0) -> dict:
+def _extras(budget_s: float = 360.0) -> dict:
     """Best-effort additional BASELINE rows (tools/benchmark_all.py has
     the standalone harness); each guarded so the headline always lands."""
     extras = {}
@@ -107,16 +107,25 @@ def _extras(budget_s: float = 240.0) -> dict:
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools"))
     import benchmark_all as B
-    for step in (B.bench_heic_decode, B.bench_avif_decode,
-                 B.bench_heic_encode_rd, B.bench_avc_decode,
-                 B.bench_j2k_htj2k):
-        if left() < 60:
-            break
+    # Cheap rows first (seconds each) so every claimed row reaches the
+    # artifact of record; device/grid rows spend whatever budget is left.
+    for step, need in ((B.bench_heic_decode, 30),
+                       (B.bench_avif_decode, 20),
+                       (B.bench_jpeg_decode, 10),
+                       (B.bench_hevc_seq_decode, 15),
+                       (B.bench_avc_decode, 15),
+                       (B.bench_heic_encode_rd, 20),
+                       (B.bench_j2k_htj2k, 25),
+                       (B.bench_thread_parity, 25),   # incl. oracle-null notes
+                       (B.bench_device_mode_search, 60)):
+        if left() < need:
+            extras[step.__name__ + "_skipped"] = "budget"
+            continue
         try:
             step(extras)
         except Exception as e:   # noqa: BLE001 — report, don't die
             extras[step.__name__ + "_error"] = type(e).__name__
-    if left() > 120:
+    if left() > 90:
         try:
             # host vs device coded-grid scaling + crossover; 256-tile
             # program compiles once and is reused by the gigapixel row
@@ -124,7 +133,7 @@ def _extras(budget_s: float = 240.0) -> dict:
             B.bench_grid_scaling(extras, counts=counts, budget_left=left)
         except Exception as e:   # noqa: BLE001
             extras["grid_error"] = type(e).__name__
-    if left() > 120:
+    if left() > 90:
         try:
             B.bench_gigapixel(extras, budget_left=left)
         except Exception as e:   # noqa: BLE001

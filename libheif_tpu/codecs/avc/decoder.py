@@ -140,6 +140,13 @@ class AvcSequenceDecoder:
             raise HeifError.unsupported(
                 SubError.Unsupported_codec,
                 "ref_pic_list_modification not supported")
+        if hdr.first_mb != 0:
+            # One slice per picture in this sequence path: a second
+            # slice of the same frame would allocate fresh planes and
+            # emit a corrupt extra frame — fail cleanly instead.
+            raise HeifError.unsupported(
+                SubError.Unsupported_codec,
+                "multi-slice pictures not supported in sequence decode")
         if t == H.NAL_SLICE_IDR:
             self.refs = []
         mbw, mbh = sps.pic_width_in_mbs, sps.pic_height_in_map_units

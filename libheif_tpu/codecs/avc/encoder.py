@@ -20,7 +20,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ...core.bitstream import BitWriter
-from ...core.error import HeifError
+from ...core.error import HeifError, SubError
 from . import tables as T
 from .headers import SPS, PPS, SliceHeader
 from .mb import (SliceDecoder, MBInfo, pred_4x4, pred_8x8, pred_16x16,
@@ -1630,6 +1630,14 @@ class AvcEncoder(RegistryEncoder):
 
     def start_sequence_encode(self, width: int, height: int,
                               options=None, gop_struct: str = "ipp"):
+        if gop_struct not in ("ipp", "intra"):
+            # The AVC sequence encoder only emits IPPP; silently
+            # downgrading a requested B-frame GOP would misreport the
+            # stream structure.
+            raise HeifError.unsupported(
+                SubError.Unsupported_parameter,
+                "AVC sequence encoder supports only 'ipp'/'intra' GOPs, "
+                "not %r" % (gop_struct,))
         quality = getattr(options, "quality", 50) if options else 50
         qp = max(1, min(51, 51 - quality * 50 // 100))
         return AvcSequenceEncodeSession(width, height, qp)

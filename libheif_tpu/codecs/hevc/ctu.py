@@ -342,14 +342,17 @@ class SliceParser:
         return (qp_a + qp_b + 1) >> 1
 
     def _assign_tu_qp(self, tu: TU, qp_y: int) -> None:
+        # tu.qp carries the dequant qP' incl. the bit-depth offset
+        # (spec 8.6.1: qP = Qp + QpBdOffset); qp_y stays QpY
         if tu.c_idx == 0:
-            tu.qp = qp_y
+            tu.qp = qp_y + 6 * (self.sps.bit_depth_luma - 8)
         else:
             off = (self.pps.cb_qp_offset + self.sh.cb_qp_offset
                    if tu.c_idx == 1
                    else self.pps.cr_qp_offset + self.sh.cr_qp_offset)
-            qpi = min(max(qp_y + off, 0), 57)
-            tu.qp = chroma_qp(qpi)
+            bd_off_c = 6 * (self.sps.bit_depth_chroma - 8)
+            qpi = min(max(qp_y + off, -bd_off_c), 57)
+            tu.qp = chroma_qp(qpi) + bd_off_c
 
     def _finalize_qgs(self) -> None:
         if not self.pps.cu_qp_delta_enabled:
@@ -465,7 +468,9 @@ class SliceParser:
             # CuQpDeltaVal state as of this CU — CUs of the QG parsed
             # before the delta keep delta 0 (observable via later QP
             # prediction and deblocking; validated against libde265)
-            qp_cu = (self.qg_pred + self.cu_qp_delta + 52) % 52
+            qp_bd = 6 * (self.sps.bit_depth_luma - 8)
+            qp_cu = ((self.qg_pred + self.cu_qp_delta + 52 + 2 * qp_bd)
+                     % (52 + qp_bd)) - qp_bd
             self.out.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp_cu
             for tu in self.out.tus[cu_tu_start:]:
                 self._assign_tu_qp(tu, qp_cu)
@@ -484,7 +489,9 @@ class SliceParser:
         self.out.tqb_map[by0:by0 + nb, bx0:bx0 + nb] = int(self.cur_tqb)
         self.out.skip_map[by0:by0 + nb, bx0:bx0 + nb] = int(skip)
         if self.pps.cu_qp_delta_enabled:
-            qp_cu = (self.qg_pred + self.cu_qp_delta + 52) % 52
+            qp_bd = 6 * (self.sps.bit_depth_luma - 8)
+            qp_cu = ((self.qg_pred + self.cu_qp_delta + 52 + 2 * qp_bd)
+                     % (52 + qp_bd)) - qp_bd
             self.out.qp_y[by0:by0 + nb, bx0:bx0 + nb] = qp_cu
             self.qp_prev = qp_cu
             return qp_cu

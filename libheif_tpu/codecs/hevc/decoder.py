@@ -90,9 +90,12 @@ def check_picture_supported(sps: H.SPS, pps: H.PPS,
     if sps.chroma_format_idc != 1:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "only 4:2:0 supported currently")
-    if sps.bit_depth_luma != 8:
-        raise HeifError.unsupported(SubError.Unsupported_bit_depth,
-                                    "only 8-bit supported currently")
+    if sps.bit_depth_luma not in (8, 10, 12) or \
+            sps.bit_depth_chroma != sps.bit_depth_luma:
+        raise HeifError.unsupported(
+            SubError.Unsupported_bit_depth,
+            "bit depth %d/%d not supported (8/10/12-bit equal-depth only)"
+            % (sps.bit_depth_luma, sps.bit_depth_chroma))
     if sps.scaling_list_enabled:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "explicit scaling lists")
@@ -382,11 +385,13 @@ class HevcSequenceSession:
         sps = self.sps
         y, cb, cr = crop_to_conformance(sps, *planes)
         w, h = sps.cropped_size
+        dt_y = np.uint8 if sps.bit_depth_luma <= 8 else np.uint16
+        dt_c = np.uint8 if sps.bit_depth_chroma <= 8 else np.uint16
         img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, self.limits)
-        img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth_luma)
-        img.set_plane(Channel.Cb, cb.astype(np.uint8),
+        img.set_plane(Channel.Y, y.astype(dt_y), sps.bit_depth_luma)
+        img.set_plane(Channel.Cb, cb.astype(dt_c),
                       sps.bit_depth_chroma)
-        img.set_plane(Channel.Cr, cr.astype(np.uint8),
+        img.set_plane(Channel.Cr, cr.astype(dt_c),
                       sps.bit_depth_chroma)
         return img
 
@@ -431,10 +436,12 @@ class HevcDecoder(Decoder):
         y, cb, cr = decode_intra_picture(sps, pps, slices)
         y, cb, cr = crop_to_conformance(sps, y, cb, cr)
         w, h = sps.cropped_size
+        dt_y = np.uint8 if sps.bit_depth_luma <= 8 else np.uint16
+        dt_c = np.uint8 if sps.bit_depth_chroma <= 8 else np.uint16
         img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420, limits)
-        img.set_plane(Channel.Y, y.astype(np.uint8), sps.bit_depth_luma)
-        img.set_plane(Channel.Cb, cb.astype(np.uint8), sps.bit_depth_chroma)
-        img.set_plane(Channel.Cr, cr.astype(np.uint8), sps.bit_depth_chroma)
+        img.set_plane(Channel.Y, y.astype(dt_y), sps.bit_depth_luma)
+        img.set_plane(Channel.Cb, cb.astype(dt_c), sps.bit_depth_chroma)
+        img.set_plane(Channel.Cr, cr.astype(dt_c), sps.bit_depth_chroma)
         return img
 
 

@@ -37,11 +37,15 @@ _QUANT_SCALE = [26214, 23302, 20560, 18396, 16384, 14564]
 # header writers
 # --------------------------------------------------------------------------
 
-def _write_ptl(w: BitWriter) -> None:
+def _write_ptl(w: BitWriter, bit_depth: int = 8) -> None:
     w.write_bits(0, 2)      # profile_space
     w.write_bits(0, 1)      # tier
-    w.write_bits(1, 5)      # Main profile
-    w.write_bits(0b0110 << 28, 32)  # compatibility: Main + Main10
+    # Main profile for 8-bit, Main10 for 10-bit (spec A.3.2/A.3.3)
+    w.write_bits(1 if bit_depth == 8 else 2, 5)
+    if bit_depth == 8:
+        w.write_bits(0b0110 << 28, 32)  # compatibility: Main + Main10
+    else:
+        w.write_bits(0b0010 << 28, 32)  # compatibility: Main10 only
     w.write_bits(1, 1)      # progressive_source
     w.write_bits(0, 1)      # interlaced
     w.write_bits(1, 1)      # non_packed
@@ -99,6 +103,7 @@ class EncParams:
     var_cu: bool = False       # position-hashed CU depths below cu_log2
     chroma_modes: bool = False  # cycle explicit intra_chroma_pred_mode
     num_reorder: int = 0       # sps_max_num_reorder_pics (B pyramids)
+    bit_depth: int = 8         # 8 (Main) or 10/12 (Main10/RExt-style)
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -106,14 +111,14 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     w.write_bits(0, 4)      # vps id
     w.write_bits(0, 3)      # max_sub_layers_minus1
     w.write_bits(1, 1)      # temporal_id_nesting
-    _write_ptl(w)
+    _write_ptl(w, p.bit_depth)
     _ue(w, 0)               # sps id
     _ue(w, 1)               # chroma 4:2:0
     _ue(w, width)
     _ue(w, height)
     w.write_bits(0, 1)      # no conformance window (caller pads)
-    _ue(w, 0)               # bit_depth_luma - 8
-    _ue(w, 0)               # bit_depth_chroma - 8
+    _ue(w, p.bit_depth - 8)  # bit_depth_luma - 8
+    _ue(w, p.bit_depth - 8)  # bit_depth_chroma - 8
     _ue(w, 4)               # log2_max_poc_lsb - 4
     w.write_bits(1, 1)      # sub_layer_ordering_info_present
     _ue(w, 1 + p.num_reorder)  # max_dec_pic_buffering_minus1
@@ -290,7 +295,7 @@ class IntraEncoder:
         self.src = [y, cb, cr]
 
         self._device_plan = None
-        if self.p.mode == "device":
+        if self.p.mode == "device" and self.p.bit_depth == 8:
             # batched open-loop SATD mode search on device; the host
             # path below re-runs exact in-loop prediction per block
             from .device_modes import plan_modes_device
@@ -379,7 +384,8 @@ class IntraEncoder:
         if os.environ.get("TPUHEIF_HEVC_ENC_NATIVE", "1") == "0":
             return None
         if (p.sao or p.sign_hiding or p.cu_qp_delta or p.nxn or
-                p.rqt_depth or p.wpp or p.var_cu or p.chroma_modes):
+                p.rqt_depth or p.wpp or p.var_cu or p.chroma_modes or
+                p.bit_depth != 8):
             return None
         if isinstance(p.mode, str):
             if p.mode == "auto":
@@ -863,14 +869,16 @@ class IntraEncoder:
 
     def _prepare_tu(self, x0, y0, clog2, c_idx, cmode, qp):
         tu = TU(x=x0, y=y0, log2=clog2, c_idx=c_idx, pred_mode=cmode)
-        tu.qp = qp
+        # tu.qp is the dequant qP' incl. the bit-depth offset
+        # (spec 8.6.1: qP = Qp + QpBdOffset); `qp` stays QpY/QpC
+        tu.qp = qp + 6 * (self.p.bit_depth - 8)
         pred = self._recon_helper._predict(tu)
         shift = 1 if c_idx else 0
         n = 1 << clog2
         px, py = x0 >> shift, y0 >> shift
         src = self.src[c_idx][py:py + n, px:px + n]
-        fwd = forward_transform(src - pred, clog2, c_idx)
-        tu.coeffs = quantize(fwd, qp, clog2)
+        fwd = forward_transform(src - pred, clog2, c_idx, self.p.bit_depth)
+        tu.coeffs = quantize(fwd, tu.qp, clog2, self.p.bit_depth)
         if self.p.sign_hiding:
             # adjust parity BEFORE reconstruction so the closed loop and
             # the written bitstream agree
@@ -916,16 +924,17 @@ class IntraEncoder:
                     int(pos_scan[first_n][0])] = nv
 
     def _recon_tu(self, tu, cbf) -> None:
+        bd = self.p.bit_depth
         if cbf:
-            d = dequant(tu, 8)
-            res = inverse_transform(tu, d, 8)
+            d = dequant(tu, bd)
+            res = inverse_transform(tu, d, bd)
         else:
             res = 0
         shift = 1 if tu.c_idx else 0
         n = 1 << tu.log2
         px, py = tu.x >> shift, tu.y >> shift
         self.recon[tu.c_idx][py:py + n, px:px + n] = np.clip(
-            tu._pred + res, 0, 255)
+            tu._pred + res, 0, (1 << bd) - 1)
         if tu.c_idx == 0:
             self._recon_helper.avail[tu.y >> 2:(tu.y + n) >> 2,
                                      tu.x >> 2:(tu.x + n) >> 2] = True

@@ -172,9 +172,10 @@ class Deblocker:
         lines = self._get_lines(x, y, vertical, n_lines)
         qp = self._avg_qp(x, y, vertical)
         b_idx = int(_clip3(0, 51, qp + self.beta_off))
-        beta = int(BETA_TABLE[b_idx])
+        # β/tc scale with bit depth (spec 8.7.2.5.3)
+        beta = int(BETA_TABLE[b_idx]) << (self.bd - 8)
         tc_idx = int(_clip3(0, 53, qp + 2 * (bs - 1) + self.tc_off))
-        tc = int(TC_TABLE[tc_idx])
+        tc = int(TC_TABLE[tc_idx]) << (self.bd - 8)
         if beta == 0 and tc == 0:
             return
         p = lines[:, 3::-1]     # p0..p3
@@ -264,7 +265,8 @@ class Deblocker:
                     qp_l = self._avg_qp(lx, ly, vertical)
                     qpc = chroma_qp(int(_clip3(0, 57, qp_l + off)))
                     tc_idx = int(_clip3(0, 53, qpc + 2 + self.tc_off))
-                    tc = int(TC_TABLE[tc_idx])
+                    tc = int(TC_TABLE[tc_idx]) << \
+                        (self.syn.sps.bit_depth_chroma - 8)
                     if tc == 0:
                         continue
                     if vertical:

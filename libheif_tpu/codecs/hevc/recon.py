@@ -246,7 +246,7 @@ class IntraReconstructor:
             return ref
         bd = self.bd
         corner = 2 * n
-        if n == 32 and self.syn.sps.strong_intra_smoothing and bd == 8:
+        if n == 32 and self.syn.sps.strong_intra_smoothing:
             flat_top = abs(int(ref[corner]) + int(ref[4 * n]) -
                            2 * int(ref[corner + n])) < (1 << (bd - 5))
             flat_left = abs(int(ref[corner]) + int(ref[0]) -

@@ -52,13 +52,18 @@ class HuffTable:
         self._lut_len = None
 
     def _build_lut(self):
-        self._lut_sym = np.zeros(1 << 16, dtype=np.int16)
-        self._lut_len = np.zeros(1 << 16, dtype=np.int8)
+        # Build into locals and publish only when complete: tables are
+        # shared across images via the DHT cache, so a concurrent reader
+        # must never observe a partially filled LUT.
+        lut_sym = np.zeros(1 << 16, dtype=np.int16)
+        lut_len = np.zeros(1 << 16, dtype=np.int8)
         for (ln, c), v in zip(self.codes, self.values):
             shift = 16 - ln
             base = c << shift
-            self._lut_sym[base:base + (1 << shift)] = v
-            self._lut_len[base:base + (1 << shift)] = ln
+            lut_sym[base:base + (1 << shift)] = v
+            lut_len[base:base + (1 << shift)] = ln
+        self._lut_sym = lut_sym
+        self._lut_len = lut_len
 
     @property
     def lut_sym(self):

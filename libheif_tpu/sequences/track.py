@@ -671,6 +671,14 @@ class VisualTrackWriter:
                            if self.options.with_tai_timestamps else None)
         self.gimi_writer = (SampleAuxInfoWriter("suid")
                             if self.options.with_gimi_content_ids else None)
+        # Reorder-aware encode sessions emit samples for *other* display
+        # frames (or none at all) on each push; queue per-display-frame
+        # aux metadata and attach it by display index (= decode index +
+        # cts offset) so TAI/GIMI land on the right sample.
+        self._seq_aux: Dict[int, Tuple[Optional[TaiTimestampPacket],
+                                       Optional[str]]] = {}
+        self._seq_pushed = 0
+        self._seq_emitted = 0
 
     def add_reference_to_track(self, ref_type: str,
                                to_track_id: int) -> None:
@@ -724,11 +732,16 @@ class VisualTrackWriter:
                                               None)
                 self._last_duration = duration
                 if hasattr(session, "push_frames"):
+                    self._seq_aux[self._seq_pushed] = (tai, gimi_content_id)
+                    self._seq_pushed += 1
                     for data, cfg, is_sync, cts in session.push_frames(img):
                         if self.config_box is None and cfg is not None:
                             self.config_box = cfg
-                        self._append_sample(data, duration, tai,
-                                            gimi_content_id,
+                        s_tai, s_gimi = self._seq_aux.pop(
+                            self._seq_emitted + cts, (None, None))
+                        self._seq_emitted += 1
+                        self._append_sample(data, duration, s_tai,
+                                            s_gimi,
                                             is_sync=is_sync,
                                             cts_offset=cts * duration)
                     if self.config_box is None and \
@@ -825,7 +838,10 @@ class VisualTrackWriter:
             return
         duration = getattr(self, "_last_duration", 1)
         for data, _cfg, is_sync, cts in session.flush_frames():
-            self._append_sample(data, duration, None, None,
+            s_tai, s_gimi = self._seq_aux.pop(
+                self._seq_emitted + cts, (None, None))
+            self._seq_emitted += 1
+            self._append_sample(data, duration, s_tai, s_gimi,
                                 is_sync=is_sync,
                                 cts_offset=cts * duration)
 

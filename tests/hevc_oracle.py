@@ -57,19 +57,29 @@ def decode_nals(nals: List[bytes]) -> Optional[Dict[str, np.ndarray]]:
                 break
         if pic is None:
             return None
-        out = {}
-        for name, chn in (("Y", 0), ("Cb", 1), ("Cr", 2)):
-            w = lib.de265_get_image_width(pic, chn)
-            h = lib.de265_get_image_height(pic, chn)
-            stride = ctypes.c_int()
-            ptr = lib.de265_get_image_plane(pic, chn, ctypes.byref(stride))
-            if not ptr:
-                continue
-            arr = np.ctypeslib.as_array(ptr, shape=(stride.value * h,))
-            out[name] = arr.copy().reshape(h, stride.value)[:, :w]
-        return out
+        return _planes_of(lib, pic)
     finally:
         lib.de265_free_decoder(dec)
+
+
+def _planes_of(lib, pic) -> Dict[str, np.ndarray]:
+    """Extract Y/Cb/Cr planes from a de265 picture; 10/12-bit planes
+    come back as uint16 (stride is in bytes)."""
+    out = {}
+    for name, chn in (("Y", 0), ("Cb", 1), ("Cr", 2)):
+        w = lib.de265_get_image_width(pic, chn)
+        h = lib.de265_get_image_height(pic, chn)
+        bpp = lib.de265_get_bits_per_pixel(pic, chn)
+        stride = ctypes.c_int()
+        ptr = lib.de265_get_image_plane(pic, chn, ctypes.byref(stride))
+        if not ptr:
+            continue
+        arr = np.ctypeslib.as_array(ptr, shape=(stride.value * h,))
+        rows = arr.copy().reshape(h, stride.value)
+        if bpp > 8:
+            rows = rows.view(np.uint16)
+        out[name] = rows[:, :w]
+    return out
 
 
 def decode_nals_seq(nals: List[bytes]) -> Optional[List[Dict[str,
@@ -114,19 +124,7 @@ def decode_nals_seq(nals: List[bytes]) -> Optional[List[Dict[str,
                 pic = ctypes.c_void_p(lib.de265_get_next_picture(dec))
                 if not pic.value:
                     break
-                out = {}
-                for name, chn in (("Y", 0), ("Cb", 1), ("Cr", 2)):
-                    w = lib.de265_get_image_width(pic, chn)
-                    h = lib.de265_get_image_height(pic, chn)
-                    stride = ctypes.c_int()
-                    ptr = lib.de265_get_image_plane(pic, chn,
-                                                    ctypes.byref(stride))
-                    if not ptr:
-                        continue
-                    arr = np.ctypeslib.as_array(ptr,
-                                                shape=(stride.value * h,))
-                    out[name] = arr.copy().reshape(
-                        h, stride.value)[:, :w]
+                out = _planes_of(lib, pic)
                 frames.append((int(lib.de265_get_image_PTS(pic)), out))
             if not more.value:
                 break

@@ -252,11 +252,15 @@ class SliceParser:
         if merge:
             return
 
-        bd_shift = max(self.sps.bit_depth_luma, 10) - 10  # offsets scale
-        off_max = (1 << (min(self.sps.bit_depth_luma, 10) - 5)) - 1
         for c_idx in range(3 if self.sh.sao_chroma else 1):
             if c_idx == 0 and not self.sh.sao_luma:
                 continue
+            # offset cMax/scale follow the component bit depth (spec
+            # 7.4.9.3): cMax = (1 << (min(bd,10)-5)) - 1, shift = bd-10
+            bd = (self.sps.bit_depth_luma if c_idx == 0
+                  else self.sps.bit_depth_chroma)
+            bd_shift = max(bd, 10) - 10
+            off_max = (1 << (min(bd, 10) - 5)) - 1
             if c_idx == 2:
                 sao.type_idx[2] = sao.type_idx[1]
             elif not d.decode_bin(self.ctx.idx("sao_type_idx")):

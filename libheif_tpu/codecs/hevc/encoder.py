@@ -1262,7 +1262,13 @@ class HevcEncoder(RegistryEncoder):
         qp = max(1, min(51, 51 - quality * 50 // 100))
         if img.colorspace != Colorspace.YCbCr or img.chroma != Chroma.C420:
             img = convert_image(img, Colorspace.YCbCr, Chroma.C420)
-        params = EncParams(qp=qp)
+        # carry the source bit depth into the stream (Main / Main10)
+        bd = img.bit_depth(Channel.Y)
+        if bd not in (8, 10):
+            raise HeifError.unsupported(
+                SubError.Unsupported_bit_depth,
+                "HEVC encoder supports 8- and 10-bit sources, not %d" % bd)
+        params = EncParams(qp=qp, bit_depth=bd)
         enc = IntraEncoder(img.width, img.height, params)
         slice_nal, cfg_nals = enc.encode(img)
         cfg = hvcC_from_sps(parse_hevc_sps(cfg_nals[0]))

@@ -68,6 +68,7 @@ def _params_array(sps: SPS, pps: PPS, sh: SliceHeader) -> np.ndarray:
         sh.qp, int(sh.sao_luma), int(sh.sao_chroma),
         sh.cb_qp_offset, sh.cr_qp_offset,
         sps.pic_width_in_ctbs, sps.pic_height_in_ctbs,
+        sps.bit_depth_luma, sps.bit_depth_chroma,
     ]
     return np.asarray(vals, dtype=np.int32)
 

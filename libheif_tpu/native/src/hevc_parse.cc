@@ -180,6 +180,8 @@ enum ParamIdx {
   P_SH_CR_QP_OFFSET,
   P_N_CTB_COLS,
   P_N_CTB_ROWS,
+  P_BIT_DEPTH_LUMA,
+  P_BIT_DEPTH_CHROMA,
   N_PARAMS
 };
 
@@ -600,18 +602,21 @@ struct Parser {
   }
 
   void assign_tu_qp(int64_t tu_idx, int qp_y_val) {
+    // m[5] carries the dequant qP' incl. the bit-depth offset
+    // (spec 8.6.1: qP = Qp + QpBdOffset); qp_y_val stays QpY
     int32_t* m = tu_meta + tu_idx * 10;
     int c_idx = m[3];
     if (c_idx == 0) {
-      m[5] = qp_y_val;
+      m[5] = qp_y_val + 6 * (P[P_BIT_DEPTH_LUMA] - 8);
     } else {
       int off = (c_idx == 1)
                     ? P[P_PPS_CB_QP_OFFSET] + P[P_SH_CB_QP_OFFSET]
                     : P[P_PPS_CR_QP_OFFSET] + P[P_SH_CR_QP_OFFSET];
+      int bd_off_c = 6 * (P[P_BIT_DEPTH_CHROMA] - 8);
       int qpi = qp_y_val + off;
-      if (qpi < 0) qpi = 0;
+      if (qpi < -bd_off_c) qpi = -bd_off_c;
       if (qpi > 57) qpi = 57;
-      m[5] = chroma_qp(qpi);
+      m[5] = chroma_qp(qpi) + bd_off_c;
     }
   }
 
@@ -638,8 +643,6 @@ struct Parser {
     }
     if (merge) return;
 
-    // 8-bit: bd_shift = 0, off_max = 7 (ctu.py _parse_sao)
-    const int off_max = 7;
     int16_t* type_idx = me;           // [3]
     int16_t* offsets = me + 3;        // [3][4]
     int16_t* band_pos = me + 15;      // [3]
@@ -647,6 +650,11 @@ struct Parser {
     int n_comp = P[P_SH_SAO_CHROMA] ? 3 : 1;
     for (int c_idx = 0; c_idx < n_comp; c_idx++) {
       if (c_idx == 0 && !P[P_SH_SAO_LUMA]) continue;
+      // offset cMax/scale follow the component bit depth (spec 7.4.9.3:
+      // cMax = (1 << (Min(bd,10) - 5)) - 1, saoShift = bd - Min(bd,10))
+      int bd = (c_idx == 0) ? P[P_BIT_DEPTH_LUMA] : P[P_BIT_DEPTH_CHROMA];
+      int off_max = (1 << ((bd < 10 ? bd : 10) - 5)) - 1;
+      int bd_shift = bd > 10 ? bd - 10 : 0;
       if (c_idx == 2) {
         type_idx[2] = type_idx[1];
       } else if (!dec.decode_bin(ctx(F_SAO_TYPE))) {
@@ -669,7 +677,8 @@ struct Parser {
         else if (c_idx == 1)
           eo_class[1] = (int16_t)dec.decode_bypass_bits(2);
       }
-      for (int i = 0; i < 4; i++) offsets[c_idx * 4 + i] = (int16_t)offs[i];
+      for (int i = 0; i < 4; i++)
+        offsets[c_idx * 4 + i] = (int16_t)(offs[i] << bd_shift);
     }
   }
 
@@ -867,7 +876,10 @@ struct Parser {
     if (err.code) return;
 
     if (P[P_CU_QP_DELTA_ENABLED]) {
-      int qp_cu = ((qg_pred + cu_qp_delta + 52) % 52 + 52) % 52;
+      int qbd = 6 * (P[P_BIT_DEPTH_LUMA] - 8);
+      int n = 52 + qbd;
+      int qp_cu = (((qg_pred + cu_qp_delta + 52 + 2 * qbd) % n + n) % n)
+                  - qbd;
       fill_map<int16_t>(qp_y, bx0, by0, nb, nb, (int16_t)qp_cu);
       for (int64_t t = cu_tu_start; t < n_tus; t++) assign_tu_qp(t, qp_cu);
       qp_prev = qp_cu;

@@ -231,7 +231,7 @@ struct Recon {
     if (mode != 0 /* planar */ && dist <= thresh) return;
     int corner = 2 * n;
     int total = 4 * n + 1;
-    if (n == 32 && P[R_STRONG_SMOOTHING] && bd == 8) {
+    if (n == 32 && P[R_STRONG_SMOOTHING]) {
       bool flat_top =
           abs(ref[corner] + ref[4 * n] - 2 * ref[corner + n]) <
           (1 << (bd - 5));
@@ -439,9 +439,12 @@ struct Recon {
                               : plane[(int64_t)(y - 4 + j) * w + x + i];
 
         int qp = avg_qp(x, y, vertical);
-        int beta = beta_table[clip3(0, 51, qp + P[R_BETA_OFFSET])];
+        // beta/tc scale with bit depth (spec 8.7.2.5.3)
+        int beta = beta_table[clip3(0, 51, qp + P[R_BETA_OFFSET])]
+                   << (bd - 8);
         int tc =
-            tc_table[clip3(0, 53, qp + 2 * (2 - 1) + P[R_TC_OFFSET])];
+            tc_table[clip3(0, 53, qp + 2 * (2 - 1) + P[R_TC_OFFSET])]
+            << (bd - 8);
         if (beta == 0 && tc == 0) continue;
 
         auto pv = [&](int i, int j) { return lines[i][3 - j]; };
@@ -541,7 +544,8 @@ struct Recon {
           if (n <= 0) continue;
           int qp_l = avg_qp(lx, ly, vertical);
           int qpc = chroma_qp(clip3(0, 57, qp_l + off));
-          int tc = tc_table[clip3(0, 53, qpc + 2 + P[R_TC_OFFSET])];
+          int tc = tc_table[clip3(0, 53, qpc + 2 + P[R_TC_OFFSET])]
+                   << (P[R_BIT_DEPTH_CHROMA] - 8);
           if (tc == 0) continue;
           for (int i = 0; i < n; i++) {
             int p1, p0, q0, q1;

@@ -23,21 +23,23 @@ from libheif_tpu.image.pixel_image import PixelImage, Channel, Colorspace, Chrom
 from tests import hevc_oracle
 
 
-def make_image(w, h, seed, smooth=False):
+def make_image(w, h, seed, smooth=False, bit_depth=8):
     rng = np.random.default_rng(seed)
     img = PixelImage(w, h, Colorspace.YCbCr, Chroma.C420)
+    maxp = 1 << bit_depth
+    dt = np.uint8 if bit_depth <= 8 else np.uint16
     if smooth:
         # low-frequency content exercises cbf=0 / DC-only paths
         def plane(hh, ww):
-            base = rng.integers(0, 256, (max(1, hh // 8), max(1, ww // 8)))
+            base = rng.integers(0, maxp, (max(1, hh // 8), max(1, ww // 8)))
             rep = np.kron(base, np.ones((8, 8), np.int64))[:hh, :ww]
-            return rep.astype(np.uint8)
+            return rep.astype(dt)
     else:
         def plane(hh, ww):
-            return rng.integers(0, 256, (hh, ww), dtype=np.uint8)
-    img.set_plane(Channel.Y, plane(h, w), 8)
-    img.set_plane(Channel.Cb, plane((h + 1) // 2, (w + 1) // 2), 8)
-    img.set_plane(Channel.Cr, plane((h + 1) // 2, (w + 1) // 2), 8)
+            return rng.integers(0, maxp, (hh, ww)).astype(dt)
+    img.set_plane(Channel.Y, plane(h, w), bit_depth)
+    img.set_plane(Channel.Cb, plane((h + 1) // 2, (w + 1) // 2), bit_depth)
+    img.set_plane(Channel.Cr, plane((h + 1) // 2, (w + 1) // 2), bit_depth)
     return img
 
 
@@ -111,12 +113,32 @@ CONFIGS = [
                            cu_qp_delta=True, diff_qg_depth=2,
                            qp_delta_pattern=(1, -5, 8, 0, -3, 6, -8)),
      (192, 128), True),
+    # Main10: 10-bit streams across the feature set (libde265 decodes
+    # Main10; ref: plugins/decoder_libde265.cc:123 reads bpp from the
+    # decoded image)
+    ("10bit-auto-qp26", dict(qp=26, bit_depth=10), (64, 64), False),
+    ("10bit-auto-qp8", dict(qp=8, bit_depth=10), (96, 64), False),
+    ("10bit-smooth-qp40", dict(qp=40, bit_depth=10), (64, 64), True),
+    ("10bit-nxn", dict(qp=26, cu_log2=3, nxn=True, bit_depth=10),
+     (64, 64), False),
+    ("10bit-deblock", dict(qp=30, deblock=True, bit_depth=10),
+     (96, 96), True),
+    ("10bit-sao", dict(qp=34, sao=True, bit_depth=10), (96, 96), True),
+    ("10bit-dqp-sh", dict(qp=30, cu_qp_delta=True, sign_hiding=True,
+                          bit_depth=10), (64, 64), False),
+    ("10bit-wpp", dict(qp=26, wpp=True, bit_depth=10), (96, 96), False),
+    ("10bit-x265full", dict(qp=24, ctb_log2=6, cu_log2=6, var_cu=True,
+                            nxn=True, rqt_depth=1, strong_smoothing=True,
+                            sign_hiding=True, cu_qp_delta=True,
+                            diff_qg_depth=1, deblock=True, sao=True,
+                            wpp=True, chroma_modes=True, bit_depth=10),
+     (192, 128), True),
 ]
 
 
 def run_config(name, kw, size, smooth, seed=7):
     w, h = size
-    img = make_image(w, h, seed, smooth)
+    img = make_image(w, h, seed, smooth, bit_depth=kw.get("bit_depth", 8))
     enc = IntraEncoder(w, h, EncParams(**kw))
     slice_nal, cfg_nals = enc.encode(img)
     sps = H.parse_sps(cfg_nals[0])

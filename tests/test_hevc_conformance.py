@@ -25,6 +25,17 @@ SUBSET = [
                       cu_qp_delta=True, diff_qg_depth=1, deblock=True,
                       sao=True, wpp=True, chroma_modes=True),
      (192, 192), False),
+    # Main10 (ref: plugins/decoder_libde265.cc:123 reads bpp from the
+    # decoded image — any-depth decode is reference behavior)
+    ("10bit-auto-qp26", dict(qp=26, bit_depth=10), (64, 64), False),
+    ("10bit-deblock-sao", dict(qp=34, deblock=True, sao=True,
+                               bit_depth=10), (96, 96), True),
+    ("10bit-x265full", dict(qp=24, ctb_log2=6, cu_log2=6, var_cu=True,
+                            nxn=True, rqt_depth=1, strong_smoothing=True,
+                            sign_hiding=True, cu_qp_delta=True,
+                            diff_qg_depth=1, deblock=True, sao=True,
+                            wpp=True, chroma_modes=True, bit_depth=10),
+     (192, 128), True),
 ]
 
 
@@ -69,3 +80,43 @@ def test_example_heic_bit_exact():
         r = ref[name]
         assert np.array_equal(mine[:r.shape[0], :r.shape[1]], r), \
             f"{name} plane differs from libde265"
+
+
+def test_ten_bit_heic_container_roundtrip():
+    """10-bit HEIC through the full container path: encode → write →
+    reload → decode keeps uint16 planes and 10-bit depth (ref:
+    heif_decoding.h:84 HDR handling; decoder_libde265.cc:123)."""
+    from libheif_tpu import api
+    from libheif_tpu.option_types import EncodingOptions
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    rng = np.random.default_rng(11)
+    img = PixelImage(120, 90, Colorspace.YCbCr, Chroma.C420)
+    img.set_plane(Channel.Y, np.clip(
+        np.kron(rng.integers(0, 1024, (12, 16)),
+                np.ones((8, 8)))[:90, :120]
+        + rng.integers(-20, 20, (90, 120)), 0, 1023).astype(np.uint16), 10)
+    img.set_plane(Channel.Cb,
+                  rng.integers(0, 1024, (45, 60)).astype(np.uint16), 10)
+    img.set_plane(Channel.Cr,
+                  rng.integers(0, 1024, (45, 60)).astype(np.uint16), 10)
+    ctx = api.HeifContext()
+    ctx.encode_image(img, fmt="hevc", options=EncodingOptions(quality=80))
+    import io
+    import tempfile
+    import os
+    fd, path = tempfile.mkstemp(suffix=".heic")
+    os.close(fd)
+    try:
+        ctx.write_to_file(path)
+        ctx2 = api.HeifContext.read_from_file(path)
+        img2 = ctx2.decode_image(ctx2.primary_item_id,
+                                 colorspace=Colorspace.YCbCr)
+        assert img2.bit_depth(Channel.Y) == 10
+        assert img2.plane(Channel.Y).dtype == np.uint16
+        y1 = np.asarray(img.plane(Channel.Y), np.float64)
+        y2 = np.asarray(img2.plane(Channel.Y), np.float64)
+        psnr = 10 * np.log10(1023.0 ** 2 / ((y1 - y2) ** 2).mean())
+        assert psnr > 40.0, psnr
+    finally:
+        os.unlink(path)

@@ -44,10 +44,12 @@ def _thresholds(lvl: int, sharpness: int):
 
 
 def _filter_segment(line: np.ndarray, pos: int, length: int,
-                    blimit: int, limit: int, thresh: int) -> None:
+                    blimit: int, limit: int, thresh: int,
+                    bd: int = 8) -> None:
     """Filter one edge on `line` (1-D int array): samples
     line[pos-7:pos+7]; edge between pos-1 and pos. Vectorized over the
-    leading axis if line is 2-D (segment rows)."""
+    leading axis if line is 2-D (segment rows). blimit/limit/thresh
+    arrive already scaled by the caller (<< (bd-8), spec §7.14.4)."""
     g = lambda i: line[..., pos + i].astype(np.int64)
     p6, p5, p4 = g(-7), g(-6), g(-5)
     p3, p2, p1, p0 = g(-4), g(-3), g(-2), g(-1)
@@ -64,7 +66,9 @@ def _filter_segment(line: np.ndarray, pos: int, length: int,
     if not fm.any():
         return
 
-    F = 1    # flat threshold for 8-bit
+    sh = bd - 8
+    F = 1 << sh           # flat threshold scales with depth
+    maxv = (1 << bd) - 1
     flat = None
     if length >= 6:
         flat = (ab(p1 - p0) <= F) & (ab(q1 - q0) <= F) & \
@@ -77,20 +81,22 @@ def _filter_segment(line: np.ndarray, pos: int, length: int,
                 (ab(p5 - p0) <= F) & (ab(q5 - q0) <= F) & \
                 (ab(p4 - p0) <= F) & (ab(q4 - q0) <= F)
 
-    # ---- narrow filter (filter4) on samples where not flat
+    # ---- narrow filter (filter4) on samples where not flat; clamp
+    # ranges scale with depth (spec filter4 iclip_diff ±128<<(bd-8))
+    mid = 128 << sh
     hev = (ab(p1 - p0) > thresh) | (ab(q1 - q0) > thresh)
-    c = lambda x: np.clip(x, -128, 127)
-    ps1, ps0 = p1 - 128, p0 - 128
-    qs0, qs1 = q0 - 128, q1 - 128
+    c = lambda x: np.clip(x, -mid, mid - 1)
+    ps1, ps0 = p1 - mid, p0 - mid
+    qs0, qs1 = q0 - mid, q1 - mid
     f = np.where(hev, c(ps1 - qs1), 0)
     f = c(f + 3 * (qs0 - ps0))
     f1 = c(f + 4) >> 3
     f2 = c(f + 3) >> 3
-    n_q0 = np.clip(c(qs0 - f1) + 128, 0, 255)
-    n_p0 = np.clip(c(ps0 + f2) + 128, 0, 255)
+    n_q0 = np.clip(c(qs0 - f1) + mid, 0, maxv)
+    n_p0 = np.clip(c(ps0 + f2) + mid, 0, maxv)
     f3 = (f1 + 1) >> 1
-    n_q1 = np.where(hev, q1, np.clip(c(qs1 - f3) + 128, 0, 255))
-    n_p1 = np.where(hev, p1, np.clip(c(ps1 + f3) + 128, 0, 255))
+    n_q1 = np.where(hev, q1, np.clip(c(qs1 - f3) + mid, 0, maxv))
+    n_p1 = np.where(hev, p1, np.clip(c(ps1 + f3) + mid, 0, maxv))
 
     r2 = lambda x: (x + 4) >> 3
     r4 = lambda x: (x + 8) >> 4
@@ -190,7 +196,7 @@ class EdgeMaps:
 
 
 def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
-                  frame_w: int, frame_h: int) -> None:
+                  frame_w: int, frame_h: int, bd: int = 8) -> None:
     """In-place deblocking of [Y, U, V] int planes (frame area only)."""
     intra_delta = fh.loop_filter_ref_deltas[0]
     delta_en = fh.loop_filter_delta_enabled
@@ -221,6 +227,10 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
             if lvl == 0:
                 continue
             blimit, limit, thresh = _thresholds(lvl, sharp)
+            # threshold scaling for high bit depth (spec §7.14.4)
+            blimit <<= bd - 8
+            limit <<= bd - 8
+            thresh <<= bd - 8
             edge = maps.vert[plane] if direction == 0 else maps.horz[plane]
             tdim = maps.tw[plane] if direction == 0 else maps.th[plane]
             gh, gw = edge.shape
@@ -271,7 +281,7 @@ def apply_deblock(planes: List[np.ndarray], maps: EdgeMaps, fh,
                     rows = rows[rows < ph]
                     seg = work[rows[:, None], col_idx[None, :]]
                     _filter_segment(seg, 7, int(ln_val), blimit, limit,
-                                    thresh)
+                                    thresh, bd)
                     work[rows[:, None], write_cols[None, :]] = \
                         seg[:, wc_off]
             if direction == 1:

@@ -95,7 +95,7 @@ def finish_frame(seq, fh, dec) -> Dict[str, np.ndarray]:
     # deblocked frame at stripe boundaries, spec §7.17.1)
     if not fh.coded_lossless and any(fh.loop_filter_levels):
         from .deblock import apply_deblock
-        apply_deblock(planes, dec.edges, fh, w, h)
+        apply_deblock(planes, dec.edges, fh, w, h, bd=seq.bit_depth)
     deblocked = planes
     if not fh.coded_lossless and (any(fh.cdef.y_pri) or any(fh.cdef.y_sec)
                                   or any(fh.cdef.uv_pri)
@@ -113,9 +113,9 @@ def finish_frame(seq, fh, dec) -> Dict[str, np.ndarray]:
             "V": planes[2][:ch, :cw]}
 
 
-def decode_intra_frame(data: bytes,
-                       engine: Optional[str] = None) -> Dict[str, np.ndarray]:
-    """Decode the first (still) frame from a byte stream of OBUs.
+def decode_intra_frame_ex(data: bytes, engine: Optional[str] = None):
+    """Decode the first (still) frame from a byte stream of OBUs;
+    returns (planes dict, SequenceHeader).
 
     engine: "native" (C++ host engine), "host" (numpy job replay),
     "device" (TPU wavefront program, device_recon.py), or None/"auto"
@@ -128,7 +128,7 @@ def decode_intra_frame(data: bytes,
         seq, fh, tiles = parse_obus(data)
         planes = decode_frame_native(seq, fh, tiles)
         if planes is not None:
-            return planes
+            return planes, seq
         if engine == "native":
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         "native AV1 engine unavailable")
@@ -140,7 +140,13 @@ def decode_intra_frame(data: bytes,
         run_jobs_device([dec])
     else:
         dec.run_jobs()
-    return finish_frame(seq, fh, dec)
+    return finish_frame(seq, fh, dec), seq
+
+
+def decode_intra_frame(data: bytes,
+                       engine: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Decode the first (still) frame from a byte stream of OBUs."""
+    return decode_intra_frame_ex(data, engine)[0]
 
 
 class Av1Decoder(Decoder):
@@ -152,7 +158,9 @@ class Av1Decoder(Decoder):
                             declared_size=None, limits=None) -> PixelImage:
         stream = (config_box.config_obus or b"") + data \
             if config_box is not None else data
-        planes = decode_intra_frame(stream)
+        planes, seq = decode_intra_frame_ex(stream)
+        bd = seq.bit_depth
+        dt = np.uint8 if bd <= 8 else np.uint16
         y = planes["Y"]
         h, w = y.shape
         if limits is not None:
@@ -160,7 +168,7 @@ class Av1Decoder(Decoder):
         if "U" not in planes:
             img = PixelImage(w, h, Colorspace.Monochrome,
                              Chroma.Monochrome, limits)
-            img.set_plane(Channel.Y, y.astype(np.uint8), 8)
+            img.set_plane(Channel.Y, y.astype(dt), bd)
             return img
         ch, cw = planes["U"].shape
         if cw == w and ch == h:
@@ -170,9 +178,9 @@ class Av1Decoder(Decoder):
         else:
             chroma = Chroma.C420
         img = PixelImage(w, h, Colorspace.YCbCr, chroma, limits)
-        img.set_plane(Channel.Y, y.astype(np.uint8), 8)
-        img.set_plane(Channel.Cb, planes["U"].astype(np.uint8), 8)
-        img.set_plane(Channel.Cr, planes["V"].astype(np.uint8), 8)
+        img.set_plane(Channel.Y, y.astype(dt), bd)
+        img.set_plane(Channel.Cb, planes["U"].astype(dt), bd)
+        img.set_plane(Channel.Cr, planes["V"].astype(dt), bd)
         return img
 
 

@@ -77,8 +77,10 @@ def _wiener_filter(pad, w, h, vcoeff, hcoeff, bd):
     intermediate, then vertical pass.  pad has 3px margins."""
     hfilter = _wiener_taps(hcoeff)
     vfilter = _wiener_taps(vcoeff)
-    inter_round0 = 3 if bd == 8 else 5
-    inter_round1 = 11
+    # spec 7.11.3.2 rounding variables: only 12-bit tightens the
+    # horizontal rounding (dav1d: round_bits_h = 3 + (bpc==12)*2)
+    inter_round0 = 5 if bd == 12 else 3
+    inter_round1 = 9 if bd == 12 else 11
     offset = 1 << (bd + 7 - inter_round0 - 1)
     limit = (1 << (bd + 1 + 7 - inter_round0)) - 1
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from ... import native
 from ...core.error import HeifError
+from . import tables as T
 from .cdf import CdfContext, _load
 
 _proto_ready = False
@@ -121,6 +122,10 @@ def _params_array(seq, fh) -> np.ndarray:
         *list(fh.lr_type), *list(fh.lr_unit_size),
         *list(fh.loop_filter_levels), fh.loop_filter_sharpness,
         int(fh.loop_filter_delta_enabled), fh.loop_filter_ref_deltas[0],
+        # bit-depth-matched dequant lookups (spec 7.12.2) so the C
+        # engine needs no embedded 10/12-bit tables
+        *T.dc_qlookup(seq.bit_depth).tolist(),
+        *T.ac_qlookup(seq.bit_depth).tolist(),
     ]
     return np.asarray(vals, dtype=np.int32)
 
@@ -134,7 +139,7 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
     lib = _lib()
     if lib is None:
         return None
-    if seq.bit_depth != 8 or fh.delta_q_present:
+    if seq.bit_depth not in (8, 10, 12) or fh.delta_q_present:
         return None
     mi_cols = (fh.frame_width + 7) // 8 * 2
     mi_rows = (fh.frame_height + 7) // 8 * 2
@@ -164,11 +169,12 @@ def decode_frame_native(seq, fh, tiles) -> Optional[Dict[str, np.ndarray]]:
 
     pw, ph = mi_cols * 4, mi_rows * 4
     ssx, ssy = seq.subsampling_x, seq.subsampling_y
-    y = np.zeros((ph, pw), np.uint8)
+    out_dt = np.uint8 if seq.bit_depth <= 8 else np.uint16
+    y = np.zeros((ph, pw), out_dt)
     if seq.monochrome:
-        u = v = np.zeros(1, np.uint8)
+        u = v = np.zeros(1, out_dt)
     else:
-        u = np.zeros((ph >> ssy, pw >> ssx), np.uint8)
+        u = np.zeros((ph >> ssy, pw >> ssx), out_dt)
         v = np.zeros_like(u)
     err = ctypes.create_string_buffer(200)
 

@@ -264,3 +264,30 @@ AC_QLOOKUP = np.array([
     1451, 1479, 1508, 1537, 1567, 1597, 1628, 1660, 1692, 1725, 1759, 1793,
     1828,
 ], np.int32)
+
+# 10/12-bit dequant lookups (spec §7.12.2 Dc_Qlookup[1..2]/Ac_Qlookup):
+# spec-mandated constants extracted from system libaom .rodata by
+# tools/extract_av1_qlookup.py; pinned by the 10-bit oracle difftests.
+_QL_HBD = None
+
+
+def _qlookup_hbd():
+    global _QL_HBD
+    if _QL_HBD is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "qlookup_hbd.npz")
+        z = np.load(path)
+        _QL_HBD = {k: z[k].astype(np.int32) for k in z.files}
+    return _QL_HBD
+
+
+def dc_qlookup(bit_depth: int) -> np.ndarray:
+    if bit_depth == 8:
+        return DC_QLOOKUP
+    return _qlookup_hbd()[f"dc_qlookup_{bit_depth}"]
+
+
+def ac_qlookup(bit_depth: int) -> np.ndarray:
+    if bit_depth == 8:
+        return AC_QLOOKUP
+    return _qlookup_hbd()[f"ac_qlookup_{bit_depth}"]

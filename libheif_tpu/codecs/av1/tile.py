@@ -213,9 +213,10 @@ class TileDecoder:
     _fi_mode = None
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
                  planes: List[np.ndarray]):
-        if seq.bit_depth != 8:
-            raise HeifError.unsupported(SubError.Unsupported_bit_depth,
-                                        "only 8-bit AV1 currently")
+        if seq.bit_depth not in (8, 10, 12):
+            raise HeifError.unsupported(
+                SubError.Unsupported_bit_depth,
+                "AV1 bit depth %d not supported" % seq.bit_depth)
         self.ssx = seq.subsampling_x
         self.ssy = seq.subsampling_y
         self.num_planes = 1 if seq.monochrome else 3
@@ -1804,8 +1805,8 @@ class TileDecoder:
             dc_d, ac_d = q.delta_q_u_dc, q.delta_q_u_ac
         else:
             dc_d, ac_d = q.delta_q_v_dc, q.delta_q_v_ac
-        dc_q = int(T.DC_QLOOKUP[np.clip(qindex + dc_d, 0, 255)])
-        ac_q = int(T.AC_QLOOKUP[np.clip(qindex + ac_d, 0, 255)])
+        dc_q = int(T.dc_qlookup(self.bd)[np.clip(qindex + dc_d, 0, 255)])
+        ac_q = int(T.ac_qlookup(self.bd)[np.clip(qindex + ac_d, 0, 255)])
         if fh.coded_lossless:
             d = coeffs * ac_q
             d.flat[0] = coeffs.flat[0] * dc_q

@@ -446,39 +446,6 @@ struct Tables {
 static Tables g_tables;
 static bool g_tables_init = false;
 
-// quantizer lookups (tables.py DC_QLOOKUP / AC_QLOOKUP, 8-bit)
-static const i32 DC_QLOOKUP[256] = {
-  4,8,8,9,10,11,12,12,13,14,15,16,17,18,19,19,20,21,22,23,24,25,26,26,
-  27,28,29,30,31,32,32,33,34,35,36,37,38,38,39,40,41,42,43,43,44,45,46,
-  47,48,48,49,50,51,52,53,53,54,55,56,57,57,58,59,60,61,62,62,63,64,65,
-  66,66,67,68,69,70,70,71,72,73,74,74,75,76,77,78,78,79,80,81,81,82,83,
-  84,85,85,87,88,90,92,93,95,96,98,99,101,102,104,105,107,108,110,111,
-  113,114,116,117,118,120,121,123,125,127,129,131,134,136,138,140,142,
-  144,146,148,150,152,154,156,158,161,164,166,169,172,174,177,180,182,
-  185,187,190,192,195,199,202,205,208,211,214,217,220,223,226,230,233,
-  237,240,243,247,250,253,257,261,265,269,272,276,280,284,288,292,296,
-  300,304,309,313,317,322,326,330,335,340,344,349,354,359,364,369,374,
-  379,384,389,395,400,406,411,417,423,429,435,441,447,454,461,467,475,
-  482,489,497,505,513,522,530,539,549,559,569,579,590,602,614,626,640,
-  654,668,684,700,717,736,755,775,796,819,843,869,896,925,955,988,1022,
-  1058,1098,1139,1184,1232,1282,1336,
-};
-static const i32 AC_QLOOKUP[256] = {
-  4,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,29,30,
-  31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,46,47,48,49,50,51,52,53,
-  54,55,56,57,58,59,60,61,62,63,64,65,66,67,68,69,70,71,72,73,74,75,76,
-  77,78,79,80,81,82,83,84,85,86,87,88,89,90,91,92,93,94,95,96,97,98,99,
-  100,101,102,104,106,108,110,112,114,116,118,120,122,124,126,128,130,
-  132,134,136,138,140,142,144,146,148,150,152,155,158,161,164,167,170,
-  173,176,179,182,185,188,191,194,197,200,203,207,211,215,219,223,227,
-  231,235,239,243,247,251,255,260,265,270,275,280,285,290,295,300,305,
-  311,317,323,329,335,341,347,353,359,366,373,380,387,394,401,408,416,
-  424,432,440,448,456,465,474,483,492,501,510,520,530,540,550,560,571,
-  582,593,604,615,627,639,651,663,676,689,702,715,729,743,757,771,786,
-  801,816,832,848,864,881,898,915,933,951,969,988,1007,1026,1046,1066,
-  1087,1108,1129,1151,1173,1196,1219,1243,1267,1292,1317,1343,1369,1396,
-  1423,1451,1479,1508,1537,1567,1597,1628,1660,1692,1725,1759,1793,1828,
-};
 
 // ======================================================================
 // CDF set (codecs/av1/cdf.py; defaults flattened by native_decode.py)
@@ -596,6 +563,11 @@ struct Params {
   int cdef_y_pri[8], cdef_y_sec[8], cdef_uv_pri[8], cdef_uv_sec[8];
   int lr_type[3], lr_unit_size[3];
   int lf_levels[4], lf_sharpness, lf_delta_enabled, lf_ref_delta_intra;
+  // bit-depth-matched dequant lookups (spec 7.12.2), appended by
+  // native_decode.py _params_array so 10/12-bit streams carry their
+  // own tables
+  const i32* dc_qtab;
+  const i32* ac_qtab;
 };
 
 static void params_from_buf(Params* p, const i32* b) {
@@ -621,8 +593,10 @@ static void params_from_buf(Params* p, const i32* b) {
   for (int i = 0; i < 4; i++) p->lf_levels[i] = b[k++];
   p->lf_sharpness = b[k++]; p->lf_delta_enabled = b[k++];
   p->lf_ref_delta_intra = b[k++];
+  p->dc_qtab = b + k; k += 256;
+  p->ac_qtab = b + k; k += 256;
 }
-static const int N_PARAMS = 72;
+static const int N_PARAMS = 72 + 512;
 
 }  // namespace av1n
 
@@ -1862,7 +1836,10 @@ struct FrameCtx {
     err = e; errlen = el; rc = 0;
     if (!g_tables_init) { g_tables.init(); g_tables_init = true; }
     itx_init();
-    if (p.bit_depth != 8) { fail(2, "only 8-bit AV1"); return rc; }
+    if (p.bit_depth != 8 && p.bit_depth != 10 && p.bit_depth != 12) {
+      fail(2, "unsupported AV1 bit depth");
+      return rc;
+    }
     if (p.delta_q_present) { fail(2, "delta_q in tiles"); return rc; }
     bd = p.bit_depth;
     mi_cols = p.mi_cols; mi_rows = p.mi_rows;
@@ -3484,8 +3461,8 @@ struct FrameCtx {
     if (plane == 0) { dc_d = p.dq[0]; ac_d = 0; }
     else if (plane == 1) { dc_d = p.dq[1]; ac_d = p.dq[2]; }
     else { dc_d = p.dq[3]; ac_d = p.dq[4]; }
-    i64 dc_q = DC_QLOOKUP[clampi(qindex + dc_d, 0, 255)];
-    i64 ac_q = AC_QLOOKUP[clampi(qindex + ac_d, 0, 255)];
+    i64 dc_q = p.dc_qtab[clampi(qindex + dc_d, 0, 255)];
+    i64 ac_q = p.ac_qtab[clampi(qindex + ac_d, 0, 255)];
     int tw = TXW[tx], th = TXH[tx];
     int cw = std::min(tw, 32), ch = std::min(th, 32);
     if (p.coded_lossless) {
@@ -3761,7 +3738,7 @@ static void lf_thresholds(int lvl, int sharpness, int* blimit, int* limit,
 // (offset 0 = first sample right of / below the edge)
 template <typename GET, typename SET>
 static void deblock_line(GET g, SET setv, int length, int blimit, int limit,
-                         int thresh) {
+                         int thresh, int bd) {
   i64 p6 = g(-7), p5 = g(-6), p4 = g(-5), p3 = g(-4), p2 = g(-3),
       p1 = g(-2), p0 = g(-1);
   i64 q0 = g(0), q1 = g(1), q2 = g(2), q3 = g(3), q4 = g(4), q5 = g(5),
@@ -3773,7 +3750,10 @@ static void deblock_line(GET g, SET setv, int length, int blimit, int limit,
   if (length >= 8) fm = fm && ab(p3 - p2) <= limit && ab(q3 - q2) <= limit;
   if (!fm) return;
 
-  const i64 F = 1;
+  // flat threshold / filter4 clamps scale with depth (spec 7.14.6.2)
+  const i64 F = (i64)1 << (bd - 8);
+  const i64 mid = (i64)128 << (bd - 8);
+  const i64 maxv = ((i64)1 << bd) - 1;
   bool flat = false, flat2 = false;
   if (length >= 6) {
     flat = ab(p1 - p0) <= F && ab(q1 - q0) <= F && ab(p2 - p0) <= F &&
@@ -3787,17 +3767,17 @@ static void deblock_line(GET g, SET setv, int length, int blimit, int limit,
 
   // narrow filter (filter4)
   bool hev = ab(p1 - p0) > thresh || ab(q1 - q0) > thresh;
-  auto c8 = [](i64 x) { return clampi(x, -128, 127); };
-  i64 ps1 = p1 - 128, ps0 = p0 - 128, qs0 = q0 - 128, qs1 = q1 - 128;
+  auto c8 = [mid](i64 x) { return clampi(x, -mid, mid - 1); };
+  i64 ps1 = p1 - mid, ps0 = p0 - mid, qs0 = q0 - mid, qs1 = q1 - mid;
   i64 f = hev ? c8(ps1 - qs1) : 0;
   f = c8(f + 3 * (qs0 - ps0));
   i64 f1 = c8(f + 4) >> 3;
   i64 f2 = c8(f + 3) >> 3;
-  i64 n_q0 = clampi(c8(qs0 - f1) + 128, 0, 255);
-  i64 n_p0 = clampi(c8(ps0 + f2) + 128, 0, 255);
+  i64 n_q0 = clampi(c8(qs0 - f1) + mid, 0, maxv);
+  i64 n_p0 = clampi(c8(ps0 + f2) + mid, 0, maxv);
   i64 f3 = (f1 + 1) >> 1;
-  i64 n_q1 = hev ? q1 : clampi(c8(qs1 - f3) + 128, 0, 255);
-  i64 n_p1 = hev ? p1 : clampi(c8(ps1 + f3) + 128, 0, 255);
+  i64 n_q1 = hev ? q1 : clampi(c8(qs1 - f3) + mid, 0, maxv);
+  i64 n_p1 = hev ? p1 : clampi(c8(ps1 + f3) + mid, 0, maxv);
 
   auto r2 = [](i64 x) { return (x + 4) >> 3; };
   auto r4 = [](i64 x) { return (x + 8) >> 4; };
@@ -3886,6 +3866,10 @@ static void apply_deblock(FrameCtx& ctx) {
       if (lvl == 0) return;
       int blimit, limit, thresh;
       lf_thresholds(lvl, sharp, &blimit, &limit, &thresh);
+      // threshold scaling for high bit depth (spec 7.14.4)
+      blimit <<= p.bit_depth - 8;
+      limit <<= p.bit_depth - 8;
+      thresh <<= p.bit_depth - 8;
       const u8* edge = direction == 0 ? ctx.edge_vert[plane].data()
                                       : ctx.edge_horz[plane].data();
       const i32* tdim = direction == 0 ? ctx.edge_tw[plane].data()
@@ -3937,7 +3921,7 @@ static void apply_deblock(FrameCtx& ctx) {
                 int xc = x + k;
                 if (xc >= 0 && xc < pw) buf.set(rr, xc, v);
               };
-              deblock_line(g, s, ln, blimit, limit, thresh);
+              deblock_line(g, s, ln, blimit, limit, thresh, p.bit_depth);
             } else {
               auto g = [&](int k) {
                 int yc = (int)clampi(x + k, 0, pw - 1);
@@ -3947,7 +3931,7 @@ static void apply_deblock(FrameCtx& ctx) {
                 int yc = x + k;
                 if (yc >= 0 && yc < pw) buf.set(yc, rr, v);
               };
-              deblock_line(g, s, ln, blimit, limit, thresh);
+              deblock_line(g, s, ln, blimit, limit, thresh, p.bit_depth);
             }
           }
         }
@@ -4365,8 +4349,9 @@ static void wiener_filter(const i32* pad, int ow, int w, int h,
     vf[0] = w0; vf[1] = w1; vf[2] = w2; vf[3] = w3;
     vf[4] = w2; vf[5] = w1; vf[6] = w0;
   }
-  int inter_round0 = bd == 8 ? 3 : 5;
-  int inter_round1 = 11;
+  // spec 7.11.3.2: only 12-bit tightens the horizontal rounding
+  int inter_round0 = bd == 12 ? 5 : 3;
+  int inter_round1 = bd == 12 ? 9 : 11;
   i32 offset = 1 << (bd + 7 - inter_round0 - 1);
   i32 limit = (1 << (bd + 1 + 7 - inter_round0)) - 1;
 
@@ -4850,14 +4835,19 @@ extern "C" int tpuheif_av1_decode_frame(
               g_prof_itx.load() / 1e3, g_n_sym.load(), g_n_bit.load(),
               g_n_txb.load());
   }
-  // narrow the full padded planes to u8 (8-bit-only engine)
+  // copy out: u8 for 8-bit, raw u16 for 10/12-bit (the caller
+  // allocates the matching dtype)
   {
     unsigned char* outs[3] = {y_out, u_out, v_out};
     for (int pl = 0; pl < ctx->num_planes; pl++) {
       const u16* src = ctx->plane_buf[pl].data();
-      unsigned char* dst = outs[pl];
       i64 n = (i64)ctx->plane_buf[pl].size();
-      for (i64 i = 0; i < n; i++) dst[i] = (unsigned char)src[i];
+      if (p.bit_depth > 8) {
+        memcpy(outs[pl], src, (size_t)n * sizeof(u16));
+      } else {
+        unsigned char* dst = outs[pl];
+        for (i64 i = 0; i < n; i++) dst[i] = (unsigned char)src[i];
+      }
     }
   }
   delete ctx;

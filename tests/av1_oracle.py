@@ -31,6 +31,9 @@ _IMG_PLANES = 64
 _IMG_STRIDE = 88
 
 _AOM_IMG_FMT_I420 = 0x102
+_AOM_IMG_FMT_HIGHBITDEPTH = 0x800
+_AOM_IMG_FMT_I42016 = _AOM_IMG_FMT_I420 | _AOM_IMG_FMT_HIGHBITDEPTH
+_AOM_CODEC_USE_HIGHBITDEPTH = 0x40000
 
 
 def _load():
@@ -88,20 +91,25 @@ def decode(obus: bytes) -> Optional[Dict[str, np.ndarray]]:
         w, h = _u32(img, _IMG_DW), _u32(img, _IMG_DH)
         xs, ys = _u32(img, _IMG_XSHIFT), _u32(img, _IMG_YSHIFT)
         mono = _u32(img, _IMG_MONO)
+        hbd = bool(_u32(img, _IMG_FMT) & _AOM_IMG_FMT_HIGHBITDEPTH)
         assert 0 < w <= 65536 and 0 < h <= 65536, "aom_image layout drift"
         out = {}
         names = ["Y"] if mono else ["Y", "U", "V"]
         for i, name in enumerate(names):
             pw = w if i == 0 else (w + xs) >> xs
             ph = h if i == 0 else (h + ys) >> ys
-            stride = _i32(img, _IMG_STRIDE + 4 * i)
+            stride = _i32(img, _IMG_STRIDE + 4 * i)  # bytes
             plane = _ptr(img, _IMG_PLANES + 8 * i)
             if not plane:
                 continue
             arr = np.ctypeslib.as_array(
                 ctypes.cast(plane, ctypes.POINTER(ctypes.c_uint8)),
                 shape=(ph * stride,))
-            out[name] = arr.copy().reshape(ph, stride)[:, :pw]
+            rows = arr.copy().reshape(ph, stride)
+            if hbd:
+                out[name] = rows.view(np.uint16)[:, :pw]
+            else:
+                out[name] = rows[:, :pw]
         return out
     finally:
         lib.aom_codec_destroy(ctx)
@@ -115,6 +123,8 @@ _CFG_PROFILE = 2
 _CFG_W = 3
 _CFG_H = 4
 _CFG_LIMIT = 5
+_CFG_BIT_DEPTH = 8
+_CFG_INPUT_BIT_DEPTH = 9
 _CFG_LAG = 14
 _CFG_END_USAGE = 24
 _CFG_MIN_Q = 35
@@ -124,16 +134,18 @@ _ENC_ABI = None
 
 
 def encode(planes: Dict[str, np.ndarray], options: Dict[str, str],
-           usage: int = 1) -> Optional[bytes]:
+           usage: int = 1, bit_depth: int = 8) -> Optional[bytes]:
     """Encode one I420 frame with libaom → OBU temporal unit bytes.
 
     options: aom string options, e.g. {"lossless": "1", "cpu-used": "6"}.
     usage=1 (realtime) keeps encode fast; stills are key frames anyway.
+    bit_depth 10/12 encodes high-bit-depth (profile 0 covers 10-bit).
     """
     global _ENC_ABI
     lib = _load()
     if lib is None:
         return None
+    hbd = bit_depth > 8
     y = planes["Y"]
     h, w = y.shape
     cfg = (ctypes.c_uint8 * 8192)()
@@ -148,22 +160,29 @@ def encode(planes: Dict[str, np.ndarray], options: Dict[str, str],
     u32[_CFG_LAG] = 0
     u32[_CFG_END_USAGE] = _AOM_Q
     u32[_CFG_THREADS] = 1
+    if hbd:
+        u32[_CFG_BIT_DEPTH] = bit_depth
+        u32[_CFG_INPUT_BIT_DEPTH] = bit_depth
+        if bit_depth == 12:
+            u32[_CFG_PROFILE] = 2       # professional profile for 12-bit
     options = dict(options)
     if "_min_q" in options:
         u32[_CFG_MIN_Q] = int(options.pop("_min_q"))
     if "_max_q" in options:
         u32[_CFG_MAX_Q] = int(options.pop("_max_q"))
 
+    flags = _AOM_CODEC_USE_HIGHBITDEPTH if hbd else 0
     ctx = (ctypes.c_uint8 * 256)()
     if _ENC_ABI is None:
         for abi in range(9, 48):
-            if lib.aom_codec_enc_init_ver(ctx, iface, cfg, 0, abi) == 0:
+            if lib.aom_codec_enc_init_ver(ctx, iface, cfg, flags, abi) == 0:
                 _ENC_ABI = abi
                 break
         else:
             return None
     else:
-        if lib.aom_codec_enc_init_ver(ctx, iface, cfg, 0, _ENC_ABI) != 0:
+        if lib.aom_codec_enc_init_ver(ctx, iface, cfg, flags,
+                                      _ENC_ABI) != 0:
             return None
     try:
         for k, v in options.items():
@@ -171,19 +190,21 @@ def encode(planes: Dict[str, np.ndarray], options: Dict[str, str],
                 detail = lib.aom_codec_error_detail(ctx)
                 raise RuntimeError(f"aom option {k}={v}: "
                                    f"{(detail or b'?').decode()}")
-        img = ctypes.c_void_p(lib.aom_img_alloc(None, _AOM_IMG_FMT_I420,
-                                                w, h, 16))
+        fmt = _AOM_IMG_FMT_I42016 if hbd else _AOM_IMG_FMT_I420
+        img = ctypes.c_void_p(lib.aom_img_alloc(None, fmt, w, h, 16))
         if not img:
             return None
         try:
+            dt = np.uint16 if hbd else np.uint8
             for i, name in enumerate(["Y", "U", "V"]):
                 p = planes[name]
-                stride = _i32(img.value, _IMG_STRIDE + 4 * i)
+                stride = _i32(img.value, _IMG_STRIDE + 4 * i)  # bytes
                 dst = _ptr(img.value, _IMG_PLANES + 8 * i)
-                src = np.ascontiguousarray(p, np.uint8)
+                src = np.ascontiguousarray(p, dt)
+                nbytes = p.shape[1] * np.dtype(dt).itemsize
                 for row in range(p.shape[0]):
                     ctypes.memmove(dst + row * stride,
-                                   src[row].ctypes.data, p.shape[1])
+                                   src[row].ctypes.data, nbytes)
             if lib.aom_codec_encode(ctx, img, 0, 1, 0) != 0:
                 detail = lib.aom_codec_error_detail(ctx)
                 raise RuntimeError(

@@ -128,7 +128,7 @@ def decode_intra_frame_ex(data: bytes, engine: Optional[str] = None):
         seq, fh, tiles = parse_obus(data)
         planes = decode_frame_native(seq, fh, tiles)
         if planes is not None:
-            return planes, seq
+            return _maybe_grain(planes, seq, fh), seq
         if engine == "native":
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         "native AV1 engine unavailable")
@@ -140,7 +140,19 @@ def decode_intra_frame_ex(data: bytes, engine: Optional[str] = None):
         run_jobs_device([dec])
     else:
         dec.run_jobs()
-    return finish_frame(seq, fh, dec), seq
+    return _maybe_grain(finish_frame(seq, fh, dec), seq, fh), seq
+
+
+def _maybe_grain(planes: Dict[str, np.ndarray], seq, fh
+                 ) -> Dict[str, np.ndarray]:
+    """Output-stage film grain synthesis (spec 7.18.3) — applied after
+    the in-loop filters for both engines (the reference gets this
+    inside dav1d/aom, decoder_dav1d.cc)."""
+    if fh.film_grain is None:
+        return planes
+    from .grain import apply_film_grain
+    return apply_film_grain(planes, fh.film_grain, seq.bit_depth,
+                            seq.subsampling_x, seq.subsampling_y)
 
 
 def decode_intra_frame(data: bytes,

@@ -365,7 +365,97 @@ class FrameHeader:
     lr_unit_size: Tuple[int, int, int] = (64, 64, 64)
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
+    film_grain: Optional["FilmGrainParams"] = None
     header_bit_size: int = 0     # bits consumed (for OBU_FRAME)
+
+
+@dataclass
+class FilmGrainParams:
+    """film_grain_params (spec 5.9.30); applied by grain.py 7.18.3."""
+    grain_seed: int = 0
+    num_y_points: int = 0
+    point_y: List[Tuple[int, int]] = field(default_factory=list)
+    chroma_scaling_from_luma: bool = False
+    num_cb_points: int = 0
+    point_cb: List[Tuple[int, int]] = field(default_factory=list)
+    num_cr_points: int = 0
+    point_cr: List[Tuple[int, int]] = field(default_factory=list)
+    grain_scaling: int = 8       # grain_scaling_minus_8 + 8
+    ar_coeff_lag: int = 0
+    ar_coeffs_y: List[int] = field(default_factory=list)     # signed
+    ar_coeffs_cb: List[int] = field(default_factory=list)
+    ar_coeffs_cr: List[int] = field(default_factory=list)
+    ar_coeff_shift: int = 6      # ar_coeff_shift_minus_6 + 6
+    grain_scale_shift: int = 0
+    cb_mult: int = 0
+    cb_luma_mult: int = 0
+    cb_offset: int = 0           # signed (parse value - 256)
+    cr_mult: int = 0
+    cr_luma_mult: int = 0
+    cr_offset: int = 0
+    overlap_flag: bool = False
+    clip_to_restricted_range: bool = False
+
+
+def parse_film_grain_params(r, seq, fh) -> Optional[FilmGrainParams]:
+    """(spec 5.9.30) — called with apply_grain already read as 1."""
+    g = FilmGrainParams()
+    g.grain_seed = r.f(16)
+    if fh.frame_type == 1:               # INTER: update_grain flag
+        if not r.f(1):
+            raise HeifError.unsupported(
+                SubError.Unsupported_codec,
+                "film grain params referencing a previous frame")
+    g.num_y_points = r.f(4)
+    for _ in range(g.num_y_points):
+        v = r.f(8)
+        s = r.f(8)
+        g.point_y.append((v, s))
+    if seq.monochrome:
+        g.chroma_scaling_from_luma = False
+    else:
+        g.chroma_scaling_from_luma = bool(r.f(1))
+    if seq.monochrome or g.chroma_scaling_from_luma or \
+            (seq.subsampling_x == 1 and seq.subsampling_y == 1 and
+             g.num_y_points == 0):
+        g.num_cb_points = 0
+        g.num_cr_points = 0
+    else:
+        g.num_cb_points = r.f(4)
+        for _ in range(g.num_cb_points):
+            v = r.f(8)
+            s = r.f(8)
+            g.point_cb.append((v, s))
+        g.num_cr_points = r.f(4)
+        for _ in range(g.num_cr_points):
+            v = r.f(8)
+            s = r.f(8)
+            g.point_cr.append((v, s))
+    g.grain_scaling = r.f(2) + 8
+    g.ar_coeff_lag = r.f(2)
+    num_pos_luma = 2 * g.ar_coeff_lag * (g.ar_coeff_lag + 1)
+    if g.num_y_points:
+        num_pos_chroma = num_pos_luma + 1
+        g.ar_coeffs_y = [r.f(8) - 128 for _ in range(num_pos_luma)]
+    else:
+        num_pos_chroma = num_pos_luma
+    if g.chroma_scaling_from_luma or g.num_cb_points:
+        g.ar_coeffs_cb = [r.f(8) - 128 for _ in range(num_pos_chroma)]
+    if g.chroma_scaling_from_luma or g.num_cr_points:
+        g.ar_coeffs_cr = [r.f(8) - 128 for _ in range(num_pos_chroma)]
+    g.ar_coeff_shift = r.f(2) + 6
+    g.grain_scale_shift = r.f(2)
+    if g.num_cb_points:
+        g.cb_mult = r.f(8) - 128       # biased signed (spec 7.18.3.5)
+        g.cb_luma_mult = r.f(8) - 128
+        g.cb_offset = r.f(9) - 256
+    if g.num_cr_points:
+        g.cr_mult = r.f(8) - 128
+        g.cr_luma_mult = r.f(8) - 128
+        g.cr_offset = r.f(9) - 256
+    g.overlap_flag = bool(r.f(1))
+    g.clip_to_restricted_range = bool(r.f(1))
+    return g
 
 
 def _mi_size(v: int) -> int:
@@ -584,9 +674,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
     # global_motion_params: intra → nothing
     # film_grain_params
     if seq.film_grain_params_present and fh.show_frame:
-        if r.f(1):
-            raise HeifError.unsupported(SubError.Unsupported_codec,
-                                        "film grain")
+        if r.f(1):          # apply_grain
+            fh.film_grain = parse_film_grain_params(r, seq, fh)
     fh.header_bit_size = r.pos
     return fh
 

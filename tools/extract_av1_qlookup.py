@@ -49,9 +49,23 @@ def main() -> None:
                 (3 if depth == 12 else 0.9), (name, depth, a64[-1])
             out[f"{name}_qlookup_{depth}"] = arr.copy()
 
+    # film grain gaussian_sequence (spec §7.18.3.1, 2048 entries):
+    # int32 in libaom grain_synthesis.c; anchored by its well-known
+    # opening values, validated zero-mean/±2047/even
+    prefix = np.asarray([56, 568, -180, 172, 124, -84, 172, -64],
+                        np.int32).tobytes()
+    gi = blob.find(prefix)
+    if gi < 0:
+        raise SystemExit("gaussian_sequence not found in libaom")
+    gauss = np.frombuffer(blob[gi:gi + 2048 * 4], np.int32)
+    g = gauss.astype(np.int64)
+    assert np.abs(g).max() < 4096 and np.all(g % 2 == 0) and \
+        abs(g.mean()) < 50, "gaussian_sequence failed sanity checks"
+    out["gaussian_sequence"] = gauss.astype(np.int16)
+
     np.savez("libheif_tpu/codecs/av1/qlookup_hbd.npz", **out)
     for k, v in out.items():
-        print(k, v[:4].tolist(), "...", v[-2:].tolist())
+        print(k, len(v), v[:4].tolist(), "...", v[-2:].tolist())
 
 
 if __name__ == "__main__":

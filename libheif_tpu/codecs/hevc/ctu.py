@@ -90,6 +90,36 @@ class CURec:
     tu_end: int = 0
 
 
+_NO_POC = -(1 << 30)
+
+
+class ColMotion:
+    """Motion field of a decoded picture for temporal MV prediction
+    (spec 8.5.3.2.8/2.9): per-4x4 mv + reference POC per list (refIdx
+    resolved to POCs at store time, so scaling needs no list lookup)."""
+
+    __slots__ = ("poc", "pred_inter", "mv_l0", "poc_l0", "mv_l1",
+                 "poc_l1")
+
+    @classmethod
+    def from_syntax(cls, syn: "SliceSyntax", poc: int) -> "ColMotion":
+        m = cls()
+        m.poc = poc
+        m.pred_inter = syn.pred_inter.copy()
+        m.mv_l0 = syn.mv_l0.copy()
+        m.mv_l1 = syn.mv_l1.copy()
+
+        def poc_map(ref_map, pocs):
+            out = np.full(ref_map.shape, _NO_POC, np.int64)
+            for i, p in enumerate(pocs):
+                out[ref_map == i] = p
+            return out
+
+        m.poc_l0 = poc_map(syn.ref_l0, syn.ref_pocs_l0)
+        m.poc_l1 = poc_map(syn.ref_l1, syn.ref_pocs_l1)
+        return m
+
+
 class SliceSyntax:
     """Parsed output for one picture."""
 
@@ -132,10 +162,13 @@ class SliceParser:
                  rbsp: bytes, substreams: List[Tuple[int, int]],
                  ref_pocs_l0: Optional[List[int]] = None,
                  cur_poc: int = 0,
-                 ref_pocs_l1: Optional[List[int]] = None):
+                 ref_pocs_l1: Optional[List[int]] = None,
+                 col_motion=None):
         """substreams: [(byte_start, byte_end)] per WPP row (or one).
         ref_pocs_l0/l1: POC of each reference per list (P/B slices;
-        used for AMVP motion vector scaling)."""
+        used for AMVP motion vector scaling).
+        col_motion: ColMotion of the collocated reference picture when
+        slice_temporal_mvp is enabled (spec 8.5.3.2.8)."""
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -145,6 +178,7 @@ class SliceParser:
         self.out.ref_pocs_l0 = list(ref_pocs_l0 or [])
         self.out.ref_pocs_l1 = list(ref_pocs_l1 or [])
         self.cur_poc = cur_poc
+        self.col_motion = col_motion
         # initType (spec 9.3.2.2): I=0; P: 2 if cabac_init_flag else 1;
         # B: 1 if cabac_init_flag else 2
         if sh.slice_type == 2:
@@ -576,6 +610,20 @@ class SliceParser:
                 cands.append(b2)
 
         maxm = self.sh.max_num_merge_cand
+        if self.sh.temporal_mvp and self.col_motion is not None and \
+                len(cands) < maxm:
+            # temporal merge candidate with refIdx 0 per used list
+            # (spec 8.5.3.2.1 step after B2)
+            pocs0, pocs1 = self.out.ref_pocs_l0, self.out.ref_pocs_l1
+            mv0 = self._temporal_mv(xp, yp, w, h, 0, pocs0[0]) \
+                if pocs0 else None
+            mv1 = self._temporal_mv(xp, yp, w, h, 1, pocs1[0]) \
+                if (is_b and pocs1) else None
+            if mv0 is not None or mv1 is not None:
+                cands.append((mv0 if mv0 is not None else (0, 0),
+                              0 if mv0 is not None else -1,
+                              mv1 if mv1 is not None else (0, 0),
+                              0 if mv1 is not None else -1))
         if is_b and len(cands) > 1:
             # combined bi-predictive candidates (spec 8.5.3.2.4)
             n_orig = len(cands)
@@ -608,15 +656,78 @@ class SliceParser:
             zero_i += 1
         return cands
 
+    # ---------------------------------------------------------- temporal
+
+    def _no_backward(self) -> bool:
+        """NoBackwardPredFlag (spec 8.5.3.2.9): every reference in both
+        lists precedes the current picture in output order."""
+        return all(p <= self.cur_poc for p in
+                   self.out.ref_pocs_l0 + self.out.ref_pocs_l1)
+
+    def _col_mv_at(self, x_col: int, y_col: int, list_x: int,
+                   target_poc: int):
+        """Collocated MV derivation at one rounded position
+        (spec 8.5.3.2.9) → scaled mv or None."""
+        cm = self.col_motion
+        bx, by = x_col >> 2, y_col >> 2
+        if by >= cm.pred_inter.shape[0] or bx >= cm.pred_inter.shape[1] \
+                or not cm.pred_inter[by, bx]:
+            return None
+        p0 = int(cm.poc_l0[by, bx])
+        p1 = int(cm.poc_l1[by, bx])
+        has0, has1 = p0 != _NO_POC, p1 != _NO_POC
+        if not has0 and not has1:
+            return None
+        if not has0:
+            use = 1
+        elif not has1:
+            use = 0
+        elif self._no_backward():
+            use = list_x
+        else:
+            # spec 8.5.3.2.9: mvLNCol with N = collocated_from_l0_flag
+            use = 1 if self.sh.collocated_from_l0 else 0
+        if use == 0:
+            mv = (int(cm.mv_l0[by, bx, 0]), int(cm.mv_l0[by, bx, 1]))
+            ref_poc = p0
+        else:
+            mv = (int(cm.mv_l1[by, bx, 0]), int(cm.mv_l1[by, bx, 1]))
+            ref_poc = p1
+        col_diff = cm.poc - ref_poc
+        curr_diff = self.cur_poc - target_poc
+        if col_diff == curr_diff:
+            return mv
+        return self._scale_mv_diff(mv, col_diff, curr_diff)
+
+    def _temporal_mv(self, xp: int, yp: int, w: int, h: int,
+                     list_x: int, target_poc: int):
+        """Temporal luma MV prediction (spec 8.5.3.2.8): bottom-right
+        collocated position first (same-CTB-row + in-picture rule),
+        then the center; positions rounded to the 16x16 motion grid."""
+        if not self.sh.temporal_mvp or self.col_motion is None:
+            return None
+        sps = self.sps
+        x_br, y_br = xp + w, yp + h
+        ctb = sps.log2_ctb_size
+        if (yp >> ctb) == (y_br >> ctb) and y_br < sps.pic_height and \
+                x_br < sps.pic_width:
+            mv = self._col_mv_at((x_br >> 4) << 4, (y_br >> 4) << 4,
+                                 list_x, target_poc)
+            if mv is not None:
+                return mv
+        xc, yc = xp + (w >> 1), yp + (h >> 1)
+        return self._col_mv_at((xc >> 4) << 4, (yc >> 4) << 4,
+                               list_x, target_poc)
+
     @staticmethod
     def _div_trunc(a: int, b: int) -> int:
         q = abs(a) // abs(b)
         return -q if (a < 0) != (b < 0) else q
 
-    def _scale_mv(self, mv, ref_poc_n, ref_poc_t):
-        """Spatial MVP scaling (spec 8.5.3.2.8 distScaleFactor)."""
-        td = max(-128, min(127, self.cur_poc - ref_poc_n))
-        tb = max(-128, min(127, self.cur_poc - ref_poc_t))
+    def _scale_mv_diff(self, mv, td: int, tb: int):
+        """MV scaling from POC distances (spec 8.5.3.2.8 eq. 8-175..)."""
+        td = max(-128, min(127, td))
+        tb = max(-128, min(127, tb))
         if td == tb or td == 0:
             return mv
         tx = self._div_trunc(16384 + (abs(td) >> 1), td)
@@ -627,6 +738,11 @@ class SliceParser:
             s = -1 if v < 0 else 1
             out.append(max(-32768, min(32767, s * ((abs(v) + 127) >> 8))))
         return (out[0], out[1])
+
+    def _scale_mv(self, mv, ref_poc_n, ref_poc_t):
+        """Spatial MVP scaling (spec 8.5.3.2.8 distScaleFactor)."""
+        return self._scale_mv_diff(mv, self.cur_poc - ref_poc_n,
+                                   self.cur_poc - ref_poc_t)
 
     def _amvp(self, xp, yp, w, h, ref_idx, list_x: int = 0):
         """Spatial AMVP candidate list for one reference list
@@ -710,6 +826,12 @@ class SliceParser:
             lst.append(mv_a)
         if mv_b is not None and mv_b != mv_a:
             lst.append(mv_b)
+        if len(lst) < 2 and self.sh.temporal_mvp and \
+                self.col_motion is not None:
+            # temporal AMVP candidate (spec 8.5.3.2.6 step 4)
+            mv_t = self._temporal_mv(xp, yp, w, h, list_x, tpoc)
+            if mv_t is not None:     # no dedup vs spatial (8.5.3.2.6)
+                lst.append(mv_t)
         while len(lst) < 2:
             lst.append((0, 0))
         return lst

@@ -174,6 +174,7 @@ class SequenceDecoder:
         self.sps = sps
         self.pps = pps
         self.dpb = {}               # poc -> (y, cb, cr) int32 planes
+        self.motion = {}            # poc -> ColMotion (TMVP source)
         self.prev_poc = 0
 
     def _poc(self, sh: H.SliceHeader, nal_t: int) -> int:
@@ -215,6 +216,7 @@ class SequenceDecoder:
         poc = self._poc(sh, t)
         if t in (19, 20):           # IDR: fresh DPB
             self.dpb.clear()
+            self.motion.clear()
 
         ref_pocs = []
         refs = []
@@ -264,14 +266,26 @@ class SequenceDecoder:
                 y, cb, cr = (np.asarray(p, np.int32) for p in planes)
                 self._store(poc, (y, cb, cr))
                 return poc, (y, cb, cr)
+        col_motion = None
+        if sh.temporal_mvp and sh.slice_type != 2:
+            # collocated picture (spec 8.5.3.2.8): list per
+            # collocated_from_l0, index collocated_ref_idx
+            col_list = ref_pocs if sh.collocated_from_l0 else ref_pocs_l1
+            if sh.collocated_ref_idx < len(col_list):
+                col_motion = self.motion.get(col_list[sh.collocated_ref_idx])
         syntax = SliceParser(self.sps, self.pps, sh, rbsp, subs,
                              ref_pocs_l0=ref_pocs, cur_poc=poc,
-                             ref_pocs_l1=ref_pocs_l1).parse()
+                             ref_pocs_l1=ref_pocs_l1,
+                             col_motion=col_motion).parse()
         recon = IntraReconstructor(syntax, refs=refs, refs_l1=refs_l1)
         y, cb, cr = recon.run()
         Deblocker(syntax, (y, cb, cr)).run()
         y, cb, cr = apply_sao(syntax, (y, cb, cr))
         self._store(poc, (y, cb, cr), nal_t=t)
+        from .ctu import ColMotion
+        self.motion[poc] = ColMotion.from_syntax(syntax, poc)
+        self.motion = {p: m for p, m in self.motion.items()
+                       if p in self.dpb}
         return poc, (y, cb, cr)
 
     def _store(self, poc, planes, nal_t: int = 1):

@@ -104,6 +104,7 @@ class EncParams:
     chroma_modes: bool = False  # cycle explicit intra_chroma_pred_mode
     num_reorder: int = 0       # sps_max_num_reorder_pics (B pyramids)
     bit_depth: int = 8         # 8 (Main) or 10/12 (Main10/RExt-style)
+    temporal_mvp: bool = False  # sps_temporal_mvp_enabled (TMVP)
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -136,7 +137,7 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     w.write_bits(0, 1)      # pcm_enabled
     _ue(w, 0)               # num_short_term_rps
     w.write_bits(0, 1)      # long_term_ref_pics_present
-    w.write_bits(0, 1)      # temporal_mvp
+    w.write_bits(1 if p.temporal_mvp else 0, 1)  # sps_temporal_mvp
     w.write_bits(1 if p.strong_smoothing else 0, 1)
     # VUI: declare full-range video so container color handling is 1:1
     w.write_bits(1, 1)      # vui_present

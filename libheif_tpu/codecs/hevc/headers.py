@@ -163,6 +163,8 @@ class SliceHeader:
     poc_lsb: int = 0
     rps: Optional["ShortTermRPS"] = None
     temporal_mvp: bool = False
+    collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
     num_ref_idx_l0: int = 1
     num_ref_idx_l1: int = 1
     rplm_l0: Optional[List[int]] = None   # explicit list-0 reordering
@@ -493,10 +495,13 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
             if pps.cabac_init_present:
                 h.cabac_init_flag = br.read_flag()
             if h.temporal_mvp:
-                raise HeifError.unsupported(
-                    SubError.Unsupported_codec,
-                    "temporal MV prediction (slice_temporal_mvp) is not "
-                    "supported yet")
+                # collocated picture selection (spec 7.3.6.1)
+                if is_b:
+                    h.collocated_from_l0 = br.read_flag()
+                if (h.collocated_from_l0 and h.num_ref_idx_l0 > 1) or \
+                        (not h.collocated_from_l0 and
+                         h.num_ref_idx_l1 > 1):
+                    h.collocated_ref_idx = br.read_ue()
             if pps.weighted_pred and not is_b:
                 raise HeifError.unsupported(
                     SubError.Unsupported_codec, "weighted prediction")

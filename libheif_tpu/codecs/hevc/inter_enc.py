@@ -90,7 +90,10 @@ def write_inter_slice_header(p: EncParams, sps, poc: int,
         _ue(w, delta - prev - 1)   # delta_poc_s1_minus1
         w.write_bits(1 if used else 0, 1)
         prev = delta
-    # sps.temporal_mvp == 0 → nothing; sao off
+    tmvp = getattr(sps, "temporal_mvp_enabled", False)
+    if tmvp:
+        w.write_bits(1, 1)      # slice_temporal_mvp_enabled
+    # sao off
     if num_ref_l0 > 1:
         w.write_bits(1, 1)      # num_ref_idx_active_override
         _ue(w, num_ref_l0 - 1)  # num_ref_idx_l0_active_minus1
@@ -101,6 +104,12 @@ def write_inter_slice_header(p: EncParams, sps, poc: int,
     if slice_type == 0:
         w.write_bits(0, 1)      # mvd_l1_zero_flag
     # lists_modification_present == 0, cabac_init_present == 0
+    if tmvp:
+        # collocated picture: from L0, index 0 (spec 7.3.6.1)
+        if slice_type == 0:
+            w.write_bits(1, 1)  # collocated_from_l0_flag
+        if num_ref_l0 > 1:
+            _ue(w, 0)           # collocated_ref_idx
     _ue(w, 0)                   # five_minus_max_num_merge_cand → 5
     _se(w, 0)                   # slice_qp_delta
     # deblocking handled via the PPS (same as the intra writer)
@@ -314,9 +323,10 @@ class SequenceEncoder(IntraEncoder):
             l1_pocs = []
         self._l0_refs = [self._ref_planes(pp) for pp in l0_pocs]
 
+        tmvp = bool(getattr(p, "temporal_mvp", False))
         sh = SliceHeader(slice_type=slice_type, qp=p.qp, poc_lsb=poc,
                          num_ref_idx_l0=len(l0_pocs), num_ref_idx_l1=1,
-                         max_num_merge_cand=5)
+                         max_num_merge_cand=5, temporal_mvp=tmvp)
         sh.deblocking_filter_disabled = not p.deblock
         syn = SliceSyntax(self.sps, self.pps, sh)
         syn.ref_pocs_l0 = l0_pocs
@@ -324,9 +334,13 @@ class SequenceEncoder(IntraEncoder):
         # derivation host: the DECODER's own merge/AMVP methods over the
         # shared syntax maps (single source of truth for candidate
         # construction)
+        col_motion = None
+        if tmvp:
+            # collocated = L0[0] (matches write_inter_slice_header)
+            col_motion = getattr(self, "_mv_store", {}).get(l0_pocs[0])
         host = SliceParser(self.sps, self.pps, sh, b"", [(0, 0)],
                            ref_pocs_l0=l0_pocs, cur_poc=poc,
-                           ref_pocs_l1=l1_pocs)
+                           ref_pocs_l1=l1_pocs, col_motion=col_motion)
         host.out = syn
 
         # initType (spec 9.3.2.2): P → 1, B → 2 (cabac_init_flag off)
@@ -360,6 +374,14 @@ class SequenceEncoder(IntraEncoder):
             self.dpb.append((poc, recon))
             if len(self.dpb) > 4:
                 self.dpb.pop(0)
+            if tmvp:
+                from .ctu import ColMotion
+                if not hasattr(self, "_mv_store"):
+                    self._mv_store = {}
+                self._mv_store[poc] = ColMotion.from_syntax(syn, poc)
+                keep = {pp for pp, _ in self.dpb}
+                self._mv_store = {pp: m for pp, m in
+                                  self._mv_store.items() if pp in keep}
 
         shw = write_inter_slice_header(p, self.sps, poc, slice_type,
                                        d_before, d_after,

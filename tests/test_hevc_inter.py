@@ -27,7 +27,8 @@ pytestmark = pytest.mark.skipif(not hevc_oracle.available(),
 
 
 def _run_case(W, H, qp, deblock, moves, noise, kind="photo", seed=5,
-              search=3, frac=True, ctb_log2=5, cu_log2=4):
+              search=3, frac=True, ctb_log2=5, cu_log2=4, tmvp=False,
+              gop="ipp"):
     rng = np.random.default_rng(seed)
     if kind == "photo":
         canvas = rng.integers(0, 64, ((H * 3) // 8,
@@ -54,14 +55,25 @@ def _run_case(W, H, qp, deblock, moves, noise, kind="photo", seed=5,
         return img
 
     p = EncParams(qp=qp, deblock=deblock, ctb_log2=ctb_log2,
-                  cu_log2=cu_log2)
-    enc = SequenceEncoder(W, H, p, search=search, frac=frac)
+                  cu_log2=cu_log2, temporal_mvp=tmvp)
+    enc = SequenceEncoder(W, H, p, search=search, frac=frac,
+                          gop_struct=gop)
     nals = []
-    for i, (dx, dy) in enumerate(moves):
-        nal, cfg = enc.encode_frame(make_frame(dx, dy, noise if i else 0))
-        if i == 0:
-            nals.extend(cfg)
-        nals.append(nal)
+    if gop == "ipp":
+        for i, (dx, dy) in enumerate(moves):
+            nal, cfg = enc.encode_frame(make_frame(dx, dy,
+                                                   noise if i else 0))
+            if i == 0:
+                nals.extend(cfg)
+            nals.append(nal)
+    else:
+        samples = []
+        for i, (dx, dy) in enumerate(moves):
+            samples += enc.push_frame(make_frame(dx, dy,
+                                                 noise if i else 0))
+        if hasattr(enc, "flush"):
+            samples += enc.flush()
+        nals = list(enc.config_nals) + [s.data for s in samples]
     frames = hevc_oracle.decode_nals_seq(nals)
     assert frames is not None and len(frames) == len(moves)
     dec = SequenceDecoder(enc.sps, enc.pps)
@@ -104,6 +116,28 @@ CASES = [
     ("long-gop", dict(W=64, H=64, qp=32, deblock=True,
                       moves=[(0, 0), (1, 1), (2, 1), (3, 2), (4, 2),
                              (5, 3), (6, 3), (7, 4)], noise=2)),
+    # temporal MV prediction (spec 8.5.3.2.8; x265-class encoders
+    # enable TMVP by default — ref: decoder_libde265.cc full support)
+    ("tmvp-pan", dict(W=96, H=64, qp=30, deblock=True,
+                      moves=[(0, 0), (3, 1), (6, 2), (9, 3)], noise=2,
+                      tmvp=True)),
+    ("tmvp-long", dict(W=64, H=64, qp=32, deblock=True,
+                       moves=[(0, 0), (1, 1), (2, 1), (3, 2), (4, 2),
+                              (5, 3), (6, 3), (7, 4)], noise=2,
+                       tmvp=True)),
+    ("tmvp-noise", dict(W=64, H=64, qp=38, deblock=True,
+                        moves=[(0, 0), (2, 2), (4, 4)], noise=8,
+                        kind="noise", tmvp=True)),
+    ("tmvp-ldb", dict(W=64, H=64, qp=30, deblock=True,
+                      moves=[(0, 0), (2, 1), (4, 2), (6, 3)], noise=2,
+                      tmvp=True, gop="ldb")),
+    ("tmvp-ibp", dict(W=96, H=64, qp=30, deblock=True,
+                      moves=[(0, 0), (2, 1), (4, 2), (6, 3), (8, 4)],
+                      noise=2, tmvp=True, gop="ibp")),
+    ("tmvp-bpyr", dict(W=64, H=64, qp=30, deblock=True,
+                       moves=[(0, 0), (1, 1), (3, 2), (5, 3), (7, 4),
+                              (9, 5), (11, 6), (13, 7), (15, 8)],
+                       noise=2, tmvp=True, gop="bpyr")),
 ]
 
 
@@ -124,7 +158,9 @@ def test_inter_seed_sweep():
             moves.append((x, y))
         _run_case(W=64, H=64, qp=int(rng.integers(24, 40)), deblock=True,
                   moves=moves, noise=int(rng.integers(0, 6)), seed=seed,
-                  kind="noise" if seed % 2 else "photo")
+                  kind="noise" if seed % 2 else "photo",
+                  tmvp=bool(seed % 2),
+                  gop=["ipp", "ldb", "ibp", "bpyr"][seed % 4])
 
 
 def test_multi_reference_p_bitexact():

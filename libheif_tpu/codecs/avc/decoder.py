@@ -24,10 +24,10 @@ def decode_intra_frame(nals: List[bytes]) -> Dict[str, np.ndarray]:
     from . import native_decode as N
     if N.native_enabled():
         planes = N.decode_intra_frame_native(nals)
-        if planes is None:
-            raise HeifError.invalid_input(
-                msg="no decodable AVC slice found")
-        return planes
+        if planes is not None:
+            return planes
+        # None: no decodable slice OR a CAVLC stream — the Python
+        # engine below covers both
     sps_map: Dict[int, H.SPS] = {}
     pps_map: Dict[int, H.PPS] = {}
     dec: Optional[SliceDecoder] = None
@@ -44,10 +44,6 @@ def decode_intra_frame(nals: List[bytes]) -> Dict[str, np.ndarray]:
             pps_map[p.pic_parameter_set_id] = p
         elif t in (H.NAL_SLICE_IDR, H.NAL_SLICE_NON_IDR):
             hdr, sps, pps, rbsp = H.parse_slice_header(nal, sps_map, pps_map)
-            if not pps.entropy_coding_mode:
-                raise HeifError.unsupported(
-                    SubError.Unsupported_codec,
-                    "CAVLC entropy coding not supported yet (use CABAC)")
             if sps.bit_depth_luma != 8 or sps.chroma_format_idc > 1:
                 raise HeifError.unsupported(
                     SubError.Unsupported_bit_depth,
@@ -58,7 +54,11 @@ def decode_intra_frame(nals: List[bytes]) -> Dict[str, np.ndarray]:
                 if sps.chroma_format_idc == 1:
                     planes += [np.zeros((mbh * 8, mbw * 8), np.int32),
                                np.zeros((mbh * 8, mbw * 8), np.int32)]
-                dec = SliceDecoder(sps, pps, planes)
+                if pps.entropy_coding_mode:
+                    dec = SliceDecoder(sps, pps, planes)
+                else:
+                    from .cavlc import CavlcSliceDecoder
+                    dec = CavlcSliceDecoder(sps, pps, planes)
                 hdr0 = hdr
             dec.decode_slice(hdr, rbsp)
             if all(m is not None for m in dec.mb):
@@ -128,10 +128,6 @@ class AvcSequenceDecoder:
             return None
         hdr, sps, pps, rbsp = H.parse_slice_header(nal, self.sps_map,
                                                    self.pps_map)
-        if not pps.entropy_coding_mode:
-            raise HeifError.unsupported(
-                SubError.Unsupported_codec,
-                "CAVLC entropy coding not supported yet (use CABAC)")
         if sps.bit_depth_luma != 8 or sps.chroma_format_idc > 1:
             raise HeifError.unsupported(
                 SubError.Unsupported_bit_depth,
@@ -155,7 +151,12 @@ class AvcSequenceDecoder:
             planes += [np.zeros((mbh * 8, mbw * 8), np.int32),
                        np.zeros((mbh * 8, mbw * 8), np.int32)]
         # list 0 = refs by descending frame order (sliding window)
-        dec = SliceDecoder(sps, pps, planes, ref_planes=self.refs)
+        if pps.entropy_coding_mode:
+            dec = SliceDecoder(sps, pps, planes, ref_planes=self.refs)
+        else:
+            from .cavlc import CavlcSliceDecoder
+            dec = CavlcSliceDecoder(sps, pps, planes,
+                                    ref_planes=self.refs)
         dec.num_ref_idx_l0 = hdr.num_ref_idx_l0
         dec.decode_slice(hdr, rbsp)
         if hdr.disable_deblocking_filter_idc != 1:

@@ -767,7 +767,6 @@ class SliceDecoder:
             ref_parts = [(0, 0, 8, 8), (8, 0, 8, 8),
                          (0, 8, 8, 8), (8, 8, 8, 8)]
             mv_parts = []
-            sub8x8_only = True
             for (sx, sy, _, _) in ref_parts:
                 if d.decode_bin(T.CTX_SUB_MB_TYPE_P):
                     subs = [(sx, sy, 8, 8)]
@@ -778,15 +777,21 @@ class SliceDecoder:
                 else:
                     subs = [(sx, sy, 4, 4), (sx + 4, sy, 4, 4),
                             (sx, sy + 4, 4, 4), (sx + 4, sy + 4, 4, 4)]
-                if subs[0][2:] != (8, 8):
-                    sub8x8_only = False
                 mv_parts.append(subs)
 
+        self._inter_mb_body(ptype, ref_parts, mv_parts, num_ref)
+
+    def _inter_mb_body(self, ptype, ref_parts, mv_parts,
+                       num_ref: int, ref0_forced: bool = False) -> None:
+        """ref_idx + mvd parse, MV derivation, MC and residual for one
+        inter MB (shared by the CABAC and CAVLC front ends)."""
+        gx0, gy0 = self.mbx * 4, self.mby * 4
+        sub8x8_only = all(subs[0][2:] == (8, 8) for subs in mv_parts)
         # ---- ref_idx per ref partition, then mvd per mv partition ----
         refs = []
         for (px, py, pw, ph) in ref_parts:
             r = 0
-            if num_ref > 1:
+            if num_ref > 1 and not ref0_forced:
                 r = self._decode_ref_idx(gx0 + px // 4, gy0 + py // 4)
             if r >= len(self.ref_planes):
                 raise HeifError.invalid_input(msg="ref_idx out of range")
@@ -991,8 +996,7 @@ class SliceDecoder:
         mbx, mby = self.mbx, self.mby
         cur.cbp_luma, cur.cbp_chroma = self._decode_cbp()
         if self.pps.transform_8x8_mode and cur.cbp_luma and tx8_allowed:
-            cur.tx8 = bool(d.decode_bin(T.CTX_TRANSFORM_8X8 +
-                                        self._tx8_inc()))
+            cur.tx8 = self._read_tx8_flag()
         if cur.cbp_luma or cur.cbp_chroma:
             self._decode_qp_delta()
         else:
@@ -1007,6 +1011,7 @@ class SliceDecoder:
                 nz = 0
                 res = 0
                 if (cur.cbp_luma >> k) & 1:
+                    self._blk8_pos = (bx, by)
                     coeffs = self._residual_block(T.CAT_LUMA_8X8, 64)
                     blk = np.zeros(64, np.int32)
                     blk[T.ZIGZAG_8X8] = coeffs
@@ -1030,7 +1035,7 @@ class SliceDecoder:
                         blk = np.zeros(16, np.int32)
                         blk[T.ZIGZAG_4X4] = coeffs
                         res = itrans4(dequant4(blk.reshape(4, 4), qp))
-                        nz = 1
+                        nz = 1 if coeffs.any() else 0
                 self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
                 px, py = x0 + bx * 4, y0 + by * 4
                 Y[py:py + 4, px:px + 4] = np.clip(
@@ -1047,6 +1052,12 @@ class SliceDecoder:
         b = self.mb_at(self.mbx, self.mby - 1)
         return (1 if (a is not None and not a.is_nxn) else 0) + \
                (1 if (b is not None and not b.is_nxn) else 0)
+
+    def _read_tx8_flag(self) -> bool:
+        """transform_size_8x8_flag (entropy-coder specific; the CAVLC
+        subclass overrides with a plain bit)."""
+        return bool(self.d.decode_bin(T.CTX_TRANSFORM_8X8 +
+                                      self._tx8_inc()))
 
     def _tx8_inc(self) -> int:
         """ctxIdxInc for transform_size_8x8_flag (spec 9.3.3.1.1.10)."""
@@ -1140,8 +1151,7 @@ class SliceDecoder:
         cur = self.cur
         mbx, mby = self.mbx, self.mby
         if self.pps.transform_8x8_mode:
-            cur.tx8 = bool(d.decode_bin(T.CTX_TRANSFORM_8X8 +
-                                        self._tx8_inc()))
+            cur.tx8 = self._read_tx8_flag()
         # intra pred modes
         n_blocks = 4 if cur.tx8 else 16
         modes = []
@@ -1467,6 +1477,7 @@ class SliceDecoder:
                 p = pred_8x8(modes[k], top16, left,
                              tl if have_tl else None, have_tl)
                 if (cur.cbp_luma >> k) & 1:
+                    self._blk8_pos = (bx, by)
                     coeffs = self._residual_block(T.CAT_LUMA_8X8, 64)
                     blk = np.zeros(64, np.int32)
                     blk[T.ZIGZAG_8X8] = coeffs
@@ -1496,7 +1507,7 @@ class SliceDecoder:
                         blk = np.zeros(16, np.int32)
                         blk[T.ZIGZAG_4X4] = coeffs
                         res = itrans4(dequant4(blk.reshape(4, 4), qp))
-                        nz = 1
+                        nz = 1 if coeffs.any() else 0
                     else:
                         res = 0
                 else:
@@ -1543,7 +1554,7 @@ class SliceDecoder:
                 if self._cbf(T.CAT_LUMA_AC, bx, by, 0):
                     ac = self._residual_block(T.CAT_LUMA_AC, 15)
                     blk[T.ZIGZAG_4X4[1:]] = ac
-                    nz = 1
+                    nz = 1 if ac.any() else 0
             self.cbf_luma[mby * 4 + by, mbx * 4 + bx] = nz
             d4 = dequant4(blk.reshape(4, 4), qp)
             d4[0, 0] = dcs[by, bx]
@@ -1594,7 +1605,7 @@ class SliceDecoder:
             if cur.cbp_chroma:
                 if self._cbf(T.CAT_CHROMA_DC, 0, 0, pl):
                     dc = self._residual_block(T.CAT_CHROMA_DC, 4)
-                    dc_nz = 1
+                    dc_nz = 1 if dc.any() else 0
             self.cbf_chroma_dc[pl - 1, mby, mbx] = dc_nz
             c = dc.reshape(2, 2).astype(np.int64)
             f = np.array([[c[0, 0] + c[0, 1] + c[1, 0] + c[1, 1],
@@ -1629,7 +1640,7 @@ class SliceDecoder:
                     if self._cbf(T.CAT_CHROMA_AC, bx, by, pl):
                         ac = self._residual_block(T.CAT_CHROMA_AC, 15)
                         blk[T.ZIGZAG_4X4[1:]] = ac
-                        nz = 1
+                        nz = 1 if ac.any() else 0
                 self.cbf_chroma[pl - 1, mby * 2 + by, mbx * 2 + bx] = nz
                 d4 = dequant4(blk.reshape(4, 4), q)
                 d4[0, 0] = dcs[by, bx]

@@ -196,10 +196,7 @@ def decode_intra_frame_native(
             hdr, sps, pps, rbsp = H.parse_slice_header(nal, sps_map,
                                                        pps_map)
             if not pps.entropy_coding_mode:
-                from ...core.error import SubError
-                raise HeifError.unsupported(
-                    SubError.Unsupported_codec,
-                    "CAVLC entropy coding not supported yet (use CABAC)")
+                return None     # CAVLC: the Python engine handles it
             if sps.bit_depth_luma != 8 or sps.chroma_format_idc > 1:
                 from ...core.error import SubError
                 raise HeifError.unsupported(

@@ -141,6 +141,67 @@ def extract_last8x8(data: bytes) -> np.ndarray:
     return np.frombuffer(tab, np.uint8).astype(np.int32)
 
 
+def extract_cavlc_tables(data: bytes):
+    """CAVLC VLC tables (spec 9.2, tables 9-5..9-10): coeff_token,
+    total_zeros (4x4 + chroma DC), run_before — len/bits pairs laid out
+    exactly as the spec's code assignments.  Each located by a prefix of
+    spec-mandated code lengths/values; a wrong table cannot decode any
+    libx264 stream, so the oracle difftests pin identity."""
+    out = {}
+
+    def grab(name, prefix, total, anchor_off=0):
+        i = data.find(bytes(prefix))
+        if i < 0:
+            raise RuntimeError(f"cavlc {name} not found")
+        start = i - anchor_off
+        out[name] = np.frombuffer(data[start:start + total],
+                                  np.uint8).copy()
+
+    # coeff_token[4][4*17]: lengths then the code values (table 9-5)
+    grab("cavlc_coeff_token_len",
+         [1, 0, 0, 0, 6, 2, 0, 0, 8, 6, 3, 0, 9, 8, 7, 5, 10, 9, 8, 6],
+         272)
+    grab("cavlc_coeff_token_bits",
+         [1, 0, 0, 0, 5, 1, 0, 0, 7, 4, 1, 0, 7, 6, 5, 3, 7, 6, 5, 3],
+         272)
+    # chroma DC coeff_token[4*5] (nC == -1 column of table 9-5)
+    grab("cavlc_cdc_token_len",
+         [2, 0, 0, 0, 6, 1, 0, 0, 6, 6, 3, 0, 6, 7, 7, 6, 6, 8, 8, 7],
+         20)
+    grab("cavlc_cdc_token_bits",
+         [1, 0, 0, 0, 7, 1, 0, 0, 4, 6, 1, 0, 3, 3, 2, 5, 2, 3, 2, 0],
+         20)
+    # total_zeros[16][16] (tables 9-7/9-8)
+    grab("cavlc_total_zeros_len",
+         [1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9], 256)
+    grab("cavlc_total_zeros_bits",
+         [1, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 1], 256)
+    # chroma DC total_zeros[3][4] (table 9-9a)
+    grab("cavlc_cdc_tz_len", [1, 2, 3, 3, 1, 2, 2, 0, 1, 1, 0, 0], 12)
+    grab("cavlc_cdc_tz_bits", [1, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0], 12)
+    # run_before[7][16] (table 9-10); bits located by the distinctive
+    # final row (zeros-left > 6), lens by the padded first rows
+    grab("cavlc_run_bits", [7, 6, 5, 4, 3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+         112, anchor_off=6 * 16)
+    grab("cavlc_run_len",
+         [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 2, 0],
+         112)
+    # coded_block_pattern me(v) mappings (table 9-4, codeNum → cbp)
+    grab("cavlc_cbp_intra",
+         [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46],
+         48)
+    grab("cavlc_cbp_inter",
+         [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13],
+         48)
+    # structural checks: valid (tc,t1) slots carry nonzero lengths
+    ctl = out["cavlc_coeff_token_len"].reshape(4, 68)
+    for nc in range(4):
+        for tc in range(17):
+            for t1 in range(min(tc, 3) + 1):
+                assert ctl[nc, 4 * tc + t1] > 0, (nc, tc, t1)
+    return out
+
+
 def main():
     data = open(LIB, "rb").read()
     init_i = extract_cabac_init_i(data)
@@ -148,12 +209,13 @@ def main():
     alpha, beta, tc0 = extract_deblock_tables(data)
     sig8x8 = extract_sig8x8(data)
     last8x8 = extract_last8x8(data)
+    cavlc = extract_cavlc_tables(data)
     np.savez(OUT, cabac_init_i=init_i, cabac_init_pb=init_pb,
              deblock_alpha=alpha,
              deblock_beta=beta, deblock_tc0=tc0,
-             sig_ctx_8x8=sig8x8, last_ctx_8x8=last8x8)
+             sig_ctx_8x8=sig8x8, last_ctx_8x8=last8x8, **cavlc)
     print(f"saved {OUT}: init_I {init_i.shape}, init_PB {init_pb.shape}, "
-          f"alpha/beta/tc0, sig/last 8x8 ok")
+          f"alpha/beta/tc0, sig/last 8x8, cavlc ({len(cavlc)} tables) ok")
 
 
 if __name__ == "__main__":

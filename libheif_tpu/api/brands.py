@@ -86,3 +86,8 @@ def heif_check_jpeg_filetype(data: bytes) -> bool:
 def heif_main_brand(data: bytes) -> str:
     """Deprecated v1 name (ref: heif_main_brand)."""
     return heif_read_main_brand(data)
+
+
+def heif_has_compatible_filetype(data: bytes) -> bool:
+    """(ref: heif_brands.h heif_has_compatible_filetype)."""
+    return _b.has_compatible_filetype(data)

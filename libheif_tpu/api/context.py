@@ -138,3 +138,9 @@ def heif_context_read_from_reader(ctx, reader, limits=None) -> None:
     from ..file.heif_file import HeifFile
     ctx.file = HeifFile.from_reader(reader, limits or ctx.limits)
     ctx._interpret()
+
+
+def heif_context_set_major_brand(ctx, brand_fourcc: str) -> None:
+    """Override the ftyp major brand on write
+    (ref: heif_context.h heif_context_set_major_brand)."""
+    ctx.forced_major_brand = brand_fourcc

@@ -344,3 +344,91 @@ def heif_context_assign_thumbnail(ctx, master_handle,
     ctx.get_item(thumbnail_handle.item_id).is_thumbnail = True
     ctx.get_item(master_handle.item_id).thumbnails.append(
         ctx.get_item(thumbnail_handle.item_id))
+
+
+def heif_context_get_encoder_descriptors(ctx,
+                                         compression_format=None,
+                                         name_filter=None,
+                                         count: int = 0xFFFF):
+    """Per-context listing collapses to the global registry
+    (ref: heif_encoding.h heif_context_get_encoder_descriptors)."""
+    return heif_get_encoder_descriptors(compression_format,
+                                        name_filter)[:count]
+
+
+def heif_encoder_descriptor_supportes_lossy_compression(descriptor
+                                                        ) -> bool:
+    """Deprecated typo-name alias kept for ABI parity."""
+    return heif_encoder_descriptor_supports_lossy_compression(descriptor)
+
+
+def heif_encoder_descriptor_supportes_lossless_compression(descriptor
+                                                           ) -> bool:
+    """Deprecated typo-name alias kept for ABI parity."""
+    return heif_encoder_descriptor_supports_lossless_compression(
+        descriptor)
+
+
+def heif_encoder_parameter_get_valid_integer_range(param):
+    """(have_min, min, have_max, max) from a parameter descriptor
+    (ref: heif_encoding.h:154+ introspection)."""
+    d = param if isinstance(param, dict) else getattr(param, "desc", {})
+    return ("minimum" in d, d.get("minimum", 0),
+            "maximum" in d, d.get("maximum", 0))
+
+
+def heif_encoder_parameter_get_valid_integer_values(param):
+    d = param if isinstance(param, dict) else getattr(param, "desc", {})
+    vals = d.get("valid_values")
+    return list(vals) if vals else None
+
+
+def heif_encoder_parameter_get_valid_string_values(param):
+    d = param if isinstance(param, dict) else getattr(param, "desc", {})
+    vals = d.get("valid_values")
+    return [str(v) for v in vals] if vals else None
+
+
+def heif_encoding_options_copy(options: EncodingOptions
+                               ) -> EncodingOptions:
+    """Deep copy of the versioned options struct
+    (ref: heif_encoding.h heif_encoding_options_copy)."""
+    import copy
+    return copy.deepcopy(options)
+
+
+# EXIF-style orientation composition table: result of applying
+# `second` after `first` (ref: heif_encoding.h:278).  Orientations are
+# the heif_orientation values 1..8.
+_ORIENT_OPS = {
+    1: (0, False), 2: (0, True), 3: (2, False), 4: (2, True),
+    5: (1, True), 6: (1, False), 7: (3, True), 8: (3, False),
+}
+_OPS_ORIENT = {v: k for k, v in _ORIENT_OPS.items()}
+
+
+def heif_orientation_concat(first: int, second: int) -> int:
+    """Combine two orientations: rotations in quarter turns CW plus an
+    optional horizontal mirror, composed second-after-first."""
+    r1, m1 = _ORIENT_OPS[first]
+    r2, m2 = _ORIENT_OPS[second]
+    # applying a mirror flips the sense of subsequent rotations
+    r = (r1 + (-r2 if m1 else r2)) % 4
+    return _OPS_ORIENT[(r, m1 != m2)]
+
+
+def heif_context_set_unif(ctx, flag: int) -> None:
+    """Prefer 'unif'-style brand signaling on write (experimental
+    reference toggle, heif_encoding.h:395); recorded on the context."""
+    ctx.write_unif = bool(flag)
+
+
+def heif_context_add_overlay_image(ctx, image_width: int,
+                                   image_height: int, image_ids,
+                                   offsets=None, background_rgba=None):
+    """(ref: heif_encoding.h:359) → handle of the new iovl item."""
+    from .image_handle import heif_image_handle
+    item_id = ctx.add_overlay_image(image_width, image_height,
+                                    list(image_ids), offsets,
+                                    background_rgba)
+    return heif_image_handle(ctx, item_id)

@@ -213,3 +213,77 @@ def heif_image_set_mastering_display_colour_volume(img, mdcv) -> None:
 
 def heif_image_get_decoding_warnings(img: PixelImage) -> List:
     return list(getattr(img, "warnings", []))
+
+
+def heif_image_get_plane2(img: PixelImage, channel: str) -> np.ndarray:
+    """size_t-stride variant; the ndarray carries its own stride
+    (ref: heif_image.h:278)."""
+    return heif_image_get_plane(img, channel)
+
+
+def heif_image_get_plane_readonly2(img: PixelImage,
+                                   channel: str) -> np.ndarray:
+    return heif_image_get_plane_readonly(img, channel)
+
+
+def heif_image_add_plane_safe(img: PixelImage, channel: str,
+                              width: int, height: int, bit_depth: int,
+                              limits=None) -> None:
+    """add_plane with an explicit security-limit check before
+    allocation (ref: heif_image.h:387)."""
+    if limits is not None:
+        limits.check_image_size(width, height)
+    img.add_plane(channel, width, height, bit_depth)
+
+
+def heif_image_extend_to_size_fill_with_zero(img: PixelImage,
+                                             width: int,
+                                             height: int) -> None:
+    """Grow every plane to the (subsampled) target size, zero-filling
+    new samples (ref: heif_image.h extend_to_size)."""
+    import numpy as _np
+    for ch in list(img.planes):
+        pl = img.plane(ch)
+        ph, pw = pl.shape
+        fw, fh = img.plane_size_for(ch, width, height) \
+            if hasattr(img, "plane_size_for") else (None, None)
+        if fw is None:
+            sx = -(-img.width // pw) if pw else 1
+            sy = -(-img.height // ph) if ph else 1
+            fw = -(-width // sx)
+            fh = -(-height // sy)
+        if fw <= pw and fh <= ph:
+            continue
+        out = _np.zeros((max(fh, ph), max(fw, pw)), pl.dtype)
+        out[:ph, :pw] = pl
+        img.set_plane(ch, out, img.bit_depth(ch))
+    img.width = max(img.width, width)
+    img.height = max(img.height, height)
+
+
+def heif_image_extract_area(img: PixelImage, x0: int, y0: int,
+                            w: int, h: int, limits=None) -> PixelImage:
+    """Crop a rectangle into a new image (ref: heif_image.h:226)."""
+    if limits is not None:
+        limits.check_image_size(w, h)
+    if x0 + w > img.width or y0 + h > img.height:
+        raise HeifError.invalid_input(msg="extract area out of bounds")
+    out = PixelImage(w, h, img.colorspace, img.chroma)
+    for ch in list(img.planes):
+        pl = img.plane(ch)
+        ph, pw = pl.shape
+        sx = -(-img.width // pw) if pw else 1
+        sy = -(-img.height // ph) if ph else 1
+        cx, cy = x0 // sx, y0 // sy
+        cw, chh = -(-w // sx), -(-h // sy)
+        out.set_plane(ch, pl[cy:cy + chh, cx:cx + cw].copy(),
+                      img.bit_depth(ch))
+    return out
+
+
+def heif_image_add_decoding_warning(img: PixelImage, err) -> None:
+    """Attach a non-fatal warning to the image
+    (ref: heif_image.h add_decoding_warning; pixelimage warnings)."""
+    if not hasattr(img, "decoding_warnings"):
+        img.decoding_warnings = []
+    img.decoding_warnings.append(err)

@@ -152,3 +152,97 @@ def heif_image_handle_get_depth_image_representation_info(handle,
 
 def heif_depth_representation_info_free(info) -> None:
     pass
+
+
+def heif_image_handle_get_pixel_aspect_ratio(handle: heif_image_handle):
+    """(has_pasp, aspect_h, aspect_v); 1:1 default
+    (ref: heif_image_handle.h:117)."""
+    from ..boxes.meta import Box_pasp
+    p = handle.ctx.file.get_property(handle.item_id, Box_pasp)
+    if p is None:
+        return False, 1, 1
+    return True, p.h_spacing, p.v_spacing
+
+
+def heif_image_handle_set_pixel_aspect_ratio(handle: heif_image_handle,
+                                             aspect_h: int,
+                                             aspect_v: int) -> None:
+    from ..boxes.meta import Box_pasp
+    p = Box_pasp()
+    p.h_spacing = aspect_h
+    p.v_spacing = aspect_v
+    handle.ctx.file.add_property(handle.item_id, p, False)
+
+
+def heif_image_handle_get_gimi_content_id(handle: heif_image_handle
+                                          ) -> Optional[str]:
+    """(ref: heif_image_handle.h:132; Box_gimi_content_id box.h:1957)."""
+    from ..boxes.meta import Box_gimi_content_id
+    p = handle.ctx.file.get_property(handle.item_id,
+                                     Box_gimi_content_id)
+    return p.content_id if p is not None else None
+
+
+def heif_image_handle_set_gimi_content_id(handle: heif_image_handle,
+                                          content_id: str) -> None:
+    from ..boxes.meta import Box_gimi_content_id
+    p = Box_gimi_content_id()
+    p.content_id = content_id
+    handle.ctx.file.add_property(handle.item_id, p, False)
+
+
+def _component_descriptions(handle):
+    item = handle.item
+    get = getattr(item, "component_descriptions", None)
+    comps = get() if callable(get) else []
+    return comps or []
+
+
+def heif_image_handle_get_number_of_cmpd_components(
+        handle: heif_image_handle) -> int:
+    """(ref: heif_image_handle.h cmpd introspection;
+    image_item.h:104-134)."""
+    return len(_component_descriptions(handle))
+
+
+def heif_image_handle_get_cmpd_component_type(
+        handle: heif_image_handle, idx: int) -> int:
+    comps = _component_descriptions(handle)
+    if idx >= len(comps):
+        raise HeifError.usage(msg=f"component index {idx}")
+    c = comps[idx]
+    return getattr(c, "component_type", c[0] if isinstance(c, tuple)
+                   else 0)
+
+
+def heif_image_handle_get_cmpd_component_type_uri(
+        handle: heif_image_handle, idx: int) -> Optional[str]:
+    comps = _component_descriptions(handle)
+    if idx >= len(comps):
+        raise HeifError.usage(msg=f"component index {idx}")
+    c = comps[idx]
+    return getattr(c, "component_type_uri", None)
+
+
+def heif_image_handle_has_gimi_component_content_ids(
+        handle: heif_image_handle) -> bool:
+    """(ref: heif_image_handle.h:160; per-component content IDs ride
+    the item's component description list)."""
+    ids = getattr(handle.item, "gimi_component_content_ids", None)
+    return bool(ids)
+
+
+def heif_image_handle_get_gimi_component_content_id(
+        handle: heif_image_handle, component_idx: int) -> Optional[str]:
+    ids = getattr(handle.item, "gimi_component_content_ids", None) or {}
+    return ids.get(component_idx)
+
+
+def heif_image_handle_set_gimi_component_content_id(
+        handle: heif_image_handle, component_idx: int,
+        content_id: str) -> None:
+    item = handle.item
+    if not hasattr(item, "gimi_component_content_ids") or \
+            item.gimi_component_content_ids is None:
+        item.gimi_component_content_ids = {}
+    item.gimi_component_content_ids[component_idx] = content_id

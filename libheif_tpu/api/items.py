@@ -130,3 +130,21 @@ def heif_context_get_item_references(ctx, item_id: int
     """All outgoing (type, to_ids) reference groups of an item."""
     return [(r.ref_type, list(r.to_item_ids))
             for r in ctx.file.get_references_from(item_id)]
+
+
+def heif_item_get_property_extended_language(ctx, item_id: int):
+    """elng property value or None (ref: heif_properties.h elng API;
+    Box_elng box.h:2000)."""
+    from ..boxes.meta import Box_elng
+    p = ctx.file.get_property(item_id, Box_elng)
+    return p.extended_language if p is not None else None
+
+
+def heif_item_set_property_extended_language(ctx, item_id: int,
+                                             lang: str) -> int:
+    from ..boxes.meta import Box_elng
+    return ctx.file.add_property(item_id, Box_elng(lang), False)
+
+
+def heif_release_item_references(refs) -> None:
+    """C array lifetime no-op in Python (ref: heif_items.h)."""

@@ -222,3 +222,19 @@ def heif_get_encoder_descriptors(compression_format: Optional[str] = None
     if compression_format is not None:
         out = [e for e in out if e[0] == compression_format]
     return out
+
+
+def heif_string_release(s) -> None:
+    """C-string lifetime no-op in Python (ref: heif_library.h)."""
+
+
+def heif_context_get_max_decoding_threads(ctx) -> int:
+    """(ref: heif_context.h max_decoding_threads, context.h:72)."""
+    return getattr(ctx, "max_decoding_threads", 4)
+
+
+def heif_register_decoder(ctx, plugin) -> None:
+    """Deprecated alias: per-context registration collapses to the
+    global registry (ref: heif_plugin.h heif_register_decoder)."""
+    from .plugin import heif_register_decoder_plugin
+    heif_register_decoder_plugin(plugin)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from ..core.error import HeifError
+from ..core.error import HeifError, SubError
 from .image_handle import heif_image_handle
 
 
@@ -110,3 +110,45 @@ def heif_context_add_generic_uri_metadata(ctx, handle: heif_image_handle,
     ctx.file.add_reference("cdsc", infe.item_id, [handle.item_id])
     infe.hidden = True
     return infe.item_id
+
+
+def heif_metadata_compression_method_supported(method: str) -> bool:
+    """(ref: heif_metadata.h:42)."""
+    if method in ("off", "undefined", None, "deflate", "zlib"):
+        return True
+    if method == "brotli":
+        from ..codecs.unc.codec import brotli
+        return brotli is not None
+    return False
+
+
+def heif_context_add_XMP_metadata2(ctx, handle, data: bytes,
+                                   compression: str = "off") -> int:
+    """XMP with optional generic compression: the payload is stored
+    compressed with the matching mime content_encoding
+    (ref: heif_metadata.h:108, compression.h:59-114)."""
+    if compression in (None, "off", "undefined"):
+        return heif_context_add_XMP_metadata(ctx, handle, data)
+    import zlib as _z
+    if compression == "deflate":
+        co = _z.compressobj(wbits=-15)
+        comp = co.compress(bytes(data)) + co.flush()
+        encoding = "deflate"
+    elif compression == "zlib":
+        comp = _z.compress(bytes(data))
+        encoding = "compress_zlib"
+    elif compression == "brotli":
+        from ..codecs.unc.codec import brotli
+        if brotli is None:
+            raise HeifError.unsupported(
+                SubError.Unsupported_header_compression_method,
+                "brotli not available in this build")
+        comp = brotli.compress(bytes(data))
+        encoding = "compress_brotli"
+    else:
+        raise HeifError.unsupported(
+            SubError.Unsupported_header_compression_method,
+            f"metadata compression {compression}")
+    item_id = ctx.add_xmp(handle.item_id, comp)
+    ctx.file.get_infe(item_id).content_encoding = encoding
+    return item_id

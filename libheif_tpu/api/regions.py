@@ -241,3 +241,49 @@ def heif_region_item_add_region_referenced_mask(region_item, x: int,
              height=height)
     g.mask_item_id = mask_item_id
     return g
+
+
+def heif_region_item_add_region_inline_mask(region_item, x: int, y: int,
+                                            width: int, height: int,
+                                            mask_image):
+    """Pack a Y-plane image into a 1-bpp inline mask region: the high
+    bit of each sample is the mask bit (ref: heif_regions.cc:695)."""
+    import numpy as np
+    from ..image.pixel_image import Channel
+    pl = np.asarray(mask_image.plane(Channel.Y))
+    mh, mw = pl.shape
+    cw, ch = min(width, mw), min(height, mh)
+    bits = np.zeros((height, width), np.uint8)
+    bits[:ch, :cw] = (pl[:ch, :cw] & 0x80) >> 7
+    data = np.packbits(bits.reshape(-1)).tobytes()
+    return heif_region_item_add_region_inline_mask_data(
+        region_item, x, y, width, height, data)
+
+
+def heif_region_get_mask_image(region):
+    """Mask region → monochrome image: inline masks unpack the 1-bpp
+    payload (0 → 0, 1 → 255); referenced masks decode the mski item
+    (ref: heif_regions.cc:476).  Returns (x, y, width, height, image).
+    """
+    import numpy as np
+    from ..image.pixel_image import (PixelImage, Channel, Colorspace,
+                                     Chroma)
+    t = heif_region_get_type(region)
+    if t == "inline_mask":
+        x, y, w, h, data = heif_region_get_inline_mask(region)
+        bits = np.unpackbits(np.frombuffer(data, np.uint8),
+                             count=w * h).reshape(h, w)
+        img = PixelImage(w, h, Colorspace.Monochrome, Chroma.Monochrome)
+        img.set_plane(Channel.Y, (bits * 255).astype(np.uint8), 8)
+        return x, y, w, h, img
+    if t == "referenced_mask":
+        x, y, w, h, item_id = heif_region_get_referenced_mask_ID(region)
+        ctx = getattr(region, "ctx", None) or \
+            getattr(region_item_context(region), "ctx", None)
+        img = ctx.decode_image(item_id)
+        return x, y, w, h, img
+    raise HeifError.usage(msg="region is not a mask region")
+
+
+def region_item_context(region):
+    return getattr(region, "item", None)

@@ -55,3 +55,24 @@ def heif_text_item_get_parent_image_id(ctx, text_item_id: int) -> int:
         if r.to_item_ids:
             return r.to_item_ids[0]
     return 0
+
+
+def heif_text_item_get_property_extended_language(text_item):
+    """(ref: heif_text.h elng on text items)."""
+    from ..boxes.meta import Box_elng
+    ctx = text_item.ctx if hasattr(text_item, "ctx") else None
+    item_id = getattr(text_item, "item_id", None)
+    if ctx is None or item_id is None:
+        return getattr(text_item, "extended_language", None)
+    p = ctx.file.get_property(item_id, Box_elng)
+    return p.extended_language if p is not None else None
+
+
+def heif_text_item_set_extended_language(text_item, lang: str) -> None:
+    from ..boxes.meta import Box_elng
+    ctx = getattr(text_item, "ctx", None)
+    item_id = getattr(text_item, "item_id", None)
+    if ctx is not None and item_id is not None:
+        ctx.file.add_property(item_id, Box_elng(lang), False)
+    else:
+        text_item.extended_language = lang

@@ -85,3 +85,23 @@ def heif_context_add_tiled_image(ctx, parameters,
         offset_field_length=get("offset_field_length", 40) or 40,
         size_field_length=get("size_field_length", 24) or 24)
     return heif_image_handle(ctx, iid)
+
+
+def heif_context_encode_grid(ctx, tiles, rows: int, columns: int,
+                             encoder=None, input_options=None):
+    """Encode a list of tile images and assemble them into a grid item
+    (ref: heif_tiling.h:109 heif_context_encode_grid)."""
+    from .image_handle import heif_image_handle
+    if not tiles or rows == 0 or columns == 0:
+        raise HeifError.usage(msg="encode_grid needs tiles and a shape")
+    if len(tiles) != rows * columns:
+        raise HeifError.usage(msg="tile count != rows*columns")
+    fmt = getattr(encoder, "format", None) or "hevc"
+    from ..option_types import EncodingOptions
+    options = input_options or EncodingOptions()
+    tile_ids = [ctx.encode_image(t, fmt=fmt, options=options)
+                for t in tiles]
+    tw, th = tiles[0].width, tiles[0].height
+    grid_id = ctx.add_grid_image(tile_ids, tw * columns, th * rows,
+                                 rows, columns)
+    return heif_image_handle(ctx, grid_id)

@@ -43,3 +43,9 @@ def heif_context_add_empty_unci_image(ctx,
                               parameters.tile_width,
                               parameters.tile_height, fmt="unci")
     return heif_image_handle(ctx, iid)
+
+
+def heif_unci_image_parameters_copy(params):
+    """(ref: heif_uncompressed.h heif_unci_image_parameters_copy)."""
+    import copy
+    return copy.deepcopy(params)

@@ -8,7 +8,7 @@ context.cc:1425, encode context.cc:1600, write context.cc:382).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from .core.error import HeifError, ErrorCode, SubError
 from .core.limits import SecurityLimits
@@ -671,6 +671,35 @@ class HeifContext:
         self.file.add_property(item_id,
                                Box_ispe(output_width, output_height), False)
         for tid in tile_ids:
+            self.file.get_infe(tid).hidden = True
+        return item_id
+
+    def add_overlay_image(self, image_width: int, image_height: int,
+                          image_ids: List[int],
+                          offsets: Optional[List[Tuple[int, int]]] = None,
+                          background_rgba=None) -> int:
+        """Assemble already-encoded items into an 'iovl' overlay item
+        (ref: heif_context_add_overlay_image heif_encoding.h:359).
+        offsets are (x, y) per image; background_rgba is four 16-bit
+        components (transparent when None). Returns the iovl item id."""
+        from .items.derived import ImageOverlay
+        if not image_ids:
+            raise HeifError.usage(msg="overlay needs at least one image")
+        offs = list(offsets or [(0, 0)] * len(image_ids))
+        if len(offs) != len(image_ids):
+            raise HeifError.usage(msg="offsets/image_ids length mismatch")
+        ov = ImageOverlay()
+        ov.width = image_width
+        ov.height = image_height
+        ov.background_rgba = tuple(background_rgba or (0, 0, 0, 0))
+        ov.offsets = [tuple(o) for o in offs]
+        item_id = self._register_encoded_item("iovl")
+        self.file.append_item_data(item_id, ov.write(),
+                                   construction_method=1)
+        self.file.add_reference("dimg", item_id, list(image_ids))
+        self.file.add_property(item_id,
+                               Box_ispe(image_width, image_height), False)
+        for tid in image_ids:
             self.file.get_infe(tid).hidden = True
         return item_id
 

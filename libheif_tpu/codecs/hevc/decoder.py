@@ -96,9 +96,6 @@ def check_picture_supported(sps: H.SPS, pps: H.PPS,
             SubError.Unsupported_bit_depth,
             "bit depth %d/%d not supported (8/10/12-bit equal-depth only)"
             % (sps.bit_depth_luma, sps.bit_depth_chroma))
-    if sps.scaling_list_enabled:
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "explicit scaling lists")
 
 
 def parse_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]):

@@ -105,6 +105,7 @@ class EncParams:
     num_reorder: int = 0       # sps_max_num_reorder_pics (B pyramids)
     bit_depth: int = 8         # 8 (Main) or 10/12 (Main10/RExt-style)
     temporal_mvp: bool = False  # sps_temporal_mvp_enabled (TMVP)
+    scaling_lists: object = None  # None | 'default' | 'custom'
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -131,7 +132,15 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     _ue(w, min(p.ctb_log2, 5) - 2)  # log2_diff_max_min_tb → max TB = CTB (≤32)
     _ue(w, p.rqt_depth)     # max_transform_hierarchy_depth_inter
     _ue(w, p.rqt_depth)     # max_transform_hierarchy_depth_intra
-    w.write_bits(0, 1)      # scaling_list_enabled
+    if p.scaling_lists is None:
+        w.write_bits(0, 1)  # scaling_list_enabled
+    else:
+        w.write_bits(1, 1)  # scaling_list_enabled
+        if p.scaling_lists == "default":
+            w.write_bits(0, 1)  # sps_scaling_list_data_present → defaults
+        else:
+            w.write_bits(1, 1)
+            _write_scaling_list_data(w)
     w.write_bits(0, 1)      # amp_enabled
     w.write_bits(1 if p.sao else 0, 1)
     w.write_bits(0, 1)      # pcm_enabled
@@ -157,6 +166,39 @@ def write_sps(p: EncParams, width: int, height: int) -> bytes:
     w.write_bits(0, 1)      # sps_extension
     _rbsp_trailing(w)
     return b"\x42\x01" + add_emulation_prevention(w.data())
+
+
+def _custom_scaling_list(size_id: int, matrix_id: int):
+    """Deterministic non-flat lists for conformance coverage: legal
+    values 1..255, varying per size/matrix (asymmetric so transposed
+    application would be caught by the oracle)."""
+    n = min(64, 1 << (4 + (size_id << 1)))
+    vals = [max(1, min(255, 16 + ((i * 7 + matrix_id * 5 + size_id * 3)
+                                  % 23) - 4)) for i in range(n)]
+    dc = 16 + (matrix_id % 5)
+    return vals, dc
+
+
+def _write_scaling_list_data(w: BitWriter) -> None:
+    """scaling_list_data (spec 7.3.4), all lists explicit."""
+    for size_id in range(4):
+        mids = (0, 3) if size_id == 3 else (0, 1, 2, 3, 4, 5)
+        for matrix_id in mids:
+            vals, dc = _custom_scaling_list(size_id, matrix_id)
+            w.write_bits(1, 1)      # scaling_list_pred_mode_flag
+            next_coef = 8
+            if size_id > 1:
+                _se(w, dc - 8)
+                next_coef = dc
+            for v in vals:
+                delta = v - next_coef
+                if delta < -128:
+                    delta += 256
+                elif delta > 127:
+                    delta -= 256
+                _se(w, delta)
+                next_coef = v
+            # next_coef tracking matches the decoder's mod-256 chain
 
 
 def write_pps(p: EncParams) -> bytes:
@@ -278,6 +320,7 @@ class IntraEncoder:
         self.pps_nal = write_pps(params)
         self.sps = H.parse_sps(self.sps_nal)
         self.pps = H.parse_pps(self.pps_nal)
+        self._scaling = H.effective_scaling_factors(self.sps, self.pps)
 
     # ---------------------------------------------------------------- api
 
@@ -386,7 +429,7 @@ class IntraEncoder:
             return None
         if (p.sao or p.sign_hiding or p.cu_qp_delta or p.nxn or
                 p.rqt_depth or p.wpp or p.var_cu or p.chroma_modes or
-                p.bit_depth != 8):
+                p.bit_depth != 8 or p.scaling_lists is not None):
             return None
         if isinstance(p.mode, str):
             if p.mode == "auto":
@@ -927,7 +970,7 @@ class IntraEncoder:
     def _recon_tu(self, tu, cbf) -> None:
         bd = self.p.bit_depth
         if cbf:
-            d = dequant(tu, bd)
+            d = dequant(tu, bd, self._scaling)
             res = inverse_transform(tu, d, bd)
         else:
             res = 0

@@ -71,6 +71,7 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: bool = False
+    scaling_parsed: Optional[tuple] = None   # (lists, dcs) when coded
     amp_enabled: bool = False
     sample_adaptive_offset_enabled: bool = False
     pcm_enabled: bool = False
@@ -144,6 +145,7 @@ class PPS:
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
     scaling_list_data_present: bool = False
+    scaling_parsed: Optional[tuple] = None
     lists_modification_present: bool = False
     log2_parallel_merge_level: int = 2
     slice_segment_header_extension_present: bool = False
@@ -207,21 +209,99 @@ def _profile_tier_level(br: BitReader, max_sub_layers: int) -> tuple:
     return profile_idc, level_idc
 
 
-def _scaling_list_data(br: BitReader) -> None:
-    """Parse (and discard) scaling_list_data (§7.3.4) — default lists
-    are currently required; explicit lists raise downstream."""
+def _scaling_list_data(br: BitReader):
+    """Parse scaling_list_data (§7.3.4) → (lists, dcs):
+    lists[size_id][matrix_id] = coefficient list in diagonal-scan
+    order; dcs[size_id][matrix_id] for size_id >= 2."""
+    from .tables import (DEFAULT_SCALING_INTRA_DIAG,
+                         DEFAULT_SCALING_INTER_DIAG)
+    lists = [[None] * 6 for _ in range(4)]
+    dcs = [[16] * 6 for _ in range(4)]
     for size_id in range(4):
-        matrix_count = 6 if size_id != 3 else 2
-        for _ in range(matrix_count):
+        mids = (0, 3) if size_id == 3 else (0, 1, 2, 3, 4, 5)
+        for matrix_id in mids:
             pred_mode = br.read_flag()
             if not pred_mode:
-                br.read_ue()  # pred_matrix_id_delta
+                delta = br.read_ue()
+                if delta == 0:
+                    lists[size_id][matrix_id] = _default_scaling(
+                        size_id, matrix_id,
+                        DEFAULT_SCALING_INTRA_DIAG,
+                        DEFAULT_SCALING_INTER_DIAG)
+                    dcs[size_id][matrix_id] = 16
+                else:
+                    ref = matrix_id - delta * (3 if size_id == 3 else 1)
+                    lists[size_id][matrix_id] = \
+                        list(lists[size_id][ref])
+                    dcs[size_id][matrix_id] = dcs[size_id][ref]
             else:
                 coef_num = min(64, 1 << (4 + (size_id << 1)))
+                next_coef = 8
                 if size_id > 1:
-                    br.read_se()  # dc coef
+                    dcs[size_id][matrix_id] = br.read_se() + 8
+                    next_coef = dcs[size_id][matrix_id]
+                coefs = []
                 for _ in range(coef_num):
-                    br.read_se()
+                    next_coef = (next_coef + br.read_se() + 256) % 256
+                    coefs.append(next_coef)
+                lists[size_id][matrix_id] = coefs
+    return lists, dcs
+
+
+def _default_scaling(size_id: int, matrix_id: int, intra_diag,
+                     inter_diag) -> List[int]:
+    if size_id == 0:
+        return [16] * 16
+    return list(intra_diag if matrix_id < 3 else inter_diag)
+
+
+def build_scaling_factors(parsed):
+    """ScalingFactor derivation (spec 7.4.5) → factors[log2 - 2] list of
+    6 (n, n) int32 arrays indexed [y][x]; parsed = (lists, dcs) from
+    _scaling_list_data, or None for the all-default matrices."""
+    import numpy as np
+    from .tables import (diag_scan, DEFAULT_SCALING_INTRA_DIAG,
+                         DEFAULT_SCALING_INTER_DIAG)
+    if parsed is None:
+        lists = [[_default_scaling(s, m, DEFAULT_SCALING_INTRA_DIAG,
+                                   DEFAULT_SCALING_INTER_DIAG)
+                  for m in range(6)] for s in range(4)]
+        dcs = [[16] * 6 for _ in range(4)]
+    else:
+        lists, dcs = parsed
+        # size 3 carries only matrix ids 0 and 3; mirror for lookup
+        for m in (1, 2):
+            if lists[3][m] is None and lists[3][0] is not None:
+                lists[3][m] = lists[3][0]
+                dcs[3][m] = dcs[3][0]
+            if lists[3][m + 3] is None and lists[3][3] is not None:
+                lists[3][m + 3] = lists[3][3]
+                dcs[3][m + 3] = dcs[3][3]
+    out = []
+    for size_id in range(4):
+        n = 4 << size_id
+        base = 4 if size_id == 0 else 8
+        scan = diag_scan(base)
+        mats = []
+        for matrix_id in range(6):
+            lst = lists[size_id][matrix_id]
+            if lst is None:
+                lst = _default_scaling(size_id, matrix_id,
+                                       DEFAULT_SCALING_INTRA_DIAG,
+                                       DEFAULT_SCALING_INTER_DIAG)
+            m8 = np.zeros((base, base), np.int32)
+            for i, v in enumerate(lst):
+                x, y = int(scan[i][0]), int(scan[i][1])
+                m8[y, x] = v
+            if size_id <= 1:
+                mat = m8
+            else:
+                rep = n // base
+                mat = np.repeat(np.repeat(m8, rep, 0), rep, 1)
+                mat[0, 0] = dcs[size_id][matrix_id]
+            mats.append(mat)
+        out.append(mats)
+    return out
 
 
 def _short_term_rps(br: BitReader, idx: int, rps_list: List[ShortTermRPS],
@@ -338,7 +418,7 @@ def parse_sps(nal: bytes) -> SPS:
     s.scaling_list_enabled = br.read_flag()
     if s.scaling_list_enabled:
         if br.read_flag():  # sps_scaling_list_data_present
-            _scaling_list_data(br)
+            s.scaling_parsed = _scaling_list_data(br)
     s.amp_enabled = br.read_flag()
     s.sample_adaptive_offset_enabled = br.read_flag()
     s.pcm_enabled = br.read_flag()
@@ -410,7 +490,7 @@ def parse_pps(nal: bytes) -> PPS:
             p.tc_offset_div2 = br.read_se()
     p.scaling_list_data_present = br.read_flag()
     if p.scaling_list_data_present:
-        _scaling_list_data(br)
+        p.scaling_parsed = _scaling_list_data(br)
     p.lists_modification_present = br.read_flag()
     p.log2_parallel_merge_level = br.read_ue() + 2
     p.slice_segment_header_extension_present = br.read_flag()
@@ -551,3 +631,19 @@ def parse_slice_header(nal: bytes, sps: SPS, pps_map) -> SliceHeader:
     br.byte_align()
     h.data_offset_bits = (len(rbsp) * 8 - br.bits_remaining())
     return h
+
+
+def effective_scaling_factors(sps, pps):
+    """ScalingFactor matrices in effect (spec 7.4.5 precedence: PPS
+    data > SPS data > defaults), or None when scaling lists are off."""
+    if not sps.scaling_list_enabled:
+        return None
+    cache_key = id(pps.scaling_parsed), id(sps.scaling_parsed)
+    cached = getattr(sps, "_sf_cache", None)
+    if cached is not None and cached[0] == cache_key:
+        return cached[1]
+    parsed = pps.scaling_parsed if pps.scaling_parsed is not None \
+        else sps.scaling_parsed
+    f = build_scaling_factors(parsed)
+    sps._sf_cache = (cache_key, f)
+    return f

@@ -254,7 +254,7 @@ def parse_slice(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     """Native when available, else the pure-Python reference parser.
     P slices always use the Python parser (the native engine is
     intra-only so far)."""
-    if sh.slice_type == 2:
+    if sh.slice_type == 2 and not sps.scaling_list_enabled:
         syn = parse_slice_native(sps, pps, sh, rbsp, substreams)
         if syn is not None:
             return syn
@@ -307,6 +307,8 @@ def decode_picture_native(sps: SPS, pps: PPS, sh: SliceHeader, rbsp: bytes,
     stream instead of a CTB-task pool)."""
     import os
     import threading
+    if sps.scaling_list_enabled:
+        return None     # scaling matrices: the Python engine handles it
     lib = _lib()
     if lib is None:
         return None

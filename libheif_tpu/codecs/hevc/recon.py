@@ -18,14 +18,21 @@ from .ctu import SliceSyntax, TU, INTRA_PLANAR, INTRA_DC
 _LEVEL_SCALE = np.array([40, 45, 51, 57, 64, 72], np.int64)
 
 
-def dequant(tu: TU, bit_depth: int) -> np.ndarray:
-    """(spec §8.6.3, default flat scaling list m=16)."""
+def dequant(tu: TU, bit_depth: int, factors=None) -> np.ndarray:
+    """(spec §8.6.3); factors = ScalingFactor matrices from
+    headers.effective_scaling_factors, None → flat m=16."""
     log2 = tu.log2
     bd_shift = bit_depth + log2 - 5
     qp = tu.qp
     scale = int(_LEVEL_SCALE[qp % 6]) << (qp // 6)
     c = tu.coeffs.astype(np.int64)
-    d = (c * 16 * scale + (1 << (bd_shift - 1))) >> bd_shift
+    if factors is None:
+        m = 16
+    else:
+        size_id = log2 - 2
+        mid = tu.c_idx + (3 if tu.pred_mode < 0 else 0)
+        m = factors[size_id][mid].astype(np.int64)
+    d = (c * m * scale + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
@@ -168,6 +175,8 @@ class IntraReconstructor:
         self.refs_l1 = refs_l1 or []
         self.syn = syntax
         sps = syntax.sps
+        from .headers import effective_scaling_factors
+        self.scaling = effective_scaling_factors(sps, syntax.pps)
         self.bd = sps.bit_depth_luma
         self.w = sps.pic_width
         self.h = sps.pic_height
@@ -366,7 +375,7 @@ class IntraReconstructor:
             if tu.tqb:
                 res = tu.coeffs.astype(np.int32)
             else:
-                d = dequant(tu, self.bd)
+                d = dequant(tu, self.bd, self.scaling)
                 res = inverse_transform(tu, d, self.bd)
             region = plane[py:py + h, px:px + w]
             plane[py:py + h, px:px + w] = np.clip(
@@ -377,7 +386,7 @@ class IntraReconstructor:
             if tu.tqb:
                 res = tu.coeffs.astype(np.int32)
             else:
-                d = dequant(tu, self.bd)
+                d = dequant(tu, self.bd, self.scaling)
                 res = inverse_transform(tu, d, self.bd)
             pred = pred + res
         plane[py:py + h, px:px + w] = np.clip(pred[:h, :w], 0, maxv)

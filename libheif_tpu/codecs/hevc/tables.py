@@ -264,6 +264,31 @@ def diag_scan(size: int) -> np.ndarray:
     return np.array(out, dtype=np.int32)
 
 
+# Default scaling matrices (spec tables 7-5/7-6, raster order; values
+# verified against libavcodec's hevc defaults and pinned by the
+# libde265 difftests).  The spec codes lists in diagonal-scan order.
+_DEF_SCALING_INTRA_RASTER = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24, 16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29, 16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47, 18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88, 24, 25, 29, 36, 47, 65, 88, 115,
+], np.int32)
+_DEF_SCALING_INTER_RASTER = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24, 16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28, 16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41, 18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71, 24, 25, 28, 33, 41, 54, 71, 91,
+], np.int32)
+
+
+def _to_diag(raster8):
+    return [int(raster8[y * 8 + x]) for (x, y) in diag_scan(8)]
+
+
+DEFAULT_SCALING_INTRA_DIAG = None   # filled below (diag_scan defined)
+DEFAULT_SCALING_INTER_DIAG = None
+
+
 def horiz_scan(size: int) -> np.ndarray:
     return np.array([(x, y) for y in range(size) for x in range(size)],
                     dtype=np.int32)
@@ -277,3 +302,6 @@ def vert_scan(size: int) -> np.ndarray:
 SCAN_DIAG4 = diag_scan(4)
 SCAN_HORIZ4 = horiz_scan(4)
 SCAN_VERT4 = vert_scan(4)
+
+DEFAULT_SCALING_INTRA_DIAG = _to_diag(_DEF_SCALING_INTRA_RASTER)
+DEFAULT_SCALING_INTER_DIAG = _to_diag(_DEF_SCALING_INTER_RASTER)

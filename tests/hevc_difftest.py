@@ -133,6 +133,20 @@ CONFIGS = [
                             diff_qg_depth=1, deblock=True, sao=True,
                             wpp=True, chroma_modes=True, bit_depth=10),
      (192, 128), True),
+    # scaling lists (spec 7.3.4/8.6.3): default and explicit custom
+    # matrices (x265 --scaling-list; decoder_libde265.cc full support)
+    ("slists-default", dict(qp=26, scaling_lists="default"),
+     (96, 64), False),
+    ("slists-custom", dict(qp=26, scaling_lists="custom"),
+     (96, 64), False),
+    ("slists-custom-smooth", dict(qp=34, scaling_lists="custom"),
+     (96, 64), True),
+    ("slists-rqt-sao", dict(qp=30, rqt_depth=1, sao=True, deblock=True,
+                            scaling_lists="custom"), (96, 64), False),
+    ("slists-10bit", dict(qp=26, bit_depth=10, scaling_lists="custom"),
+     (96, 64), False),
+    ("slists-ctb64", dict(qp=28, ctb_log2=6, cu_log2=6,
+                          scaling_lists="custom"), (128, 128), False),
 ]
 
 

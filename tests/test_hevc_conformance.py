@@ -36,6 +36,11 @@ SUBSET = [
                             diff_qg_depth=1, deblock=True, sao=True,
                             wpp=True, chroma_modes=True, bit_depth=10),
      (192, 128), True),
+    # explicit scaling matrices (spec 7.3.4/8.6.3)
+    ("slists-custom", dict(qp=26, scaling_lists="custom"),
+     (96, 64), False),
+    ("slists-custom-10bit", dict(qp=28, bit_depth=10, rqt_depth=1,
+                                 scaling_lists="custom"), (96, 96), True),
 ]
 
 

@@ -152,6 +152,9 @@ class SliceSyntax:
         self.ref_l1 = np.full((h4, w4), -1, np.int16)
         self.pu_vedge = np.zeros((h4, w4), np.uint8)     # PU left edges
         self.pu_hedge = np.zeros((h4, w4), np.uint8)     # PU top edges
+        # slice segment index per 4x4 (multi-slice pictures; spec 6.4.1
+        # availability requires same-slice neighbors)
+        self.slice_map4 = np.zeros((h4, w4), np.int16)
         self.cus: List[CURec] = []
         self.ref_pocs_l0: List[int] = []                 # filled by decoder
         self.ref_pocs_l1: List[int] = []
@@ -163,7 +166,8 @@ class SliceParser:
                  ref_pocs_l0: Optional[List[int]] = None,
                  cur_poc: int = 0,
                  ref_pocs_l1: Optional[List[int]] = None,
-                 col_motion=None):
+                 col_motion=None, out: Optional["SliceSyntax"] = None,
+                 slice_idx: int = 0, start_ctb: int = 0):
         """substreams: [(byte_start, byte_end)] per WPP row (or one).
         ref_pocs_l0/l1: POC of each reference per list (P/B slices;
         used for AMVP motion vector scaling).
@@ -174,7 +178,9 @@ class SliceParser:
         self.sh = sh
         self.rbsp = rbsp
         self.substreams = substreams
-        self.out = SliceSyntax(sps, pps, sh)
+        self.slice_idx = slice_idx
+        self.start_ctb = start_ctb
+        self.out = out if out is not None else SliceSyntax(sps, pps, sh)
         self.out.ref_pocs_l0 = list(ref_pocs_l0 or [])
         self.out.ref_pocs_l1 = list(ref_pocs_l1 or [])
         self.cur_poc = cur_poc
@@ -210,7 +216,8 @@ class SliceParser:
     def _available(self, x: int, y: int) -> bool:
         if not self._inside_pic(x, y):
             return False
-        return bool(self.out.avail[y >> 2, x >> 2])
+        return bool(self.out.avail[y >> 2, x >> 2]) and \
+            int(self.out.slice_map4[y >> 2, x >> 2]) == self.slice_idx
 
     # ---------------------------------------------------------------- parse
 
@@ -224,6 +231,15 @@ class SliceParser:
         sub_idx = 0
         self.dec = CabacDecoder(self.rbsp, self.substreams[0][0] * 8,
                                 self.substreams[0][1], self.ctx)
+
+        if self.start_ctb:
+            # non-first slice segment (spec 7.3.6.1 segment_address):
+            # decode CTBs from the address to end_of_slice_segment_flag
+            if wpp:
+                raise HeifError.unsupported(
+                    SubError.Unsupported_codec,
+                    "WPP combined with multi-slice pictures")
+            return self._parse_from(self.start_ctb)
 
         for row in range(n_rows):
             if wpp and row > 0:
@@ -248,6 +264,7 @@ class SliceParser:
 
             for col in range(n_cols):
                 x0, y0 = col * ctb, row * ctb
+                self._claim_ctb(col, row)
                 if self.sps.sample_adaptive_offset_enabled and \
                         (self.sh.sao_luma or self.sh.sao_chroma):
                     self._parse_sao(col, row)
@@ -257,11 +274,45 @@ class SliceParser:
                 end = self.dec.decode_terminate()
                 is_last_ctu = (row == n_rows - 1 and col == n_cols - 1)
                 if end and not is_last_ctu:
-                    raise HeifError.invalid_input(
-                        msg=f"premature end_of_slice at CTU ({col},{row})")
+                    if wpp:
+                        raise HeifError.invalid_input(
+                            msg=f"premature end_of_slice at ({col},{row})")
+                    # first segment of a multi-slice picture ends here;
+                    # the caller continues with the next slice NAL
+                    self.out.last_ctb = row * n_cols + col
+                    self._finalize_qgs()
+                    return self.out
+        self.out.last_ctb = n_rows * n_cols - 1
             # WPP: end_of_subset_one_bit consumed implicitly by moving to
             # the next substream
 
+        self._finalize_qgs()
+        return self.out
+
+    def _claim_ctb(self, col: int, row: int) -> None:
+        sps = self.sps
+        c4 = sps.ctb_size >> 2
+        self.out.slice_map4[row * c4:(row + 1) * c4,
+                            col * c4:(col + 1) * c4] = self.slice_idx
+
+    def _parse_from(self, start_ctb: int) -> SliceSyntax:
+        sps = self.sps
+        ctb = sps.ctb_size
+        n_cols = sps.pic_width_in_ctbs
+        n_rows = sps.pic_height_in_ctbs
+        n = n_cols * n_rows
+        for idx in range(start_ctb, n):
+            col, row = idx % n_cols, idx // n_cols
+            self._claim_ctb(col, row)
+            if self.sps.sample_adaptive_offset_enabled and \
+                    (self.sh.sao_luma or self.sh.sao_chroma):
+                self._parse_sao(col, row)
+            self._coding_quadtree(col * ctb, row * ctb,
+                                  sps.log2_ctb_size, 0)
+            end = self.dec.decode_terminate()
+            if end or idx == n - 1:
+                self.out.last_ctb = idx
+                break
         self._finalize_qgs()
         return self.out
 
@@ -272,13 +323,17 @@ class SliceParser:
         d = self.dec
         sao = SaoParam()
         merge = False
-        if cx > 0:
-            left_in_pic = True
-            if left_in_pic and d.decode_bin(self.ctx.idx("sao_merge_flag")):
+        c4 = self.sps.ctb_size >> 2
+        same = self.out.slice_map4
+
+        def ctb_same_slice(nx, ny):
+            return int(same[ny * c4, nx * c4]) == self.slice_idx
+        if cx > 0 and ctb_same_slice(cx - 1, cy):
+            if d.decode_bin(self.ctx.idx("sao_merge_flag")):
                 sao = self.out.sao[(cx - 1, cy)]
                 self.out.sao[(cx, cy)] = sao
                 merge = True
-        if not merge and cy > 0:
+        if not merge and cy > 0 and ctb_same_slice(cx, cy - 1):
             if d.decode_bin(self.ctx.idx("sao_merge_flag")):
                 sao = self.out.sao[(cx, cy - 1)]
                 self.out.sao[(cx, cy)] = sao

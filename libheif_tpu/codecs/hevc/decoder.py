@@ -84,9 +84,6 @@ def check_picture_supported(sps: H.SPS, pps: H.PPS,
     if pps.tiles_enabled:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "HEVC tiles not yet supported")
-    if len(slice_nals) != 1:
-        raise HeifError.unsupported(SubError.Unsupported_codec,
-                                    "multi-slice pictures not yet supported")
     if sps.chroma_format_idc != 1:
         raise HeifError.unsupported(SubError.Unsupported_codec,
                                     "only 4:2:0 supported currently")
@@ -126,9 +123,9 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
     rbsp = remove_emulation_prevention(nal[2:])
     subs = _substreams(nal, rbsp, sh.data_offset_bits, sh.entry_point_offsets)
 
-    if engine in ("native", "auto"):
+    if engine in ("native", "auto") and len(slice_nals) == 1:
         # fully-native fast path: parse + recon + filters in C++ without
-        # per-TU Python objects
+        # per-TU Python objects (single-slice pictures)
         from .native_parse import decode_picture_native
         planes = decode_picture_native(sps, pps, sh, rbsp, subs)
         if planes is not None:
@@ -148,7 +145,10 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
         syntax = parse_slice(sps, pps, sh, rbsp, subs)
         return decode_pictures_device([syntax])[0]
 
-    syntax = parse_slice(sps, pps, sh, rbsp, subs)
+    if len(slice_nals) > 1:
+        syntax = _parse_multi_slice(sps, pps, slice_nals)
+    else:
+        syntax = parse_slice(sps, pps, sh, rbsp, subs)
 
     recon = IntraReconstructor(syntax)
     y, cb, cr = recon.run()
@@ -156,6 +156,36 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
     Deblocker(syntax, (y, cb, cr)).run()
     y, cb, cr = apply_sao(syntax, (y, cb, cr))
     return y, cb, cr
+
+
+def _parse_multi_slice(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes]):
+    """Parse a multi-slice picture into one shared SliceSyntax: each
+    independent slice segment decodes its CTB range with same-slice
+    availability (spec 6.4.1/7.3.6.1)."""
+    from .ctu import SliceParser
+    syntax = None
+    next_ctb = 0
+    n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+    for idx, nal in enumerate(slice_nals):
+        sh = H.parse_slice_header(nal, sps, {pps.pps_id: pps})
+        if sh.dependent_slice:
+            raise HeifError.unsupported(SubError.Unsupported_codec,
+                                        "dependent slice segments")
+        start = sh.segment_address if not sh.first_slice_in_pic else 0
+        if start != next_ctb:
+            raise HeifError.invalid_input(
+                msg=f"slice segment address {start}, expected {next_ctb}")
+        rbsp = remove_emulation_prevention(nal[2:])
+        subs = _substreams(nal, rbsp, sh.data_offset_bits,
+                           sh.entry_point_offsets)
+        parser = SliceParser(sps, pps, sh, rbsp, subs, out=syntax,
+                             slice_idx=idx, start_ctb=start)
+        syntax = parser.parse()
+        next_ctb = getattr(syntax, "last_ctb", n_ctbs - 1) + 1
+    if next_ctb != n_ctbs:
+        raise HeifError.invalid_input(
+            msg=f"slices cover {next_ctb}/{n_ctbs} CTBs")
+    return syntax
 
 
 class SequenceDecoder:

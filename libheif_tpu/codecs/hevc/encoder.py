@@ -106,6 +106,7 @@ class EncParams:
     bit_depth: int = 8         # 8 (Main) or 10/12 (Main10/RExt-style)
     temporal_mvp: bool = False  # sps_temporal_mvp_enabled (TMVP)
     scaling_lists: object = None  # None | 'default' | 'custom'
+    num_slices: int = 1        # independent slice segments per picture
 
 
 def write_sps(p: EncParams, width: int, height: int) -> bytes:
@@ -228,7 +229,9 @@ def write_pps(p: EncParams) -> bytes:
     w.write_bits(0, 1)      # transquant_bypass
     w.write_bits(0, 1)      # tiles_enabled
     w.write_bits(1 if p.wpp else 0, 1)  # entropy_coding_sync (WPP)
-    w.write_bits(0, 1)      # loop_filter_across_slices
+    # filtering across slice boundaries stays ON (x265 default); the
+    # in-loop filters are slice-unaware by design
+    w.write_bits(1, 1)      # pps_loop_filter_across_slices_enabled
     if p.deblock:
         w.write_bits(0, 1)  # deblocking_filter_control_present → on, offsets 0
     else:
@@ -245,11 +248,18 @@ def write_pps(p: EncParams) -> bytes:
 
 
 def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool,
-                       entry_offsets: Optional[List[int]] = None) -> BitWriter:
+                       entry_offsets: Optional[List[int]] = None,
+                       first_slice: bool = True, address: int = 0,
+                       n_ctbs: int = 0) -> BitWriter:
     w = BitWriter()
-    w.write_bits(1, 1)      # first_slice_in_pic
+    w.write_bits(1 if first_slice else 0, 1)  # first_slice_in_pic
     w.write_bits(0, 1)      # no_output_of_prior_pics (IDR)
     _ue(w, 0)               # pps id
+    if not first_slice:
+        # slice_segment_address (dependent slices off in the PPS)
+        import math
+        bits = max(1, math.ceil(math.log2(max(n_ctbs, 2))))
+        w.write_bits(address, bits)
     _ue(w, 2)               # slice_type I
     if p.sao:
         w.write_bits(1 if sao_luma else 0, 1)
@@ -257,6 +267,10 @@ def write_slice_header(p: EncParams, sao_luma: bool, sao_chroma: bool,
     _se(w, 0)               # slice_qp_delta
     # deblocking: either always-on defaults (control absent) or
     # control-present + override-disabled → nothing in either case
+    if p.deblock or sao_luma or sao_chroma:
+        # slice_loop_filter_across_slices_enabled_flag (coded because
+        # the PPS enables cross-slice filtering and a filter is on)
+        w.write_bits(1, 1)
     if p.wpp:
         offs = entry_offsets or []
         _ue(w, len(offs))   # num_entry_point_offsets
@@ -418,6 +432,76 @@ class IntraEncoder:
             sh_writer.data() + payload)
         return nal, [self.sps_nal, self.pps_nal]
 
+    def encode_slices(self, img: PixelImage):
+        """Multi-slice encode (p.num_slices independent slice segments
+        split at CTB-row boundaries) → (slice NAL list, cfg NALs).
+        Spec 7.3.6.1 slice_segment_address; exercised by the oracle
+        matrix for the multi-slice decode path."""
+        p = self.p
+        if p.num_slices <= 1:
+            nal, cfg = self.encode(img)
+            return [nal], cfg
+        if p.sao or p.wpp or p.cu_qp_delta:
+            raise HeifError.unsupported(
+                SubError.Unsupported_parameter,
+                "multi-slice encode excludes sao/wpp/cu_qp_delta")
+        y = np.asarray(img.plane(Channel.Y)).astype(np.int32)
+        cb = np.asarray(img.plane(Channel.Cb)).astype(np.int32)
+        cr = np.asarray(img.plane(Channel.Cr)).astype(np.int32)
+        y = np.pad(y, ((0, self.height - y.shape[0]),
+                       (0, self.width - y.shape[1])), mode="edge")
+        cb = np.pad(cb, ((0, self.height // 2 - cb.shape[0]),
+                         (0, self.width // 2 - cb.shape[1])), mode="edge")
+        cr = np.pad(cr, ((0, self.height // 2 - cr.shape[0]),
+                         (0, self.width // 2 - cr.shape[1])), mode="edge")
+        self.src = [y, cb, cr]
+        self._device_plan = None
+        self.recon = [np.zeros_like(y), np.zeros_like(cb),
+                      np.zeros_like(cr)]
+        self._qg_log2 = self.p.ctb_log2
+        self._qg_serial = 0
+        self._qg_origin = None
+        self._qg_delta = 0
+        self._qg_delta_written = True
+        self._pending_qp_reset = False
+        from . import headers as H
+        sh = H.SliceHeader(qp=self.p.qp)
+        self.syn = SliceSyntax(self.sps, self.pps, sh)
+        self._recon_helper = IntraReconstructor(self.syn)
+        self._recon_helper.planes = self.recon
+
+        ctb = 1 << self.p.ctb_log2
+        n_cols = self.width // ctb
+        n_rows = self.height // ctb
+        n_ctbs = n_cols * n_rows
+        n_slices = min(p.num_slices, n_rows)
+        bounds = [n_rows * k // n_slices for k in range(n_slices + 1)]
+        c4 = ctb >> 2
+        nals = []
+        for si in range(n_slices):
+            self._cur_slice_idx = si
+            self._qp_prev = self.p.qp
+            self._qg_qp = self.p.qp
+            self._qg_pred = self.p.qp
+            self.ctx = ContextModels(0, self.p.qp)
+            self.enc = CabacEncoder(self.ctx)
+            for row in range(bounds[si], bounds[si + 1]):
+                self.syn.slice_map4[row * c4:(row + 1) * c4, :] = si
+                for col in range(n_cols):
+                    self._encode_ctb(col * ctb, row * ctb)
+                    last = (row == bounds[si + 1] - 1 and
+                            col == n_cols - 1)
+                    self.enc.encode_terminate(1 if last else 0)
+            self.enc.flush()
+            shw = write_slice_header(p, False, False, None,
+                                     first_slice=(si == 0),
+                                     address=bounds[si] * n_cols,
+                                     n_ctbs=n_ctbs)
+            nals.append(bytes([19 << 1, 1]) + add_emulation_prevention(
+                shw.data() + self.enc.data()))
+        self._cur_slice_idx = 0
+        return nals, [self.sps_nal, self.pps_nal]
+
     def _encode_native(self, y, cb, cr) -> Optional[bytes]:
         """C++ fast path (native/src/hevc_enc.cc) for the default
         parameter set; byte-identical to the Python loop (difftested).
@@ -532,7 +616,10 @@ class IntraEncoder:
     def _avail(self, x: int, y: int) -> bool:
         if x < 0 or y < 0 or x >= self.width or y >= self.height:
             return False
-        return bool(self.syn.avail[y >> 2, x >> 2])
+        if not self.syn.avail[y >> 2, x >> 2]:
+            return False
+        return int(self.syn.slice_map4[y >> 2, x >> 2]) == \
+            getattr(self, "_cur_slice_idx", 0)
 
     def _choose_mode(self, x0: int, y0: int, log2: int) -> int:
         if self.p.mode == "dc":

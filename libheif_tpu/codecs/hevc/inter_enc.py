@@ -113,6 +113,8 @@ def write_inter_slice_header(p: EncParams, sps, poc: int,
     _ue(w, 0)                   # five_minus_max_num_merge_cand → 5
     _se(w, 0)                   # slice_qp_delta
     # deblocking handled via the PPS (same as the intra writer)
+    if p.deblock:
+        w.write_bits(1, 1)      # slice_loop_filter_across_slices
     w.write_bits(1, 1)          # alignment
     w.byte_align()
     return w

@@ -194,10 +194,15 @@ class IntraReconstructor:
 
     # ---------------------------------------------------------------- refs
 
-    def _sample_available(self, lx: int, ly: int) -> bool:
+    def _sample_available(self, lx: int, ly: int,
+                          cur_slice: int = 0) -> bool:
         if lx < 0 or ly < 0 or lx >= self.w or ly >= self.h:
             return False
-        return bool(self.avail[ly >> 2, lx >> 2])
+        if not self.avail[ly >> 2, lx >> 2]:
+            return False
+        # multi-slice: neighbors in another slice are unavailable for
+        # intra prediction (spec 6.4.1)
+        return int(self.syn.slice_map4[ly >> 2, lx >> 2]) == cur_slice
 
     def _gather_refs(self, tu: TU) -> np.ndarray:
         """Reference sample array of length 4n+1 ordered bottom-left →
@@ -219,11 +224,13 @@ class IntraReconstructor:
         for i in range(2 * n):
             coords.append((px + i, py - 1))
 
+        cur_slice = int(self.syn.slice_map4[tu.y >> 2, tu.x >> 2])
         vals = np.zeros(4 * n + 1, np.int32)
         avail = np.zeros(4 * n + 1, bool)
         for i, (sx, sy) in enumerate(coords):
             lx, ly = (sx << shift, sy << shift) if c else (sx, sy)
-            if 0 <= sx < pw and 0 <= sy < ph and self._sample_available(lx, ly):
+            if 0 <= sx < pw and 0 <= sy < ph and \
+                    self._sample_available(lx, ly, cur_slice):
                 vals[i] = plane[sy, sx]
                 avail[i] = True
 

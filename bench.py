@@ -112,6 +112,7 @@ def _extras(budget_s: float = 360.0) -> dict:
     for step, need in ((B.bench_heic_decode, 30),
                        (B.bench_avif_decode, 20),
                        (B.bench_jpeg_decode, 10),
+                       (B.bench_hbd_decode, 20),
                        (B.bench_hevc_seq_decode, 15),
                        (B.bench_avc_decode, 15),
                        (B.bench_heic_encode_rd, 20),

@@ -543,6 +543,94 @@ def bench_avc_decode(results, side=768):
         pass
 
 
+def bench_hbd_decode(results, side=256):
+    """High-bit-depth rows (VERDICT r4 item 1): 10-bit HEVC (Python
+    engine — the native port is intra-8-bit) with same-run libde265,
+    and 10-bit AV1 on the native engine with same-run libaom."""
+    import sys as _s
+    import os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(
+        _o.path.abspath(__file__)), "..", "tests"))
+    from libheif_tpu.image.pixel_image import (PixelImage, Channel,
+                                               Colorspace, Chroma)
+    rng = np.random.default_rng(5)
+    mp = side * side / 1e6
+
+    # HEVC Main10
+    try:
+        import hevc_oracle
+        from libheif_tpu.codecs.hevc.encoder import IntraEncoder, EncParams
+        from libheif_tpu.codecs.hevc import headers as HH
+        from libheif_tpu.codecs.hevc.decoder import decode_intra_picture
+        img = PixelImage(side, side, Colorspace.YCbCr, Chroma.C420)
+        base = np.kron(rng.integers(0, 1024, (side // 8, side // 8)),
+                       np.ones((8, 8)))
+        img.set_plane(Channel.Y, np.clip(
+            base + rng.integers(-30, 30, (side, side)), 0,
+            1023).astype(np.uint16), 10)
+        img.set_plane(Channel.Cb, rng.integers(
+            0, 1024, (side // 2, side // 2)).astype(np.uint16), 10)
+        img.set_plane(Channel.Cr, rng.integers(
+            0, 1024, (side // 2, side // 2)).astype(np.uint16), 10)
+        enc = IntraEncoder(side, side, EncParams(qp=30, bit_depth=10,
+                                                 deblock=True))
+        nal, cfg = enc.encode(img)
+        sps = HH.parse_sps(cfg[0])
+        pps = HH.parse_pps(cfg[1])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_intra_picture(sps, pps, [nal], engine="python")
+            best = min(best, time.perf_counter() - t0)
+        results["hevc_10bit_decode_mps"] = round(mp / best, 3)
+        if hevc_oracle.available():
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                hevc_oracle.decode_nals(cfg + [nal])
+                b = min(b, time.perf_counter() - t0)
+            results["hevc_10bit_libde265_mps"] = round(mp / b, 3)
+    except Exception as e:   # noqa: BLE001
+        results["hevc_10bit_error"] = type(e).__name__
+
+    # AV1 10-bit (native engine)
+    try:
+        import av1_oracle
+        from libheif_tpu.codecs.av1.decoder import decode_intra_frame
+        if av1_oracle.available():
+            planes = {
+                "Y": np.clip(np.kron(
+                    rng.integers(0, 1024, (side // 8, side // 8)),
+                    np.ones((8, 8))) + rng.integers(
+                        -30, 30, (side, side)), 0,
+                    1023).astype(np.uint16),
+                "U": rng.integers(0, 1024,
+                                  (side // 2, side // 2)).astype(np.uint16),
+                "V": rng.integers(0, 1024,
+                                  (side // 2, side // 2)).astype(np.uint16),
+            }
+            obus = av1_oracle.encode(planes, {"cpu-used": "3",
+                                              "_min_q": "30",
+                                              "_max_q": "30"},
+                                     usage=0, bit_depth=10)
+            decode_intra_frame(obus, engine="native")   # warm
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                decode_intra_frame(obus, engine="native")
+                best = min(best, time.perf_counter() - t0)
+            results["av1_10bit_decode_native_mps"] = round(mp / best, 2)
+            av1_oracle.decode(obus)
+            b = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                av1_oracle.decode(obus)
+                b = min(b, time.perf_counter() - t0)
+            results["av1_10bit_libaom_mps"] = round(mp / b, 2)
+    except Exception as e:   # noqa: BLE001
+        results["av1_10bit_error"] = type(e).__name__
+
+
 def bench_thread_parity(results):
     """1-thread rows for the threaded native engines so the headline
     comparisons vs single-thread libde265/libaom are robust
@@ -717,6 +805,7 @@ def main():
     bench_heic_encode_rd(results)
     bench_j2k_htj2k(results)
     bench_jpeg_decode(results)
+    bench_hbd_decode(results)
     bench_hevc_seq_decode(results)
     bench_avc_decode(results)
     bench_thread_parity(results)

@@ -134,6 +134,10 @@ def decode_intra_picture(sps: H.SPS, pps: H.PPS, slice_nals: List[bytes],
             raise HeifError.unsupported(SubError.Unsupported_codec,
                                         "native engine unavailable")
 
+    if engine == "device" and sps.scaling_list_enabled:
+        # the TU-batched device dequant is flat-matrix; scaling-list
+        # streams decode on the Python engine
+        engine = "python"
     if engine == "device":
         from .device_recon import decode_pictures_device
         from .native_parse import parse_picture_raw

@@ -417,8 +417,9 @@ def _build_deblock_params(syntaxes, W, H, bd):
             y = np.broadcast_to(y, (ns, ne))
             en = edge_mask(x, y, vertical)
             qp = avg_qp(x, y, vertical)
-            beta = BETA_TABLE[np.clip(qp + beta_off, 0, 51)]
-            tc = TC_TABLE[np.clip(qp + 2 + tc_off, 0, 53)]
+            # beta/tc scale with bit depth (spec 8.7.2.5.3)
+            beta = BETA_TABLE[np.clip(qp + beta_off, 0, 51)] << (bd - 8)
+            tc = TC_TABLE[np.clip(qp + 2 + tc_off, 0, 53)] << (bd - 8)
             out[bkey][t] = np.where(en, beta, 0)
             out[tkey][t] = np.where(en, tc, 0)
             out[ekey][t] = en
@@ -438,7 +439,7 @@ def _build_deblock_params(syntaxes, W, H, bd):
             for ci, off in ((0, syn.pps.cb_qp_offset),
                             (1, syn.pps.cr_qp_offset)):
                 qpc = _CHROMA_QP_TABLE[np.clip(qp_l + off, 0, 57)]
-                tc = TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)]
+                tc = TC_TABLE[np.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
                 en_c = en & (tc != 0)
                 out[tkey][t, ci] = np.where(en_c, tc, 0)
                 out[ekey][t, ci] = en_c
@@ -591,7 +592,7 @@ def _build_program(meta):
                 vals[:, :1],
                 (vals[:, :-2] + 2 * vals[:, 1:-1] + vals[:, 2:] + 2) >> 2,
                 vals[:, -1:]], axis=1)
-            if n == 32 and strong_sm and bd == 8:
+            if n == 32 and strong_sm:
                 cv = vals[:, corner_i]
                 v0 = vals[:, 0]
                 v4n = vals[:, 4 * n]
